@@ -1,0 +1,216 @@
+"""Hierarchical grid cell index (H3/S2-style, from scratch — no geo libs).
+
+A cell at resolution r is one square of the 2^r x 2^r grid over the world
+rectangle WORLD = [-180, 180) x [-90, 90). Cell ids pack (res, ix, iy) into a
+non-negative int64:
+
+    cell = (res << 58) | (ix << 29) | iy        (res <= 29, ix/iy < 2^29)
+
+This keeps parent/child/k-ring arithmetic to pure integer ops, so every
+operation exists in three equivalent forms: numpy (serial oracle library),
+Spark Column expressions (JVM-side, whole-stage-codegen friendly — the scale
+path; no UDFs anywhere), and ANSI SQL (DuckDB correctness oracle). The north
+rule's "H3/S2 index" semantics (hierarchy, k-ring, cover) follow standard
+definitions; the square grid replaces hexagons since no h3 lib exists here
+(SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+RES_SHIFT = 58
+IX_SHIFT = 29
+COORD_MASK = (1 << 29) - 1
+
+# world rectangle; lon-like x, lat-like y
+X0, Y0, X1, Y1 = -180.0, -90.0, 180.0, 90.0
+SPAN_X, SPAN_Y = X1 - X0, Y1 - Y0
+
+DEFAULT_RES = 7  # 128 x 128 grid -> 2.8125 x 1.40625 degree cells
+
+
+# ---------- numpy forms ----------
+
+
+def np_cell_pack(res: int, ix, iy):
+    return (np.int64(res) << RES_SHIFT) | (np.asarray(ix, np.int64) << IX_SHIFT) | np.asarray(iy, np.int64)
+
+
+def np_cell_from_xy(x, y, res: int = DEFAULT_RES):
+    n = 1 << res
+    ix = np.clip(np.floor((np.asarray(x) - X0) / SPAN_X * n), 0, n - 1).astype(np.int64)
+    iy = np.clip(np.floor((np.asarray(y) - Y0) / SPAN_Y * n), 0, n - 1).astype(np.int64)
+    return np_cell_pack(res, ix, iy)
+
+
+def np_cell_res(cell):
+    return np.asarray(cell, np.int64) >> RES_SHIFT
+
+
+def np_cell_ix(cell):
+    return (np.asarray(cell, np.int64) >> IX_SHIFT) & COORD_MASK
+
+
+def np_cell_iy(cell):
+    return np.asarray(cell, np.int64) & COORD_MASK
+
+
+def np_cell_parent(cell, steps: int = 1):
+    res = np_cell_res(cell)
+    return np_cell_pack(0, np_cell_ix(cell) >> steps, np_cell_iy(cell) >> steps) | (
+        (res - steps) << RES_SHIFT
+    )
+
+
+def np_cell_children(cell):
+    """The 4 children one level down (quadtree refinement)."""
+    res = int(np_cell_res(cell))
+    ix, iy = int(np_cell_ix(cell)) << 1, int(np_cell_iy(cell)) << 1
+    return [
+        int(np_cell_pack(res + 1, ix + dx, iy + dy)) for dy in (0, 1) for dx in (0, 1)
+    ]
+
+
+def np_k_ring(cell: int, k: int) -> list[int]:
+    """All cells within Chebyshev distance k (grid analog of H3 kRing)."""
+    res = int(np_cell_res(cell))
+    n = 1 << res
+    cx, cy = int(np_cell_ix(cell)), int(np_cell_iy(cell))
+    out = []
+    for iy in range(max(0, cy - k), min(n - 1, cy + k) + 1):
+        for ix in range(max(0, cx - k), min(n - 1, cx + k) + 1):
+            out.append(int(np_cell_pack(res, ix, iy)))
+    return out
+
+
+def np_cover_rect(xmin, ymin, xmax, ymax, res: int = DEFAULT_RES) -> list[int]:
+    """Cells intersecting the half-open rect [xmin, xmax) x [ymin, ymax).
+
+    High index = ceil(u) - 1 so an edge exactly on a cell boundary does not
+    pull in the next cell; degenerate rects still cover their point's cell.
+    """
+    n = 1 << res
+    ix0 = int(np.clip(np.floor((xmin - X0) / SPAN_X * n), 0, n - 1))
+    iy0 = int(np.clip(np.floor((ymin - Y0) / SPAN_Y * n), 0, n - 1))
+    ix1 = int(np.clip(np.ceil((xmax - X0) / SPAN_X * n) - 1, ix0, n - 1))
+    iy1 = int(np.clip(np.ceil((ymax - Y0) / SPAN_Y * n) - 1, iy0, n - 1))
+    return [
+        int(np_cell_pack(res, ix, iy))
+        for iy in range(iy0, iy1 + 1)
+        for ix in range(ix0, ix1 + 1)
+    ]
+
+
+def np_cell_bounds(cell):
+    """(xmin, ymin, xmax, ymax) of a cell."""
+    res = np_cell_res(cell)
+    n = np.int64(1) << res
+    cw, chh = SPAN_X / n, SPAN_Y / n
+    x = X0 + np_cell_ix(cell) * cw
+    y = Y0 + np_cell_iy(cell) * chh
+    return x, y, x + cw, y + chh
+
+
+# ---------- Spark Column forms (pure built-ins: stay in codegen) ----------
+
+
+def _clamp(c: Column, lo, hi) -> Column:
+    return F.least(F.greatest(c, F.lit(lo)), F.lit(hi))
+
+
+def cell_pack(res: int, ix: Column, iy: Column) -> Column:
+    return (
+        F.lit(int(res) << RES_SHIFT).cast("long")
+        + ix.cast("long") * F.lit(1 << IX_SHIFT).cast("long")
+        + iy.cast("long")
+    )
+
+
+def cell_from_xy(x: Column, y: Column, res: int = DEFAULT_RES) -> Column:
+    n = 1 << res
+    ix = _clamp(F.floor((x - F.lit(X0)) / F.lit(SPAN_X) * F.lit(float(n))), 0, n - 1)
+    iy = _clamp(F.floor((y - F.lit(Y0)) / F.lit(SPAN_Y) * F.lit(float(n))), 0, n - 1)
+    return cell_pack(res, ix, iy)
+
+
+def cell_res(cell: Column) -> Column:
+    return F.shiftrightunsigned(cell, RES_SHIFT)
+
+
+def cell_ix(cell: Column) -> Column:
+    return F.shiftrightunsigned(cell, IX_SHIFT).bitwiseAND(F.lit(COORD_MASK))
+
+
+def cell_iy(cell: Column) -> Column:
+    return cell.bitwiseAND(F.lit(COORD_MASK))
+
+
+def cell_parent(cell: Column, steps: int = 1) -> Column:
+    res = cell_res(cell) - F.lit(steps)
+    return (
+        res * F.lit(1 << RES_SHIFT).cast("long")
+        + F.shiftrightunsigned(cell_ix(cell), steps) * F.lit(1 << IX_SHIFT).cast("long")
+        + F.shiftrightunsigned(cell_iy(cell), steps)
+    )
+
+
+def k_ring(cell: Column, k: int, res: int = DEFAULT_RES) -> Column:
+    """array<long> of cells within Chebyshev distance k; pure sequence+transform."""
+    n = 1 << res
+    cx, cy = cell_ix(cell), cell_iy(cell)
+    xs = F.sequence(_clamp(cx - k, 0, n - 1), _clamp(cx + k, 0, n - 1))
+    ys = F.sequence(_clamp(cy - k, 0, n - 1), _clamp(cy + k, 0, n - 1))
+    return F.flatten(
+        F.transform(
+            ys,
+            lambda iy: F.transform(xs, lambda ix: cell_pack(res, ix, iy)),
+        )
+    )
+
+
+def cover_rect(
+    xmin: Column, ymin: Column, xmax: Column, ymax: Column, res: int = DEFAULT_RES
+) -> Column:
+    """array<long> cell cover of a half-open rect — JVM-side, explode-ready."""
+    n = 1 << res
+    ix0 = _clamp(F.floor((xmin - F.lit(X0)) / F.lit(SPAN_X) * F.lit(float(n))), 0, n - 1)
+    iy0 = _clamp(F.floor((ymin - F.lit(Y0)) / F.lit(SPAN_Y) * F.lit(float(n))), 0, n - 1)
+    ix1 = F.greatest(
+        _clamp(F.ceil((xmax - F.lit(X0)) / F.lit(SPAN_X) * F.lit(float(n))) - 1, 0, n - 1), ix0
+    )
+    iy1 = F.greatest(
+        _clamp(F.ceil((ymax - F.lit(Y0)) / F.lit(SPAN_Y) * F.lit(float(n))) - 1, 0, n - 1), iy0
+    )
+    return F.flatten(
+        F.transform(
+            F.sequence(iy0, iy1),
+            lambda iy: F.transform(F.sequence(ix0, ix1), lambda ix: cell_pack(res, ix, iy)),
+        )
+    )
+
+
+def cell_bounds_xmin(cell: Column) -> Column:
+    n = F.pow(F.lit(2.0), cell_res(cell).cast("double"))
+    return F.lit(X0) + cell_ix(cell).cast("double") * (F.lit(SPAN_X) / n)
+
+
+def cell_bounds_ymin(cell: Column) -> Column:
+    n = F.pow(F.lit(2.0), cell_res(cell).cast("double"))
+    return F.lit(Y0) + cell_iy(cell).cast("double") * (F.lit(SPAN_Y) / n)
+
+
+# ---------- SQL fragment builders (DuckDB oracle parity) ----------
+
+
+def sql_cell_from_xy(x: str, y: str, res: int = DEFAULT_RES) -> str:
+    """ANSI-SQL text computing the same cell id (for oracle_sql strings)."""
+    n = 1 << res
+    ix = f"LEAST(GREATEST(FLOOR(({x} - ({X0})) / {SPAN_X} * {float(n)}), 0), {n - 1})"
+    iy = f"LEAST(GREATEST(FLOOR(({y} - ({Y0})) / {SPAN_Y} * {float(n)}), 0), {n - 1})"
+    return (
+        f"(CAST({res} AS BIGINT) * {1 << RES_SHIFT} + "
+        f"CAST({ix} AS BIGINT) * {1 << IX_SHIFT} + CAST({iy} AS BIGINT))"
+    )

@@ -1,0 +1,129 @@
+"""Portable SQL snippet builders: one formula, two engines.
+
+Every training-data text/dedup operator is defined ONCE as SQL expression
+text generated for either engine ('spark' | 'duckdb'), so the Spark query and
+the DuckDB correctness oracle can never drift. The only engine differences
+are isolated here (hex->int cast, regexp 'g' flag, split/list function names).
+"""
+
+from __future__ import annotations
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+QUERY_WORDS = ("join", "scan", "filter", "agg", "sort", "hash", "merge", "window")
+DATA_WORDS = ("data", "table", "row", "column", "value", "key", "batch", "stream")
+
+
+def h64(expr: str, engine: str) -> str:
+    """Deterministic 60-bit hash of a string expression (md5-prefix based —
+    identical numeric value in Spark and DuckDB)."""
+    if engine == "spark":
+        return f"CAST(conv(substr(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def words(expr: str, engine: str) -> str:
+    if engine == "spark":
+        return f"split({expr}, ' ')"
+    return f"string_split({expr}, ' ')"
+
+
+def n_tokens(expr: str, engine: str) -> str:
+    if engine == "spark":
+        return f"size(split({expr}, ' '))"
+    return f"len(string_split({expr}, ' '))"
+
+
+def count_matching_words(words_expr: str, vocab: tuple[str, ...], engine: str) -> str:
+    inlist = ", ".join(f"'{w}'" for w in vocab)
+    if engine == "spark":
+        return f"size(filter({words_expr}, w -> w IN ({inlist})))"
+    return f"len(list_filter({words_expr}, w -> w IN ({inlist})))"
+
+
+def count_regex_chars(expr: str, pattern: str, engine: str) -> str:
+    """Number of characters matching a regex class (keep-only-then-length)."""
+    if engine == "spark":
+        return f"length(regexp_replace({expr}, '{pattern}', ''))"
+    return f"length(regexp_replace({expr}, '{pattern}', '', 'g'))"
+
+
+def quality_score(text: str, engine: str) -> str:
+    """Heuristic doc quality in [0, 1]: length band + stopword presence -
+    non-alpha noise. Deterministic, engine-identical (integer/double ops)."""
+    w = words(text, engine)
+    stop = count_matching_words(w, STOPWORDS, engine)
+    nonalpha = count_regex_chars(text, "[a-z ]", engine)  # chars NOT lowercase/space
+    return (
+        f"ROUND(LEAST(1.0, CAST({n_tokens(text, engine)} AS DOUBLE) / 64.0) * 0.5 "
+        f"+ LEAST(1.0, CAST({stop} AS DOUBLE) * 8.0 / CAST({n_tokens(text, engine)} AS DOUBLE)) * 0.4 "
+        f"- LEAST(0.4, CAST({nonalpha} AS DOUBLE) / CAST(length({text}) AS DOUBLE)) + 0.1, 6)"
+    )
+
+
+def lang_guess(text: str, engine: str) -> str:
+    """N-gram/stopword language heuristic: scores 'query-ish' vs 'data-ish'
+    vocabulary and char classes; returns a deterministic label."""
+    w = words(text, engine)
+    q = count_matching_words(w, QUERY_WORDS, engine)
+    d = count_matching_words(w, DATA_WORDS, engine)
+    s = count_matching_words(w, STOPWORDS, engine)
+    return (
+        f"CASE WHEN {s} * 3 > {q} + {d} THEN 'stopwordy' "
+        f"WHEN {q} > {d} THEN 'queryish' "
+        f"WHEN {d} > {q} THEN 'dataish' ELSE 'balanced' END"
+    )
+
+
+def shingles(text: str, k: int, engine: str) -> str:
+    """Word k-gram shingle strings as an array expression (inline — no
+    subquery, so it composes inside higher-order functions)."""
+    w = words(text, engine)
+    if engine == "spark":
+        parts = " || ' ' || ".join(f"element_at({w}, j + {i})" for i in range(1, k + 1))
+        return (
+            f"transform(sequence(0, greatest(size({w}) - {k}, 0) - 1), j -> {parts})"
+        )
+    parts = " || ' ' || ".join(f"({w})[j + {i}]" for i in range(1, k + 1))
+    return f"list_transform(range(0, greatest(len({w}) - {k}, 0)), j -> {parts})"
+
+
+def minhash(shingle_arr: str, seed: int, engine: str) -> str:
+    """min over shingles of h64(shingle || '#seed')."""
+    inner = h64(f"s || '#{seed}'", engine)
+    if engine == "spark":
+        return f"array_min(transform({shingle_arr}, s -> {inner}))"
+    return f"list_min(list_transform({shingle_arr}, s -> {inner}))"
+
+
+def simhash(words_expr: str, n_bits: int, engine: str) -> str:
+    """n_bits-wide SimHash: bit b set iff sum over words of sign(bit b of
+    h64(word)) is positive. Generated as explicit per-bit sums (identical
+    expression tree both engines)."""
+    if engine == "spark":
+        agg = lambda b: (
+            f"aggregate({words_expr}, 0L, (acc, w) -> acc + "
+            f"CASE WHEN ({h64('w', engine)} >> {b}) % 2 = 1 THEN 1 ELSE -1 END)"
+        )
+    else:
+        agg = lambda b: (
+            f"list_sum(list_transform({words_expr}, w -> "
+            f"CASE WHEN ({h64('w', engine)} >> {b}) % 2 = 1 THEN 1 ELSE -1 END))"
+        )
+    terms = " + ".join(
+        f"(CASE WHEN {agg(b)} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(n_bits)
+    )
+    return f"({terms})"
+
+
+def jaccard_words(a: str, b: str, engine: str) -> str:
+    """Jaccard over distinct word sets (n-gram Jaccard uses shingles() input)."""
+    if engine == "spark":
+        return (
+            f"ROUND(CAST(size(array_intersect({a}, {b})) AS DOUBLE) / "
+            f"CAST(size(array_union({a}, {b})) AS DOUBLE), 6)"
+        )
+    return (
+        f"ROUND(CAST(len(list_intersect({a}, {b})) AS DOUBLE) / "
+        f"CAST(len(list_distinct(list_concat({a}, {b}))) AS DOUBLE), 6)"
+    )

@@ -1,0 +1,243 @@
+"""Vectorized pandas/Arrow UDFs: the only Python that touches image bytes.
+
+Everything here is Arrow-batched (pandas_udf / mapInPandas) per the
+input_hint mandate ("no per-row Python"); per-image numpy work inside a batch
+is the designed decode path (SURVEY.md §3.4). All downstream query logic
+stays in JVM column expressions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as Ty
+from pyspark.sql.pandas.functions import pandas_udf
+
+from ..tiff import tags as T
+from ..tiff.meta import TiffError, decode_metadata, entry_value, pixel_chunks
+from ..tiff.pixels import decode_chunk, psnr
+from .cells import DEFAULT_RES, np_cell_from_xy
+
+META_SCHEMA = Ty.StructType(
+    [
+        Ty.StructField("error", Ty.StringType()),
+        Ty.StructField("byteorder", Ty.StringType()),
+        Ty.StructField("width", Ty.LongType()),
+        Ty.StructField("height", Ty.LongType()),
+        Ty.StructField("interpretation", Ty.IntegerType()),
+        Ty.StructField("layout_kind", Ty.StringType()),
+        Ty.StructField("chunk_w", Ty.LongType()),
+        Ty.StructField("chunk_h", Ty.LongType()),
+        Ty.StructField("n_chunks", Ty.IntegerType()),
+        Ty.StructField("expected_chunks", Ty.IntegerType()),
+        Ty.StructField("compression", Ty.IntegerType()),
+        Ty.StructField("predictor", Ty.IntegerType()),
+        Ty.StructField("planar", Ty.IntegerType()),
+        Ty.StructField("spp", Ty.IntegerType()),
+        Ty.StructField("bits", Ty.ArrayType(Ty.IntegerType())),
+        Ty.StructField("formats", Ty.ArrayType(Ty.IntegerType())),
+        Ty.StructField("offsets", Ty.ArrayType(Ty.LongType())),
+        Ty.StructField("byte_counts", Ty.ArrayType(Ty.LongType())),
+        Ty.StructField("description", Ty.StringType()),
+        Ty.StructField("scale_x", Ty.DoubleType()),
+        Ty.StructField("scale_y", Ty.DoubleType()),
+        Ty.StructField("tie_i", Ty.DoubleType()),
+        Ty.StructField("tie_j", Ty.DoubleType()),
+        Ty.StructField("tie_x", Ty.DoubleType()),
+        Ty.StructField("tie_y", Ty.DoubleType()),
+    ]
+)
+
+_META_NULL = {f.name: None for f in META_SCHEMA.fields}
+
+
+def _meta_row(buf: bytes) -> dict:
+    try:
+        m = decode_metadata(bytes(buf))
+    except TiffError as exc:
+        # dead-letter row, never an exception (SURVEY.md S8/K3)
+        return dict(_META_NULL, error=str(exc))
+    row = {
+        "error": None,
+        "byteorder": m["byteorder"],
+        "width": m["width"],
+        "height": m["height"],
+        "interpretation": m["interpretation"],
+        "layout_kind": m["layout_kind"],
+        "chunk_w": m["chunk_w"],
+        "chunk_h": m["chunk_h"],
+        "n_chunks": len(m["offsets"]),
+        "expected_chunks": m["expected_chunks"],
+        "compression": m["compression"],
+        "predictor": m["predictor"],
+        "planar": m["planar"],
+        "spp": m["spp"],
+        "bits": m["bits"],
+        "formats": m["formats"],
+        "offsets": [int(o) for o in m["offsets"]],
+        "byte_counts": [int(b) for b in m["byte_counts"]],
+        "description": m["description"],
+        "scale_x": None,
+        "scale_y": None,
+        "tie_i": None,
+        "tie_j": None,
+        "tie_x": None,
+        "tie_y": None,
+    }
+    bo = m["byteorder"]
+    scale = m["custom"].get(T.MODEL_PIXEL_SCALE)
+    tie = m["custom"].get(T.MODEL_TIEPOINT)
+    if scale is not None and tie is not None:
+        sv = entry_value(*scale, bo)
+        tv = entry_value(*tie, bo)
+        row.update(scale_x=sv[0], scale_y=sv[1], tie_i=tv[0], tie_j=tv[1],
+                   tie_x=tv[3], tie_y=tv[4])
+    return row
+
+
+@pandas_udf(META_SCHEMA)
+def decode_meta(bufs: pd.Series) -> pd.DataFrame:
+    """binary -> metadata struct; invalid rows get error set, all else null."""
+    return pd.DataFrame([_meta_row(b) for b in bufs])
+
+
+def _decode_full(buf: bytes) -> tuple[dict, np.ndarray]:
+    """Decode every chunk and stitch the full (h, w, spp) image."""
+    m = decode_metadata(bytes(buf))
+    h, w, spp = m["height"], m["width"], m["spp"]
+    kind = {T.SAMPLE_UNSIGNED: "u", T.SAMPLE_SIGNED: "i", T.SAMPLE_FLOAT: "f"}[m["formats"][0]]
+    out = np.zeros((h, w, spp), dtype=np.dtype(f"{kind}{m['bits'][0] // 8}"))
+    for c in pixel_chunks(m):
+        if c["size_x"] == 0 or c["size_y"] == 0:
+            continue
+        px = decode_chunk(
+            buf[c["offset"] : c["offset"] + c["nbytes"]], m, c["chunk_idx"],
+            c["size_x"], c["size_y"],
+        )
+        oy, ox = c["origin_y"], c["origin_x"]
+        if m["planar"] == T.PLANAR_PLANAR:
+            out[oy : oy + c["size_y"], ox : ox + c["size_x"], c["plane"] : c["plane"] + 1] = px
+        else:
+            out[oy : oy + c["size_y"], ox : ox + c["size_x"], :] = px
+    return m, out
+
+
+def _phash64(px: np.ndarray) -> int:
+    a = px[:, :, 0].astype(np.float64)
+    h, w = a.shape
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    blocks = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            blocks[i, j] = a[ys[i] : max(ys[i + 1], ys[i] + 1),
+                             xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
+    bits = (blocks > blocks.mean()).flatten()
+    val = 0
+    for b in bits[:63]:
+        val = (val << 1) | int(b)
+    return val
+
+
+VERIFY_SCHEMA = Ty.StructType(
+    [
+        Ty.StructField("image_id", Ty.StringType()),
+        Ty.StructField("caption_match", Ty.BooleanType()),
+        Ty.StructField("phash_match", Ty.BooleanType()),
+        Ty.StructField("pixels_psnr_ok", Ty.BooleanType()),
+        Ty.StructField("error", Ty.StringType()),
+    ]
+)
+
+
+def verify_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-row invariants (BASELINE.json:15): decoded pixels vs the generation
+    formula (allclose / PSNR>=40dB), caption byte-equality, phash equality."""
+    from ..sources.images import derive_params, make_pixels
+
+    for pdf in batches:
+        rows = []
+        for rec in pdf.itertuples(index=False):
+            try:
+                m, px = _decode_full(rec.bytes)
+                k = int(rec.image_id.removeprefix("img"))
+                expected = make_pixels(derive_params(k))
+                if px.dtype.kind == "f":
+                    ok = bool(np.allclose(px, expected)) or psnr(px, expected, 255.0) >= 40.0
+                else:
+                    ok = bool(np.array_equal(px, expected))
+                rows.append(
+                    (
+                        rec.image_id,
+                        m["description"] == rec.caption,
+                        _phash64(px) == int(rec.phash),
+                        ok,
+                        None,
+                    )
+                )
+            except TiffError as exc:
+                rows.append((rec.image_id, None, None, None, str(exc)))
+        yield pd.DataFrame(rows, columns=VERIFY_SCHEMA.fieldNames())
+
+
+ZONAL_PIX_SCHEMA = Ty.StructType(
+    [
+        Ty.StructField("image_id", Ty.StringType()),
+        Ty.StructField("cell", Ty.LongType()),
+        Ty.StructField("px_cnt", Ty.LongType()),
+        Ty.StructField("px_sum", Ty.LongType()),
+        Ty.StructField("px_min", Ty.LongType()),
+        Ty.StructField("px_max", Ty.LongType()),
+    ]
+)
+
+
+def zonal_pixel_batches(res: int = DEFAULT_RES):
+    """mapInPandas fn: decode pixels, map each pixel center to its cell via the
+    GeoTIFF transform, partial-aggregate per (image, cell) in numpy.
+
+    This is the raster->vector zonal-stats map side; the reduce side is a
+    plain Catalyst groupBy(cell) hash aggregation.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for rec in pdf.itertuples(index=False):
+                try:
+                    m, px = _decode_full(rec.bytes)
+                except TiffError:
+                    continue
+                scale = m["custom"].get(T.MODEL_PIXEL_SCALE)
+                tie = m["custom"].get(T.MODEL_TIEPOINT)
+                if scale is None or tie is None:
+                    continue
+                sv = entry_value(*scale, m["byteorder"])
+                tv = entry_value(*tie, m["byteorder"])
+                h, w = px.shape[:2]
+                cols = np.arange(w, dtype=np.float64)
+                rows_ = np.arange(h, dtype=np.float64)
+                # pixel-center world coords: x = tie_x + (c + 0.5 - tie_i)*sx
+                xs = tv[3] + (cols + 0.5 - tv[0]) * sv[0]
+                ys = tv[4] - (rows_ + 0.5 - tv[1]) * sv[1]
+                cell = np_cell_from_xy(
+                    np.broadcast_to(xs[None, :], (h, w)),
+                    np.broadcast_to(ys[:, None], (h, w)),
+                    res,
+                ).ravel()
+                vals = px[:, :, 0].astype(np.int64).ravel()
+                order = np.argsort(cell, kind="stable")
+                cs, vs = cell[order], vals[order]
+                uniq, starts = np.unique(cs, return_index=True)
+                ends = np.append(starts[1:], len(cs))
+                sums = np.add.reduceat(vs, starts)
+                mins = np.minimum.reduceat(vs, starts)
+                maxs = np.maximum.reduceat(vs, starts)
+                for u, s0, e0, sm, mn, mx in zip(uniq, starts, ends, sums, mins, maxs):
+                    out.append((rec.image_id, int(u), int(e0 - s0), int(sm), int(mn), int(mx)))
+            yield pd.DataFrame(out, columns=ZONAL_PIX_SCHEMA.fieldNames())
+
+    return fn

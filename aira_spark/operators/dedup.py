@@ -1,0 +1,147 @@
+"""Deduplication operators over the documents table (training-data pipeline).
+
+Exact (hash groupBy), MinHash+LSH (shingle -> minhash -> band bucket ->
+bucket self-join -> exact-Jaccard verify), SimHash, and n-gram Jaccard.
+All expression logic comes from functions/textfns.py snippets so the DuckDB
+oracle evaluates the identical formulas.
+
+Scale shape: LSH candidate generation is an equi-join on band buckets (hash
+shuffle on a ~uniform 60-bit key — no skew), verification touches only
+candidate pairs; nothing is ever pairwise over the full corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import textfns as tf
+
+ENG = "spark"
+
+
+def with_duplicates(docs: DataFrame) -> DataFrame:
+    """Deterministic near/exact duplicate injection (the driver corpus has no
+    dups): every doc_id % 7 == 0 gains an exact copy (id + 1_000_000) and every
+    doc_id % 11 == 0 a near-copy with a few words appended (id + 2_000_000)."""
+    exact = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    )
+    near = (
+        docs.filter(F.col("doc_id") % 11 == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(2_000_000))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" appended near dup tail")))
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """(text_hash, n_dups, keeper_id): exact content dedup via hash groupBy."""
+    return (
+        docs.selectExpr("doc_id", "md5(text) AS text_hash")
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper_id"))
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = 3, n_hash: int = 8) -> DataFrame:
+    sh = tf.shingles("text", k, ENG)
+    cols = ["doc_id", f"{sh} AS shingles"]
+    df = docs.selectExpr(*cols)
+    for i in range(n_hash):
+        df = df.withColumn(f"mh{i}", F.expr(tf.minhash("shingles", i, ENG)))
+    return df
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, k: int = 3, n_hash: int = 8, band_size: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs (doc_a < doc_b, jaccard >= threshold).
+
+    Bands of band_size minhashes hash to a bucket; docs sharing any band
+    bucket become candidates; candidates are verified with exact Jaccard over
+    distinct shingle sets.
+    """
+    sigs = minhash_signatures(docs, k, n_hash).filter(F.size("shingles") > 0)
+    n_bands = n_hash // band_size
+    bands = []
+    for b in range(n_bands):
+        parts = " || '_' || ".join(
+            f"CAST(mh{b * band_size + j} AS STRING)" for j in range(band_size)
+        )
+        bands.append(
+            sigs.select(
+                "doc_id", "shingles",
+                F.lit(b).alias("band"), F.expr(tf.h64(parts, ENG)).alias("bucket"),
+            )
+        )
+    banded = bands[0]
+    for extra in bands[1:]:
+        banded = banded.unionByName(extra)
+    left = banded.select(
+        F.col("band"), F.col("bucket"),
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"),
+    )
+    right = banded.select(
+        F.col("band"), F.col("bucket"),
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"),
+    )
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jac = F.expr(tf.jaccard_words("sh_a", "sh_b", ENG))
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_table(docs: DataFrame, n_bits: int = 16) -> DataFrame:
+    """(doc_id, simhash): n_bits-wide SimHash over word tokens."""
+    return docs.selectExpr(
+        "doc_id", f"{tf.simhash(tf.words('text', ENG), n_bits, ENG)} AS simhash"
+    )
+
+
+def simhash_dup_pairs(docs: DataFrame, n_bits: int = 16, max_hamming: int = 2) -> DataFrame:
+    """Pairs whose SimHash Hamming distance <= max_hamming, blocked on the
+    high half of the hash so the join is an equi-join, not a cross join."""
+    half = n_bits // 2
+    t = simhash_table(docs, n_bits).withColumn(
+        "block", F.shiftrightunsigned(F.col("simhash"), half)
+    )
+    a = t.select(F.col("block"), F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = t.select(F.col("block"), F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    ham = F.expr(
+        "length(regexp_replace(lpad(bin(sh_a ^ sh_b), 64, '0'), '0', ''))"
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.3) -> DataFrame:
+    """Exact n-gram Jaccard pairs within (lang, source) blocks — the
+    non-probabilistic baseline the LSH path approximates."""
+    sh = tf.shingles("text", k, ENG)
+    d = docs.selectExpr("doc_id", "lang", "source", f"{sh} AS sh")
+    a = d.select("lang", "source", F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = d.select("lang", "source", F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.expr(tf.jaccard_words("sh_a", "sh_b", ENG))
+    return (
+        a.join(b, ["lang", "source"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

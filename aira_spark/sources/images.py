@@ -1,0 +1,194 @@
+"""Synthetic image+caption table (the authoritative input shape).
+
+Builds the Iceberg-shaped table (image_id string, bytes binary, w int, h int,
+fmt string, caption string, phash long) mandated by BASELINE.json input_hint,
+deterministically derived from the driver's `part` table so every numeric
+property (dims, chunk grid, geotransform, pixel values) is reproducible in
+closed form by the DuckDB oracle — while the Spark pipeline goes through the
+*real* bytes: encode -> decode -> enumerate.
+
+Derivations from k = p_partkey (all int64-exact, SQL-reproducible):
+  variant  v = k % 12                      (generation matrix row)
+  width    w = 16 + (k % 7) * 8            in [16, 64]
+  height   h = 16 + (k % 5) * 8            in [16, 48]
+  pixel(r, c, s) = (r*7 + c*13 + s*29 + k) % 256
+  scale_x = 0.002 + (k % 17) * 0.001
+  scale_y = 0.002 + (k % 13) * 0.001
+  corner_x = ((k * 2654435761) % 350000000) / 1000000.0 - 178.0
+  corner_y = ((k * 1013904223) % 170000000) / 1000000.0 - 86.0
+  footprint = [corner_x, corner_x + w*scale_x) x [corner_y, corner_y + h*scale_y)
+  caption  = 'img-' || k || ' synthetic raster caption'
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as Ty
+
+from ..tiff import tags as T
+from ..tiff.encode import write_tiff
+
+# generation matrix: v -> (byteorder, layout_kind, compression, predictor,
+#                          planar, dtype, spp, big)
+VARIANTS = [
+    ("<", "strips", T.COMPRESSION_NONE, T.PREDICTOR_NONE, 1, "u1", 1, False),
+    (">", "strips", T.COMPRESSION_NONE, T.PREDICTOR_NONE, 1, "u1", 3, False),
+    ("<", "tiles", T.COMPRESSION_NONE, T.PREDICTOR_NONE, 1, "u1", 3, False),
+    ("<", "strips", T.COMPRESSION_PACKBITS, T.PREDICTOR_NONE, 1, "u1", 1, False),
+    (">", "tiles", T.COMPRESSION_PACKBITS, T.PREDICTOR_HORIZONTAL, 1, "u1", 3, False),
+    ("<", "strips", T.COMPRESSION_DEFLATE, T.PREDICTOR_HORIZONTAL, 1, "u2", 1, False),
+    (">", "strips", T.COMPRESSION_DEFLATE, T.PREDICTOR_HORIZONTAL, 1, "u1", 2, False),
+    ("<", "tiles", T.COMPRESSION_LEGACY_DEFLATE, T.PREDICTOR_NONE, 1, "u1", 1, False),
+    ("<", "strips", T.COMPRESSION_DEFLATE, T.PREDICTOR_FLOAT, 1, "f4", 1, False),
+    (">", "strips", T.COMPRESSION_NONE, T.PREDICTOR_NONE, 2, "u1", 2, False),
+    ("<", "strips", T.COMPRESSION_PACKBITS, T.PREDICTOR_NONE, 2, "u1", 3, False),
+    ("<", "tiles", T.COMPRESSION_DEFLATE, T.PREDICTOR_HORIZONTAL, 1, "u2", 1, True),
+]
+
+STRIP_ROWS = 8
+TILE_W = TILE_H = 16
+
+IMAGE_SCHEMA = Ty.StructType(
+    [
+        Ty.StructField("image_id", Ty.StringType()),
+        Ty.StructField("bytes", Ty.BinaryType()),
+        Ty.StructField("w", Ty.IntegerType()),
+        Ty.StructField("h", Ty.IntegerType()),
+        Ty.StructField("fmt", Ty.StringType()),
+        Ty.StructField("caption", Ty.StringType()),
+        Ty.StructField("phash", Ty.LongType()),
+    ]
+)
+
+
+def derive_params(k: int) -> dict:
+    v = k % 12
+    bo, layout_kind, comp, pred, planar, dtype, spp, big = VARIANTS[v]
+    w = 16 + (k % 7) * 8
+    h = 16 + (k % 5) * 8
+    layout = ("strips", STRIP_ROWS) if layout_kind == "strips" else ("tiles", TILE_W, TILE_H)
+    scale_x = 0.002 + (k % 17) * 0.001
+    scale_y = 0.002 + (k % 13) * 0.001
+    corner_x = ((k * 2654435761) % 350000000) / 1000000.0 - 178.0
+    corner_y = ((k * 1013904223) % 170000000) / 1000000.0 - 86.0
+    return {
+        "k": k,
+        "variant": v,
+        "byteorder": bo,
+        "layout": layout,
+        "layout_kind": layout_kind,
+        "chunk_w": w if layout_kind == "strips" else TILE_W,
+        "chunk_h": STRIP_ROWS if layout_kind == "strips" else TILE_H,
+        "compression": comp,
+        "predictor": pred,
+        "planar": planar,
+        "dtype": dtype,
+        "spp": spp,
+        "big": big,
+        "w": w,
+        "h": h,
+        "scale_x": scale_x,
+        "scale_y": scale_y,
+        "corner_x": corner_x,
+        "corner_y": corner_y,
+    }
+
+
+def make_pixels(p: dict) -> np.ndarray:
+    """pixel(r, c, s) = (r*7 + c*13 + s*29 + k) % 256, cast to the variant dtype."""
+    r = np.arange(p["h"], dtype=np.int64)[:, None, None]
+    c = np.arange(p["w"], dtype=np.int64)[None, :, None]
+    s = np.arange(p["spp"], dtype=np.int64)[None, None, :]
+    vals = (r * 7 + c * 13 + s * 29 + p["k"]) % 256
+    return vals.astype(np.dtype(p["dtype"]))
+
+
+def phash64(px: np.ndarray) -> int:
+    """Deterministic 64-bit perceptual-hash-style fingerprint.
+
+    Block-mean the first channel to an 8x8 grid, threshold against the global
+    mean, pack row-major into 63 bits (bit 63 cleared to stay a positive long).
+    """
+    a = px[:, :, 0].astype(np.float64)
+    h, w = a.shape
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    blocks = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            blocks[i, j] = a[ys[i] : max(ys[i + 1], ys[i] + 1),
+                             xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
+    bits = (blocks > blocks.mean()).flatten()
+    val = 0
+    for b in bits[:63]:
+        val = (val << 1) | int(b)
+    return val
+
+
+def caption_for(k: int) -> str:
+    return f"img-{k} synthetic raster caption"
+
+
+def fmt_label(p: dict) -> str:
+    comp = {1: "none", 8: "deflate", 32773: "packbits", 32946: "zlegacy"}[p["compression"]]
+    pred = {1: "", 2: "-pred2", 3: "-pred3"}[p["predictor"]]
+    pl = "-planar" if p["planar"] == 2 else ""
+    big = "-big" if p["big"] else ""
+    return f"tiff-{comp}-{p['dtype']}-{p['layout_kind']}{pred}{pl}{big}"
+
+
+def synthesize_row(k: int) -> tuple:
+    p = derive_params(k)
+    px = make_pixels(p)
+    buf = write_tiff(
+        px,
+        byteorder=p["byteorder"],
+        layout=p["layout"],
+        compression=p["compression"],
+        predictor=p["predictor"],
+        planar=p["planar"],
+        big=p["big"],
+        geo=(
+            (p["scale_x"], p["scale_y"], 0.0),
+            (0.0, 0.0, 0.0, p["corner_x"], p["corner_y"] + p["h"] * p["scale_y"], 0.0),
+        ),
+        description=caption_for(k),
+    )
+    return (
+        f"img{k:08d}",
+        buf,
+        p["w"],
+        p["h"],
+        fmt_label(p),
+        caption_for(k),
+        phash64(px),
+    )
+
+
+def images_table(spark: SparkSession, sf_dir: str, limit: int | None = None) -> DataFrame:
+    """The images DataFrame, one image per `part` row (Arrow-batched synth)."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey")
+    if limit is not None:
+        part = part.filter(F.col("p_partkey") < limit)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [synthesize_row(int(k)) for k in pdf["p_partkey"]]
+            yield pd.DataFrame(rows, columns=IMAGE_SCHEMA.fieldNames())
+
+    return part.repartition(max(spark.sparkContext.defaultParallelism, 8)).mapInPandas(
+        gen, schema=IMAGE_SCHEMA
+    )
+
+
+def write_images(spark: SparkSession, sf_dir: str, out_path: str, buckets: int = 32) -> None:
+    """Materialize the images table as partitioned parquet (Iceberg-style layout)."""
+    df = images_table(spark, sf_dir).withColumn(
+        "bucket", F.pmod(F.xxhash64("image_id"), F.lit(buckets))
+    )
+    df.write.mode("overwrite").partitionBy("bucket").parquet(out_path)

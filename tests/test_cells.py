@@ -1,0 +1,96 @@
+"""Cell index unit + property tests (numpy forms; Spark parity in test_pipeline)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from aira_spark.functions.cells import (
+    DEFAULT_RES,
+    np_cell_bounds,
+    np_cell_children,
+    np_cell_from_xy,
+    np_cell_ix,
+    np_cell_iy,
+    np_cell_pack,
+    np_cell_parent,
+    np_cell_res,
+    np_cover_rect,
+    np_k_ring,
+)
+
+COORD = st.floats(min_value=-179.999, max_value=179.999, allow_nan=False)
+LAT = st.floats(min_value=-89.999, max_value=89.999, allow_nan=False)
+RES = st.integers(min_value=0, max_value=12)
+
+
+def test_pack_unpack():
+    c = np_cell_pack(7, 100, 42)
+    assert np_cell_res(c) == 7
+    assert np_cell_ix(c) == 100
+    assert np_cell_iy(c) == 42
+    assert c > 0
+
+
+@given(COORD, LAT, RES)
+@settings(max_examples=200, deadline=None)
+def test_point_in_own_cell_bounds(x, y, res):
+    c = int(np_cell_from_xy(x, y, res))
+    xmin, ymin, xmax, ymax = np_cell_bounds(c)
+    # epsilon-tolerant: (x - X0) absorbs values below one ulp of the span,
+    # so points within ~1e-13 deg of a boundary may land on either side
+    tol = 1e-10
+    assert xmin - tol <= x <= xmax + tol
+    assert ymin - tol <= y <= ymax + tol
+
+
+@given(COORD, LAT, RES)
+@settings(max_examples=200, deadline=None)
+def test_parent_contains_child(x, y, res):
+    c = int(np_cell_from_xy(x, y, res + 1))
+    p = int(np_cell_parent(c))
+    assert p == int(np_cell_from_xy(x, y, res))
+    assert c in np_cell_children(p)
+
+
+@given(COORD, LAT)
+@settings(max_examples=100, deadline=None)
+def test_k_ring_contains_center_and_is_bounded(x, y):
+    c = int(np_cell_from_xy(x, y, DEFAULT_RES))
+    ring = np_k_ring(c, 2)
+    assert c in ring
+    assert len(ring) <= 25
+    assert len(set(ring)) == len(ring)
+    for r in ring:
+        assert abs(int(np_cell_ix(r)) - int(np_cell_ix(c))) <= 2
+        assert abs(int(np_cell_iy(r)) - int(np_cell_iy(c))) <= 2
+
+
+@given(COORD, LAT, st.floats(min_value=0.0001, max_value=3.0),
+       st.floats(min_value=0.0001, max_value=3.0))
+@settings(max_examples=200, deadline=None)
+def test_cover_superset_of_sample_points(x, y, dw, dh):
+    """cover(rect) must contain the cell of every point inside the rect."""
+    xmax = min(x + dw, 179.999)
+    ymax = min(y + dh, 89.999)
+    cover = set(np_cover_rect(x, y, xmax, ymax, DEFAULT_RES))
+    rng = np.random.default_rng(0)
+    for _ in range(16):
+        px = x + (xmax - x) * rng.random() * 0.999
+        py = y + (ymax - y) * rng.random() * 0.999
+        assert int(np_cell_from_xy(px, py, DEFAULT_RES)) in cover
+
+
+def test_cover_exact_boundary_excluded():
+    # a rect ending exactly on a cell boundary must not include the next cell
+    xmin, ymin, _, _ = np_cell_bounds(int(np_cell_from_xy(0.1, 0.1, 4)))
+    cw = 360.0 / 16
+    chh = 180.0 / 16
+    cover = np_cover_rect(xmin, ymin, xmin + cw, ymin + chh, 4)
+    assert len(cover) == 1
+
+
+def test_cover_degenerate_rect():
+    cover = np_cover_rect(10.0, 10.0, 10.0, 10.0, DEFAULT_RES)
+    assert cover == [int(np_cell_from_xy(10.0, 10.0, DEFAULT_RES))]
