@@ -77,7 +77,12 @@ def lang_guess(text: str, engine: str) -> str:
 def shingles(text: str, k: int, engine: str) -> str:
     """Word k-gram shingle strings as an array expression (inline — no
     subquery, so it composes inside higher-order functions)."""
-    w = words(text, engine)
+    return shingles_from_words(words(text, engine), k, engine)
+
+
+def shingles_from_words(w: str, k: int, engine: str) -> str:
+    """Shingles over a precomputed word-array expression/column (avoids
+    re-splitting the text per element in the Spark plan)."""
     if engine == "spark":
         parts = " || ' ' || ".join(f"element_at({w}, j + {i})" for i in range(1, k + 1))
         return (

@@ -46,12 +46,14 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, k: int = 3, n_hash: int = 8) -> DataFrame:
-    sh = tf.shingles("text", k, ENG)
-    cols = ["doc_id", f"{sh} AS shingles"]
-    df = docs.selectExpr(*cols)
-    for i in range(n_hash):
-        df = df.withColumn(f"mh{i}", F.expr(tf.minhash("shingles", i, ENG)))
-    return df
+    # two explicit projections (words -> shingles) so the expensive split is
+    # evaluated once, then all n_hash minhashes scan the same shingle array
+    sh = tf.shingles_from_words("ws", k, ENG)
+    df = docs.selectExpr("doc_id", f"{tf.words('text', ENG)} AS ws").selectExpr(
+        "doc_id", f"{sh} AS shingles"
+    )
+    mh = [F.expr(tf.minhash("shingles", i, ENG)).alias(f"mh{i}") for i in range(n_hash)]
+    return df.select("doc_id", "shingles", *mh)
 
 
 def minhash_lsh_pairs(
@@ -64,7 +66,10 @@ def minhash_lsh_pairs(
     bucket become candidates; candidates are verified with exact Jaccard over
     distinct shingle sets.
     """
-    sigs = minhash_signatures(docs, k, n_hash).filter(F.size("shingles") > 0)
+    # persist: the signature chain feeds 2 x n_bands downstream scans (band
+    # union + both join sides); recomputing the md5 minhashes each time is the
+    # dominant cost otherwise
+    sigs = minhash_signatures(docs, k, n_hash).filter(F.size("shingles") > 0).persist()
     n_bands = n_hash // band_size
     bands = []
     for b in range(n_bands):

@@ -1,0 +1,128 @@
+"""Multimodal column operators: binary payload -> typed features.
+
+Images/audio/video ride as opaque `binary` columns with typed metadata; all
+transforms are Arrow-batched mapInPandas with explicit schemas and bounded
+batch shapes. TIFF decode is REAL (aira_spark.tiff); JPEG/PNG/audio/video
+codecs are STUBBED (no PIL/ffmpeg in this container) behind
+NotImplementedError with a clearly-marked deterministic fake for plumbing
+tests — the Spark-side schema / partitioning / UDF signatures are the real
+design and are exercised by tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as Ty
+
+from ..functions.udfs import _decode_full
+from ..tiff.meta import TiffError
+
+FEATURE_SCHEMA = Ty.StructType(
+    [
+        Ty.StructField("image_id", Ty.StringType()),
+        Ty.StructField("n_channels", Ty.IntegerType()),
+        Ty.StructField("mean", Ty.ArrayType(Ty.DoubleType())),
+        Ty.StructField("std", Ty.ArrayType(Ty.DoubleType())),
+        Ty.StructField("thumb8", Ty.ArrayType(Ty.DoubleType())),  # 8x8 block means, ch 0
+        Ty.StructField("error", Ty.StringType()),
+    ]
+)
+
+
+def _block_mean_8(px: np.ndarray) -> np.ndarray:
+    a = px[:, :, 0].astype(np.float64)
+    h, w = a.shape
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    out = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            out[i, j] = a[ys[i] : max(ys[i + 1], ys[i] + 1),
+                          xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
+    return out.flatten()
+
+
+def decode_image(fmt: str, payload: bytes) -> np.ndarray:
+    """Format dispatch. TIFF is real; other codecs are stubs."""
+    if fmt.startswith("tiff"):
+        _, px = _decode_full(payload)
+        return px
+    if fmt.startswith("fake-"):
+        # deterministic fake frame derived from the payload hash — plumbing-only
+        seed = int.from_bytes(hashlib.sha256(payload).digest()[:4], "little")
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    raise NotImplementedError(
+        f"codec for fmt={fmt!r} not available in this environment (no PIL/ffmpeg); "
+        "plug a decoder into decode_image()"
+    )
+
+
+def image_features(images: DataFrame) -> DataFrame:
+    """(image_id, n_channels, mean[], std[], thumb8[], error) per image."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                try:
+                    px = decode_image(rec.fmt, bytes(rec.bytes))
+                    f = px.astype(np.float64)
+                    rows.append(
+                        (
+                            rec.image_id,
+                            px.shape[2],
+                            f.mean(axis=(0, 1)).round(6).tolist(),
+                            f.std(axis=(0, 1)).round(6).tolist(),
+                            _block_mean_8(px).round(6).tolist(),
+                            None,
+                        )
+                    )
+                except (TiffError, NotImplementedError) as exc:
+                    rows.append((rec.image_id, None, None, None, None, str(exc)))
+            yield pd.DataFrame(rows, columns=FEATURE_SCHEMA.fieldNames())
+
+    return images.select("image_id", "fmt", "bytes").mapInPandas(fn, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = Ty.StructType(
+    [
+        Ty.StructField("media_id", Ty.StringType()),
+        Ty.StructField("frame_idx", Ty.IntegerType()),
+        Ty.StructField("frame", Ty.BinaryType()),
+        Ty.StructField("error", Ty.StringType()),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling plumbing (STUB codec): (media_id, frame_idx, frame).
+
+    The partitioning/batching contract is real — one media row fans out to
+    ceil(n_frames / every_n) frame rows inside the Arrow batch; the frame
+    decode itself raises NotImplementedError for real codecs and emits
+    deterministic fakes for fmt='fake-video'.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                if rec.fmt == "fake-video":
+                    n_frames = 1 + len(bytes(rec.bytes)) % 50
+                    for i in range(0, n_frames, every_n):
+                        digest = hashlib.sha256(bytes(rec.bytes) + i.to_bytes(4, "little"))
+                        rows.append((rec.media_id, i, digest.digest(), None))
+                else:
+                    rows.append(
+                        (rec.media_id, None, None,
+                         f"codec for fmt={rec.fmt!r} not available (stub)")
+                    )
+            yield pd.DataFrame(rows, columns=FRAME_SCHEMA.fieldNames())
+
+    return media.select("media_id", "fmt", "bytes").mapInPandas(fn, schema=FRAME_SCHEMA)

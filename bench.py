@@ -1,0 +1,120 @@
+"""Benchmark harness (driver contract: prints ONE JSON line on stdout).
+
+Measures the headline spatial-join + tile-assignment pipeline and each
+operator family at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. The synthetic images table is materialized to
+parquet once (synthesis is input generation, excluded from the headline
+metric) and every query then runs scan-based, as it would against an Iceberg
+table on a cluster.
+
+Extra env:
+  SPARK_GRAFT_BENCH_CPUS  override cores (for N vs 4N scaling runs)
+  SPARK_GRAFT_BENCH_OUT   append the JSON line to this file too
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(
+        os.environ.get("SPARK_GRAFT_BENCH_CPUS", os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(sf_tag.replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    import __spark_entry__ as em
+    from aira_spark.session import get_spark
+    from aira_spark.sources.images import write_images
+
+    spark = get_spark("aira-bench", cores=cpus, shuffle_partitions=max(2 * cpus, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"[bench] {name}: {timings[name]:.2f}s", file=sys.stderr)
+
+    # ---- one-time input materialization (excluded from headline) ----
+    imgs_path = f"/tmp/aira_bench_images_{sf_tag}"
+    t0 = time.time()
+    if not os.path.exists(f"{imgs_path}/_SUCCESS"):
+        write_images(spark, sf_dir, imgs_path, buckets=max(cpus, 16))
+    synth_s = round(time.time() - t0, 3)
+    images = spark.read.parquet(imgs_path)
+    em._IMG_CACHE[sf_dir] = images  # bench queries read the materialized table
+    n_images = images.count()
+
+    # ---- headline: decode -> tile assignment -> cell cover -> spatial join ----
+    def flagship():
+        from pyspark.sql import functions as F
+
+        from aira_spark.functions.cells import cell_from_xy
+        from aira_spark.operators.chunks import cell_cover, chunks_df, with_meta
+        from aira_spark.sources.vectors import points_table
+
+        wm = with_meta(images)
+        n_chunks = chunks_df(wm).count()
+        cover = cell_cover(wm, em.CELL_RES).select("image_id", "cell")
+        pts = points_table(spark, sf_dir).select(
+            "point_id", cell_from_xy(F.col("x"), F.col("y"), em.CELL_RES).alias("cell")
+        )
+        joined = cover.join(pts, "cell").groupBy("cell").agg(
+            F.countDistinct("image_id").alias("n_images"),
+            F.countDistinct("point_id").alias("n_points"),
+        )
+        joined.count()
+        return n_chunks
+
+    timed("pipeline", flagship)
+
+    per_query = {
+        "tile_assign": lambda: em.q_tile_assign(spark, sf_dir).count(),
+        "zonal_stats": lambda: em.q_zonal_stats(spark, sf_dir).count(),
+        "pip": lambda: em.q_pip(spark, sf_dir).count(),
+        "knn": lambda: em.q_knn(spark, sf_dir).count(),
+        "rasterize_cells": lambda: em.q_rasterize_cells(spark, sf_dir).count(),
+        "dedup_minhash": lambda: em.q_dedup_minhash(spark, sf_dir).count(),
+        "ann_cosine_topk": lambda: em.q_ann_cosine_topk(spark, sf_dir).count(),
+        "text_features": lambda: em.q_text_features(spark, sf_dir).count(),
+        "q1_pricing": lambda: em.q_q1_pricing(spark, sf_dir).count(),
+    }
+    for name, fn in per_query.items():
+        timed(name, fn)
+
+    images_per_sec = round(n_images / timings["pipeline"], 2)
+    out = {
+        "metric": "spatial_join_tile_assignment_pipeline",
+        "value": timings["pipeline"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_images": n_images,
+        "images_per_sec": images_per_sec,
+        "cores": cpus,
+        "synth_sec_excluded": synth_s,
+    }
+    line = json.dumps(out)
+    print(line)
+    extra = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if extra:
+        with open(extra, "a") as f:
+            f.write(line + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
