@@ -104,6 +104,13 @@ def decode_meta(bufs: pd.Series) -> pd.DataFrame:
     return pd.DataFrame([_meta_row(b) for b in bufs])
 
 
+# nondeterministic marker = "do not duplicate": without it Catalyst's project
+# collapse re-evaluates the decode once per downstream reference (observed 2x
+# in the tile_assign plan). Decode is pure, but expensive — single evaluation
+# is the correct physical choice at any scale.
+decode_meta = decode_meta.asNondeterministic()
+
+
 def _decode_full(buf: bytes) -> tuple[dict, np.ndarray]:
     """Decode every chunk and stitch the full (h, w, spp) image."""
     m = decode_metadata(bytes(buf))

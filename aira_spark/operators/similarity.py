@@ -49,21 +49,27 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10) -> DataF
 SIG_SCHEMA = Ty.StructType(
     [
         Ty.StructField("vec_id", Ty.LongType()),
+        Ty.StructField("table", Ty.IntegerType()),
         Ty.StructField("bucket", Ty.LongType()),
     ]
 )
 
 
-def _planes(n_planes: int, dim: int) -> np.ndarray:
-    """Deterministic pseudo-random hyperplanes (seeded; no Date/now)."""
-    rng = np.random.default_rng(20240816)
+def _planes(n_planes: int, dim: int, table: int = 0) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes (seeded per table; no Date/now)."""
+    rng = np.random.default_rng(20240816 + table * 7919)
     return rng.standard_normal((n_planes, dim))
 
 
-def lsh_signatures(embeddings: DataFrame, n_planes: int = 12, dim: int = 64) -> DataFrame:
-    """(vec_id, bucket): sign-of-dot-product signature packed into a long.
-    Vectorized: one numpy matmul per Arrow batch."""
-    planes = _planes(n_planes, dim)
+def lsh_signatures(
+    embeddings: DataFrame, n_planes: int = 12, dim: int = 64, n_tables: int = 1
+) -> DataFrame:
+    """(vec_id, table, bucket): random-hyperplane signatures, one bucket per
+    hash table. L independent tables OR-amplify recall: a candidate pair is
+    joined if the signs agree in ANY table (standard LSH; collision prob
+    1 - (1 - (1 - theta/pi)^m)^L). Vectorized: one matmul per Arrow batch."""
+    all_planes = np.stack([_planes(n_planes, dim, t) for t in range(n_tables)])
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -71,30 +77,50 @@ def lsh_signatures(embeddings: DataFrame, n_planes: int = 12, dim: int = 64) -> 
                 yield pd.DataFrame(columns=SIG_SCHEMA.fieldNames())
                 continue
             mat = np.vstack(pdf["embedding"].to_numpy())
-            bits = (mat @ planes.T) > 0
-            weights = (1 << np.arange(n_planes)).astype(np.int64)
-            buckets = bits.astype(np.int64) @ weights
-            yield pd.DataFrame({"vec_id": pdf["vec_id"].astype("int64"),
-                                "bucket": buckets})
+            frames = []
+            for t in range(n_tables):
+                bits = (mat @ all_planes[t].T) > 0
+                buckets = bits.astype(np.int64) @ weights
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"].astype("int64"),
+                            "table": np.int32(t),
+                            "bucket": buckets,
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
 
     return embeddings.select("vec_id", "embedding").mapInPandas(fn, schema=SIG_SCHEMA)
 
 
-def lsh_ann_topk(embeddings: DataFrame, k: int = 10, n_planes: int = 8) -> DataFrame:
-    """Approximate all-pairs top-k: candidates share an LSH bucket; exact
-    cosine re-rank within buckets. The bucket join is an equi-join shuffle on
-    a near-uniform key — the 10^12-scale path (vs brute force O(n^2))."""
-    sigs = lsh_signatures(embeddings, n_planes)
-    vecs = embeddings.select("vec_id", "embedding").join(sigs, "vec_id")
-    a = vecs.select(F.col("bucket"), F.col("vec_id").alias("query_id"),
-                    F.col("embedding").alias("qvec"))
-    b = vecs.select(F.col("bucket"), F.col("vec_id").alias("neighbor_id"),
-                    F.col("embedding").alias("vec"))
+def lsh_ann_topk(
+    embeddings: DataFrame, k: int = 10, n_planes: int = 8, n_tables: int = 8
+) -> DataFrame:
+    """Approximate all-pairs top-k: candidates share any (table, bucket); exact
+    cosine re-rank over the deduped candidate set. The bucket join is an
+    equi-join shuffle on a near-uniform key — the 10^12-scale path (vs brute
+    force O(n^2)); n_tables trades shuffle volume for recall."""
+    sigs = lsh_signatures(embeddings, n_planes, n_tables=n_tables)
+    a = sigs.select("table", "bucket", F.col("vec_id").alias("query_id"))
+    b = sigs.select("table", "bucket", F.col("vec_id").alias("neighbor_id"))
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    e = embeddings.select("vec_id", "embedding")
+    cand = (
+        cand.join(e.withColumnRenamed("vec_id", "query_id")
+                   .withColumnRenamed("embedding", "qvec"), "query_id")
+        .join(e.withColumnRenamed("vec_id", "neighbor_id")
+               .withColumnRenamed("embedding", "vec"), "neighbor_id")
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
-        a.join(b, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine(F.col("vec"), F.col("qvec")), 6))
+        cand.withColumn("cos", F.round(cosine(F.col("vec"), F.col("qvec")), 6))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
@@ -102,16 +128,29 @@ def lsh_ann_topk(embeddings: DataFrame, k: int = 10, n_planes: int = 8) -> DataF
 
 
 def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
-                             n_planes: int = 6) -> DataFrame:
-    """Near-duplicate embedding pairs (cos >= threshold) via LSH blocking."""
-    sigs = lsh_signatures(embeddings, n_planes)
-    vecs = embeddings.select("vec_id", "embedding").join(sigs, "vec_id")
-    a = vecs.select("bucket", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = vecs.select("bucket", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    return (
-        a.join(b, "bucket")
+                             n_planes: int = 6, n_tables: int = 4) -> DataFrame:
+    """Near-duplicate embedding pairs (cos >= threshold) via LSH blocking.
+    High-cosine pairs collide with probability ~(1 - theta/pi)^m per table;
+    at threshold 0.95 (theta ~ 18deg) a 6-plane table catches ~53%, 4 tables
+    ~95% — verification is exact so precision is 1.0 regardless."""
+    sigs = lsh_signatures(embeddings, n_planes, n_tables=n_tables)
+    a = sigs.select("table", "bucket", F.col("vec_id").alias("vec_a"))
+    b = sigs.select("table", "bucket", F.col("vec_id").alias("vec_b"))
+    cand = (
+        a.join(b, ["table", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos", F.round(cosine(F.col("ea"), F.col("eb")), 6))
+        .select("vec_a", "vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    e = embeddings.select("vec_id", "embedding")
+    cand = (
+        cand.join(e.withColumnRenamed("vec_id", "vec_a")
+                   .withColumnRenamed("embedding", "ea"), "vec_a")
+        .join(e.withColumnRenamed("vec_id", "vec_b")
+               .withColumnRenamed("embedding", "eb"), "vec_b")
+    )
+    return (
+        cand.withColumn("cos", F.round(cosine(F.col("ea"), F.col("eb")), 6))
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
     )

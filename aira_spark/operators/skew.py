@@ -63,5 +63,5 @@ def replicate_for_salted_join(small: DataFrame, n_salt: int = 16) -> DataFrame:
     """Explode the broadcast side over all salt values so a salted big side can
     still equi-join on (key, salt) without losing matches."""
     return small.withColumn(
-        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).cast("int")
-    )
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ).withColumn("salt", F.col("salt").cast("int"))

@@ -108,6 +108,8 @@ def knn_join(
     outside the ring is farther). Unfinished queries double the ring.
     Deterministic tie-break: (dist, neighbor_id).
     """
+    import math
+
     from pyspark.sql import Window
 
     n = 1 << res
@@ -119,62 +121,55 @@ def knn_join(
         F.col("x").alias("px"),
         F.col("y").alias("py"),
         cell_from_xy(F.col("x"), F.col("y"), res).alias("cell"),
-    )
+    ).persist()
+    n_points = pts.count()
     pending = queries.select(
         "query_id", F.col("x").alias("qx"), F.col("y").alias("qy"),
         cell_from_xy(F.col("x"), F.col("y"), res).alias("qcell"),
-    )
+    ).persist()
+    n_pending = pending.count()
+
+    # density-based initial radius: expect >= ~4k candidates per query so the
+    # first round finalizes the bulk (uniform-ish data), instead of crawling
+    # up from radius 1 with mostly-empty rings
+    density = max(n_points / float(n * n), 1e-9)
+    radius = max(1, min(n, math.ceil((math.sqrt(4.0 * k / density) - 1.0) / 2.0)))
+
     results = None
-    radius = 1
     w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
-    for _ in range(max_rounds):
+    dist = F.sqrt(
+        (F.col("px") - F.col("qx")) * (F.col("px") - F.col("qx"))
+        + (F.col("py") - F.col("qy")) * (F.col("py") - F.col("qy"))
+    )
+    for round_i in range(max_rounds):
+        last = round_i == max_rounds - 1 or radius >= n
         ringed = pending.withColumn("cell", F.explode(k_ring(F.col("qcell"), radius, res)))
-        cand = ringed.join(pts, "cell")
         ranked = (
-            cand.withColumn(
-                "dist",
-                F.sqrt(
-                    (F.col("px") - F.col("qx")) * (F.col("px") - F.col("qx"))
-                    + (F.col("py") - F.col("qy")) * (F.col("py") - F.col("qy"))
-                ),
-            )
+            ringed.join(pts, "cell")
+            .withColumn("dist", dist)
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
+            .persist()
         )
         safe = float(radius) * safe_per_ring
         stats = ranked.groupBy("query_id").agg(
             F.count("*").alias("n_found"), F.max("dist").alias("kth_dist")
         )
-        done_ids = stats.filter((F.col("n_found") >= k) & (F.col("kth_dist") <= safe)).select(
-            "query_id"
-        )
-        # whole grid covered -> everything that found any neighbor is final
-        if radius >= n:
+        if last:
             done_ids = stats.select("query_id")
+        else:
+            done_ids = stats.filter(
+                (F.col("n_found") >= k) & (F.col("kth_dist") <= safe)
+            ).select("query_id")
+        done_ids = done_ids.persist()
+        n_done = done_ids.count()
         finished = ranked.join(F.broadcast(done_ids), "query_id", "left_semi").select(
             "query_id", "neighbor_id", "rank", "dist"
         )
         results = finished if results is None else results.unionByName(finished)
-        pending = pending.join(F.broadcast(done_ids), pending.query_id == done_ids.query_id,
-                               "left_anti")
-        if pending.isEmpty():
+        n_pending -= n_done
+        if n_pending <= 0 or last:
             break
-        radius *= 2
-    else:
-        # out of rounds: emit best-effort for whatever is left at max radius
-        ringed = pending.withColumn("cell", F.explode(k_ring(F.col("qcell"), radius, res)))
-        cand = ringed.join(pts, "cell")
-        leftover = (
-            cand.withColumn(
-                "dist",
-                F.sqrt(
-                    (F.col("px") - F.col("qx")) * (F.col("px") - F.col("qx"))
-                    + (F.col("py") - F.col("qy")) * (F.col("py") - F.col("qy"))
-                ),
-            )
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "rank", "dist")
-        )
-        results = leftover if results is None else results.unionByName(leftover)
+        pending = pending.join(F.broadcast(done_ids), "query_id", "left_anti").persist()
+        radius = min(n, radius * 2)
     return results

@@ -29,6 +29,9 @@ def run_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (
         spark.readStream.schema(schema)
         .parquet(stage)
+        # watermarks require TIMESTAMP (the parquet column is TIMESTAMP_NTZ);
+        # session timezone is pinned to UTC so the cast is value-preserving
+        .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
         .agg(

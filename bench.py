@@ -66,7 +66,9 @@ def main() -> None:
         from aira_spark.operators.chunks import cell_cover, chunks_df, with_meta
         from aira_spark.sources.vectors import points_table
 
-        wm = with_meta(images)
+        # decode once, keep only (image_id, meta): downstream stages must not
+        # re-run the UDF or drag the image bytes through the plan
+        wm = with_meta(images).select("image_id", "meta").persist()
         n_chunks = chunks_df(wm).count()
         cover = cell_cover(wm, em.CELL_RES).select("image_id", "cell")
         pts = points_table(spark, sf_dir).select(

@@ -1,0 +1,106 @@
+"""Dedup / text / similarity operator semantics (fast in-process checks)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    ).cache()
+
+
+def test_exact_dedup_finds_injected_dups(spark, docs):
+    from aira_spark.operators.dedup import exact_dedup, with_duplicates
+
+    d = with_duplicates(docs)
+    res = exact_dedup(d)
+    n_exact_dups = docs.filter(F.col("doc_id") % 7 == 0).count()
+    assert res.filter(F.col("n_dups") >= 2).count() == n_exact_dups
+    # in every real duplicate group the keeper is the original (smallest id);
+    # near-dup rows have distinct text so they form their own singleton groups
+    assert res.filter((F.col("n_dups") >= 2) & (F.col("keeper_id") >= 1_000_000)).count() == 0
+
+
+def test_minhash_finds_exact_and_near_dups(spark, docs):
+    from aira_spark.operators.dedup import minhash_lsh_pairs, with_duplicates
+
+    pairs = minhash_lsh_pairs(with_duplicates(docs)).collect()
+    by_pair = {(r.doc_a, r.doc_b): r.jaccard for r in pairs}
+    exact_ids = [r.doc_id for r in docs.filter(F.col("doc_id") % 7 == 0).collect()]
+    # every exact dup pair must be found with jaccard 1.0
+    for i in exact_ids:
+        assert by_pair.get((i, i + 1_000_000)) == 1.0
+    # near dups (appended tail) found with high-but-not-1 jaccard
+    near_found = [k for k in by_pair if k[1] >= 2_000_000 and k[0] == k[1] - 2_000_000]
+    assert len(near_found) > 0
+    assert all(0.5 <= by_pair[k] < 1.0 for k in near_found)
+
+
+def test_simhash_exact_dups_collide(spark, docs):
+    from aira_spark.operators.dedup import simhash_dup_pairs, with_duplicates
+
+    pairs = simhash_dup_pairs(with_duplicates(docs), n_bits=16, max_hamming=0).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    exact_ids = [r.doc_id for r in docs.filter(F.col("doc_id") % 7 == 0).collect()]
+    for i in exact_ids:
+        assert (i, i + 1_000_000) in found
+
+
+def test_text_features_ranges(spark, docs):
+    from aira_spark.operators.text import text_features
+
+    rows = text_features(docs).collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert r.n_tokens > 0
+        assert -0.4 <= r.quality <= 1.1
+        assert r.lang_guess in ("stopwordy", "queryish", "dataish", "balanced")
+
+
+def test_cosine_topk_self_similarity(spark, sf_dir):
+    from aira_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    )
+    # duplicate vec 0 as id 9999: it must be the rank-1 neighbor with cos ~ 1
+    dup = emb.filter(F.col("vec_id") == 0).withColumn("vec_id", F.lit(9999).cast("long"))
+    e2 = emb.unionByName(dup)
+    q = e2.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    top = cosine_topk(e2, q, k=3).collect()
+    assert top[0].neighbor_id == 9999
+    assert top[0].cos == pytest.approx(1.0, abs=1e-6)
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
+    """LSH ANN must recover most true top-1 neighbors (recall sanity)."""
+    from aira_spark.operators.similarity import cosine_topk, lsh_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200).cache()
+    truth = {
+        r.query_id: r.neighbor_id
+        for r in cosine_topk(
+            emb, emb.selectExpr("vec_id AS query_id", "embedding AS qvec"), k=1
+        ).collect()
+    }
+    approx = {}
+    for r in lsh_ann_topk(emb, k=1, n_planes=4, n_tables=8).collect():
+        approx[r.query_id] = r.neighbor_id
+    hits = sum(1 for q, n in truth.items() if approx.get(q) == n)
+    # 8 OR-amplified tables of 4 planes: collision prob per table ~0.14 for
+    # random-gaussian top-1 pairs -> expected recall ~1-(1-0.14)^8 ~ 0.7
+    assert hits / len(truth) >= 0.45, hits / len(truth)
+
+
+def test_streaming_matches_batch(spark, sf_dir):
+    import __spark_entry__ as em
+
+    batch = {tuple(r) for r in em.q_events_hourly(spark, sf_dir).collect()}
+    stream = {tuple(r) for r in em.q_streaming_hourly(spark, sf_dir).collect()}
+    assert batch == stream

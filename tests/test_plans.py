@@ -1,0 +1,88 @@
+"""Physical plan shape assertions (100 TB scale contract).
+
+These tests pin the *plan*, not just the result: broadcast of the polygon /
+dimension side, predicate pushdown into the parquet scan, whole-stage codegen
+around the chunk arithmetic, and bounded shuffle counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aira_spark.plans.inspect import (
+    count_in_plan,
+    has_broadcast_join,
+    plan_string,
+    pushed_filters,
+    shuffle_count,
+)
+
+
+def test_pip_broadcasts_polygon_side(spark, sf_dir):
+    from aira_spark.operators.spatial import point_in_polygon_join
+    from aira_spark.sources.vectors import points_table, polygons_table
+
+    df = point_in_polygon_join(points_table(spark, sf_dir), polygons_table(spark, sf_dir))
+    assert has_broadcast_join(df)
+    # the big (points) side must not shuffle at all for the prefilter join
+    assert shuffle_count(df) == 0
+
+
+def test_pushdown_reaches_parquet_scan(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_quantity")
+    )
+    pf = pushed_filters(df)
+    assert "l_quantity" in pf, pf
+    # column pruning: scan schema only carries the 2 projected columns
+    s = plan_string(df)
+    assert "l_extendedprice" not in s
+
+
+def test_chunk_enumeration_is_codegen(spark, sf_dir):
+    """Tile/chunk arithmetic must be pure JVM expressions (explode + project),
+    with no Python evaluation nodes after the decode UDF."""
+    import __spark_entry__ as em
+
+    df = em.q_tile_assign(spark, sf_dir)
+    # exactly one Arrow UDF evaluation (the metadata decode — guarded against
+    # Catalyst project-collapse duplication); everything downstream is
+    # Generate/Project inside codegen
+    assert count_in_plan(df, "ArrowEvalPython") == 1, plan_string(df, "simple")
+    s = plan_string(df)
+    assert "Generate" in s
+    # no per-row Python anywhere (input_hint mandate): BatchEvalPython is the
+    # row-at-a-time UDF node; only Arrow nodes may appear
+    assert "BatchEvalPython" not in s
+    assert shuffle_count(df) == 0
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    import __spark_entry__ as em
+
+    df = em.q_q1_pricing(spark, sf_dir)
+    s = plan_string(df)
+    # map-side combine: partial + final hash aggregate around one shuffle
+    assert s.count("HashAggregate") >= 2
+    assert shuffle_count(df) == 1
+
+
+def test_topk_broadcasts_dimension(spark, sf_dir):
+    import __spark_entry__ as em
+
+    df = em.q_top_customers(spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_zonal_single_shuffle(spark, sf_dir):
+    """Zonal stats: pixels are pre-aggregated per (image, cell) inside the
+    Arrow UDF; the plan shuffles only the compact cell partials once."""
+    import __spark_entry__ as em
+
+    df = em.q_zonal_stats(spark, sf_dir)
+    assert shuffle_count(df) == 1
+    # the cached synth relation prints its own MapInPandas (x2 under AQE);
+    # the zonal path itself contributes exactly one more
+    assert count_in_plan(df, "MapInPandas") >= 1
