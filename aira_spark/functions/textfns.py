@@ -85,8 +85,11 @@ def shingles_from_words(w: str, k: int, engine: str) -> str:
     re-splitting the text per element in the Spark plan)."""
     if engine == "spark":
         parts = " || ' ' || ".join(f"element_at({w}, j + {i})" for i in range(1, k + 1))
+        # guard: Spark's sequence(0, -1) counts DOWN ([0, -1]) instead of
+        # returning empty like DuckDB's range(), so short docs must short-circuit
         return (
-            f"transform(sequence(0, greatest(size({w}) - {k}, 0) - 1), j -> {parts})"
+            f"if(size({w}) <= {k}, array(), "
+            f"transform(sequence(0, size({w}) - {k} - 1), j -> {parts}))"
         )
     parts = " || ' ' || ".join(f"({w})[j + {i}]" for i in range(1, k + 1))
     return f"list_transform(range(0, greatest(len({w}) - {k}, 0)), j -> {parts})"

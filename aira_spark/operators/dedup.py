@@ -66,38 +66,41 @@ def minhash_lsh_pairs(
     bucket become candidates; candidates are verified with exact Jaccard over
     distinct shingle sets.
     """
-    # persist: the signature chain feeds 2 x n_bands downstream scans (band
-    # union + both join sides); recomputing the md5 minhashes each time is the
-    # dominant cost otherwise
+    # persist: the signature chain feeds the band explode + two verify-join
+    # scans; recomputing the md5 minhashes each time is the dominant cost
     sigs = minhash_signatures(docs, k, n_hash).filter(F.size("shingles") > 0).persist()
     n_bands = n_hash // band_size
-    bands = []
-    for b in range(n_bands):
-        parts = " || '_' || ".join(
-            f"CAST(mh{b * band_size + j} AS STRING)" for j in range(band_size)
-        )
-        bands.append(
-            sigs.select(
-                "doc_id", "shingles",
-                F.lit(b).alias("band"), F.expr(tf.h64(parts, ENG)).alias("bucket"),
+
+    # candidate generation shuffles ONLY (band, bucket, doc_id) — never the
+    # shingle arrays. One posexplode row per band instead of an n_bands-way
+    # union, so the signature table is scanned once.
+    buckets = [
+        F.expr(
+            tf.h64(
+                " || '_' || ".join(
+                    f"CAST(mh{b * band_size + j} AS STRING)" for j in range(band_size)
+                ),
+                ENG,
             )
         )
-    banded = bands[0]
-    for extra in bands[1:]:
-        banded = banded.unionByName(extra)
-    left = banded.select(
-        F.col("band"), F.col("bucket"),
-        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"),
-    )
-    right = banded.select(
-        F.col("band"), F.col("bucket"),
-        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"),
+        for b in range(n_bands)
+    ]
+    banded = sigs.select(
+        "doc_id", F.posexplode(F.array(*buckets)).alias("band", "bucket")
     )
     cand = (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # verify: re-attach shingles per side (shuffle keyed on doc_id carries each
+    # array once per candidate side, not once per band per join side)
+    sh = sigs.select("doc_id", "shingles")
+    cand = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
     )
     jac = F.expr(tf.jaccard_words("sh_a", "sh_b", ENG))
     return (

@@ -97,16 +97,23 @@ def knn_join(
     points: DataFrame,
     k: int,
     res: int = DEFAULT_RES,
-    max_rounds: int = 8,
+    ring_rounds: int = 1,
 ) -> DataFrame:
     """k nearest points for each query row: (query_id, neighbor_id, rank, dist).
 
-    H3-style k-ring expansion with a distance-bounded re-rank: round i joins
-    queries against points whose cell lies in ring(query_cell, r_i), ranks by
-    exact Euclidean distance, and finalizes a query once its k-th neighbor is
-    provably inside the guaranteed radius r_i * min(cell_w, cell_h) (any point
-    outside the ring is farther). Unfinished queries double the ring.
-    Deterministic tie-break: (dist, neighbor_id).
+    H3-style k-ring prefilter with a distance-bounded re-rank: join queries
+    against points whose cell lies in ring(query_cell, r) at a density-chosen
+    radius, rank by exact Euclidean distance, and finalize a query when its
+    k-th neighbor is provably inside the guaranteed radius r * min(cell_w,
+    cell_h) (any point outside the ring is farther). The few unfinished
+    queries (sparse neighborhoods) fall back to an exact broadcast re-rank
+    against all points — the unfinished side is broadcast, the point side is
+    scanned once more with no shuffle, so at 10^12 scale the expensive path
+    is bounded by ring size x local density and the fallback by the (tiny)
+    unfinished-query count. Deterministic tie-break: (dist, neighbor_id).
+
+    ring_rounds > 1 inserts extra radius-doubling ring rounds before the
+    brute-force fallback (useful when the fallback scan is the bottleneck).
     """
     import math
 
@@ -116,60 +123,64 @@ def knn_join(
     cell_w, cell_h = SPAN_X / n, SPAN_Y / n
     safe_per_ring = min(cell_w, cell_h)
 
+    # repartition on persist: a small dim-table scan can arrive as one input
+    # split, which would serialize the fallback nested-loop join; at scale the
+    # point side is many splits already and this is a no-op cost-wise
+    par = points.sparkSession.sparkContext.defaultParallelism
     pts = points.select(
         F.col("point_id").alias("neighbor_id"),
         F.col("x").alias("px"),
         F.col("y").alias("py"),
         cell_from_xy(F.col("x"), F.col("y"), res).alias("cell"),
-    ).persist()
+    ).repartition(par).persist()
     n_points = pts.count()
     pending = queries.select(
         "query_id", F.col("x").alias("qx"), F.col("y").alias("qy"),
         cell_from_xy(F.col("x"), F.col("y"), res).alias("qcell"),
     ).persist()
-    n_pending = pending.count()
 
-    # density-based initial radius: expect >= ~4k candidates per query so the
-    # first round finalizes the bulk (uniform-ish data), instead of crawling
-    # up from radius 1 with mostly-empty rings
-    density = max(n_points / float(n * n), 1e-9)
-    radius = max(1, min(n, math.ceil((math.sqrt(4.0 * k / density) - 1.0) / 2.0)))
+    # density-based radius: finalization needs the k-th neighbor inside the
+    # ring's *inscribed* safe circle (radius * min cell span), so size the
+    # ring for ~3k expected points within that circle (not just the square)
+    density = max(n_points / float(n * n), 1e-9)  # points per cell
+    aspect = min(cell_w, cell_h) / max(cell_w, cell_h)
+    radius = max(1, min(n, math.ceil(math.sqrt(3.0 * k / (math.pi * aspect * density)))))
 
-    results = None
     w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
     dist = F.sqrt(
         (F.col("px") - F.col("qx")) * (F.col("px") - F.col("qx"))
         + (F.col("py") - F.col("qy")) * (F.col("py") - F.col("qy"))
     )
-    for round_i in range(max_rounds):
-        last = round_i == max_rounds - 1 or radius >= n
-        ringed = pending.withColumn("cell", F.explode(k_ring(F.col("qcell"), radius, res)))
-        ranked = (
-            ringed.join(pts, "cell")
-            .withColumn("dist", dist)
+
+    def rank_candidates(cand: DataFrame) -> DataFrame:
+        return (
+            cand.withColumn("dist", dist)
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
+        )
+
+    results = None
+    for round_i in range(ring_rounds):
+        ringed = pending.withColumn("cell", F.explode(k_ring(F.col("qcell"), radius, res)))
+        ranked = rank_candidates(ringed.join(pts, "cell")).persist()
+        safe = float(radius) * safe_per_ring
+        done_ids = (
+            ranked.groupBy("query_id")
+            .agg(F.count("*").alias("n_found"), F.max("dist").alias("kth_dist"))
+            .filter((F.col("n_found") >= k) & (F.col("kth_dist") <= safe))
+            .select("query_id")
             .persist()
         )
-        safe = float(radius) * safe_per_ring
-        stats = ranked.groupBy("query_id").agg(
-            F.count("*").alias("n_found"), F.max("dist").alias("kth_dist")
-        )
-        if last:
-            done_ids = stats.select("query_id")
-        else:
-            done_ids = stats.filter(
-                (F.col("n_found") >= k) & (F.col("kth_dist") <= safe)
-            ).select("query_id")
-        done_ids = done_ids.persist()
-        n_done = done_ids.count()
         finished = ranked.join(F.broadcast(done_ids), "query_id", "left_semi").select(
             "query_id", "neighbor_id", "rank", "dist"
         )
         results = finished if results is None else results.unionByName(finished)
-        n_pending -= n_done
-        if n_pending <= 0 or last:
-            break
-        pending = pending.join(F.broadcast(done_ids), "query_id", "left_anti").persist()
+        pending = pending.join(F.broadcast(done_ids), "query_id", "left_anti")
         radius = min(n, radius * 2)
-    return results
+
+    # exact fallback: broadcast the unfinished queries against every point —
+    # one extra scan of pts, zero shuffles of the point side
+    fallback = rank_candidates(
+        pts.join(F.broadcast(pending.drop("qcell")), how="cross")
+    ).select("query_id", "neighbor_id", "rank", "dist")
+    return results.unionByName(fallback) if results is not None else fallback
