@@ -29,12 +29,15 @@ _PACK = "CAST(7 AS BIGINT) * 288230376151711744"
 # ---------------------------------------------------------------- helpers
 
 # closed-form image parameters (must mirror aira_spark.sources.images.derive_params)
-_IMG_CTE = """
+# resolution multiplier — must mirror aira_spark.sources.images.IMG_SCALE
+_S = int(os.environ.get("SPARK_GRAFT_IMG_SCALE", "1"))
+
+_IMG_CTE = f"""
 img AS (
   SELECT p_partkey AS k, p_partkey % 12 AS v,
-         16 + (p_partkey % 7) * 8 AS w, 16 + (p_partkey % 5) * 8 AS h,
-         0.002 + CAST(p_partkey % 17 AS DOUBLE) * 0.001 AS sx,
-         0.002 + CAST(p_partkey % 13 AS DOUBLE) * 0.001 AS sy,
+         (16 + (p_partkey % 7) * 8) * {_S} AS w, (16 + (p_partkey % 5) * 8) * {_S} AS h,
+         (0.002 + CAST(p_partkey % 17 AS DOUBLE) * 0.001) / {_S} AS sx,
+         (0.002 + CAST(p_partkey % 13 AS DOUBLE) * 0.001) / {_S} AS sy,
          CAST((p_partkey * 2654435761) % 350000000 AS DOUBLE) / 1000000.0 - 178.0 AS cx,
          CAST((p_partkey * 1013904223) % 170000000 AS DOUBLE) / 1000000.0 - 86.0 AS cy
   FROM part
@@ -350,6 +353,26 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- rows-only entries (no SQL-expressible oracle) ---
 
 
+def q_ifd_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/K2 tiffdump sink: per-image IFD structure facts, closed-form
+    checkable (entry count per generation variant, tag 256/259 values,
+    GeoTIFF tag presence)."""
+    from aira_spark.operators.tiffdump import ifd_entries
+
+    e = ifd_entries(_images(spark, sf_dir, modulo=4))
+    return e.groupBy("image_id").agg(
+        F.count("*").alias("n_entries"),
+        F.countDistinct("page").alias("n_pages"),
+        F.max(F.when(F.col("tag") == 256, F.col("value").cast("long"))).alias("width"),
+        F.max(F.when(F.col("tag") == 259, F.col("value").cast("long"))).alias(
+            "compression"
+        ),
+        F.sum(F.when(F.col("tag").isin(33550, 33922), 1).otherwise(0))
+        .cast("long")
+        .alias("n_geo"),
+    )
+
+
 def q_verify_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aira_spark.functions.udfs import VERIFY_SCHEMA, verify_batches
 
@@ -454,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ifd_dump": q_ifd_dump,
         "verify_invariants": q_verify_invariants,
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_ann": q_lsh_ann,
@@ -677,6 +701,18 @@ def oracle_sql() -> dict[str, str]:
         "pip": _oracle_pip(),
         "knn": _oracle_knn(),
         "rasterize_cells": _oracle_rasterize_cells(),
+        "ifd_dump": f"""
+WITH {_IMG_CTE}
+SELECT image_id,
+  CAST(11 + CASE WHEN v IN (2,4,7,11) THEN 4 ELSE 3 END
+          + CASE WHEN v IN (4,5,6,8,11) THEN 1 ELSE 0 END AS BIGINT) AS n_entries,
+  CAST(1 AS BIGINT) AS n_pages,
+  CAST(w AS BIGINT) AS width,
+  CAST(CASE WHEN v IN (3,4,10) THEN 32773 WHEN v IN (5,6,8,11) THEN 8
+            WHEN v = 7 THEN 32946 ELSE 1 END AS BIGINT) AS compression,
+  CAST(2 AS BIGINT) AS n_geo
+FROM dims WHERE k % 4 = 0
+""",
         "q1_pricing": f"""
 SELECT l_returnflag, l_linestatus,
   CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,

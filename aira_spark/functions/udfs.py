@@ -48,6 +48,21 @@ META_SCHEMA = Ty.StructType(
         Ty.StructField("tie_j", Ty.DoubleType()),
         Ty.StructField("tie_x", Ty.DoubleType()),
         Ty.StructField("tie_y", Ty.DoubleType()),
+        # S11 (metadata.rs:147-154): unknown tags kept raw+typed; point lookup
+        # from DataFrame land is element_at(meta.custom, tag)
+        Ty.StructField(
+            "custom",
+            Ty.MapType(
+                Ty.IntegerType(),
+                Ty.StructType(
+                    [
+                        Ty.StructField("dtype", Ty.IntegerType()),
+                        Ty.StructField("count", Ty.LongType()),
+                        Ty.StructField("raw", Ty.BinaryType()),
+                    ]
+                ),
+            ),
+        ),
     ]
 )
 
@@ -86,6 +101,10 @@ def _meta_row(buf: bytes) -> dict:
         "tie_j": None,
         "tie_x": None,
         "tie_y": None,
+        "custom": {
+            int(tag): (int(d), int(c), bytes(raw))
+            for tag, (d, c, raw) in m["custom"].items()
+        },
     }
     bo = m["byteorder"]
     scale = m["custom"].get(T.MODEL_PIXEL_SCALE)

@@ -53,6 +53,14 @@ VARIANTS = [
 STRIP_ROWS = 8
 TILE_W = TILE_H = 16
 
+# resolution multiplier for scaling-evidence runs: same geographic footprint,
+# IMG_SCALE x the pixels per axis (pixel scale divides accordingly), so the
+# decode compute grows ~quadratically while every cell/footprint derivation
+# stays identical. The DuckDB oracle reads the same env var (__spark_entry__).
+import os as _os
+
+IMG_SCALE = int(_os.environ.get("SPARK_GRAFT_IMG_SCALE", "1"))
+
 IMAGE_SCHEMA = Ty.StructType(
     [
         Ty.StructField("image_id", Ty.StringType()),
@@ -69,11 +77,11 @@ IMAGE_SCHEMA = Ty.StructType(
 def derive_params(k: int) -> dict:
     v = k % 12
     bo, layout_kind, comp, pred, planar, dtype, spp, big = VARIANTS[v]
-    w = 16 + (k % 7) * 8
-    h = 16 + (k % 5) * 8
+    w = (16 + (k % 7) * 8) * IMG_SCALE
+    h = (16 + (k % 5) * 8) * IMG_SCALE
     layout = ("strips", STRIP_ROWS) if layout_kind == "strips" else ("tiles", TILE_W, TILE_H)
-    scale_x = 0.002 + (k % 17) * 0.001
-    scale_y = 0.002 + (k % 13) * 0.001
+    scale_x = (0.002 + (k % 17) * 0.001) / IMG_SCALE
+    scale_y = (0.002 + (k % 13) * 0.001) / IMG_SCALE
     corner_x = ((k * 2654435761) % 350000000) / 1000000.0 - 178.0
     corner_y = ((k * 1013904223) % 170000000) / 1000000.0 - 86.0
     return {
@@ -191,4 +199,9 @@ def write_images(spark: SparkSession, sf_dir: str, out_path: str, buckets: int =
     df = images_table(spark, sf_dir).withColumn(
         "bucket", F.pmod(F.xxhash64("image_id"), F.lit(buckets))
     )
-    df.write.mode("overwrite").partitionBy("bucket").parquet(out_path)
+    # repartition ON the bucket column first: otherwise every upstream task
+    # writes a sliver of every bucket (tasks x buckets tiny files, and the
+    # scan cost becomes pure file-open overhead)
+    df.repartition(buckets, "bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(out_path)
