@@ -289,6 +289,17 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: full-doc rolling hash + winnowing minima
+    (text analysis family, SURVEY.md §2; oracle evaluates identical SQL)."""
+    from aira_spark.operators.text import doc_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return doc_fingerprints(docs, k=8, w=4).select(
+        "doc_id", "doc_hash", F.col("fp").cast("long").alias("fp")
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aira_spark.operators.dedup import exact_dedup
 
@@ -472,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
         "text_features": q_text_features,
+        "fingerprints": q_fingerprints,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "simhash": q_simhash,
@@ -748,6 +760,16 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
   {tf.lang_guess('text', eng)} AS lang_guess,
   {tf.h64('text', eng)} AS fingerprint
 FROM documents
+""",
+        "fingerprints": f"""
+WITH g AS (
+  SELECT doc_id, {tf.rolling_hash('text', eng)} AS doc_hash,
+         {tf.kgram_hashes('text', 8, eng)} AS g
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(doc_hash AS BIGINT) AS doc_hash,
+       CAST(unnest({tf.winnow_from_grams('g', 4, eng)}) AS BIGINT) AS fp
+FROM g
 """,
         "dedup_exact": f"""
 WITH {_DUP_CTE}

@@ -124,6 +124,62 @@ def simhash(words_expr: str, n_bits: int, engine: str) -> str:
     return f"({terms})"
 
 
+ROLL_B = 131
+ROLL_M = 9007199254740881  # largest prime < 2^53: B * M stays inside int64
+
+
+def rolling_hash(text: str, engine: str) -> str:
+    """Karp-Rabin polynomial rolling hash of a string expression.
+
+    Fold semantics are pinned to 'first char is the accumulator seed' so the
+    Spark aggregate() and DuckDB list_reduce() (which has no init arg)
+    compute bit-identical values.
+    """
+    if engine == "spark":
+        chars = f"split({text}, '')"
+        return (
+            f"CASE WHEN length({text}) = 0 THEN CAST(0 AS BIGINT) ELSE "
+            f"aggregate(slice({chars}, 2, size({chars}) - 1), "
+            f"CAST(ascii(element_at({chars}, 1)) AS BIGINT), "
+            f"(acc, c) -> pmod(acc * {ROLL_B} + ascii(c), {ROLL_M})) END"
+        )
+    chars = f"string_split({text}, '')"
+    return (
+        f"CASE WHEN length({text}) = 0 THEN CAST(0 AS BIGINT) ELSE "
+        f"list_reduce(list_transform({chars}, c -> CAST(ascii(c) AS BIGINT)), "
+        f"(acc, c) -> (acc * {ROLL_B} + c) % {ROLL_M}) END"
+    )
+
+
+def kgram_hashes(text: str, k: int, engine: str) -> str:
+    """Rolling hash of every char k-gram (one per start position)."""
+    if engine == "spark":
+        gram = rolling_hash(f"substring({text}, j, {k})", engine)
+        return f"transform(sequence(1, greatest(length({text}) - {k} + 1, 1)), j -> {gram})"
+    gram = rolling_hash(f"substring({text}, CAST(j AS INTEGER), {k})", engine)
+    return f"list_transform(range(1, greatest(length({text}) - {k} + 1, 1) + 1), j -> {gram})"
+
+
+def winnow_from_grams(g: str, w: int, engine: str) -> str:
+    """MOSS-style winnowing over a precomputed k-gram hash array column:
+    minimum per sliding window of w hashes, distinct minima, sorted.
+
+    Standard winnowing guarantee: any shared substring of length
+    >= k + w - 1 between two documents yields at least one shared
+    fingerprint, with O(len/w) stored values per document."""
+    if engine == "spark":
+        return (
+            f"array_sort(array_distinct(transform("
+            f"sequence(1, greatest(size({g}) - {w} + 1, 1)), "
+            f"j -> array_min(slice({g}, j, {w})))))"
+        )
+    return (
+        f"list_sort(list_distinct(list_transform("
+        f"range(1, greatest(len({g}) - {w} + 1, 1) + 1), "
+        f"j -> list_min(list_slice({g}, CAST(j AS INTEGER), CAST(j AS INTEGER) + {w} - 1)))))"
+    )
+
+
 def jaccard_words(a: str, b: str, engine: str) -> str:
     """Jaccard over distinct word sets (n-gram Jaccard uses shingles() input)."""
     if engine == "spark":

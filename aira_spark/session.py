@@ -33,7 +33,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # decode-heavy scans: image bytes compress ~10x in parquet and the
+        # per-partition Arrow->UDF cost dominates, so input partitions are
+        # sized small (4 MB on disk ~ 40 MB decoded) to keep every core fed —
+        # the default 128 MB coalesces a whole small table into ~4 tasks and
+        # serializes the pipeline at any core count. openCost=0 stops Spark
+        # padding small files into fewer partitions.
+        .config("spark.sql.files.maxPartitionBytes", "4194304")
+        .config("spark.sql.files.openCostInBytes", "0")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

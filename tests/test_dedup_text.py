@@ -104,3 +104,38 @@ def test_streaming_matches_batch(spark, sf_dir):
     batch = {tuple(r) for r in em.q_events_hourly(spark, sf_dir).collect()}
     stream = {tuple(r) for r in em.q_streaming_hourly(spark, sf_dir).collect()}
     assert batch == stream
+
+
+def test_winnow_fingerprints_properties(spark):
+    """Winnowing guarantee: docs sharing a substring of length >= k + w - 1
+    share at least one fingerprint; UDF values equal the SQL-form reference."""
+    from aira_spark.functions import textfns as tf
+    from aira_spark.operators.text import doc_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, f"prefix one {shared} suffix alpha"),
+        (2, f"completely different start {shared} and end"),
+        (3, "no overlap here at all with anything xyzzy"),
+        (4, ""),  # degenerate: empty doc
+        (5, "tiny"),  # shorter than k
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = doc_fingerprints(docs, k=8, w=4).toPandas()
+
+    by_doc = {d: set(g.fp) for d, g in fp.groupby("doc_id")}
+    assert by_doc[1] & by_doc[2], "docs sharing a long substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3] & by_doc[2]) or True  # doc3 may collide by chance; no assert
+    assert by_doc[4] == {0}
+    assert len(by_doc[5]) == 1
+
+    # UDF output == SQL-form evaluation (the oracle's construction), per doc
+    sql = docs.selectExpr(
+        "doc_id",
+        f"{tf.rolling_hash('text', 'spark')} AS doc_hash",
+        f"{tf.kgram_hashes('text', 8, 'spark')} AS g",
+    ).selectExpr("doc_id", "doc_hash", f"explode({tf.winnow_from_grams('g', 4, 'spark')}) AS fp")
+    ref = sql.toPandas()
+    got = fp.sort_values(["doc_id", "fp"]).reset_index(drop=True)
+    want = ref.sort_values(["doc_id", "fp"]).reset_index(drop=True)
+    assert got.equals(want)

@@ -86,3 +86,28 @@ def test_zonal_single_shuffle(spark, sf_dir):
     # the cached synth relation prints its own MapInPandas (x2 under AQE);
     # the zonal path itself contributes exactly one more
     assert count_in_plan(df, "MapInPandas") >= 1
+
+
+def test_fingerprints_single_arrow_udf(spark, sf_dir):
+    """Winnowing runs as ONE Arrow UDF evaluation (nondeterministic marker
+    guards project-collapse duplication); no per-row Python."""
+    import __spark_entry__ as em
+
+    df = em.q_fingerprints(spark, sf_dir)
+    s = plan_string(df)
+    assert "BatchEvalPython" not in s
+    assert count_in_plan(df, "ArrowEvalPython") == 1, plan_string(df, "simple")
+
+
+def test_minhash_band_join_shuffles_ids_only(spark, sf_dir):
+    """The LSH candidate join must not carry shingle arrays through the
+    band-bucket shuffle — only (band, bucket, doc_id)."""
+    import re
+
+    import __spark_entry__ as em
+
+    df = em.q_dedup_minhash(spark, sf_dir)
+    s = plan_string(df, "formatted")
+    # every hashpartitioning(band, bucket) exchange must not ship shingles
+    for m in re.finditer(r"Arguments: hashpartitioning\(band[^\n]*", s):
+        assert "shingles" not in m.group(0), m.group(0)
