@@ -412,6 +412,24 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, k=5, n_planes=6)
 
 
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN scale path (rows-only: k-means training is iterative, not
+    SQL-expressible; the re-rank exactness is pinned by pytest recall test)."""
+    from aira_spark.operators.similarity import ivf_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = (
+        emb.filter(F.col("vec_id") % 10 == 0)
+        .limit(50)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    return ivf_ann_topk(emb, queries, k=10, n_centroids=16, nprobe=4).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rnk"), "cos"
+    )
+
+
 def q_pip_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same result as `pip`, physically salted on hot cells (skew path)."""
     from aira_spark.functions.cells import cell_from_xy
@@ -493,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verify_invariants": q_verify_invariants,
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
         "pip_salted": q_pip_salted,
         "streaming_hourly": q_streaming_hourly,
     }

@@ -75,6 +75,10 @@ def _meta_row(buf: bytes) -> dict:
     except TiffError as exc:
         # dead-letter row, never an exception (SURVEY.md S8/K3)
         return dict(_META_NULL, error=str(exc))
+    return _meta_dict_to_row(m)
+
+
+def _meta_dict_to_row(m: dict) -> dict:
     row = {
         "error": None,
         "byteorder": m["byteorder"],
@@ -128,6 +132,24 @@ def decode_meta(bufs: pd.Series) -> pd.DataFrame:
 # in the tile_assign plan). Decode is pure, but expensive — single evaluation
 # is the correct physical choice at any scale.
 decode_meta = decode_meta.asNondeterministic()
+
+
+@pandas_udf(Ty.ArrayType(META_SCHEMA))
+def decode_meta_pages(bufs: pd.Series) -> pd.Series:
+    """binary -> one metadata struct PER DIRECTORY of the IFD chain (the
+    multi-page path, SURVEY.md S2: posexplode of pages per file row)."""
+    from ..tiff.meta import decode_all_pages
+
+    out = []
+    for b in bufs:
+        try:
+            out.append([_meta_dict_to_row(m) for m in decode_all_pages(bytes(b))])
+        except TiffError as exc:
+            out.append([dict(_META_NULL, error=str(exc))])
+    return pd.Series(out)
+
+
+decode_meta_pages = decode_meta_pages.asNondeterministic()
 
 
 def _decode_full(buf: bytes) -> tuple[dict, np.ndarray]:

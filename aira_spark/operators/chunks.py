@@ -22,6 +22,16 @@ def with_meta(images: DataFrame) -> DataFrame:
     return images.withColumn("meta", decode_meta(F.col("bytes")))
 
 
+def with_meta_pages(images: DataFrame) -> DataFrame:
+    """images -> one row per (image, page): + `page` index + `meta` struct
+    (multi-page directory chains; SURVEY.md §1.4 'posexplode of pages')."""
+    from ..functions.udfs import decode_meta_pages
+
+    return images.withColumn("_pages", decode_meta_pages(F.col("bytes"))).select(
+        "*", F.posexplode("_pages").alias("page", "meta")
+    ).drop("_pages")
+
+
 def chunks_df(with_meta_df: DataFrame) -> DataFrame:
     """One row per (image, chunk): origin/size/offset/nbytes.
 

@@ -154,3 +154,123 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
     )
+
+
+# ---------------------------------------------------------------- IVF ANN
+
+IVF_ASSIGN_SCHEMA = Ty.StructType(
+    [
+        Ty.StructField("vec_id", Ty.LongType()),
+        Ty.StructField("centroid_id", Ty.IntegerType()),
+    ]
+)
+
+
+def ivf_train_centroids(
+    embeddings: DataFrame, n_centroids: int = 16, iters: int = 5,
+    sample_rows: int = 4096, dim: int = 64,
+) -> np.ndarray:
+    """Deterministic driver-side k-means over a bounded sample.
+
+    Scale shape: centroid training reads O(sample_rows) no matter the table
+    size (at 10^12 rows the sample is a tiny scan + limit); the expensive
+    part — assignment — stays distributed."""
+    sample = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(sample_rows)
+        .toPandas()
+    )
+    mat = np.vstack(sample["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(20240817)
+    cents = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
+    for _ in range(iters):
+        sims = mat @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
+
+
+def ivf_assign(embeddings: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """(vec_id, centroid_id): nearest-centroid assignment, one matmul per
+    Arrow batch (the centroid matrix ships in the task closure)."""
+    cents = centroids.copy()
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=IVF_ASSIGN_SCHEMA.fieldNames())
+                continue
+            mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "centroid_id": (mat @ cents.T).argmax(axis=1).astype("int32"),
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        fn, schema=IVF_ASSIGN_SCHEMA
+    )
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 10,
+    n_centroids: int = 16, nprobe: int = 4, iters: int = 5,
+) -> DataFrame:
+    """IVF approximate top-k: probe the nprobe nearest inverted lists per
+    query, exact cosine re-rank inside them.
+
+    queries: (query_id, qvec). Plan shape at scale: the embedding side is
+    scanned once for assignment (cacheable across queries), the probe join is
+    an equi-join on centroid_id (nprobe/n_centroids of the table per query),
+    and the re-rank window touches only candidates."""
+    cents = ivf_train_centroids(embeddings, n_centroids, iters)
+    lists = ivf_assign(embeddings, cents).join(
+        embeddings.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vec")),
+        F.col("vec_id") == F.col("neighbor_id"),
+    ).select("centroid_id", "neighbor_id", "vec")
+
+    probe_schema = Ty.StructType(
+        [
+            Ty.StructField("query_id", Ty.LongType()),
+            Ty.StructField("centroid_id", Ty.IntegerType()),
+        ]
+    )
+
+    def probe_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=probe_schema.fieldNames())
+                continue
+            mat = np.vstack(pdf["qvec"].to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            top = np.argsort(-(mat @ cents.T), axis=1)[:, :nprobe]
+            qids = pdf["query_id"].astype("int64").to_numpy()
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, top.shape[1]),
+                    "centroid_id": top.ravel().astype("int32"),
+                }
+            )
+
+    probes = queries.select("query_id", "qvec").mapInPandas(probe_fn, schema=probe_schema)
+    qv = queries.select("query_id", "qvec")
+    cand = (
+        F.broadcast(probes).join(lists, "centroid_id")
+        .join(F.broadcast(qv), "query_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("cos", F.round(cosine(F.col("vec"), F.col("qvec")), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

@@ -41,6 +41,11 @@ def get_spark(
         # padding small files into fewer partitions.
         .config("spark.sql.files.maxPartitionBytes", "4194304")
         .config("spark.sql.files.openCostInBytes", "0")
+        # multi-MB binary rows: the default 4096-row columnar reader batch
+        # would allocate rows x row-size contiguous heap (OOM at 32 tasks);
+        # 64 rows keeps reader batches O(100 MB) across the whole image-size
+        # range while costing nothing on narrow relational tables
+        .config("spark.sql.parquet.columnarReaderBatchSize", "64")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -217,3 +217,79 @@ def write_tiff(
     for off, p in zip(chunk_offsets, payloads):
         out[off : off + len(p)] = p
     return bytes(out)
+
+
+def concat_tiff_pages(bufs: list[bytes]) -> bytes:
+    """Chain single-page TIFF buffers into one multi-page file.
+
+    Reference semantics: the directory chain is a singly linked list — each
+    IFD's trailing word points at the next (decoder.rs:117-174); offset 0
+    terminates. Every absolute offset inside page i (external entry values,
+    strip/tile chunk offsets, the IFD position itself) shifts by the page's
+    placement base. All pages must share byteorder and version.
+    """
+    from .meta import read_header, walk_directories
+
+    if not bufs:
+        raise TiffError("No pages to concatenate")
+    bo0, ver0, _ = read_header(bufs[0])
+    header_size = 16 if ver0 == 43 else 8
+    inline_max = 8 if ver0 == 43 else 4
+    count_size = 8 if ver0 == 43 else 2
+    entry_size = 20 if ver0 == 43 else 12
+    off_kind = "u8" if ver0 == 43 else "u4"
+    next_size = inline_max
+
+    def nums(vals, kind):
+        return np.asarray(vals, dtype=bo0 + kind).tobytes()
+
+    out = bytearray(bufs[0])
+    # position of page-0's next-IFD pointer (IFD directly after the header)
+    _, _, dirs0 = walk_directories(bufs[0])
+    next_ptr_pos = header_size + count_size + len(dirs0[0].entries) * entry_size
+
+    for buf in bufs[1:]:
+        bo, ver, _ = read_header(buf)
+        if (bo, ver) != (bo0, ver0):
+            raise TiffError("Page byteorder/version mismatch")
+        out += b"\x00" * (len(out) % 2)  # word alignment
+        base = len(out)
+        shift = base - header_size
+        page = bytearray(buf[header_size:])
+
+        # patch this page's offsets in place (IFD sits at its header_size)
+        _, _, dirs = walk_directories(buf)
+        d = dirs[0]
+        epos = count_size  # relative to page start (= buf header_size)
+        for e_idx in range(len(d.entries)):
+            e = d.entries[e_idx]
+            nbytes = T.DTYPE_SIZE[e.dtype] * e.count
+            vpos = epos + entry_size - inline_max
+            if nbytes > inline_max:
+                old = int(np.frombuffer(page[vpos : vpos + inline_max], bo0 + off_kind)[0])
+                page[vpos : vpos + inline_max] = nums([old + shift], off_kind)
+            if e.tag in (T.STRIP_OFFSETS, T.TILE_OFFSETS):
+                # chunk offsets live inline or at the (already shifted) target
+                kind = {3: "u2", 4: "u4", 16: "u8", 13: "u4"}[e.dtype]
+                ksz = T.DTYPE_SIZE[e.dtype]
+                if nbytes <= inline_max:
+                    loc = vpos
+                else:
+                    # the pointer was shifted above; its target's position
+                    # within `page` is (absolute - base)
+                    loc = (
+                        int(np.frombuffer(page[vpos : vpos + inline_max], bo0 + off_kind)[0])
+                        - base
+                    )
+                vals = np.frombuffer(
+                    page[loc : loc + nbytes], dtype=bo0 + kind, count=e.count
+                ).astype(np.int64)
+                page[loc : loc + nbytes] = nums((vals + shift).tolist(), kind)
+            epos += entry_size
+
+        out += page
+        # link previous chain tail -> this page's IFD (at `base`)
+        out[next_ptr_pos : next_ptr_pos + next_size] = nums([base], off_kind)
+        next_ptr_pos = base + count_size + len(d.entries) * entry_size
+
+    return bytes(out)

@@ -139,3 +139,28 @@ def test_winnow_fingerprints_properties(spark):
     got = fp.sort_values(["doc_id", "fp"]).reset_index(drop=True)
     want = ref.sort_values(["doc_id", "fp"]).reset_index(drop=True)
     assert got.equals(want)
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
+    """IVF with nprobe=4/16 lists must reach high recall@10 vs exact cosine."""
+    from aira_spark.operators.similarity import cosine_topk, ivf_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    queries = (
+        emb.filter(F.col("vec_id") % 10 == 0)
+        .limit(20)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    exact = cosine_topk(emb, queries, k=10).toPandas()
+    # synthetic embeddings are ~uniform — the adversarial worst case for a
+    # coarse quantizer (true neighbors scatter across lists), so probe half
+    # the lists; clustered real-world data needs far fewer
+    approx = ivf_ann_topk(emb, queries, k=10, n_centroids=16, nprobe=8).toPandas()
+    e = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+    a = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, f"recall@10 {recall}"
+    # every returned pair's cosine must equal the exact computation (re-rank
+    # is exact; only the candidate set is approximate)
+    merged = approx.merge(exact, on=["query_id", "neighbor_id"], suffixes=("_a", "_e"))
+    assert (merged["cos_a"] == merged["cos_e"]).all()

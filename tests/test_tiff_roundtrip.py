@@ -95,3 +95,69 @@ def test_geotransform_entry_values():
     assert entry_value(d, c, raw, m["byteorder"]) == [0.5, 0.25, 0.0]
     d, c, raw = m["custom"][T.MODEL_TIEPOINT]
     assert entry_value(d, c, raw, m["byteorder"]) == [0.0, 0.0, 0.0, -10.0, 42.0, 0.0]
+
+
+def test_multipage_concat_roundtrip():
+    """concat_tiff_pages: chained IFDs decode page-by-page to the originals,
+    including shifted external values and chunk offsets."""
+    import numpy as np
+
+    from aira_spark.tiff import tags as T
+    from aira_spark.tiff.encode import concat_tiff_pages, write_tiff
+    from aira_spark.tiff.meta import decode_all_pages, pixel_chunks
+    from aira_spark.tiff.pixels import decode_chunk
+
+    pages_px = [
+        np.arange(20 * 30, dtype=np.uint8).reshape(20, 30) % 251,
+        (np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3) * 7) % 253,
+    ]
+    bufs = [
+        write_tiff(pages_px[0], layout=("strips", 8),
+                   compression=T.COMPRESSION_PACKBITS, description="page zero"),
+        write_tiff(pages_px[1], layout=("tiles", 16, 16),
+                   compression=T.COMPRESSION_DEFLATE,
+                   predictor=T.PREDICTOR_HORIZONTAL, description="page one"),
+    ]
+    multi = concat_tiff_pages(bufs)
+    metas = decode_all_pages(multi)
+    assert len(metas) == 2
+    assert (metas[0]["width"], metas[0]["height"]) == (30, 20)
+    assert (metas[1]["width"], metas[1]["height"]) == (16, 16)
+    assert metas[0]["description"] == "page zero"
+    assert metas[1]["description"] == "page one"
+    for pg, m in enumerate(metas):
+        px = pages_px[pg]
+        if px.ndim == 2:
+            px = px[:, :, None]
+        got = np.zeros_like(px)
+        for c in pixel_chunks(m):
+            if c["size_x"] == 0 or c["size_y"] == 0:
+                continue
+            part = decode_chunk(
+                multi[c["offset"] : c["offset"] + c["nbytes"]], m, c["chunk_idx"],
+                c["size_x"], c["size_y"],
+            )
+            got[c["origin_y"] : c["origin_y"] + c["size_y"],
+                c["origin_x"] : c["origin_x"] + c["size_x"], :] = part
+        assert np.array_equal(got, px), f"page {pg} pixels differ"
+
+
+def test_multipage_spark_posexplode(spark):
+    """with_meta_pages: one row per page; ifd_entries sees both directories."""
+    import numpy as np
+
+    from aira_spark.operators.chunks import with_meta_pages
+    from aira_spark.operators.tiffdump import ifd_entries
+    from aira_spark.tiff.encode import concat_tiff_pages, write_tiff
+
+    multi = concat_tiff_pages(
+        [
+            write_tiff(np.zeros((8, 8), dtype=np.uint8), layout=("strips", 8)),
+            write_tiff(np.ones((12, 4), dtype=np.uint8), layout=("strips", 4)),
+        ]
+    )
+    df = spark.createDataFrame([("m1", bytearray(multi))], "image_id string, bytes binary")
+    rows = with_meta_pages(df).select("page", "meta.width", "meta.height").collect()
+    assert [(r.page, r.width, r.height) for r in rows] == [(0, 8, 8), (1, 4, 12)]
+    pages = {r.page for r in ifd_entries(df).collect()}
+    assert pages == {0, 1}
