@@ -180,6 +180,23 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zonal_by_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster pixels aggregated over polygon-category zones: cell-level
+    partials joined (broadcast) to the polygon bbox cell cover."""
+    from aira_spark.operators.zonal import zonal_by_polygon
+    from aira_spark.sources.vectors import polygons_table
+
+    return zonal_by_polygon(
+        _images(spark, sf_dir, modulo=8), polygons_table(spark, sf_dir), CELL_RES
+    ).select(
+        "category",
+        F.col("n_px").cast("long").alias("n_px"),
+        F.col("sum_px").cast("long").alias("sum_px"),
+        F.col("min_px").cast("long").alias("min_px"),
+        F.col("max_px").cast("long").alias("max_px"),
+    )
+
+
 def q_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aira_spark.operators.spatial import point_in_polygon_join
     from aira_spark.sources.vectors import points_table, polygons_table
@@ -494,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign": q_tile_assign,
         "cell_cover": q_cell_cover,
         "zonal_stats": q_zonal_stats,
+        "zonal_by_polygon": q_zonal_by_polygon,
         "pip": q_pip,
         "knn": q_knn,
         "rasterize_cells": q_rasterize_cells,
@@ -583,6 +601,43 @@ SELECT {_sql_cell('x', 'y')} AS cell,
   CAST(COUNT(*) AS BIGINT) AS n_px, CAST(SUM(val) AS BIGINT) AS sum_px,
   CAST(MIN(val) AS BIGINT) AS min_px, CAST(MAX(val) AS BIGINT) AS max_px
 FROM vals GROUP BY 1
+"""
+
+
+def _oracle_zonal_by_polygon() -> str:
+    from aira_spark.sources.vectors import polygon_edges_oracle_sql
+
+    return f"""
+WITH {_IMG_CTE},
+sel AS (SELECT * FROM meta WHERE k % 8 = 0),
+rws AS (SELECT *, unnest(generate_series(0, h - 1)) AS r FROM sel),
+pxs AS (SELECT *, unnest(generate_series(0, w - 1)) AS c FROM rws),
+vals AS (
+  SELECT (r * 7 + c * 13 + k) % 256 AS val,
+         cx + (CAST(c AS DOUBLE) + 0.5) * sx AS x,
+         (cy + h * sy) - (CAST(r AS DOUBLE) + 0.5) * sy AS y
+  FROM pxs
+),
+cellstats AS (
+  SELECT {_sql_cell('x', 'y')} AS cell,
+    COUNT(*) AS n_px, SUM(val) AS sum_px, MIN(val) AS min_px, MAX(val) AS max_px
+  FROM vals GROUP BY 1
+),
+edges AS ({polygon_edges_oracle_sql()}),
+bbox AS (
+  SELECT poly_id, category,
+         LEAST(MIN(ax), MIN(bx)) AS xmin, LEAST(MIN(ay), MIN(by)) AS ymin,
+         GREATEST(MAX(ax), MAX(bx)) AS xmax, GREATEST(MAX(ay), MAX(by)) AS ymax
+  FROM edges GROUP BY poly_id, category
+),
+cov AS (SELECT poly_id, category, {_sql_cover('xmin', 'ymin', 'xmax', 'ymax')} FROM bbox),
+xs AS (SELECT poly_id, category, iy0, iy1, unnest(generate_series(ix0, ix1)) AS ix FROM cov),
+cells AS (SELECT poly_id, category, ({_PACK} + ix * 536870912 + unnest(generate_series(iy0, iy1))) AS cell FROM xs)
+SELECT category,
+  CAST(SUM(s.n_px) AS BIGINT) AS n_px, CAST(SUM(s.sum_px) AS BIGINT) AS sum_px,
+  CAST(MIN(s.min_px) AS BIGINT) AS min_px, CAST(MAX(s.max_px) AS BIGINT) AS max_px
+FROM cells JOIN cellstats s USING (cell)
+GROUP BY category
 """
 
 
@@ -729,6 +784,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_assign": _oracle_tile_assign(),
         "cell_cover": _oracle_cell_cover(),
         "zonal_stats": _oracle_zonal_stats(),
+        "zonal_by_polygon": _oracle_zonal_by_polygon(),
         "pip": _oracle_pip(),
         "knn": _oracle_knn(),
         "rasterize_cells": _oracle_rasterize_cells(),
