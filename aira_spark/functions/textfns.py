@@ -95,11 +95,22 @@ def shingles_from_words(w: str, k: int, engine: str) -> str:
     return f"list_transform(range(0, greatest(len({w}) - {k}, 0)), j -> {parts})"
 
 
+# affine minhash family over ONE base md5 per shingle (standard a*h+b mod p
+# construction): 8x fewer md5 evaluations than hashing (shingle, seed) pairs
+MH_P = 9007199254740881
+# a < 1024 keeps a * (h mod p) < 2^63 (no int64 overflow in either engine)
+MH_A = (421, 587, 701, 811, 907, 977, 647, 523)
+MH_B = (1111111121, 2222222243, 3333333373, 4444444487, 5555555557, 6666666679, 7777777783, 8888888891)
+
+
 def minhash(shingle_arr: str, seed: int, engine: str) -> str:
-    """min over shingles of h64(shingle || '#seed')."""
-    inner = h64(f"s || '#{seed}'", engine)
+    """min over shingles of (a_seed * (h64(s) mod p) + b_seed) mod p."""
+    a, b = MH_A[seed % len(MH_A)], MH_B[seed % len(MH_B)]
+    base = h64("s", engine)
     if engine == "spark":
+        inner = f"pmod({a} * pmod({base}, {MH_P}) + {b}, {MH_P})"
         return f"array_min(transform({shingle_arr}, s -> {inner}))"
+    inner = f"({a} * ({base} % {MH_P}) + {b}) % {MH_P}"
     return f"list_min(list_transform({shingle_arr}, s -> {inner}))"
 
 
