@@ -64,8 +64,49 @@ def write_stage(
         manifest.select(
             "stage", "bucket", "cell_min", "cell_max", "rows", "checksum", "status"
         ).write.mode("append").parquet(f"{path}/{MANIFEST}")
+        _append_snapshot(df, path, stage, key, n_buckets)
     finally:
         b.unpersist()
+
+
+def _append_snapshot(
+    df: DataFrame, path: str, stage: str, key: str, n_buckets: int
+) -> None:
+    """Maintain an Iceberg-style `metadata.json` next to the data: table
+    schema, partition spec (bucket transform on the key), and an append-only
+    snapshot log. Mirrors the Iceberg table-metadata shape so a real catalog
+    can adopt the layout when a runtime jar is provisioned (SURVEY.md §7)."""
+    import json
+    import time
+    import uuid
+
+    mpath = f"{path}/metadata.json"
+    meta = {
+        "format-version": 2,
+        "table-uuid": None,
+        "location": path,
+        "schema": json.loads(df.schema.json()),
+        "partition-spec": [
+            {"name": "bucket", "transform": f"bucket[{n_buckets}]", "source": key}
+        ],
+        "snapshots": [],
+    }
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            meta = json.load(f)
+    if meta.get("table-uuid") is None:
+        meta["table-uuid"] = str(uuid.uuid4())
+    meta["snapshots"].append(
+        {
+            "snapshot-id": len(meta["snapshots"]) + 1,
+            "timestamp-ms": int(time.time() * 1000),
+            "stage": stage,
+            "manifest-list": f"{path}/{MANIFEST}",
+            "summary": {"operation": "append"},
+        }
+    )
+    with open(mpath, "w") as f:
+        json.dump(meta, f, indent=1)
 
 
 def _row_checksum_expr(cols: list[str]) -> str:
