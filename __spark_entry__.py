@@ -378,6 +378,64 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_within_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-band (range) join: supplier query sites x customer points
+    within 2 degrees (broadcast disk-bbox cell cover prefilter)."""
+    from aira_spark.operators.spatial import within_distance_join
+    from aira_spark.sources.vectors import points_table
+
+    queries = spark.read.parquet(f"{sf_dir}/supplier.parquet").selectExpr(
+        "s_suppkey AS query_id", f"{_KNN_QX} AS x", f"{_KNN_QY} AS y"
+    )
+    return within_distance_join(
+        queries, points_table(spark, sf_dir), d=2.0, res=CELL_RES
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("point_id").cast("long").alias("point_id"),
+        F.round("dist", 6).alias("dist_r"),
+    )
+
+
+def q_footprint_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster-footprint x polygon overlap join (exact rect x ring refine
+    after a lossless bbox-cover prefilter)."""
+    from aira_spark.operators.chunks import with_meta
+    from aira_spark.operators.spatial import footprint_polygon_join
+    from aira_spark.sources.vectors import polygons_table
+
+    return footprint_polygon_join(
+        with_meta(_images(spark, sf_dir)), polygons_table(spark, sf_dir), CELL_RES
+    )
+
+
+_WIN = (-50.0, -20.0, 50.0, 20.0)
+
+
+def q_window_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed raster read: decode ONLY chunks intersecting the world window
+    (chunk-level pruning below the Arrow decode UDF)."""
+    from aira_spark.operators.chunks import with_meta
+    from aira_spark.operators.window_read import window_read
+
+    x0, y0, x1, y1 = _WIN
+    return window_read(with_meta(_images(spark, sf_dir)), x0, y0, x1, y1)
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization (session_window + watermark, availableNow)."""
+    from aira_spark.streaming.events import run_sessionize_stream
+
+    return run_sessionize_stream(spark, sf_dir, gap_minutes=30)
+
+
+def q_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming op: applyInPandasWithState running totals
+    across 4 microbatches (maxFilesPerTrigger=1)."""
+    from aira_spark.streaming.events import run_stateful_totals_stream
+
+    return run_stateful_totals_stream(spark, sf_dir)
+
+
 # --- rows-only entries (no SQL-expressible oracle) ---
 
 
@@ -514,6 +572,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_by_polygon": q_zonal_by_polygon,
         "pip": q_pip,
         "knn": q_knn,
+        "within_distance": q_within_distance,
+        "footprint_poly": q_footprint_poly,
+        "window_read": q_window_read,
+        "sessionize": q_sessionize,
+        "stateful_totals": q_stateful_totals,
         "rasterize_cells": q_rasterize_cells,
         "q1_pricing": q_q1_pricing,
         "top_customers": q_top_customers,
@@ -676,6 +739,150 @@ FROM r WHERE rn <= 5
 """
 
 
+def _oracle_within_distance() -> str:
+    from aira_spark.sources.vectors import points_oracle_sql
+
+    return f"""
+WITH q AS (SELECT s_suppkey AS query_id, {_KNN_QX} AS qx, {_KNN_QY} AS qy FROM supplier),
+p AS ({points_oracle_sql()}),
+d AS (
+  SELECT q.query_id, p.point_id,
+    SQRT((p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy)) AS dist
+  FROM q CROSS JOIN p
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(point_id AS BIGINT) AS point_id,
+       ROUND(dist, 6) AS dist_r
+FROM d WHERE dist <= 2.0
+"""
+
+
+def _sql_orient(ax: str, ay: str, bx: str, by: str, px: str, py: str) -> str:
+    """Same expression text as operators/spatial._orient."""
+    return f"(({bx} - {ax}) * ({py} - {ay}) - ({by} - {ay}) * ({px} - {ax}))"
+
+
+def _sql_seg_cross(a, b, c, d) -> str:
+    """Proper segment intersection (a,b) x (c,d); mirrors spatial._seg_cross."""
+    o1 = _sql_orient(a[0], a[1], b[0], b[1], c[0], c[1])
+    o2 = _sql_orient(a[0], a[1], b[0], b[1], d[0], d[1])
+    o3 = _sql_orient(c[0], c[1], d[0], d[1], a[0], a[1])
+    o4 = _sql_orient(c[0], c[1], d[0], d[1], b[0], b[1])
+    return f"(({o1} * {o2} < 0) AND ({o3} * {o4} < 0))"
+
+
+def _oracle_footprint_poly() -> str:
+    from aira_spark.sources.vectors import polygon_edges_oracle_sql
+
+    # ray-cast crossing count for one rect corner (px, py) against edge e
+    def corner_cross(px: str, py: str) -> str:
+        return (
+            f"SUM(CASE WHEN ((e.ay > {py}) != (e.by > {py})) "
+            f"AND ({px} < (e.bx - e.ax) * ({py} - e.ay) / (e.by - e.ay) + e.ax) "
+            "THEN 1 ELSE 0 END) % 2 = 1"
+        )
+
+    pe = ("e.ax", "e.ay")
+    pb = ("e.bx", "e.by")
+    corners = {
+        "ll": ("f.xmin", "f.ymin"), "lr": ("f.xmax", "f.ymin"),
+        "ur": ("f.xmax", "f.ymax"), "ul": ("f.xmin", "f.ymax"),
+    }
+    edge_cross = " OR ".join(
+        _sql_seg_cross(pe, pb, corners[a], corners[b])
+        for a, b in (("ll", "lr"), ("lr", "ur"), ("ur", "ul"), ("ul", "ll"))
+    )
+    return f"""
+WITH {_IMG_CTE},
+fp AS (SELECT image_id, cx AS xmin, cx + w * sx AS xmax,
+              (cy + h * sy) - h * sy AS ymin, cy + h * sy AS ymax FROM meta),
+edges AS ({polygon_edges_oracle_sql()}),
+pairs AS (
+  SELECT f.image_id, e.poly_id,
+    MAX(CASE WHEN e.ax >= f.xmin AND e.ax <= f.xmax
+              AND e.ay >= f.ymin AND e.ay <= f.ymax THEN 1 ELSE 0 END) AS vin,
+    {corner_cross('f.xmin', 'f.ymin')} AS c_ll,
+    {corner_cross('f.xmax', 'f.ymin')} AS c_lr,
+    {corner_cross('f.xmax', 'f.ymax')} AS c_ur,
+    {corner_cross('f.xmin', 'f.ymax')} AS c_ul,
+    MAX(CASE WHEN {edge_cross} THEN 1 ELSE 0 END) AS ecross
+  FROM fp f CROSS JOIN edges e
+  GROUP BY f.image_id, e.poly_id
+)
+SELECT image_id, poly_id FROM pairs
+WHERE vin = 1 OR c_ll OR c_lr OR c_ur OR c_ul OR ecross = 1
+"""
+
+
+def _oracle_window_read() -> str:
+    x0, y0, x1, y1 = _WIN
+    return f"""
+WITH {_IMG_CTE},
+chunksel AS (
+  SELECT image_id, k, w, h, cw, ch, nx, sx, sy, cx, cy,
+         unnest(generate_series(0, CAST(n_chunks / planes AS BIGINT) - 1)) AS chunk_idx
+  FROM meta
+),
+geom AS (
+  SELECT *, (chunk_idx % nx) * cw AS ox,
+         CAST(FLOOR(chunk_idx / nx) AS BIGINT) * ch AS oy,
+         GREATEST(0, LEAST(cw, w - (chunk_idx % nx) * cw)) AS sxp,
+         GREATEST(0, LEAST(ch, h - CAST(FLOOR(chunk_idx / nx) AS BIGINT) * ch)) AS syp
+  FROM chunksel
+),
+sel AS (
+  SELECT * FROM geom
+  WHERE sxp > 0 AND syp > 0
+    AND cx + CAST(ox AS DOUBLE) * sx < {x1}
+    AND cx + CAST(ox + sxp AS DOUBLE) * sx > {x0}
+    AND (cy + h * sy) - CAST(oy + syp AS DOUBLE) * sy < {y1}
+    AND (cy + h * sy) - CAST(oy AS DOUBLE) * sy > {y0}
+),
+rws AS (SELECT image_id, chunk_idx, k, ox, sxp,
+               unnest(generate_series(oy, oy + syp - 1)) AS r FROM sel),
+px AS (SELECT image_id, chunk_idx, k, r,
+              unnest(generate_series(ox, ox + sxp - 1)) AS c FROM rws)
+SELECT image_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+  CAST(COUNT(*) AS BIGINT) AS n_px,
+  CAST(SUM((r * 7 + c * 13 + k) % 256) AS BIGINT) AS sum_px
+FROM px GROUP BY 1, 2
+"""
+
+
+def _oracle_sessionize() -> str:
+    gap_us = 30 * 60 * 1_000_000
+    return f"""
+WITH e AS (
+  SELECT event_type, ts, CAST(FLOOR(value * 100.0) AS BIGINT) AS cents,
+    CASE WHEN lag(ts) OVER (PARTITION BY event_type ORDER BY ts) IS NULL
+          OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY event_type ORDER BY ts)) >= {gap_us}
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY event_type ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+)
+SELECT event_type,
+  CAST(MIN(epoch_us(ts)) AS BIGINT) AS start_us,
+  CAST(MAX(epoch_us(ts)) + {gap_us} AS BIGINT) AS end_us,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(cents) AS BIGINT) AS value_cents
+FROM s GROUP BY event_type, sid
+"""
+
+
+def _oracle_stateful_totals() -> str:
+    return """
+SELECT event_type, CAST(user_id % 16 AS BIGINT) AS user_bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT) AS value_cents,
+  CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+  CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us
+FROM events GROUP BY 1, 2
+"""
+
+
 def _oracle_rasterize_cells() -> str:
     from aira_spark.sources.vectors import polygon_edges_oracle_sql
 
@@ -787,6 +994,11 @@ def oracle_sql() -> dict[str, str]:
         "zonal_by_polygon": _oracle_zonal_by_polygon(),
         "pip": _oracle_pip(),
         "knn": _oracle_knn(),
+        "within_distance": _oracle_within_distance(),
+        "footprint_poly": _oracle_footprint_poly(),
+        "window_read": _oracle_window_read(),
+        "sessionize": _oracle_sessionize(),
+        "stateful_totals": _oracle_stateful_totals(),
         "rasterize_cells": _oracle_rasterize_cells(),
         "ifd_dump": f"""
 WITH {_IMG_CTE}

@@ -92,6 +92,143 @@ def point_in_polygon_join(
     return cand.filter(point_in_ring(F.col(x), F.col(y), F.col("ring"))).drop("cell", "ring")
 
 
+def within_distance_join(
+    queries: DataFrame,
+    points: DataFrame,
+    d: float,
+    res: int = DEFAULT_RES,
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Distance-band (range) join: all (query, point) pairs with Euclidean
+    distance <= d. Returns (query_id, point_id, dist).
+
+    Plan shape: the small query side is exploded to the cell cover of each
+    query's d-disk bounding box and broadcast; the big point side computes its
+    single cell (pure expr) and broadcast-hash-joins — zero shuffles of the
+    point side, exact distance filter as a projection. A point lies in exactly
+    one cell and the cover array has distinct cells, so no pair dedup is
+    needed. At 10^12 scale the candidate count is bounded by disk area x local
+    point density (the same prefilter-superset argument as PIP: the d-disk's
+    bbox cover contains the cell of every point within distance d).
+    """
+    q = queries.select(
+        "query_id", F.col(x).alias("qx"), F.col(y).alias("qy")
+    ).withColumn(
+        "cell",
+        F.explode(
+            cover_rect(
+                F.col("qx") - F.lit(d), F.col("qy") - F.lit(d),
+                F.col("qx") + F.lit(d), F.col("qy") + F.lit(d), res,
+            )
+        ),
+    )
+    pts = points.withColumn("cell", cell_from_xy(F.col(x), F.col(y), res))
+    dist = F.sqrt(
+        (F.col(x) - F.col("qx")) * (F.col(x) - F.col("qx"))
+        + (F.col(y) - F.col("qy")) * (F.col(y) - F.col("qy"))
+    )
+    return (
+        pts.join(F.broadcast(q), "cell")
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= F.lit(d))
+        .drop("cell", "qx", "qy")
+    )
+
+
+def _orient(ax, ay, bx, by, px, py) -> Column:
+    """Signed area orientation of (a -> b -> p); same expression text as the
+    DuckDB oracle so float results are bit-identical."""
+    return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+
+
+def _seg_cross(ax, ay, bx, by, cx, cy, dx, dy) -> Column:
+    """Proper (strict) segment intersection of (a,b) x (c,d): each segment's
+    endpoints lie strictly on opposite sides of the other's line."""
+    o1 = _orient(ax, ay, bx, by, cx, cy)
+    o2 = _orient(ax, ay, bx, by, dx, dy)
+    o3 = _orient(cx, cy, dx, dy, ax, ay)
+    o4 = _orient(cx, cy, dx, dy, bx, by)
+    return (o1 * o2 < 0) & (o3 * o4 < 0)
+
+
+def rect_intersects_ring(xmin, ymin, xmax, ymax, ring: Column) -> Column:
+    """Exact rect x simple-polygon intersection as a pure column expression.
+
+    True iff (a) any polygon vertex is inside the rect (covers polygon-in-rect
+    and partial overlap), or (b) any rect corner is inside the polygon (covers
+    rect-in-polygon), or (c) any polygon edge properly crosses any rect edge
+    (boundary crossings with no vertex containment). For simple polygons these
+    three cases are exhaustive.
+    """
+    vert_in_rect = F.exists(
+        ring,
+        lambda v: (v["x"] >= xmin) & (v["x"] <= xmax)
+        & (v["y"] >= ymin) & (v["y"] <= ymax),
+    )
+    corner_in_poly = (
+        point_in_ring(xmin, ymin, ring)
+        | point_in_ring(xmin, ymax, ring)
+        | point_in_ring(xmax, ymin, ring)
+        | point_in_ring(xmax, ymax, ring)
+    )
+    n = F.size(ring)
+    edges = F.zip_with(
+        F.slice(ring, 1, n - 1),
+        F.slice(ring, 2, n - 1),
+        lambda a, b: F.struct(
+            a["x"].alias("ax"), a["y"].alias("ay"), b["x"].alias("bx"), b["y"].alias("by")
+        ),
+    )
+
+    def crosses_rect_edge(e) -> Column:
+        ax, ay, bx, by = e["ax"], e["ay"], e["bx"], e["by"]
+        return (
+            _seg_cross(ax, ay, bx, by, xmin, ymin, xmax, ymin)
+            | _seg_cross(ax, ay, bx, by, xmax, ymin, xmax, ymax)
+            | _seg_cross(ax, ay, bx, by, xmax, ymax, xmin, ymax)
+            | _seg_cross(ax, ay, bx, by, xmin, ymax, xmin, ymin)
+        )
+
+    return vert_in_rect | corner_in_poly | F.exists(edges, crosses_rect_edge)
+
+
+def footprint_polygon_join(
+    images_with_meta: DataFrame, polygons: DataFrame, res: int = DEFAULT_RES
+) -> DataFrame:
+    """Raster-footprint x polygon overlap join: (image_id, poly_id) pairs whose
+    GeoTIFF footprint rectangle intersects the polygon (exact test).
+
+    Prefilter: footprint cell cover equi-joined with the broadcast polygon
+    bbox cell cover (both covers are full cell rectangles of the respective
+    bboxes, so overlapping geometries always share >= 1 cell — lossless).
+    Candidates deduped on (image_id, poly_id), then the exact
+    rect-x-ring refine runs as a JVM filter. The image side is never
+    shuffled before the (tiny, post-prefilter) dedup.
+    """
+    from .chunks import footprint
+
+    fp = footprint(images_with_meta).select(
+        "image_id", "fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax"
+    )
+    fp_cells = fp.withColumn(
+        "cell",
+        F.explode(
+            cover_rect(
+                F.col("fp_xmin"), F.col("fp_ymin"), F.col("fp_xmax"), F.col("fp_ymax"), res
+            )
+        ),
+    )
+    poly = F.broadcast(polygon_cells(polygons, res).select("cell", "poly_id", "ring"))
+    cand = fp_cells.join(poly, "cell").dropDuplicates(["image_id", "poly_id"])
+    return cand.filter(
+        rect_intersects_ring(
+            F.col("fp_xmin"), F.col("fp_ymin"), F.col("fp_xmax"), F.col("fp_ymax"),
+            F.col("ring"),
+        )
+    ).select("image_id", "poly_id")
+
+
 def knn_join(
     queries: DataFrame,
     points: DataFrame,

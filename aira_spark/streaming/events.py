@@ -17,6 +17,143 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def run_sessionize_stream(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Streaming sessionization: merge events per event_type into sessions
+    separated by > gap_minutes of inactivity, via the built-in
+    `session_window` (watermarked, stateful merge inside Spark's streaming
+    state store). Session end = last event ts + gap (Spark semantics; the
+    DuckDB oracle reproduces the same split rule with a lag/cumsum).
+
+    Returns (event_type, start_us, end_us, n_events, value_cents) — epoch
+    microseconds so both engines compare exact integers, not timestamp
+    formatting."""
+    src = f"{sf_dir}/events.parquet"
+    stage = tempfile.mkdtemp(prefix="aira_sessions_")
+    shutil.copy(src, os.path.join(stage, "events.parquet"))
+    schema = spark.read.parquet(src).schema
+
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr("CAST(FLOOR(value * 100.0) AS BIGINT)")).alias("value_cents"),
+        )
+        .select(
+            "event_type",
+            F.unix_micros(F.col("session_window.start")).alias("start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("end_us"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("value_cents").cast("long").alias("value_cents"),
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    shutil.rmtree(stage, ignore_errors=True)
+    return spark.table(name)
+
+
+def run_stateful_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): running
+    per-(event_type, user_bucket) totals carried across microbatches.
+
+    The input is staged as 4 parquet files read with maxFilesPerTrigger=1, so
+    the state genuinely crosses batch boundaries (each key's totals accumulate
+    over up to 4 updates). Totals are order-independent (count/sum/min/max),
+    so the final emission per key equals the batch aggregate — which is what
+    the DuckDB oracle computes. Update-mode memory sink keeps every emission;
+    the final row per key is selected with max_by on the monotone count."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as Ty
+
+    src = f"{sf_dir}/events.parquet"
+    stage = tempfile.mkdtemp(prefix="aira_stateful_")
+    spark.read.parquet(src).repartition(4).write.mode("overwrite").parquet(stage)
+    schema = spark.read.parquet(src).schema
+
+    out_schema = Ty.StructType(
+        [
+            Ty.StructField("event_type", Ty.StringType()),
+            Ty.StructField("user_bucket", Ty.LongType()),
+            Ty.StructField("n_events", Ty.LongType()),
+            Ty.StructField("value_cents", Ty.LongType()),
+            Ty.StructField("min_ts_us", Ty.LongType()),
+            Ty.StructField("max_ts_us", Ty.LongType()),
+        ]
+    )
+    state_schema = Ty.StructType(
+        [
+            Ty.StructField("n", Ty.LongType()),
+            Ty.StructField("cents", Ty.LongType()),
+            Ty.StructField("mn", Ty.LongType()),
+            Ty.StructField("mx", Ty.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import numpy as np
+
+        n, cents, mn, mx = state.get if state.exists else (0, 0, None, None)
+        for pdf in pdfs:
+            us = pdf["ts"].astype("int64") // 1000
+            n += len(pdf)
+            cents += int(np.floor(pdf["value"].to_numpy() * 100.0).astype("int64").sum())
+            bmn, bmx = int(us.min()), int(us.max())
+            mn = bmn if mn is None else min(mn, bmn)
+            mx = bmx if mx is None else max(mx, bmx)
+        state.update((n, cents, mn, mx))
+        yield pd.DataFrame(
+            [(key[0], key[1], n, cents, mn, mx)], columns=out_schema.fieldNames()
+        )
+
+    name = f"stateful_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .withColumn("user_bucket", F.col("user_id") % 16)
+        .groupBy("event_type", "user_bucket")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    shutil.rmtree(stage, ignore_errors=True)
+    # last (= running-total) emission per key: n_events is strictly increasing
+    return (
+        spark.table(name)
+        .groupBy("event_type", "user_bucket")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.expr("max_by(value_cents, n_events)").alias("value_cents"),
+            F.expr("max_by(min_ts_us, n_events)").alias("min_ts_us"),
+            F.expr("max_by(max_ts_us, n_events)").alias("max_ts_us"),
+        )
+    )
+
+
 def run_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runs the hourly event rollup as a stream over the events table; returns
     the final (batch) result table."""

@@ -1,0 +1,258 @@
+"""Range join, footprint x polygon overlap, windowed chunk read, and the
+streaming sessionize / stateful-totals operators vs in-process oracles."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from aira_spark.operators.chunks import with_meta
+from aira_spark.operators.spatial import (
+    footprint_polygon_join,
+    rect_intersects_ring,
+    within_distance_join,
+)
+from aira_spark.sources.images import derive_params, images_table
+from aira_spark.sources.vectors import points_table, polygons_table
+
+N_IMAGES = 60
+
+
+@pytest.fixture(scope="module")
+def images(spark, sf_dir):
+    df = images_table(spark, sf_dir, limit=N_IMAGES).cache()
+    df.count()
+    return df
+
+
+# ---------------------------------------------------------------- range join
+
+
+def test_within_distance_matches_bruteforce(spark, sf_dir):
+    pts = points_table(spark, sf_dir)
+    pt_rows = [(r.point_id, r.x, r.y) for r in pts.collect()]
+    queries = pts.limit(40).select(
+        F.col("point_id").alias("query_id"), "x", "y"
+    )
+    q_rows = [(r.query_id, r.x, r.y) for r in queries.collect()]
+    d = 3.0
+    got = {
+        (r.query_id, r.point_id)
+        for r in within_distance_join(queries, pts, d=d).collect()
+    }
+    expected = {
+        (qid, pid)
+        for qid, qx, qy in q_rows
+        for pid, px, py in pt_rows
+        if math.hypot(px - qx, py - qy) <= d
+    }
+    assert got == expected
+    assert len(expected) > len(q_rows)  # beyond the self-pairs
+
+
+# ----------------------------------------------------- footprint x polygon
+
+
+def _seg_cross(a, b, c, d) -> bool:
+    def orient(p, q, r):
+        return (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
+
+    return (
+        orient(a, b, c) * orient(a, b, d) < 0
+        and orient(c, d, a) * orient(c, d, b) < 0
+    )
+
+
+def _rect_hits_ring(xmin, ymin, xmax, ymax, ring) -> bool:
+    from tests.test_spatial import ray_cast
+
+    if any(xmin <= x <= xmax and ymin <= y <= ymax for x, y in ring):
+        return True
+    if any(
+        ray_cast(cx, cy, ring)
+        for cx, cy in ((xmin, ymin), (xmin, ymax), (xmax, ymin), (xmax, ymax))
+    ):
+        return True
+    rect = [(xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax), (xmin, ymin)]
+    return any(
+        _seg_cross(a, b, c, d)
+        for a, b in zip(ring[:-1], ring[1:])
+        for c, d in zip(rect[:-1], rect[1:])
+    )
+
+
+def test_footprint_poly_matches_bruteforce(spark, sf_dir, images):
+    polys = polygons_table(spark, sf_dir)
+    rings = {r.poly_id: [(v.x, v.y) for v in r.ring] for r in polys.collect()}
+    got = {
+        (r.image_id, r.poly_id)
+        for r in footprint_polygon_join(with_meta(images), polys).collect()
+    }
+    expected = set()
+    for k in range(N_IMAGES):
+        p = derive_params(k)
+        xmin, ymin = p["corner_x"], p["corner_y"]
+        xmax = xmin + p["w"] * p["scale_x"]
+        ymax = ymin + p["h"] * p["scale_y"]
+        for poly_id, ring in rings.items():
+            if _rect_hits_ring(xmin, ymin, xmax, ymax, ring):
+                expected.add((f"img{k:08d}", poly_id))
+    assert got == expected
+
+
+def test_rect_intersects_ring_cases(spark):
+    """Hand-built containment / crossing / disjoint cases."""
+    square = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+    cases = [
+        # rect fully inside polygon (no vertex containment either way)
+        (1.0, 1.0, 2.0, 2.0, True),
+        # polygon fully inside rect
+        (-1.0, -1.0, 5.0, 5.0, True),
+        # pure edge crossing: tall thin rect through the middle
+        (1.0, -1.0, 2.0, 5.0, True),
+        # disjoint
+        (5.0, 5.0, 6.0, 6.0, False),
+        (-2.0, 0.0, -1.0, 4.0, False),
+    ]
+    df = spark.createDataFrame(
+        [(i, *c[:4]) for i, c in enumerate(cases)],
+        "id int, xmin double, ymin double, xmax double, ymax double",
+    ).withColumn(
+        "ring",
+        F.expr(
+            "array(" + ", ".join(
+                f"named_struct('x', CAST({x} AS DOUBLE), 'y', CAST({y} AS DOUBLE))"
+                for x, y in square
+            ) + ")"
+        ),
+    )
+    got = {
+        r.id: r.hit
+        for r in df.select(
+            "id",
+            rect_intersects_ring(
+                F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"), F.col("ring")
+            ).alias("hit"),
+        ).collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i] == c[4], f"case {i}"
+
+
+# ---------------------------------------------------------------- window read
+
+
+def test_window_read_matches_serial(spark, images):
+    from aira_spark.functions.udfs import _decode_full
+    from aira_spark.operators.window_read import window_read
+    from aira_spark.tiff.meta import decode_metadata, pixel_chunks
+
+    x0, y0, x1, y1 = -60.0, -30.0, 60.0, 30.0
+    got = {
+        (r.image_id, r.chunk_idx): (r.n_px, r.sum_px)
+        for r in window_read(with_meta(images), x0, y0, x1, y1).collect()
+    }
+    expected = {}
+    for rec in images.select("image_id", "bytes").collect():
+        buf = bytes(rec.bytes)
+        m = decode_metadata(buf)
+        _, px = _decode_full(buf)
+        scale = derive_params(int(rec.image_id.removeprefix("img")))
+        fx, sy_ = scale["corner_x"], scale["scale_y"]
+        fy_top = scale["corner_y"] + scale["h"] * sy_
+        sx_ = scale["scale_x"]
+        for c in pixel_chunks(m):
+            if c["size_x"] == 0 or c["size_y"] == 0:
+                continue
+            if c["chunk_idx"] >= m["expected_chunks"]:
+                continue  # band-0 chunks only
+            cxmin = fx + c["origin_x"] * sx_
+            cxmax = fx + (c["origin_x"] + c["size_x"]) * sx_
+            cymax = fy_top - c["origin_y"] * sy_
+            cymin = fy_top - (c["origin_y"] + c["size_y"]) * sy_
+            if not (cxmin < x1 and cxmax > x0 and cymin < y1 and cymax > y0):
+                continue
+            blk = px[
+                c["origin_y"] : c["origin_y"] + c["size_y"],
+                c["origin_x"] : c["origin_x"] + c["size_x"],
+                0,
+            ].astype("int64")
+            expected[(rec.image_id, c["chunk_idx"])] = (blk.size, int(blk.sum()))
+    assert got == expected
+    assert len(expected) > 0
+
+
+def test_window_filter_precedes_decode(spark, images):
+    """The decode UDF must run on the pruned chunk set: the physical plan
+    filters on the chunk-rect window predicate BELOW the mapInPandas node."""
+    from aira_spark.operators.window_read import window_read
+
+    plan = window_read(with_meta(images), -10.0, -10.0, 10.0, 10.0)._jdf.queryExecution(
+    ).executedPlan().toString()
+    # MapInPandas must appear above (before, in top-down print order) the
+    # window filter on the derived chunk rects (literal bound 10.0)
+    i_udf = plan.index("MapInPandas")
+    i_filter = plan.index("< 10.0")
+    assert i_udf < i_filter
+
+
+# ---------------------------------------------------------------- streaming
+
+
+def test_sessionize_stream_matches_batch(spark, sf_dir):
+    from aira_spark.streaming.events import run_sessionize_stream
+
+    got = {
+        (r.event_type, r.start_us, r.end_us): (r.n_events, r.value_cents)
+        for r in run_sessionize_stream(spark, sf_dir, gap_minutes=30).collect()
+    }
+    events = [
+        (r.event_type, r.us, int(math.floor(r.value * 100.0)))
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("event_type", "unix_micros(CAST(ts AS TIMESTAMP)) AS us", "value")
+        .collect()
+    ]
+    gap = 30 * 60 * 1_000_000
+    by_type: dict[str, list[tuple[int, int]]] = {}
+    for et, us, cents in events:
+        by_type.setdefault(et, []).append((us, cents))
+    expected = {}
+    for et, rows in by_type.items():
+        rows.sort()
+        start = prev = None
+        n = cents_sum = 0
+        for us, cents in rows:
+            if prev is not None and us - prev < gap:
+                n += 1
+                cents_sum += cents
+            else:
+                if prev is not None:
+                    expected[(et, start, prev + gap)] = (n, cents_sum)
+                start, n, cents_sum = us, 1, cents
+            prev = us
+        expected[(et, start, prev + gap)] = (n, cents_sum)
+    assert got == expected
+
+
+def test_stateful_totals_matches_batch(spark, sf_dir):
+    from aira_spark.streaming.events import run_stateful_totals_stream
+
+    got = {
+        (r.event_type, r.user_bucket): (r.n_events, r.value_cents, r.min_ts_us, r.max_ts_us)
+        for r in run_stateful_totals_stream(spark, sf_dir).collect()
+    }
+    expected = {
+        (r.event_type, r.user_bucket): (r.n, r.cents, r.mn, r.mx)
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type", F.expr("user_id % 16").alias("user_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("CAST(FLOOR(value * 100.0) AS BIGINT)")).alias("cents"),
+            F.min(F.expr("unix_micros(CAST(ts AS TIMESTAMP))")).alias("mn"),
+            F.max(F.expr("unix_micros(CAST(ts AS TIMESTAMP))")).alias("mx"),
+        )
+        .collect()
+    }
+    assert got == expected
