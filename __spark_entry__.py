@@ -378,6 +378,33 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zonal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical pyramid rollup: fine-cell pixel partials re-aggregated two
+    resolution levels up via cell_parent bit arithmetic (no second decode)."""
+    from aira_spark.operators.zonal import zonal_rollup
+
+    return zonal_rollup(_images(spark, sf_dir, modulo=8), CELL_RES, steps=2).select(
+        F.col("cell").cast("long").alias("cell"),
+        F.col("n_px").cast("long").alias("n_px"),
+        F.col("sum_px").cast("long").alias("sum_px"),
+        F.col("min_px").cast("long").alias("min_px"),
+        F.col("max_px").cast("long").alias("max_px"),
+    )
+
+
+def q_overview_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COG-style overview selection: build a 3-level pyramid (real multi-page
+    TIFF bytes), decode per-page metadata, pick the page whose GSD best
+    matches the 0.01-degree target."""
+    from aira_spark.operators.overview import select_overview
+
+    return select_overview(
+        _images(spark, sf_dir, modulo=8), target_gsd=0.01, levels=3
+    ).select(
+        "image_id", "page", "width", "height", F.round("gsd", 9).alias("gsd_r")
+    )
+
+
 def q_within_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distance-band (range) join: supplier query sites x customer points
     within 2 degrees (broadcast disk-bbox cell cover prefilter)."""
@@ -572,6 +599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_by_polygon": q_zonal_by_polygon,
         "pip": q_pip,
         "knn": q_knn,
+        "zonal_rollup": q_zonal_rollup,
+        "overview_select": q_overview_select,
         "within_distance": q_within_distance,
         "footprint_poly": q_footprint_poly,
         "window_read": q_window_read,
@@ -736,6 +765,53 @@ d AS (
 r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn FROM d)
 SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rnk, ROUND(dist, 6) AS dist_r
 FROM r WHERE rn <= 5
+"""
+
+
+def _oracle_zonal_rollup() -> str:
+    # parent cell: same fine-resolution index arithmetic, then the exact bit
+    # shift the Spark side performs (ix >> 2 == ix // 4)
+    cell5 = (
+        f"(CAST(5 AS BIGINT) * 288230376151711744 + "
+        f"({_sql_ix('x')} // 4) * 536870912 + ({_sql_iy('y')} // 4))"
+    )
+    return f"""
+WITH {_IMG_CTE},
+sel AS (SELECT * FROM meta WHERE k % 8 = 0),
+rws AS (SELECT *, unnest(generate_series(0, h - 1)) AS r FROM sel),
+pxs AS (SELECT *, unnest(generate_series(0, w - 1)) AS c FROM rws),
+vals AS (
+  SELECT (r * 7 + c * 13 + k) % 256 AS val,
+         cx + (CAST(c AS DOUBLE) + 0.5) * sx AS x,
+         (cy + h * sy) - (CAST(r AS DOUBLE) + 0.5) * sy AS y
+  FROM pxs
+)
+SELECT {cell5} AS cell,
+  CAST(COUNT(*) AS BIGINT) AS n_px, CAST(SUM(val) AS BIGINT) AS sum_px,
+  CAST(MIN(val) AS BIGINT) AS min_px, CAST(MAX(val) AS BIGINT) AS max_px
+FROM vals GROUP BY 1
+"""
+
+
+def _oracle_overview_select() -> str:
+    return f"""
+WITH {_IMG_CTE},
+sel AS (SELECT image_id, w, h, sx FROM meta WHERE k % 8 = 0),
+pages AS (
+  SELECT image_id, CAST(p AS BIGINT) AS page,
+    (w + CAST(POW(2, p) AS BIGINT) - 1) // CAST(POW(2, p) AS BIGINT) AS width,
+    (h + CAST(POW(2, p) AS BIGINT) - 1) // CAST(POW(2, p) AS BIGINT) AS height,
+    sx * CAST(POW(2, p) AS DOUBLE) AS gsd
+  FROM sel, unnest([0, 1, 2]) AS t(p)
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY image_id ORDER BY ABS(LN(gsd / 0.01)), page) AS rn
+  FROM pages
+)
+SELECT image_id, page, CAST(width AS BIGINT) AS width,
+       CAST(height AS BIGINT) AS height, ROUND(gsd, 9) AS gsd_r
+FROM r WHERE rn = 1
 """
 
 
@@ -994,6 +1070,8 @@ def oracle_sql() -> dict[str, str]:
         "zonal_by_polygon": _oracle_zonal_by_polygon(),
         "pip": _oracle_pip(),
         "knn": _oracle_knn(),
+        "zonal_rollup": _oracle_zonal_rollup(),
+        "overview_select": _oracle_overview_select(),
         "within_distance": _oracle_within_distance(),
         "footprint_poly": _oracle_footprint_poly(),
         "window_read": _oracle_window_read(),

@@ -37,6 +37,30 @@ def zonal_stats(images: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
     )
 
 
+def zonal_rollup(
+    images: DataFrame, res: int = DEFAULT_RES, steps: int = 2
+) -> DataFrame:
+    """Hierarchical (pyramid) rollup: pixel stats aggregated at resolution
+    `res - steps`, computed from the per-image fine-cell partials via
+    `cell_parent` bit arithmetic — the hypertable-rollup pattern. No second
+    decode and no second pixel pass: parent ids are a pure column expression
+    on the map-side partials, so the single shuffle carries (image x
+    fine-cell) rows and Catalyst's partial+final hash agg does the rest. At
+    scale, coarser rollups reuse the same partials with a different shift."""
+    from ..functions.cells import cell_parent
+
+    return (
+        per_image_cell_stats(images, res)
+        .groupBy(cell_parent(F.col("cell"), steps).alias("cell"))
+        .agg(
+            F.sum("px_cnt").alias("n_px"),
+            F.sum("px_sum").alias("sum_px"),
+            F.min("px_min").alias("min_px"),
+            F.max("px_max").alias("max_px"),
+        )
+    )
+
+
 def zonal_by_polygon(
     images: DataFrame, polygons: DataFrame, res: int = DEFAULT_RES
 ) -> DataFrame:

@@ -198,6 +198,83 @@ def test_window_filter_precedes_decode(spark, images):
     assert i_udf < i_filter
 
 
+# ------------------------------------------------------- rollup + overviews
+
+
+def test_zonal_rollup_matches_fine_reagg(spark, images):
+    """Parent-cell rollup == re-aggregating the fine zonal result in Python."""
+    from aira_spark.functions.cells import np_cell_parent
+    from aira_spark.operators.zonal import zonal_rollup, zonal_stats
+
+    fine = zonal_stats(images, res=7).collect()
+    got = {
+        r.cell: (r.n_px, r.sum_px, r.min_px, r.max_px)
+        for r in zonal_rollup(images, res=7, steps=2).collect()
+    }
+    expected: dict[int, list[int]] = {}
+    for r in fine:
+        p = int(np_cell_parent(r.cell, 2))
+        cur = expected.get(p)
+        if cur is None:
+            expected[p] = [r.n_px, r.sum_px, r.min_px, r.max_px]
+        else:
+            cur[0] += r.n_px
+            cur[1] += r.sum_px
+            cur[2] = min(cur[2], r.min_px)
+            cur[3] = max(cur[3], r.max_px)
+    assert got == {k: tuple(v) for k, v in expected.items()}
+    assert 0 < len(got) < len(fine)
+
+
+def test_overview_pyramid_pages(spark, images):
+    """Pyramid bytes decode page-by-page: strided dims, doubled GSD, pixels
+    equal to the strided base image."""
+    import numpy as np
+
+    from aira_spark.functions.udfs import _decode_full
+    from aira_spark.operators.overview import with_pyramid
+    from aira_spark.tiff.meta import decode_all_pages
+
+    rows = with_pyramid(images.limit(6), levels=3).collect()
+    assert len(rows) == 6
+    for rec in rows:
+        buf = bytes(rec.bytes)
+        pages = decode_all_pages(buf)
+        assert len(pages) == 3
+        k = int(rec.image_id.removeprefix("img"))
+        p0 = derive_params(k)
+        _, base_px = _decode_full(buf)  # page 0 = original
+        expect = base_px
+        for p, m in enumerate(pages):
+            if p > 0:
+                expect = expect[::2, ::2, :]
+            assert m["width"] == expect.shape[1]
+            assert m["height"] == expect.shape[0]
+        # GSD doubles per level
+        from aira_spark.tiff import tags as T
+        from aira_spark.tiff.meta import entry_value
+
+        for p, m in enumerate(pages):
+            sv = entry_value(*m["custom"][T.MODEL_PIXEL_SCALE], m["byteorder"])
+            assert sv[0] == pytest.approx(p0["scale_x"] * (1 << p), rel=0, abs=0)
+
+
+def test_select_overview_matches_closed_form(spark, images):
+    import math
+
+    from aira_spark.operators.overview import select_overview
+
+    target = 0.01
+    got = {r.image_id: r.page for r in select_overview(images, target, levels=3).collect()}
+    for image_id, page in got.items():
+        k = int(image_id.removeprefix("img"))
+        sx = derive_params(k)["scale_x"]
+        best = min(range(3), key=lambda p: (abs(math.log(sx * (1 << p) / target)), p))
+        assert page == best
+    assert len(got) == N_IMAGES
+    assert len(set(got.values())) > 1  # selection is non-trivial
+
+
 # ---------------------------------------------------------------- streaming
 
 
