@@ -79,15 +79,24 @@ def point_in_polygon_join(
     res: int = DEFAULT_RES,
     x: str = "x",
     y: str = "y",
+    broadcast_polygons: bool = True,
 ) -> DataFrame:
     """All (point, polygon) containment pairs.
 
-    Plan shape: big side gets `cell` (pure expr) -> broadcast hash join with
-    the exploded polygon-cell table -> ray-cast refine as a filter. One scan,
-    zero shuffles of the point side.
+    Plan shape (default): big side gets `cell` (pure expr) -> broadcast hash
+    join with the exploded polygon-cell table -> ray-cast refine as a filter.
+    One scan, zero shuffles of the point side.
+
+    broadcast_polygons=False is the scale path for polygon sides too big to
+    broadcast (continental-coverage polygon sets at 10^12 rows): both sides
+    shuffle on `cell` and Catalyst picks shuffled-hash/sort-merge; results are
+    identical (pinned by test), only the physical distribution changes. Pair
+    with operators/skew.py salting when single cells are hot.
     """
     pts = points.withColumn("cell", cell_from_xy(F.col(x), F.col(y), res))
-    poly = F.broadcast(polygon_cells(polygons, res))
+    poly = polygon_cells(polygons, res)
+    if broadcast_polygons:
+        poly = F.broadcast(poly)
     cand = pts.join(poly, "cell")
     return cand.filter(point_in_ring(F.col(x), F.col(y), F.col("ring"))).drop("cell", "ring")
 

@@ -135,6 +135,10 @@ def main() -> None:
         "ann_cosine_topk": lambda: em.q_ann_cosine_topk(spark, sf_dir).count(),
         "text_features": lambda: em.q_text_features(spark, sf_dir).count(),
         "q1_pricing": lambda: em.q_q1_pricing(spark, sf_dir).count(),
+        "within_distance": lambda: em.q_within_distance(spark, sf_dir).count(),
+        "footprint_poly": lambda: em.q_footprint_poly(spark, sf_dir).count(),
+        "window_read": lambda: em.q_window_read(spark, sf_dir).count(),
+        "zonal_rollup": lambda: em.q_zonal_rollup(spark, sf_dir).count(),
     }
     for name, fn in per_query.items():
         timed(name, fn)

@@ -198,6 +198,26 @@ def test_window_filter_precedes_decode(spark, images):
     assert i_udf < i_filter
 
 
+def test_pip_shuffled_path_same_result(spark, sf_dir):
+    """broadcast_polygons=False (the too-big-to-broadcast scale path) must
+    produce identical pairs — only the physical join strategy changes."""
+    from aira_spark.operators.spatial import point_in_polygon_join
+
+    pts = points_table(spark, sf_dir)
+    polys = polygons_table(spark, sf_dir)
+    a = {
+        (r.point_id, r.poly_id)
+        for r in point_in_polygon_join(pts, polys).select("point_id", "poly_id").collect()
+    }
+    b = {
+        (r.point_id, r.poly_id)
+        for r in point_in_polygon_join(pts, polys, broadcast_polygons=False)
+        .select("point_id", "poly_id")
+        .collect()
+    }
+    assert a == b and len(a) > 0
+
+
 # ------------------------------------------------------- rollup + overviews
 
 
