@@ -100,6 +100,34 @@ def _decode_selected_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Dat
         yield pd.DataFrame(out, columns=WINDOW_READ_SCHEMA.fieldNames())
 
 
+def read_window_pruned(
+    spark,
+    path: str,
+    x0: float,
+    y0: float,
+    x1: float,
+    y1: float,
+    margin: float = 2.0,
+    res: int = 3,
+):
+    """Scan a cell-partitioned images table (sources.images.write_images_by_cell)
+    reading ONLY the partitions whose coarse cell intersects the window.
+
+    `margin` must bound the maximum footprint half-extent of any image: the
+    partition key is the footprint *center* cell, so an image whose center
+    sits up to `margin` outside the window can still intersect it. The
+    expanded window's res-`res` cell cover becomes an IN-list filter on the
+    partition column — Catalyst turns it into PartitionFilters and never
+    opens files outside the region (partition pruning at the scan, the
+    Spark analog of the reference's seek-past-unneeded-chunks).
+    """
+    from ..functions.cells import np_cover_rect
+
+    cover = np_cover_rect(x0 - margin, y0 - margin, x1 + margin, y1 + margin, res)
+    df = spark.read.parquet(path)
+    return df.filter(F.col("part_cell").isin([int(c) for c in cover]))
+
+
 def window_read(
     with_meta_df: DataFrame, x0: float, y0: float, x1: float, y1: float
 ) -> DataFrame:

