@@ -143,6 +143,26 @@ def main() -> None:
     for name, fn in per_query.items():
         timed(name, fn)
 
+    # ---- partition-pruning payoff: same window read over a cell-partitioned
+    # layout (one-time materialization, synth-excluded like the base table) ----
+    from aira_spark.operators.chunks import with_meta
+    from aira_spark.operators.window_read import read_window_pruned, window_read
+    from aira_spark.sources.images import write_images_by_cell
+
+    cell_path = f"/tmp/aira_bench_images_cell_{sf_tag}_x{img_scale}"
+    t0 = time.time()
+    if not os.path.exists(f"{cell_path}/_SUCCESS"):
+        write_images_by_cell(spark, images, cell_path, res=3)
+    synth_s = round(synth_s + (time.time() - t0), 3)
+    x0, y0, x1, y1 = em._WIN
+    timed(
+        "window_read_pruned",
+        lambda: window_read(
+            with_meta(read_window_pruned(spark, cell_path, x0, y0, x1, y1)),
+            x0, y0, x1, y1,
+        ).count(),
+    )
+
     images_per_sec = round(n_images / timings["pipeline"], 2)
     out = {
         "metric": "spatial_join_tile_assignment_pipeline",
