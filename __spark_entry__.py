@@ -378,6 +378,26 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zonal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact polygon-masked zonal stats: pixel-center ray-cast mask (the
+    refined raster x vector path; bytes never shuffle)."""
+    from aira_spark.operators.chunks import with_meta
+    from aira_spark.operators.zonal import zonal_exact_by_polygon
+    from aira_spark.sources.vectors import polygons_table
+
+    return zonal_exact_by_polygon(
+        with_meta(_images(spark, sf_dir, modulo=8)),
+        polygons_table(spark, sf_dir),
+        CELL_RES,
+    ).select(
+        "poly_id",
+        F.col("n_px").cast("long").alias("n_px"),
+        F.col("sum_px").cast("long").alias("sum_px"),
+        F.col("min_px").cast("long").alias("min_px"),
+        F.col("max_px").cast("long").alias("max_px"),
+    )
+
+
 def q_zonal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical pyramid rollup: fine-cell pixel partials re-aggregated two
     resolution levels up via cell_parent bit arithmetic (no second decode)."""
@@ -599,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_by_polygon": q_zonal_by_polygon,
         "pip": q_pip,
         "knn": q_knn,
+        "zonal_exact": q_zonal_exact,
         "zonal_rollup": q_zonal_rollup,
         "overview_select": q_overview_select,
         "within_distance": q_within_distance,
@@ -765,6 +786,46 @@ d AS (
 r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn FROM d)
 SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rnk, ROUND(dist, 6) AS dist_r
 FROM r WHERE rn <= 5
+"""
+
+
+def _oracle_zonal_exact() -> str:
+    from aira_spark.sources.vectors import polygon_edges_oracle_sql
+
+    return f"""
+WITH {_IMG_CTE},
+sel AS (SELECT * FROM meta WHERE k % 8 = 0),
+rws AS (SELECT *, unnest(generate_series(0, h - 1)) AS r FROM sel),
+pxs AS (SELECT *, unnest(generate_series(0, w - 1)) AS c FROM rws),
+vals AS (
+  SELECT k, r, c, (r * 7 + c * 13 + k) % 256 AS val,
+         cx + (CAST(c AS DOUBLE) + 0.5) * sx AS x,
+         (cy + h * sy) - (CAST(r AS DOUBLE) + 0.5) * sy AS y
+  FROM pxs
+),
+edges AS ({polygon_edges_oracle_sql()}),
+bbox AS (
+  SELECT poly_id, LEAST(MIN(ax), MIN(bx)) AS xmin, LEAST(MIN(ay), MIN(by)) AS ymin,
+         GREATEST(MAX(ax), MAX(bx)) AS xmax, GREATEST(MAX(ay), MAX(by)) AS ymax
+  FROM edges GROUP BY poly_id
+),
+-- bbox prefilter: a pixel outside the polygon's bbox cannot be inside it
+-- (superset of the exact hit set; the ray-cast below decides)
+pb AS (
+  SELECT v.*, b.poly_id FROM vals v JOIN bbox b
+  ON v.x >= b.xmin AND v.x <= b.xmax AND v.y >= b.ymin AND v.y <= b.ymax
+),
+cr AS (
+  SELECT p.poly_id, p.k, p.r, p.c, MAX(p.val) AS val,
+    SUM(CASE WHEN ((e.ay > p.y) != (e.by > p.y))
+              AND (p.x < (e.bx - e.ax) * (p.y - e.ay) / (e.by - e.ay) + e.ax)
+        THEN 1 ELSE 0 END) AS crossings
+  FROM pb p JOIN edges e USING (poly_id)
+  GROUP BY 1, 2, 3, 4
+)
+SELECT poly_id, CAST(COUNT(*) AS BIGINT) AS n_px, CAST(SUM(val) AS BIGINT) AS sum_px,
+       CAST(MIN(val) AS BIGINT) AS min_px, CAST(MAX(val) AS BIGINT) AS max_px
+FROM cr WHERE crossings % 2 = 1 GROUP BY 1
 """
 
 
@@ -1070,6 +1131,7 @@ def oracle_sql() -> dict[str, str]:
         "zonal_by_polygon": _oracle_zonal_by_polygon(),
         "pip": _oracle_pip(),
         "knn": _oracle_knn(),
+        "zonal_exact": _oracle_zonal_exact(),
         "zonal_rollup": _oracle_zonal_rollup(),
         "overview_select": _oracle_overview_select(),
         "within_distance": _oracle_within_distance(),

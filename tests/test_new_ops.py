@@ -253,6 +253,61 @@ def test_pip_shuffled_path_same_result(spark, sf_dir):
     assert a == b and len(a) > 0
 
 
+def test_zonal_exact_matches_bruteforce(spark, sf_dir):
+    """Exact polygon-masked zonal stats == per-pixel python ray-cast.
+
+    Uses the full 200-image sf0.001 table: footprints are tiny, so enough
+    images are needed for some pixels to land inside a polygon."""
+    from tests.test_spatial import ray_cast
+
+    from aira_spark.operators.zonal import zonal_exact_by_polygon
+    from aira_spark.sources.images import make_pixels
+
+    n_all = 200
+    all_images = images_table(spark, sf_dir, limit=n_all)
+    polys = polygons_table(spark, sf_dir)
+    rings = {r.poly_id: [(v.x, v.y) for v in r.ring] for r in polys.collect()}
+    got = {
+        r.poly_id: (r.n_px, r.sum_px, r.min_px, r.max_px)
+        for r in zonal_exact_by_polygon(with_meta(all_images), polys).collect()
+    }
+    expected: dict[str, list[int]] = {}
+    for k in range(n_all):
+        p = derive_params(k)
+        px = make_pixels(p)
+        fx, fy_top = p["corner_x"], p["corner_y"] + p["h"] * p["scale_y"]
+        # only polygons whose bbox overlaps the footprint can mask pixels
+        for poly_id, ring in rings.items():
+            bx0 = min(x for x, _ in ring)
+            bx1 = max(x for x, _ in ring)
+            by0 = min(y for _, y in ring)
+            by1 = max(y for _, y in ring)
+            if not (
+                fx < bx1
+                and fx + p["w"] * p["scale_x"] > bx0
+                and p["corner_y"] < by1
+                and fy_top > by0
+            ):
+                continue
+            for r in range(p["h"]):
+                y = fy_top - (r + 0.5) * p["scale_y"]
+                if not (by0 <= y <= by1):
+                    continue
+                for c in range(p["w"]):
+                    x = fx + (c + 0.5) * p["scale_x"]
+                    if not (bx0 <= x <= bx1):
+                        continue
+                    if ray_cast(x, y, ring):
+                        v = int(px[r, c, 0])
+                        cur = expected.setdefault(poly_id, [0, 0, v, v])
+                        cur[0] += 1
+                        cur[1] += v
+                        cur[2] = min(cur[2], v)
+                        cur[3] = max(cur[3], v)
+    assert got == {k: tuple(v) for k, v in expected.items()}
+    assert len(got) > 0  # non-vacuous: some pixels are masked at this sf
+
+
 # ------------------------------------------------------- rollup + overviews
 
 
