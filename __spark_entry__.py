@@ -378,6 +378,34 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real thumbnail resize round-trip: decode -> integer area pooling ->
+    re-encode TIFF -> re-decode the derived bytes -> band-0 sum. The oracle
+    reproduces the pooled sums with pure integer SQL."""
+    import pandas as pd
+
+    from aira_spark.operators.multimodal import resize_images
+
+    resized = resize_images(_images(spark, sf_dir, modulo=8), 8, 8)
+
+    def fn(batches):
+        from aira_spark.functions.udfs import _decode_full
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                m, px = _decode_full(bytes(rec.bytes))
+                rows.append(
+                    (rec.image_id, m["width"], m["height"],
+                     int(px[:, :, 0].astype("int64").sum()))
+                )
+            yield pd.DataFrame(rows, columns=["image_id", "width", "height", "sum_px"])
+
+    return resized.mapInPandas(
+        fn, "image_id string, width long, height long, sum_px long"
+    )
+
+
 def q_zonal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact polygon-masked zonal stats: pixel-center ray-cast mask (the
     refined raster x vector path; bytes never shuffle)."""
@@ -619,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_by_polygon": q_zonal_by_polygon,
         "pip": q_pip,
         "knn": q_knn,
+        "resize_thumbs": q_resize_thumbs,
         "zonal_exact": q_zonal_exact,
         "zonal_rollup": q_zonal_rollup,
         "overview_select": q_overview_select,
@@ -786,6 +815,29 @@ d AS (
 r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn FROM d)
 SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rnk, ROUND(dist, 6) AS dist_r
 FROM r WHERE rn <= 5
+"""
+
+
+def _oracle_resize_thumbs() -> str:
+    return f"""
+WITH {_IMG_CTE},
+sel AS (SELECT image_id, k, w, h FROM meta WHERE k % 8 = 0),
+rws AS (SELECT *, unnest(generate_series(0, h - 1)) AS r FROM sel),
+pxs AS (SELECT *, unnest(generate_series(0, w - 1)) AS c FROM rws),
+v AS (SELECT image_id, k, w, h, r, c, (r * 7 + c * 13 + k) % 256 AS val FROM pxs),
+t AS (SELECT unnest(generate_series(0, 7)) AS t),
+b AS (
+  SELECT v.image_id, v.val, tr.t AS tr, tc.t AS tc
+  FROM v
+  JOIN t tr ON (tr.t * v.h) // 8 <= v.r AND v.r < ((tr.t + 1) * v.h) // 8
+  JOIN t tc ON (tc.t * v.w) // 8 <= v.c AND v.c < ((tc.t + 1) * v.w) // 8
+),
+blocks AS (
+  SELECT image_id, tr, tc, SUM(val) // COUNT(*) AS bval FROM b GROUP BY 1, 2, 3
+)
+SELECT image_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+       CAST(SUM(bval) AS BIGINT) AS sum_px
+FROM blocks GROUP BY 1
 """
 
 
@@ -1131,6 +1183,7 @@ def oracle_sql() -> dict[str, str]:
         "zonal_by_polygon": _oracle_zonal_by_polygon(),
         "pip": _oracle_pip(),
         "knn": _oracle_knn(),
+        "resize_thumbs": _oracle_resize_thumbs(),
         "zonal_exact": _oracle_zonal_exact(),
         "zonal_rollup": _oracle_zonal_rollup(),
         "overview_select": _oracle_overview_select(),

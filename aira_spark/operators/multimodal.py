@@ -90,6 +90,65 @@ def image_features(images: DataFrame) -> DataFrame:
     return images.select("image_id", "fmt", "bytes").mapInPandas(fn, schema=FEATURE_SCHEMA)
 
 
+def _area_pool_floor(px: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Integer-exact area pooling (downsample only): target pixel (tr, tc) =
+    floor(mean) of the source block [tr*h//th, (tr+1)*h//th) x [tc*w//tw,
+    (tc+1)*w//tw), per channel. Exact in int64 so the result is reproducible
+    bit-for-bit by SQL integer arithmetic (no float summation-order drift)."""
+    h, w, _ = px.shape
+    if th > h or tw > w:
+        raise ValueError("area pooling is downsample-only (target > source)")
+    a = px.astype(np.int64)
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    ye = np.append(ys[1:], h)
+    xe = np.append(xs[1:], w)
+    sums = np.add.reduceat(np.add.reduceat(a, ys, axis=0), xs, axis=1)
+    counts = (ye - ys)[:, None] * (xe - xs)[None, :]
+    return (sums // counts[:, :, None]).astype(px.dtype)
+
+
+def resize_images(images: DataFrame, th: int, tw: int) -> DataFrame:
+    """Real thumbnail/resize operator for the TIFF path: decode -> integer
+    area pooling -> re-encode as a valid (chunky, uncompressed) TIFF with the
+    geotransform rescaled so the footprint is preserved. Returns
+    (image_id, bytes) — a derived images table (training-data thumbnailing).
+    """
+    from ..tiff import tags as T
+    from ..tiff.encode import write_tiff
+    from ..tiff.meta import entry_value
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                buf = bytes(rec.bytes)
+                try:
+                    m, px = _decode_full(buf)
+                except TiffError:
+                    continue
+                small = _area_pool_floor(px, th, tw)
+                geo = None
+                scale = m["custom"].get(T.MODEL_PIXEL_SCALE)
+                tie = m["custom"].get(T.MODEL_TIEPOINT)
+                if scale is not None and tie is not None:
+                    sv = entry_value(*scale, m["byteorder"])
+                    tv = entry_value(*tie, m["byteorder"])
+                    geo = (
+                        (sv[0] * px.shape[1] / tw, sv[1] * px.shape[0] / th, 0.0),
+                        (0.0, 0.0, 0.0, tv[3], tv[4], 0.0),
+                    )
+                rows.append(
+                    (rec.image_id, write_tiff(small, byteorder="<",
+                                              layout=("strips", 8), geo=geo))
+                )
+            yield pd.DataFrame(rows, columns=["image_id", "bytes"])
+
+    return images.select("image_id", "bytes").mapInPandas(
+        fn, schema="image_id string, bytes binary"
+    )
+
+
 FRAME_SCHEMA = Ty.StructType(
     [
         Ty.StructField("media_id", Ty.StringType()),

@@ -308,6 +308,46 @@ def test_zonal_exact_matches_bruteforce(spark, sf_dir):
     assert len(got) > 0  # non-vacuous: some pixels are masked at this sf
 
 
+def test_area_pool_floor_exact():
+    import numpy as np
+
+    from aira_spark.operators.multimodal import _area_pool_floor
+
+    px = np.arange(10 * 6 * 2, dtype=np.uint16).reshape(10, 6, 2)
+    out = _area_pool_floor(px, 3, 3)
+    assert out.shape == (3, 3, 2) and out.dtype == px.dtype
+    # block (0,0): rows 0..2 (10*0//3=0 .. 10*1//3=3), cols 0..1
+    blk = px[0:3, 0:2, 0].astype(np.int64)
+    assert out[0, 0, 0] == blk.sum() // blk.size
+    # degenerate: target == source is identity
+    assert (_area_pool_floor(px, 10, 6) == px).all()
+    with pytest.raises(ValueError):
+        _area_pool_floor(px, 11, 6)
+
+
+def test_resize_images_roundtrip(spark, images):
+    """resize -> re-encode -> decode: dims, geotransform footprint, pixels."""
+    import numpy as np
+
+    from aira_spark.functions.udfs import _decode_full, _meta_row
+    from aira_spark.operators.multimodal import _area_pool_floor, resize_images
+    from aira_spark.sources.images import make_pixels
+
+    rows = resize_images(images.limit(8), 8, 8).collect()
+    assert len(rows) == 8
+    for rec in rows:
+        k = int(rec.image_id.removeprefix("img"))
+        p = derive_params(k)
+        m, px = _decode_full(bytes(rec.bytes))
+        assert (m["width"], m["height"]) == (8, 8)
+        expect = _area_pool_floor(make_pixels(p), 8, 8)
+        assert np.array_equal(px.astype(np.int64), expect.astype(np.int64))
+        # footprint preserved: new scale covers the same extent
+        mr = _meta_row(bytes(rec.bytes))
+        assert mr["scale_x"] * 8 == pytest.approx(p["scale_x"] * p["w"])
+        assert mr["scale_y"] * 8 == pytest.approx(p["scale_y"] * p["h"])
+
+
 # ------------------------------------------------------- rollup + overviews
 
 
