@@ -416,7 +416,6 @@ def q_zonal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal_exact_by_polygon(
         with_meta(_images(spark, sf_dir, modulo=8)),
         polygons_table(spark, sf_dir),
-        CELL_RES,
     ).select(
         "poly_id",
         F.col("n_px").cast("long").alias("n_px"),

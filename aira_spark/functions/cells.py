@@ -192,6 +192,34 @@ def cover_rect(
     )
 
 
+def cover_rect_closed(
+    xmin: Column, ymin: Column, xmax: Column, ymax: Column, res: int = DEFAULT_RES
+) -> Column:
+    """Cell cover of the CLOSED rect [xmin, xmax] x [ymin, ymax].
+
+    Unlike cover_rect (half-open: a rect ending exactly on a cell boundary
+    excludes that boundary's cell), the upper bound uses floor so the cell
+    containing the boundary point itself is included — required when the
+    downstream predicate is inclusive (e.g. dist <= d: a point at exactly
+    distance d sits at x == qx + d, whose cell_from_xy cell must be covered).
+    """
+    n = 1 << res
+    ix0 = _clamp(F.floor((xmin - F.lit(X0)) / F.lit(SPAN_X) * F.lit(float(n))), 0, n - 1)
+    iy0 = _clamp(F.floor((ymin - F.lit(Y0)) / F.lit(SPAN_Y) * F.lit(float(n))), 0, n - 1)
+    ix1 = F.greatest(
+        _clamp(F.floor((xmax - F.lit(X0)) / F.lit(SPAN_X) * F.lit(float(n))), 0, n - 1), ix0
+    )
+    iy1 = F.greatest(
+        _clamp(F.floor((ymax - F.lit(Y0)) / F.lit(SPAN_Y) * F.lit(float(n))), 0, n - 1), iy0
+    )
+    return F.flatten(
+        F.transform(
+            F.sequence(iy0, iy1),
+            lambda iy: F.transform(F.sequence(ix0, ix1), lambda ix: cell_pack(res, ix, iy)),
+        )
+    )
+
+
 def cell_bounds_xmin(cell: Column) -> Column:
     n = F.pow(F.lit(2.0), cell_res(cell).cast("double"))
     return F.lit(X0) + cell_ix(cell).cast("double") * (F.lit(SPAN_X) / n)

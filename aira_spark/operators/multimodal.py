@@ -134,9 +134,13 @@ def resize_images(images: DataFrame, th: int, tw: int) -> DataFrame:
                 if scale is not None and tie is not None:
                     sv = entry_value(*scale, m["byteorder"])
                     tv = entry_value(*tie, m["byteorder"])
+                    # re-anchor the tiepoint at pixel (0, 0): the source tie
+                    # may reference pixel (tie_i, tie_j) != (0, 0)
+                    tx0 = tv[3] - tv[0] * sv[0]
+                    ty0 = tv[4] + tv[1] * sv[1]
                     geo = (
                         (sv[0] * px.shape[1] / tw, sv[1] * px.shape[0] / th, 0.0),
-                        (0.0, 0.0, 0.0, tv[3], tv[4], 0.0),
+                        (0.0, 0.0, 0.0, tx0, ty0, 0.0),
                     )
                 rows.append(
                     (rec.image_id, write_tiff(small, byteorder="<",

@@ -50,7 +50,11 @@ def _pyramid_batches(levels: int):
                 if scale is not None and tie is not None:
                     sv = entry_value(*scale, m["byteorder"])
                     tv = entry_value(*tie, m["byteorder"])
-                    geo_base = (sv[0], sv[1], tv[3], tv[4])
+                    # re-anchor at pixel (0, 0) (source tie may be elsewhere)
+                    geo_base = (
+                        sv[0], sv[1],
+                        tv[3] - tv[0] * sv[0], tv[4] + tv[1] * sv[1],
+                    )
                 # all pages of a chain must share byteorder + version
                 bo, version, _ = read_header(buf)
                 bufs = [buf]

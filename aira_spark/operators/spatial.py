@@ -73,13 +73,15 @@ def polygon_cells(
     prefilter never loses a true match.
 
     classify_full=True adds a `full` boolean per (poly, cell): the cell
-    rectangle lies entirely inside the polygon (all 4 corners contained, no
-    polygon vertex inside the cell, no edge crossing). Points prefiltered
-    into a full cell are definite hits and skip the exact refine — the
-    partial/full-cell split of the Raster Intervals polygon-intersection
-    prefilter (SIGMOD 2023, see PAPERS.md). For simple polygons the
-    classification is exact, so results are unchanged; only refine work
-    drops (interior cells dominate as resolution grows)."""
+    rectangle provably lies entirely inside the polygon (all 4 corners
+    contained AND no edge's bbox touches the cell — conservative: any
+    boundary contact, including degenerate corner/collinear touches that a
+    proper-crossing test would miss, demotes the cell to partial). Points
+    prefiltered into a full cell are definite hits and skip the exact
+    refine — the partial/full-cell split of the Raster Intervals
+    polygon-intersection prefilter (SIGMOD 2023, see PAPERS.md). A false
+    'partial' only costs a ray-cast, never correctness; interior cells (the
+    ones that dominate as resolution grows) stay full."""
     from ..functions.cells import SPAN_X, SPAN_Y, cell_bounds_xmin, cell_bounds_ymin
 
     xmin, ymin, xmax, ymax = ring_bbox(F.col("ring"))
@@ -100,10 +102,6 @@ def polygon_cells(
         & point_in_ring(cx1, cy0, ring)
         & point_in_ring(cx1, cy1, ring)
     )
-    vert_in_cell = F.exists(
-        ring,
-        lambda v: (v["x"] >= cx0) & (v["x"] <= cx1) & (v["y"] >= cy0) & (v["y"] <= cy1),
-    )
     nv = F.size(ring)
     edges = F.zip_with(
         F.slice(ring, 1, nv - 1),
@@ -112,14 +110,19 @@ def polygon_cells(
             a["x"].alias("ax"), a["y"].alias("ay"), b["x"].alias("bx"), b["y"].alias("by")
         ),
     )
-    edge_crosses_cell = F.exists(
+    # conservative boundary test: an edge whose bbox overlaps the cell MIGHT
+    # touch it (covers proper crossings, vertices inside, and degenerate
+    # corner/collinear contact) -> cell stays partial and gets the exact
+    # ray-cast. No edge bbox overlapping + a corner inside => whole cell
+    # interior (the boundary cannot enter without an edge point in the cell).
+    edge_near_cell = F.exists(
         edges,
-        lambda e: _seg_cross(e["ax"], e["ay"], e["bx"], e["by"], cx0, cy0, cx1, cy0)
-        | _seg_cross(e["ax"], e["ay"], e["bx"], e["by"], cx1, cy0, cx1, cy1)
-        | _seg_cross(e["ax"], e["ay"], e["bx"], e["by"], cx1, cy1, cx0, cy1)
-        | _seg_cross(e["ax"], e["ay"], e["bx"], e["by"], cx0, cy1, cx0, cy0),
+        lambda e: (F.least(e["ax"], e["bx"]) <= cx1)
+        & (F.greatest(e["ax"], e["bx"]) >= cx0)
+        & (F.least(e["ay"], e["by"]) <= cy1)
+        & (F.greatest(e["ay"], e["by"]) >= cy0),
     )
-    return out.withColumn("full", all_corners_in & ~vert_in_cell & ~edge_crosses_cell)
+    return out.withColumn("full", all_corners_in & ~edge_near_cell)
 
 
 def point_in_polygon_join(
@@ -174,12 +177,16 @@ def within_distance_join(
     point density (the same prefilter-superset argument as PIP: the d-disk's
     bbox cover contains the cell of every point within distance d).
     """
+    from ..functions.cells import cover_rect_closed
+
+    # closed cover: the predicate is inclusive (dist <= d), so a point at
+    # exactly x == qx + d must have its cell in the prefilter
     q = queries.select(
         "query_id", F.col(x).alias("qx"), F.col(y).alias("qy")
     ).withColumn(
         "cell",
         F.explode(
-            cover_rect(
+            cover_rect_closed(
                 F.col("qx") - F.lit(d), F.col("qy") - F.lit(d),
                 F.col("qx") + F.lit(d), F.col("qy") + F.lit(d), res,
             )
@@ -268,18 +275,10 @@ def footprint_polygon_join(
     rect-x-ring refine runs as a JVM filter. The image side is never
     shuffled before the (tiny, post-prefilter) dedup.
     """
-    from .chunks import footprint
+    from .chunks import cell_cover
 
-    fp = footprint(images_with_meta).select(
-        "image_id", "fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax"
-    )
-    fp_cells = fp.withColumn(
-        "cell",
-        F.explode(
-            cover_rect(
-                F.col("fp_xmin"), F.col("fp_ymin"), F.col("fp_xmax"), F.col("fp_ymax"), res
-            )
-        ),
+    fp_cells = cell_cover(images_with_meta, res).select(
+        "image_id", "fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax", "cell"
     )
     poly = F.broadcast(polygon_cells(polygons, res).select("cell", "poly_id", "ring"))
     cand = fp_cells.join(poly, "cell").dropDuplicates(["image_id", "poly_id"])

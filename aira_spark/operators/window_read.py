@@ -84,19 +84,25 @@ def _decode_selected_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Dat
         out: list[tuple] = []
         for image_id, grp in pdf.groupby("image_id", sort=False):
             buf = bytes(grp["bytes"].iloc[0])
+            # buffer per image so a mid-image failure drops the WHOLE image
+            # (dead-letter contract: all-or-nothing, never a partial result)
+            img_rows: list[tuple] = []
             try:
                 m = decode_metadata(buf)
                 chunk_info = {c["chunk_idx"]: c for c in pixel_chunks(m)}
                 for idx in grp["chunk_idx"]:
-                    c = chunk_info[int(idx)]
+                    c = chunk_info.get(int(idx))
+                    if c is None:  # driver/executor meta disagree (truncated)
+                        raise TiffError(f"chunk {int(idx)} missing at decode")
                     px = decode_chunk(
                         buf[c["offset"] : c["offset"] + c["nbytes"]],
                         m, c["chunk_idx"], c["size_x"], c["size_y"],
                     )
                     band0 = px[:, :, 0].astype("int64")
-                    out.append((image_id, int(idx), int(band0.size), int(band0.sum())))
+                    img_rows.append((image_id, int(idx), int(band0.size), int(band0.sum())))
             except TiffError:
                 continue  # dead-letter: bad images drop out, never raise
+            out.extend(img_rows)
         yield pd.DataFrame(out, columns=WINDOW_READ_SCHEMA.fieldNames())
 
 

@@ -62,79 +62,86 @@ def zonal_rollup(
 
 
 def zonal_exact_by_polygon(
-    images_with_meta: DataFrame, polygons: DataFrame, res: int = DEFAULT_RES
+    images_with_meta: DataFrame, polygons: DataFrame
 ) -> DataFrame:
     """EXACT polygon-masked zonal statistics: per polygon, aggregate only the
     decoded pixels whose center lies inside the ring (pixel-level ray-cast
     mask — not the bbox-cell approximation of zonal_by_polygon).
 
-    Plan shape: footprint cover cells equi-join the broadcast polygon-cell
-    table (ring rides along), so candidate (image, polygon) rows stay in the
-    image's input partition — the bytes column is NEVER shuffled. One
-    mapInPandas dedups candidates per image, decodes once, and evaluates the
-    vectorized numpy ray-cast over all pixel centers x ring edges; only the
-    tiny per-(image, polygon) partials shuffle into the final hash agg.
+    Plan shape: the (broadcastable, dim-table-sized) polygon side is collected
+    into ONE row holding every (poly_id, ring) and cross-joined broadcast, so
+    each image row crosses the Arrow boundary exactly once — no candidate-row
+    duplication of the bytes payload, and per-(image, polygon) dedup is
+    structural (one image = one UDF row; an earlier cell-join design could
+    double-count pairs whose duplicate candidate rows straddled an Arrow
+    batch boundary). Inside the UDF a numpy bbox check prefilters polygons
+    per image, then the vectorized pixels-x-edges ray-cast masks; only tiny
+    per-(image, polygon) partials shuffle into the final hash agg.
     """
-    from ..functions.cells import cover_rect
-    from .chunks import footprint
-    from .spatial import polygon_cells
-
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
 
-    fp = footprint(images_with_meta)
-    fp_cells = fp.withColumn(
-        "cell",
-        F.explode(
-            cover_rect(
-                F.col("fp_xmin"), F.col("fp_ymin"), F.col("fp_xmax"), F.col("fp_ymax"), res
-            )
-        ),
-    ).select("image_id", "bytes", "cell")
-    poly = F.broadcast(polygon_cells(polygons, res).select("cell", "poly_id", "ring"))
-    # duplicates (same pair via several cells) are dropped inside the UDF —
-    # a dropDuplicates here would shuffle the bytes column
-    cand = fp_cells.join(poly, "cell").select("image_id", "bytes", "poly_id", "ring")
-
-    schema = (
-        "poly_id string, n_px long, sum_px long, min_px long, max_px long"
+    polys_one = F.broadcast(
+        polygons.select(
+            F.collect_list(F.struct("poly_id", "ring")).alias("polys")
+        )
+    )
+    m = F.col("meta")
+    cand = (
+        images_with_meta.filter(m["error"].isNull() & m["scale_x"].isNotNull())
+        .select("image_id", "bytes")
+        .crossJoin(polys_one)
     )
 
+    schema = "poly_id string, n_px long, sum_px long, min_px long, max_px long"
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.udfs import _decode_full
         from ..tiff import tags as T
         from ..tiff.meta import TiffError, entry_value
-        from ..functions.udfs import _decode_full
 
+        polys_np = None  # identical in every row (broadcast single-row side)
         for pdf in batches:
             out: list[tuple] = []
-            for image_id, grp in pdf.groupby("image_id", sort=False):
+            for rec in pdf.itertuples(index=False):
+                if polys_np is None:
+                    polys_np = []
+                    for p in rec.polys:
+                        ring = p["ring"]
+                        ax = np.array([v["x"] for v in ring[:-1]])
+                        ay = np.array([v["y"] for v in ring[:-1]])
+                        bx = np.array([v["x"] for v in ring[1:]])
+                        by = np.array([v["y"] for v in ring[1:]])
+                        bb = (
+                            min(ax.min(), bx.min()), min(ay.min(), by.min()),
+                            max(ax.max(), bx.max()), max(ay.max(), by.max()),
+                        )
+                        polys_np.append((p["poly_id"], ax, ay, bx, by, bb))
                 try:
-                    m, px = _decode_full(bytes(grp["bytes"].iloc[0]))
+                    mm, px = _decode_full(bytes(rec.bytes))
                 except TiffError:
                     continue
-                scale = m["custom"].get(T.MODEL_PIXEL_SCALE)
-                tie = m["custom"].get(T.MODEL_TIEPOINT)
+                scale = mm["custom"].get(T.MODEL_PIXEL_SCALE)
+                tie = mm["custom"].get(T.MODEL_TIEPOINT)
                 if scale is None or tie is None:
                     continue
-                sv = entry_value(*scale, m["byteorder"])
-                tv = entry_value(*tie, m["byteorder"])
+                sv = entry_value(*scale, mm["byteorder"])
+                tv = entry_value(*tie, mm["byteorder"])
                 h, w = px.shape[:2]
                 xs = tv[3] + (np.arange(w) + 0.5 - tv[0]) * sv[0]
                 ys = tv[4] - (np.arange(h) + 0.5 - tv[1]) * sv[1]
-                pxx = np.broadcast_to(xs[None, :], (h, w)).ravel()
-                pyy = np.broadcast_to(ys[:, None], (h, w)).ravel()
-                vals = px[:, :, 0].astype(np.int64).ravel()
-                seen: set[str] = set()
-                for rec in grp.itertuples(index=False):
-                    if rec.poly_id in seen:
+                fxmin, fxmax = xs.min() - 0.5 * sv[0], xs.max() + 0.5 * sv[0]
+                fymin, fymax = ys.min() - 0.5 * sv[1], ys.max() + 0.5 * sv[1]
+                pxx = pyy = vals = None  # lazy: most images match no polygon
+                for poly_id, ax, ay, bx, by, bb in polys_np:
+                    if not (fxmin <= bb[2] and fxmax >= bb[0]
+                            and fymin <= bb[3] and fymax >= bb[1]):
                         continue
-                    seen.add(rec.poly_id)
-                    ring = rec.ring
-                    ax = np.array([v["x"] for v in ring[:-1]])
-                    ay = np.array([v["y"] for v in ring[:-1]])
-                    bx = np.array([v["x"] for v in ring[1:]])
-                    by = np.array([v["y"] for v in ring[1:]])
+                    if pxx is None:
+                        pxx = np.broadcast_to(xs[None, :], (h, w)).ravel()
+                        pyy = np.broadcast_to(ys[:, None], (h, w)).ravel()
+                        vals = px[:, :, 0].astype(np.int64).ravel()
                     # vectorized ray-cast: pixels x edges (same formula text
                     # as point_in_ring and the DuckDB oracle)
                     with np.errstate(divide="ignore", invalid="ignore"):
@@ -148,7 +155,7 @@ def zonal_exact_by_polygon(
                         continue
                     mv = vals[mask]
                     out.append(
-                        (rec.poly_id, int(mv.size), int(mv.sum()), int(mv.min()), int(mv.max()))
+                        (poly_id, int(mv.size), int(mv.sum()), int(mv.min()), int(mv.max()))
                     )
             yield pd.DataFrame(
                 out, columns=["poly_id", "n_px", "sum_px", "min_px", "max_px"]

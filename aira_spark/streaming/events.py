@@ -17,6 +17,29 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _run_to_table(
+    spark: SparkSession, stream: DataFrame, prefix: str, mode: str, stage: str
+) -> DataFrame:
+    """Shared availableNow -> memory-sink runner: starts the query, awaits
+    completion (raising — not silently returning partial results — if the
+    timeout elapses), then removes the staging dir and returns the table."""
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout=600):
+            q.stop()
+            raise RuntimeError(f"streaming query {name} did not finish within 600s")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return spark.table(name)
+
+
 def run_sessionize_stream(
     spark: SparkSession, sf_dir: str, gap_minutes: int = 30
 ) -> DataFrame:
@@ -34,7 +57,6 @@ def run_sessionize_stream(
     shutil.copy(src, os.path.join(stage, "events.parquet"))
     schema = spark.read.parquet(src).schema
 
-    name = f"sessions_{uuid.uuid4().hex[:8]}"
     stream = (
         spark.readStream.schema(schema)
         .parquet(stage)
@@ -55,16 +77,7 @@ def run_sessionize_stream(
             F.col("value_cents").cast("long").alias("value_cents"),
         )
     )
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout=300)
-    shutil.rmtree(stage, ignore_errors=True)
-    return spark.table(name)
+    return _run_to_table(spark, stream, "sessions", "complete", stage)
 
 
 def run_stateful_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,7 +134,6 @@ def run_stateful_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(key[0], key[1], n, cents, mn, mx)], columns=out_schema.fieldNames()
         )
 
-    name = f"stateful_{uuid.uuid4().hex[:8]}"
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -132,18 +144,10 @@ def run_stateful_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout=300)
-    shutil.rmtree(stage, ignore_errors=True)
+    emitted = _run_to_table(spark, stream, "stateful", "update", stage)
     # last (= running-total) emission per key: n_events is strictly increasing
     return (
-        spark.table(name)
+        emitted
         .groupBy("event_type", "user_bucket")
         .agg(
             F.max("n_events").alias("n_events"),
@@ -162,7 +166,6 @@ def run_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.copy(src, os.path.join(stage, "events.parquet"))
     schema = spark.read.parquet(src).schema
 
-    name = f"events_hourly_{uuid.uuid4().hex[:8]}"
     stream = (
         spark.readStream.schema(schema)
         .parquet(stage)
@@ -182,13 +185,4 @@ def run_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value_cents").cast("long").alias("value_cents"),
         )
     )
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout=300)
-    shutil.rmtree(stage, ignore_errors=True)
-    return spark.table(name)
+    return _run_to_table(spark, stream, "events_hourly", "complete", stage)

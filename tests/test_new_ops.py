@@ -211,12 +211,14 @@ def test_cell_partitioned_layout_prunes(spark, images, tmp_path_factory):
         for r in window_read(with_meta(spark.read.parquet(out)), x0, y0, x1, y1).collect()
     }
     assert got == full and len(got) > 0
-    # pruning is real: fewer partition dirs scanned than exist on disk
+    # pruning is real: STRICTLY fewer partition dirs scanned than exist on
+    # disk (the 60-image fixture spans the world; the window + margin covers
+    # only a few res-3 cells)
     import os as _os
 
     n_parts = len([d for d in _os.listdir(out) if d.startswith("part_cell=")])
     kept = pruned_scan.select("part_cell").distinct().count()
-    assert kept <= n_parts
+    assert 1 <= kept < n_parts
 
 
 def test_window_filter_precedes_decode(spark, images):
