@@ -42,16 +42,22 @@ def write_stage(
     """Write df partitioned by bucket + append per-bucket lineage manifest."""
     spark = df.sparkSession
     data_cols = df.columns
+    sid = next_snapshot_id(path)
     b = _with_bucket(df, key, n_buckets)
     if only_buckets is not None:
         b = b.filter(F.col("bucket").isin(only_buckets))
     b = b.cache()
     try:
-        b.write.mode("append").partitionBy("bucket").parquet(f"{path}/data")
+        # snapshot-tagged data dir: every write lands under snap=<id>, so a
+        # reader can reconstruct the table AS OF any snapshot (time travel)
+        b.write.mode("append").partitionBy("bucket").parquet(
+            f"{path}/data/snap={sid}"
+        )
         cmin = F.min(cell_col) if cell_col else F.lit(None).cast("long")
         cmax = F.max(cell_col) if cell_col else F.lit(None).cast("long")
         manifest = b.groupBy("bucket").agg(
             F.lit(stage).alias("stage"),
+            F.lit(sid).alias("snapshot_id"),
             cmin.alias("cell_min"),
             cmax.alias("cell_max"),
             F.count("*").alias("rows"),
@@ -62,15 +68,38 @@ def write_stage(
             F.lit("committed").alias("status"),
         )
         manifest.select(
-            "stage", "bucket", "cell_min", "cell_max", "rows", "checksum", "status"
+            "stage", "snapshot_id", "bucket", "cell_min", "cell_max", "rows",
+            "checksum", "status"
         ).write.mode("append").parquet(f"{path}/{MANIFEST}")
-        _append_snapshot(df, path, stage, key, n_buckets)
+        _append_snapshot(df, path, stage, key, n_buckets, sid)
     finally:
         b.unpersist()
 
 
+def next_snapshot_id(path: str) -> int:
+    """The id the NEXT write_stage commit will use (metadata.json log + 1)."""
+    import json
+
+    mpath = f"{path}/metadata.json"
+    if not os.path.exists(mpath):
+        return 1
+    with open(mpath) as f:
+        return len(json.load(f).get("snapshots", [])) + 1
+
+
+def snapshots(path: str) -> list[dict]:
+    """The append-only snapshot log (Iceberg metadata.json analog)."""
+    import json
+
+    mpath = f"{path}/metadata.json"
+    if not os.path.exists(mpath):
+        return []
+    with open(mpath) as f:
+        return json.load(f).get("snapshots", [])
+
+
 def _append_snapshot(
-    df: DataFrame, path: str, stage: str, key: str, n_buckets: int
+    df: DataFrame, path: str, stage: str, key: str, n_buckets: int, sid: int
 ) -> None:
     """Maintain an Iceberg-style `metadata.json` next to the data: table
     schema, partition spec (bucket transform on the key), and an append-only
@@ -98,7 +127,7 @@ def _append_snapshot(
         meta["table-uuid"] = str(uuid.uuid4())
     meta["snapshots"].append(
         {
-            "snapshot-id": len(meta["snapshots"]) + 1,
+            "snapshot-id": sid,
             "timestamp-ms": int(time.time() * 1000),
             "stage": stage,
             "manifest-list": f"{path}/{MANIFEST}",
@@ -150,7 +179,19 @@ def resume_stage(
 
 
 def read_stage(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(f"{path}/data")
+    """Current table state = union of all committed snapshots."""
+    return spark.read.parquet(f"{path}/data").drop("snap")
+
+
+def read_stage_at(spark: SparkSession, path: str, snapshot_id: int) -> DataFrame:
+    """Time travel: the table AS OF `snapshot_id` — only data files written by
+    snapshots <= id are read (the `snap=` partition filter prunes the rest at
+    the scan, so time travel costs no extra IO)."""
+    return (
+        spark.read.parquet(f"{path}/data")
+        .filter(F.col("snap") <= F.lit(snapshot_id))
+        .drop("snap")
+    )
 
 
 def verify_manifest(spark: SparkSession, path: str, stage: str, df: DataFrame,

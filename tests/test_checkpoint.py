@@ -61,3 +61,28 @@ def test_manifest_detects_corruption(spark, source, tmp_path):
         "o_totalprice", F.when(F.col("o_orderkey") == 1, 0.0).otherwise(F.col("o_totalprice"))
     )
     assert not verify_manifest(spark, path, "s", tampered, "o_orderkey", N_BUCKETS)
+
+
+def test_time_travel_snapshots(spark, source, tmp_path):
+    """Snapshot-tagged writes: read_stage_at(id) reconstructs the table as of
+    that commit; a resume adds a second snapshot containing only the buckets
+    the kill left pending."""
+    from aira_spark.sources.checkpoint import next_snapshot_id, read_stage_at, snapshots
+
+    path = str(tmp_path / "tt")
+    # snapshot 1: a partial write (kill after half the buckets)
+    write_stage(source, path, "s", key="o_orderkey", n_buckets=N_BUCKETS,
+                only_buckets=list(range(N_BUCKETS // 2)))
+    assert next_snapshot_id(path) == 2
+    n1 = read_stage(spark, path).count()
+    # snapshot 2: resume commits the remaining buckets
+    resume_stage(source, path, "s", key="o_orderkey", n_buckets=N_BUCKETS)
+    log = snapshots(path)
+    assert [s["snapshot-id"] for s in log] == [1, 2]
+    at1 = read_stage_at(spark, path, 1).count()
+    at2 = read_stage_at(spark, path, 2).count()
+    assert at1 == n1 < at2 == source.count()
+    assert read_stage(spark, path).count() == source.count()
+    # time travel prunes at the scan: the snap partition filter is pushed down
+    plan = read_stage_at(spark, path, 1)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "snap" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
