@@ -425,6 +425,20 @@ def q_zonal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zonal_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-band zonal stats: every sample channel aggregated per cell."""
+    from aira_spark.operators.zonal import zonal_stats_bands
+
+    return zonal_stats_bands(_images(spark, sf_dir, modulo=8), CELL_RES).select(
+        F.col("cell").cast("long").alias("cell"),
+        F.col("band").cast("long").alias("band"),
+        F.col("n_px").cast("long").alias("n_px"),
+        F.col("sum_px").cast("long").alias("sum_px"),
+        F.col("min_px").cast("long").alias("min_px"),
+        F.col("max_px").cast("long").alias("max_px"),
+    )
+
+
 def q_zonal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical pyramid rollup: fine-cell pixel partials re-aggregated two
     resolution levels up via cell_parent bit arithmetic (no second decode)."""
@@ -648,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": q_knn,
         "resize_thumbs": q_resize_thumbs,
         "zonal_exact": q_zonal_exact,
+        "zonal_bands": q_zonal_bands,
         "zonal_rollup": q_zonal_rollup,
         "overview_select": q_overview_select,
         "within_distance": q_within_distance,
@@ -877,6 +892,30 @@ cr AS (
 SELECT poly_id, CAST(COUNT(*) AS BIGINT) AS n_px, CAST(SUM(val) AS BIGINT) AS sum_px,
        CAST(MIN(val) AS BIGINT) AS min_px, CAST(MAX(val) AS BIGINT) AS max_px
 FROM cr WHERE crossings % 2 = 1 GROUP BY 1
+"""
+
+
+def _oracle_zonal_bands() -> str:
+    return f"""
+WITH {_IMG_CTE},
+sel AS (
+  SELECT *, CAST(CASE WHEN v IN (1,2,4,10) THEN 3 WHEN v IN (6,9) THEN 2
+                 ELSE 1 END AS BIGINT) AS spp
+  FROM meta WHERE k % 8 = 0
+),
+rws AS (SELECT *, unnest(generate_series(0, h - 1)) AS r FROM sel),
+pxs AS (SELECT *, unnest(generate_series(0, w - 1)) AS c FROM rws),
+ch AS (SELECT *, unnest(generate_series(0, spp - 1)) AS s FROM pxs),
+vals AS (
+  SELECT s, (r * 7 + c * 13 + s * 29 + k) % 256 AS val,
+         cx + (CAST(c AS DOUBLE) + 0.5) * sx AS x,
+         (cy + h * sy) - (CAST(r AS DOUBLE) + 0.5) * sy AS y
+  FROM ch
+)
+SELECT {_sql_cell('x', 'y')} AS cell, CAST(s AS BIGINT) AS band,
+  CAST(COUNT(*) AS BIGINT) AS n_px, CAST(SUM(val) AS BIGINT) AS sum_px,
+  CAST(MIN(val) AS BIGINT) AS min_px, CAST(MAX(val) AS BIGINT) AS max_px
+FROM vals GROUP BY 1, 2
 """
 
 
@@ -1184,6 +1223,7 @@ def oracle_sql() -> dict[str, str]:
         "knn": _oracle_knn(),
         "resize_thumbs": _oracle_resize_thumbs(),
         "zonal_exact": _oracle_zonal_exact(),
+        "zonal_bands": _oracle_zonal_bands(),
         "zonal_rollup": _oracle_zonal_rollup(),
         "overview_select": _oracle_overview_select(),
         "within_distance": _oracle_within_distance(),

@@ -277,6 +277,42 @@ def _zonal_partials(m: dict, px: np.ndarray, res: int) -> list[tuple]:
     ]
 
 
+def _zonal_partials_bands(m: dict, px: np.ndarray, res: int) -> list[tuple]:
+    """Per-(cell, band) pixel partials [(cell, band, cnt, sum, min, max), ...]
+    across ALL sample channels (multi-band raster semantics: each band is an
+    independent measurement over the same grid, aggregated per band). The
+    cell sort is computed once and reused for every band."""
+    scale = m["custom"].get(T.MODEL_PIXEL_SCALE)
+    tie = m["custom"].get(T.MODEL_TIEPOINT)
+    if scale is None or tie is None:
+        return []
+    sv = entry_value(*scale, m["byteorder"])
+    tv = entry_value(*tie, m["byteorder"])
+    h, w, spp = px.shape
+    xs = tv[3] + (np.arange(w, dtype=np.float64) + 0.5 - tv[0]) * sv[0]
+    ys = tv[4] - (np.arange(h, dtype=np.float64) + 0.5 - tv[1]) * sv[1]
+    cell = np_cell_from_xy(
+        np.broadcast_to(xs[None, :], (h, w)),
+        np.broadcast_to(ys[:, None], (h, w)),
+        res,
+    ).ravel()
+    order = np.argsort(cell, kind="stable")
+    cs = cell[order]
+    uniq, starts = np.unique(cs, return_index=True)
+    ends = np.append(starts[1:], len(cs))
+    out: list[tuple] = []
+    for band in range(spp):
+        vs = px[:, :, band].astype(np.int64).ravel()[order]
+        sums = np.add.reduceat(vs, starts)
+        mins = np.minimum.reduceat(vs, starts)
+        maxs = np.maximum.reduceat(vs, starts)
+        out.extend(
+            (int(u), band, int(e0 - s0), int(sm), int(mn), int(mx))
+            for u, s0, e0, sm, mn, mx in zip(uniq, starts, ends, sums, mins, maxs)
+        )
+    return out
+
+
 def zonal_pixel_batches(res: int = DEFAULT_RES):
     """mapInPandas fn: decode pixels, map each pixel center to its cell via the
     GeoTIFF transform, partial-aggregate per (image, cell) in numpy.

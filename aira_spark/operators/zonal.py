@@ -37,6 +37,52 @@ def zonal_stats(images: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
     )
 
 
+def zonal_stats_bands(images: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
+    """Multi-band zonal statistics: (cell, band, n_px, sum_px, min_px,
+    max_px) — every sample channel aggregated independently over the same
+    cell grid (satellite-band semantics). Map side decodes once per image and
+    emits per-(cell, band) partials; reduce is one hash agg on (cell, band)."""
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from ..functions.udfs import _decode_full, _zonal_partials_bands
+    from ..tiff.meta import TiffError
+
+    schema = (
+        "image_id string, cell long, band int, px_cnt long, px_sum long, "
+        "px_min long, px_max long"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for rec in pdf.itertuples(index=False):
+                try:
+                    m, px = _decode_full(rec.bytes)
+                except TiffError:
+                    continue
+                out.extend(
+                    (rec.image_id, *p) for p in _zonal_partials_bands(m, px, res)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["image_id", "cell", "band", "px_cnt", "px_sum",
+                         "px_min", "px_max"],
+            )
+
+    return (
+        images.select("image_id", "bytes")
+        .mapInPandas(fn, schema=schema)
+        .groupBy("cell", "band")
+        .agg(
+            F.sum("px_cnt").alias("n_px"),
+            F.sum("px_sum").alias("sum_px"),
+            F.min("px_min").alias("min_px"),
+            F.max("px_max").alias("max_px"),
+        )
+    )
+
+
 def zonal_rollup(
     images: DataFrame, res: int = DEFAULT_RES, steps: int = 2
 ) -> DataFrame:

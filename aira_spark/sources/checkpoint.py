@@ -194,6 +194,66 @@ def read_stage_at(spark: SparkSession, path: str, snapshot_id: int) -> DataFrame
     )
 
 
+def compact_stage(spark: SparkSession, path: str) -> tuple[int, int]:
+    """Small-file maintenance (the rewrite_data_files + expire_snapshots
+    analog): rewrites every committed snapshot's data into ONE fresh snapshot
+    with one file per bucket, swaps it in, and marks prior snapshots expired
+    in metadata.json.
+
+    Logical content is unchanged — verify_manifest still passes, because the
+    manifest describes content (rows + order-insensitive checksums), not
+    files. Time travel to expired snapshots is intentionally given up (the
+    same trade Iceberg snapshot expiration makes). At 100 TB scale this is
+    the defense against the accumulating-small-files problem: resume-heavy
+    pipelines append many partial snapshots whose file count, not byte count,
+    comes to dominate scan planning time.
+
+    Returns (files_before, files_after).
+    """
+    import json
+
+    def _count_files(root: str) -> int:
+        n = 0
+        for _, _, files in os.walk(root):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
+    data = f"{path}/data"
+    before = _count_files(data)
+    sid = next_snapshot_id(path)
+    df = spark.read.parquet(data).drop("snap")
+    # one shuffle task per bucket value -> one file per bucket
+    df.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(f"{path}/data_new/snap={sid}")
+
+    import shutil
+
+    shutil.move(data, f"{path}/data_expired")
+    shutil.move(f"{path}/data_new", data)
+    shutil.rmtree(f"{path}/data_expired", ignore_errors=True)
+
+    mpath = f"{path}/metadata.json"
+    with open(mpath) as f:
+        meta = json.load(f)
+    for s in meta["snapshots"]:
+        s["expired"] = True
+    import time
+
+    meta["snapshots"].append(
+        {
+            "snapshot-id": sid,
+            "timestamp-ms": int(time.time() * 1000),
+            "stage": "_compaction",
+            "manifest-list": f"{path}/{MANIFEST}",
+            "summary": {"operation": "replace"},
+        }
+    )
+    with open(mpath, "w") as f:
+        json.dump(meta, f, indent=1)
+    return before, _count_files(data)
+
+
 def verify_manifest(spark: SparkSession, path: str, stage: str, df: DataFrame,
                     key: str, n_buckets: int = 32) -> bool:
     """Recompute per-bucket (rows, checksum) from df and compare to manifest."""

@@ -86,3 +86,24 @@ def test_time_travel_snapshots(spark, source, tmp_path):
     # time travel prunes at the scan: the snap partition filter is pushed down
     plan = read_stage_at(spark, path, 1)._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "snap" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+
+def test_compaction_preserves_content(spark, source, tmp_path):
+    """compact_stage: fewer files, identical content, manifest still verifies."""
+    from aira_spark.sources.checkpoint import compact_stage, snapshots
+
+    path = str(tmp_path / "cp")
+    # three incremental appends over the SAME buckets => 3 files per bucket
+    for i in range(3):
+        write_stage(source.filter(F.col("o_orderkey") % 3 == i), path, "s",
+                    key="o_orderkey", n_buckets=N_BUCKETS)
+    before_rows = {tuple(r) for r in read_stage(spark, path).drop("bucket").collect()}
+    files_before, files_after = compact_stage(spark, path)
+    assert files_after < files_before
+    after_rows = {tuple(r) for r in read_stage(spark, path).drop("bucket").collect()}
+    assert after_rows == before_rows
+    assert verify_manifest(spark, path, "s", source, key="o_orderkey",
+                           n_buckets=N_BUCKETS)
+    log = snapshots(path)
+    assert log[-1]["summary"]["operation"] == "replace"
+    assert all(s.get("expired") for s in log[:-1])
