@@ -171,25 +171,36 @@ def k_ring(cell: Column, k: int, res: int = DEFAULT_RES) -> Column:
     )
 
 
-def cover_rect(
-    xmin: Column, ymin: Column, xmax: Column, ymax: Column, res: int = DEFAULT_RES
-) -> Column:
-    """array<long> cell cover of a half-open rect — JVM-side, explode-ready."""
+def _cover(xmin, ymin, xmax, ymax, res: int, closed: bool) -> Column:
+    """Shared cover builder: half-open (ceil-1 upper bound) or closed (floor
+    upper bound — the boundary point's own cell is included)."""
     n = 1 << res
-    ix0 = _clamp(F.floor((xmin - F.lit(X0)) / F.lit(SPAN_X) * F.lit(float(n))), 0, n - 1)
-    iy0 = _clamp(F.floor((ymin - F.lit(Y0)) / F.lit(SPAN_Y) * F.lit(float(n))), 0, n - 1)
-    ix1 = F.greatest(
-        _clamp(F.ceil((xmax - F.lit(X0)) / F.lit(SPAN_X) * F.lit(float(n))) - 1, 0, n - 1), ix0
-    )
-    iy1 = F.greatest(
-        _clamp(F.ceil((ymax - F.lit(Y0)) / F.lit(SPAN_Y) * F.lit(float(n))) - 1, 0, n - 1), iy0
-    )
+
+    def lo(v, origin, span):
+        return _clamp(F.floor((v - F.lit(origin)) / F.lit(span) * F.lit(float(n))), 0, n - 1)
+
+    def hi(v, origin, span, lo_idx):
+        t = (v - F.lit(origin)) / F.lit(span) * F.lit(float(n))
+        idx = F.floor(t) if closed else F.ceil(t) - 1
+        return F.greatest(_clamp(idx, 0, n - 1), lo_idx)
+
+    ix0 = lo(xmin, X0, SPAN_X)
+    iy0 = lo(ymin, Y0, SPAN_Y)
+    ix1 = hi(xmax, X0, SPAN_X, ix0)
+    iy1 = hi(ymax, Y0, SPAN_Y, iy0)
     return F.flatten(
         F.transform(
             F.sequence(iy0, iy1),
             lambda iy: F.transform(F.sequence(ix0, ix1), lambda ix: cell_pack(res, ix, iy)),
         )
     )
+
+
+def cover_rect(
+    xmin: Column, ymin: Column, xmax: Column, ymax: Column, res: int = DEFAULT_RES
+) -> Column:
+    """array<long> cell cover of a half-open rect — JVM-side, explode-ready."""
+    return _cover(xmin, ymin, xmax, ymax, res, closed=False)
 
 
 def cover_rect_closed(
@@ -203,21 +214,7 @@ def cover_rect_closed(
     downstream predicate is inclusive (e.g. dist <= d: a point at exactly
     distance d sits at x == qx + d, whose cell_from_xy cell must be covered).
     """
-    n = 1 << res
-    ix0 = _clamp(F.floor((xmin - F.lit(X0)) / F.lit(SPAN_X) * F.lit(float(n))), 0, n - 1)
-    iy0 = _clamp(F.floor((ymin - F.lit(Y0)) / F.lit(SPAN_Y) * F.lit(float(n))), 0, n - 1)
-    ix1 = F.greatest(
-        _clamp(F.floor((xmax - F.lit(X0)) / F.lit(SPAN_X) * F.lit(float(n))), 0, n - 1), ix0
-    )
-    iy1 = F.greatest(
-        _clamp(F.floor((ymax - F.lit(Y0)) / F.lit(SPAN_Y) * F.lit(float(n))), 0, n - 1), iy0
-    )
-    return F.flatten(
-        F.transform(
-            F.sequence(iy0, iy1),
-            lambda iy: F.transform(F.sequence(ix0, ix1), lambda ix: cell_pack(res, ix, iy)),
-        )
-    )
+    return _cover(xmin, ymin, xmax, ymax, res, closed=True)
 
 
 def cell_bounds_xmin(cell: Column) -> Column:

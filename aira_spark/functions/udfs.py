@@ -244,36 +244,13 @@ ZONAL_PIX_SCHEMA = Ty.StructType(
 
 
 def _zonal_partials(m: dict, px: np.ndarray, res: int) -> list[tuple]:
-    """Per-(cell) pixel partial aggregates [(cell, cnt, sum, min, max), ...]
-    for one decoded image, or [] when no geotransform is present."""
-    scale = m["custom"].get(T.MODEL_PIXEL_SCALE)
-    tie = m["custom"].get(T.MODEL_TIEPOINT)
-    if scale is None or tie is None:
-        return []
-    sv = entry_value(*scale, m["byteorder"])
-    tv = entry_value(*tie, m["byteorder"])
-    h, w = px.shape[:2]
-    cols = np.arange(w, dtype=np.float64)
-    rows_ = np.arange(h, dtype=np.float64)
-    # pixel-center world coords: x = tie_x + (c + 0.5 - tie_i)*sx
-    xs = tv[3] + (cols + 0.5 - tv[0]) * sv[0]
-    ys = tv[4] - (rows_ + 0.5 - tv[1]) * sv[1]
-    cell = np_cell_from_xy(
-        np.broadcast_to(xs[None, :], (h, w)),
-        np.broadcast_to(ys[:, None], (h, w)),
-        res,
-    ).ravel()
-    vals = px[:, :, 0].astype(np.int64).ravel()
-    order = np.argsort(cell, kind="stable")
-    cs, vs = cell[order], vals[order]
-    uniq, starts = np.unique(cs, return_index=True)
-    ends = np.append(starts[1:], len(cs))
-    sums = np.add.reduceat(vs, starts)
-    mins = np.minimum.reduceat(vs, starts)
-    maxs = np.maximum.reduceat(vs, starts)
+    """Per-(cell) band-0 partials [(cell, cnt, sum, min, max), ...] — the
+    single-band special case of _zonal_partials_bands."""
     return [
-        (int(u), int(e0 - s0), int(sm), int(mn), int(mx))
-        for u, s0, e0, sm, mn, mx in zip(uniq, starts, ends, sums, mins, maxs)
+        (cell, cnt, sm, mn, mx)
+        for cell, _band, cnt, sm, mn, mx in _zonal_partials_bands(
+            m, px[:, :, :1], res
+        )
     ]
 
 

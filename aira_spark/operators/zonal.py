@@ -48,9 +48,10 @@ def zonal_stats_bands(images: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
     from ..functions.udfs import _decode_full, _zonal_partials_bands
     from ..tiff.meta import TiffError
 
+    # no image_id in the partials: the reduce groups on (cell, band) only, so
+    # shipping the id across Arrow would be dead weight
     schema = (
-        "image_id string, cell long, band int, px_cnt long, px_sum long, "
-        "px_min long, px_max long"
+        "cell long, band int, px_cnt long, px_sum long, px_min long, px_max long"
     )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -61,17 +62,14 @@ def zonal_stats_bands(images: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
                     m, px = _decode_full(rec.bytes)
                 except TiffError:
                     continue
-                out.extend(
-                    (rec.image_id, *p) for p in _zonal_partials_bands(m, px, res)
-                )
+                out.extend(_zonal_partials_bands(m, px, res))
             yield pd.DataFrame(
                 out,
-                columns=["image_id", "cell", "band", "px_cnt", "px_sum",
-                         "px_min", "px_max"],
+                columns=["cell", "band", "px_cnt", "px_sum", "px_min", "px_max"],
             )
 
     return (
-        images.select("image_id", "bytes")
+        images.select("bytes")
         .mapInPandas(fn, schema=schema)
         .groupBy("cell", "band")
         .agg(

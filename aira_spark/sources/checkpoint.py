@@ -77,14 +77,43 @@ def write_stage(
 
 
 def next_snapshot_id(path: str) -> int:
-    """The id the NEXT write_stage commit will use (metadata.json log + 1)."""
+    """The id the NEXT commit will use: one past both the metadata log AND any
+    snap= dir already on disk — a write killed between its data write and its
+    metadata append leaves an orphan dir whose id must never be reused (the
+    orphan is invisible to readers, which resolve live snapshots from
+    metadata.json, and is cleaned up by the next compaction)."""
+    import json
+
+    max_id = 0
+    mpath = f"{path}/metadata.json"
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            ids = [s["snapshot-id"] for s in json.load(f).get("snapshots", [])]
+        max_id = max(ids, default=0)
+    data = f"{path}/data"
+    if os.path.isdir(data):
+        for d in os.listdir(data):
+            if d.startswith("snap="):
+                max_id = max(max_id, int(d.split("=", 1)[1]))
+    return max_id + 1
+
+
+def live_snapshot_ids(path: str) -> list[int]:
+    """Snapshot ids readers may see: committed to metadata.json, not expired."""
+    return [s["snapshot-id"] for s in snapshots(path) if not s.get("expired")]
+
+
+def _write_metadata(path: str, meta: dict) -> None:
+    """Atomic metadata swap (os.replace) — the commit point for every table
+    operation; readers resolve the live file set through this pointer, so a
+    crash before the replace leaves the table exactly as it was."""
     import json
 
     mpath = f"{path}/metadata.json"
-    if not os.path.exists(mpath):
-        return 1
-    with open(mpath) as f:
-        return len(json.load(f).get("snapshots", [])) + 1
+    tmp = f"{mpath}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, mpath)
 
 
 def snapshots(path: str) -> list[dict]:
@@ -134,8 +163,7 @@ def _append_snapshot(
             "summary": {"operation": "append"},
         }
     )
-    with open(mpath, "w") as f:
-        json.dump(meta, f, indent=1)
+    _write_metadata(path, meta)
 
 
 def _row_checksum_expr(cols: list[str]) -> str:
@@ -179,17 +207,43 @@ def resume_stage(
 
 
 def read_stage(spark: SparkSession, path: str) -> DataFrame:
-    """Current table state = union of all committed snapshots."""
-    return spark.read.parquet(f"{path}/data").drop("snap")
+    """Current table state = union of the LIVE (metadata-committed, not
+    expired) snapshots. Orphan snap= dirs from killed writes are never read —
+    metadata.json is the commit pointer, exactly as in Iceberg."""
+    data = f"{path}/data"
+    if os.path.isdir(data) and any(
+        d.startswith("bucket=") for d in os.listdir(data)
+    ):
+        raise ValueError(
+            f"{data} uses the pre-snapshot layout (top-level bucket= dirs); "
+            "recreate the stage — mixing layouts breaks partition discovery"
+        )
+    live = live_snapshot_ids(path)
+    return (
+        spark.read.parquet(data)
+        .filter(F.col("snap").isin(live))
+        .drop("snap")
+    )
 
 
 def read_stage_at(spark: SparkSession, path: str, snapshot_id: int) -> DataFrame:
-    """Time travel: the table AS OF `snapshot_id` — only data files written by
-    snapshots <= id are read (the `snap=` partition filter prunes the rest at
-    the scan, so time travel costs no extra IO)."""
+    """Time travel: the table AS OF `snapshot_id` — only data written by live
+    snapshots <= id is read (the `snap=` partition filter prunes the rest at
+    the scan, so time travel costs no extra IO). Raises for ids the log has
+    never committed or has expired (e.g. after compaction) instead of
+    silently returning wrong AS-OF data."""
+    log = {s["snapshot-id"]: s for s in snapshots(path)}
+    if snapshot_id not in log:
+        raise ValueError(f"snapshot {snapshot_id} was never committed at {path}")
+    if log[snapshot_id].get("expired"):
+        raise ValueError(
+            f"snapshot {snapshot_id} at {path} is expired (compacted away); "
+            f"live ids: {live_snapshot_ids(path)}"
+        )
+    keep = [i for i in live_snapshot_ids(path) if i <= snapshot_id]
     return (
         spark.read.parquet(f"{path}/data")
-        .filter(F.col("snap") <= F.lit(snapshot_id))
+        .filter(F.col("snap").isin(keep))
         .drop("snap")
     )
 
@@ -208,38 +262,46 @@ def compact_stage(spark: SparkSession, path: str) -> tuple[int, int]:
     pipelines append many partial snapshots whose file count, not byte count,
     comes to dominate scan planning time.
 
-    Returns (files_before, files_after).
+    Crash safety: the compacted snapshot is written as a fresh snap= dir
+    INSIDE data/ (readers ignore it — they resolve live snapshots from
+    metadata.json), then the metadata pointer is swapped atomically
+    (os.replace). A crash at any earlier point leaves the table unchanged; a
+    rerun picks a fresh id (next_snapshot_id also scans disk, so a crashed
+    attempt's dir is never reused) and the orphan is deleted by the cleanup
+    phase of the next successful compaction. Expired data dirs are removed
+    best-effort AFTER the commit — a crash mid-cleanup leaves garbage that
+    readers never see.
+
+    Returns (files_before, files_after) counted over LIVE snapshots.
     """
     import json
-
-    def _count_files(root: str) -> int:
-        n = 0
-        for _, _, files in os.walk(root):
-            n += sum(1 for f in files if f.endswith(".parquet"))
-        return n
+    import shutil
+    import time
 
     data = f"{path}/data"
-    before = _count_files(data)
+
+    def _count_files(ids: list[int]) -> int:
+        n = 0
+        for sid_ in ids:
+            for _, _, files in os.walk(f"{data}/snap={sid_}"):
+                n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
+    live = live_snapshot_ids(path)
+    before = _count_files(live)
     sid = next_snapshot_id(path)
-    df = spark.read.parquet(data).drop("snap")
-    # one shuffle task per bucket value -> one file per bucket
+    df = read_stage(spark, path)
+    # one shuffle task per bucket value -> one file per bucket; invisible to
+    # readers until the metadata commit below
     df.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
         "bucket"
-    ).parquet(f"{path}/data_new/snap={sid}")
-
-    import shutil
-
-    shutil.move(data, f"{path}/data_expired")
-    shutil.move(f"{path}/data_new", data)
-    shutil.rmtree(f"{path}/data_expired", ignore_errors=True)
+    ).parquet(f"{data}/snap={sid}")
 
     mpath = f"{path}/metadata.json"
     with open(mpath) as f:
         meta = json.load(f)
     for s in meta["snapshots"]:
         s["expired"] = True
-    import time
-
     meta["snapshots"].append(
         {
             "snapshot-id": sid,
@@ -249,9 +311,14 @@ def compact_stage(spark: SparkSession, path: str) -> tuple[int, int]:
             "summary": {"operation": "replace"},
         }
     )
-    with open(mpath, "w") as f:
-        json.dump(meta, f, indent=1)
-    return before, _count_files(data)
+    _write_metadata(path, meta)  # <- the commit point
+
+    # post-commit cleanup: every snap dir that is not the live compacted one
+    # (expired snapshots AND orphans from crashed attempts)
+    for d in os.listdir(data):
+        if d.startswith("snap=") and d != f"snap={sid}":
+            shutil.rmtree(f"{data}/{d}", ignore_errors=True)
+    return before, _count_files([sid])
 
 
 def verify_manifest(spark: SparkSession, path: str, stage: str, df: DataFrame,

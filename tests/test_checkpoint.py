@@ -107,3 +107,21 @@ def test_compaction_preserves_content(spark, source, tmp_path):
     log = snapshots(path)
     assert log[-1]["summary"]["operation"] == "replace"
     assert all(s.get("expired") for s in log[:-1])
+
+
+def test_orphan_snapshot_invisible(spark, source, tmp_path):
+    """A snap= dir from a killed write (data on disk, metadata never
+    committed) is ignored by readers and its id is never reused."""
+    import os
+
+    from aira_spark.sources.checkpoint import next_snapshot_id
+
+    path = str(tmp_path / "orphan")
+    write_stage(source, path, "s", key="o_orderkey", n_buckets=N_BUCKETS)
+    n = read_stage(spark, path).count()
+    # simulate a crashed second write: data exists, metadata.json untouched
+    source.limit(10).withColumn("bucket", F.lit(0)).write.partitionBy(
+        "bucket"
+    ).parquet(f"{path}/data/snap=2")
+    assert read_stage(spark, path).count() == n  # orphan invisible
+    assert next_snapshot_id(path) == 3  # orphan id never reused
