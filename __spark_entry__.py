@@ -484,6 +484,24 @@ def q_within_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_within_distance_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic (haversine) distance-band join: pairs within 300 great-circle
+    km, spherical-superset bbox prefilter."""
+    from aira_spark.operators.spatial import within_distance_km_join
+    from aira_spark.sources.vectors import points_table
+
+    queries = spark.read.parquet(f"{sf_dir}/supplier.parquet").selectExpr(
+        "s_suppkey AS query_id", f"{_KNN_QX} AS x", f"{_KNN_QY} AS y"
+    )
+    return within_distance_km_join(
+        queries, points_table(spark, sf_dir), d_km=300.0, res=CELL_RES
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("point_id").cast("long").alias("point_id"),
+        F.round("dist_km", 3).alias("dist_km_r"),
+    )
+
+
 def q_footprint_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster-footprint x polygon overlap join (exact rect x ring refine
     after a lossless bbox-cover prefilter)."""
@@ -666,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_rollup": q_zonal_rollup,
         "overview_select": q_overview_select,
         "within_distance": q_within_distance,
+        "within_distance_km": q_within_distance_km,
         "footprint_poly": q_footprint_poly,
         "window_read": q_window_read,
         "sessionize": q_sessionize,
@@ -983,6 +1002,24 @@ FROM d WHERE dist <= 2.0
 """
 
 
+def _oracle_within_distance_km() -> str:
+    from aira_spark.functions.geo import sql_haversine_km
+    from aira_spark.sources.vectors import points_oracle_sql
+
+    hav = sql_haversine_km("q.qy", "q.qx", "p.y", "p.x")
+    return f"""
+WITH q AS (SELECT s_suppkey AS query_id, {_KNN_QX} AS qx, {_KNN_QY} AS qy FROM supplier),
+p AS ({points_oracle_sql()}),
+d AS (
+  SELECT q.query_id, p.point_id, {hav} AS dist_km
+  FROM q CROSS JOIN p
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(point_id AS BIGINT) AS point_id,
+       ROUND(dist_km, 3) AS dist_km_r
+FROM d WHERE dist_km <= 300.0
+"""
+
+
 def _sql_orient(ax: str, ay: str, bx: str, by: str, px: str, py: str) -> str:
     """Same expression text as operators/spatial._orient."""
     return f"(({bx} - {ax}) * ({py} - {ay}) - ({by} - {ay}) * ({px} - {ax}))"
@@ -1227,6 +1264,7 @@ def oracle_sql() -> dict[str, str]:
         "zonal_rollup": _oracle_zonal_rollup(),
         "overview_select": _oracle_overview_select(),
         "within_distance": _oracle_within_distance(),
+        "within_distance_km": _oracle_within_distance_km(),
         "footprint_poly": _oracle_footprint_poly(),
         "window_read": _oracle_window_read(),
         "sessionize": _oracle_sessionize(),

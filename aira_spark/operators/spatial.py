@@ -205,6 +205,46 @@ def within_distance_join(
     )
 
 
+def within_distance_km_join(
+    queries: DataFrame,
+    points: DataFrame,
+    d_km: float,
+    res: int = DEFAULT_RES,
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Geodesic distance-band join: all (query, point) pairs within d_km
+    great-circle km (haversine on the mean sphere). Same plan shape as
+    within_distance_join — broadcast closed cell cover of each query's disk
+    bbox, point side unshuffled — but the bbox half-extents are the proven
+    spherical superset bounds from functions.geo.disk_margins_deg (latitude-
+    dependent longitude margin; clamps to full-longitude near the poles).
+    Returns (query_id, point_id, dist_km).
+    """
+    from ..functions.cells import cover_rect_closed
+    from ..functions.geo import disk_margins_deg, haversine_km
+
+    dlat, dlon = disk_margins_deg(F.col("qy"), d_km)
+    q = queries.select(
+        "query_id", F.col(x).alias("qx"), F.col(y).alias("qy")
+    ).withColumn(
+        "cell",
+        F.explode(
+            cover_rect_closed(
+                F.col("qx") - dlon, F.col("qy") - dlat,
+                F.col("qx") + dlon, F.col("qy") + dlat, res,
+            )
+        ),
+    )
+    pts = points.withColumn("cell", cell_from_xy(F.col(x), F.col(y), res))
+    return (
+        pts.join(F.broadcast(q), "cell")
+        .withColumn("dist_km", haversine_km(F.col("qy"), F.col("qx"), F.col(y), F.col(x)))
+        .filter(F.col("dist_km") <= F.lit(d_km))
+        .drop("cell", "qx", "qy")
+    )
+
+
 def _orient(ax, ay, bx, by, px, py) -> Column:
     """Signed area orientation of (a -> b -> p); same expression text as the
     DuckDB oracle so float results are bit-identical."""

@@ -235,6 +235,64 @@ def test_window_filter_precedes_decode(spark, images):
     assert i_udf < i_filter
 
 
+def _hav_km(lat1, lon1, lat2, lon2):
+    from aira_spark.functions.geo import EARTH_RADIUS_KM
+
+    dlat = math.radians(lat2 - lat1) / 2.0
+    dlon = math.radians(lon2 - lon1) / 2.0
+    h = (
+        math.sin(dlat) ** 2
+        + math.cos(math.radians(lat1)) * math.cos(math.radians(lat2)) * math.sin(dlon) ** 2
+    )
+    return 2.0 * EARTH_RADIUS_KM * math.asin(math.sqrt(h))
+
+
+def test_within_distance_km_matches_bruteforce(spark, sf_dir):
+    from aira_spark.operators.spatial import within_distance_km_join
+
+    pts = points_table(spark, sf_dir)
+    pt_rows = [(r.point_id, r.x, r.y) for r in pts.collect()]
+    queries = pts.limit(30).select(F.col("point_id").alias("query_id"), "x", "y")
+    q_rows = [(r.query_id, r.x, r.y) for r in queries.collect()]
+    d = 400.0
+    got = {
+        (r.query_id, r.point_id)
+        for r in within_distance_km_join(queries, pts, d_km=d).collect()
+    }
+    expected = {
+        (qid, pid)
+        for qid, qx, qy in q_rows
+        for pid, px, py in pt_rows
+        if _hav_km(qy, qx, py, px) <= d
+    }
+    assert got == expected
+    assert len(expected) > len(q_rows)
+
+
+def test_within_distance_km_near_pole(spark):
+    """The latitude-dependent longitude margin must keep the prefilter a
+    superset near the pole, where a fixed-degree bbox would lose matches."""
+    from aira_spark.operators.spatial import within_distance_km_join
+
+    rows = [(0, -170.0, 88.0), (1, 170.0, 88.2), (2, 0.0, 88.5), (3, 10.0, -88.0)]
+    pts = spark.createDataFrame(rows, "point_id long, x double, y double")
+    queries = pts.selectExpr("point_id AS query_id", "x", "y")
+    d = 600.0
+    got = {
+        (r.query_id, r.point_id)
+        for r in within_distance_km_join(queries, pts, d_km=d).collect()
+    }
+    expected = {
+        (q, p)
+        for q, qx, qy in rows
+        for p, px, py in rows
+        if _hav_km(qy, qx, py, px) <= d
+    }
+    assert got == expected
+    # near the pole, points 170 deg of longitude apart ARE within 600 km
+    assert (0, 1) in expected
+
+
 def test_pip_shuffled_path_same_result(spark, sf_dir):
     """broadcast_polygons=False (the too-big-to-broadcast scale path) must
     produce identical pairs — only the physical join strategy changes."""
