@@ -484,6 +484,25 @@ def q_within_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic kNN: 5 nearest by great-circle km (ring prefilter with
+    per-query spherical finalization bound)."""
+    from aira_spark.operators.spatial import knn_join
+    from aira_spark.sources.vectors import points_table
+
+    queries = spark.read.parquet(f"{sf_dir}/supplier.parquet").selectExpr(
+        "s_suppkey AS query_id", f"{_KNN_QX} AS x", f"{_KNN_QY} AS y"
+    )
+    return knn_join(
+        queries, points_table(spark, sf_dir), k=5, res=CELL_RES, metric="haversine"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rnk"),
+        F.round("dist", 3).alias("dist_km_r"),
+    )
+
+
 def q_within_distance_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geodesic (haversine) distance-band join: pairs within 300 great-circle
     km, spherical-superset bbox prefilter."""
@@ -685,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overview_select": q_overview_select,
         "within_distance": q_within_distance,
         "within_distance_km": q_within_distance_km,
+        "knn_km": q_knn_km,
         "footprint_poly": q_footprint_poly,
         "window_read": q_window_read,
         "sessionize": q_sessionize,
@@ -1020,6 +1040,24 @@ FROM d WHERE dist_km <= 300.0
 """
 
 
+def _oracle_knn_km() -> str:
+    from aira_spark.functions.geo import sql_haversine_km
+    from aira_spark.sources.vectors import points_oracle_sql
+
+    hav = sql_haversine_km("q.qy", "q.qx", "p.y", "p.x")
+    return f"""
+WITH q AS (SELECT s_suppkey AS query_id, {_KNN_QX} AS qx, {_KNN_QY} AS qy FROM supplier),
+p AS ({points_oracle_sql()}),
+d AS (
+  SELECT q.query_id, p.point_id AS neighbor_id, {hav} AS dist
+  FROM q CROSS JOIN p
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn FROM d)
+SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rnk, ROUND(dist, 3) AS dist_km_r
+FROM r WHERE rn <= 5
+"""
+
+
 def _sql_orient(ax: str, ay: str, bx: str, by: str, px: str, py: str) -> str:
     """Same expression text as operators/spatial._orient."""
     return f"(({bx} - {ax}) * ({py} - {ay}) - ({by} - {ay}) * ({px} - {ax}))"
@@ -1265,6 +1303,7 @@ def oracle_sql() -> dict[str, str]:
         "overview_select": _oracle_overview_select(),
         "within_distance": _oracle_within_distance(),
         "within_distance_km": _oracle_within_distance_km(),
+        "knn_km": _oracle_knn_km(),
         "footprint_poly": _oracle_footprint_poly(),
         "window_read": _oracle_window_read(),
         "sessionize": _oracle_sessionize(),

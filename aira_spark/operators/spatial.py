@@ -336,6 +336,7 @@ def knn_join(
     k: int,
     res: int = DEFAULT_RES,
     ring_rounds: int = 1,
+    metric: str = "euclidean",
 ) -> DataFrame:
     """k nearest points for each query row: (query_id, neighbor_id, rank, dist).
 
@@ -352,6 +353,13 @@ def knn_join(
 
     ring_rounds > 1 inserts extra radius-doubling ring rounds before the
     brute-force fallback (useful when the fallback scan is the bottleneck).
+
+    metric="haversine" ranks by great-circle km; the finalization bound then
+    uses the spherical lower bounds for points outside the ring (latitude
+    case: central angle >= lat diff; longitude case: sin(x) >= 2x/pi at the
+    worst latitude of the ring band — see functions/geo.py) as a per-query
+    column, so near-pole queries finalize conservatively and fall back to
+    the exact scan when the bound cannot certify k neighbors.
     """
     import math
 
@@ -385,10 +393,15 @@ def knn_join(
     radius = max(1, min(n, math.ceil(math.sqrt(3.0 * k / (math.pi * aspect * density)))))
 
     w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
-    dist = F.sqrt(
-        (F.col("px") - F.col("qx")) * (F.col("px") - F.col("qx"))
-        + (F.col("py") - F.col("qy")) * (F.col("py") - F.col("qy"))
-    )
+    if metric == "haversine":
+        from ..functions.geo import haversine_km
+
+        dist = haversine_km(F.col("qy"), F.col("qx"), F.col("py"), F.col("px"))
+    else:
+        dist = F.sqrt(
+            (F.col("px") - F.col("qx")) * (F.col("px") - F.col("qx"))
+            + (F.col("py") - F.col("qy")) * (F.col("py") - F.col("qy"))
+        )
 
     def rank_candidates(cand: DataFrame) -> DataFrame:
         return (
@@ -401,11 +414,29 @@ def knn_join(
     for round_i in range(ring_rounds):
         ringed = pending.withColumn("cell", F.explode(k_ring(F.col("qcell"), radius, res)))
         ranked = rank_candidates(ringed.join(pts, "cell")).persist()
-        safe = float(radius) * safe_per_ring
+        if metric == "haversine":
+            from ..functions.geo import EARTH_RADIUS_KM as _R
+
+            lat_bound = _R * math.radians(radius * cell_h)
+            phi_max = F.least(
+                F.abs(F.col("qy_")) + F.lit(radius * cell_h), F.lit(89.9)
+            )
+            lon_bound = (
+                F.lit(2.0 * _R / math.pi)
+                * F.cos(F.radians(phi_max))
+                * F.lit(math.radians(radius * cell_w))
+            )
+            safe_cond = F.col("kth_dist") <= F.least(F.lit(lat_bound), lon_bound)
+        else:
+            safe_cond = F.col("kth_dist") <= F.lit(float(radius) * safe_per_ring)
         done_ids = (
             ranked.groupBy("query_id")
-            .agg(F.count("*").alias("n_found"), F.max("dist").alias("kth_dist"))
-            .filter((F.col("n_found") >= k) & (F.col("kth_dist") <= safe))
+            .agg(
+                F.count("*").alias("n_found"),
+                F.max("dist").alias("kth_dist"),
+                F.min("qy").alias("qy_"),
+            )
+            .filter((F.col("n_found") >= k) & safe_cond)
             .select("query_id")
             .persist()
         )

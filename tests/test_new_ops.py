@@ -293,6 +293,26 @@ def test_within_distance_km_near_pole(spark):
     assert (0, 1) in expected
 
 
+def test_knn_haversine_matches_bruteforce(spark, sf_dir):
+    from aira_spark.operators.spatial import knn_join
+
+    pts = points_table(spark, sf_dir)
+    pt_rows = [(r.point_id, r.x, r.y) for r in pts.collect()]
+    queries = pts.limit(25).select(F.col("point_id").alias("query_id"), "x", "y")
+    q_rows = [(r.query_id, r.x, r.y) for r in queries.collect()]
+    k = 4
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in knn_join(queries, pts, k=k, metric="haversine").collect()
+    }
+    for qid, qx, qy in q_rows:
+        ranked = sorted(
+            ((_hav_km(qy, qx, py, px), pid) for pid, px, py in pt_rows)
+        )[:k]
+        for rank, (_, pid) in enumerate(ranked, start=1):
+            assert got[(qid, rank)] == pid
+
+
 def test_pip_shuffled_path_same_result(spark, sf_dir):
     """broadcast_polygons=False (the too-big-to-broadcast scale path) must
     produce identical pairs — only the physical join strategy changes."""
