@@ -337,6 +337,19 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components (min-label propagation) over
+    the MinHash-LSH pair graph; cluster_id is the keeper doc."""
+    from aira_spark.operators.dedup import duplicate_clusters, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_docs_with_dups(spark, sf_dir))
+    return duplicate_clusters(pairs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aira_spark.operators.dedup import simhash_table
 
@@ -463,6 +476,44 @@ def q_overview_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         _images(spark, sf_dir, modulo=8), target_gsd=0.01, levels=3
     ).select(
         "image_id", "page", "width", "height", F.round("gsd", 9).alias("gsd_r")
+    )
+
+
+def q_crs_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoTIFF CRS round-trip: GeoKeyDirectory/GeoAsciiParams written by the
+    encoder, parsed back from the real bytes (EPSG code, model type,
+    citation)."""
+    import pandas as pd
+
+    def fn(batches):
+        from aira_spark.tiff.meta import TiffError, decode_metadata, parse_geokeys
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                try:
+                    gk = parse_geokeys(decode_metadata(bytes(rec.bytes)))
+                except TiffError:
+                    continue
+                if gk is None:
+                    continue
+                rows.append(
+                    (rec.image_id, gk["model_type"], gk["raster_type"],
+                     gk["epsg"], gk["citation"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "model_type", "raster_type", "epsg", "citation"],
+            )
+
+    return (
+        _images(spark, sf_dir, modulo=16)
+        .select("image_id", "bytes")
+        .mapInPandas(
+            fn,
+            "image_id string, model_type long, raster_type long, "
+            "epsg long, citation string",
+        )
     )
 
 
@@ -704,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overview_select": q_overview_select,
         "within_distance": q_within_distance,
         "within_distance_km": q_within_distance_km,
+        "crs_info": q_crs_info,
         "knn_km": q_knn_km,
         "footprint_poly": q_footprint_poly,
         "window_read": q_window_read,
@@ -717,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1265,6 +1318,29 @@ WHERE {jac.replace('sh_a', 'a.sh').replace('sh_b', 'b.sh')} >= 0.3
 """
 
 
+def _oracle_dedup_clusters() -> str:
+    # connected components as a transitive-closure recursive CTE over the
+    # same pair set the dedup_minhash oracle produces
+    return f"""
+WITH RECURSIVE pairs AS ({_oracle_dedup_minhash()}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+labels AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM labels
+"""
+
+
 def _oracle_ann() -> str:
     quant = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1024.0) / 1024.0)"
     dot = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
@@ -1304,6 +1380,12 @@ def oracle_sql() -> dict[str, str]:
         "within_distance": _oracle_within_distance(),
         "within_distance_km": _oracle_within_distance_km(),
         "knn_km": _oracle_knn_km(),
+        "crs_info": f"""
+WITH {_IMG_CTE}
+SELECT image_id, CAST(2 AS BIGINT) AS model_type, CAST(1 AS BIGINT) AS raster_type,
+       CAST(4326 AS BIGINT) AS epsg, 'EPSG:4326' AS citation
+FROM dims WHERE k % 16 = 0
+""",
         "footprint_poly": _oracle_footprint_poly(),
         "window_read": _oracle_window_read(),
         "sessionize": _oracle_sessionize(),
@@ -1312,7 +1394,7 @@ def oracle_sql() -> dict[str, str]:
         "ifd_dump": f"""
 WITH {_IMG_CTE}
 SELECT image_id,
-  CAST(11 + CASE WHEN v IN (2,4,7,11) THEN 4 ELSE 3 END
+  CAST(13 + CASE WHEN v IN (2,4,7,11) THEN 4 ELSE 3 END
           + CASE WHEN v IN (4,5,6,8,11) THEN 1 ELSE 0 END AS BIGINT) AS n_entries,
   CAST(1 AS BIGINT) AS n_pages,
   CAST(w AS BIGINT) AS width,
@@ -1374,6 +1456,7 @@ SELECT md5(text) AS text_hash, CAST(COUNT(*) AS BIGINT) AS n_dups,
 FROM docs GROUP BY 1
 """,
         "dedup_minhash": _oracle_dedup_minhash(),
+        "dedup_clusters": _oracle_dedup_clusters(),
         "simhash": f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
   CAST({tf.simhash(tf.words('text', eng), 16, eng)} AS BIGINT) AS simhash

@@ -110,6 +110,66 @@ def minhash_lsh_pairs(
     )
 
 
+def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over duplicate pairs -> (doc_id, cluster_id,
+    cluster_size); cluster_id = the minimum doc_id reachable (the keeper).
+
+    Iterative minimum-label propagation entirely in DataFrames: each round
+    every node takes the min of its own label and its neighbors' labels;
+    convergence when no label changes (<= graph-diameter rounds — duplicate
+    clusters are near-cliques from LSH banding, so diameter is tiny). Each
+    round is one shuffle on node id over (node, label) pairs only; at 10^12
+    scale this is the standard large-graph CC pattern (no driver-side graph).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node2"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["node2"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    out = labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+    )
+    edges.unpersist()
+    return out
+
+
 def simhash_table(docs: DataFrame, n_bits: int = 16) -> DataFrame:
     """(doc_id, simhash): n_bits-wide SimHash over word tokens."""
     return docs.selectExpr(

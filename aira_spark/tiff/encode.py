@@ -49,12 +49,15 @@ def write_tiff(
     description: str | None = None,
     software: str | None = None,
     resolution: tuple | None = None,
+    crs: int | None = 4326,
 ) -> bytes:
     """Serializes (h, w) or (h, w, spp) pixels into a complete TIFF file.
 
     geo = ((scale_x, scale_y, scale_z), (i, j, k, x, y, z)) — the affine
     geotransform: world_x = x + (col - i) * scale_x, world_y = y - (row - j) * scale_y.
     resolution = (x_num, x_den, y_num, y_den, unit).
+    crs: EPSG geographic CRS code written as a GeoKeyDirectory (34735) +
+    GeoAsciiParams (34737) citation when `geo` is present; None omits the keys.
     """
     if pixels.ndim == 2:
         pixels = pixels[:, :, None]
@@ -149,6 +152,23 @@ def write_tiff(
         scale, tiepoint = geo
         entries.append([T.MODEL_PIXEL_SCALE, T.DTYPE_DOUBLE, 3, nums(list(scale), "f8")])
         entries.append([T.MODEL_TIEPOINT, T.DTYPE_DOUBLE, 6, nums(list(tiepoint), "f8")])
+        if crs is not None:
+            # GeoKeyDirectory: header {version 1, rev 1.0, N keys} + one row
+            # per key {id, tag-location, count, value}; the citation lives in
+            # GeoAsciiParams ('|'-terminated per the GeoTIFF spec)
+            citation = f"EPSG:{crs}|"
+            keys = [
+                (1024, 0, 1, 2),              # GTModelType = geographic
+                (1025, 0, 1, 1),              # GTRasterType = PixelIsArea
+                (1026, T.GEO_ASCII_PARAMS, len(citation), 0),  # citation
+                (2048, 0, 1, crs),            # GeographicType = EPSG code
+            ]
+            kd = [1, 1, 0, len(keys)] + [v for k in keys for v in k]
+            entries.append(
+                [T.GEO_KEY_DIRECTORY, T.DTYPE_SHORT, len(kd), nums(kd, "u2")]
+            )
+            ga = citation.encode("ascii") + b"\x00"
+            entries.append([T.GEO_ASCII_PARAMS, T.DTYPE_ASCII, len(ga), ga])
     entries.sort(key=lambda e: e[0])
 
     # --- lay out the file: header | IFD | external values | chunk data ---

@@ -499,3 +499,43 @@ def chunk_grid(meta: dict[str, Any]) -> list[dict[str, int]]:
             }
         )
     return out
+
+
+def parse_geokeys(meta: dict[str, Any]) -> dict[str, Any] | None:
+    """GeoKeyDirectory (34735) decode: header {version, rev, minor, N} then N
+    rows {key_id, tag_location, count, value}; inline SHORT values when
+    tag_location == 0, otherwise resolved from GeoDoubleParams (34736) /
+    GeoAsciiParams (34737). The reference parses these tags generically as
+    custom entries (tag.rs:174-186); the GeoTIFF key semantics are ours.
+
+    Returns {"model_type", "raster_type", "epsg", "citation"} (missing keys
+    None) or None when the directory tag is absent.
+    """
+    custom = meta["custom"]
+    kd = custom.get(T.GEO_KEY_DIRECTORY)
+    if kd is None:
+        return None
+    bo = meta["byteorder"]
+    shorts = entry_value(*kd, bo)
+    if isinstance(shorts, int):
+        shorts = [shorts]
+    n_keys = shorts[3]
+    out: dict[str, Any] = {
+        "model_type": None, "raster_type": None, "epsg": None, "citation": None,
+    }
+    ascii_params = None
+    ga = custom.get(T.GEO_ASCII_PARAMS)
+    if ga is not None:
+        ascii_params = entry_value(*ga, bo)
+    names = {1024: "model_type", 1025: "raster_type", 2048: "epsg", 1026: "citation"}
+    for i in range(n_keys):
+        key_id, loc, count, value = shorts[4 + 4 * i : 8 + 4 * i]
+        name = names.get(key_id)
+        if name is None:
+            continue
+        if loc == 0:
+            out[name] = int(value)
+        elif loc == T.GEO_ASCII_PARAMS and ascii_params is not None:
+            # '|' is the GeoTIFF ascii-key terminator
+            out[name] = ascii_params[value : value + count].rstrip("|")
+    return out

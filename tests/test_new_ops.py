@@ -428,6 +428,50 @@ def test_resize_images_roundtrip(spark, images):
         assert mr["scale_y"] * 8 == pytest.approx(p["scale_y"] * p["h"])
 
 
+def test_duplicate_clusters_match_union_find(spark, sf_dir):
+    from aira_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_lsh_pairs,
+        with_duplicates,
+    )
+
+    docs = with_duplicates(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text", "lang", "source"
+        )
+    )
+    pairs = minhash_lsh_pairs(docs).persist()
+    edges = [(r.doc_a, r.doc_b) for r in pairs.collect()]
+    got = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in duplicate_clusters(pairs).collect()
+    }
+    # brute-force union-find
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, list[int]] = {}
+    for node in parent:
+        comp.setdefault(find(node), []).append(node)
+    expected = {
+        n: (root, len(members))
+        for root, members in comp.items()
+        for n in members
+    }
+    assert got == expected
+    assert any(size > 1 for _, size in got.values())
+
+
 # ------------------------------------------------------- rollup + overviews
 
 

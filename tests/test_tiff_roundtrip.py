@@ -161,3 +161,24 @@ def test_multipage_spark_posexplode(spark):
     assert [(r.page, r.width, r.height) for r in rows] == [(0, 8, 8), (1, 4, 12)]
     pages = {r.page for r in ifd_entries(df).collect()}
     assert pages == {0, 1}
+
+
+def test_geokey_directory_roundtrip():
+    """GeoKeyDirectory + GeoAsciiParams encode -> parse (both endians)."""
+    import numpy as np
+
+    from aira_spark.tiff.encode import write_tiff
+    from aira_spark.tiff.meta import decode_metadata, parse_geokeys
+
+    px = np.arange(16 * 16, dtype=np.uint8).reshape(16, 16)
+    geo = ((0.1, 0.1, 0.0), (0.0, 0.0, 0.0, 10.0, 20.0, 0.0))
+    for bo in ("<", ">"):
+        buf = write_tiff(px, byteorder=bo, geo=geo, crs=32633)
+        gk = parse_geokeys(decode_metadata(buf))
+        assert gk == {
+            "model_type": 2, "raster_type": 1, "epsg": 32633,
+            "citation": "EPSG:32633",
+        }
+    # crs=None omits the keys; no geo means no keys either
+    assert parse_geokeys(decode_metadata(write_tiff(px, geo=geo, crs=None))) is None
+    assert parse_geokeys(decode_metadata(write_tiff(px))) is None
