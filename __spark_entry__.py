@@ -438,6 +438,20 @@ def q_zonal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDVI-style band math: floor(1000*(b1-b0)/(b1+b0)) per pixel, per-cell
+    aggregate, over the multi-channel images."""
+    from aira_spark.operators.zonal import band_index_stats
+
+    return band_index_stats(_images(spark, sf_dir, modulo=8), CELL_RES).select(
+        F.col("cell").cast("long").alias("cell"),
+        F.col("n_px").cast("long").alias("n_px"),
+        F.col("sum_idx").cast("long").alias("sum_idx"),
+        F.col("min_idx").cast("long").alias("min_idx"),
+        F.col("max_idx").cast("long").alias("max_idx"),
+    )
+
+
 def q_zonal_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-band zonal stats: every sample channel aggregated per cell."""
     from aira_spark.operators.zonal import zonal_stats_bands
@@ -751,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resize_thumbs": q_resize_thumbs,
         "zonal_exact": q_zonal_exact,
         "zonal_bands": q_zonal_bands,
+        "band_index": q_band_index,
         "zonal_rollup": q_zonal_rollup,
         "overview_select": q_overview_select,
         "within_distance": q_within_distance,
@@ -984,6 +999,35 @@ cr AS (
 SELECT poly_id, CAST(COUNT(*) AS BIGINT) AS n_px, CAST(SUM(val) AS BIGINT) AS sum_px,
        CAST(MIN(val) AS BIGINT) AS min_px, CAST(MAX(val) AS BIGINT) AS max_px
 FROM cr WHERE crossings % 2 = 1 GROUP BY 1
+"""
+
+
+def _oracle_band_index() -> str:
+    return f"""
+WITH {_IMG_CTE},
+sel AS (
+  SELECT *, CAST(CASE WHEN v IN (1,2,4,10) THEN 3 WHEN v IN (6,9) THEN 2
+                 ELSE 1 END AS BIGINT) AS spp
+  FROM meta WHERE k % 8 = 0
+),
+mb AS (SELECT * FROM sel WHERE spp >= 2),
+rws AS (SELECT *, unnest(generate_series(0, h - 1)) AS r FROM mb),
+pxs AS (SELECT *, unnest(generate_series(0, w - 1)) AS c FROM rws),
+vals AS (
+  SELECT CAST((r * 7 + c * 13 + k) % 256 AS DOUBLE) AS v0,
+         CAST((r * 7 + c * 13 + 29 + k) % 256 AS DOUBLE) AS v1,
+         cx + (CAST(c AS DOUBLE) + 0.5) * sx AS x,
+         (cy + h * sy) - (CAST(r AS DOUBLE) + 0.5) * sy AS y
+  FROM pxs
+),
+idxd AS (
+  SELECT CAST(FLOOR(1000.0 * (v1 - v0) / (v1 + v0)) AS BIGINT) AS idx, x, y
+  FROM vals
+)
+SELECT {_sql_cell('x', 'y')} AS cell,
+  CAST(COUNT(*) AS BIGINT) AS n_px, CAST(SUM(idx) AS BIGINT) AS sum_idx,
+  CAST(MIN(idx) AS BIGINT) AS min_idx, CAST(MAX(idx) AS BIGINT) AS max_idx
+FROM idxd GROUP BY 1
 """
 
 
@@ -1375,6 +1419,7 @@ def oracle_sql() -> dict[str, str]:
         "resize_thumbs": _oracle_resize_thumbs(),
         "zonal_exact": _oracle_zonal_exact(),
         "zonal_bands": _oracle_zonal_bands(),
+        "band_index": _oracle_band_index(),
         "zonal_rollup": _oracle_zonal_rollup(),
         "overview_select": _oracle_overview_select(),
         "within_distance": _oracle_within_distance(),

@@ -81,6 +81,85 @@ def zonal_stats_bands(images: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
     )
 
 
+def band_index_stats(
+    images: DataFrame, res: int = DEFAULT_RES, b0: int = 0, b1: int = 1
+) -> DataFrame:
+    """NDVI-style normalized band-difference index aggregated per cell:
+    idx = floor(1000 * (band_b1 - band_b0) / (band_b1 + band_b0)) per pixel
+    (integer-quantized so sums are order-independent and bit-reproducible by
+    SQL — float accumulation order would differ between engines), then
+    (cell, n_px, sum_idx, min_idx, max_idx). Images with fewer than
+    max(b0, b1)+1 channels are skipped (single-band rasters have no ratio).
+    """
+    import pandas as pd
+    from collections.abc import Iterator
+
+    import numpy as np
+
+    from ..functions.cells import np_cell_from_xy
+    from ..functions.udfs import _decode_full
+    from ..tiff import tags as T
+    from ..tiff.meta import TiffError, entry_value
+
+    schema = "cell long, px_cnt long, px_sum long, px_min long, px_max long"
+    need = max(b0, b1) + 1
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for rec in pdf.itertuples(index=False):
+                try:
+                    m, px = _decode_full(rec.bytes)
+                except TiffError:
+                    continue
+                if px.shape[2] < need:
+                    continue
+                scale = m["custom"].get(T.MODEL_PIXEL_SCALE)
+                tie = m["custom"].get(T.MODEL_TIEPOINT)
+                if scale is None or tie is None:
+                    continue
+                sv = entry_value(*scale, m["byteorder"])
+                tv = entry_value(*tie, m["byteorder"])
+                h, w = px.shape[:2]
+                xs = tv[3] + (np.arange(w, dtype=np.float64) + 0.5 - tv[0]) * sv[0]
+                ys = tv[4] - (np.arange(h, dtype=np.float64) + 0.5 - tv[1]) * sv[1]
+                cell = np_cell_from_xy(
+                    np.broadcast_to(xs[None, :], (h, w)),
+                    np.broadcast_to(ys[:, None], (h, w)),
+                    res,
+                ).ravel()
+                v0 = px[:, :, b0].astype(np.float64).ravel()
+                v1 = px[:, :, b1].astype(np.float64).ravel()
+                # same expression order as the oracle SQL text
+                idx = np.floor(1000.0 * (v1 - v0) / (v1 + v0)).astype(np.int64)
+                order = np.argsort(cell, kind="stable")
+                cs, vs = cell[order], idx[order]
+                uniq, starts = np.unique(cs, return_index=True)
+                ends = np.append(starts[1:], len(cs))
+                sums = np.add.reduceat(vs, starts)
+                mins = np.minimum.reduceat(vs, starts)
+                maxs = np.maximum.reduceat(vs, starts)
+                out.extend(
+                    (int(u), int(e0 - s0), int(sm), int(mn), int(mx))
+                    for u, s0, e0, sm, mn, mx in zip(uniq, starts, ends, sums, mins, maxs)
+                )
+            yield pd.DataFrame(
+                out, columns=["cell", "px_cnt", "px_sum", "px_min", "px_max"]
+            )
+
+    return (
+        images.select("bytes")
+        .mapInPandas(fn, schema=schema)
+        .groupBy("cell")
+        .agg(
+            F.sum("px_cnt").alias("n_px"),
+            F.sum("px_sum").alias("sum_idx"),
+            F.min("px_min").alias("min_idx"),
+            F.max("px_max").alias("max_idx"),
+        )
+    )
+
+
 def zonal_rollup(
     images: DataFrame, res: int = DEFAULT_RES, steps: int = 2
 ) -> DataFrame:
