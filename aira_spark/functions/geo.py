@@ -5,10 +5,13 @@ semantics the distance itself must be spherical. The haversine expression is
 kept textually identical between the Spark Column form and the DuckDB oracle
 SQL so both engines evaluate the same IEEE double formula.
 
-No antimeridian wraparound: the coordinate domain of this engine is the
-bounded plane [-180, 180) x [-90, 90) without longitude wrapping (matching
-the cell grid); disks crossing the +-180 seam are clipped like any other
-world-boundary rect.
+Antimeridian: the CELL GRID is the bounded plane [-180, 180) x [-90, 90)
+without longitude wrapping, but the haversine itself wraps (sin^2(dlon/2)
+has period 360) — so geodesic operators must cover the wrapped remainder of
+any interval that crosses +-180 (within_distance_km_join does), and any
+certification bound derived from planar cell separation must account for
+wrapped-close points (knn_join's haversine finalization does, via the
+180 - |qx| cap).
 """
 
 from __future__ import annotations

@@ -254,18 +254,21 @@ def _zonal_partials(m: dict, px: np.ndarray, res: int) -> list[tuple]:
     ]
 
 
-def _zonal_partials_bands(m: dict, px: np.ndarray, res: int) -> list[tuple]:
-    """Per-(cell, band) pixel partials [(cell, band, cnt, sum, min, max), ...]
-    across ALL sample channels (multi-band raster semantics: each band is an
-    independent measurement over the same grid, aggregated per band). The
-    cell sort is computed once and reused for every band."""
+def pixel_cell_groups(m: dict, px: np.ndarray, res: int):
+    """Shared georeference + cell-grouping scaffolding: pixel-center world
+    coords from the GeoTIFF transform, cell ids, and the stable-sort /
+    unique / reduceat bounds every per-cell aggregator reuses.
+
+    Returns (order, uniq_cells, starts, ends) or None when the image has no
+    geotransform. `arr.ravel()[order]` aligns any per-pixel value array with
+    the group bounds."""
     scale = m["custom"].get(T.MODEL_PIXEL_SCALE)
     tie = m["custom"].get(T.MODEL_TIEPOINT)
     if scale is None or tie is None:
-        return []
+        return None
     sv = entry_value(*scale, m["byteorder"])
     tv = entry_value(*tie, m["byteorder"])
-    h, w, spp = px.shape
+    h, w = px.shape[:2]
     xs = tv[3] + (np.arange(w, dtype=np.float64) + 0.5 - tv[0]) * sv[0]
     ys = tv[4] - (np.arange(h, dtype=np.float64) + 0.5 - tv[1]) * sv[1]
     cell = np_cell_from_xy(
@@ -277,15 +280,36 @@ def _zonal_partials_bands(m: dict, px: np.ndarray, res: int) -> list[tuple]:
     cs = cell[order]
     uniq, starts = np.unique(cs, return_index=True)
     ends = np.append(starts[1:], len(cs))
+    return order, uniq, starts, ends
+
+
+def reduce_by_cell(vals: np.ndarray, groups) -> list[tuple]:
+    """[(cell, cnt, sum, min, max), ...] of an order-aligned value array."""
+    order, uniq, starts, ends = groups
+    vs = vals[order]
+    sums = np.add.reduceat(vs, starts)
+    mins = np.minimum.reduceat(vs, starts)
+    maxs = np.maximum.reduceat(vs, starts)
+    return [
+        (int(u), int(e0 - s0), int(sm), int(mn), int(mx))
+        for u, s0, e0, sm, mn, mx in zip(uniq, starts, ends, sums, mins, maxs)
+    ]
+
+
+def _zonal_partials_bands(m: dict, px: np.ndarray, res: int) -> list[tuple]:
+    """Per-(cell, band) pixel partials [(cell, band, cnt, sum, min, max), ...]
+    across ALL sample channels (multi-band raster semantics: each band is an
+    independent measurement over the same grid, aggregated per band). The
+    cell sort is computed once and reused for every band."""
+    groups = pixel_cell_groups(m, px, res)
+    if groups is None:
+        return []
     out: list[tuple] = []
-    for band in range(spp):
-        vs = px[:, :, band].astype(np.int64).ravel()[order]
-        sums = np.add.reduceat(vs, starts)
-        mins = np.minimum.reduceat(vs, starts)
-        maxs = np.maximum.reduceat(vs, starts)
+    for band in range(px.shape[2]):
+        vals = px[:, :, band].astype(np.int64).ravel()
         out.extend(
-            (int(u), band, int(e0 - s0), int(sm), int(mn), int(mx))
-            for u, s0, e0, sm, mn, mx in zip(uniq, starts, ends, sums, mins, maxs)
+            (cell, band, cnt, sm, mn, mx)
+            for cell, cnt, sm, mn, mx in reduce_by_cell(vals, groups)
         )
     return out
 

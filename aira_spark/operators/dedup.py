@@ -110,7 +110,7 @@ def minhash_lsh_pairs(
     )
 
 
-def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def duplicate_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     """Connected components over duplicate pairs -> (doc_id, cluster_id,
     cluster_size); cluster_id = the minimum doc_id reachable (the keeper).
 
@@ -133,6 +133,7 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .withColumn("label", F.col("node"))
         .persist()
     )
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges["b"] == labels["node"])
@@ -159,13 +160,26 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silent wrong labels are worse than an error: a component whose
+        # diameter exceeds max_iters would return split clusters
+        labels.unpersist()
+        edges.unpersist()
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iters} rounds "
+            "(component diameter too large — raise max_iters)"
+        )
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     out = labels.join(sizes, "label").select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("cluster_id"),
         "cluster_size",
-    )
+    # localCheckpoint materializes the result so the loop's cached lineage
+    # (labels, edges) can be released before returning
+    ).localCheckpoint()
+    labels.unpersist()
     edges.unpersist()
     return out
 

@@ -218,23 +218,35 @@ def within_distance_km_join(
     within_distance_join — broadcast closed cell cover of each query's disk
     bbox, point side unshuffled — but the bbox half-extents are the proven
     spherical superset bounds from functions.geo.disk_margins_deg (latitude-
-    dependent longitude margin; clamps to full-longitude near the poles).
-    Returns (query_id, point_id, dist_km).
+    dependent longitude margin; clamps to full-longitude near the poles),
+    and intervals crossing the +-180 antimeridian additionally cover the
+    wrapped remainder (haversine wraps; a planar clip would silently drop
+    wrapped-close pairs). Returns (query_id, point_id, dist_km).
     """
     from ..functions.cells import cover_rect_closed
     from ..functions.geo import disk_margins_deg, haversine_km
 
     dlat, dlon = disk_margins_deg(F.col("qy"), d_km)
+    qx, qy = F.col("qx"), F.col("qy")
+    ylo, yhi = qy - dlat, qy + dlat
+    # antimeridian wrap: the haversine's sin^2(dlon/2) term has period 360,
+    # so a disk crossing +-180 continues on the far side of the x domain —
+    # the cover is the clamped primary interval plus the wrapped remainder(s)
+    empty = F.array().cast("array<bigint>")
+    primary = cover_rect_closed(qx - dlon, ylo, qx + dlon, yhi, res)
+    wrap_w = F.when(
+        qx - dlon < F.lit(-180.0),
+        cover_rect_closed(qx - dlon + F.lit(360.0), ylo, F.lit(180.0), yhi, res),
+    ).otherwise(empty)
+    wrap_e = F.when(
+        qx + dlon > F.lit(180.0),
+        cover_rect_closed(F.lit(-180.0), ylo, qx + dlon - F.lit(360.0), yhi, res),
+    ).otherwise(empty)
     q = queries.select(
         "query_id", F.col(x).alias("qx"), F.col(y).alias("qy")
     ).withColumn(
         "cell",
-        F.explode(
-            cover_rect_closed(
-                F.col("qx") - dlon, F.col("qy") - dlat,
-                F.col("qx") + dlon, F.col("qy") + dlat, res,
-            )
-        ),
+        F.explode(F.array_distinct(F.concat(primary, wrap_w, wrap_e))),
     )
     pts = points.withColumn("cell", cell_from_xy(F.col(x), F.col(y), res))
     return (
@@ -417,14 +429,27 @@ def knn_join(
         if metric == "haversine":
             from ..functions.geo import EARTH_RADIUS_KM as _R
 
+            # lat case: a point outside the ring in latitude differs by
+            # >= radius*cell_h deg, and central angle >= lat diff (exact)
             lat_bound = _R * math.radians(radius * cell_h)
+            # lon case: the point's latitude can be up to (radius+1)*cell_h
+            # from qy (query anywhere in its cell, point anywhere in the
+            # outermost ring row), and its TRUE angular separation is
+            # min(planar dx, 360 - dx): planar dx >= radius*cell_w, but a
+            # wrapped point (dx > 180) can be as angular-close as
+            # 180 - |qx| deg — cap the exclusion angle by that, so near the
+            # antimeridian the bound shrinks and queries fall back to the
+            # exact scan instead of certifying unsoundly
             phi_max = F.least(
-                F.abs(F.col("qy_")) + F.lit(radius * cell_h), F.lit(89.9)
+                F.abs(F.col("qy_")) + F.lit((radius + 1) * cell_h), F.lit(89.9)
+            )
+            lon_excl_deg = F.least(
+                F.lit(float(radius * cell_w)), F.lit(180.0) - F.abs(F.col("qx_"))
             )
             lon_bound = (
                 F.lit(2.0 * _R / math.pi)
                 * F.cos(F.radians(phi_max))
-                * F.lit(math.radians(radius * cell_w))
+                * F.radians(lon_excl_deg)
             )
             safe_cond = F.col("kth_dist") <= F.least(F.lit(lat_bound), lon_bound)
         else:
@@ -435,6 +460,7 @@ def knn_join(
                 F.count("*").alias("n_found"),
                 F.max("dist").alias("kth_dist"),
                 F.min("qy").alias("qy_"),
+                F.min("qx").alias("qx_"),
             )
             .filter((F.col("n_found") >= k) & safe_cond)
             .select("query_id")

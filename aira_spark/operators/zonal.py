@@ -89,17 +89,17 @@ def band_index_stats(
     (integer-quantized so sums are order-independent and bit-reproducible by
     SQL — float accumulation order would differ between engines), then
     (cell, n_px, sum_idx, min_idx, max_idx). Images with fewer than
-    max(b0, b1)+1 channels are skipped (single-band rasters have no ratio).
+    max(b0, b1)+1 channels are skipped (single-band rasters have no ratio);
+    pixels whose band sum is 0 (nodata in both bands) are excluded — their
+    ratio is undefined.
     """
     import pandas as pd
     from collections.abc import Iterator
 
     import numpy as np
 
-    from ..functions.cells import np_cell_from_xy
-    from ..functions.udfs import _decode_full
-    from ..tiff import tags as T
-    from ..tiff.meta import TiffError, entry_value
+    from ..functions.udfs import _decode_full, pixel_cell_groups
+    from ..tiff.meta import TiffError
 
     schema = "cell long, px_cnt long, px_sum long, px_min long, px_max long"
     need = max(b0, b1) + 1
@@ -114,35 +114,42 @@ def band_index_stats(
                     continue
                 if px.shape[2] < need:
                     continue
-                scale = m["custom"].get(T.MODEL_PIXEL_SCALE)
-                tie = m["custom"].get(T.MODEL_TIEPOINT)
-                if scale is None or tie is None:
+                groups = pixel_cell_groups(m, px, res)
+                if groups is None:
                     continue
-                sv = entry_value(*scale, m["byteorder"])
-                tv = entry_value(*tie, m["byteorder"])
-                h, w = px.shape[:2]
-                xs = tv[3] + (np.arange(w, dtype=np.float64) + 0.5 - tv[0]) * sv[0]
-                ys = tv[4] - (np.arange(h, dtype=np.float64) + 0.5 - tv[1]) * sv[1]
-                cell = np_cell_from_xy(
-                    np.broadcast_to(xs[None, :], (h, w)),
-                    np.broadcast_to(ys[:, None], (h, w)),
-                    res,
-                ).ravel()
+                order, uniq, starts, ends = groups
                 v0 = px[:, :, b0].astype(np.float64).ravel()
                 v1 = px[:, :, b1].astype(np.float64).ravel()
+                valid = (v0 + v1) > 0.0
                 # same expression order as the oracle SQL text
-                idx = np.floor(1000.0 * (v1 - v0) / (v1 + v0)).astype(np.int64)
-                order = np.argsort(cell, kind="stable")
-                cs, vs = cell[order], idx[order]
-                uniq, starts = np.unique(cs, return_index=True)
-                ends = np.append(starts[1:], len(cs))
-                sums = np.add.reduceat(vs, starts)
-                mins = np.minimum.reduceat(vs, starts)
-                maxs = np.maximum.reduceat(vs, starts)
-                out.extend(
-                    (int(u), int(e0 - s0), int(sm), int(mn), int(mx))
-                    for u, s0, e0, sm, mn, mx in zip(uniq, starts, ends, sums, mins, maxs)
-                )
+                idx = np.zeros(len(v0), dtype=np.int64)
+                idx[valid] = np.floor(
+                    1000.0 * (v1[valid] - v0[valid]) / (v1[valid] + v0[valid])
+                ).astype(np.int64)
+                if valid.all():
+                    vs = idx[order]
+                    sums = np.add.reduceat(vs, starts)
+                    mins = np.minimum.reduceat(vs, starts)
+                    maxs = np.maximum.reduceat(vs, starts)
+                    out.extend(
+                        (int(u), int(e0 - s0), int(sm), int(mn), int(mx))
+                        for u, s0, e0, sm, mn, mx in zip(uniq, starts, ends, sums, mins, maxs)
+                    )
+                else:
+                    # zero-sum pixels break the contiguous reduceat groups:
+                    # fall back to a masked pandas-style group per image
+                    cells = np.empty(len(v0), dtype=np.int64)
+                    cells[order] = np.repeat(uniq, np.diff(np.append(starts, len(v0))))
+                    cm, vm = cells[valid], idx[valid]
+                    o2 = np.argsort(cm, kind="stable")
+                    cs, vs = cm[o2], vm[o2]
+                    u2, s2 = np.unique(cs, return_index=True)
+                    e2 = np.append(s2[1:], len(cs))
+                    out.extend(
+                        (int(u), int(e0 - s0), int(np.add.reduce(vs[s0:e0])),
+                         int(vs[s0:e0].min()), int(vs[s0:e0].max()))
+                        for u, s0, e0 in zip(u2, s2, e2)
+                    )
             yield pd.DataFrame(
                 out, columns=["cell", "px_cnt", "px_sum", "px_min", "px_max"]
             )

@@ -519,7 +519,14 @@ def parse_geokeys(meta: dict[str, Any]) -> dict[str, Any] | None:
     shorts = entry_value(*kd, bo)
     if isinstance(shorts, int):
         shorts = [shorts]
+    if len(shorts) < 4:
+        raise TiffError("GeoKeyDirectory shorter than its 4-short header")
     n_keys = shorts[3]
+    if len(shorts) < 4 + 4 * n_keys:
+        raise TiffError(
+            f"GeoKeyDirectory header claims {n_keys} keys but carries "
+            f"{(len(shorts) - 4) // 4}"
+        )
     out: dict[str, Any] = {
         "model_type": None, "raster_type": None, "epsg": None, "citation": None,
     }

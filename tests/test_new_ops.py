@@ -293,6 +293,28 @@ def test_within_distance_km_near_pole(spark):
     assert (0, 1) in expected
 
 
+def test_within_distance_km_antimeridian(spark):
+    """Pairs wrapped across +-180 must be found: haversine wraps, so the disk
+    cover must include the wrapped remainder of the interval."""
+    from aira_spark.operators.spatial import within_distance_km_join
+
+    rows = [(0, -179.5, 10.0), (1, 179.5, 10.0), (2, 0.0, 10.0)]
+    pts = spark.createDataFrame(rows, "point_id long, x double, y double")
+    queries = pts.selectExpr("point_id AS query_id", "x", "y")
+    got = {
+        (r.query_id, r.point_id)
+        for r in within_distance_km_join(queries, pts, d_km=200.0).collect()
+    }
+    expected = {
+        (q, p)
+        for q, qx, qy in rows
+        for p, px, py in rows
+        if _hav_km(qy, qx, py, px) <= 200.0
+    }
+    assert got == expected
+    assert (0, 1) in got and (1, 0) in got  # the wrapped pair
+
+
 def test_knn_haversine_matches_bruteforce(spark, sf_dir):
     from aira_spark.operators.spatial import knn_join
 
