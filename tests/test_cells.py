@@ -94,3 +94,39 @@ def test_cover_exact_boundary_excluded():
 def test_cover_degenerate_rect():
     cover = np_cover_rect(10.0, 10.0, 10.0, 10.0, DEFAULT_RES)
     assert cover == [int(np_cell_from_xy(10.0, 10.0, DEFAULT_RES))]
+
+
+@given(
+    st.floats(min_value=-179.99, max_value=179.99),
+    st.floats(min_value=-89.0, max_value=89.0),
+    st.floats(min_value=-179.99, max_value=179.99),
+    st.floats(min_value=-89.0, max_value=89.0),
+    st.floats(min_value=1.0, max_value=2000.0),
+)
+@settings(max_examples=300, deadline=None)
+def test_geodesic_disk_margins_are_superset(qx, qy, px, py, d_km):
+    """Property: any point within d great-circle km of the query lies inside
+    the margin-expanded bbox (possibly via the antimeridian wrap) — the
+    numeric core of within_distance_km_join's prefilter soundness."""
+    import math
+
+    from aira_spark.functions.geo import EARTH_RADIUS_KM
+
+    dlat1 = math.radians(py - qy) / 2.0
+    dlon1 = math.radians(px - qx) / 2.0
+    h = (
+        math.sin(dlat1) ** 2
+        + math.cos(math.radians(qy)) * math.cos(math.radians(py)) * math.sin(dlon1) ** 2
+    )
+    dist = 2.0 * EARTH_RADIUS_KM * math.asin(math.sqrt(h))
+    if dist > d_km:
+        return
+    # margins (python mirror of functions.geo.disk_margins_deg)
+    dlat = math.degrees(d_km / EARTH_RADIUS_KM)
+    phi_max = min(abs(qy) + dlat, 89.9)
+    dlon = (90.0 * d_km / EARTH_RADIUS_KM) / math.cos(math.radians(phi_max))
+    assert qy - dlat <= py <= qy + dlat
+    in_primary = qx - dlon <= px <= qx + dlon
+    in_wrap_w = (qx - dlon < -180.0) and (px >= qx - dlon + 360.0)
+    in_wrap_e = (qx + dlon > 180.0) and (px <= qx + dlon - 360.0)
+    assert in_primary or in_wrap_w or in_wrap_e
