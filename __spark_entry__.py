@@ -718,6 +718,17 @@ def q_pip_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental image ingest: the decode -> cell-cover pipeline run as a
+    Structured Streaming job (4 microbatches, parquet sink); the accumulated
+    sink must equal the batch cell cover exactly."""
+    from aira_spark.streaming.ingest import run_image_cover_stream
+
+    return run_image_cover_stream(
+        spark, _images(spark, sf_dir, modulo=16), CELL_RES
+    ).select("image_id", F.col("cell").cast("long").alias("cell"))
+
+
 def q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming run of events_hourly (availableNow -> memory sink)."""
     from aira_spark.streaming.events import run_events_hourly_stream
@@ -795,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": q_ivf_ann,
         "pip_salted": q_pip_salted,
         "streaming_hourly": q_streaming_hourly,
+        "streaming_cover": q_streaming_cover,
     }
 
 
@@ -959,6 +971,22 @@ blocks AS (
 SELECT image_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
        CAST(SUM(bval) AS BIGINT) AS sum_px
 FROM blocks GROUP BY 1
+"""
+
+
+def _oracle_streaming_cover() -> str:
+    fp = (
+        "fp AS (SELECT image_id, cx AS xmin, cx + w * sx AS xmax, "
+        "(cy + h * sy) - h * sy AS ymin, cy + h * sy AS ymax "
+        "FROM meta WHERE k % 16 = 0)"
+    )
+    return f"""
+WITH {_IMG_CTE},
+{fp},
+cov AS (SELECT image_id, {_sql_cover('xmin', 'ymin', 'xmax', 'ymax')} FROM fp),
+xs AS (SELECT image_id, iy0, iy1, unnest(generate_series(ix0, ix1)) AS ix FROM cov),
+cells AS (SELECT image_id, ix, unnest(generate_series(iy0, iy1)) AS iy FROM xs)
+SELECT image_id, ({_PACK} + ix * 536870912 + iy) AS cell FROM cells
 """
 
 
@@ -1412,6 +1440,7 @@ def oracle_sql() -> dict[str, str]:
         "meta_decode": _oracle_meta_decode(),
         "tile_assign": _oracle_tile_assign(),
         "cell_cover": _oracle_cell_cover(),
+        "streaming_cover": _oracle_streaming_cover(),
         "zonal_stats": _oracle_zonal_stats(),
         "zonal_by_polygon": _oracle_zonal_by_polygon(),
         "pip": _oracle_pip(),
