@@ -130,3 +130,40 @@ def test_geodesic_disk_margins_are_superset(qx, qy, px, py, d_km):
     in_wrap_w = (qx - dlon < -180.0) and (px >= qx - dlon + 360.0)
     in_wrap_e = (qx + dlon > 180.0) and (px <= qx + dlon - 360.0)
     assert in_primary or in_wrap_w or in_wrap_e
+
+
+@given(COORD, LAT, st.floats(min_value=0.0001, max_value=3.0),
+       st.floats(min_value=0.0001, max_value=3.0))
+@settings(max_examples=150, deadline=None)
+def test_closed_cover_includes_boundary_cells(x, y, dw, dh):
+    """Property: cover_rect_closed includes the cell of every point of the
+    CLOSED rect, including the exact max corner (which the half-open
+    cover_rect may exclude)."""
+    from aira_spark.functions.cells import np_cell_from_xy
+
+    res = 7
+    x2, y2 = min(x + dw, 179.999), min(y + dh, 89.999)
+    cover = set(_np_cover_closed(x, y, x2, y2, res))
+    for px, py in ((x, y), (x2, y), (x, y2), (x2, y2),
+                   ((x + x2) / 2, (y + y2) / 2)):
+        assert int(np_cell_from_xy(px, py, res)) in cover
+
+
+def _np_cover_closed(xmin, ymin, xmax, ymax, res):
+    """numpy mirror of cells.cover_rect_closed (floor upper bound)."""
+    import math
+
+    n = 1 << res
+    def clamp(v):
+        return min(max(v, 0), n - 1)
+    ix0 = clamp(math.floor((xmin + 180.0) / 360.0 * n))
+    iy0 = clamp(math.floor((ymin + 90.0) / 180.0 * n))
+    ix1 = max(clamp(math.floor((xmax + 180.0) / 360.0 * n)), ix0)
+    iy1 = max(clamp(math.floor((ymax + 90.0) / 180.0 * n)), iy0)
+    from aira_spark.functions.cells import np_cell_pack
+
+    return [
+        int(np_cell_pack(res, ix, iy))
+        for iy in range(iy0, iy1 + 1)
+        for ix in range(ix0, ix1 + 1)
+    ]
