@@ -845,10 +845,11 @@ FROM chunks
 """
 
 
-def _oracle_cell_cover() -> str:
+def _oracle_cell_cover(modulo: int | None = None) -> str:
+    where = f" WHERE k % {modulo} = 0" if modulo else ""
     fp = (
         "fp AS (SELECT image_id, cx AS xmin, cx + w * sx AS xmax, "
-        "(cy + h * sy) - h * sy AS ymin, cy + h * sy AS ymax FROM meta)"
+        f"(cy + h * sy) - h * sy AS ymin, cy + h * sy AS ymax FROM meta{where})"
     )
     return f"""
 WITH {_IMG_CTE},
@@ -974,22 +975,6 @@ FROM blocks GROUP BY 1
 """
 
 
-def _oracle_streaming_cover() -> str:
-    fp = (
-        "fp AS (SELECT image_id, cx AS xmin, cx + w * sx AS xmax, "
-        "(cy + h * sy) - h * sy AS ymin, cy + h * sy AS ymax "
-        "FROM meta WHERE k % 16 = 0)"
-    )
-    return f"""
-WITH {_IMG_CTE},
-{fp},
-cov AS (SELECT image_id, {_sql_cover('xmin', 'ymin', 'xmax', 'ymax')} FROM fp),
-xs AS (SELECT image_id, iy0, iy1, unnest(generate_series(ix0, ix1)) AS ix FROM cov),
-cells AS (SELECT image_id, ix, unnest(generate_series(iy0, iy1)) AS iy FROM xs)
-SELECT image_id, ({_PACK} + ix * 536870912 + iy) AS cell FROM cells
-"""
-
-
 def _oracle_zonal_exact() -> str:
     from aira_spark.sources.vectors import polygon_edges_oracle_sql
 
@@ -1050,7 +1035,7 @@ vals AS (
 ),
 idxd AS (
   SELECT CAST(FLOOR(1000.0 * (v1 - v0) / (v1 + v0)) AS BIGINT) AS idx, x, y
-  FROM vals
+  FROM vals WHERE (v1 + v0) > 0.0
 )
 SELECT {_sql_cell('x', 'y')} AS cell,
   CAST(COUNT(*) AS BIGINT) AS n_px, CAST(SUM(idx) AS BIGINT) AS sum_idx,
@@ -1440,7 +1425,7 @@ def oracle_sql() -> dict[str, str]:
         "meta_decode": _oracle_meta_decode(),
         "tile_assign": _oracle_tile_assign(),
         "cell_cover": _oracle_cell_cover(),
-        "streaming_cover": _oracle_streaming_cover(),
+        "streaming_cover": _oracle_cell_cover(modulo=16),
         "zonal_stats": _oracle_zonal_stats(),
         "zonal_by_polygon": _oracle_zonal_by_polygon(),
         "pip": _oracle_pip(),

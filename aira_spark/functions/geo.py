@@ -52,13 +52,16 @@ def disk_margins_deg(qy: Column, d_km: float) -> tuple[Column, Column]:
     lon: haversine >= 2R * cos(phi_max) * sin(dlon/2) >= (2R cos(phi_max)/pi)
          * dlon for dlon in [0, pi], so dlon <= pi*d / (2R cos(phi_max)) rad
          = 90*d / (R cos(phi_max)) deg, with phi_max = |qy| + dlat the worst
-         latitude inside the band. Near the pole (cos -> 0) the margin blows
-         up and the cover clamps to the full longitude range — conservative,
-         never lossy.
+         latitude inside the band. When the band reaches past 89.9 deg the
+         cos bound degenerates, so the margin switches to the FULL longitude
+         range (360) — an arbitrary clamp there would silently drop
+         near-pole pairs; full cover is conservative, never lossy.
     """
     import math
 
     dlat = math.degrees(d_km / EARTH_RADIUS_KM)
-    phi_max = F.least(F.abs(qy) + F.lit(dlat), F.lit(89.9))
-    dlon = F.lit(90.0 * d_km / EARTH_RADIUS_KM) / F.cos(F.radians(phi_max))
+    phi_max = F.abs(qy) + F.lit(dlat)
+    dlon = F.when(phi_max >= F.lit(89.9), F.lit(360.0)).otherwise(
+        F.lit(90.0 * d_km / EARTH_RADIUS_KM) / F.cos(F.radians(phi_max))
+    )
     return F.lit(dlat), dlon

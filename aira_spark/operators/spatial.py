@@ -440,8 +440,11 @@ def knn_join(
             # 180 - |qx| deg — cap the exclusion angle by that, so near the
             # antimeridian the bound shrinks and queries fall back to the
             # exact scan instead of certifying unsoundly
+            # clamp at 90 (not an arbitrary 89.9): points can sit above any
+            # sub-90 clamp, and cos(90) -> 0 bound -> no certification ->
+            # exact fallback, which is the sound behavior at the pole
             phi_max = F.least(
-                F.abs(F.col("qy_")) + F.lit((radius + 1) * cell_h), F.lit(89.9)
+                F.abs(F.col("qy_")) + F.lit((radius + 1) * cell_h), F.lit(90.0)
             )
             lon_excl_deg = F.least(
                 F.lit(float(radius * cell_w)), F.lit(180.0) - F.abs(F.col("qx_"))

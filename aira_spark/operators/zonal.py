@@ -139,7 +139,7 @@ def band_index_stats(
                     # zero-sum pixels break the contiguous reduceat groups:
                     # fall back to a masked pandas-style group per image
                     cells = np.empty(len(v0), dtype=np.int64)
-                    cells[order] = np.repeat(uniq, np.diff(np.append(starts, len(v0))))
+                    cells[order] = np.repeat(uniq, ends - starts)
                     cm, vm = cells[valid], idx[valid]
                     o2 = np.argsort(cm, kind="stable")
                     cs, vs = cm[o2], vm[o2]

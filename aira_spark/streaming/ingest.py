@@ -27,29 +27,32 @@ def run_image_cover_stream(
     DataFrame of (image_id, cell)."""
     from ..operators.chunks import cell_cover, with_meta
 
+    # the sink intentionally outlives this call — it IS the returned table
+    # (the DataFrame reads it lazily); stage + checkpoint are cleaned on
+    # every path, including failures before the stream starts
     stage = tempfile.mkdtemp(prefix="aira_ingest_src_")
     sink = tempfile.mkdtemp(prefix="aira_ingest_sink_")
     ckpt = tempfile.mkdtemp(prefix="aira_ingest_ckpt_")
-    images.select("image_id", "bytes").repartition(4).write.mode(
-        "overwrite"
-    ).parquet(stage)
-    schema = spark.read.parquet(stage).schema
-
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-    )
-    covered = cell_cover(with_meta(stream), res).select("image_id", "cell")
-    q = (
-        covered.writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
     try:
+        images.select("image_id", "bytes").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        schema = spark.read.parquet(stage).schema
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        covered = cell_cover(with_meta(stream), res).select("image_id", "cell")
+        q = (
+            covered.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
         if not q.awaitTermination(timeout=600):
             q.stop()
             raise RuntimeError("image ingest stream did not finish within 600s")

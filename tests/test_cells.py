@@ -98,12 +98,12 @@ def test_cover_degenerate_rect():
 
 @given(
     st.floats(min_value=-179.99, max_value=179.99),
-    st.floats(min_value=-89.0, max_value=89.0),
+    st.floats(min_value=-89.9999, max_value=89.9999),
     st.floats(min_value=-179.99, max_value=179.99),
-    st.floats(min_value=-89.0, max_value=89.0),
+    st.floats(min_value=-89.9999, max_value=89.9999),
     st.floats(min_value=1.0, max_value=2000.0),
 )
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=400, deadline=None)
 def test_geodesic_disk_margins_are_superset(qx, qy, px, py, d_km):
     """Property: any point within d great-circle km of the query lies inside
     the margin-expanded bbox (possibly via the antimeridian wrap) — the
@@ -123,8 +123,11 @@ def test_geodesic_disk_margins_are_superset(qx, qy, px, py, d_km):
         return
     # margins (python mirror of functions.geo.disk_margins_deg)
     dlat = math.degrees(d_km / EARTH_RADIUS_KM)
-    phi_max = min(abs(qy) + dlat, 89.9)
-    dlon = (90.0 * d_km / EARTH_RADIUS_KM) / math.cos(math.radians(phi_max))
+    phi_max = abs(qy) + dlat
+    if phi_max >= 89.9:
+        dlon = 360.0  # near-pole: full-longitude cover, never lossy
+    else:
+        dlon = (90.0 * d_km / EARTH_RADIUS_KM) / math.cos(math.radians(phi_max))
     assert qy - dlat <= py <= qy + dlat
     in_primary = qx - dlon <= px <= qx + dlon
     in_wrap_w = (qx - dlon < -180.0) and (px >= qx - dlon + 360.0)
