@@ -152,24 +152,34 @@ def decode_meta_pages(bufs: pd.Series) -> pd.Series:
 decode_meta_pages = decode_meta_pages.asNondeterministic()
 
 
-def _decode_full(buf: bytes) -> tuple[dict, np.ndarray]:
-    """Decode every chunk and stitch the full (h, w, spp) image."""
+def _decode_full(buf: bytes, max_bands: int | None = None) -> tuple[dict, np.ndarray]:
+    """Decode and stitch the (h, w, n_bands) image.
+
+    max_bands prunes the decode itself: planar files skip every chunk of a
+    plane >= max_bands (band pruning pushed below the decode — a band-0
+    consumer of a 3-plane file decompresses 1/3 of the bytes); chunky files
+    are interleaved, so all chunks decode and the result is sliced.
+    """
     m = decode_metadata(bytes(buf))
     h, w, spp = m["height"], m["width"], m["spp"]
+    n_bands = spp if max_bands is None else min(spp, max_bands)
     kind = {T.SAMPLE_UNSIGNED: "u", T.SAMPLE_SIGNED: "i", T.SAMPLE_FLOAT: "f"}[m["formats"][0]]
-    out = np.zeros((h, w, spp), dtype=np.dtype(f"{kind}{m['bits'][0] // 8}"))
+    planar = m["planar"] == T.PLANAR_PLANAR
+    out = np.zeros((h, w, n_bands), dtype=np.dtype(f"{kind}{m['bits'][0] // 8}"))
     for c in pixel_chunks(m):
         if c["size_x"] == 0 or c["size_y"] == 0:
             continue
+        if planar and c["plane"] >= n_bands:
+            continue  # pruned plane: its chunks are never decompressed
         px = decode_chunk(
             buf[c["offset"] : c["offset"] + c["nbytes"]], m, c["chunk_idx"],
             c["size_x"], c["size_y"],
         )
         oy, ox = c["origin_y"], c["origin_x"]
-        if m["planar"] == T.PLANAR_PLANAR:
+        if planar:
             out[oy : oy + c["size_y"], ox : ox + c["size_x"], c["plane"] : c["plane"] + 1] = px
         else:
-            out[oy : oy + c["size_y"], ox : ox + c["size_x"], :] = px
+            out[oy : oy + c["size_y"], ox : ox + c["size_x"], :] = px[:, :, :n_bands]
     return m, out
 
 
@@ -327,7 +337,8 @@ def zonal_pixel_batches(res: int = DEFAULT_RES):
             out: list[tuple] = []
             for rec in pdf.itertuples(index=False):
                 try:
-                    m, px = _decode_full(rec.bytes)
+                    # band-0 consumer: planar plane>0 chunks are never decoded
+                    m, px = _decode_full(rec.bytes, max_bands=1)
                 except TiffError:
                     continue
                 out.extend(
@@ -378,7 +389,7 @@ def full_decode_batches(res: int = DEFAULT_RES):
                     out.append((rec.image_id, meta_row, []))
                     continue
                 try:
-                    m, px = _decode_full(rec.bytes)
+                    m, px = _decode_full(rec.bytes, max_bands=1)
                     zon = _zonal_partials(m, px, res)
                 except TiffError as exc:
                     meta_row = dict(meta_row, error=str(exc))
