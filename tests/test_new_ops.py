@@ -335,6 +335,34 @@ def test_knn_haversine_matches_bruteforce(spark, sf_dir):
             assert got[(qid, rank)] == pid
 
 
+def test_knn_haversine_near_pole_and_wrap(spark):
+    """Near-pole and antimeridian-wrapped neighbors: the finalization bound
+    must never certify a query whose true nearest sits outside the planar
+    ring (the exact fallback finds it)."""
+    from aira_spark.operators.spatial import knn_join
+
+    rows = [
+        (0, -179.0, 89.5),   # query near pole + seam
+        (1, 178.0, 89.6),    # wrapped-close neighbor
+        (2, 1.0, 89.4),      # same pole cap, far in planar lon
+        (3, -179.0, 70.0),   # far south
+        (4, 10.0, -89.5),    # opposite pole
+    ]
+    pts = spark.createDataFrame(rows, "point_id long, x double, y double")
+    queries = pts.selectExpr("point_id AS query_id", "x", "y")
+    k = 3
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in knn_join(queries, pts, k=k, metric="haversine").collect()
+    }
+    for qid, qx, qy in rows:
+        ranked = sorted(
+            ((_hav_km(qy, qx, py, px), pid) for pid, px, py in rows)
+        )[:k]
+        for rank, (_, pid) in enumerate(ranked, start=1):
+            assert got[(qid, rank)] == pid, (qid, rank)
+
+
 def test_pip_shuffled_path_same_result(spark, sf_dir):
     """broadcast_polygons=False (the too-big-to-broadcast scale path) must
     produce identical pairs — only the physical join strategy changes."""

@@ -71,6 +71,17 @@ def main() -> None:
                  n_buckets=8, cell_col="cell")
     n_rollup = read_stage(spark, f"{out}/rollup").count()
 
+    # table maintenance: compact the cover stage's snapshots (resume-heavy
+    # runs accumulate one file set per partial commit) and prove content
+    # equality via the manifest checksums
+    from aira_spark.sources.checkpoint import compact_stage, verify_manifest
+
+    files_before, files_after = compact_stage(spark, f"{out}/cover")
+    ok = verify_manifest(
+        spark, f"{out}/cover", "cover", build_cover(), key="image_id", n_buckets=16
+    )
+    print(f"COMPACTION files {files_before} -> {files_after} verify={ok}")
+
     manifest = spark.read.parquet(f"{out}/cover/_manifest")
     print(f"RESULT cover_rows={n_cover} rollup_rows={n_rollup}")
     print("MANIFEST sample:")
