@@ -54,12 +54,71 @@ def tiffdump(argv: list[str]) -> int:
     return status
 
 
+def geoinfo(argv: list[str]) -> int:
+    """Georeference summary per file/page: CRS geokeys, geotransform,
+    world-space footprint (the engine-side GeoTIFF semantics the reference
+    only carries as raw tags)."""
+    from .tiff import tags as T
+    from .tiff.meta import TiffError, decode_all_pages, entry_value, parse_geokeys
+
+    ap = argparse.ArgumentParser(prog="aira_spark geoinfo")
+    ap.add_argument("files", nargs="+")
+    ap.add_argument("--json", action="store_true", help="JSON-lines output")
+    args = ap.parse_args(argv)
+
+    status = 0
+    for path in args.files:
+        try:
+            with open(path, "rb") as f:
+                buf = f.read()
+            pages = decode_all_pages(buf)
+        except (OSError, TiffError) as exc:
+            print(f"{path}: error: {exc}", file=sys.stderr)
+            status = 1
+            continue
+        for i, m in enumerate(pages):
+            rec: dict = {"file": path, "page": i, "width": m["width"],
+                         "height": m["height"]}
+            try:
+                gk = parse_geokeys(m)
+            except TiffError as exc:
+                gk = {"error": str(exc)}
+            rec["geokeys"] = gk
+            scale = m["custom"].get(T.MODEL_PIXEL_SCALE)
+            tie = m["custom"].get(T.MODEL_TIEPOINT)
+            if scale is not None and tie is not None:
+                sv = entry_value(*scale, m["byteorder"])
+                tv = entry_value(*tie, m["byteorder"])
+                x0 = tv[3] - tv[0] * sv[0]
+                y1 = tv[4] + tv[1] * sv[1]
+                rec["scale"] = [sv[0], sv[1]]
+                rec["footprint"] = [
+                    x0, y1 - m["height"] * sv[1], x0 + m["width"] * sv[0], y1,
+                ]
+            if args.json:
+                print(json.dumps(rec))
+            else:
+                print(f"== {path} page {i}: {m['width']}x{m['height']} ==")
+                if gk:
+                    print(f"  geokeys: {gk}")
+                if "footprint" in rec:
+                    fx = rec["footprint"]
+                    print(f"  scale: {rec['scale']}")
+                    print(
+                        f"  footprint: [{fx[0]:.6f}, {fx[1]:.6f}] .. "
+                        f"[{fx[2]:.6f}, {fx[3]:.6f}]"
+                    )
+    return status
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(prog="aira_spark")
-    ap.add_argument("command", choices=["tiffdump"])
+    ap.add_argument("command", choices=["tiffdump", "geoinfo"])
     args, rest = ap.parse_known_args()
     if args.command == "tiffdump":
         return tiffdump(rest)
+    if args.command == "geoinfo":
+        return geoinfo(rest)
     return 2
 
 
