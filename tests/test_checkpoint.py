@@ -107,6 +107,16 @@ def test_compaction_preserves_content(spark, source, tmp_path):
     log = snapshots(path)
     assert log[-1]["summary"]["operation"] == "replace"
     assert all(s.get("expired") for s in log[:-1])
+    # AS-OF reads of expired or never-committed snapshots must raise, not
+    # silently return wrong data
+    from aira_spark.sources.checkpoint import read_stage_at
+
+    with pytest.raises(ValueError, match="expired"):
+        read_stage_at(spark, path, 1)
+    with pytest.raises(ValueError, match="never committed"):
+        read_stage_at(spark, path, 999)
+    # the live compacted snapshot still time-travels
+    assert read_stage_at(spark, path, log[-1]["snapshot-id"]).count() == len(before_rows)
 
 
 def test_orphan_snapshot_invisible(spark, source, tmp_path):
