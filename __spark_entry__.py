@@ -306,6 +306,19 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways (SURVEY training-data family): whitespace
+    tokens vs BPE-ish regex tokens (letter/digit/symbol runs) per document."""
+    from aira_spark.functions import textfns as tf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.selectExpr(
+        "CAST(doc_id AS BIGINT) AS doc_id",
+        f"CAST({tf.n_tokens('text', 'spark')} AS BIGINT) AS n_ws_tokens",
+        f"CAST({tf.n_bpe_tokens('text', 'spark')} AS BIGINT) AS n_bpe_tokens",
+    )
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: full-doc rolling hash + winnowing minima
     (text analysis family, SURVEY.md §2; oracle evaluates identical SQL)."""
@@ -792,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
         "text_features": q_text_features,
+        "token_stats": q_token_stats,
         "fingerprints": q_fingerprints,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -1496,6 +1510,12 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
   CAST({tf.quality_score('text', eng)} AS DOUBLE) AS quality,
   {tf.lang_guess('text', eng)} AS lang_guess,
   {tf.h64('text', eng)} AS fingerprint
+FROM documents
+""",
+        "token_stats": f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST({tf.n_tokens('text', eng)} AS BIGINT) AS n_ws_tokens,
+  CAST({tf.n_bpe_tokens('text', eng)} AS BIGINT) AS n_bpe_tokens
 FROM documents
 """,
         "fingerprints": f"""

@@ -33,6 +33,19 @@ def n_tokens(expr: str, engine: str) -> str:
     return f"len(string_split({expr}, ' '))"
 
 
+# BPE-ish pre-tokenizer classes (GPT-2 style, simplified to the subset where
+# Java regex and RE2 agree): letter runs | digit runs | non-space symbol runs
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+
+def n_bpe_tokens(expr: str, engine: str) -> str:
+    """Token count under the BPE-ish pre-tokenization regex — the unit an
+    LLM-ingest pipeline budgets by, vs the whitespace count above."""
+    if engine == "spark":
+        return f"size(regexp_extract_all({expr}, '{BPE_ISH_PATTERN}', 0))"
+    return f"len(regexp_extract_all({expr}, '{BPE_ISH_PATTERN}'))"
+
+
 def count_matching_words(words_expr: str, vocab: tuple[str, ...], engine: str) -> str:
     inlist = ", ".join(f"'{w}'" for w in vocab)
     if engine == "spark":
