@@ -479,6 +479,21 @@ def q_zonal_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mosaic: max-composited 16x16 raster patch content per cell (overlapping
+    images merged; order-independent by construction)."""
+    from aira_spark.operators.mosaic import mosaic_cell_values
+
+    return mosaic_cell_values(
+        _images(spark, sf_dir, modulo=8), CELL_RES, patch_bits=4
+    ).select(
+        F.col("cell").cast("long").alias("cell"),
+        F.col("pr").cast("long").alias("pr"),
+        F.col("pc").cast("long").alias("pc"),
+        F.col("val").cast("long").alias("val"),
+    )
+
+
 def q_zonal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical pyramid rollup: fine-cell pixel partials re-aggregated two
     resolution levels up via cell_parent bit arithmetic (no second decode)."""
@@ -788,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": q_knn,
         "resize_thumbs": q_resize_thumbs,
         "zonal_exact": q_zonal_exact,
+        "mosaic": q_mosaic,
         "zonal_bands": q_zonal_bands,
         "band_index": q_band_index,
         "zonal_rollup": q_zonal_rollup,
@@ -1079,6 +1095,29 @@ SELECT {_sql_cell('x', 'y')} AS cell, CAST(s AS BIGINT) AS band,
   CAST(COUNT(*) AS BIGINT) AS n_px, CAST(SUM(val) AS BIGINT) AS sum_px,
   CAST(MIN(val) AS BIGINT) AS min_px, CAST(MAX(val) AS BIGINT) AS max_px
 FROM vals GROUP BY 1, 2
+"""
+
+
+def _oracle_mosaic() -> str:
+    nf = 1 << (CELL_RES + 4)  # fine grid: 16x16 subcells per cell
+    fix = f"CAST(LEAST(GREATEST(FLOOR((x - (-180.0)) / 360.0 * {float(nf)}), 0), {nf - 1}) AS BIGINT)"
+    fiy = f"CAST(LEAST(GREATEST(FLOOR((y - (-90.0)) / 180.0 * {float(nf)}), 0), {nf - 1}) AS BIGINT)"
+    return f"""
+WITH {_IMG_CTE},
+sel AS (SELECT * FROM meta WHERE k % 8 = 0),
+rws AS (SELECT *, unnest(generate_series(0, h - 1)) AS r FROM sel),
+pxs AS (SELECT *, unnest(generate_series(0, w - 1)) AS c FROM rws),
+vals AS (
+  SELECT (r * 7 + c * 13 + k) % 256 AS val,
+         cx + (CAST(c AS DOUBLE) + 0.5) * sx AS x,
+         (cy + h * sy) - (CAST(r AS DOUBLE) + 0.5) * sy AS y
+  FROM pxs
+),
+fine AS (SELECT val, {fix} AS fx, {fiy} AS fy FROM vals)
+SELECT ({_PACK} + (fx // 16) * 536870912 + (fy // 16)) AS cell,
+  CAST(fy % 16 AS BIGINT) AS pr, CAST(fx % 16 AS BIGINT) AS pc,
+  CAST(MAX(val) AS BIGINT) AS val
+FROM fine GROUP BY 1, 2, 3
 """
 
 
@@ -1446,6 +1485,7 @@ def oracle_sql() -> dict[str, str]:
         "knn": _oracle_knn(),
         "resize_thumbs": _oracle_resize_thumbs(),
         "zonal_exact": _oracle_zonal_exact(),
+        "mosaic": _oracle_mosaic(),
         "zonal_bands": _oracle_zonal_bands(),
         "band_index": _oracle_band_index(),
         "zonal_rollup": _oracle_zonal_rollup(),

@@ -1,0 +1,111 @@
+"""Mosaic: composite overlapping images into one raster patch per cell.
+
+The classic raster mosaic (multiple scenes covering the same area merged
+into a seamless layer) as DataFrames: each cell of the grid gets a
+PATCH x PATCH raster (PATCH = 2^patch_bits subcells) where every patch
+pixel is the MAX of all source-pixel values whose center falls inside that
+subcell — max-compositing is commutative/associative, so the result is
+independent of image order and partitioning (deterministic at any scale,
+and expressible as a plain hash aggregation for the oracle).
+
+Plan shape: the decode UDF emits per-(cell, pr, pc) partial maxima (already
+combined within each image), Catalyst's partial+final hash agg merges
+across images — pixels never shuffle, only (cell, subcell, val) rows. Patch
+assembly is a grouped-map applyInPandas per cell (the one UDF shape the
+input_hint allows beyond scalar/map batches), emitting the packed binary
+patch + fill count.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.cells import DEFAULT_RES
+
+
+def mosaic_cell_values(
+    images: DataFrame, res: int = DEFAULT_RES, patch_bits: int = 4
+) -> DataFrame:
+    """(cell, pr, pc, val): max-composited band-0 value per patch subcell.
+
+    Subcell (pr, pc) indexes the PATCH x PATCH grid inside the cell, row 0 at
+    the cell's SOUTH edge (consistent with the grid's y-up indexing).
+    """
+    from ..functions.udfs import _decode_full, pixel_cell_groups
+    from ..tiff.meta import TiffError
+
+    patch = 1 << patch_bits
+    fine_res = res + patch_bits
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.cells import np_cell_ix, np_cell_iy
+
+        for pdf in batches:
+            out: list[tuple] = []
+            for rec in pdf.itertuples(index=False):
+                try:
+                    m, px = _decode_full(rec.bytes, max_bands=1)
+                except TiffError:
+                    continue
+                groups = pixel_cell_groups(m, px, fine_res)
+                if groups is None:
+                    continue
+                order, uniq, starts, ends = groups
+                vals = px[:, :, 0].astype(np.int64).ravel()[order]
+                # per-image partial max per fine cell (one row per subcell)
+                maxs = np.maximum.reduceat(vals, starts)
+                fx = np_cell_ix(uniq)
+                fy = np_cell_iy(uniq)
+                coarse_ix = fx >> patch_bits
+                coarse_iy = fy >> patch_bits
+                cell = (
+                    np.int64(res) << 58
+                ) + (coarse_ix << 29) + coarse_iy
+                pr = fy - (coarse_iy << patch_bits)
+                pc = fx - (coarse_ix << patch_bits)
+                out.extend(
+                    (int(c), int(r_), int(c_), int(v))
+                    for c, r_, c_, v in zip(cell, pr, pc, maxs)
+                )
+            yield pd.DataFrame(out, columns=["cell", "pr", "pc", "val"])
+
+    partials = images.select("bytes").mapInPandas(
+        fn, schema="cell long, pr int, pc int, val long"
+    )
+    return partials.groupBy("cell", "pr", "pc").agg(F.max("val").alias("val"))
+
+
+MOSAIC_SCHEMA = "cell long, patch binary, n_filled long"
+
+
+def mosaic_patches(
+    images: DataFrame, res: int = DEFAULT_RES, patch_bits: int = 4
+) -> DataFrame:
+    """(cell, patch, n_filled): the composited PATCH x PATCH raster per cell,
+    packed row-major uint8 (values clipped to [0, 255]; unfilled subcells =
+    0). Assembly is applyInPandas over the per-cell subcell rows."""
+    patch = 1 << patch_bits
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        arr = np.zeros((patch, patch), dtype=np.uint8)
+        pr = pdf["pr"].to_numpy()
+        pc = pdf["pc"].to_numpy()
+        arr[pr, pc] = np.clip(pdf["val"].to_numpy(), 0, 255).astype(np.uint8)
+        return pd.DataFrame(
+            {
+                "cell": [int(pdf["cell"].iloc[0])],
+                "patch": [arr.tobytes()],
+                "n_filled": [len(pdf)],
+            }
+        )
+
+    return (
+        mosaic_cell_values(images, res, patch_bits)
+        .groupBy("cell")
+        .applyInPandas(assemble, schema=MOSAIC_SCHEMA)
+    )

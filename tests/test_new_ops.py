@@ -522,6 +522,41 @@ def test_duplicate_clusters_match_union_find(spark, sf_dir):
     assert any(size > 1 for _, size in got.values())
 
 
+def test_mosaic_patch_assembly(spark, images):
+    """mosaic_patches packs exactly the mosaic_cell_values content, and
+    overlapping images composite by max (order-independent)."""
+    import numpy as np
+
+    from aira_spark.operators.mosaic import mosaic_cell_values, mosaic_patches
+
+    vals = {
+        (r.cell, r.pr, r.pc): r.val
+        for r in mosaic_cell_values(images, res=7, patch_bits=4).collect()
+    }
+    patches = {
+        r.cell: (bytes(r.patch), r.n_filled)
+        for r in mosaic_patches(images, res=7, patch_bits=4).collect()
+    }
+    assert set(patches) == {c for c, _, _ in vals}
+    for cell, (buf, n_filled) in patches.items():
+        arr = np.frombuffer(buf, dtype=np.uint8).reshape(16, 16)
+        expect = np.zeros((16, 16), dtype=np.uint8)
+        n = 0
+        for (c, pr, pc), v in vals.items():
+            if c == cell:
+                expect[pr, pc] = min(max(v, 0), 255)
+                n += 1
+        assert np.array_equal(arr, expect) and n_filled == n
+    # overlap: the same images twice must give the identical mosaic (max is
+    # idempotent), proving compositing isn't order/multiplicity dependent
+    doubled = images.unionByName(images)
+    vals2 = {
+        (r.cell, r.pr, r.pc): r.val
+        for r in mosaic_cell_values(doubled, res=7, patch_bits=4).collect()
+    }
+    assert vals2 == vals
+
+
 # ------------------------------------------------------- rollup + overviews
 
 
