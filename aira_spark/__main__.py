@@ -73,32 +73,43 @@ def geoinfo(argv: list[str]) -> int:
                 buf = f.read()
             pages = decode_all_pages(buf)
         except (OSError, TiffError) as exc:
+            # same error contract in both modes: a machine-readable row in
+            # --json, a stderr line otherwise, and a nonzero exit either way
+            if args.json:
+                print(json.dumps({"file": path, "error": str(exc)}))
             print(f"{path}: error: {exc}", file=sys.stderr)
             status = 1
             continue
         for i, m in enumerate(pages):
             rec: dict = {"file": path, "page": i, "width": m["width"],
                          "height": m["height"]}
+            gk = None
             try:
                 gk = parse_geokeys(m)
-            except TiffError as exc:
-                gk = {"error": str(exc)}
-            rec["geokeys"] = gk
-            scale = m["custom"].get(T.MODEL_PIXEL_SCALE)
-            tie = m["custom"].get(T.MODEL_TIEPOINT)
-            if scale is not None and tie is not None:
-                sv = entry_value(*scale, m["byteorder"])
-                tv = entry_value(*tie, m["byteorder"])
-                x0 = tv[3] - tv[0] * sv[0]
-                y1 = tv[4] + tv[1] * sv[1]
-                rec["scale"] = [sv[0], sv[1]]
-                rec["footprint"] = [
-                    x0, y1 - m["height"] * sv[1], x0 + m["width"] * sv[0], y1,
-                ]
+                rec["geokeys"] = gk
+                scale = m["custom"].get(T.MODEL_PIXEL_SCALE)
+                tie = m["custom"].get(T.MODEL_TIEPOINT)
+                if scale is not None and tie is not None:
+                    sv = entry_value(*scale, m["byteorder"])
+                    tv = entry_value(*tie, m["byteorder"])
+                    if len(sv) < 2 or len(tv) < 5:
+                        raise TiffError("geotransform tags have too few values")
+                    x0 = tv[3] - tv[0] * sv[0]
+                    y1 = tv[4] + tv[1] * sv[1]
+                    rec["scale"] = [sv[0], sv[1]]
+                    rec["footprint"] = [
+                        x0, y1 - m["height"] * sv[1], x0 + m["width"] * sv[0], y1,
+                    ]
+            except (TiffError, TypeError) as exc:
+                # malformed geo tags: degrade per page, keep going
+                rec["error"] = str(exc)
+                status = 1
             if args.json:
                 print(json.dumps(rec))
             else:
                 print(f"== {path} page {i}: {m['width']}x{m['height']} ==")
+                if rec.get("error"):
+                    print(f"  error: {rec['error']}", file=sys.stderr)
                 if gk:
                     print(f"  geokeys: {gk}")
                 if "footprint" in rec:

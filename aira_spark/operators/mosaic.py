@@ -39,14 +39,15 @@ def mosaic_cell_values(
     from ..functions.udfs import _decode_full, pixel_cell_groups
     from ..tiff.meta import TiffError
 
-    patch = 1 << patch_bits
     fine_res = res + patch_bits
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.cells import np_cell_ix, np_cell_iy
 
         for pdf in batches:
-            out: list[tuple] = []
+            cols: dict[str, list[np.ndarray]] = {
+                "cell": [], "pr": [], "pc": [], "val": []
+            }
             for rec in pdf.itertuples(index=False):
                 try:
                     m, px = _decode_full(rec.bytes, max_bands=1)
@@ -63,16 +64,19 @@ def mosaic_cell_values(
                 fy = np_cell_iy(uniq)
                 coarse_ix = fx >> patch_bits
                 coarse_iy = fy >> patch_bits
-                cell = (
-                    np.int64(res) << 58
-                ) + (coarse_ix << 29) + coarse_iy
-                pr = fy - (coarse_iy << patch_bits)
-                pc = fx - (coarse_ix << patch_bits)
-                out.extend(
-                    (int(c), int(r_), int(c_), int(v))
-                    for c, r_, c_, v in zip(cell, pr, pc, maxs)
+                cols["cell"].append(
+                    (np.int64(res) << 58) + (coarse_ix << 29) + coarse_iy
                 )
-            yield pd.DataFrame(out, columns=["cell", "pr", "pc", "val"])
+                cols["pr"].append((fy - (coarse_iy << patch_bits)).astype(np.int32))
+                cols["pc"].append((fx - (coarse_ix << patch_bits)).astype(np.int32))
+                cols["val"].append(maxs)
+            # columnar assembly — no per-element Python on the decode path
+            yield pd.DataFrame(
+                {
+                    k: (np.concatenate(v) if v else np.array([], dtype=np.int64))
+                    for k, v in cols.items()
+                }
+            )
 
     partials = images.select("bytes").mapInPandas(
         fn, schema="cell long, pr int, pc int, val long"
