@@ -546,3 +546,47 @@ def parse_geokeys(meta: dict[str, Any]) -> dict[str, Any] | None:
             # '|' is the GeoTIFF ascii-key terminator
             out[name] = ascii_params[value : value + count].rstrip("|")
     return out
+
+
+def ratio_cmp(a: tuple[int, int], b: tuple[int, int]) -> int:
+    """Exact ordering of two rationals (num, den) — overflow-free and
+    float-free, reproducing the reference's continued-fraction comparison
+    built on floored division (ratio.rs:26-76; Python's divmod IS floored,
+    matching its div_mod_floor table, ratio.rs:146-158). Rationals from TIFF
+    tags are stored as (num, den) and never pre-divided (the CLI divides only
+    at print time), so sorts by e.g. resolution must use this, not floats.
+
+    Reproduces the reference's Ord branch-for-branch, INCLUDING its
+    equal-numerator shortcut quirk for mixed-sign denominators (ratio.rs:
+    36-47 reverses the den comparison for positive numerators regardless of
+    den signs) — fidelity over mathematical ordering on that edge.
+
+    Returns -1 / 0 / 1.
+    """
+    an, ad = int(a[0]), int(a[1])
+    bn, bd = int(b[0]), int(b[1])
+    while True:
+        if ad == bd:
+            if ad == 0:
+                raise ZeroDivisionError("ratio with zero denominator")
+            c = (an > bn) - (an < bn)
+            return -c if ad < 0 else c
+        if an == bn:
+            if an == 0:
+                return 0
+            c = (ad > bd) - (ad < bd)
+            return c if an < 0 else -c
+        if ad == 0 or bd == 0:
+            raise ZeroDivisionError("ratio with zero denominator")
+        ai, ar = divmod(an, ad)
+        bi, br = divmod(bn, bd)
+        if ai != bi:
+            return (ai > bi) - (ai < bi)
+        if ar == 0 and br == 0:
+            return 0
+        if ar == 0:
+            return -1
+        if br == 0:
+            return 1
+        # continued fraction: compare reciprocals of the remainders, reversed
+        an, ad, bn, bd = bd, br, ad, ar

@@ -264,3 +264,38 @@ def test_missing_required_tags():
     buf[nxt:nxt + 4] = _np.asarray([first], dtype="<u4").tobytes()
     with pytest.raises(TiffError, match="cycle"):
         walk_directories(bytes(buf))
+
+
+def test_ratio_exact_ordering():
+    """Exact rational ordering (ratio.rs:26-76 semantics): overflow-free,
+    correct where float division collapses, negative-denominator aware."""
+    from functools import cmp_to_key
+
+    from aira_spark.tiff.meta import ratio_cmp
+
+    # python divmod matches the reference's div_mod_floor table (ratio.rs:146-158)
+    assert divmod(8, 3) == (2, 2)
+    assert divmod(8, -3) == (-3, -1)
+    assert divmod(-8, 3) == (-3, 1)
+    assert divmod(-8, -3) == (2, -2)
+
+    assert ratio_cmp((1, 2), (2, 4)) == 0
+    assert ratio_cmp((1, 3), (1, 2)) == -1
+    assert ratio_cmp((-1, 3), (-1, 2)) == 1  # -1/3 > -1/2
+    # reference QUIRK preserved (ratio.rs:36-47): the equal-numerator
+    # shortcut compares denominators reversed for positive numerators even
+    # when the signs differ, so (1,-2) sorts ABOVE (1,2) — mathematically
+    # -0.5 < 0.5, but fidelity to the reference's Ord wins (TIFF RATIONAL is
+    # unsigned; mixed-sign dens only arise for SRATIONAL edge inputs)
+    assert ratio_cmp((1, -2), (1, 2)) == 1
+    assert ratio_cmp((-3, -4), (1, 2)) == 1  # 0.75 > 0.5
+    assert ratio_cmp((0, 5), (0, -7)) == 0
+    # floats cannot tell these apart; the exact comparison can:
+    big = 10**18
+    assert (big + 1) / big == (big + 2) / (big + 1)  # float collapses
+    assert ratio_cmp((big + 1, big), (big + 2, big + 1)) == 1
+    # sorting with the comparator is consistent
+    vals = [(3, 4), (-1, 2), (2, 3), (5, -7), (0, 1), (7, 7)]
+    ordered = sorted(vals, key=cmp_to_key(ratio_cmp))
+    as_floats = [n / d for n, d in ordered]
+    assert as_floats == sorted(as_floats)
