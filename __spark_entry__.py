@@ -306,6 +306,18 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data keep/drop gate: documents passing the quality
+    threshold (length/punct/stopword-ratio score)."""
+    from aira_spark.operators.text import quality_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_filter(docs, min_quality=0.5).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("quality").cast("double").alias("quality"),
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting both ways (SURVEY training-data family): whitespace
     tokens vs BPE-ish regex tokens (letter/digit/symbol runs) per document."""
@@ -822,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "text_features": q_text_features,
         "token_stats": q_token_stats,
+        "quality_filter": q_quality_filter,
         "fingerprints": q_fingerprints,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -1551,6 +1564,11 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
   {tf.lang_guess('text', eng)} AS lang_guess,
   {tf.h64('text', eng)} AS fingerprint
 FROM documents
+""",
+        "quality_filter": f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST({tf.quality_score('text', eng)} AS DOUBLE) AS quality
+FROM documents WHERE {tf.quality_score('text', eng)} >= 0.5
 """,
         "token_stats": f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
