@@ -6,9 +6,12 @@ computing the same result *from first principles* (closed-form image params
 derived from `part` keys — see aira_spark/sources/images.py), so the check
 covers the full encode -> decode -> operate path, not a tautology.
 
-Rows-only entries (no oracle): verify_invariants (pixel/caption/phash gate),
-embedding_near_dup + lsh_ann (seeded-hyperplane LSH), streaming_hourly
-(Structured Streaming), pip_salted (physical-plan variant of pip).
+Rows-only entries (no oracle): verify_invariants (it IS the verification gate
+— pixels/captions/phash against the generation formula; legitimately
+self-oracle). Everything else carries an exact DuckDB oracle, including the
+physical-plan variants (pip_salted reuses pip's oracle — identical results by
+construction; streaming_hourly reuses events_hourly's — stream==batch) and
+the ANN family (deterministic SQL-expressible hyperplanes / seed centroids).
 """
 
 from __future__ import annotations
@@ -66,6 +69,13 @@ docs AS (
   UNION ALL SELECT doc_id + 2000000, text || ' appended near dup tail', lang, source
     FROM documents WHERE doc_id % 11 = 0
 )
+"""
+
+_ORACLE_EVENTS_HOURLY = """
+SELECT event_type, CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2
 """
 
 _Q1_CENTS = "CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)"
@@ -1551,12 +1561,15 @@ SELECT c_mktsegment, CAST(c_custkey AS BIGINT) AS c_custkey, revenue_cents,
        CAST(rn AS BIGINT) AS rnk
 FROM j WHERE rn <= 5
 """,
-        "events_hourly": """
-SELECT event_type, CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
-  CAST(COUNT(*) AS BIGINT) AS n_events,
-  CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT) AS value_cents
-FROM events GROUP BY 1, 2
-""",
+        "events_hourly": _ORACLE_EVENTS_HOURLY,
+        # stream==batch: the streaming run's final table equals the batch
+        # rollup exactly (pinned by tests/test_streaming.py), so the batch
+        # oracle applies verbatim
+        "streaming_hourly": _ORACLE_EVENTS_HOURLY,
+        # pip_salted is a PHYSICAL variant of pip (salt spreads only the
+        # distribution, never the join key — results pinned identical by
+        # tests/test_spatial.py), so pip's oracle applies verbatim
+        "pip_salted": _oracle_pip(),
         "text_features": f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
   CAST({tf.n_tokens('text', eng)} AS BIGINT) AS n_tokens,

@@ -171,13 +171,20 @@ def k_ring(cell: Column, k: int, res: int = DEFAULT_RES) -> Column:
     )
 
 
-def _cover(xmin, ymin, xmax, ymax, res: int, closed: bool) -> Column:
+def _cover(xmin, ymin, xmax, ymax, res: int, closed: bool, touch_lo: bool = False) -> Column:
     """Shared cover builder: half-open (ceil-1 upper bound) or closed (floor
-    upper bound — the boundary point's own cell is included)."""
+    upper bound — the boundary point's own cell is included). touch_lo
+    additionally extends the LOWER bound one cell when it sits exactly on a
+    grid line, so the cover overlaps the half-open cover of any closed rect
+    that merely touches this one (see cover_rect_touch)."""
     n = 1 << res
 
     def lo(v, origin, span):
-        return _clamp(F.floor((v - F.lit(origin)) / F.lit(span) * F.lit(float(n))), 0, n - 1)
+        t = (v - F.lit(origin)) / F.lit(span) * F.lit(float(n))
+        idx = F.floor(t)
+        if touch_lo:
+            idx = idx - F.when(t == idx.cast("double"), F.lit(1)).otherwise(F.lit(0))
+        return _clamp(idx, 0, n - 1)
 
     def hi(v, origin, span, lo_idx):
         t = (v - F.lit(origin)) / F.lit(span) * F.lit(float(n))
@@ -215,6 +222,23 @@ def cover_rect_closed(
     distance d sits at x == qx + d, whose cell_from_xy cell must be covered).
     """
     return _cover(xmin, ymin, xmax, ymax, res, closed=True)
+
+
+def cover_rect_touch(
+    xmin: Column, ymin: Column, xmax: Column, ymax: Column, res: int = DEFAULT_RES
+) -> Column:
+    """Touch-inclusive cover: closed upper bound AND a lower bound extended one
+    cell when it lies exactly on a grid line.
+
+    Guarantees that any closed rect A intersecting-or-touching a closed rect B
+    shares >= 1 cell between cover_rect_touch(A) and cover_rect(B) (B's
+    ordinary half-open cover) — including the degenerate contact where the
+    shared edge sits exactly on a cell boundary, in either direction. Use on
+    the probe side of a lossless bbox-prefilter join whose refine predicate is
+    closed (e.g. footprint_polygon_join); the at-most-one extra row/column of
+    cells only enlarges the candidate superset.
+    """
+    return _cover(xmin, ymin, xmax, ymax, res, closed=True, touch_lo=True)
 
 
 def cell_bounds_xmin(cell: Column) -> Column:

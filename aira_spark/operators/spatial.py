@@ -321,17 +321,30 @@ def footprint_polygon_join(
     GeoTIFF footprint rectangle intersects the polygon (exact test).
 
     Prefilter: footprint cell cover equi-joined with the broadcast polygon
-    bbox cell cover (both covers are full cell rectangles of the respective
-    bboxes, so overlapping geometries always share >= 1 cell — lossless).
-    Candidates deduped on (image_id, poly_id), then the exact
-    rect-x-ring refine runs as a JVM filter. The image side is never
+    bbox cell cover. The footprint side uses the TOUCH-INCLUSIVE cover
+    (cover_rect_touch): the exact rect_intersects_ring refine uses closed
+    comparisons, so a footprint that merely touches the polygon on a shared
+    cell boundary is a match — a half-open footprint cover could place the
+    two geometries in disjoint cell sets and drop that boundary-degenerate
+    pair before the refine ever sees it, in either touch direction. With the
+    polygon side as the ordinary half-open bbox cover and the footprint side
+    touch-inclusive, overlapping-or-touching geometries always share >= 1
+    cell — lossless. Candidates deduped on (image_id, poly_id), then the
+    exact rect-x-ring refine runs as a JVM filter. The image side is never
     shuffled before the (tiny, post-prefilter) dedup.
     """
-    from .chunks import cell_cover
+    from ..functions.cells import cover_rect_touch
+    from .chunks import footprint
 
-    fp_cells = cell_cover(images_with_meta, res).select(
-        "image_id", "fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax", "cell"
-    )
+    fp = footprint(images_with_meta)
+    fp_cells = fp.withColumn(
+        "cell",
+        F.explode(
+            cover_rect_touch(
+                F.col("fp_xmin"), F.col("fp_ymin"), F.col("fp_xmax"), F.col("fp_ymax"), res
+            )
+        ),
+    ).select("image_id", "fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax", "cell")
     poly = F.broadcast(polygon_cells(polygons, res).select("cell", "poly_id", "ring"))
     cand = fp_cells.join(poly, "cell").dropDuplicates(["image_id", "poly_id"])
     return cand.filter(

@@ -40,7 +40,15 @@ def write_stage(
     only_buckets: list[int] | None = None,
 ) -> None:
     """Write df partitioned by bucket + append per-bucket lineage manifest."""
-    spark = df.sparkSession
+    data = f"{path}/data"
+    if os.path.isdir(data) and any(d.startswith("bucket=") for d in os.listdir(data)):
+        # same guard as read_stage, but at write time: appending snap= dirs
+        # into a pre-snapshot table would corrupt it (mixed partition layouts,
+        # manifest rows without snapshot_id) before any reader notices
+        raise ValueError(
+            f"{data} uses the pre-snapshot layout (top-level bucket= dirs); "
+            "recreate the stage — mixing layouts breaks partition discovery"
+        )
     data_cols = df.columns
     sid = next_snapshot_id(path)
     b = _with_bucket(df, key, n_buckets)
@@ -101,6 +109,15 @@ def next_snapshot_id(path: str) -> int:
 def live_snapshot_ids(path: str) -> list[int]:
     """Snapshot ids readers may see: committed to metadata.json, not expired."""
     return [s["snapshot-id"] for s in snapshots(path) if not s.get("expired")]
+
+
+def committed_snapshot_ids(path: str) -> list[int]:
+    """Every snapshot id that ever reached the metadata.json commit point —
+    live or expired (compaction expires snapshots but preserves their
+    content). A snapshot id absent from this list belongs to a write that
+    crashed before its commit: its data is an invisible orphan and its
+    manifest rows must not count as stored state."""
+    return [s["snapshot-id"] for s in snapshots(path)]
 
 
 def _write_metadata(path: str, meta: dict) -> None:
@@ -172,13 +189,24 @@ def _row_checksum_expr(cols: list[str]) -> str:
 
 
 def committed_buckets(spark: SparkSession, path: str, stage: str) -> list[int]:
+    """Buckets that are durably committed: manifest rows whose snapshot made it
+    into metadata.json. The manifest append precedes the metadata commit, so a
+    crash between the two leaves manifest rows for a snapshot readers never
+    see — trusting the manifest alone would make resume skip those buckets
+    forever while read_stage never returns their rows (silent data loss).
+    metadata.json is the sole commit point; the manifest is only an index."""
     mpath = f"{path}/{MANIFEST}"
     if not os.path.exists(mpath):
         return []
+    committed = committed_snapshot_ids(path)
     m = spark.read.parquet(mpath)
     return [
         r.bucket
-        for r in m.filter((F.col("stage") == stage) & (F.col("status") == "committed"))
+        for r in m.filter(
+            (F.col("stage") == stage)
+            & (F.col("status") == "committed")
+            & F.col("snapshot_id").isin(committed)
+        )
         .select("bucket")
         .distinct()
         .collect()
@@ -333,9 +361,16 @@ def verify_manifest(spark: SparkSession, path: str, stage: str, df: DataFrame,
             F.expr("bit_xor(" + _row_checksum_expr(data_cols) + ")").alias("sum_e"),
         )
     )
+    # same committed-snapshot filter as committed_buckets: manifest rows from
+    # a crashed (metadata-uncommitted) write must not count toward stored state
+    committed = committed_snapshot_ids(path)
     m = (
         spark.read.parquet(f"{path}/{MANIFEST}")
-        .filter((F.col("stage") == stage) & (F.col("status") == "committed"))
+        .filter(
+            (F.col("stage") == stage)
+            & (F.col("status") == "committed")
+            & F.col("snapshot_id").isin(committed)
+        )
         .groupBy("bucket")
         .agg(F.sum("rows").alias("rows_m"), F.expr("bit_xor(checksum)").alias("sum_m"))
     )

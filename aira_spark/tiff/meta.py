@@ -567,8 +567,9 @@ def ratio_cmp(a: tuple[int, int], b: tuple[int, int]) -> int:
     bn, bd = int(b[0]), int(b[1])
     while True:
         if ad == bd:
-            if ad == 0:
-                raise ZeroDivisionError("ratio with zero denominator")
+            # equal denominators INCLUDING zero: plain (sign-adjusted)
+            # numerator comparison, exactly as ratio.rs:28-35 — the reference
+            # only divides (and would panic) when denominators differ
             c = (an > bn) - (an < bn)
             return -c if ad < 0 else c
         if an == bn:

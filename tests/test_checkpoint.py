@@ -119,6 +119,49 @@ def test_compaction_preserves_content(spark, source, tmp_path):
     assert read_stage_at(spark, path, log[-1]["snapshot-id"]).count() == len(before_rows)
 
 
+def test_crash_between_manifest_and_metadata(spark, source, tmp_path, monkeypatch):
+    """A write killed AFTER the manifest append but BEFORE the metadata.json
+    commit must not strand its buckets: readers never see that snapshot's
+    rows (metadata is the sole commit point), so resume must treat them as
+    pending and recompute — trusting the manifest alone would skip them
+    forever (silent permanent data loss)."""
+    import aira_spark.sources.checkpoint as cp
+
+    path = str(tmp_path / "crashwin")
+    real_append = cp._append_snapshot
+
+    def crash(*a, **k):
+        raise RuntimeError("killed before metadata commit")
+
+    monkeypatch.setattr(cp, "_append_snapshot", crash)
+    with pytest.raises(RuntimeError, match="killed"):
+        write_stage(source, path, "s", key="o_orderkey", n_buckets=N_BUCKETS)
+    # manifest rows exist on disk, but no snapshot was committed:
+    assert committed_buckets(spark, path, "s") == []
+    monkeypatch.setattr(cp, "_append_snapshot", real_append)
+    # resume recomputes every bucket under a fresh snapshot
+    resume_stage(source, path, "s", key="o_orderkey", n_buckets=N_BUCKETS)
+    assert sorted(committed_buckets(spark, path, "s")) == list(range(N_BUCKETS))
+    assert read_stage(spark, path).count() == source.count()
+    # the stale manifest rows from the crashed write are excluded from
+    # verification too (they describe data readers never see)
+    assert verify_manifest(spark, path, "s", source, "o_orderkey", N_BUCKETS)
+
+
+def test_legacy_layout_write_fails_fast(spark, source, tmp_path):
+    """write_stage on a pre-snapshot table (top-level bucket= dirs) must fail
+    BEFORE appending anything, not corrupt the table for later readers."""
+    import os
+
+    path = str(tmp_path / "legacy")
+    os.makedirs(f"{path}/data/bucket=0")
+    with pytest.raises(ValueError, match="pre-snapshot layout"):
+        write_stage(source, path, "s", key="o_orderkey", n_buckets=N_BUCKETS)
+    # nothing was appended: no manifest, no metadata
+    assert not os.path.exists(f"{path}/_manifest")
+    assert not os.path.exists(f"{path}/metadata.json")
+
+
 def test_orphan_snapshot_invisible(spark, source, tmp_path):
     """A snap= dir from a killed write (data on disk, metadata never
     committed) is ignored by readers and its id is never reused."""

@@ -299,3 +299,11 @@ def test_ratio_exact_ordering():
     ordered = sorted(vals, key=cmp_to_key(ratio_cmp))
     as_floats = [n / d for n, d in ordered]
     assert as_floats == sorted(as_floats)
+    # equal denominators INCLUDING zero: numerator comparison, no error
+    # (ratio.rs:28-35 — the reference only divides when denominators differ)
+    assert ratio_cmp((1, 0), (2, 0)) == -1
+    assert ratio_cmp((5, 0), (5, 0)) == 0
+    # unequal num AND den with a zero denominator still raises — the
+    # reference reaches div_mod_floor there, which panics on zero
+    with pytest.raises(ZeroDivisionError):
+        ratio_cmp((1, 0), (2, 3))
