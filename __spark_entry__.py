@@ -395,6 +395,19 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 2) via pigeonhole multi-band
+    blocking; the oracle is an independent BRUTE-FORCE all-pairs popcount in
+    DuckDB, so the check is semantic recall, not formula parity."""
+    from aira_spark.operators.dedup import simhash_dup_pairs
+
+    return simhash_dup_pairs(_docs_with_dups(spark, sf_dir), 16, 2).select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aira_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -710,38 +723,63 @@ def q_verify_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from aira_spark.operators.similarity import embedding_near_dup_pairs
+    """Embedding near-dup pairs via SQL-exact integer LSH blocking + exact
+    cosine verify; the DuckDB oracle reproduces the identical buckets (int64
+    arithmetic — no float-sign risk) and the same verification."""
+    from aira_spark.operators.similarity import embedding_near_dup_pairs_sql
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.expr(_QUANT)
+    )
     # inject near-dups so the result is non-trivial
     bumped = emb.filter(F.col("vec_id") % 9 == 0).withColumn(
         "vec_id", F.col("vec_id") + F.lit(1_000_000)
     )
-    return embedding_near_dup_pairs(emb.unionByName(bumped), threshold=0.99)
+    return embedding_near_dup_pairs_sql(
+        emb.unionByName(bumped), threshold=0.99
+    ).select(
+        F.col("vec_a").cast("long").alias("vec_a"),
+        F.col("vec_b").cast("long").alias("vec_b"),
+        F.col("cos").cast("double").alias("cos"),
+    )
 
 
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from aira_spark.operators.similarity import lsh_ann_topk
+    """LSH ANN top-k with SQL-exact signatures (oracle checks buckets,
+    candidate generation AND the exact re-rank); the Gaussian-matmul variant
+    stays as the pytest-gated alternative."""
+    from aira_spark.operators.similarity import lsh_ann_topk_sql
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return lsh_ann_topk(emb, k=5, n_planes=6)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.expr(_QUANT)
+    )
+    return lsh_ann_topk_sql(emb, k=5, n_planes=6, n_tables=4).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rnk"),
+        F.col("cos").cast("double").alias("cos"),
+    )
 
 
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN scale path (rows-only: k-means training is iterative, not
-    SQL-expressible; the re-rank exactness is pinned by pytest recall test)."""
-    from aira_spark.operators.similarity import ivf_ann_topk
+    """IVF ANN with deterministic seed centroids: assignment, probe selection
+    and re-rank are all SQL-expressible, so the oracle checks the full plan
+    exactly; the k-means-trained variant is pinned by the pytest recall gate."""
+    from aira_spark.operators.similarity import ivf_ann_topk_seeded
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", "embedding"
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .withColumn("embedding", F.expr(_QUANT))
     )
-    queries = (
-        emb.filter(F.col("vec_id") % 10 == 0)
-        .limit(50)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    queries = emb.filter((F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 500)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    return ivf_ann_topk(emb, queries, k=10, n_centroids=16, nprobe=4).select(
-        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rnk"), "cos"
+    return ivf_ann_topk_seeded(emb, queries, k=10, n_centroids=16, nprobe=4).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rnk"),
+        F.col("cos").cast("double").alias("cos"),
     )
 
 
@@ -850,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ifd_dump": q_ifd_dump,
@@ -1474,6 +1513,111 @@ FROM labels
 """
 
 
+_DUCK_QUANT = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1024.0) / 1024.0)"
+_DUCK_DOT = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+
+
+def _duck_cos(a: str, b: str, round6: bool = True) -> str:
+    dab = _DUCK_DOT.format(a=a, b=b)
+    daa = _DUCK_DOT.format(a=a, b=a)
+    dbb = _DUCK_DOT.format(a=b, b=b)
+    expr = f"{dab} / SQRT({daa}) / SQRT({dbb})"
+    return f"ROUND({expr}, 6)" if round6 else f"({expr})"
+
+
+def _duck_lsh_sigs(n_planes: int, n_tables: int, src: str = "emb") -> str:
+    """CTE fragment: qe (integer-quantized) + sigs (vec_id, tbl, bucket) —
+    the exact int64 signature formulas from functions/lshfns.py."""
+    from aira_spark.functions import lshfns as lf
+
+    per_table = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {lf.bucket('ie', t, n_planes, 64, 'duckdb')} AS bucket FROM qe"
+        for t in range(n_tables)
+    )
+    return f"""
+qe AS (SELECT vec_id, {lf.qemb('qv', 'duckdb')} AS ie FROM {src}),
+sigs AS ({per_table})"""
+
+
+def _oracle_lsh_ann() -> str:
+    return f"""
+WITH emb AS (SELECT vec_id, {_DUCK_QUANT} AS qv FROM embeddings),
+{_duck_lsh_sigs(6, 4)},
+cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM sigs a JOIN sigs b USING (tbl, bucket) WHERE a.vec_id != b.vec_id
+),
+d AS (
+  SELECT c.query_id, c.neighbor_id, {_duck_cos('e.qv', 'q.qv')} AS cos
+  FROM cand c JOIN emb e ON e.vec_id = c.neighbor_id
+              JOIN emb q ON q.vec_id = c.query_id
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM d)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rn AS BIGINT) AS rnk, cos
+FROM r WHERE rn <= 5
+"""
+
+
+def _oracle_embedding_near_dup() -> str:
+    return f"""
+WITH base AS (SELECT vec_id, {_DUCK_QUANT} AS qv FROM embeddings),
+emb AS (
+  SELECT vec_id, qv FROM base
+  UNION ALL SELECT vec_id + 1000000, qv FROM base WHERE vec_id % 9 = 0
+),
+{_duck_lsh_sigs(6, 4)},
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sigs a JOIN sigs b USING (tbl, bucket) WHERE a.vec_id < b.vec_id
+),
+p AS (
+  SELECT c.vec_a, c.vec_b, {_duck_cos('ea.qv', 'eb.qv')} AS cos
+  FROM cand c JOIN emb ea ON ea.vec_id = c.vec_a
+              JOIN emb eb ON eb.vec_id = c.vec_b
+)
+SELECT CAST(vec_a AS BIGINT) AS vec_a, CAST(vec_b AS BIGINT) AS vec_b, cos
+FROM p WHERE cos >= 0.99
+"""
+
+
+def _oracle_ivf_ann() -> str:
+    cos_u = _duck_cos("e.qv", "c.cv", round6=False)
+    cos_q = _duck_cos("q.qv", "c.cv", round6=False)
+    return f"""
+WITH emb AS (SELECT vec_id, {_DUCK_QUANT} AS qv FROM embeddings),
+cents AS (
+  SELECT qv AS cv, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS centroid_id
+  FROM (SELECT * FROM emb ORDER BY vec_id LIMIT 16)
+),
+asn AS (
+  SELECT vec_id, centroid_id,
+    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
+  FROM (SELECT e.vec_id, c.centroid_id, {cos_u} AS cos FROM emb e CROSS JOIN cents c)
+),
+lists AS (SELECT vec_id AS neighbor_id, centroid_id FROM asn WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, qv FROM emb WHERE vec_id % 10 = 0 AND vec_id < 500),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, c.centroid_id,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY {cos_q} DESC, c.centroid_id) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= 4
+),
+cand AS (SELECT p.query_id, l.neighbor_id FROM probes p JOIN lists l USING (centroid_id)),
+d AS (
+  SELECT c.query_id, c.neighbor_id, {_duck_cos('e.qv', 'q.qv')} AS cos
+  FROM cand c JOIN emb e ON e.vec_id = c.neighbor_id
+              JOIN q ON q.query_id = c.query_id
+  WHERE c.neighbor_id != c.query_id
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM d)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rn AS BIGINT) AS rnk, cos
+FROM r WHERE rn <= 10
+"""
+
+
 def _oracle_ann() -> str:
     quant = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1024.0) / 1024.0)"
     dot = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
@@ -1612,6 +1756,20 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
   CAST({tf.simhash(tf.words('text', eng), 16, eng)} AS BIGINT) AS simhash
 FROM documents
 """,
+        # brute force (no blocking): the oracle intentionally uses a DIFFERENT
+        # method than the Spark pigeonhole-band path, so a blocking recall
+        # hole would fail the hash compare instead of being mirrored
+        "simhash_pairs": f"""
+WITH {_DUP_CTE},
+s AS (SELECT doc_id, {tf.simhash(tf.words('text', eng), 16, eng)} AS sh FROM docs)
+SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
+  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 2
+""",
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "ann_cosine_topk": _oracle_ann(),
+        "lsh_ann": _oracle_lsh_ann(),
+        "embedding_near_dup": _oracle_embedding_near_dup(),
+        "ivf_ann": _oracle_ivf_ann(),
     }

@@ -141,8 +141,11 @@ def simhash(words_expr: str, n_bits: int, engine: str) -> str:
             f"list_sum(list_transform({words_expr}, w -> "
             f"CASE WHEN ({h64('w', engine)} >> {b}) % 2 = 1 THEN 1 ELSE -1 END))"
         )
+    # bit 63's weight is the int64 sign bit: 1 << 63 overflows BIGINT as a
+    # literal, so emit its two's-complement value (same bit pattern)
+    weight = lambda b: str(1 << b) if b < 63 else str(-(1 << 63))
     terms = " + ".join(
-        f"(CASE WHEN {agg(b)} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        f"(CASE WHEN {agg(b)} > 0 THEN CAST({weight(b)} AS BIGINT) ELSE 0 END)"
         for b in range(n_bits)
     )
     return f"({terms})"

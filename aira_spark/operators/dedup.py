@@ -121,11 +121,14 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     round is one shuffle on node id over (node, label) pairs only; at 10^12
     scale this is the standard large-graph CC pattern (no driver-side graph).
     """
+    # localCheckpoint (not persist): edges appear in EVERY round's plan copy,
+    # and the label plan doubles per round (labels joined twice) — truncating
+    # the upstream lineage (the whole LSH pipeline) here keeps each copy tiny
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("a").alias("node"))
@@ -134,7 +137,7 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         .persist()
     )
     converged = False
-    for _ in range(max_iters):
+    for rnd in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges["b"] == labels["node"])
             .groupBy(F.col("a").alias("node2"))
@@ -148,8 +151,17 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
                     "label"
                 ),
             )
-            .persist()
         )
+        if (rnd + 1) % 5 == 0:
+            # the label plan DOUBLES per round (labels feeds both the
+            # neighbor-min join and the carry-over join), and persist() does
+            # not truncate the logical plan — without periodic truncation a
+            # diameter-25 component grows a 2^25-copy plan tree whose AQE
+            # explain string alone OOMs the driver. Checkpoint every 5 rounds
+            # bounds the tree at 2^5 copies of a (checkpoint-truncated) leaf.
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -192,31 +204,86 @@ def simhash_table(docs: DataFrame, n_bits: int = 16) -> DataFrame:
 
 
 def simhash_dup_pairs(docs: DataFrame, n_bits: int = 16, max_hamming: int = 2) -> DataFrame:
-    """Pairs whose SimHash Hamming distance <= max_hamming, blocked on the
-    high half of the hash so the join is an equi-join, not a cross join."""
-    half = n_bits // 2
-    t = simhash_table(docs, n_bits).withColumn(
-        "block", F.shiftrightunsigned(F.col("simhash"), half)
+    """ALL pairs whose SimHash Hamming distance <= max_hamming — recall 1.0.
+
+    Pigeonhole multi-band blocking (Manku et al., WWW'07 fingerprint dedup):
+    the hash splits into max_hamming + 1 disjoint bit bands, so a pair within
+    the Hamming budget has all its differing bits confined to at most
+    max_hamming bands and must agree EXACTLY on at least one band. Candidate
+    generation is one posexplode + equi-join on (band, band_value) — the same
+    shape as the MinHash band join above, never all-pairs — and the exact
+    popcount verify runs on candidates only. (The previous single-block-on-
+    the-high-half variant silently missed any pair whose differing bits fell
+    in the high half.)
+
+    Scale note: candidate volume within a band bucket is ~n^2 / 2^band_bits,
+    so the 16-bit default (5-6 bit bands) is for oracle-scale corpora only —
+    at 10^9+ rows use n_bits=64 (21-bit bands), exactly as Manku et al. run
+    64-bit fingerprints; same plan, pinned by pytest.
+    """
+    n_bands = max_hamming + 1
+    bounds = [round(i * n_bits / n_bands) for i in range(n_bands + 1)]
+    t = simhash_table(docs, n_bits)
+    bands = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), lo).bitwiseAND(
+                F.lit((1 << (hi - lo)) - 1)
+            )
+            for lo, hi in zip(bounds, bounds[1:])
+        ]
     )
-    a = t.select(F.col("block"), F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    b = t.select(F.col("block"), F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
-    ham = F.expr(
-        "length(regexp_replace(lpad(bin(sh_a ^ sh_b), 64, '0'), '0', ''))"
+    banded = t.select("doc_id", "simhash", F.posexplode(bands).alias("band", "bval"))
+    a = banded.select(
+        "band", "bval", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a")
+    )
+    b = banded.select(
+        "band", "bval", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b")
     )
     return (
-        a.join(b, "block")
+        a.join(b, ["band", "bval"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", ham)
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", F.expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.3) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame, k: int = 3, threshold: float = 0.3,
+    max_block: int | None = 100_000,
+) -> DataFrame:
     """Exact n-gram Jaccard pairs within (lang, source) blocks — the
-    non-probabilistic baseline the LSH path approximates."""
+    non-probabilistic baseline the LSH path approximates.
+
+    Within-block comparison is inherently quadratic, so blocks are guarded:
+    if any (lang, source) block exceeds max_block rows the operator raises
+    loudly instead of silently launching an O(n^2) join (at corpus scale a
+    single (en, web) block is most of the table). Route oversized corpora
+    through minhash_lsh_pairs and keep this as the exact verifier; pass
+    max_block=None only for bounded test inputs.
+    """
     sh = tf.shingles("text", k, ENG)
     d = docs.selectExpr("doc_id", "lang", "source", f"{sh} AS sh")
+    if max_block is not None:
+        # metadata-sized agg (one row per block); the action is the price of
+        # failing loudly before the quadratic join is ever scheduled
+        over = (
+            docs.groupBy("lang", "source")
+            .count()
+            .filter(F.col("count") > max_block)
+            .limit(1)
+            .collect()
+        )
+        if over:
+            r = over[0]
+            raise RuntimeError(
+                f"ngram_jaccard_pairs: block (lang={r['lang']}, source="
+                f"{r['source']}) has {r['count']} rows > max_block={max_block}; "
+                "all-pairs within it would be quadratic — use minhash_lsh_pairs "
+                "for candidate generation instead"
+            )
     a = d.select("lang", "source", F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = d.select("lang", "source", F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     jac = F.expr(tf.jaccard_words("sh_a", "sh_b", ENG))

@@ -156,6 +156,90 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     )
 
 
+# ------------------------------------------------ SQL-exact LSH variants
+#
+# Same bucketed plan as the numpy paths above, but the signatures are computed
+# as JVM column expressions over integer-quantized embeddings with closed-form
+# integer plane weights (functions/lshfns.py) — exactly reproducible by the
+# DuckDB oracle, and Python-free (whole-stage codegen instead of Arrow
+# transfer), which is the preferable physical form anyway.
+
+
+def lsh_signatures_sql(
+    embeddings: DataFrame, n_planes: int = 6, dim: int = 64, n_tables: int = 4
+) -> DataFrame:
+    """(vec_id, table, bucket) via exact integer sign-hash signatures."""
+    from ..functions import lshfns as lf
+
+    qe = lf.qemb("embedding", "spark")
+    buckets = ", ".join(
+        lf.bucket("qe", t, n_planes, dim, "spark") for t in range(n_tables)
+    )
+    return (
+        embeddings.selectExpr("vec_id", f"{qe} AS qe")
+        .selectExpr("vec_id", f"posexplode(array({buckets})) AS (table, bucket)")
+    )
+
+
+def lsh_ann_topk_sql(
+    embeddings: DataFrame, k: int = 10, n_planes: int = 6, n_tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """lsh_ann_topk with SQL-exact signatures (oracle-backed): candidates
+    share any (table, bucket); exact cosine re-rank over the deduped set."""
+    sigs = lsh_signatures_sql(embeddings, n_planes, dim, n_tables)
+    a = sigs.select("table", "bucket", F.col("vec_id").alias("query_id"))
+    b = sigs.select("table", "bucket", F.col("vec_id").alias("neighbor_id"))
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    e = embeddings.select("vec_id", "embedding")
+    cand = (
+        cand.join(e.withColumnRenamed("vec_id", "query_id")
+                   .withColumnRenamed("embedding", "qvec"), "query_id")
+        .join(e.withColumnRenamed("vec_id", "neighbor_id")
+               .withColumnRenamed("embedding", "vec"), "neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("cos", F.round(cosine(F.col("vec"), F.col("qvec")), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def embedding_near_dup_pairs_sql(
+    embeddings: DataFrame, threshold: float = 0.95,
+    n_planes: int = 6, n_tables: int = 4, dim: int = 64,
+) -> DataFrame:
+    """embedding_near_dup_pairs with SQL-exact signatures (oracle-backed)."""
+    sigs = lsh_signatures_sql(embeddings, n_planes, dim, n_tables)
+    a = sigs.select("table", "bucket", F.col("vec_id").alias("vec_a"))
+    b = sigs.select("table", "bucket", F.col("vec_id").alias("vec_b"))
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    e = embeddings.select("vec_id", "embedding")
+    cand = (
+        cand.join(e.withColumnRenamed("vec_id", "vec_a")
+                   .withColumnRenamed("embedding", "ea"), "vec_a")
+        .join(e.withColumnRenamed("vec_id", "vec_b")
+               .withColumnRenamed("embedding", "eb"), "vec_b")
+    )
+    return (
+        cand.withColumn("cos", F.round(cosine(F.col("ea"), F.col("eb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", "cos")
+    )
+
+
 # ---------------------------------------------------------------- IVF ANN
 
 IVF_ASSIGN_SCHEMA = Ty.StructType(
@@ -217,6 +301,80 @@ def ivf_assign(embeddings: DataFrame, centroids: np.ndarray) -> DataFrame:
 
     return embeddings.select("vec_id", "embedding").mapInPandas(
         fn, schema=IVF_ASSIGN_SCHEMA
+    )
+
+
+def ivf_ann_topk_seeded(
+    embeddings: DataFrame, queries: DataFrame, k: int = 10,
+    n_centroids: int = 16, nprobe: int = 4,
+) -> DataFrame:
+    """IVF ANN with DETERMINISTIC seed centroids (the n_centroids lowest
+    vec_ids, no Lloyd iterations) — every stage is SQL-expressible, so the
+    DuckDB oracle checks the full distributed plan exactly: inverted-list
+    assignment, probe selection, and the exact re-rank. The k-means-trained
+    variant (ivf_ann_topk below) shares every stage except centroid training
+    and is pinned by the pytest recall gate.
+
+    Plan shape: centroids are a metadata-sized collect baked into a literal
+    array column, so ASSIGNMENT IS A PURE PROJECTION — the embedding table is
+    never shuffled (an improvement over the mapInPandas assignment: no Arrow
+    transfer either). Probes broadcast; the probe join is an equi-join on
+    centroid_id reading nprobe/n_centroids of the table per query.
+    """
+    seeds = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = F.array(
+        *[
+            F.array(*[F.lit(float(v)) for v in r.embedding])
+            for r in sorted(seeds, key=lambda r: r.vec_id)
+        ]
+    )
+
+    def cos_arr(vec):
+        return F.transform(cents, lambda c: cosine(vec, c))
+
+    # argmax with lowest-index tie-break: first position of the max cosine
+    emb = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vec")
+    ).withColumn("_ca", cos_arr(F.col("vec")))
+    lists = emb.withColumn(
+        "centroid_id",
+        (F.expr("array_position(_ca, array_max(_ca))") - 1).cast("int"),
+    ).select("centroid_id", "neighbor_id", "vec")
+
+    # top-nprobe centroids per query: sort (−cos, centroid_id) lexicographically
+    qs = queries.select("query_id", "qvec").withColumn("_ca", cos_arr(F.col("qvec")))
+    ranked = F.transform(
+        F.sequence(F.lit(0), F.lit(n_centroids - 1)),
+        lambda i: F.struct(
+            (-F.element_at(F.col("_ca"), i + 1)).alias("neg"),
+            i.cast("int").alias("cid"),
+        ),
+    )
+    probes = qs.select(
+        "query_id",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(ranked), 1, nprobe), lambda s: s["cid"]
+            )
+        ).alias("centroid_id"),
+    )
+    qv = queries.select("query_id", "qvec")
+    cand = (
+        F.broadcast(probes).join(lists, "centroid_id")
+        .join(F.broadcast(qv), "query_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("cos", F.round(cosine(F.col("vec"), F.col("qvec")), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
     )
 
 

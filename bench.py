@@ -145,6 +145,9 @@ def main() -> None:
         "dedup_clusters": lambda: em.q_dedup_clusters(spark, sf_dir).count(),
         "band_index": lambda: em.q_band_index(spark, sf_dir).count(),
         "pip_salted": lambda: em.q_pip_salted(spark, sf_dir).count(),
+        "simhash_pairs": lambda: em.q_simhash_pairs(spark, sf_dir).count(),
+        "lsh_ann": lambda: em.q_lsh_ann(spark, sf_dir).count(),
+        "ivf_ann": lambda: em.q_ivf_ann(spark, sf_dir).count(),
         "mosaic": lambda: em.q_mosaic(spark, sf_dir).count(),
         "resize_thumbs": lambda: em.q_resize_thumbs(spark, sf_dir).count(),
     }

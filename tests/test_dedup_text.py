@@ -50,6 +50,86 @@ def test_simhash_exact_dups_collide(spark, docs):
         assert (i, i + 1_000_000) in found
 
 
+def test_simhash_pairs_recall_is_exact(spark, docs):
+    """Pigeonhole multi-band blocking has recall 1.0: the operator's pair set
+    equals the all-pairs brute force, INCLUDING pairs whose differing bits
+    all fall in the high half of the hash (the hole of the old
+    single-block-on-high-half variant)."""
+    from itertools import combinations
+
+    from aira_spark.operators.dedup import simhash_dup_pairs, simhash_table
+
+    sub = docs.limit(200)
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_dup_pairs(sub, n_bits=16, max_hamming=2).collect()
+    }
+    hashes = {r.doc_id: int(r.simhash) for r in simhash_table(sub, 16).collect()}
+    expect = {}
+    for a, b in combinations(sorted(hashes), 2):
+        h = bin(hashes[a] ^ hashes[b]).count("1")
+        if h <= 2:
+            expect[(a, b)] = h
+    assert got == expect
+    # the old blocking missed exactly these: qualifying pairs whose differing
+    # bits are ALL in the high 8 of 16 — require the corpus to contain some
+    # and the operator to have found them (verified by the set equality above)
+    high_only = [
+        p for p, h in expect.items()
+        if h > 0 and (hashes[p[0]] ^ hashes[p[1]]) & 0xFF == 0
+    ]
+    assert high_only, "corpus has no high-half-only pair; enlarge the sample"
+
+
+def test_simhash_pairs_64bit_bands(spark, docs):
+    """The scale configuration (n_bits=64, 21-bit bands — Manku et al.) runs
+    the same plan and matches brute force on a small sample."""
+    from itertools import combinations
+
+    from aira_spark.operators.dedup import simhash_dup_pairs, simhash_table
+
+    sub = docs.limit(60)
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_dup_pairs(sub, n_bits=64, max_hamming=3).collect()
+    }
+    hashes = {r.doc_id: int(r.simhash) for r in simhash_table(sub, 64).collect()}
+    mask = (1 << 64) - 1  # bit 63 is the int64 sign bit: mask before popcount
+    expect = {
+        (a, b)
+        for a, b in combinations(sorted(hashes), 2)
+        if bin((hashes[a] ^ hashes[b]) & mask).count("1") <= 3
+    }
+    assert got == expect
+
+
+def test_ngram_jaccard_block_guard(spark, docs):
+    """An oversized (lang, source) block must raise loudly instead of running
+    an O(n^2) within-block join."""
+    from aira_spark.operators.dedup import ngram_jaccard_pairs
+
+    with pytest.raises(RuntimeError, match="max_block"):
+        ngram_jaccard_pairs(docs, max_block=5).collect()
+    # bounded blocks still work with the guard enabled
+    assert ngram_jaccard_pairs(docs.limit(40), max_block=40).count() >= 0
+
+
+def test_duplicate_clusters_deep_path_graph(spark):
+    """A path graph of diameter > 10 (worst case for label propagation)
+    converges — the periodic localCheckpoint keeps the loop's lineage bounded
+    instead of stacking 25+ persist generations."""
+    from aira_spark.operators.dedup import duplicate_clusters
+
+    n = 26
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(n - 1)], "doc_a long, doc_b long, jaccard double"
+    )
+    out = duplicate_clusters(pairs, max_iters=40).collect()
+    assert len(out) == n
+    assert {r.cluster_id for r in out} == {0}
+    assert all(r.cluster_size == n for r in out)
+
+
 def test_text_features_ranges(spark, docs):
     from aira_spark.operators.text import text_features
 
@@ -104,6 +184,67 @@ def test_streaming_matches_batch(spark, sf_dir):
     batch = {tuple(r) for r in em.q_events_hourly(spark, sf_dir).collect()}
     stream = {tuple(r) for r in em.q_streaming_hourly(spark, sf_dir).collect()}
     assert batch == stream
+
+
+def test_lsh_ann_sql_recall_vs_bruteforce(spark, sf_dir):
+    """SQL-exact integer LSH signatures (the oracle-backed path) give the
+    same top-1 recall as the Gaussian numpy family at the same geometry
+    (4 planes x 8 OR-amplified tables) — the literal splitmix integer
+    hyperplanes are a valid sign-hash family, not just oracle plumbing."""
+    from aira_spark.operators.similarity import cosine_topk, lsh_ann_topk_sql
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200).cache()
+    truth = {
+        r.query_id: r.neighbor_id
+        for r in cosine_topk(
+            emb, emb.selectExpr("vec_id AS query_id", "embedding AS qvec"), k=1
+        ).collect()
+    }
+    approx = {
+        r.query_id: r.neighbor_id
+        for r in lsh_ann_topk_sql(emb, k=1, n_planes=4, n_tables=8).collect()
+    }
+    hits = sum(1 for q, n in truth.items() if approx.get(q) == n)
+    recall = hits / len(truth)
+    assert recall >= 0.45, f"SQL-LSH recall {recall:.2f} too low"
+
+
+def test_ivf_seeded_matches_probed_bruteforce(spark, sf_dir):
+    """Seeded IVF: the top-k inside the probed lists equals a pandas
+    re-computation of the same probe semantics (independent cross-check of
+    the literal-centroid projection argmax)."""
+    import numpy as np
+
+    from aira_spark.operators.similarity import ivf_ann_topk_seeded
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = ivf_ann_topk_seeded(emb, queries, k=5, n_centroids=8, nprobe=2).collect()
+
+    pdf = emb.toPandas().sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cents = norm[:8]  # lowest 8 vec_ids are the seeds (ids are 0..n-1 sorted)
+    assign = (norm @ cents.T).argmax(axis=1)
+    for qid in range(5):
+        q = norm[ids == qid][0]
+        probe = np.argsort(-(cents @ q))[:2]
+        cand = [
+            (int(i), float(v @ q))
+            for i, v, a in zip(ids, norm, assign)
+            if a in probe and i != qid
+        ]
+        cand.sort(key=lambda t: (-round(t[1], 6), t[0]))
+        expect = [c[0] for c in cand[:5]]
+        mine = [r.neighbor_id for r in sorted(
+            (g for g in got if g.query_id == qid), key=lambda r: r.rank
+        )]
+        assert mine == expect, f"query {qid}: {mine} != {expect}"
 
 
 def test_winnow_fingerprints_properties(spark):
