@@ -154,6 +154,74 @@ def q_meta_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         m["predictor"].cast("long").alias("predictor"),
         m["planar"].cast("long").alias("planar"),
         m["spp"].cast("long").alias("spp"),
+        m["subfile_type"].cast("long").alias("subfile_type"),
+        m["resolution"]["x_num"].cast("long").alias("res_x_num"),
+        m["resolution"]["x_den"].cast("long").alias("res_x_den"),
+        m["resolution"]["y_num"].cast("long").alias("res_y_num"),
+        m["resolution"]["y_den"].cast("long").alias("res_y_den"),
+        m["resolution"]["unit"].cast("long").alias("res_unit"),
+        m["artist"].alias("artist"),
+        m["datetime"].alias("datetime"),
+    )
+
+
+def q_ratio_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rational ordering as a DataFrame sort (functions/ratiofns.py):
+    adversarial (num, den) pairs derived from part keys — consecutive pairs
+    collapse to the SAME double under pre-division but differ exactly —
+    ranked by the 186-fractional-bit integer key. Sign-flipped denominators
+    and zero-denominator (+-inf class) rows included. The global rank is the
+    demonstration; the key itself is a pure projection, and a 100 TB sort
+    uses range-partitioned orderBy on the key columns."""
+    from pyspark.sql import Window
+
+    from aira_spark.functions.ratiofns import ratio_sort_cols
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("k")
+    )
+    e18 = 10**18
+    rows = part.selectExpr(
+        "k",
+        "CASE WHEN k % 3 = 1 THEN -1 ELSE 1 END AS sgn",
+        "CASE WHEN k % 5 = 0 THEN -1 ELSE 1 END AS dsgn",
+        "k % 97 = 0 AS zden",
+    ).selectExpr(
+        f"""stack(2,
+          2 * k,     sgn * ({e18} + k),     CASE WHEN zden THEN 0 ELSE dsgn * {e18} END,
+          2 * k + 1, sgn * ({e18} + k + 1), CASE WHEN zden THEN 0 ELSE dsgn * ({e18} + 1) END
+        ) AS (rid, num, den)"""
+    )
+    w = Window.orderBy(*ratio_sort_cols("num", "den"), F.col("rid"))
+    return rows.select(
+        F.col("rid").cast("long").alias("rid"),
+        F.col("num").cast("long").alias("num"),
+        F.col("den").cast("long").alias("den"),
+        F.row_number().over(w).cast("long").alias("rnk"),
+    )
+
+
+def q_resolution_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user-visible case VERDICT flagged: orderBy on meta.resolution must
+    sort by the EXACT rational, not its float collapse. Spark sorts by the
+    ratiofns key over the decoded num/den struct fields; the DuckDB oracle
+    sorts by plain double division — independent method, exact for these
+    small rationals — so a wrong key order fails the hash."""
+    from pyspark.sql import Window
+
+    from aira_spark.functions.ratiofns import ratio_sort_cols
+    from aira_spark.operators.chunks import with_meta
+
+    m = F.col("meta")
+    imgs = with_meta(_images(spark, sf_dir, modulo=8)).select(
+        "image_id",
+        m["resolution"]["x_num"].cast("long").alias("x_num"),
+        m["resolution"]["x_den"].cast("long").alias("x_den"),
+    )
+    w = Window.orderBy(*ratio_sort_cols("x_num", "x_den"), F.col("image_id"))
+    return imgs.select(
+        "image_id", "x_num", "x_den",
+        F.row_number().over(w).cast("long").alias("rnk"),
     )
 
 
@@ -855,6 +923,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "meta_decode": q_meta_decode,
+        "ratio_sort": q_ratio_sort,
+        "resolution_sort": q_resolution_sort,
         "tile_assign": q_tile_assign,
         "cell_cover": q_cell_cover,
         "zonal_stats": q_zonal_stats,
@@ -905,6 +975,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------- oracles
 
 
+def _oracle_ratio_sort() -> str:
+    from aira_spark.functions.ratiofns import duck_order_by
+
+    e18 = 10**18
+    return f"""
+WITH base AS (
+  SELECT p_partkey AS k,
+    CASE WHEN p_partkey % 3 = 1 THEN -1 ELSE 1 END AS sgn,
+    CASE WHEN p_partkey % 5 = 0 THEN -1 ELSE 1 END AS dsgn,
+    p_partkey % 97 = 0 AS zden
+  FROM part
+),
+rows AS (
+  SELECT 2 * k AS rid, sgn * ({e18} + k) AS num,
+         CASE WHEN zden THEN 0 ELSE dsgn * {e18} END AS den FROM base
+  UNION ALL
+  SELECT 2 * k + 1, sgn * ({e18} + k + 1),
+         CASE WHEN zden THEN 0 ELSE dsgn * ({e18} + 1) END FROM base
+)
+SELECT CAST(rid AS BIGINT) AS rid, CAST(num AS BIGINT) AS num,
+       CAST(den AS BIGINT) AS den,
+       CAST(ROW_NUMBER() OVER (ORDER BY {duck_order_by('num', 'den')}, rid) AS BIGINT) AS rnk
+FROM rows
+"""
+
+
+def _oracle_resolution_sort() -> str:
+    # independent method: plain double division — exact for num <= 168,
+    # den <= 5 (collisions only for value-equal rationals, which tie-break
+    # on image_id in both engines)
+    return f"""
+WITH {_IMG_CTE}
+SELECT image_id, CAST(72 + k % 97 AS BIGINT) AS x_num,
+       CAST(1 + k % 5 AS BIGINT) AS x_den,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY CAST(72 + k % 97 AS DOUBLE) / (1 + k % 5), image_id
+       ) AS BIGINT) AS rnk
+FROM meta WHERE k % 8 = 0
+"""
+
+
 def _oracle_meta_decode() -> str:
     return f"""
 WITH {_IMG_CTE}
@@ -915,7 +1026,18 @@ SELECT image_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
               WHEN 7 THEN 32946 ELSE 1 END AS BIGINT) AS compression,
   CAST(CASE WHEN v IN (4,5,6,11) THEN 2 WHEN v = 8 THEN 3 ELSE 1 END AS BIGINT) AS predictor,
   CAST(CASE WHEN v IN (9,10) THEN 2 ELSE 1 END AS BIGINT) AS planar,
-  CAST(CASE WHEN v IN (1,2,4,10) THEN 3 WHEN v IN (6,9) THEN 2 ELSE 1 END AS BIGINT) AS spp
+  CAST(CASE WHEN v IN (1,2,4,10) THEN 3 WHEN v IN (6,9) THEN 2 ELSE 1 END AS BIGINT) AS spp,
+  CAST(0 AS BIGINT) AS subfile_type,
+  CAST(72 + k % 97 AS BIGINT) AS res_x_num,
+  CAST(1 + k % 5 AS BIGINT) AS res_x_den,
+  CAST(72 + k % 89 AS BIGINT) AS res_y_num,
+  CAST(1 + k % 3 AS BIGINT) AS res_y_den,
+  CAST(2 + k % 2 AS BIGINT) AS res_unit,
+  'sensor-' || CAST(k % 31 AS VARCHAR) AS artist,
+  '2026:01:' || lpad(CAST(1 + k % 28 AS VARCHAR), 2, '0') || ' '
+    || lpad(CAST(k % 24 AS VARCHAR), 2, '0') || ':'
+    || lpad(CAST(k % 60 AS VARCHAR), 2, '0') || ':'
+    || lpad(CAST((k * 7) % 60 AS VARCHAR), 2, '0') AS datetime
 FROM meta
 """
 
@@ -1643,6 +1765,8 @@ def oracle_sql() -> dict[str, str]:
     eng = "duckdb"
     return {
         "meta_decode": _oracle_meta_decode(),
+        "ratio_sort": _oracle_ratio_sort(),
+        "resolution_sort": _oracle_resolution_sort(),
         "tile_assign": _oracle_tile_assign(),
         "cell_cover": _oracle_cell_cover(),
         "streaming_cover": _oracle_cell_cover(modulo=16),
@@ -1674,7 +1798,7 @@ FROM dims WHERE k % 16 = 0
         "ifd_dump": f"""
 WITH {_IMG_CTE}
 SELECT image_id,
-  CAST(13 + CASE WHEN v IN (2,4,7,11) THEN 4 ELSE 3 END
+  CAST(19 + CASE WHEN v IN (2,4,7,11) THEN 4 ELSE 3 END
           + CASE WHEN v IN (4,5,6,8,11) THEN 1 ELSE 0 END AS BIGINT) AS n_entries,
   CAST(1 AS BIGINT) AS n_pages,
   CAST(w AS BIGINT) AS width,

@@ -42,6 +42,28 @@ META_SCHEMA = Ty.StructType(
         Ty.StructField("offsets", Ty.ArrayType(Ty.LongType())),
         Ty.StructField("byte_counts", Ty.ArrayType(Ty.LongType())),
         Ty.StructField("description", Ty.StringType()),
+        # reference Metadata string/ancillary fields (metadata.rs:19-59):
+        # resolution keeps the EXACT num/den pair — predividing to a double
+        # collapses distinct rationals (see tiff/meta.py ratio_cmp); sort via
+        # functions/ratiofns.ratio_sort_key
+        Ty.StructField("subfile_type", Ty.LongType()),
+        Ty.StructField(
+            "resolution",
+            Ty.StructType(
+                [
+                    Ty.StructField("x_num", Ty.LongType()),
+                    Ty.StructField("x_den", Ty.LongType()),
+                    Ty.StructField("y_num", Ty.LongType()),
+                    Ty.StructField("y_den", Ty.LongType()),
+                    Ty.StructField("unit", Ty.IntegerType()),
+                ]
+            ),
+        ),
+        Ty.StructField("artist", Ty.StringType()),
+        Ty.StructField("software", Ty.StringType()),
+        Ty.StructField("copyright", Ty.StringType()),
+        Ty.StructField("host_computer", Ty.StringType()),
+        Ty.StructField("datetime", Ty.StringType()),
         Ty.StructField("scale_x", Ty.DoubleType()),
         Ty.StructField("scale_y", Ty.DoubleType()),
         Ty.StructField("tie_i", Ty.DoubleType()),
@@ -99,6 +121,23 @@ def _meta_dict_to_row(m: dict) -> dict:
         "offsets": [int(o) for o in m["offsets"]],
         "byte_counts": [int(b) for b in m["byte_counts"]],
         "description": m["description"],
+        "subfile_type": m["subfile_type"],
+        "resolution": (
+            None
+            if m["resolution"] is None
+            else {
+                "x_num": m["resolution"]["x_num"],
+                "x_den": m["resolution"]["x_den"],
+                "y_num": m["resolution"]["y_num"],
+                "y_den": m["resolution"]["y_den"],
+                "unit": m["resolution"]["unit"],
+            }
+        ),
+        "artist": m["artist"],
+        "software": m["software"],
+        "copyright": m["copyright"],
+        "host_computer": m["host_computer"],
+        "datetime": m["datetime"],
         "scale_x": None,
         "scale_y": None,
         "tie_i": None,

@@ -72,6 +72,9 @@ def _pyramid_batches(levels: int):
                         write_tiff(
                             sub, byteorder=bo, layout=("strips", 8),
                             big=(version == 43), geo=geo,
+                            # reduced-resolution marker, the COG convention
+                            # (reference crates/aira-tiff/src/subfile_type.rs:7-14)
+                            subfile_type=1,
                         )
                     )
                 out.append((rec.image_id, concat_tiff_pages(bufs)))

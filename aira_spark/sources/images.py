@@ -142,6 +142,23 @@ def caption_for(k: int) -> str:
     return f"img-{k} synthetic raster caption"
 
 
+def resolution_for(k: int) -> tuple:
+    """(x_num, x_den, y_num, y_den, unit) — exact u32 rationals with
+    non-trivial denominators so exact-rational ordering is exercised
+    (x_num/x_den collides at double precision for distinct k only under
+    deliberately adversarial inputs; the ratio_sort query builds those)."""
+    return (72 + k % 97, 1 + k % 5, 72 + k % 89, 1 + k % 3, 2 + k % 2)
+
+
+def artist_for(k: int) -> str:
+    return f"sensor-{k % 31}"
+
+
+def datetime_for(k: int) -> str:
+    """Deterministic capture timestamp in TIFF 'YYYY:MM:DD HH:MM:SS' form."""
+    return f"2026:01:{1 + k % 28:02d} {k % 24:02d}:{k % 60:02d}:{(k * 7) % 60:02d}"
+
+
 def fmt_label(p: dict) -> str:
     comp = {1: "none", 8: "deflate", 32773: "packbits", 32946: "zlegacy"}[p["compression"]]
     pred = {1: "", 2: "-pred2", 3: "-pred3"}[p["predictor"]]
@@ -166,6 +183,10 @@ def synthesize_row(k: int) -> tuple:
             (0.0, 0.0, 0.0, p["corner_x"], p["corner_y"] + p["h"] * p["scale_y"], 0.0),
         ),
         description=caption_for(k),
+        resolution=resolution_for(k),
+        artist=artist_for(k),
+        datetime=datetime_for(k),
+        subfile_type=0,
     )
     return (
         f"img{k:08d}",

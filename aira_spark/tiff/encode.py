@@ -49,6 +49,9 @@ def write_tiff(
     description: str | None = None,
     software: str | None = None,
     resolution: tuple | None = None,
+    artist: str | None = None,
+    datetime: str | None = None,
+    subfile_type: int | None = None,
     crs: int | None = 4326,
 ) -> bytes:
     """Serializes (h, w) or (h, w, spp) pixels into a complete TIFF file.
@@ -148,6 +151,15 @@ def write_tiff(
     if software is not None:
         s = ascii_z(software)
         entries.append([T.SOFTWARE, T.DTYPE_ASCII, len(s), s])
+    if artist is not None:
+        a = ascii_z(artist)
+        entries.append([T.ARTIST, T.DTYPE_ASCII, len(a), a])
+    if datetime is not None:
+        # decoder enforces 'YYYY:MM:DD HH:MM:SS' (meta.py DATE_TIME branch)
+        dtb = ascii_z(datetime)
+        entries.append([T.DATE_TIME, T.DTYPE_ASCII, len(dtb), dtb])
+    if subfile_type is not None:
+        entries.append([T.NEW_SUBFILE_TYPE, T.DTYPE_LONG, 1, nums([subfile_type], "u4")])
     if geo is not None:
         scale, tiepoint = geo
         entries.append([T.MODEL_PIXEL_SCALE, T.DTYPE_DOUBLE, 3, nums(list(scale), "f8")])

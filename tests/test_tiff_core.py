@@ -307,3 +307,61 @@ def test_ratio_exact_ordering():
     # reference reaches div_mod_floor there, which panics on zero
     with pytest.raises(ZeroDivisionError):
         ratio_cmp((1, 0), (2, 3))
+
+
+def test_ratio_sort_key_matches_fractions(spark_maybe=None):
+    """The SQL/Column exact-rational key (functions/ratiofns.py) orders every
+    pair the way fractions.Fraction does — including the 10^18 float-collapse
+    cases, negatives, sign-flipped denominators, and value-equal pairs — when
+    evaluated by DuckDB over the same formulas Spark runs."""
+    import random
+    from fractions import Fraction
+
+    import duckdb
+
+    from aira_spark.functions.ratiofns import KEY_FIELDS, ratio_key_exprs
+
+    rng = random.Random(20260817)
+    cases = [
+        (10**18 + 1, 10**18), (10**18 + 2, 10**18 + 1),  # doubles collapse
+        (1, 2), (2, 4), (-1, 3), (-1, 2), (1, -2), (-3, -4),
+        (7, 3), (-7, 3), (7, -3), (-7, -3), (0, 5), (0, -5),
+        (2**63 - 1, 2**63 - 2), (-(2**63 - 1), 2**63 - 2),
+    ]
+    for _ in range(200):
+        cases.append(
+            (rng.randint(-(2**62), 2**62), rng.randint(1, 2**62) * rng.choice([-1, 1]))
+        )
+    e = ratio_key_exprs("n", "d", "duckdb")
+    sel = ", ".join(f"{e[k]} AS {k}" for k in KEY_FIELDS)
+    rows = ", ".join(f"({n}, {d})" for n, d in cases)
+    keys = duckdb.sql(
+        f"SELECT {sel} FROM (VALUES {rows}) AS t(n, d)"
+    ).fetchall()
+    for i, (a, ka) in enumerate(zip(cases, keys)):
+        for b, kb in zip(cases[i + 1 :], keys[i + 1 :]):
+            fa, fb = Fraction(*a), Fraction(*b)
+            want = (fa > fb) - (fa < fb)
+            got = (ka > kb) - (ka < kb)
+            assert got == want, f"{a} vs {b}: key {got}, Fraction {want}"
+
+
+def test_ratio_sort_key_spark_equals_duckdb(spark):
+    """Spark DECIMAL(38,0) evaluation of the key equals DuckDB HUGEINT
+    evaluation, component by component (exact-arithmetic parity)."""
+    import duckdb
+
+    from aira_spark.functions.ratiofns import KEY_FIELDS, ratio_key_exprs
+
+    cases = [
+        (10**18 + 1, 10**18), (10**18 + 2, 10**18 + 1),
+        (-7, 3), (7, -3), (2**62 + 1, 2**62 - 1), (5, 0), (-5, 0), (0, 7),
+    ]
+    rows = ", ".join(f"({n}, {d})" for n, d in cases)
+    es = ratio_key_exprs("n", "d", "spark")
+    sels = ", ".join(f"CAST({es[k]} AS STRING) AS {k}" for k in KEY_FIELDS)
+    got = spark.sql(f"SELECT {sels} FROM (VALUES {rows}) AS t(n, d)").collect()
+    ed = ratio_key_exprs("n", "d", "duckdb")
+    seld = ", ".join(f"CAST({ed[k]} AS VARCHAR) AS {k}" for k in KEY_FIELDS)
+    want = duckdb.sql(f"SELECT {seld} FROM (VALUES {rows}) AS t(n, d)").fetchall()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
