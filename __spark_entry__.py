@@ -308,6 +308,23 @@ def q_rasterize_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rasterize_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-grid rasterization (chunk centers inside polygon) — candidates
+    from the chunk-center-cell x polygon-cover equi-join, never a crossJoin;
+    the oracle recomputes every chunk center closed-form and ray-casts
+    against all polygon edges (no blocking), so a lossy prefilter fails."""
+    from aira_spark.operators.chunks import chunks_df, with_meta
+    from aira_spark.operators.rasterize import rasterize_to_tiles
+    from aira_spark.sources.vectors import polygons_table
+
+    ch = chunks_df(with_meta(_images(spark, sf_dir)))
+    return rasterize_to_tiles(polygons_table(spark, sf_dir), ch, CELL_RES).select(
+        "poly_id",
+        "image_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+    )
+
+
 def q_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -947,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "stateful_totals": q_stateful_totals,
         "rasterize_cells": q_rasterize_cells,
+        "rasterize_tiles": q_rasterize_tiles,
         "q1_pricing": q_q1_pricing,
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
@@ -1013,6 +1031,46 @@ SELECT image_id, CAST(72 + k % 97 AS BIGINT) AS x_num,
          ORDER BY CAST(72 + k % 97 AS DOUBLE) / (1 + k % 5), image_id
        ) AS BIGINT) AS rnk
 FROM meta WHERE k % 8 = 0
+"""
+
+
+def _oracle_rasterize_tiles() -> str:
+    from aira_spark.sources.vectors import polygon_edges_oracle_sql
+
+    # chunk centers closed-form (tie at pixel (0,0), tie_y = cy + h*sy), then
+    # unblocked ray-cast against every polygon's edges
+    return f"""
+WITH {_IMG_CTE},
+edges AS ({polygon_edges_oracle_sql()}),
+chunks AS (
+  SELECT image_id, cx, cy, sx, sy, h,
+         unnest(generate_series(0, n_chunks - 1)) AS chunk_idx,
+         cw, ch, nx, w
+  FROM meta
+),
+sized AS (
+  SELECT image_id, chunk_idx, cx, cy, sx, sy, h,
+    (chunk_idx % nx) * cw AS ox, CAST(FLOOR(chunk_idx / nx) AS BIGINT) * ch AS oy,
+    GREATEST(0, LEAST(cw, w - (chunk_idx % nx) * cw)) AS size_x,
+    GREATEST(0, LEAST(ch, h - CAST(FLOOR(chunk_idx / nx) AS BIGINT) * ch)) AS size_y
+  FROM chunks
+),
+ctr AS (
+  SELECT image_id, chunk_idx,
+    cx + (ox + size_x / 2.0) * sx AS px,
+    (cy + h * sy) - (oy + size_y / 2.0) * sy AS py
+  FROM sized WHERE size_x > 0 AND size_y > 0
+),
+cr AS (
+  SELECT e.poly_id, c.image_id, c.chunk_idx,
+    SUM(CASE WHEN ((e.ay > c.py) != (e.by > c.py))
+              AND (c.px < (e.bx - e.ax) * (c.py - e.ay) / (e.by - e.ay) + e.ax)
+        THEN 1 ELSE 0 END) AS crossings
+  FROM ctr c CROSS JOIN edges e
+  GROUP BY 1, 2, 3
+)
+SELECT poly_id, image_id, CAST(chunk_idx AS BIGINT) AS chunk_idx
+FROM cr WHERE crossings % 2 = 1
 """
 
 
@@ -1795,6 +1853,7 @@ FROM dims WHERE k % 16 = 0
         "sessionize": _oracle_sessionize(),
         "stateful_totals": _oracle_stateful_totals(),
         "rasterize_cells": _oracle_rasterize_cells(),
+        "rasterize_tiles": _oracle_rasterize_tiles(),
         "ifd_dump": f"""
 WITH {_IMG_CTE}
 SELECT image_id,

@@ -22,13 +22,25 @@ def rasterize_to_cells(polygons: DataFrame, res: int = DEFAULT_RES) -> DataFrame
     return cov.filter(point_in_ring(cx, cy, F.col("ring"))).select("poly_id", "cell")
 
 
-def rasterize_to_tiles(polygons: DataFrame, chunks_with_fp: DataFrame) -> DataFrame:
+def rasterize_to_tiles(
+    polygons: DataFrame, chunks_with_fp: DataFrame, res: int = DEFAULT_RES
+) -> DataFrame:
     """(poly_id, image_id, chunk_idx) for every image chunk whose world-space
     center falls inside the polygon.
 
     chunks_with_fp: chunks_df() output joined with footprint columns — chunk
     center = geotransform applied to (origin + size/2).
-    """
+
+    Plan shape: delegates to point_in_polygon_join — chunk-center cell
+    (pure projection) equi-joined against the broadcast polygon cell cover,
+    full-cell shortcut, exact ray-cast refine on candidates only. At 100 TB
+    the chunk table is the biggest DataFrame in the system; the previous
+    crossJoin ran the O(edges) ray-cast for |chunks| x |polys| pairs, this
+    runs it only for cover-overlapping candidates (lossless: point_in_ring
+    is half-open — boundary hits have px/py strictly below the bbox max, so
+    their cell is always inside the half-open bbox cover)."""
+    from .spatial import point_in_polygon_join
+
     m = F.col("meta")
     ccx = m["tie_x"] + (
         (F.col("origin_x") + F.col("size_x") / 2.0) - m["tie_i"]
@@ -37,9 +49,6 @@ def rasterize_to_tiles(polygons: DataFrame, chunks_with_fp: DataFrame) -> DataFr
     ch = chunks_with_fp.filter((F.col("size_x") > 0) & (F.col("size_y") > 0)).select(
         "image_id", "chunk_idx", ccx.alias("ccx"), ccy.alias("ccy")
     )
-    poly = F.broadcast(polygons.select("poly_id", "ring"))
-    return (
-        ch.crossJoin(poly)
-        .filter(point_in_ring(F.col("ccx"), F.col("ccy"), F.col("ring")))
-        .select("poly_id", "image_id", "chunk_idx")
-    )
+    return point_in_polygon_join(
+        ch, polygons.select("poly_id", "ring"), res, x="ccx", y="ccy"
+    ).select("poly_id", "image_id", "chunk_idx")

@@ -148,6 +148,7 @@ def main() -> None:
         "simhash_pairs": lambda: em.q_simhash_pairs(spark, sf_dir).count(),
         "lsh_ann": lambda: em.q_lsh_ann(spark, sf_dir).count(),
         "ivf_ann": lambda: em.q_ivf_ann(spark, sf_dir).count(),
+        "rasterize_tiles": lambda: em.q_rasterize_tiles(spark, sf_dir).count(),
         "mosaic": lambda: em.q_mosaic(spark, sf_dir).count(),
         "resize_thumbs": lambda: em.q_resize_thumbs(spark, sf_dir).count(),
     }

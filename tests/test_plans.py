@@ -111,3 +111,20 @@ def test_minhash_band_join_shuffles_ids_only(spark, sf_dir):
     # every hashpartitioning(band, bucket) exchange must not ship shingles
     for m in re.finditer(r"Arguments: hashpartitioning\(band[^\n]*", s):
         assert "shingles" not in m.group(0), m.group(0)
+
+
+def test_rasterize_tiles_prefilter_equijoin(spark, sf_dir):
+    """rasterize_to_tiles must candidate-generate via the chunk-center-cell
+    equi-join (BroadcastHashJoin), never the old all-pairs crossJoin
+    (BroadcastNestedLoopJoin), and never shuffle the chunk side."""
+    from aira_spark.operators.chunks import chunks_df, with_meta
+    from aira_spark.operators.rasterize import rasterize_to_tiles
+    from aira_spark.sources.images import images_table
+    from aira_spark.sources.vectors import polygons_table
+
+    ch = chunks_df(with_meta(images_table(spark, sf_dir, limit=200)))
+    df = rasterize_to_tiles(polygons_table(spark, sf_dir), ch)
+    s = plan_string(df)
+    assert "BroadcastNestedLoopJoin" not in s, s
+    assert has_broadcast_join(df)
+    assert shuffle_count(df) == 0
