@@ -481,12 +481,15 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming <= 2) via pigeonhole multi-band
-    blocking; the oracle is an independent BRUTE-FORCE all-pairs popcount in
-    DuckDB, so the check is semantic recall, not formula parity."""
+    """SimHash near-dup pairs via pigeonhole multi-band blocking at the
+    SCALE configuration (64-bit fingerprints, Hamming <= 3, 16-bit bands —
+    Manku et al. WWW'07): 2^16 bucket values per band keep candidate buckets
+    tiny where 16-bit hashes made them quadratic. The oracle is an
+    independent BRUTE-FORCE all-pairs popcount in DuckDB, so the check is
+    semantic recall, not formula parity."""
     from aira_spark.operators.dedup import simhash_dup_pairs
 
-    return simhash_dup_pairs(_docs_with_dups(spark, sf_dir), 16, 2).select(
+    return simhash_dup_pairs(_docs_with_dups(spark, sf_dir), 64, 3).select(
         F.col("doc_a").cast("long").alias("doc_a"),
         F.col("doc_b").cast("long").alias("doc_b"),
         F.col("hamming").cast("long").alias("hamming"),
@@ -1944,11 +1947,11 @@ FROM documents
         # hole would fail the hash compare instead of being mirrored
         "simhash_pairs": f"""
 WITH {_DUP_CTE},
-s AS (SELECT doc_id, {tf.simhash(tf.words('text', eng), 16, eng)} AS sh FROM docs)
+s AS (SELECT doc_id, {tf.simhash(tf.words('text', eng), 64, eng)} AS sh FROM docs)
 SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
   CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
 FROM s a JOIN s b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.sh, b.sh)) <= 2
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
 """,
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "ann_cosine_topk": _oracle_ann(),
