@@ -1802,17 +1802,14 @@ FROM r WHERE rn <= 10
 
 
 def _oracle_ann() -> str:
-    quant = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1024.0) / 1024.0)"
-    dot = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
-    dab = dot.format(a="e.qv", b="q.qv")
-    daa = dot.format(a="e.qv", b="e.qv")
-    dbb = dot.format(a="q.qv", b="q.qv")
+    # shared snippet builders: the quant/dot/cos text is load-bearing for
+    # Spark<->DuckDB float parity and must not fork per query
     return f"""
-WITH emb AS (SELECT vec_id, {quant} AS qv FROM embeddings),
+WITH emb AS (SELECT vec_id, {_DUCK_QUANT} AS qv FROM embeddings),
 q AS (SELECT vec_id AS query_id, qv FROM emb WHERE vec_id < 10),
 d AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
-    ROUND({dab} / SQRT({daa}) / SQRT({dbb}), 6) AS cos
+    {_duck_cos('e.qv', 'q.qv')} AS cos
   FROM emb e CROSS JOIN q WHERE e.vec_id != q.query_id
 ),
 r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM d)

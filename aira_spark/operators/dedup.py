@@ -178,7 +178,6 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         # silent wrong labels are worse than an error: a component whose
         # diameter exceeds max_iters would return split clusters
         labels.unpersist()
-        edges.unpersist()
         raise RuntimeError(
             f"duplicate_clusters did not converge in {max_iters} rounds "
             "(component diameter too large — raise max_iters)"
@@ -188,11 +187,13 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         F.col("node").alias("doc_id"),
         F.col("label").alias("cluster_id"),
         "cluster_size",
-    # localCheckpoint materializes the result so the loop's cached lineage
-    # (labels, edges) can be released before returning
+    # localCheckpoint materializes the result so the loop's persisted label
+    # generations can be released before returning. Note: unpersist() only
+    # frees persist()-ed frames; checkpoint blocks (edges + every 5th label
+    # generation) are owned by their RDDs and reclaimed by the ContextCleaner
+    # once those go out of scope — bounded at ~|nodes| x (1 + rounds/5) rows.
     ).localCheckpoint()
     labels.unpersist()
-    edges.unpersist()
     return out
 
 

@@ -59,7 +59,8 @@ def test_simhash_pairs_recall_is_exact(spark, docs):
 
     from aira_spark.operators.dedup import simhash_dup_pairs, simhash_table
 
-    sub = docs.limit(200)
+    # cache: both collects must see the SAME limit() sample
+    sub = docs.limit(200).cache()
     got = {
         (r.doc_a, r.doc_b): r.hamming
         for r in simhash_dup_pairs(sub, n_bits=16, max_hamming=2).collect()
@@ -88,7 +89,7 @@ def test_simhash_pairs_64bit_bands(spark, docs):
 
     from aira_spark.operators.dedup import simhash_dup_pairs, simhash_table
 
-    sub = docs.limit(60)
+    sub = docs.limit(60).cache()
     got = {
         (r.doc_a, r.doc_b)
         for r in simhash_dup_pairs(sub, n_bits=64, max_hamming=3).collect()
