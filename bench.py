@@ -152,7 +152,16 @@ def main() -> None:
         "mosaic": lambda: em.q_mosaic(spark, sf_dir).count(),
         "resize_thumbs": lambda: em.q_resize_thumbs(spark, sf_dir).count(),
     }
-    for name, fn in per_query.items():
+    # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
+    # or "none" for pipeline-only runs (the scaling sweeps time the headline
+    # at many widths; rerunning all 27 queries at local[1] adds no signal)
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    selected = (
+        per_query
+        if only is None
+        else {n: f for n, f in per_query.items() if n in only.split(",")}
+    )
+    for name, fn in selected.items():
         timed(name, fn)
 
     # ---- partition-pruning payoff: same window read over a cell-partitioned
@@ -161,19 +170,20 @@ def main() -> None:
     from aira_spark.operators.window_read import read_window_pruned, window_read
     from aira_spark.sources.images import write_images_by_cell
 
-    cell_path = f"/tmp/aira_bench_images_cell_v3_{sf_tag}_x{img_scale}"
-    t0 = time.time()
-    if not os.path.exists(f"{cell_path}/_SUCCESS"):
-        write_images_by_cell(spark, images, cell_path, res=3)
-    synth_s = round(synth_s + (time.time() - t0), 3)
-    x0, y0, x1, y1 = em._WIN
-    timed(
-        "window_read_pruned",
-        lambda: window_read(
-            with_meta(read_window_pruned(spark, cell_path, x0, y0, x1, y1)),
-            x0, y0, x1, y1,
-        ).count(),
-    )
+    if only is None or "window_read_pruned" in only:
+        cell_path = f"/tmp/aira_bench_images_cell_v3_{sf_tag}_x{img_scale}"
+        t0 = time.time()
+        if not os.path.exists(f"{cell_path}/_SUCCESS"):
+            write_images_by_cell(spark, images, cell_path, res=3)
+        synth_s = round(synth_s + (time.time() - t0), 3)
+        x0, y0, x1, y1 = em._WIN
+        timed(
+            "window_read_pruned",
+            lambda: window_read(
+                with_meta(read_window_pruned(spark, cell_path, x0, y0, x1, y1)),
+                x0, y0, x1, y1,
+            ).count(),
+        )
 
     images_per_sec = round(n_images / timings["pipeline"], 2)
     out = {
