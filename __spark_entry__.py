@@ -325,6 +325,38 @@ def q_rasterize_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (exact integer numerators and
+    denominators); DuckDB recomputes via its own unnest + GROUP BY."""
+    from aira_spark.operators.text import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    s = repetition_stats(docs)
+    return s.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("top_word_cnt").cast("long").alias("top_word_cnt"),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("top_bigram_cnt").cast("long").alias("top_bigram_cnt"),
+    )
+
+
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition keep/drop gate (integer cross-multiplication predicates)."""
+    from aira_spark.operators.text import repetition_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    f = repetition_filter(docs)
+    return f.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("keep").cast("long").alias("keep"),
+        F.col("pass_word").cast("long").alias("pass_word"),
+        F.col("pass_bigram").cast("long").alias("pass_bigram"),
+        F.col("pass_distinct").cast("long").alias("pass_distinct"),
+    )
+
+
 def q_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -972,6 +1004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
         "text_features": q_text_features,
+        "repetition_stats": q_repetition_stats,
+        "repetition_filter": q_repetition_filter,
         "token_stats": q_token_stats,
         "quality_filter": q_quality_filter,
         "fingerprints": q_fingerprints,
@@ -1034,6 +1068,60 @@ SELECT image_id, CAST(72 + k % 97 AS BIGINT) AS x_num,
          ORDER BY CAST(72 + k % 97 AS DOUBLE) / (1 + k % 5), image_id
        ) AS BIGINT) AS rnk
 FROM meta WHERE k % 8 = 0
+"""
+
+
+def _REPETITION_CTE() -> str:
+    from aira_spark.functions import textfns as tf
+
+    bg = tf.shingles("text", 2, "duckdb")
+    return f"""
+w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS g FROM documents
+),
+wc AS (SELECT doc_id, g, COUNT(*) AS c FROM w GROUP BY 1, 2),
+ws AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(MAX(c) AS BIGINT) AS top_word_cnt
+  FROM wc GROUP BY 1
+),
+b AS (SELECT doc_id, unnest({bg}) AS g FROM documents),
+bc AS (SELECT doc_id, g, COUNT(*) AS c FROM b GROUP BY 1, 2),
+bs AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         CAST(MAX(c) AS BIGINT) AS top_bigram_cnt
+  FROM bc GROUP BY 1
+),
+rep AS (
+  SELECT ws.doc_id, n_words, n_distinct, top_word_cnt,
+         COALESCE(n_bigrams, 0) AS n_bigrams,
+         COALESCE(top_bigram_cnt, 0) AS top_bigram_cnt
+  FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+)"""
+
+
+def _oracle_repetition_stats() -> str:
+    return f"""
+WITH {_REPETITION_CTE()}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_words, n_distinct, top_word_cnt,
+       n_bigrams, top_bigram_cnt
+FROM rep
+"""
+
+
+def _oracle_repetition_filter() -> str:
+    kw = "top_word_cnt * 1000000 <= 200000 * n_words"
+    kb = "(n_bigrams = 0 OR top_bigram_cnt * 1000000 <= 180000 * n_bigrams)"
+    kd = "n_distinct * 1000000 >= 200000 * n_words"
+    return f"""
+WITH {_REPETITION_CTE()}
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(({kw}) AND {kb} AND ({kd}) AS BIGINT) AS keep,
+  CAST(({kw}) AS BIGINT) AS pass_word,
+  CAST({kb} AS BIGINT) AS pass_bigram,
+  CAST(({kd}) AS BIGINT) AS pass_distinct
+FROM rep
 """
 
 
@@ -1897,6 +1985,8 @@ FROM j WHERE rn <= 5
         # distribution, never the join key — results pinned identical by
         # tests/test_spatial.py), so pip's oracle applies verbatim
         "pip_salted": _oracle_pip(),
+        "repetition_stats": _oracle_repetition_stats(),
+        "repetition_filter": _oracle_repetition_filter(),
         "text_features": f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
   CAST({tf.n_tokens('text', eng)} AS BIGINT) AS n_tokens,

@@ -96,16 +96,19 @@ def shingles(text: str, k: int, engine: str) -> str:
 def shingles_from_words(w: str, k: int, engine: str) -> str:
     """Shingles over a precomputed word-array expression/column (avoids
     re-splitting the text per element in the Spark plan)."""
+    # n words yield n - k + 1 k-grams (an earlier cut emitted n - k,
+    # silently dropping the final shingle in BOTH engines — formula parity
+    # masked it until a hand-count test caught the bigram case)
     if engine == "spark":
         parts = " || ' ' || ".join(f"element_at({w}, j + {i})" for i in range(1, k + 1))
         # guard: Spark's sequence(0, -1) counts DOWN ([0, -1]) instead of
         # returning empty like DuckDB's range(), so short docs must short-circuit
         return (
-            f"if(size({w}) <= {k}, array(), "
-            f"transform(sequence(0, size({w}) - {k} - 1), j -> {parts}))"
+            f"if(size({w}) < {k}, array(), "
+            f"transform(sequence(0, size({w}) - {k}), j -> {parts}))"
         )
     parts = " || ' ' || ".join(f"({w})[j + {i}]" for i in range(1, k + 1))
-    return f"list_transform(range(0, greatest(len({w}) - {k}, 0)), j -> {parts})"
+    return f"list_transform(range(0, greatest(len({w}) - {k} + 1, 0)), j -> {parts})"
 
 
 # affine minhash family over ONE base md5 per shingle (standard a*h+b mod p

@@ -86,3 +86,70 @@ def quality_filter(docs: DataFrame, min_quality: float = 0.5) -> DataFrame:
     """The training-data keep/drop gate: docs passing the quality threshold."""
     feats = text_features(docs)
     return feats.filter(feats.quality >= min_quality).select("doc_id", "quality")
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document, as EXACT integers:
+    (doc_id, n_words, n_distinct, top_word_cnt, n_bigrams, top_bigram_cnt).
+
+    Downstream filters derive the published ratios (top_word_cnt/n_words is
+    Gopher's most-common-word fraction, top_bigram_cnt/n_bigrams the
+    top-2-gram fraction, n_distinct/n_words the type-token ratio) — emitting
+    the integer numerators/denominators keeps the oracle compare exact.
+
+    Plan shape: explode -> two-level hash aggregation (per-(doc, gram) count,
+    then per-doc max/sum) — the canonical distributed word-count; partial
+    (map-side) aggregation applies at both levels, and nothing is quadratic
+    in document length (the in-array `filter` formulation would be)."""
+    w = tf.words("text", ENG)
+    words = docs.selectExpr("doc_id", f"explode({w}) AS g")
+    wstats = (
+        words.groupBy("doc_id", "g").count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum("count").alias("n_words"),
+            F.count("*").alias("n_distinct"),
+            F.max("count").alias("top_word_cnt"),
+        )
+    )
+    bg = tf.shingles("text", 2, ENG)
+    bigrams = docs.selectExpr("doc_id", f"explode({bg}) AS g")
+    bstats = (
+        bigrams.groupBy("doc_id", "g").count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum("count").alias("n_bigrams"),
+            F.max("count").alias("top_bigram_cnt"),
+        )
+    )
+    # left join: a 1-word doc has no bigrams; surface 0s, not dropped rows
+    return (
+        wstats.join(bstats, "doc_id", "left")
+        .na.fill({"n_bigrams": 0, "top_bigram_cnt": 0})
+        .select(
+            "doc_id", "n_words", "n_distinct", "top_word_cnt",
+            "n_bigrams", "top_bigram_cnt",
+        )
+    )
+
+
+def repetition_filter(
+    docs: DataFrame,
+    max_top_word_frac: float = 0.2,
+    max_top_bigram_frac: float = 0.18,
+    min_distinct_ratio: float = 0.2,
+) -> DataFrame:
+    """Keep/drop gate on the repetition signals (Gopher-rule thresholds are
+    corpus-tuned; defaults here are the published ballpark). Exact integer
+    cross-multiplication — no float division in the predicate."""
+    s = repetition_stats(docs)
+    kw = F.col("top_word_cnt") * F.lit(1_000_000) <= F.lit(int(max_top_word_frac * 1_000_000)) * F.col("n_words")
+    kb = (F.col("n_bigrams") == 0) | (
+        F.col("top_bigram_cnt") * F.lit(1_000_000)
+        <= F.lit(int(max_top_bigram_frac * 1_000_000)) * F.col("n_bigrams")
+    )
+    kd = F.col("n_distinct") * F.lit(1_000_000) >= F.lit(int(min_distinct_ratio * 1_000_000)) * F.col("n_words")
+    return s.select(
+        "doc_id", (kw & kb & kd).alias("keep"),
+        kw.alias("pass_word"), kb.alias("pass_bigram"), kd.alias("pass_distinct"),
+    )

@@ -306,3 +306,28 @@ def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
     # is exact; only the candidate set is approximate)
     merged = approx.merge(exact, on=["query_id", "neighbor_id"], suffixes=("_a", "_e"))
     assert (merged["cos_a"] == merged["cos_e"]).all()
+
+
+def test_repetition_stats_hand_counts(spark):
+    """Exact integer repetition signals on hand-built docs."""
+    from aira_spark.operators.text import repetition_filter, repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a b"),          # 5 words, 2 distinct, top=4; bigrams: 'a a'x3,'a b' -> top 3/4
+            (2, "x y z w p q r s t u"),  # 10 distinct words: top frac 0.1
+            (3, "solo"),               # 1 word, 0 bigrams
+        ],
+        "doc_id long, text string",
+    )
+    s = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert (s[1].n_words, s[1].n_distinct, s[1].top_word_cnt) == (5, 2, 4)
+    assert (s[1].n_bigrams, s[1].top_bigram_cnt) == (4, 3)
+    assert (s[2].n_words, s[2].n_distinct, s[2].top_word_cnt) == (10, 10, 1)
+    assert (s[3].n_words, s[3].n_bigrams, s[3].top_bigram_cnt) == (1, 0, 0)
+    f = {r.doc_id: r for r in repetition_filter(docs).collect()}
+    assert not f[1].keep          # top word 4/5 >> 0.2
+    assert f[2].keep              # fully distinct
+    assert f[3].keep is False or f[3].keep is True  # defined either way
+    # doc 3: top word frac 1/1 > 0.2 -> dropped by the word rule
+    assert not f[3].pass_word
