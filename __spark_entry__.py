@@ -325,6 +325,35 @@ def q_rasterize_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline gate over docs WITH injected
+    duplicates: exact-dedup keeper AND quality AND repetition verdicts plus
+    their conjunction, as one distributed plan."""
+    from aira_spark.operators.text import corpus_clean
+
+    return corpus_clean(_docs_with_dups(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("is_keeper").cast("long").alias("is_keeper"),
+        F.col("quality_pass").cast("long").alias("quality_pass"),
+        F.col("rep_pass").cast("long").alias("rep_pass"),
+        F.col("keep").cast("long").alias("keep"),
+    )
+
+
+def q_band_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-(image, band) pixel-value histogram through the real decode
+    path; DuckDB recomputes each count from the generation formula
+    (r*7 + c*13 + s*29 + k) % 256 over the full pixel grid."""
+    from aira_spark.operators.zonal import band_histogram
+
+    return band_histogram(_images(spark, sf_dir, modulo=4)).select(
+        "image_id",
+        F.col("band").cast("long").alias("band"),
+        F.col("value").cast("long").alias("value"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals (exact integer numerators and
     denominators); DuckDB recomputes via its own unnest + GROUP BY."""
@@ -1004,6 +1033,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
         "text_features": q_text_features,
+        "corpus_clean": q_corpus_clean,
+        "band_histogram": q_band_histogram,
         "repetition_stats": q_repetition_stats,
         "repetition_filter": q_repetition_filter,
         "token_stats": q_token_stats,
@@ -1071,13 +1102,62 @@ FROM meta WHERE k % 8 = 0
 """
 
 
-def _REPETITION_CTE() -> str:
+def _oracle_corpus_clean() -> str:
+    from aira_spark.functions import textfns as tf
+
+    q = tf.quality_score("text", "duckdb")
+    kw = "top_word_cnt * 1000000 <= 200000 * n_words"
+    kb = "(n_bigrams = 0 OR top_bigram_cnt * 1000000 <= 180000 * n_bigrams)"
+    kd = "n_distinct * 1000000 >= 200000 * n_words"
+    return f"""
+WITH {_DUP_CTE},
+{_REPETITION_CTE('docs')},
+keepers AS (SELECT MIN(doc_id) AS doc_id FROM docs GROUP BY md5(text)),
+base AS (SELECT doc_id, {q} AS quality FROM docs)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+  CAST(k.doc_id IS NOT NULL AS BIGINT) AS is_keeper,
+  CAST(b.quality >= 0.5 AS BIGINT) AS quality_pass,
+  CAST(({kw}) AND {kb} AND ({kd}) AS BIGINT) AS rep_pass,
+  CAST((k.doc_id IS NOT NULL) AND b.quality >= 0.5
+       AND ({kw}) AND {kb} AND ({kd}) AS BIGINT) AS keep
+FROM base b
+JOIN rep ON rep.doc_id = b.doc_id
+LEFT JOIN keepers k ON k.doc_id = b.doc_id
+"""
+
+
+def _oracle_band_histogram() -> str:
+    # spp per variant mirrors meta_decode; pixel formula from images.py
+    return f"""
+WITH {_IMG_CTE},
+sp AS (
+  SELECT image_id, k, w, h,
+    CASE WHEN v IN (1,2,4,10) THEN 3 WHEN v IN (6,9) THEN 2 ELSE 1 END AS spp
+  FROM meta WHERE k % 4 = 0
+),
+rows_r AS (SELECT *, unnest(generate_series(0, h - 1)) AS r FROM sp),
+px AS (
+  SELECT image_id, k, spp, r, unnest(generate_series(0, w - 1)) AS c
+  FROM rows_r
+),
+bands AS (
+  SELECT image_id, k, r, c, unnest(generate_series(0, spp - 1)) AS s FROM px
+)
+SELECT image_id, CAST(s AS BIGINT) AS band,
+       CAST((r * 7 + c * 13 + s * 29 + k) % 256 AS BIGINT) AS value,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM bands
+GROUP BY 1, 2, 3
+"""
+
+
+def _REPETITION_CTE(src: str = "documents") -> str:
     from aira_spark.functions import textfns as tf
 
     bg = tf.shingles("text", 2, "duckdb")
     return f"""
 w AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS g FROM documents
+  SELECT doc_id, unnest(string_split(text, ' ')) AS g FROM {src}
 ),
 wc AS (SELECT doc_id, g, COUNT(*) AS c FROM w GROUP BY 1, 2),
 ws AS (
@@ -1086,7 +1166,7 @@ ws AS (
          CAST(MAX(c) AS BIGINT) AS top_word_cnt
   FROM wc GROUP BY 1
 ),
-b AS (SELECT doc_id, unnest({bg}) AS g FROM documents),
+b AS (SELECT doc_id, unnest({bg}) AS g FROM {src}),
 bc AS (SELECT doc_id, g, COUNT(*) AS c FROM b GROUP BY 1, 2),
 bs AS (
   SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
@@ -1985,6 +2065,8 @@ FROM j WHERE rn <= 5
         # distribution, never the join key — results pinned identical by
         # tests/test_spatial.py), so pip's oracle applies verbatim
         "pip_salted": _oracle_pip(),
+        "corpus_clean": _oracle_corpus_clean(),
+        "band_histogram": _oracle_band_histogram(),
         "repetition_stats": _oracle_repetition_stats(),
         "repetition_filter": _oracle_repetition_filter(),
         "text_features": f"""

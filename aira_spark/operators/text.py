@@ -153,3 +153,40 @@ def repetition_filter(
         "doc_id", (kw & kb & kd).alias("keep"),
         kw.alias("pass_word"), kb.alias("pass_bigram"), kd.alias("pass_distinct"),
     )
+
+
+def corpus_clean(docs: DataFrame, min_quality: float = 0.5) -> DataFrame:
+    """The composed training-data gate, end to end in one DataFrame plan:
+    exact-dedup keeper selection (md5 groupBy — only the lowest doc_id of
+    each identical-text group survives) AND quality threshold AND the
+    repetition gate. Output: one row per document with each verdict and the
+    conjunction.
+
+    Plan shape: the dedup arm is a hash agg on md5 joined back on doc_id;
+    the repetition arm is the explode/two-level agg of repetition_stats;
+    both join the base scan on doc_id (sort-merge/hash — doc_id is unique,
+    no skew). Nothing collects; every arm is a stock distributed shape."""
+    from .dedup import exact_dedup
+
+    base = docs.selectExpr(
+        "doc_id", f"{tf.quality_score('text', ENG)} AS quality"
+    )
+    keepers = exact_dedup(docs).select(
+        F.col("keeper_id").alias("doc_id"), F.lit(True).alias("is_keeper")
+    )
+    rep = repetition_filter(docs).select("doc_id", F.col("keep").alias("rep_pass"))
+    return (
+        base.join(keepers, "doc_id", "left")
+        .join(rep, "doc_id")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("is_keeper"), F.lit(False)).alias("is_keeper"),
+            (F.col("quality") >= F.lit(min_quality)).alias("quality_pass"),
+            F.col("rep_pass"),
+            (
+                F.coalesce(F.col("is_keeper"), F.lit(False))
+                & (F.col("quality") >= F.lit(min_quality))
+                & F.col("rep_pass")
+            ).alias("keep"),
+        )
+    )

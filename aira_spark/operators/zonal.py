@@ -317,3 +317,43 @@ def zonal_by_polygon(
             F.max("px_max").alias("max_px"),
         )
     )
+
+
+def band_histogram(images: DataFrame) -> DataFrame:
+    """(image_id, band, value, cnt): exact per-band pixel-value histogram —
+    the raster normalization/stretch primitive.
+
+    Map side: one decode per image, np.bincount per band, only NONZERO bins
+    emitted (the Arrow payload is the sparse histogram, never pixels).
+    Reduce side: none needed per image; corpus-level histograms are a stock
+    groupBy(band, value) hash agg over this output. All synthetic-variant
+    dtypes hold integer values 0..255 (the float variant stores exact
+    integers), so counts are exact in every engine."""
+    import pandas as pd
+    from collections.abc import Iterator
+
+    import numpy as np
+
+    from ..functions.udfs import _decode_full
+    from ..tiff.meta import TiffError
+
+    cols = ["image_id", "band", "value", "cnt"]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for rec in pdf.itertuples(index=False):
+                try:
+                    m, px = _decode_full(rec.bytes)
+                except TiffError:
+                    continue
+                for band in range(px.shape[2]):
+                    vals = px[:, :, band].astype(np.int64).ravel()
+                    bc = np.bincount(vals)
+                    for v in np.flatnonzero(bc):
+                        out.append((rec.image_id, band, int(v), int(bc[v])))
+            yield pd.DataFrame(out, columns=cols)
+
+    return images.select("image_id", "bytes").mapInPandas(
+        fn, schema="image_id string, band int, value int, cnt long"
+    )

@@ -149,6 +149,8 @@ def main() -> None:
         "lsh_ann": lambda: em.q_lsh_ann(spark, sf_dir).count(),
         "ivf_ann": lambda: em.q_ivf_ann(spark, sf_dir).count(),
         "rasterize_tiles": lambda: em.q_rasterize_tiles(spark, sf_dir).count(),
+        "band_histogram": lambda: em.q_band_histogram(spark, sf_dir).count(),
+        "corpus_clean": lambda: em.q_corpus_clean(spark, sf_dir).count(),
         "mosaic": lambda: em.q_mosaic(spark, sf_dir).count(),
         "resize_thumbs": lambda: em.q_resize_thumbs(spark, sf_dir).count(),
     }
