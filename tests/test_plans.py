@@ -128,3 +128,42 @@ def test_rasterize_tiles_prefilter_equijoin(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in s, s
     assert has_broadcast_join(df)
     assert shuffle_count(df) == 0
+
+
+def test_repetition_two_level_agg(spark, sf_dir):
+    """repetition_stats: explode -> per-gram agg -> per-doc agg, one exchange
+    per aggregation level per arm (4 total), never a quadratic in-array form."""
+    from aira_spark.operators.text import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    df = repetition_stats(docs)
+    assert shuffle_count(df) <= 4
+    s = plan_string(df)
+    assert "BroadcastNestedLoopJoin" not in s
+    # partial (map-side) aggregation at the per-gram level
+    assert "partial_count" in s or "HashAggregate" in s
+
+
+def test_corpus_clean_no_cartesian(spark, sf_dir):
+    """corpus_clean: all three gate arms join on doc_id — no cartesian or
+    nested-loop joins anywhere, bounded shuffles, nothing collected."""
+    from aira_spark.operators.text import corpus_clean
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    df = corpus_clean(docs)
+    s = plan_string(df)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert shuffle_count(df) <= 6
+
+
+def test_lsh_ann_sql_equijoin(spark, sf_dir):
+    """SQL-exact LSH ANN: candidates come from the (table, bucket) equi-join
+    of pure-projection signatures — never an all-pairs join."""
+    from aira_spark.operators.similarity import lsh_ann_topk_sql
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = lsh_ann_topk_sql(emb, k=5)
+    s = plan_string(df)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s

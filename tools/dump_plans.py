@@ -46,6 +46,18 @@ def main() -> None:
         ("dedup_minhash", "band buckets shuffle doc-ids only, never text"),
         ("top_customers", "partial+final hash agg; broadcast dim join; "
                           "rank window"),
+        ("rasterize_tiles", "chunk-center cell equi-join vs broadcast polygon "
+                            "cover (no crossJoin); ray-cast only on candidates"),
+        ("repetition_stats", "explode -> two-level hash agg (partial/final at "
+                             "both levels) — distributed word count, nothing "
+                             "quadratic in doc length"),
+        ("corpus_clean", "three gate arms (md5 dedup agg, quality projection, "
+                         "repetition aggs) joined on unique doc_id; no collects"),
+        ("lsh_ann", "signature buckets from pure projections; candidate "
+                    "equi-join on (table, bucket); exact re-rank on candidates"),
+        ("ratio_sort", "exact-rational key as a pure DECIMAL projection; the "
+                       "global rank is the demo — at scale use range-partitioned "
+                       "orderBy on the key columns"),
     ]
     qs = em.queries()
     lines = [
