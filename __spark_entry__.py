@@ -325,6 +325,21 @@ def q_rasterize_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zonal_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-cell pixel quantiles via distributive value histograms;
+    DuckDB recomputes the same cumulative-histogram order statistic from the
+    closed-form pixel grid (independent window-function formulation)."""
+    from aira_spark.operators.zonal import zonal_quantiles
+
+    return zonal_quantiles(_images(spark, sf_dir, modulo=8), CELL_RES).select(
+        F.col("cell").cast("long").alias("cell"),
+        F.col("n_px").cast("long").alias("n_px"),
+        F.col("p25").cast("long").alias("p25"),
+        F.col("median").cast("long").alias("median"),
+        F.col("p75").cast("long").alias("p75"),
+    )
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data pipeline gate over docs WITH injected
     duplicates: exact-dedup keeper AND quality AND repetition verdicts plus
@@ -1033,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
         "text_features": q_text_features,
+        "zonal_quantiles": q_zonal_quantiles,
         "corpus_clean": q_corpus_clean,
         "band_histogram": q_band_histogram,
         "repetition_stats": q_repetition_stats,
@@ -1099,6 +1115,35 @@ SELECT image_id, CAST(72 + k % 97 AS BIGINT) AS x_num,
          ORDER BY CAST(72 + k % 97 AS DOUBLE) / (1 + k % 5), image_id
        ) AS BIGINT) AS rnk
 FROM meta WHERE k % 8 = 0
+"""
+
+
+def _oracle_zonal_quantiles() -> str:
+    return f"""
+WITH {_IMG_CTE},
+sel AS (SELECT * FROM meta WHERE k % 8 = 0),
+rws AS (SELECT *, unnest(generate_series(0, h - 1)) AS r FROM sel),
+pxs AS (SELECT *, unnest(generate_series(0, w - 1)) AS c FROM rws),
+vals AS (
+  SELECT (r * 7 + c * 13 + k) % 256 AS val,
+         cx + (CAST(c AS DOUBLE) + 0.5) * sx AS x,
+         (cy + h * sy) - (CAST(r AS DOUBLE) + 0.5) * sy AS y
+  FROM pxs
+),
+vc AS (
+  SELECT {_sql_cell('x', 'y')} AS cell, val, COUNT(*) AS c
+  FROM vals GROUP BY 1, 2
+),
+cum AS (
+  SELECT cell, val, SUM(c) OVER (PARTITION BY cell ORDER BY val) AS cum,
+         SUM(c) OVER (PARTITION BY cell) AS n
+  FROM vc
+)
+SELECT CAST(cell AS BIGINT) AS cell, CAST(n AS BIGINT) AS n_px,
+  CAST(MIN(CASE WHEN cum * 4 >= n THEN val END) AS BIGINT) AS p25,
+  CAST(MIN(CASE WHEN cum * 2 >= n THEN val END) AS BIGINT) AS median,
+  CAST(MIN(CASE WHEN cum * 4 >= n * 3 THEN val END) AS BIGINT) AS p75
+FROM cum GROUP BY 1, 2
 """
 
 
@@ -2065,6 +2110,7 @@ FROM j WHERE rn <= 5
         # distribution, never the join key — results pinned identical by
         # tests/test_spatial.py), so pip's oracle applies verbatim
         "pip_salted": _oracle_pip(),
+        "zonal_quantiles": _oracle_zonal_quantiles(),
         "corpus_clean": _oracle_corpus_clean(),
         "band_histogram": _oracle_band_histogram(),
         "repetition_stats": _oracle_repetition_stats(),

@@ -357,3 +357,65 @@ def band_histogram(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes").mapInPandas(
         fn, schema="image_id string, band int, value int, cnt long"
     )
+
+
+def zonal_quantiles(images: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
+    """(cell, n_px, p25, median, p75): EXACT per-cell quantiles of band-0
+    pixel values — the order statistic, not an approximation.
+
+    Quantiles do not decompose into partial aggregates, but the VALUE
+    HISTOGRAM does: pixel values are small integers, so the map side emits
+    per-(cell, value) counts (<= 256 rows per cell whatever the pixel
+    count), the reduce is a stock hash agg, and the quantile is read off the
+    cumulative histogram with integer arithmetic — quantile q = the smallest
+    value whose cumulative count reaches ceil(q * n). At 100 TB this shuffles
+    bounded histogram rows, never pixels, where a sort-based exact quantile
+    would shuffle every pixel value.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from ..functions.udfs import _decode_full, pixel_cell_groups
+    from ..tiff.meta import TiffError
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for rec in pdf.itertuples(index=False):
+                try:
+                    m, px = _decode_full(rec.bytes, max_bands=1)
+                except TiffError:
+                    continue
+                groups = pixel_cell_groups(m, px, res)
+                if groups is None:
+                    continue
+                order, uniq, starts, ends = groups
+                vals = px[:, :, 0].astype(np.int64).ravel()[order]
+                for cell, s0, e0 in zip(uniq, starts, ends):
+                    bc = np.bincount(vals[s0:e0])
+                    for v in np.flatnonzero(bc):
+                        out.append((int(cell), int(v), int(bc[v])))
+            yield pd.DataFrame(out, columns=["cell", "value", "cnt"])
+
+    vc = (
+        images.select("image_id", "bytes")
+        .mapInPandas(fn, schema="cell long, value long, cnt long")
+        .groupBy("cell", "value")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    wcum = Window.partitionBy("cell").orderBy("value")
+    wall = Window.partitionBy("cell")
+    cum = vc.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "n", F.sum("cnt").over(wall)
+    )
+    # integer rank thresholds via cross-multiplication (no division):
+    # cum >= ceil(q*n)  <=>  cum * den >= n * num   for q = num/den
+    q = cum.groupBy("cell", "n").agg(
+        F.min(F.when(F.col("cum") * 4 >= F.col("n"), F.col("value"))).alias("p25"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("value"))).alias("median"),
+        F.min(F.when(F.col("cum") * 4 >= F.col("n") * 3, F.col("value"))).alias("p75"),
+    )
+    return q.select("cell", F.col("n").alias("n_px"), "p25", "median", "p75")

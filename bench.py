@@ -150,6 +150,7 @@ def main() -> None:
         "ivf_ann": lambda: em.q_ivf_ann(spark, sf_dir).count(),
         "rasterize_tiles": lambda: em.q_rasterize_tiles(spark, sf_dir).count(),
         "band_histogram": lambda: em.q_band_histogram(spark, sf_dir).count(),
+        "zonal_quantiles": lambda: em.q_zonal_quantiles(spark, sf_dir).count(),
         "corpus_clean": lambda: em.q_corpus_clean(spark, sf_dir).count(),
         "mosaic": lambda: em.q_mosaic(spark, sf_dir).count(),
         "resize_thumbs": lambda: em.q_resize_thumbs(spark, sf_dir).count(),
