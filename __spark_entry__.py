@@ -513,6 +513,19 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-seen exact dedup: state (keeper, count) per content
+    hash across 4 microbatches; final emissions equal the batch exact_dedup,
+    so the same DuckDB oracle checks the streaming path."""
+    from aira_spark.streaming.events import run_streaming_dedup
+
+    return run_streaming_dedup(spark, _docs_with_dups(spark, sf_dir)).select(
+        "text_hash",
+        F.col("n_dups").cast("long").alias("n_dups"),
+        F.col("keeper_id").cast("long").alias("keeper_id"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aira_spark.operators.dedup import exact_dedup
 
@@ -1057,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "fingerprints": q_fingerprints,
         "dedup_exact": q_dedup_exact,
+        "streaming_dedup": q_streaming_dedup,
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
@@ -2145,6 +2159,15 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(doc_hash AS BIGINT) AS doc_hash,
 FROM g
 """,
         "dedup_exact": f"""
+WITH {_DUP_CTE}
+SELECT md5(text) AS text_hash, CAST(COUNT(*) AS BIGINT) AS n_dups,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_id
+FROM docs GROUP BY 1
+""",
+        # identical to dedup_exact by design: the streaming state machine's
+        # final emissions must equal the batch aggregate (min/count are
+        # order-independent) — pinned by the stream==batch pytest as well
+        "streaming_dedup": f"""
 WITH {_DUP_CTE}
 SELECT md5(text) AS text_hash, CAST(COUNT(*) AS BIGINT) AS n_dups,
        CAST(MIN(doc_id) AS BIGINT) AS keeper_id

@@ -186,3 +186,61 @@ def run_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_table(spark, stream, "events_hourly", "complete", stage)
+
+
+def run_streaming_dedup(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Streaming exact dedup (applyInPandasWithState): first-seen keeper per
+    text hash, with duplicate counts carried across microbatches.
+
+    The doc table is staged as 4 parquet files read with maxFilesPerTrigger=1
+    so keys genuinely recur across batches. State per md5(text) = (keeper_id,
+    n_seen); keeper = running MIN doc_id and n_seen a running count, both
+    order-independent, so the final emission per key equals the batch
+    exact_dedup result exactly — the same DuckDB oracle checks both. At scale
+    this is the continuous-ingest dedup: arriving documents stream in, state
+    lives in the state store keyed by content hash, and duplicates are
+    flagged online instead of re-scanning the corpus."""
+    import pandas as pd
+    from pyspark.sql import types as Ty
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stage = tempfile.mkdtemp(prefix="aira_sdedup_")
+    hashed = docs.selectExpr("doc_id", "md5(text) AS text_hash")
+    hashed.repartition(4).write.mode("overwrite").parquet(stage)
+    schema = hashed.schema
+
+    out_schema = Ty.StructType(
+        [
+            Ty.StructField("text_hash", Ty.StringType()),
+            Ty.StructField("n_dups", Ty.LongType()),
+            Ty.StructField("keeper_id", Ty.LongType()),
+        ]
+    )
+    state_schema = Ty.StructType(
+        [Ty.StructField("n", Ty.LongType()), Ty.StructField("keeper", Ty.LongType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, keeper = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            bmin = int(pdf["doc_id"].min())
+            keeper = bmin if keeper is None else min(keeper, bmin)
+        state.update((n, keeper))
+        yield pd.DataFrame([(key[0], n, keeper)], columns=out_schema.fieldNames())
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .groupBy("text_hash")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+    emitted = _run_to_table(spark, stream, "sdedup", "update", stage)
+    # final (= complete) emission per key: n_dups is strictly increasing
+    return emitted.groupBy("text_hash").agg(
+        F.max("n_dups").alias("n_dups"),
+        F.min("keeper_id").alias("keeper_id"),
+    )

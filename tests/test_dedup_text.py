@@ -331,3 +331,22 @@ def test_repetition_stats_hand_counts(spark):
     assert f[3].keep is False or f[3].keep is True  # defined either way
     # doc 3: top word frac 1/1 > 0.2 -> dropped by the word rule
     assert not f[3].pass_word
+
+
+def test_streaming_dedup_matches_batch(spark, sf_dir):
+    """Streaming first-seen dedup's final state equals the batch exact_dedup
+    (min/count are order-independent across microbatches)."""
+    import __spark_entry__ as em
+    from aira_spark.operators.dedup import exact_dedup, with_duplicates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    batch = {
+        (r.text_hash, r.n_dups, r.keeper_id)
+        for r in exact_dedup(with_duplicates(docs)).collect()
+    }
+    stream = {
+        tuple(r) for r in em.q_streaming_dedup(spark, sf_dir).collect()
+    }
+    assert stream == batch
