@@ -130,6 +130,25 @@ def minhash(shingle_arr: str, seed: int, engine: str) -> str:
     return f"list_min(list_transform({shingle_arr}, s -> {inner}))"
 
 
+def shingle_hashes(shingle_arr: str, engine: str) -> str:
+    """h64(s) mod p per shingle, materialized ONCE — the n_hash affine
+    minhashes then scan this integer array instead of re-hashing the strings
+    per seed (8x less md5 work at the default n_hash=8). Values are
+    identical to the unhoisted minhash() by construction."""
+    base = h64("s", engine)
+    if engine == "spark":
+        return f"transform({shingle_arr}, s -> pmod({base}, {MH_P}))"
+    return f"list_transform({shingle_arr}, s -> ({base} % {MH_P}))"
+
+
+def minhash_from_hashes(hash_arr: str, seed: int, engine: str) -> str:
+    """minhash() over a precomputed shingle_hashes() array."""
+    a, b = MH_A[seed % len(MH_A)], MH_B[seed % len(MH_B)]
+    if engine == "spark":
+        return f"array_min(transform({hash_arr}, h -> pmod({a} * h + {b}, {MH_P})))"
+    return f"list_min(list_transform({hash_arr}, h -> ({a} * h + {b}) % {MH_P}))"
+
+
 def simhash(words_expr: str, n_bits: int, engine: str) -> str:
     """n_bits-wide SimHash: bit b set iff sum over words of sign(bit b of
     h64(word)) is positive. Generated as explicit per-bit sums (identical

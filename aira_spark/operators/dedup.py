@@ -49,10 +49,17 @@ def minhash_signatures(docs: DataFrame, k: int = 3, n_hash: int = 8) -> DataFram
     # two explicit projections (words -> shingles) so the expensive split is
     # evaluated once, then all n_hash minhashes scan the same shingle array
     sh = tf.shingles_from_words("ws", k, ENG)
-    df = docs.selectExpr("doc_id", f"{tf.words('text', ENG)} AS ws").selectExpr(
-        "doc_id", f"{sh} AS shingles"
+    df = (
+        docs.selectExpr("doc_id", f"{tf.words('text', ENG)} AS ws")
+        .selectExpr("doc_id", f"{sh} AS shingles")
+        # base md5 hashes materialized once; each seed is then a cheap
+        # affine pass over the integer array (8x less hashing)
+        .selectExpr("doc_id", "shingles", f"{tf.shingle_hashes('shingles', ENG)} AS hs")
     )
-    mh = [F.expr(tf.minhash("shingles", i, ENG)).alias(f"mh{i}") for i in range(n_hash)]
+    mh = [
+        F.expr(tf.minhash_from_hashes("hs", i, ENG)).alias(f"mh{i}")
+        for i in range(n_hash)
+    ]
     return df.select("doc_id", "shingles", *mh)
 
 
