@@ -1132,6 +1132,23 @@ FROM meta WHERE k % 8 = 0
 """
 
 
+def _rep_predicates(
+    max_top_word_frac: float = 0.2,
+    max_top_bigram_frac: float = 0.18,
+    min_distinct_ratio: float = 0.2,
+) -> tuple[str, str, str]:
+    """The three repetition-gate predicates as DuckDB SQL — ONE definition
+    mirroring operators/text.py repetition_filter's defaults; used by both
+    the repetition_filter and corpus_clean oracles."""
+    kw = f"top_word_cnt * 1000000 <= {int(max_top_word_frac * 1_000_000)} * n_words"
+    kb = (
+        "(n_bigrams = 0 OR top_bigram_cnt * 1000000 <= "
+        f"{int(max_top_bigram_frac * 1_000_000)} * n_bigrams)"
+    )
+    kd = f"n_distinct * 1000000 >= {int(min_distinct_ratio * 1_000_000)} * n_words"
+    return kw, kb, kd
+
+
 def _oracle_zonal_quantiles() -> str:
     return f"""
 WITH {_IMG_CTE},
@@ -1165,9 +1182,7 @@ def _oracle_corpus_clean() -> str:
     from aira_spark.functions import textfns as tf
 
     q = tf.quality_score("text", "duckdb")
-    kw = "top_word_cnt * 1000000 <= 200000 * n_words"
-    kb = "(n_bigrams = 0 OR top_bigram_cnt * 1000000 <= 180000 * n_bigrams)"
-    kd = "n_distinct * 1000000 >= 200000 * n_words"
+    kw, kb, kd = _rep_predicates()
     return f"""
 WITH {_DUP_CTE},
 {_REPETITION_CTE('docs')},
@@ -1250,9 +1265,7 @@ FROM rep
 
 
 def _oracle_repetition_filter() -> str:
-    kw = "top_word_cnt * 1000000 <= 200000 * n_words"
-    kb = "(n_bigrams = 0 OR top_bigram_cnt * 1000000 <= 180000 * n_bigrams)"
-    kd = "n_distinct * 1000000 >= 200000 * n_words"
+    kw, kb, kd = _rep_predicates()
     return f"""
 WITH {_REPETITION_CTE()}
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -2048,6 +2061,12 @@ def oracle_sql() -> dict[str, str]:
     from aira_spark.functions import textfns as tf
 
     eng = "duckdb"
+    exact_dedup_oracle = f"""
+WITH {_DUP_CTE}
+SELECT md5(text) AS text_hash, CAST(COUNT(*) AS BIGINT) AS n_dups,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_id
+FROM docs GROUP BY 1
+"""
     return {
         "meta_decode": _oracle_meta_decode(),
         "ratio_sort": _oracle_ratio_sort(),
@@ -2158,21 +2177,12 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(doc_hash AS BIGINT) AS doc_hash,
        CAST(unnest({tf.winnow_from_grams('g', 4, eng)}) AS BIGINT) AS fp
 FROM g
 """,
-        "dedup_exact": f"""
-WITH {_DUP_CTE}
-SELECT md5(text) AS text_hash, CAST(COUNT(*) AS BIGINT) AS n_dups,
-       CAST(MIN(doc_id) AS BIGINT) AS keeper_id
-FROM docs GROUP BY 1
-""",
-        # identical to dedup_exact by design: the streaming state machine's
-        # final emissions must equal the batch aggregate (min/count are
-        # order-independent) — pinned by the stream==batch pytest as well
-        "streaming_dedup": f"""
-WITH {_DUP_CTE}
-SELECT md5(text) AS text_hash, CAST(COUNT(*) AS BIGINT) AS n_dups,
-       CAST(MIN(doc_id) AS BIGINT) AS keeper_id
-FROM docs GROUP BY 1
-""",
+        "dedup_exact": exact_dedup_oracle,
+        # identical to dedup_exact BY CONSTRUCTION (same binding): the
+        # streaming state machine's final emissions must equal the batch
+        # aggregate (min/count are order-independent) — pinned by the
+        # stream==batch pytest as well
+        "streaming_dedup": exact_dedup_oracle,
         "dedup_minhash": _oracle_dedup_minhash(),
         "dedup_clusters": _oracle_dedup_clusters(),
         "simhash": f"""

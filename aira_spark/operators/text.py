@@ -101,8 +101,11 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     then per-doc max/sum) — the canonical distributed word-count; partial
     (map-side) aggregation applies at both levels, and nothing is quadratic
     in document length (the in-array `filter` formulation would be)."""
-    w = tf.words("text", ENG)
-    words = docs.selectExpr("doc_id", f"explode({w}) AS g")
+    # project the word array ONCE: higher-order-function lambdas get no
+    # common-subexpression elimination, so inlining words() into the bigram
+    # transform would re-split the text per array element (O(n^2) per doc)
+    ws = docs.selectExpr("doc_id", f"{tf.words('text', ENG)} AS ws")
+    words = ws.selectExpr("doc_id", "explode(ws) AS g")
     wstats = (
         words.groupBy("doc_id", "g").count()
         .groupBy("doc_id")
@@ -112,8 +115,8 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
             F.max("count").alias("top_word_cnt"),
         )
     )
-    bg = tf.shingles("text", 2, ENG)
-    bigrams = docs.selectExpr("doc_id", f"explode({bg}) AS g")
+    bg = tf.shingles_from_words("ws", 2, ENG)
+    bigrams = ws.selectExpr("doc_id", f"explode({bg}) AS g")
     bstats = (
         bigrams.groupBy("doc_id", "g").count()
         .groupBy("doc_id")

@@ -173,7 +173,7 @@ def main() -> None:
     from aira_spark.operators.window_read import read_window_pruned, window_read
     from aira_spark.sources.images import write_images_by_cell
 
-    if only is None or "window_read_pruned" in only:
+    if only is None or "window_read_pruned" in only.split(","):
         cell_path = f"/tmp/aira_bench_images_cell_v3_{sf_tag}_x{img_scale}"
         t0 = time.time()
         if not os.path.exists(f"{cell_path}/_SUCCESS"):
