@@ -276,6 +276,48 @@ def read_stage_at(spark: SparkSession, path: str, snapshot_id: int) -> DataFrame
     )
 
 
+def read_stage_changes(
+    spark: SparkSession, path: str, from_snapshot: int, to_snapshot: int | None = None
+) -> DataFrame:
+    """Incremental (CDC-style) read: ONLY the rows appended by snapshots in
+    (from_snapshot, to_snapshot] — the Iceberg incremental-scan analog, and
+    the primitive a 100 TB pipeline uses to process new arrivals without
+    re-reading the table. The `snap=` partition filter prunes every already-
+    processed snapshot at the scan, so cost is proportional to the NEW data
+    only. from_snapshot = 0 reads everything (bootstrap).
+
+    Raises when from_snapshot is newer than the log (a consumer tracking a
+    snapshot this table never committed is corrupt) and when any snapshot in
+    the requested range has been expired by compaction — the appended rows
+    still exist but are rewritten into a compacted snapshot that mixes them
+    with older data, so an exact incremental diff is no longer recoverable;
+    failing loudly beats silently replaying the whole table.
+    """
+    log = snapshots(path)
+    ids = [s["snapshot-id"] for s in log]
+    max_id = max(ids, default=0)
+    if from_snapshot > max_id:
+        raise ValueError(
+            f"from_snapshot {from_snapshot} is newer than the log at {path} "
+            f"(latest committed: {max_id})"
+        )
+    if to_snapshot is None:
+        to_snapshot = max_id
+    in_range = [
+        s for s in log if from_snapshot < s["snapshot-id"] <= to_snapshot
+    ]
+    expired = [s["snapshot-id"] for s in in_range if s.get("expired")]
+    if expired:
+        raise ValueError(
+            f"snapshots {expired} in ({from_snapshot}, {to_snapshot}] at {path} "
+            "are expired (compacted away); the incremental diff is not "
+            "recoverable — re-bootstrap from a full read"
+        )
+    keep = [s["snapshot-id"] for s in in_range]
+    df = spark.read.parquet(f"{path}/data")
+    return df.filter(F.col("snap").isin(keep)).drop("snap")
+
+
 def compact_stage(spark: SparkSession, path: str) -> tuple[int, int]:
     """Small-file maintenance (the rewrite_data_files + expire_snapshots
     analog): rewrites every committed snapshot's data into ONE fresh snapshot
