@@ -261,3 +261,21 @@ def write_images_by_cell(
     df.repartition(F.col("part_cell")).write.mode("overwrite").partitionBy(
         "part_cell"
     ).parquet(out_path)
+
+
+def write_images_bucketed(
+    spark: SparkSession, images: DataFrame, table: str, buckets: int = 16
+) -> None:
+    """Hash-bucketed, sorted table layout (Spark bucketBy — the Iceberg
+    bucket-transform analog): downstream equi-joins and aggregations on
+    image_id between tables bucketed the same way run WITHOUT a shuffle —
+    at 100 TB the join co-location is decided once at write time instead of
+    re-shuffling petabytes per query. saveAsTable is required (bucket
+    metadata lives in the catalog)."""
+    (
+        images.write.mode("overwrite")
+        .bucketBy(buckets, "image_id")
+        .sortBy("image_id")
+        .format("parquet")
+        .saveAsTable(table)
+    )

@@ -167,3 +167,21 @@ def test_lsh_ann_sql_equijoin(spark, sf_dir):
     s = plan_string(df)
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on image_id join WITHOUT exchanges: co-location
+    is decided at write time — the 100 TB lever for repeated joins."""
+    from aira_spark.sources.images import images_table, write_images_bucketed
+
+    imgs = images_table(spark, sf_dir, limit=200).select("image_id", "w", "h")
+    caps = images_table(spark, sf_dir, limit=200).select("image_id", "caption")
+    write_images_bucketed(spark, imgs, "bk_meta", buckets=4)
+    write_images_bucketed(spark, caps, "bk_caps", buckets=4)
+    try:
+        joined = spark.table("bk_meta").join(spark.table("bk_caps"), "image_id")
+        assert shuffle_count(joined) == 0, plan_string(joined)
+        assert joined.count() == 200
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_meta")
+        spark.sql("DROP TABLE IF EXISTS bk_caps")
