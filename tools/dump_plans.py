@@ -58,6 +58,8 @@ def main() -> None:
         ("ratio_sort", "exact-rational key as a pure DECIMAL projection; the "
                        "global rank is the demo — at scale use range-partitioned "
                        "orderBy on the key columns"),
+        ("zonal_quantiles", "exact order statistics via the distributive value "
+                            "histogram: <=256 rows/cell shuffle, never pixels"),
     ]
     qs = em.queries()
     lines = [
