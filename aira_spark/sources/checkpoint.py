@@ -234,24 +234,27 @@ def resume_stage(
     write_stage(df, path, stage, key, n_buckets, cell_col, only_buckets=pending)
 
 
-def read_stage(spark: SparkSession, path: str) -> DataFrame:
-    """Current table state = union of the LIVE (metadata-committed, not
-    expired) snapshots. Orphan snap= dirs from killed writes are never read —
-    metadata.json is the commit pointer, exactly as in Iceberg."""
+def _read_snapshots(spark: SparkSession, path: str, ids: list[int]) -> DataFrame:
+    """The one snapshot-scan shape every reader shares: layout guard, then
+    scan + snap= partition filter + drop. Raises the designed error on the
+    pre-snapshot layout and on a table with no data at all (instead of an
+    opaque PATH_NOT_FOUND / missing-column failure at scan time)."""
     data = f"{path}/data"
-    if os.path.isdir(data) and any(
-        d.startswith("bucket=") for d in os.listdir(data)
-    ):
+    if not os.path.isdir(data):
+        raise ValueError(f"{path} has no data directory — nothing committed yet")
+    if any(d.startswith("bucket=") for d in os.listdir(data)):
         raise ValueError(
             f"{data} uses the pre-snapshot layout (top-level bucket= dirs); "
             "recreate the stage — mixing layouts breaks partition discovery"
         )
-    live = live_snapshot_ids(path)
-    return (
-        spark.read.parquet(data)
-        .filter(F.col("snap").isin(live))
-        .drop("snap")
-    )
+    return spark.read.parquet(data).filter(F.col("snap").isin(ids)).drop("snap")
+
+
+def read_stage(spark: SparkSession, path: str) -> DataFrame:
+    """Current table state = union of the LIVE (metadata-committed, not
+    expired) snapshots. Orphan snap= dirs from killed writes are never read —
+    metadata.json is the commit pointer, exactly as in Iceberg."""
+    return _read_snapshots(spark, path, live_snapshot_ids(path))
 
 
 def read_stage_at(spark: SparkSession, path: str, snapshot_id: int) -> DataFrame:
@@ -269,11 +272,7 @@ def read_stage_at(spark: SparkSession, path: str, snapshot_id: int) -> DataFrame
             f"live ids: {live_snapshot_ids(path)}"
         )
     keep = [i for i in live_snapshot_ids(path) if i <= snapshot_id]
-    return (
-        spark.read.parquet(f"{path}/data")
-        .filter(F.col("snap").isin(keep))
-        .drop("snap")
-    )
+    return _read_snapshots(spark, path, keep)
 
 
 def read_stage_changes(
@@ -284,25 +283,37 @@ def read_stage_changes(
     the primitive a 100 TB pipeline uses to process new arrivals without
     re-reading the table. The `snap=` partition filter prunes every already-
     processed snapshot at the scan, so cost is proportional to the NEW data
-    only. from_snapshot = 0 reads everything (bootstrap).
+    only. from_snapshot = 0 is the bootstrap: it returns the CURRENT table
+    (live snapshots — equivalent to read_stage), which stays valid across
+    compaction since compaction preserves content.
 
-    Raises when from_snapshot is newer than the log (a consumer tracking a
-    snapshot this table never committed is corrupt) and when any snapshot in
-    the requested range has been expired by compaction — the appended rows
-    still exist but are rewritten into a compacted snapshot that mixes them
-    with older data, so an exact incremental diff is no longer recoverable;
-    failing loudly beats silently replaying the whole table.
+    Raises when either cursor is newer than the log (a consumer tracking a
+    snapshot this table never committed is corrupt — accepting it would let
+    the consumer record an unreachable watermark and silently skip every
+    later snapshot) and when any snapshot in a from > 0 range has been
+    expired by compaction — the appended rows still exist but are rewritten
+    into a compacted snapshot that mixes them with older data, so an exact
+    incremental diff is no longer recoverable; failing loudly beats silently
+    replaying the whole table.
     """
     log = snapshots(path)
-    ids = [s["snapshot-id"] for s in log]
-    max_id = max(ids, default=0)
-    if from_snapshot > max_id:
-        raise ValueError(
-            f"from_snapshot {from_snapshot} is newer than the log at {path} "
-            f"(latest committed: {max_id})"
-        )
+    if not log:
+        raise ValueError(f"no snapshots committed yet at {path}")
+    max_id = max(s["snapshot-id"] for s in log)
+    for name, cursor in (("from_snapshot", from_snapshot), ("to_snapshot", to_snapshot)):
+        if cursor is not None and cursor > max_id:
+            raise ValueError(
+                f"{name} {cursor} is newer than the log at {path} "
+                f"(latest committed: {max_id})"
+            )
     if to_snapshot is None:
         to_snapshot = max_id
+    if from_snapshot == 0:
+        # bootstrap: the table AS OF to_snapshot, not a diff — survives
+        # compaction at the head (the compacted snapshot is live), and an
+        # explicit expired/uncommitted to_snapshot raises via read_stage_at
+        # instead of silently returning an empty or partial table
+        return read_stage_at(spark, path, to_snapshot)
     in_range = [
         s for s in log if from_snapshot < s["snapshot-id"] <= to_snapshot
     ]
@@ -313,9 +324,7 @@ def read_stage_changes(
             "are expired (compacted away); the incremental diff is not "
             "recoverable — re-bootstrap from a full read"
         )
-    keep = [s["snapshot-id"] for s in in_range]
-    df = spark.read.parquet(f"{path}/data")
-    return df.filter(F.col("snap").isin(keep)).drop("snap")
+    return _read_snapshots(spark, path, [s["snapshot-id"] for s in in_range])
 
 
 def compact_stage(spark: SparkSession, path: str) -> tuple[int, int]:

@@ -218,3 +218,28 @@ def test_incremental_read_between_snapshots(spark, source, tmp_path):
     compact_stage(spark, path)
     with pytest.raises(ValueError, match="expired"):
         read_stage_changes(spark, path, 1, 2)
+
+
+def test_incremental_read_contract_edges(spark, source, tmp_path):
+    """CDC cursor contracts: ahead-of-log to_snapshot raises (a consumer must
+    never record an unreachable watermark); bootstrap (from=0) survives
+    compaction by returning the live table; polling an unwritten stage
+    raises a clear error instead of a scan failure."""
+    from aira_spark.sources.checkpoint import compact_stage, read_stage_changes
+
+    path = str(tmp_path / "cdc2")
+    with pytest.raises(ValueError, match="no snapshots committed"):
+        read_stage_changes(spark, path, 0)
+
+    write_stage(source, path, "s", key="o_orderkey", n_buckets=N_BUCKETS,
+                only_buckets=list(range(N_BUCKETS // 2)))
+    resume_stage(source, path, "s", key="o_orderkey", n_buckets=N_BUCKETS)
+    with pytest.raises(ValueError, match="to_snapshot 99 is newer"):
+        read_stage_changes(spark, path, 0, 99)
+
+    compact_stage(spark, path)
+    # bootstrap after compaction: full current table, no expired-range error
+    assert read_stage_changes(spark, path, 0).count() == source.count()
+    # bootstrap pinned to an expired snapshot raises via the AS-OF contract
+    with pytest.raises(ValueError, match="expired"):
+        read_stage_changes(spark, path, 0, 1)

@@ -178,10 +178,18 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     caps = images_table(spark, sf_dir, limit=200).select("image_id", "caption")
     write_images_bucketed(spark, imgs, "bk_meta", buckets=4)
     write_images_bucketed(spark, caps, "bk_caps", buckets=4)
+    # disable auto-broadcast: with it on, small tables take BroadcastHashJoin
+    # (zero shuffles for the wrong reason — bucketing disabled by the
+    # planner) and the assertion would be vacuous
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         joined = spark.table("bk_meta").join(spark.table("bk_caps"), "image_id")
-        assert shuffle_count(joined) == 0, plan_string(joined)
+        s = plan_string(joined)
+        assert "Bucketed: true" in s, s
+        assert shuffle_count(joined) == 0, s
         assert joined.count() == 200
     finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
         spark.sql("DROP TABLE IF EXISTS bk_meta")
         spark.sql("DROP TABLE IF EXISTS bk_caps")
