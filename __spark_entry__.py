@@ -325,6 +325,22 @@ def q_rasterize_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_patch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style fixed-grid patch extraction (band-0 stats per 16x16 patch,
+    clipped edges); DuckDB recomputes every patch reduction from the
+    closed-form pixel formula."""
+    from aira_spark.operators.multimodal import patchify
+
+    return patchify(_images(spark, sf_dir, modulo=8), patch=16).select(
+        "image_id",
+        F.col("patch_row").cast("long").alias("patch_row"),
+        F.col("patch_col").cast("long").alias("patch_col"),
+        F.col("ph").cast("long").alias("ph"),
+        F.col("pw").cast("long").alias("pw"),
+        "px_sum", "px_min", "px_max",
+    )
+
+
 def q_zonal_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-cell pixel quantiles via distributive value histograms;
     DuckDB recomputes the same cumulative-histogram order statistic from the
@@ -1061,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
         "text_features": q_text_features,
+        "patch_stats": q_patch_stats,
         "zonal_quantiles": q_zonal_quantiles,
         "corpus_clean": q_corpus_clean,
         "band_histogram": q_band_histogram,
@@ -1147,6 +1164,34 @@ def _rep_predicates(
     )
     kd = f"n_distinct * 1000000 >= {int(min_distinct_ratio * 1_000_000)} * n_words"
     return kw, kb, kd
+
+
+def _oracle_patch_stats() -> str:
+    return f"""
+WITH {_IMG_CTE},
+sel AS (SELECT image_id, k, w, h FROM meta WHERE k % 8 = 0),
+rws AS (SELECT *, unnest(generate_series(0, h - 1)) AS r FROM sel),
+pxs AS (SELECT *, unnest(generate_series(0, w - 1)) AS c FROM rws),
+vals AS (
+  SELECT image_id, CAST(r // 16 AS BIGINT) AS patch_row,
+         CAST(c // 16 AS BIGINT) AS patch_col,
+         (r * 7 + c * 13 + k) % 256 AS val
+  FROM pxs
+),
+pdims AS (
+  SELECT image_id, CAST(r // 16 AS BIGINT) AS patch_row,
+         CAST(c // 16 AS BIGINT) AS patch_col,
+         CAST(MAX(r) - MIN(r) + 1 AS BIGINT) AS ph,
+         CAST(MAX(c) - MIN(c) + 1 AS BIGINT) AS pw
+  FROM pxs GROUP BY 1, 2, 3
+)
+SELECT v.image_id, v.patch_row, v.patch_col, d.ph, d.pw,
+  CAST(SUM(val) AS BIGINT) AS px_sum, CAST(MIN(val) AS BIGINT) AS px_min,
+  CAST(MAX(val) AS BIGINT) AS px_max
+FROM vals v JOIN pdims d
+  ON d.image_id = v.image_id AND d.patch_row = v.patch_row AND d.patch_col = v.patch_col
+GROUP BY 1, 2, 3, 4, 5
+"""
 
 
 def _oracle_zonal_quantiles() -> str:
@@ -2143,6 +2188,7 @@ FROM j WHERE rn <= 5
         # distribution, never the join key — results pinned identical by
         # tests/test_spatial.py), so pip's oracle applies verbatim
         "pip_salted": _oracle_pip(),
+        "patch_stats": _oracle_patch_stats(),
         "zonal_quantiles": _oracle_zonal_quantiles(),
         "corpus_clean": _oracle_corpus_clean(),
         "band_histogram": _oracle_band_histogram(),

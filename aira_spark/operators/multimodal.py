@@ -189,3 +189,44 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
             yield pd.DataFrame(rows, columns=FRAME_SCHEMA.fieldNames())
 
     return media.select("media_id", "fmt", "bytes").mapInPandas(fn, schema=FRAME_SCHEMA)
+
+
+def patchify(images: DataFrame, patch: int = 16) -> DataFrame:
+    """(image_id, patch_row, patch_col, ph, pw, px_sum, px_min, px_max):
+    fixed-grid patch extraction over band 0 — the ViT-style training-data
+    primitive (one row per patch; edge patches are clipped, not padded, and
+    their true ph/pw are emitted so a consumer can pad or drop).
+
+    Map-side only: one decode per image, numpy block reduction per patch;
+    patch STATISTICS cross Arrow, never pixel buffers — the 100 TB shape for
+    corpus-level patch curation (filtering blank/low-variance patches before
+    the expensive bytes are ever shipped)."""
+    cols = ["image_id", "patch_row", "patch_col", "ph", "pw",
+            "px_sum", "px_min", "px_max"]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for rec in pdf.itertuples(index=False):
+                try:
+                    _, px = _decode_full(rec.bytes, max_bands=1)
+                except TiffError:
+                    continue
+                a = px[:, :, 0].astype(np.int64)
+                h, w = a.shape
+                for pr in range((h + patch - 1) // patch):
+                    r0, r1 = pr * patch, min((pr + 1) * patch, h)
+                    for pc in range((w + patch - 1) // patch):
+                        c0, c1 = pc * patch, min((pc + 1) * patch, w)
+                        blk = a[r0:r1, c0:c1]
+                        out.append(
+                            (rec.image_id, pr, pc, r1 - r0, c1 - c0,
+                             int(blk.sum()), int(blk.min()), int(blk.max()))
+                        )
+            yield pd.DataFrame(out, columns=cols)
+
+    return images.select("image_id", "bytes").mapInPandas(
+        fn,
+        schema="image_id string, patch_row int, patch_col int, ph int, pw int, "
+               "px_sum long, px_min long, px_max long",
+    )

@@ -151,6 +151,7 @@ def main() -> None:
         "rasterize_tiles": lambda: em.q_rasterize_tiles(spark, sf_dir).count(),
         "band_histogram": lambda: em.q_band_histogram(spark, sf_dir).count(),
         "zonal_quantiles": lambda: em.q_zonal_quantiles(spark, sf_dir).count(),
+        "patch_stats": lambda: em.q_patch_stats(spark, sf_dir).count(),
         "corpus_clean": lambda: em.q_corpus_clean(spark, sf_dir).count(),
         "mosaic": lambda: em.q_mosaic(spark, sf_dir).count(),
         "resize_thumbs": lambda: em.q_resize_thumbs(spark, sf_dir).count(),
