@@ -350,3 +350,34 @@ def test_streaming_dedup_matches_batch(spark, sf_dir):
         tuple(r) for r in em.q_streaming_dedup(spark, sf_dir).collect()
     }
     assert stream == batch
+
+
+def test_embedding_near_dup_sql_precision_and_dup_recall(spark, sf_dir):
+    """Independent check the oracle cannot make (it reproduces the same
+    buckets): every emitted pair truly clears the cosine threshold
+    (precision 1.0, verified in numpy), and every injected EXACT duplicate
+    is found (identical vectors share every bucket — recall 1.0 on dups)."""
+    import numpy as np
+
+    from aira_spark.operators.similarity import embedding_near_dup_pairs_sql
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dup_ids = [r.vec_id for r in emb.filter(F.col("vec_id") % 9 == 0).collect()]
+    bumped = emb.filter(F.col("vec_id") % 9 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    both = emb.unionByName(bumped)
+    pairs = embedding_near_dup_pairs_sql(both, threshold=0.99).collect()
+
+    pdf = both.toPandas()
+    vecs = {
+        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+        for r in pdf.itertuples(index=False)
+    }
+    for r in pairs:
+        a, b = vecs[r.vec_a], vecs[r.vec_b]
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert cos >= 0.99 - 1e-9, (r.vec_a, r.vec_b, cos)
+    found = {(r.vec_a, r.vec_b) for r in pairs}
+    for i in dup_ids:
+        assert (i, i + 1_000_000) in found, f"exact dup {i} missed"
