@@ -166,16 +166,26 @@ def q_meta_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ratio_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact rational ordering as a DataFrame sort (functions/ratiofns.py):
-    adversarial (num, den) pairs derived from part keys — consecutive pairs
-    collapse to the SAME double under pre-division but differ exactly —
-    ranked by the 186-fractional-bit integer key. Sign-flipped denominators
-    and zero-denominator (+-inf class) rows included. The global rank is the
-    demonstration; the key itself is a pure projection, and a 100 TB sort
-    uses range-partitioned orderBy on the key columns."""
+    """Exact rational ordering as a DataFrame sort (functions/ratiofns.py),
+    both halves in one entry (src column):
+
+    - src='adv': adversarial (num, den) pairs derived from part keys —
+      consecutive pairs collapse to the SAME double under pre-division but
+      differ exactly — ranked by the 186-fractional-bit integer key.
+      Sign-flipped denominators and zero-denominator (+-inf class) rows
+      included; the oracle ranks with ratiofns' own DuckDB key text.
+    - src='res': the user-visible case VERDICT r1 flagged — orderBy on the
+      decoded meta.resolution rational; here the DuckDB oracle sorts by plain
+      double DIVISION (independent method, exact for these small rationals),
+      so a wrong key order fails the hash.
+
+    The global rank is the demonstration; the key itself is a pure
+    projection, and a 100 TB sort uses range-partitioned orderBy on the key
+    columns."""
     from pyspark.sql import Window
 
     from aira_spark.functions.ratiofns import ratio_sort_cols
+    from aira_spark.operators.chunks import with_meta
 
     part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
         F.col("p_partkey").alias("k")
@@ -192,37 +202,29 @@ def q_ratio_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
           2 * k + 1, sgn * ({e18} + k + 1), CASE WHEN zden THEN 0 ELSE dsgn * ({e18} + 1) END
         ) AS (rid, num, den)"""
     )
-    w = Window.orderBy(*ratio_sort_cols("num", "den"), F.col("rid"))
-    return rows.select(
-        F.col("rid").cast("long").alias("rid"),
+    wa = Window.orderBy(*ratio_sort_cols("num", "den"), F.col("rid"))
+    adv = rows.select(
+        F.lit("adv").alias("src"),
+        F.col("rid").cast("string").alias("rid"),
         F.col("num").cast("long").alias("num"),
         F.col("den").cast("long").alias("den"),
-        F.row_number().over(w).cast("long").alias("rnk"),
+        F.row_number().over(wa).cast("long").alias("rnk"),
     )
-
-
-def q_resolution_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The user-visible case VERDICT flagged: orderBy on meta.resolution must
-    sort by the EXACT rational, not its float collapse. Spark sorts by the
-    ratiofns key over the decoded num/den struct fields; the DuckDB oracle
-    sorts by plain double division — independent method, exact for these
-    small rationals — so a wrong key order fails the hash."""
-    from pyspark.sql import Window
-
-    from aira_spark.functions.ratiofns import ratio_sort_cols
-    from aira_spark.operators.chunks import with_meta
 
     m = F.col("meta")
     imgs = with_meta(_images(spark, sf_dir, modulo=8)).select(
         "image_id",
-        m["resolution"]["x_num"].cast("long").alias("x_num"),
-        m["resolution"]["x_den"].cast("long").alias("x_den"),
+        m["resolution"]["x_num"].cast("long").alias("num"),
+        m["resolution"]["x_den"].cast("long").alias("den"),
     )
-    w = Window.orderBy(*ratio_sort_cols("x_num", "x_den"), F.col("image_id"))
-    return imgs.select(
-        "image_id", "x_num", "x_den",
-        F.row_number().over(w).cast("long").alias("rnk"),
+    wr = Window.orderBy(*ratio_sort_cols("num", "den"), F.col("image_id"))
+    res = imgs.select(
+        F.lit("res").alias("src"),
+        F.col("image_id").alias("rid"),
+        "num", "den",
+        F.row_number().over(wr).cast("long").alias("rnk"),
     )
+    return adv.unionByName(res)
 
 
 def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -285,18 +287,31 @@ def q_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN join, both metrics in one entry (metric column): 'deg' = planar
+    k-ring expansion + distance-bounded re-rank; 'km' = geodesic great-circle
+    km (ring prefilter with per-query spherical finalization bound)."""
     from aira_spark.operators.spatial import knn_join
     from aira_spark.sources.vectors import points_table
 
     queries = spark.read.parquet(f"{sf_dir}/supplier.parquet").selectExpr(
         "s_suppkey AS query_id", f"{_KNN_QX} AS x", f"{_KNN_QY} AS y"
     )
-    return knn_join(queries, points_table(spark, sf_dir), k=5, res=CELL_RES).select(
+    pts = points_table(spark, sf_dir)
+    deg = knn_join(queries, pts, k=5, res=CELL_RES).select(
+        F.lit("deg").alias("metric"),
         "query_id",
         "neighbor_id",
         F.col("rank").cast("long").alias("rnk"),
         F.round("dist", 6).alias("dist_r"),
     )
+    km = knn_join(queries, pts, k=5, res=CELL_RES, metric="haversine").select(
+        F.lit("km").alias("metric"),
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rnk"),
+        F.round("dist", 3).alias("dist_r"),
+    )
+    return deg.unionByName(km)
 
 
 def q_rasterize_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -385,36 +400,24 @@ def q_band_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition signals (exact integer numerators and
-    denominators); DuckDB recomputes via its own unnest + GROUP BY."""
-    from aira_spark.operators.text import repetition_stats
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    s = repetition_stats(docs)
-    return s.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("n_words").cast("long").alias("n_words"),
-        F.col("n_distinct").cast("long").alias("n_distinct"),
-        F.col("top_word_cnt").cast("long").alias("top_word_cnt"),
-        F.col("n_bigrams").cast("long").alias("n_bigrams"),
-        F.col("top_bigram_cnt").cast("long").alias("top_bigram_cnt"),
-    )
-
-
 def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Repetition keep/drop gate (integer cross-multiplication predicates)."""
+    """The full Gopher gate in one entry: exact-integer repetition signals
+    (word/bigram counts), line-level signals (bullet/ellipsis line counts),
+    symbol and word-length signals, every pass_* verdict and the keep
+    conjunction; DuckDB recomputes all of it via its own unnest + GROUP BY
+    plus the shared predicate text."""
     from aira_spark.operators.text import repetition_filter
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     f = repetition_filter(docs)
-    return f.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("keep").cast("long").alias("keep"),
-        F.col("pass_word").cast("long").alias("pass_word"),
-        F.col("pass_bigram").cast("long").alias("pass_bigram"),
-        F.col("pass_distinct").cast("long").alias("pass_distinct"),
-    )
+    ints = [
+        "doc_id", "n_words", "n_distinct", "top_word_cnt", "n_bigrams",
+        "top_bigram_cnt", "n_lines", "n_bullet_lines", "n_ellipsis_lines",
+        "n_symbols", "word_chars", "keep", "pass_word", "pass_bigram",
+        "pass_distinct", "pass_bullet", "pass_ellipsis", "pass_symbol",
+        "pass_wordlen",
+    ]
+    return f.select(*[F.col(c).cast("long").alias(c) for c in ints])
 
 
 def q_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -481,40 +484,19 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text analysis in one entry: whitespace + BPE-ish token counts,
+    quality score (the keep/drop threshold's input — the gate itself is
+    pinned by corpus_clean's quality_pass), language heuristic, fingerprint."""
     from aira_spark.operators.text import text_features
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return text_features(docs).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
+        "n_bpe_tokens",
         F.col("quality").cast("double").alias("quality"),
         "lang_guess",
         F.col("fingerprint").cast("long").alias("fingerprint"),
-    )
-
-
-def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The training-data keep/drop gate: documents passing the quality
-    threshold (length/punct/stopword-ratio score)."""
-    from aira_spark.operators.text import quality_filter
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return quality_filter(docs, min_quality=0.5).select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("quality").cast("double").alias("quality"),
-    )
-
-
-def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting both ways (SURVEY training-data family): whitespace
-    tokens vs BPE-ish regex tokens (letter/digit/symbol runs) per document."""
-    from aira_spark.functions import textfns as tf
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.selectExpr(
-        "CAST(doc_id AS BIGINT) AS doc_id",
-        f"CAST({tf.n_tokens('text', 'spark')} AS BIGINT) AS n_ws_tokens",
-        f"CAST({tf.n_bpe_tokens('text', 'spark')} AS BIGINT) AS n_bpe_tokens",
     )
 
 
@@ -598,6 +580,33 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").cast("long").alias("doc_a"),
         F.col("doc_b").cast("long").alias("doc_b"),
         F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-level near-duplicate pairs on the mandated phash column
+    (pigeonhole Hamming banding, 64-bit, Hamming <= 2), with injected exact
+    copies ('x' prefix, k % 28) and 2-bit-flipped near-dups ('y' prefix,
+    k % 36). The DuckDB oracle recomputes every phash INDEPENDENTLY from the
+    closed-form pixel formula (exact-integer block thresholds) and brute-
+    forces all pairs with popcount — no blocking — so both a banding recall
+    hole and any phash drift fail the hash."""
+    from aira_spark.operators.dedup import phash_dup_pairs
+
+    imgs = _images(spark, sf_dir, modulo=4).select(
+        "image_id", "phash",
+        F.expr("CAST(substr(image_id, 4) AS BIGINT)").alias("k"),
+    )
+    cpy = imgs.filter(F.col("k") % 28 == 0).select(
+        F.concat(F.lit("x"), F.col("image_id")).alias("image_id"), "phash"
+    )
+    near = imgs.filter(F.col("k") % 36 == 0).select(
+        F.concat(F.lit("y"), F.col("image_id")).alias("image_id"),
+        F.expr("phash ^ 3").alias("phash"),
+    )
+    allimg = imgs.select("image_id", "phash").unionByName(cpy).unionByName(near)
+    return phash_dup_pairs(allimg, max_hamming=2).select(
+        "img_a", "img_b", F.col("hamming").cast("long").alias("hamming")
     )
 
 
@@ -788,58 +797,33 @@ def q_crs_info(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_within_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distance-band (range) join: supplier query sites x customer points
-    within 2 degrees (broadcast disk-bbox cell cover prefilter)."""
-    from aira_spark.operators.spatial import within_distance_join
+    """Distance-band (range) join, both metrics in one entry (metric column):
+    'deg' = pairs within 2 planar degrees (broadcast disk-bbox cell-cover
+    prefilter); 'km' = pairs within 300 great-circle km (haversine,
+    spherical-superset bbox prefilter)."""
+    from aira_spark.operators.spatial import (
+        within_distance_join,
+        within_distance_km_join,
+    )
     from aira_spark.sources.vectors import points_table
 
     queries = spark.read.parquet(f"{sf_dir}/supplier.parquet").selectExpr(
         "s_suppkey AS query_id", f"{_KNN_QX} AS x", f"{_KNN_QY} AS y"
     )
-    return within_distance_join(
-        queries, points_table(spark, sf_dir), d=2.0, res=CELL_RES
-    ).select(
+    pts = points_table(spark, sf_dir)
+    deg = within_distance_join(queries, pts, d=2.0, res=CELL_RES).select(
+        F.lit("deg").alias("metric"),
         F.col("query_id").cast("long").alias("query_id"),
         F.col("point_id").cast("long").alias("point_id"),
         F.round("dist", 6).alias("dist_r"),
     )
-
-
-def q_knn_km(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Geodesic kNN: 5 nearest by great-circle km (ring prefilter with
-    per-query spherical finalization bound)."""
-    from aira_spark.operators.spatial import knn_join
-    from aira_spark.sources.vectors import points_table
-
-    queries = spark.read.parquet(f"{sf_dir}/supplier.parquet").selectExpr(
-        "s_suppkey AS query_id", f"{_KNN_QX} AS x", f"{_KNN_QY} AS y"
-    )
-    return knn_join(
-        queries, points_table(spark, sf_dir), k=5, res=CELL_RES, metric="haversine"
-    ).select(
-        "query_id",
-        "neighbor_id",
-        F.col("rank").cast("long").alias("rnk"),
-        F.round("dist", 3).alias("dist_km_r"),
-    )
-
-
-def q_within_distance_km(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Geodesic (haversine) distance-band join: pairs within 300 great-circle
-    km, spherical-superset bbox prefilter."""
-    from aira_spark.operators.spatial import within_distance_km_join
-    from aira_spark.sources.vectors import points_table
-
-    queries = spark.read.parquet(f"{sf_dir}/supplier.parquet").selectExpr(
-        "s_suppkey AS query_id", f"{_KNN_QX} AS x", f"{_KNN_QY} AS y"
-    )
-    return within_distance_km_join(
-        queries, points_table(spark, sf_dir), d_km=300.0, res=CELL_RES
-    ).select(
+    km = within_distance_km_join(queries, pts, d_km=300.0, res=CELL_RES).select(
+        F.lit("km").alias("metric"),
         F.col("query_id").cast("long").alias("query_id"),
         F.col("point_id").cast("long").alias("point_id"),
-        F.round("dist_km", 3).alias("dist_km_r"),
+        F.round("dist_km", 3).alias("dist_r"),
     )
+    return deg.unionByName(km)
 
 
 def q_footprint_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1046,62 +1030,61 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # EXACTLY 50 entries: the driver's CORRECTNESS report records only the
+    # first 50, so the roster is folded (composites with a tag column) to fit
+    # — every entry below gets a driver correctness row. Do not grow past 50;
+    # fold near-duplicate entries instead.
     return {
         "meta_decode": q_meta_decode,
         "ratio_sort": q_ratio_sort,
-        "resolution_sort": q_resolution_sort,
         "tile_assign": q_tile_assign,
         "cell_cover": q_cell_cover,
         "zonal_stats": q_zonal_stats,
         "zonal_by_polygon": q_zonal_by_polygon,
         "pip": q_pip,
+        "pip_salted": q_pip_salted,
         "knn": q_knn,
+        "within_distance": q_within_distance,
         "resize_thumbs": q_resize_thumbs,
         "zonal_exact": q_zonal_exact,
         "mosaic": q_mosaic,
         "zonal_bands": q_zonal_bands,
         "band_index": q_band_index,
         "zonal_rollup": q_zonal_rollup,
+        "zonal_quantiles": q_zonal_quantiles,
+        "band_histogram": q_band_histogram,
         "overview_select": q_overview_select,
-        "within_distance": q_within_distance,
-        "within_distance_km": q_within_distance_km,
         "crs_info": q_crs_info,
-        "knn_km": q_knn_km,
         "footprint_poly": q_footprint_poly,
         "window_read": q_window_read,
-        "sessionize": q_sessionize,
-        "stateful_totals": q_stateful_totals,
         "rasterize_cells": q_rasterize_cells,
         "rasterize_tiles": q_rasterize_tiles,
+        "patch_stats": q_patch_stats,
+        "phash_dedup": q_phash_dedup,
+        "sessionize": q_sessionize,
+        "stateful_totals": q_stateful_totals,
+        "streaming_hourly": q_streaming_hourly,
+        "streaming_cover": q_streaming_cover,
+        "streaming_dedup": q_streaming_dedup,
         "q1_pricing": q_q1_pricing,
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
         "text_features": q_text_features,
-        "patch_stats": q_patch_stats,
-        "zonal_quantiles": q_zonal_quantiles,
-        "corpus_clean": q_corpus_clean,
-        "band_histogram": q_band_histogram,
-        "repetition_stats": q_repetition_stats,
         "repetition_filter": q_repetition_filter,
-        "token_stats": q_token_stats,
-        "quality_filter": q_quality_filter,
+        "corpus_clean": q_corpus_clean,
         "fingerprints": q_fingerprints,
         "dedup_exact": q_dedup_exact,
-        "streaming_dedup": q_streaming_dedup,
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ifd_dump": q_ifd_dump,
-        "verify_invariants": q_verify_invariants,
-        "embedding_near_dup": q_embedding_near_dup,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
-        "pip_salted": q_pip_salted,
-        "streaming_hourly": q_streaming_hourly,
-        "streaming_cover": q_streaming_cover,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ifd_dump": q_ifd_dump,
+        "verify_invariants": q_verify_invariants,
     }
 
 
@@ -1112,8 +1095,12 @@ def _oracle_ratio_sort() -> str:
     from aira_spark.functions.ratiofns import duck_order_by
 
     e18 = 10**18
+    # src='res' uses an independent method: plain double division — exact
+    # for num <= 168, den <= 5 (collisions only for value-equal rationals,
+    # which tie-break on image_id in both engines)
     return f"""
-WITH base AS (
+WITH {_IMG_CTE},
+base AS (
   SELECT p_partkey AS k,
     CASE WHEN p_partkey % 3 = 1 THEN -1 ELSE 1 END AS sgn,
     CASE WHEN p_partkey % 5 = 0 THEN -1 ELSE 1 END AS dsgn,
@@ -1127,24 +1114,16 @@ rows AS (
   SELECT 2 * k + 1, sgn * ({e18} + k + 1),
          CASE WHEN zden THEN 0 ELSE dsgn * ({e18} + 1) END FROM base
 )
-SELECT CAST(rid AS BIGINT) AS rid, CAST(num AS BIGINT) AS num,
+SELECT 'adv' AS src, CAST(rid AS VARCHAR) AS rid, CAST(num AS BIGINT) AS num,
        CAST(den AS BIGINT) AS den,
        CAST(ROW_NUMBER() OVER (ORDER BY {duck_order_by('num', 'den')}, rid) AS BIGINT) AS rnk
 FROM rows
-"""
-
-
-def _oracle_resolution_sort() -> str:
-    # independent method: plain double division — exact for num <= 168,
-    # den <= 5 (collisions only for value-equal rationals, which tie-break
-    # on image_id in both engines)
-    return f"""
-WITH {_IMG_CTE}
-SELECT image_id, CAST(72 + k % 97 AS BIGINT) AS x_num,
-       CAST(1 + k % 5 AS BIGINT) AS x_den,
+UNION ALL
+SELECT 'res', image_id, CAST(72 + k % 97 AS BIGINT),
+       CAST(1 + k % 5 AS BIGINT),
        CAST(ROW_NUMBER() OVER (
          ORDER BY CAST(72 + k % 97 AS DOUBLE) / (1 + k % 5), image_id
-       ) AS BIGINT) AS rnk
+       ) AS BIGINT)
 FROM meta WHERE k % 8 = 0
 """
 
@@ -1153,17 +1132,23 @@ def _rep_predicates(
     max_top_word_frac: float = 0.2,
     max_top_bigram_frac: float = 0.18,
     min_distinct_ratio: float = 0.2,
-) -> tuple[str, str, str]:
-    """The three repetition-gate predicates as DuckDB SQL — ONE definition
+) -> dict[str, str]:
+    """The full Gopher-gate predicate set as DuckDB SQL — ONE definition
     mirroring operators/text.py repetition_filter's defaults; used by both
-    the repetition_filter and corpus_clean oracles."""
-    kw = f"top_word_cnt * 1000000 <= {int(max_top_word_frac * 1_000_000)} * n_words"
-    kb = (
-        "(n_bigrams = 0 OR top_bigram_cnt * 1000000 <= "
-        f"{int(max_top_bigram_frac * 1_000_000)} * n_bigrams)"
-    )
-    kd = f"n_distinct * 1000000 >= {int(min_distinct_ratio * 1_000_000)} * n_words"
-    return kw, kb, kd
+    the repetition_filter and corpus_clean oracles. Keys match the Spark
+    pass_* column suffixes."""
+    return {
+        "word": f"top_word_cnt * 1000000 <= {int(max_top_word_frac * 1_000_000)} * n_words",
+        "bigram": (
+            "(n_bigrams = 0 OR top_bigram_cnt * 1000000 <= "
+            f"{int(max_top_bigram_frac * 1_000_000)} * n_bigrams)"
+        ),
+        "distinct": f"n_distinct * 1000000 >= {int(min_distinct_ratio * 1_000_000)} * n_words",
+        "bullet": "n_bullet_lines * 10 <= n_lines * 9",
+        "ellipsis": "n_ellipsis_lines * 10 <= n_lines * 3",
+        "symbol": "n_symbols * 10 <= n_words",
+        "wordlen": "(word_chars >= n_words * 3 AND word_chars <= n_words * 10)",
+    }
 
 
 def _oracle_patch_stats() -> str:
@@ -1227,7 +1212,7 @@ def _oracle_corpus_clean() -> str:
     from aira_spark.functions import textfns as tf
 
     q = tf.quality_score("text", "duckdb")
-    kw, kb, kd = _rep_predicates()
+    rp = " AND ".join(f"({x})" for x in _rep_predicates().values())
     return f"""
 WITH {_DUP_CTE},
 {_REPETITION_CTE('docs')},
@@ -1236,9 +1221,9 @@ base AS (SELECT doc_id, {q} AS quality FROM docs)
 SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
   CAST(k.doc_id IS NOT NULL AS BIGINT) AS is_keeper,
   CAST(b.quality >= 0.5 AS BIGINT) AS quality_pass,
-  CAST(({kw}) AND {kb} AND ({kd}) AS BIGINT) AS rep_pass,
+  CAST({rp} AS BIGINT) AS rep_pass,
   CAST((k.doc_id IS NOT NULL) AND b.quality >= 0.5
-       AND ({kw}) AND {kb} AND ({kd}) AS BIGINT) AS keep
+       AND {rp} AS BIGINT) AS keep
 FROM base b
 JOIN rep ON rep.doc_id = b.doc_id
 LEFT JOIN keepers k ON k.doc_id = b.doc_id
@@ -1270,10 +1255,58 @@ GROUP BY 1, 2, 3
 """
 
 
+def _oracle_phash_dedup() -> str:
+    # phash recomputed INDEPENDENTLY from the closed-form pixel formula:
+    # block (i, j) of the 8x8 grid sums pixel (r*7 + c*13 + k) % 256 over its
+    # rows/cols; bit set iff block_sum * n_px > total_sum * block_cnt (the
+    # exact-integer rule of sources/images.py phash64); bit 63 cleared. Then
+    # the same x/y dup injection as the Spark query and a brute-force
+    # all-pairs popcount join (no blocking).
+    return f"""
+WITH {_IMG_CTE},
+sel AS (SELECT image_id, k, w, h FROM meta WHERE k % 4 = 0),
+rws AS (SELECT *, unnest(generate_series(0, h - 1)) AS r FROM sel),
+pxs AS (SELECT *, unnest(generate_series(0, w - 1)) AS c FROM rws),
+vals AS (
+  SELECT image_id, k, w, h, r // (h // 8) AS bi, c // (w // 8) AS bj,
+         (r * 7 + c * 13 + k) % 256 AS val
+  FROM pxs
+),
+bsums AS (
+  SELECT image_id, w, h, bi, bj, SUM(val) AS s, COUNT(*) AS bc
+  FROM vals GROUP BY 1, 2, 3, 4, 5
+),
+tots AS (SELECT image_id, SUM(val) AS total, COUNT(*) AS n FROM vals GROUP BY 1),
+ph AS (
+  SELECT b.image_id,
+    CAST(SUM(CASE WHEN bi * 8 + bj < 63 AND s * n > total * bc
+      THEN (CAST(1 AS BIGINT) << CAST(62 - (bi * 8 + bj) AS INTEGER))
+      ELSE 0 END) AS BIGINT) AS phash
+  FROM bsums b JOIN tots t ON b.image_id = t.image_id
+  GROUP BY 1
+),
+allimg AS (
+  SELECT image_id, phash FROM ph
+  UNION ALL
+  SELECT 'x' || image_id, phash FROM ph
+  WHERE CAST(substr(image_id, 4) AS BIGINT) % 28 = 0
+  UNION ALL
+  SELECT 'y' || image_id, xor(phash, 3) FROM ph
+  WHERE CAST(substr(image_id, 4) AS BIGINT) % 36 = 0
+)
+SELECT a.image_id AS img_a, b.image_id AS img_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM allimg a JOIN allimg b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 2
+"""
+
+
 def _REPETITION_CTE(src: str = "documents") -> str:
     from aira_spark.functions import textfns as tf
 
-    bg = tf.shingles("text", 2, "duckdb")
+    eng = "duckdb"
+    bg = tf.shingles("text", 2, eng)
+    lns = tf.lines("text", eng)
     return f"""
 w AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS g FROM {src}
@@ -1292,32 +1325,38 @@ bs AS (
          CAST(MAX(c) AS BIGINT) AS top_bigram_cnt
   FROM bc GROUP BY 1
 ),
+sc AS (
+  SELECT doc_id,
+    CAST({tf.n_lines('text', eng)} AS BIGINT) AS n_lines,
+    CAST({tf.n_bullet_lines(lns, eng)} AS BIGINT) AS n_bullet_lines,
+    CAST({tf.n_ellipsis_lines(lns, eng)} AS BIGINT) AS n_ellipsis_lines,
+    {tf.n_symbol_chars('text', eng)} AS n_symbols,
+    {tf.total_word_chars('text', eng)} AS word_chars
+  FROM {src}
+),
 rep AS (
   SELECT ws.doc_id, n_words, n_distinct, top_word_cnt,
          COALESCE(n_bigrams, 0) AS n_bigrams,
-         COALESCE(top_bigram_cnt, 0) AS top_bigram_cnt
+         COALESCE(top_bigram_cnt, 0) AS top_bigram_cnt,
+         n_lines, n_bullet_lines, n_ellipsis_lines, n_symbols, word_chars
   FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+  JOIN sc ON ws.doc_id = sc.doc_id
 )"""
 
 
-def _oracle_repetition_stats() -> str:
+def _oracle_repetition_filter() -> str:
+    p = _rep_predicates()
+    keep = " AND ".join(f"({x})" for x in p.values())
+    passes = ",\n  ".join(
+        f"CAST(({x}) AS BIGINT) AS pass_{name}" for name, x in p.items()
+    )
     return f"""
 WITH {_REPETITION_CTE()}
 SELECT CAST(doc_id AS BIGINT) AS doc_id, n_words, n_distinct, top_word_cnt,
-       n_bigrams, top_bigram_cnt
-FROM rep
-"""
-
-
-def _oracle_repetition_filter() -> str:
-    kw, kb, kd = _rep_predicates()
-    return f"""
-WITH {_REPETITION_CTE()}
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-  CAST(({kw}) AND {kb} AND ({kd}) AS BIGINT) AS keep,
-  CAST(({kw}) AS BIGINT) AS pass_word,
-  CAST({kb} AS BIGINT) AS pass_bigram,
-  CAST(({kd}) AS BIGINT) AS pass_distinct
+  n_bigrams, top_bigram_cnt, n_lines, n_bullet_lines, n_ellipsis_lines,
+  n_symbols, word_chars,
+  CAST({keep} AS BIGINT) AS keep,
+  {passes}
 FROM rep
 """
 
@@ -1496,19 +1535,29 @@ SELECT point_id, poly_id FROM cr WHERE crossings % 2 = 1
 
 
 def _oracle_knn() -> str:
+    from aira_spark.functions.geo import sql_haversine_km
     from aira_spark.sources.vectors import points_oracle_sql
 
+    hav = sql_haversine_km("q.qy", "q.qx", "p.y", "p.x")
     return f"""
 WITH q AS (SELECT s_suppkey AS query_id, {_KNN_QX} AS qx, {_KNN_QY} AS qy FROM supplier),
 p AS ({points_oracle_sql()}),
 d AS (
   SELECT q.query_id, p.point_id AS neighbor_id,
-    SQRT((p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy)) AS dist
+    SQRT((p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy)) AS dist,
+    {hav} AS dist_km
   FROM q CROSS JOIN p
 ),
-r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn FROM d)
-SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rnk, ROUND(dist, 6) AS dist_r
+r AS (SELECT *,
+  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn,
+  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist_km, neighbor_id) AS rn_km
+  FROM d)
+SELECT 'deg' AS metric, query_id, neighbor_id, CAST(rn AS BIGINT) AS rnk,
+       ROUND(dist, 6) AS dist_r
 FROM r WHERE rn <= 5
+UNION ALL
+SELECT 'km', query_id, neighbor_id, CAST(rn_km AS BIGINT), ROUND(dist_km, 3)
+FROM r WHERE rn_km <= 5
 """
 
 
@@ -1699,55 +1748,26 @@ FROM r WHERE rn = 1
 
 
 def _oracle_within_distance() -> str:
+    from aira_spark.functions.geo import sql_haversine_km
     from aira_spark.sources.vectors import points_oracle_sql
 
+    hav = sql_haversine_km("q.qy", "q.qx", "p.y", "p.x")
     return f"""
 WITH q AS (SELECT s_suppkey AS query_id, {_KNN_QX} AS qx, {_KNN_QY} AS qy FROM supplier),
 p AS ({points_oracle_sql()}),
 d AS (
   SELECT q.query_id, p.point_id,
-    SQRT((p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy)) AS dist
+    SQRT((p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy)) AS dist,
+    {hav} AS dist_km
   FROM q CROSS JOIN p
 )
-SELECT CAST(query_id AS BIGINT) AS query_id, CAST(point_id AS BIGINT) AS point_id,
-       ROUND(dist, 6) AS dist_r
+SELECT 'deg' AS metric, CAST(query_id AS BIGINT) AS query_id,
+       CAST(point_id AS BIGINT) AS point_id, ROUND(dist, 6) AS dist_r
 FROM d WHERE dist <= 2.0
-"""
-
-
-def _oracle_within_distance_km() -> str:
-    from aira_spark.functions.geo import sql_haversine_km
-    from aira_spark.sources.vectors import points_oracle_sql
-
-    hav = sql_haversine_km("q.qy", "q.qx", "p.y", "p.x")
-    return f"""
-WITH q AS (SELECT s_suppkey AS query_id, {_KNN_QX} AS qx, {_KNN_QY} AS qy FROM supplier),
-p AS ({points_oracle_sql()}),
-d AS (
-  SELECT q.query_id, p.point_id, {hav} AS dist_km
-  FROM q CROSS JOIN p
-)
-SELECT CAST(query_id AS BIGINT) AS query_id, CAST(point_id AS BIGINT) AS point_id,
-       ROUND(dist_km, 3) AS dist_km_r
+UNION ALL
+SELECT 'km', CAST(query_id AS BIGINT), CAST(point_id AS BIGINT),
+       ROUND(dist_km, 3)
 FROM d WHERE dist_km <= 300.0
-"""
-
-
-def _oracle_knn_km() -> str:
-    from aira_spark.functions.geo import sql_haversine_km
-    from aira_spark.sources.vectors import points_oracle_sql
-
-    hav = sql_haversine_km("q.qy", "q.qx", "p.y", "p.x")
-    return f"""
-WITH q AS (SELECT s_suppkey AS query_id, {_KNN_QX} AS qx, {_KNN_QY} AS qy FROM supplier),
-p AS ({points_oracle_sql()}),
-d AS (
-  SELECT q.query_id, p.point_id AS neighbor_id, {hav} AS dist
-  FROM q CROSS JOIN p
-),
-r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn FROM d)
-SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rnk, ROUND(dist, 3) AS dist_km_r
-FROM r WHERE rn <= 5
 """
 
 
@@ -2115,7 +2135,6 @@ FROM docs GROUP BY 1
     return {
         "meta_decode": _oracle_meta_decode(),
         "ratio_sort": _oracle_ratio_sort(),
-        "resolution_sort": _oracle_resolution_sort(),
         "tile_assign": _oracle_tile_assign(),
         "cell_cover": _oracle_cell_cover(),
         "streaming_cover": _oracle_cell_cover(modulo=16),
@@ -2131,8 +2150,6 @@ FROM docs GROUP BY 1
         "zonal_rollup": _oracle_zonal_rollup(),
         "overview_select": _oracle_overview_select(),
         "within_distance": _oracle_within_distance(),
-        "within_distance_km": _oracle_within_distance_km(),
-        "knn_km": _oracle_knn_km(),
         "crs_info": f"""
 WITH {_IMG_CTE}
 SELECT image_id, CAST(2 AS BIGINT) AS model_type, CAST(1 AS BIGINT) AS raster_type,
@@ -2189,28 +2206,18 @@ FROM j WHERE rn <= 5
         # tests/test_spatial.py), so pip's oracle applies verbatim
         "pip_salted": _oracle_pip(),
         "patch_stats": _oracle_patch_stats(),
+        "phash_dedup": _oracle_phash_dedup(),
         "zonal_quantiles": _oracle_zonal_quantiles(),
         "corpus_clean": _oracle_corpus_clean(),
         "band_histogram": _oracle_band_histogram(),
-        "repetition_stats": _oracle_repetition_stats(),
         "repetition_filter": _oracle_repetition_filter(),
         "text_features": f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
   CAST({tf.n_tokens('text', eng)} AS BIGINT) AS n_tokens,
+  CAST({tf.n_bpe_tokens('text', eng)} AS BIGINT) AS n_bpe_tokens,
   CAST({tf.quality_score('text', eng)} AS DOUBLE) AS quality,
   {tf.lang_guess('text', eng)} AS lang_guess,
   {tf.h64('text', eng)} AS fingerprint
-FROM documents
-""",
-        "quality_filter": f"""
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-  CAST({tf.quality_score('text', eng)} AS DOUBLE) AS quality
-FROM documents WHERE {tf.quality_score('text', eng)} >= 0.5
-""",
-        "token_stats": f"""
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-  CAST({tf.n_tokens('text', eng)} AS BIGINT) AS n_ws_tokens,
-  CAST({tf.n_bpe_tokens('text', eng)} AS BIGINT) AS n_bpe_tokens
 FROM documents
 """,
         "fingerprints": f"""

@@ -60,6 +60,55 @@ def count_regex_chars(expr: str, pattern: str, engine: str) -> str:
     return f"length(regexp_replace({expr}, '{pattern}', '', 'g'))"
 
 
+def lines(text: str, engine: str) -> str:
+    """Line array (split on chr(10) — identical literal in both engines;
+    '\\n' escapes differ between Spark SQL and DuckDB string literals)."""
+    if engine == "spark":
+        return f"split({text}, chr(10))"
+    return f"string_split({text}, chr(10))"
+
+
+def n_lines(text: str, engine: str) -> str:
+    if engine == "spark":
+        return f"size({lines(text, engine)})"
+    return f"len({lines(text, engine)})"
+
+
+def n_bullet_lines(lines_expr: str, engine: str) -> str:
+    """Lines starting with a bullet marker (Gopher line-level signal)."""
+    pred = "substring(l, 1, 1) IN ('-', '*', '•')"
+    if engine == "spark":
+        return f"size(filter({lines_expr}, l -> {pred}))"
+    return f"len(list_filter({lines_expr}, l -> {pred}))"
+
+
+def n_ellipsis_lines(lines_expr: str, engine: str) -> str:
+    """Lines ending with '...' or the single-char ellipsis (Gopher signal)."""
+    pred = "(right(l, 3) = '...' OR right(l, 1) = '…')"
+    if engine == "spark":
+        return f"size(filter({lines_expr}, l -> {pred}))"
+    return f"len(list_filter({lines_expr}, l -> {pred}))"
+
+
+def n_symbol_chars(text: str, engine: str) -> str:
+    """Gopher symbol count: '#' characters plus '...' runs (each counted as
+    one symbol, non-overlapping) plus single-char ellipses — exact integers."""
+    hashes = f"(length({text}) - length(replace({text}, '#', '')))"
+    # integer division spelled per engine ('/' yields DOUBLE in both)
+    if engine == "spark":
+        dots = f"((length({text}) - length(replace({text}, '...', ''))) div 3)"
+    else:
+        dots = f"((length({text}) - length(replace({text}, '...', ''))) // 3)"
+    ell = f"(length({text}) - length(replace({text}, '…', '')))"
+    return f"CAST({hashes} + {dots} + {ell} AS BIGINT)"
+
+
+def total_word_chars(text: str, engine: str) -> str:
+    """Sum of word lengths (chars that are not the space separator) — the
+    numerator of mean word length, kept as an exact integer."""
+    return f"CAST(length(replace({text}, ' ', '')) AS BIGINT)"
+
+
 def quality_score(text: str, engine: str) -> str:
     """Heuristic doc quality in [0, 1]: length band + stopword presence -
     non-alpha noise. Deterministic, engine-identical (integer/double ops)."""

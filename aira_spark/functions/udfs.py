@@ -223,20 +223,12 @@ def _decode_full(buf: bytes, max_bands: int | None = None) -> tuple[dict, np.nda
 
 
 def _phash64(px: np.ndarray) -> int:
-    a = px[:, :, 0].astype(np.float64)
-    h, w = a.shape
-    ys = (np.arange(9) * h) // 8
-    xs = (np.arange(9) * w) // 8
-    blocks = np.empty((8, 8))
-    for i in range(8):
-        for j in range(8):
-            blocks[i, j] = a[ys[i] : max(ys[i + 1], ys[i] + 1),
-                             xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
-    bits = (blocks > blocks.mean()).flatten()
-    val = 0
-    for b in bits[:63]:
-        val = (val << 1) | int(b)
-    return val
+    # single definition: the verifier MUST use the generator's exact-integer
+    # fingerprint (sources/images.py phash64) or tie-bit drift breaks
+    # phash_match on ~3% of images
+    from ..sources.images import phash64
+
+    return phash64(px)
 
 
 VERIFY_SCHEMA = Ty.StructType(

@@ -211,8 +211,12 @@ def simhash_table(docs: DataFrame, n_bits: int = 16) -> DataFrame:
     )
 
 
-def simhash_dup_pairs(docs: DataFrame, n_bits: int = 16, max_hamming: int = 2) -> DataFrame:
-    """ALL pairs whose SimHash Hamming distance <= max_hamming — recall 1.0.
+def hamming_dup_pairs(
+    t: DataFrame, id_col: str, hash_col: str, n_bits: int, max_hamming: int,
+) -> DataFrame:
+    """ALL (id_a < id_b) pairs whose int64 fingerprints are within
+    max_hamming Hamming distance — recall 1.0, over ANY hash column
+    (SimHash text fingerprints, perceptual image hashes, ...).
 
     Pigeonhole multi-band blocking (Manku et al., WWW'07 fingerprint dedup):
     the hash splits into max_hamming + 1 disjoint bit bands, so a pair within
@@ -220,41 +224,67 @@ def simhash_dup_pairs(docs: DataFrame, n_bits: int = 16, max_hamming: int = 2) -
     max_hamming bands and must agree EXACTLY on at least one band. Candidate
     generation is one posexplode + equi-join on (band, band_value) — the same
     shape as the MinHash band join above, never all-pairs — and the exact
-    popcount verify runs on candidates only. (The previous single-block-on-
-    the-high-half variant silently missed any pair whose differing bits fell
-    in the high half.)
+    popcount verify runs on candidates only.
 
-    Scale note: candidate volume within a band bucket is ~n^2 / 2^band_bits,
-    so the 16-bit default (5-6 bit bands) is for oracle-scale corpora only —
+    Scale note: candidate volume within a band bucket is ~n^2 / 2^band_bits;
     at 10^9+ rows use n_bits=64 (21-bit bands), exactly as Manku et al. run
     64-bit fingerprints; same plan, pinned by pytest.
+
+    Output columns: (id_a, id_b, hamming) named after id_col.
     """
     n_bands = max_hamming + 1
     bounds = [round(i * n_bits / n_bands) for i in range(n_bands + 1)]
-    t = simhash_table(docs, n_bits)
     bands = F.array(
         *[
-            F.shiftrightunsigned(F.col("simhash"), lo).bitwiseAND(
+            F.shiftrightunsigned(F.col(hash_col), lo).bitwiseAND(
                 F.lit((1 << (hi - lo)) - 1)
             )
             for lo, hi in zip(bounds, bounds[1:])
         ]
     )
-    banded = t.select("doc_id", "simhash", F.posexplode(bands).alias("band", "bval"))
-    a = banded.select(
-        "band", "bval", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a")
+    banded = t.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
+        F.posexplode(bands).alias("band", "bval"),
     )
-    b = banded.select(
-        "band", "bval", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b")
-    )
+    ia, ib = f"{id_col}_a", f"{id_col}_b"
+    a = banded.select("band", "bval", F.col("_id").alias(ia), F.col("_h").alias("sh_a"))
+    b = banded.select("band", "bval", F.col("_id").alias(ib), F.col("_h").alias("sh_b"))
     return (
         a.join(b, ["band", "bval"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col(ia) < F.col(ib))
+        .select(ia, ib, "sh_a", "sh_b")
+        .dropDuplicates([ia, ib])
         .withColumn("hamming", F.expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .select(ia, ib, "hamming")
+    )
+
+
+def simhash_dup_pairs(docs: DataFrame, n_bits: int = 16, max_hamming: int = 2) -> DataFrame:
+    """ALL doc pairs whose SimHash Hamming distance <= max_hamming — the
+    pigeonhole-band blocking of hamming_dup_pairs over simhash_table.
+
+    The 16-bit default (5-6 bit bands) is for oracle-scale corpora only —
+    at scale run n_bits=64 as the driver query does."""
+    t = simhash_table(docs, n_bits)
+    pairs = hamming_dup_pairs(t, "doc_id", "simhash", n_bits, max_hamming)
+    return pairs.select(
+        F.col("doc_id_a").alias("doc_a"), F.col("doc_id_b").alias("doc_b"), "hamming"
+    )
+
+
+def phash_dup_pairs(images: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """Image-level near-duplicate pairs on the mandated `phash` column
+    (BASELINE.json input_hint: phash int64 per image): all image-id pairs
+    whose perceptual fingerprints are within max_hamming bits — the core
+    image-dedup op of a multimodal training-data pipeline, as the same
+    pigeonhole band join (64-bit fingerprints, recall 1.0; pixels/bytes
+    never shuffle — only (band, bval, image_id))."""
+    t = images.select("image_id", "phash")
+    pairs = hamming_dup_pairs(t, "image_id", "phash", 64, max_hamming)
+    return pairs.select(
+        F.col("image_id_a").alias("img_a"), F.col("image_id_b").alias("img_b"), "hamming"
     )
 
 

@@ -16,10 +16,13 @@ ENG = "spark"
 
 
 def text_features(docs: DataFrame) -> DataFrame:
-    """(doc_id, n_tokens, quality, lang_guess, fingerprint)."""
+    """(doc_id, n_tokens, n_bpe_tokens, quality, lang_guess, fingerprint):
+    whitespace + BPE-ish-regex token counts, quality score, language
+    heuristic, content fingerprint — one projection, pure JVM SQL."""
     return docs.selectExpr(
         "doc_id",
         f"{tf.n_tokens('text', ENG)} AS n_tokens",
+        f"CAST({tf.n_bpe_tokens('text', ENG)} AS BIGINT) AS n_bpe_tokens",
         f"{tf.quality_score('text', ENG)} AS quality",
         f"{tf.lang_guess('text', ENG)} AS lang_guess",
         f"{tf.h64('text', ENG)} AS fingerprint",
@@ -125,13 +128,28 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
             F.max("count").alias("top_bigram_cnt"),
         )
     )
+    # line-level + symbol signals are pure per-doc projections (no explode):
+    # bullet/ellipsis line fractions, symbol chars, total word chars — the
+    # remaining Gopher quality signals, all exact integers
+    lns = tf.lines("text", ENG)
+    scalars = docs.selectExpr(
+        "doc_id",
+        f"CAST({tf.n_lines('text', ENG)} AS BIGINT) AS n_lines",
+        f"CAST({tf.n_bullet_lines(lns, ENG)} AS BIGINT) AS n_bullet_lines",
+        f"CAST({tf.n_ellipsis_lines(lns, ENG)} AS BIGINT) AS n_ellipsis_lines",
+        f"{tf.n_symbol_chars('text', ENG)} AS n_symbols",
+        f"{tf.total_word_chars('text', ENG)} AS word_chars",
+    )
     # left join: a 1-word doc has no bigrams; surface 0s, not dropped rows
     return (
         wstats.join(bstats, "doc_id", "left")
         .na.fill({"n_bigrams": 0, "top_bigram_cnt": 0})
+        .join(scalars, "doc_id")
         .select(
             "doc_id", "n_words", "n_distinct", "top_word_cnt",
             "n_bigrams", "top_bigram_cnt",
+            "n_lines", "n_bullet_lines", "n_ellipsis_lines",
+            "n_symbols", "word_chars",
         )
     )
 
@@ -142,9 +160,12 @@ def repetition_filter(
     max_top_bigram_frac: float = 0.18,
     min_distinct_ratio: float = 0.2,
 ) -> DataFrame:
-    """Keep/drop gate on the repetition signals (Gopher-rule thresholds are
-    corpus-tuned; defaults here are the published ballpark). Exact integer
-    cross-multiplication — no float division in the predicate."""
+    """Keep/drop gate on the full Gopher signal set (repetition + line-level
+    + symbol + word-length; thresholds are corpus-tuned — defaults are the
+    published ballpark: <=90% bullet lines, <=30% ellipsis lines, symbol
+    ratio <=0.1, mean word length in [3, 10]). Exact integer
+    cross-multiplication — no float division in any predicate. Output keeps
+    the integer signal columns so one entry covers stats AND gate."""
     s = repetition_stats(docs)
     kw = F.col("top_word_cnt") * F.lit(1_000_000) <= F.lit(int(max_top_word_frac * 1_000_000)) * F.col("n_words")
     kb = (F.col("n_bigrams") == 0) | (
@@ -152,9 +173,21 @@ def repetition_filter(
         <= F.lit(int(max_top_bigram_frac * 1_000_000)) * F.col("n_bigrams")
     )
     kd = F.col("n_distinct") * F.lit(1_000_000) >= F.lit(int(min_distinct_ratio * 1_000_000)) * F.col("n_words")
+    kbul = F.col("n_bullet_lines") * 10 <= F.col("n_lines") * 9
+    kell = F.col("n_ellipsis_lines") * 10 <= F.col("n_lines") * 3
+    ksym = F.col("n_symbols") * 10 <= F.col("n_words")
+    kwl = (F.col("word_chars") >= F.col("n_words") * 3) & (
+        F.col("word_chars") <= F.col("n_words") * 10
+    )
+    keep = kw & kb & kd & kbul & kell & ksym & kwl
     return s.select(
-        "doc_id", (kw & kb & kd).alias("keep"),
+        "doc_id", "n_words", "n_distinct", "top_word_cnt",
+        "n_bigrams", "top_bigram_cnt",
+        "n_lines", "n_bullet_lines", "n_ellipsis_lines", "n_symbols", "word_chars",
+        keep.alias("keep"),
         kw.alias("pass_word"), kb.alias("pass_bigram"), kd.alias("pass_distinct"),
+        kbul.alias("pass_bullet"), kell.alias("pass_ellipsis"),
+        ksym.alias("pass_symbol"), kwl.alias("pass_wordlen"),
     )
 
 

@@ -290,11 +290,22 @@ def read_stage_changes(
     Raises when either cursor is newer than the log (a consumer tracking a
     snapshot this table never committed is corrupt — accepting it would let
     the consumer record an unreachable watermark and silently skip every
-    later snapshot) and when any snapshot in a from > 0 range has been
-    expired by compaction — the appended rows still exist but are rewritten
-    into a compacted snapshot that mixes them with older data, so an exact
-    incremental diff is no longer recoverable; failing loudly beats silently
-    replaying the whole table.
+    later snapshot), and on every way compaction can cut the ground from
+    under a from > 0 cursor:
+
+    - the cursor snapshot itself was never committed (orphan id) or has been
+      EXPIRED by compaction — the consumer's watermark predates the rewrite,
+      so "rows after the cursor" is no longer a meaningful diff;
+    - any snapshot in the range is expired, or is a compacted REPLACE
+      snapshot (summary.operation == 'replace'). A replace snapshot rewrites
+      ALL live rows — it lands inside (from, to] with an id larger than the
+      cursor, so without this guard the read would silently return the
+      entire table as "changes" (exactly-once violation: every
+      already-processed row replays).
+
+    Failing loudly beats silently replaying the whole table; the consumer
+    must re-bootstrap (from_snapshot=0) after any compaction that overtook
+    its cursor.
     """
     log = snapshots(path)
     if not log:
@@ -314,15 +325,35 @@ def read_stage_changes(
         # explicit expired/uncommitted to_snapshot raises via read_stage_at
         # instead of silently returning an empty or partial table
         return read_stage_at(spark, path, to_snapshot)
+    by_id = {s["snapshot-id"]: s for s in log}
+    cur = by_id.get(from_snapshot)
+    if cur is None:
+        raise ValueError(
+            f"from_snapshot {from_snapshot} was never committed at {path} "
+            "(orphan id) — the consumer's cursor is corrupt; re-bootstrap"
+        )
+    if cur.get("expired"):
+        raise ValueError(
+            f"from_snapshot {from_snapshot} at {path} is expired (compacted "
+            "away); rows after it were rewritten into a replace snapshot that "
+            "mixes them with already-processed data — re-bootstrap from a "
+            "full read (from_snapshot=0)"
+        )
     in_range = [
         s for s in log if from_snapshot < s["snapshot-id"] <= to_snapshot
     ]
     expired = [s["snapshot-id"] for s in in_range if s.get("expired")]
-    if expired:
+    replaced = [
+        s["snapshot-id"]
+        for s in in_range
+        if s.get("summary", {}).get("operation") == "replace"
+    ]
+    if expired or replaced:
         raise ValueError(
-            f"snapshots {expired} in ({from_snapshot}, {to_snapshot}] at {path} "
-            "are expired (compacted away); the incremental diff is not "
-            "recoverable — re-bootstrap from a full read"
+            f"range ({from_snapshot}, {to_snapshot}] at {path} contains "
+            f"expired snapshots {expired} / compacted replace snapshots "
+            f"{replaced}; the incremental diff is not recoverable — "
+            "re-bootstrap from a full read"
         )
     return _read_snapshots(spark, path, [s["snapshot-id"] for s in in_range])
 

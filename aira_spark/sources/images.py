@@ -119,22 +119,36 @@ def make_pixels(p: dict) -> np.ndarray:
 def phash64(px: np.ndarray) -> int:
     """Deterministic 64-bit perceptual-hash-style fingerprint.
 
-    Block-mean the first channel to an 8x8 grid, threshold against the global
-    mean, pack row-major into 63 bits (bit 63 cleared to stay a positive long).
+    Block-sum the first channel over an 8x8 grid; bit (i, j) is set iff the
+    block's mean EXCEEDS the global pixel mean, decided by exact integer
+    cross-multiplication (block_sum * n_pixels > total_sum * block_count) —
+    never by float division. ~3% of the synthetic images hit EXACT
+    block-mean == global-mean ties, where a float formulation flips bits with
+    summation order; the integer rule is platform/engine-exact, so a DuckDB
+    oracle can recompute identical values from the closed-form pixel formula.
+    Bits pack row-major into 63 bits (bit 63 cleared to stay a positive long).
     """
-    a = px[:, :, 0].astype(np.float64)
+    a = px[:, :, 0].astype(np.int64)
     h, w = a.shape
     ys = (np.arange(9) * h) // 8
     xs = (np.arange(9) * w) // 8
-    blocks = np.empty((8, 8))
-    for i in range(8):
-        for j in range(8):
-            blocks[i, j] = a[ys[i] : max(ys[i + 1], ys[i] + 1),
-                             xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
-    bits = (blocks > blocks.mean()).flatten()
+    # 2-D prefix sums give every block sum exactly (blocks may be unequal
+    # when dims aren't divisible by 8; counts carry through the comparison)
+    ps = np.zeros((h + 1, w + 1), dtype=object)
+    ps[1:, 1:] = a.cumsum(axis=0).cumsum(axis=1)
+    total = int(a.sum())
+    n_px = h * w
     val = 0
-    for b in bits[:63]:
-        val = (val << 1) | int(b)
+    for i in range(8):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        for j in range(8):
+            if i == 7 and j == 7:
+                break  # bit 63 cleared
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            bsum = int(ps[y1, x1] - ps[y0, x1] - ps[y1, x0] + ps[y0, x0])
+            bcnt = (y1 - y0) * (x1 - x0)
+            bit = 1 if bsum * n_px > total * bcnt else 0
+            val = (val << 1) | bit
     return val
 
 

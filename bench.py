@@ -50,8 +50,8 @@ def main() -> None:
 
     # ---- one-time input materialization (excluded from headline) ----
     img_scale = os.environ.get("SPARK_GRAFT_IMG_SCALE", "1")
-    # _v3: image bytes now carry resolution/artist/datetime/subfile tags — invalidate old caches
-    imgs_path = f"/tmp/aira_bench_images_v3_{sf_tag}_x{img_scale}"
+    # _v4: phash is now the exact-integer fingerprint (tie bits changed) — invalidate old caches
+    imgs_path = f"/tmp/aira_bench_images_v4_{sf_tag}_x{img_scale}"
     t0 = time.time()
     if not os.path.exists(f"{imgs_path}/_SUCCESS"):
         # fixed bucket count: the N and 4N scaling runs must read an
@@ -175,7 +175,7 @@ def main() -> None:
     from aira_spark.sources.images import write_images_by_cell
 
     if only is None or "window_read_pruned" in only.split(","):
-        cell_path = f"/tmp/aira_bench_images_cell_v3_{sf_tag}_x{img_scale}"
+        cell_path = f"/tmp/aira_bench_images_cell_v4_{sf_tag}_x{img_scale}"
         t0 = time.time()
         if not os.path.exists(f"{cell_path}/_SUCCESS"):
             write_images_by_cell(spark, images, cell_path, res=3)

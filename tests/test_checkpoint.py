@@ -243,3 +243,35 @@ def test_incremental_read_contract_edges(spark, source, tmp_path):
     # bootstrap pinned to an expired snapshot raises via the AS-OF contract
     with pytest.raises(ValueError, match="expired"):
         read_stage_changes(spark, path, 0, 1)
+
+def test_cdc_cursor_overtaken_by_compaction_raises(spark, source, tmp_path):
+    """The ADVICE r2 silent-replay hole: snaps 1,2 committed; consumer cursor
+    at 2; compaction rewrites 1+2 into replace snap 3; snap 4 appends. The
+    replace snapshot lands INSIDE (2, 4] and contains every already-processed
+    row — read_stage_changes must raise (re-bootstrap required), never return
+    snap 3's rows as 'changes'."""
+    from aira_spark.sources.checkpoint import compact_stage, read_stage_changes
+
+    path = str(tmp_path / "cdc3")
+    half = list(range(N_BUCKETS // 2))
+    write_stage(source, path, "s", key="o_orderkey", n_buckets=N_BUCKETS,
+                only_buckets=half)                                   # snap 1
+    resume_stage(source, path, "s", key="o_orderkey", n_buckets=N_BUCKETS)  # snap 2
+    # consumer processed through snap 2
+    compact_stage(spark, path)                                        # snap 3 (replace)
+    write_stage(source.limit(25), path, "s2", key="o_orderkey",
+                n_buckets=N_BUCKETS)                                  # snap 4
+    with pytest.raises(ValueError, match="expired"):
+        read_stage_changes(spark, path, 2)
+    # a cursor AT the replace snapshot is valid: the diff (3, 4] is exact
+    rows = read_stage_changes(spark, path, 3)
+    assert rows.count() == 25
+    # an orphan cursor id (never committed, below max) is corrupt state
+    import json
+    with open(f"{path}/metadata.json") as fh:
+        meta = json.load(fh)
+    ids = {s["snapshot-id"] for s in meta["snapshots"]}
+    missing = next(i for i in range(1, 10) if i not in ids) if len(ids) < 9 else None
+    if missing is not None and missing < max(ids):
+        with pytest.raises(ValueError, match="never committed"):
+            read_stage_changes(spark, path, missing)

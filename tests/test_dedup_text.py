@@ -314,9 +314,9 @@ def test_repetition_stats_hand_counts(spark):
 
     docs = spark.createDataFrame(
         [
-            (1, "a a a a b"),          # 5 words, 2 distinct, top=4; bigrams: 'a a'x3,'a b' -> top 3/4
-            (2, "x y z w p q r s t u"),  # 10 distinct words: top frac 0.1
-            (3, "solo"),               # 1 word, 0 bigrams
+            (1, "aaa aaa aaa aaa bbb"),  # 5 words, 2 distinct, top=4; top bigram 3/4
+            (2, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+            (3, "solo"),                 # 1 word, 0 bigrams
         ],
         "doc_id long, text string",
     )
@@ -327,10 +327,97 @@ def test_repetition_stats_hand_counts(spark):
     assert (s[3].n_words, s[3].n_bigrams, s[3].top_bigram_cnt) == (1, 0, 0)
     f = {r.doc_id: r for r in repetition_filter(docs).collect()}
     assert not f[1].keep          # top word 4/5 >> 0.2
-    assert f[2].keep              # fully distinct
+    assert f[2].keep              # fully distinct, mean word len ~5
     assert f[3].keep is False or f[3].keep is True  # defined either way
     # doc 3: top word frac 1/1 > 0.2 -> dropped by the word rule
     assert not f[3].pass_word
+
+
+def test_gopher_line_level_signals_hand_counts(spark):
+    """Line-level + symbol + word-length Gopher signals on crafted docs."""
+    from aira_spark.operators.text import repetition_filter, repetition_stats
+
+    clean = "the quick brown fox jumps over the lazy sleeping dog tonight"
+    bullets = "- alpha one\n- bravo two\n- charlie three"
+    ellipses = "first thought...\nsecond thought...\nthird keeps going…\nfinal line stays"
+    symbols = "### heading mark " + "word " * 9 + "#tag"
+    longwords = "extraordinarily incomprehensible internationalization"
+    docs = spark.createDataFrame(
+        [(1, clean), (2, bullets), (3, ellipses), (4, symbols), (5, longwords)],
+        "doc_id long, text string",
+    )
+    s = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert (s[1].n_lines, s[1].n_bullet_lines, s[1].n_ellipsis_lines) == (1, 0, 0)
+    assert (s[2].n_lines, s[2].n_bullet_lines) == (3, 3)
+    assert (s[3].n_lines, s[3].n_ellipsis_lines) == (4, 3)
+    # '###' + '#tag' = 4 hash chars; no '...' or single-char ellipsis
+    assert s[4].n_symbols == 4
+    # clean doc: 60 chars, 11 words, 10 spaces -> 50 word chars
+    assert (s[1].n_words, s[1].word_chars) == (11, 50)
+
+    f = {r.doc_id: r for r in repetition_filter(docs).collect()}
+    assert f[1].pass_bullet and f[1].pass_ellipsis and f[1].pass_symbol and f[1].pass_wordlen
+    assert not f[2].pass_bullet       # 3/3 bullet lines = 100% > 90%
+    assert not f[3].pass_ellipsis     # 3/4 ellipsis-ended = 75% > 30%
+    assert not f[4].pass_symbol       # 4 symbols vs 13 words -> ratio > 0.1
+    assert not f[5].pass_wordlen      # mean word length ~17 > 10
+
+
+def test_phash_dup_pairs_recall_and_precision(spark, sf_dir):
+    """phash near-dup banding: an injected 2-bit-flip pair and an exact copy
+    are both found; every emitted pair is within the Hamming budget; results
+    equal brute force on a sample."""
+    from aira_spark.operators.dedup import phash_dup_pairs
+    from aira_spark.sources.images import images_table
+
+    imgs = images_table(spark, sf_dir, limit=120).select("image_id", "phash")
+    from pyspark.sql import functions as F
+
+    near = imgs.filter(F.col("image_id") == "img00000007").select(
+        F.lit("near00000007").alias("image_id"),
+        F.expr("phash ^ 5").alias("phash"),  # flips bits 0 and 2 -> hamming 2
+    )
+    cpy = imgs.filter(F.col("image_id") == "img00000011").select(
+        F.lit("copy00000011").alias("image_id"), "phash"
+    )
+    allimg = imgs.unionByName(near).unionByName(cpy)
+    pairs = phash_dup_pairs(allimg, max_hamming=2)
+    got = {(r.img_a, r.img_b): r.hamming for r in pairs.collect()}
+    assert got[("img00000007", "near00000007")] == 2
+    assert got[("copy00000011", "img00000011")] == 0
+    assert all(h <= 2 for h in got.values())
+    # brute force over the same rows == banding output (recall 1.0)
+    rows = allimg.collect()
+    brute = {
+        (min(a.image_id, b.image_id), max(a.image_id, b.image_id)): bin(
+            a.phash ^ b.phash
+        ).count("1")
+        for i, a in enumerate(rows)
+        for b in rows[i + 1 :]
+        if bin(a.phash ^ b.phash).count("1") <= 2
+    }
+    assert got == brute
+
+
+def test_phash64_exact_integer_rule():
+    """phash64 equals an independent exact-integer recompute (block_sum*64 vs
+    total on the equal-block grids) — pins the tie-stable definition the
+    DuckDB oracle mirrors; a float-mean reformulation diverges on ~3% of
+    images (exact block-mean == global-mean ties)."""
+    import numpy as np
+
+    from aira_spark.sources.images import derive_params, make_pixels, phash64
+
+    for k in range(1, 600):
+        a = make_pixels(derive_params(k))[:, :, 0].astype(np.int64)
+        h, w = a.shape
+        bs = a.reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3))
+        total = int(a.sum())
+        bits = (bs.astype(object) * 64 > total).flatten()
+        val = 0
+        for b in bits[:63]:
+            val = (val << 1) | int(b)
+        assert val == phash64(make_pixels(derive_params(k))), k
 
 
 def test_streaming_dedup_matches_batch(spark, sf_dir):
