@@ -2070,8 +2070,11 @@ FROM p WHERE cos >= 0.99
 
 
 def _oracle_ivf_ann() -> str:
-    cos_u = _duck_cos("e.qv", "c.cv", round6=False)
-    cos_q = _duck_cos("q.qv", "c.cv", round6=False)
+    # round6=True on assignment/probe cosines, mirroring the Spark side
+    # (ADVICE r2): both engines rank centroids by the ROUNDED value, so a
+    # ULP difference near a tie cannot flip an assignment or probe choice
+    cos_u = _duck_cos("e.qv", "c.cv", round6=True)
+    cos_q = _duck_cos("q.qv", "c.cv", round6=True)
     return f"""
 WITH emb AS (SELECT vec_id, {_DUCK_QUANT} AS qv FROM embeddings),
 cents AS (

@@ -12,8 +12,14 @@ candidate pairs; nothing is ever pairwise over the full corpus.
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as Ty
+from pyspark.sql.pandas.functions import pandas_udf
 
 from ..functions import textfns as tf
 
@@ -205,10 +211,38 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
 
 
 def simhash_table(docs: DataFrame, n_bits: int = 16) -> DataFrame:
-    """(doc_id, simhash): n_bits-wide SimHash over word tokens."""
-    return docs.selectExpr(
-        "doc_id", f"{tf.simhash(tf.words('text', ENG), n_bits, ENG)} AS simhash"
-    )
+    """(doc_id, simhash): n_bits-wide SimHash over word tokens.
+
+    Evaluates the EXACT integer recurrence of textfns.simhash (bit b set iff
+    the sign-sum over md5-prefix word hashes is positive) in an Arrow UDF:
+    one (n_words x n_bits) reduction per doc instead of n_bits interpreted
+    aggregate() passes in Spark's expression tree (~6x at n_bits=64 — the
+    round-2 bench's slowest query). The DuckDB oracle keeps the SQL form;
+    bit-equality is pinned by the driver's simhash/simhash_pairs hash checks
+    and by the Spark-SQL-vs-UDF pytest."""
+    bit_idx = np.arange(n_bits, dtype=np.uint64)
+
+    @pandas_udf(Ty.LongType())
+    def sh(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            ws = t.split(" ")  # matches SQL split(text, ' ') incl. empties
+            hs = np.fromiter(
+                (
+                    int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
+                    for w in ws
+                ),
+                dtype=np.uint64,
+                count=len(ws),
+            )
+            sums = (2 * ((hs[:, None] >> bit_idx) & 1).astype(np.int64) - 1).sum(
+                axis=0
+            )
+            val = int(((np.uint64(1) << bit_idx)[sums > 0]).sum())
+            out[i] = val - (1 << 64) if val >= (1 << 63) else val
+        return pd.Series(out)
+
+    return docs.select("doc_id", sh(F.col("text")).alias("simhash"))
 
 
 def hamming_dup_pairs(

@@ -335,7 +335,12 @@ def ivf_ann_topk_seeded(
     )
 
     def cos_arr(vec):
-        return F.transform(cents, lambda c: cosine(vec, c))
+        # assignment/probe cosines rounded to 6dp — argmax and probe ranking
+        # then compare ROUNDED values in both engines (ADVICE r2: unrounded
+        # doubles from different expression builders can differ a ULP near a
+        # tie and flip an assignment); ties break on lowest centroid index in
+        # both engines
+        return F.transform(cents, lambda c: F.round(cosine(vec, c), 6))
 
     # argmax with lowest-index tie-break: first position of the max cosine
     emb = embeddings.select(

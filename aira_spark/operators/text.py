@@ -47,18 +47,47 @@ def doc_fingerprints(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
         ]
     )
 
+    L = 512  # Horner block width: Python big-int ops drop from O(chars) to O(chars / L)
+    BL = pow(B, L, M)
+
     @pandas_udf(fp_schema)
     def winnow(texts: pd.Series) -> pd.DataFrame:
-        out = []
+        # char decode vectorized (utf-32-le view = code points, C speed),
+        # zero-padded at the FRONT to a block multiple — leading zeros add
+        # 0 * B^j terms, so the polynomial value mod M is unchanged
+        chars = []
+        blocks = []
         for t in texts:
-            n = len(t)
-            c = np.fromiter((ord(ch) for ch in t), dtype=np.int64, count=n)
+            c = np.frombuffer(t.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+            chars.append(c)
+            n = len(c)
+            if n:
+                pad = (-n) % L
+                cp = np.concatenate([np.zeros(pad, np.int64), c]) if pad else c
+                blocks.append(cp.reshape(-1, L))
+        # ONE vectorized Horner sweep over every block of every doc in the
+        # batch: L numpy steps total (values < M*B + 255 < 2^60 — no overflow)
+        if blocks:
+            bm = np.concatenate(blocks)
+            acc = np.zeros(len(bm), dtype=np.int64)
+            for j in range(L):
+                acc = (acc * B + bm[:, j]) % M
+        out = []
+        pos = 0
+        for c in chars:
+            n = len(c)
             if n == 0:
                 out.append((0, [0]))
                 continue
-            dh = c[0]
-            for i in range(1, n):
-                dh = (dh * B + c[i]) % M
+            nb = (n + L - 1) // L
+            # combine block hashes with B^L steps — ceil(n/L) big-int ops
+            # (acc * BL overflows int64, so this stays in Python ints); the
+            # value is bit-identical to the sequential per-char fold, pinned
+            # by the SQL-form DuckDB oracle on `fingerprints`
+            dh = 0
+            for hblk in acc[pos : pos + nb].tolist():
+                dh = (dh * BL + hblk) % M
+            pos += nb
             eff_k = min(k, n)
             m = n - eff_k + 1  # number of k-grams (SQL: greatest(n-k+1, 1))
             h = c[:m].copy()

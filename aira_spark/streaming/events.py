@@ -35,9 +35,19 @@ def _run_to_table(
         if not q.awaitTermination(timeout=600):
             q.stop()
             raise RuntimeError(f"streaming query {name} did not finish within 600s")
+        # capture the executed streaming plan for plan-shape tests (PLANS.md
+        # evidence): batch DataFrames can't see inside a streaming query
+        try:
+            LAST_PLANS[prefix] = q._jsq.explainInternal(True)
+        except Exception:  # internal API; evidence only, never fail the run
+            pass
     finally:
         shutil.rmtree(stage, ignore_errors=True)
     return spark.table(name)
+
+
+# last executed streaming plan per runner prefix (evidence for plan tests)
+LAST_PLANS: dict[str, str] = {}
 
 
 def run_sessionize_stream(

@@ -468,3 +468,27 @@ def test_embedding_near_dup_sql_precision_and_dup_recall(spark, sf_dir):
     found = {(r.vec_a, r.vec_b) for r in pairs}
     for i in dup_ids:
         assert (i, i + 1_000_000) in found, f"exact dup {i} missed"
+
+def test_simhash_udf_matches_sql_form(spark, sf_dir):
+    """The Arrow-vectorized simhash must be BIT-IDENTICAL to the SQL
+    expression form (which the DuckDB oracle runs) at both the oracle width
+    (16) and the scale width (64) — same one-formula-two-engines contract,
+    now with the fast path in numpy."""
+    from aira_spark.functions import textfns as tf
+    from aira_spark.operators.dedup import simhash_table
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    for n_bits in (16, 64):
+        sql_form = {
+            r.doc_id: r.sh
+            for r in docs.selectExpr(
+                "doc_id",
+                f"{tf.simhash(tf.words('text', 'spark'), n_bits, 'spark')} AS sh",
+            ).collect()
+        }
+        udf_form = {r.doc_id: r.simhash for r in simhash_table(docs, n_bits).collect()}
+        assert udf_form == sql_form, n_bits

@@ -193,3 +193,59 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
         spark.sql("DROP TABLE IF EXISTS bk_meta")
         spark.sql("DROP TABLE IF EXISTS bk_caps")
+
+
+def test_simhash_band_join_shuffles_ids_only(spark, sf_dir):
+    """simhash_dup_pairs candidates come from the (band, bval) equi-join and
+    the band shuffle carries only (band, bval, id, hash) — never text — and
+    never a cartesian/nested-loop join."""
+    import re
+
+    from aira_spark.operators.dedup import simhash_dup_pairs, with_duplicates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    df = simhash_dup_pairs(with_duplicates(docs), 64, 3)
+    s = plan_string(df)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    fs = plan_string(df, "formatted")
+    for m in re.finditer(r"Arguments: hashpartitioning\(band[^\n]*", fs):
+        assert "text" not in m.group(0), m.group(0)
+
+
+def test_phash_band_join_never_ships_bytes(spark, sf_dir):
+    """phash_dup_pairs over the full images table: the banding join plans as
+    an equi-join whose shuffles carry only (band, bval, image_id, phash) —
+    the image BYTES column must not appear anywhere in the plan (pixels
+    never move for image dedup)."""
+    from aira_spark.operators.dedup import phash_dup_pairs
+    from aira_spark.sources.images import images_table
+
+    import re
+
+    df = phash_dup_pairs(images_table(spark, sf_dir, limit=300), max_hamming=2)
+    s = plan_string(df)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    # bytes/caption exist only at the synth generator's output (a parquet
+    # scan would prune them at the source); no EXCHANGE may ever ship them
+    fs = plan_string(df, "formatted")
+    for m in re.finditer(r"Arguments: hashpartitioning\([^\n]*", fs):
+        assert "bytes" not in m.group(0), m.group(0)
+        assert "caption" not in m.group(0), m.group(0)
+
+
+def test_streaming_dedup_state_plan(spark, sf_dir):
+    """streaming_dedup executes as a stateful FlatMapGroupsInPandasWithState
+    keyed on the content hash, with state-store exchanges on text_hash only
+    and no per-row Python nodes — pinned from the query's executed plan."""
+    import __spark_entry__ as em
+    from aira_spark.streaming import events as ev
+
+    out = em.q_streaming_dedup(spark, sf_dir)
+    assert out.count() > 0
+    plan = ev.LAST_PLANS.get("sdedup", "")
+    assert "FlatMapGroupsInPandasWithState" in plan, plan[:1500]
+    assert "BatchEvalPython" not in plan
+    # the stateful exchange partitions on the group key (text_hash)
+    assert "hashpartitioning(text_hash" in plan, plan[:1500]
