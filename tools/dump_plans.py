@@ -37,8 +37,8 @@ def main() -> None:
                         "above one decode UDF"),
         ("zonal_stats", "map-side pixel partials in the Arrow UDF; exactly one "
                         "shuffle (final cell agg)"),
-        ("within_distance_km", "broadcast closed disk-bbox cover; geodesic "
-                               "filter as a projection"),
+        ("within_distance", "broadcast closed disk-bbox cover; planar + "
+                            "geodesic arms in one plan, filters as projections"),
         ("window_read", "world-window filter BELOW MapInPandas: the decode UDF "
                         "sees only selected chunks"),
         ("zonal_rollup", "cell_parent bit arithmetic on partials; single "
@@ -48,9 +48,10 @@ def main() -> None:
                           "rank window"),
         ("rasterize_tiles", "chunk-center cell equi-join vs broadcast polygon "
                             "cover (no crossJoin); ray-cast only on candidates"),
-        ("repetition_stats", "explode -> two-level hash agg (partial/final at "
-                             "both levels) — distributed word count, nothing "
-                             "quadratic in doc length"),
+        ("repetition_filter", "explode -> two-level hash agg (partial/final "
+                              "at both levels) + scalar line/symbol signals as "
+                              "a projection arm — nothing quadratic in doc "
+                              "length"),
         ("corpus_clean", "three gate arms (md5 dedup agg, quality projection, "
                          "repetition aggs) joined on unique doc_id; no collects"),
         ("lsh_ann", "signature buckets from pure projections; candidate "
@@ -60,6 +61,12 @@ def main() -> None:
                        "orderBy on the key columns"),
         ("zonal_quantiles", "exact order statistics via the distributive value "
                             "histogram: <=256 rows/cell shuffle, never pixels"),
+        ("simhash_pairs", "pigeonhole band equi-join on (band, bval) — ids + "
+                          "64-bit hashes shuffle, never text; Arrow-vectorized "
+                          "signature; popcount verify on candidates only"),
+        ("phash_dedup", "image near-dup banding on the mandated phash column: "
+                        "same band equi-join; image bytes never enter an "
+                        "exchange"),
     ]
     qs = em.queries()
     lines = [
@@ -86,6 +93,25 @@ def main() -> None:
             lines.append(f"- pushed filters: `{pf.splitlines()[0][:160]}`")
         lines += ["", "```", plan_string(df, "formatted").strip()[:8000], "```", ""]
         print(f"[plans] {name} done", file=sys.stderr)
+    # streaming_dedup: the plan lives inside the streaming query — capture
+    # the executed stateful plan the runner recorded
+    from aira_spark.streaming import events as ev
+
+    em.q_streaming_dedup(spark, SF_DIR)
+    splan = ev.LAST_PLANS.get("sdedup", "(not captured)")
+    lines += [
+        "## streaming_dedup (executed streaming plan)",
+        "",
+        "**Design property:** stateful first-seen dedup as "
+        "FlatMapGroupsInPandasWithState keyed on the content hash; the state "
+        "exchange partitions on text_hash only.",
+        "",
+        "```",
+        splan.strip()[:8000],
+        "```",
+        "",
+    ]
+    print("[plans] streaming_dedup done", file=sys.stderr)
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
