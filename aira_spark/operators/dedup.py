@@ -224,8 +224,14 @@ def simhash_table(docs: DataFrame, n_bits: int = 16) -> DataFrame:
 
     @pandas_udf(Ty.LongType())
     def sh(texts: pd.Series) -> pd.Series:
-        out = np.empty(len(texts), dtype=np.int64)
+        out: list[int | None] = [None] * len(texts)
         for i, t in enumerate(texts):
+            if t is None:
+                # the SQL form yields 0 for NULL text (every per-bit CASE
+                # falls to ELSE 0 when the aggregate over NULL is NULL) —
+                # match it exactly rather than crash or emit NULL
+                out[i] = 0
+                continue
             ws = t.split(" ")  # matches SQL split(text, ' ') incl. empties
             hs = np.fromiter(
                 (
@@ -240,7 +246,7 @@ def simhash_table(docs: DataFrame, n_bits: int = 16) -> DataFrame:
             )
             val = int(((np.uint64(1) << bit_idx)[sums > 0]).sum())
             out[i] = val - (1 << 64) if val >= (1 << 63) else val
-        return pd.Series(out)
+        return pd.Series(out, dtype="object").astype("Int64")
 
     return docs.select("doc_id", sh(F.col("text")).alias("simhash"))
 

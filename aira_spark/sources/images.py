@@ -133,8 +133,9 @@ def phash64(px: np.ndarray) -> int:
     ys = (np.arange(9) * h) // 8
     xs = (np.arange(9) * w) // 8
     # 2-D prefix sums give every block sum exactly (blocks may be unequal
-    # when dims aren't divisible by 8; counts carry through the comparison)
-    ps = np.zeros((h + 1, w + 1), dtype=object)
+    # when dims aren't divisible by 8; counts carry through the comparison);
+    # int64 cannot overflow: total <= 255 * h * w << 2^63
+    ps = np.zeros((h + 1, w + 1), dtype=np.int64)
     ps[1:, 1:] = a.cumsum(axis=0).cumsum(axis=1)
     total = int(a.sum())
     n_px = h * w

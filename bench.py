@@ -140,12 +140,12 @@ def main() -> None:
         "footprint_poly": lambda: em.q_footprint_poly(spark, sf_dir).count(),
         "window_read": lambda: em.q_window_read(spark, sf_dir).count(),
         "zonal_rollup": lambda: em.q_zonal_rollup(spark, sf_dir).count(),
-        "within_distance_km": lambda: em.q_within_distance_km(spark, sf_dir).count(),
-        "knn_km": lambda: em.q_knn_km(spark, sf_dir).count(),
         "dedup_clusters": lambda: em.q_dedup_clusters(spark, sf_dir).count(),
         "band_index": lambda: em.q_band_index(spark, sf_dir).count(),
         "pip_salted": lambda: em.q_pip_salted(spark, sf_dir).count(),
         "simhash_pairs": lambda: em.q_simhash_pairs(spark, sf_dir).count(),
+        "phash_dedup": lambda: em.q_phash_dedup(spark, sf_dir).count(),
+        "repetition_filter": lambda: em.q_repetition_filter(spark, sf_dir).count(),
         "lsh_ann": lambda: em.q_lsh_ann(spark, sf_dir).count(),
         "ivf_ann": lambda: em.q_ivf_ann(spark, sf_dir).count(),
         "rasterize_tiles": lambda: em.q_rasterize_tiles(spark, sf_dir).count(),

@@ -266,12 +266,13 @@ def test_cdc_cursor_overtaken_by_compaction_raises(spark, source, tmp_path):
     # a cursor AT the replace snapshot is valid: the diff (3, 4] is exact
     rows = read_stage_changes(spark, path, 3)
     assert rows.count() == 25
-    # an orphan cursor id (never committed, below max) is corrupt state
-    import json
-    with open(f"{path}/metadata.json") as fh:
-        meta = json.load(fh)
-    ids = {s["snapshot-id"] for s in meta["snapshots"]}
-    missing = next(i for i in range(1, 10) if i not in ids) if len(ids) < 9 else None
-    if missing is not None and missing < max(ids):
-        with pytest.raises(ValueError, match="never committed"):
-            read_stage_changes(spark, path, missing)
+    # an orphan cursor id (never committed, below max) is corrupt state:
+    # fabricate a crashed write's snap dir (data on disk, metadata untouched)
+    # -> next commit skips its id, leaving a genuine gap in the log
+    source.limit(5).withColumn("bucket", F.lit(0)).write.partitionBy(
+        "bucket"
+    ).parquet(f"{path}/data/snap=5")                                  # orphan 5
+    write_stage(source.limit(10), path, "s3", key="o_orderkey",
+                n_buckets=N_BUCKETS)                                  # snap 6
+    with pytest.raises(ValueError, match="never committed"):
+        read_stage_changes(spark, path, 5)

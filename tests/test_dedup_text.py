@@ -481,6 +481,11 @@ def test_simhash_udf_matches_sql_form(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select("doc_id", "text")
         .limit(200)
+        # NULL and empty text must also agree (SQL yields 0 for NULL — every
+        # per-bit CASE falls to ELSE 0 — and the UDF matches it)
+        .unionByName(
+            spark.createDataFrame([(90001, None), (90002, "")], "doc_id long, text string")
+        )
     )
     for n_bits in (16, 64):
         sql_form = {
@@ -492,3 +497,14 @@ def test_simhash_udf_matches_sql_form(spark, sf_dir):
         }
         udf_form = {r.doc_id: r.simhash for r in simhash_table(docs, n_bits).collect()}
         assert udf_form == sql_form, n_bits
+
+def test_quality_filter_matches_threshold(spark, docs):
+    """quality_filter (the library convenience around the quality gate —
+    the driver pins the same predicate via corpus_clean.quality_pass) keeps
+    exactly the docs at/above the threshold."""
+    from aira_spark.operators.text import quality_filter, text_features
+
+    feats = {r.doc_id: r.quality for r in text_features(docs).collect()}
+    kept = {r.doc_id for r in quality_filter(docs, min_quality=0.5).collect()}
+    assert kept == {d for d, q in feats.items() if q >= 0.5}
+    assert 0 < len(kept) < len(feats)

@@ -64,11 +64,14 @@ def consume(spark: SparkSession, stage_path: str, out: str, crash_before_commit:
     head = max(s["snapshot-id"] for s in snapshots(stage_path))
     if head <= cursor:
         return 0
-    changes = read_stage_changes(spark, stage_path, cursor, head)
+    # cache: the range is scanned for the derived write AND the row count —
+    # one snapshot-range read per poll, not two
+    changes = read_stage_changes(spark, stage_path, cursor, head).cache()
     # the derived computation a real consumer would run (per-cell counts)
     derived = changes.groupBy("cell").agg(F.count("*").alias("n"))
     derived.write.mode("overwrite").parquet(f"{out}/consumed/range_{cursor}_{head}")
     n = changes.count()
+    changes.unpersist()
     if crash_before_commit:
         print(f"CONSUMER kill simulated after output write, before cursor advance "
               f"(range ({cursor}, {head}], rows={n})")
