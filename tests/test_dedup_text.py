@@ -508,3 +508,31 @@ def test_quality_filter_matches_threshold(spark, docs):
     kept = {r.doc_id for r in quality_filter(docs, min_quality=0.5).collect()}
     assert kept == {d for d, q in feats.items() if q >= 0.5}
     assert 0 < len(kept) < len(feats)
+
+def test_phash_keeper_selection_via_clusters(spark, sf_dir):
+    """Image dedup end-to-end: phash near-dup pairs -> connected components
+    -> keeper per cluster (min image_id). duplicate_clusters is type-generic
+    (min-label works lexicographically on string ids)."""
+    from pyspark.sql import functions as F
+
+    from aira_spark.operators.dedup import duplicate_clusters, phash_dup_pairs
+    from aira_spark.sources.images import images_table
+
+    imgs = images_table(spark, sf_dir, limit=150).select("image_id", "phash")
+    near = imgs.filter(F.col("image_id") == "img00000009").select(
+        F.lit("zdup00000009").alias("image_id"), F.expr("phash ^ 1").alias("phash")
+    )
+    pairs = phash_dup_pairs(imgs.unionByName(near), max_hamming=2).select(
+        F.col("img_a").alias("doc_a"), F.col("img_b").alias("doc_b"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    clusters = duplicate_clusters(pairs).collect()
+    by_id = {r.doc_id: r for r in clusters}
+    # the injected near-dup clusters with its source; keeper is the original
+    # ('img...' < 'zdup...' lexicographically)
+    assert "zdup00000009" in by_id
+    assert by_id["zdup00000009"].cluster_id == by_id["img00000009"].cluster_id
+    assert by_id["zdup00000009"].cluster_id == min(
+        r.doc_id for r in clusters
+        if r.cluster_id == by_id["zdup00000009"].cluster_id
+    )
