@@ -52,21 +52,55 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, k: int = 3, n_hash: int = 8) -> DataFrame:
-    # two explicit projections (words -> shingles) so the expensive split is
-    # evaluated once, then all n_hash minhashes scan the same shingle array
-    sh = tf.shingles_from_words("ws", k, ENG)
-    df = (
-        docs.selectExpr("doc_id", f"{tf.words('text', ENG)} AS ws")
-        .selectExpr("doc_id", f"{sh} AS shingles")
-        # base md5 hashes materialized once; each seed is then a cheap
-        # affine pass over the integer array (8x less hashing)
-        .selectExpr("doc_id", "shingles", f"{tf.shingle_hashes('shingles', ENG)} AS hs")
+    """(doc_id, shingles, mh0..mh{n-1}): word k-gram shingles + affine
+    MinHash family, evaluated in an Arrow UDF computing the EXACT integer
+    formulas of textfns (h64 = first 15 md5 hex digits; minhash_i = min of
+    (a_i * (h64 mod p) + b_i) mod p). The SQL expression form survives as
+    the DuckDB oracle; values are bit-identical (pinned by the
+    dedup_minhash/dedup_clusters oracles and the SQL-vs-UDF pytest). The
+    interpreted transform(md5->conv->substr) chain per shingle was the
+    dominant cost of the LSH pipeline (~2x at bench scale)."""
+    names = ["shingles"] + [f"mh{i}" for i in range(n_hash)]
+    schema = Ty.StructType(
+        [Ty.StructField("shingles", Ty.ArrayType(Ty.StringType()))]
+        + [Ty.StructField(f"mh{i}", Ty.LongType()) for i in range(n_hash)]
     )
-    mh = [
-        F.expr(tf.minhash_from_hashes("hs", i, ENG)).alias(f"mh{i}")
+    P = tf.MH_P
+    AB = [
+        (tf.MH_A[i % len(tf.MH_A)], tf.MH_B[i % len(tf.MH_B)])
         for i in range(n_hash)
     ]
-    return df.select("doc_id", "shingles", *mh)
+
+    @pandas_udf(schema)
+    def sig(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        empty = ([],) + (None,) * n_hash
+        for t in texts:
+            if t is None:
+                rows.append(empty)
+                continue
+            ws = t.split(" ")  # matches SQL split(text, ' ') incl. empties
+            if len(ws) < k:
+                rows.append(empty)  # SQL: if(size(ws) < k, array(), ...)
+                continue
+            sh = [" ".join(ws[j : j + k]) for j in range(len(ws) - k + 1)]
+            hs = np.fromiter(
+                (
+                    int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % P
+                    for s in sh
+                ),
+                dtype=np.int64,
+                count=len(sh),
+            )
+            # a < 1024 keeps a * h < 2^63: the affine pass stays in int64
+            rows.append((sh, *(int(((a * hs + b) % P).min()) for a, b in AB)))
+        return pd.DataFrame(rows, columns=names)
+
+    # nondeterministic marker blocks project-collapse re-evaluation; the
+    # struct is materialized once, then its fields are plain projections
+    sig_nd = sig.asNondeterministic()
+    t = docs.select("doc_id", sig_nd(F.col("text")).alias("s"))
+    return t.select("doc_id", *[F.col(f"s.{n}").alias(n) for n in names])
 
 
 def minhash_lsh_pairs(

@@ -536,3 +536,41 @@ def test_phash_keeper_selection_via_clusters(spark, sf_dir):
         r.doc_id for r in clusters
         if r.cluster_id == by_id["zdup00000009"].cluster_id
     )
+
+def test_minhash_udf_matches_sql_form(spark, sf_dir):
+    """The Arrow-vectorized minhash signatures must be BIT-IDENTICAL to the
+    SQL expression form (which the DuckDB oracle runs): shingle strings AND
+    all 8 affine minhash values, including short-doc/empty edge cases."""
+    from aira_spark.functions import textfns as tf
+    from aira_spark.operators.dedup import minhash_signatures
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(150)
+        .unionByName(
+            spark.createDataFrame(
+                [(90001, ""), (90002, "one two"), (90003, "one two three")],
+                "doc_id long, text string",
+            )
+        )
+    )
+    sh = tf.shingles_from_words("ws", 3, "spark")
+    sql_df = (
+        docs.selectExpr("doc_id", f"{tf.words('text', 'spark')} AS ws")
+        .selectExpr("doc_id", f"{sh} AS shingles")
+        .selectExpr("doc_id", "shingles", f"{tf.shingle_hashes('shingles', 'spark')} AS hs")
+        .selectExpr(
+            "doc_id", "shingles",
+            *[f"{tf.minhash_from_hashes('hs', i, 'spark')} AS mh{i}" for i in range(8)],
+        )
+    )
+    sql_rows = {r.doc_id: (tuple(r.shingles), *[r[f"mh{i}"] for i in range(8)])
+                for r in sql_df.collect()}
+    udf_rows = {r.doc_id: (tuple(r.shingles), *[r[f"mh{i}"] for i in range(8)])
+                for r in minhash_signatures(docs, 3, 8).collect()}
+    # SQL yields empty-array shingles + NULL minhashes for short docs; so
+    # does the UDF
+    assert udf_rows == sql_rows
+    assert udf_rows[90002][0] == ()
+    assert udf_rows[90003][0] == ("one two three",)
