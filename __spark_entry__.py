@@ -2002,14 +2002,27 @@ FROM labels
 
 
 _DUCK_QUANT = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1024.0) / 1024.0)"
-_DUCK_DOT = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+# int64-quantized view of an already-quantized array (exact: n/1024 * 1024 = n)
+_DUCK_QI = "list_transform({v}, x -> CAST(round(CAST(x AS DOUBLE) * 1024.0) AS BIGINT))"
+_DUCK_DOTI = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2])) AS BIGINT)"
+)
 
 
 def _duck_cos(a: str, b: str, round6: bool = True) -> str:
-    dab = _DUCK_DOT.format(a=a, b=b)
-    daa = _DUCK_DOT.format(a=a, b=a)
-    dbb = _DUCK_DOT.format(a=b, b=b)
-    expr = f"{dab} / SQRT({daa}) / SQRT({dbb})"
+    """Cosine over EXACT int64 dot products of quantized embeddings, with the
+    pinned double-op order dab / sqrt(daa) / sqrt(dbb) — bit-identical to the
+    Spark side's cosine()/cos_arrow() by arithmetic (integer sums are
+    order-independent; cast/sqrt/divide are IEEE correctly rounded), not by
+    expression-text matching."""
+    qa, qb = _DUCK_QI.format(v=a), _DUCK_QI.format(v=b)
+    dab = _DUCK_DOTI.format(a=qa, b=qb)
+    daa = _DUCK_DOTI.format(a=qa, b=qa)
+    dbb = _DUCK_DOTI.format(a=qb, b=qb)
+    expr = (
+        f"CAST({dab} AS DOUBLE) / SQRT(CAST({daa} AS DOUBLE)) "
+        f"/ SQRT(CAST({dbb} AS DOUBLE))"
+    )
     return f"ROUND({expr}, 6)" if round6 else f"({expr})"
 
 

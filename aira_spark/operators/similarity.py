@@ -17,13 +17,53 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as Ty
 
 
-def _dot(a, b):
+QUANT_SCALE = 1024  # matches functions/lshfns.py and the driver's _QUANT
+
+
+def _qint(a):
+    """Quantized int64 embedding: round(x * 1024) — idempotent over the
+    1/1024-quantized inputs the driver queries use (n/1024 is exact in
+    binary, so round is exact; Spark HALF_UP vs numpy HALF_EVEN can only
+    differ on non-quantized inputs)."""
+    return F.transform(a, lambda x: F.round(x.cast("double") * QUANT_SCALE).cast("long"))
+
+
+def _doti(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, v: acc + v)
+                       F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
 def cosine(a, b):
-    return _dot(a, b) / F.sqrt(_dot(a, a)) / F.sqrt(_dot(b, b))
+    """Cosine as EXACT integer dot products over quantized embeddings, then
+    three IEEE-correctly-rounded double ops in a pinned order:
+    dab / sqrt(daa) / sqrt(dbb). The integer sums are order-independent
+    (unlike a float fold), so the numpy form (cos_arrow) and the DuckDB
+    oracle form produce BIT-IDENTICAL doubles — parity by arithmetic, not by
+    matching expression text. |q| <= ~2^15 and dim 64 keep every sum far
+    inside int64/2^53 exactness."""
+    qa, qb = _qint(a), _qint(b)
+    dab, daa, dbb = _doti(qa, qb), _doti(qa, qa), _doti(qb, qb)
+    return dab.cast("double") / F.sqrt(daa.cast("double")) / F.sqrt(dbb.cast("double"))
+
+
+@F.pandas_udf(Ty.DoubleType())
+def cos_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized cosine computing the EXACT value of cosine() above (same
+    integer dots, same double-op order) — used on the pair-wise re-rank hot
+    paths where the interpreted higher-order-function form costs ~10x."""
+    A = np.stack(a.to_numpy())
+    B = np.stack(b.to_numpy())
+    # inputs are 1/1024-quantized: rint is exact here (see _qint)
+    Q = np.rint(A.astype(np.float64) * QUANT_SCALE).astype(np.int64)
+    R = np.rint(B.astype(np.float64) * QUANT_SCALE).astype(np.int64)
+    dab = (Q * R).sum(axis=1)
+    daa = (Q * Q).sum(axis=1)
+    dbb = (R * R).sum(axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = dab.astype(np.float64) / np.sqrt(daa.astype(np.float64)) / np.sqrt(
+            dbb.astype(np.float64)
+        )
+    return pd.Series(out)
 
 
 def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
@@ -39,7 +79,7 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10) -> DataF
     return (
         e.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", F.round(cosine(F.col("vec"), F.col("qvec")), 6))
+        .withColumn("cos", F.round(cos_arrow(F.col("vec"), F.col("qvec")), 6))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
@@ -120,7 +160,7 @@ def lsh_ann_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
-        cand.withColumn("cos", F.round(cosine(F.col("vec"), F.col("qvec")), 6))
+        cand.withColumn("cos", F.round(cos_arrow(F.col("vec"), F.col("qvec")), 6))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
@@ -150,7 +190,7 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                .withColumnRenamed("embedding", "eb"), "vec_b")
     )
     return (
-        cand.withColumn("cos", F.round(cosine(F.col("ea"), F.col("eb")), 6))
+        cand.withColumn("cos", F.round(cos_arrow(F.col("ea"), F.col("eb")), 6))
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
     )
@@ -205,7 +245,7 @@ def lsh_ann_topk_sql(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
-        cand.withColumn("cos", F.round(cosine(F.col("vec"), F.col("qvec")), 6))
+        cand.withColumn("cos", F.round(cos_arrow(F.col("vec"), F.col("qvec")), 6))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
@@ -234,7 +274,7 @@ def embedding_near_dup_pairs_sql(
                .withColumnRenamed("embedding", "eb"), "vec_b")
     )
     return (
-        cand.withColumn("cos", F.round(cosine(F.col("ea"), F.col("eb")), 6))
+        cand.withColumn("cos", F.round(cos_arrow(F.col("ea"), F.col("eb")), 6))
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
     )
@@ -315,11 +355,14 @@ def ivf_ann_topk_seeded(
     variant (ivf_ann_topk below) shares every stage except centroid training
     and is pinned by the pytest recall gate.
 
-    Plan shape: centroids are a metadata-sized collect baked into a literal
-    array column, so ASSIGNMENT IS A PURE PROJECTION — the embedding table is
-    never shuffled (an improvement over the mapInPandas assignment: no Arrow
-    transfer either). Probes broadcast; the probe join is an equi-join on
-    centroid_id reading nprobe/n_centroids of the table per query.
+    Plan shape: centroids are a metadata-sized collect; ASSIGNMENT IS A PURE
+    MAP (one vectorized Arrow pass computes all centroid cosines + argmax per
+    vector) — the embedding table is never shuffled and never joined back.
+    Probes broadcast; the probe join is an equi-join on centroid_id reading
+    nprobe/n_centroids of the table per query. Cosines everywhere are the
+    exact-integer-dot form of cosine()/cos_arrow(), and every ranking
+    compares 6dp-ROUNDED values with identical rounding in Spark, numpy
+    (Decimal half-up arbitration on near-ties only) and DuckDB.
     """
     seeds = (
         embeddings.select("vec_id", "embedding")
@@ -327,46 +370,80 @@ def ivf_ann_topk_seeded(
         .limit(n_centroids)
         .collect()
     )
-    cents = F.array(
-        *[
-            F.array(*[F.lit(float(v)) for v in r.embedding])
-            for r in sorted(seeds, key=lambda r: r.vec_id)
-        ]
+    # centroid table broadcast (metadata-sized); assignment/probe cosines go
+    # through the vectorized cos_arrow (bit-identical to cosine() and the
+    # oracle by arithmetic) and are rounded 6dp by NATIVE F.round, so the
+    # half-up decimal semantics match DuckDB's ROUND exactly (ADVICE r2:
+    # ranking compares ROUNDED values in both engines; ties break on lowest
+    # centroid index)
+    cent_rows = [
+        (c, [float(v) for v in r.embedding])
+        for c, r in enumerate(sorted(seeds, key=lambda r: r.vec_id))
+    ]
+    spark = embeddings.sparkSession
+    cent_df = spark.createDataFrame(
+        cent_rows, "centroid_id int, cvec array<double>"
     )
 
-    def cos_arr(vec):
-        # assignment/probe cosines rounded to 6dp — argmax and probe ranking
-        # then compare ROUNDED values in both engines (ADVICE r2: unrounded
-        # doubles from different expression builders can differ a ULP near a
-        # tie and flip an assignment); ties break on lowest centroid index in
-        # both engines
-        return F.transform(cents, lambda c: F.round(cosine(vec, c), 6))
+    # assignment: a PURE MAP — one vectorized Arrow pass computes all 16
+    # cosines per vector (int64 matmul, bit-identical doubles to cosine())
+    # and the argmax with lowest-index tie-break; embeddings are never
+    # shuffled and never joined back (the 10^12-row shape). Rounding to 6dp
+    # replicates Spark ROUND exactly: BigDecimal-on-shortest-repr HALF_UP
+    # == Decimal(repr(x)) HALF_UP, so ranking equals the oracle's
+    # ROUND-then-rank to the bit.
+    from decimal import ROUND_HALF_UP, Decimal
 
-    # argmax with lowest-index tie-break: first position of the max cosine
+    qc_mat = np.array(
+        [[round(v * QUANT_SCALE) for v in vec] for _, vec in cent_rows],
+        dtype=np.int64,
+    )
+    sqrt_dcc = np.sqrt((qc_mat * qc_mat).sum(axis=1).astype(np.float64))
+    q6 = Decimal("0.000001")
+
+    @F.pandas_udf(Ty.IntegerType())
+    def assign_udf(vecs: pd.Series) -> pd.Series:
+        A = np.stack(vecs.to_numpy())
+        Q = np.rint(A.astype(np.float64) * QUANT_SCALE).astype(np.int64)
+        dab = Q @ qc_mat.T
+        sa = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+        cos = dab.astype(np.float64) / sa[:, None] / sqrt_dcc[None, :]
+        # fast path: when the winner leads by > 2e-6 unrounded, no 6dp
+        # rounding can change the argmax — exact Decimal arbitration (the
+        # slow, Spark-ROUND-identical comparison) runs only on near-ties
+        out = cos.argmax(axis=1).astype(np.int32)
+        close = (cos >= cos.max(axis=1)[:, None] - 2.1e-6).sum(axis=1) > 1
+        for i in np.nonzero(close)[0]:
+            r6 = [
+                Decimal(repr(float(x))).quantize(q6, rounding=ROUND_HALF_UP)
+                for x in cos[i]
+            ]
+            out[i] = max(range(len(r6)), key=lambda c: (r6[c], -c))
+        return pd.Series(out)
+
     emb = embeddings.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vec")
-    ).withColumn("_ca", cos_arr(F.col("vec")))
-    lists = emb.withColumn(
-        "centroid_id",
-        (F.expr("array_position(_ca, array_max(_ca))") - 1).cast("int"),
-    ).select("centroid_id", "neighbor_id", "vec")
-
-    # top-nprobe centroids per query: sort (−cos, centroid_id) lexicographically
-    qs = queries.select("query_id", "qvec").withColumn("_ca", cos_arr(F.col("qvec")))
-    ranked = F.transform(
-        F.sequence(F.lit(0), F.lit(n_centroids - 1)),
-        lambda i: F.struct(
-            (-F.element_at(F.col("_ca"), i + 1)).alias("neg"),
-            i.cast("int").alias("cid"),
-        ),
     )
-    probes = qs.select(
-        "query_id",
-        F.explode(
-            F.transform(
-                F.slice(F.array_sort(ranked), 1, nprobe), lambda s: s["cid"]
-            )
-        ).alias("centroid_id"),
+    lists = emb.select(
+        assign_udf(F.col("vec")).alias("centroid_id"), "neighbor_id", "vec"
+    )
+
+    # top-nprobe centroids per query: rank by (cos desc, centroid_id asc)
+    qscored = (
+        queries.select("query_id", "qvec")
+        .crossJoin(F.broadcast(cent_df))
+        .select(
+            "query_id", "centroid_id",
+            F.round(cos_arrow(F.col("qvec"), F.col("cvec")), 6).alias("ccos"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("centroid_id")
+    )
+    probes = (
+        qscored.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= nprobe)
+        .select("query_id", "centroid_id")
     )
     qv = queries.select("query_id", "qvec")
     cand = (
@@ -376,7 +453,7 @@ def ivf_ann_topk_seeded(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
-        cand.withColumn("cos", F.round(cosine(F.col("vec"), F.col("qvec")), 6))
+        cand.withColumn("cos", F.round(cos_arrow(F.col("vec"), F.col("qvec")), 6))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
@@ -432,7 +509,7 @@ def ivf_ann_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
-        cand.withColumn("cos", F.round(cosine(F.col("vec"), F.col("qvec")), 6))
+        cand.withColumn("cos", F.round(cos_arrow(F.col("vec"), F.col("qvec")), 6))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")

@@ -218,8 +218,13 @@ def test_ivf_seeded_matches_probed_bruteforce(spark, sf_dir):
 
     from aira_spark.operators.similarity import ivf_ann_topk_seeded
 
+    # 1/1024-quantized inputs: the operator contract (cosine computes exact
+    # integer dots over round(x*1024); the brute force below mirrors it)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", "embedding"
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> round(CAST(x AS DOUBLE) * 1024.0) / 1024.0)"
+        ).alias("embedding"),
     )
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
@@ -228,19 +233,33 @@ def test_ivf_seeded_matches_probed_bruteforce(spark, sf_dir):
 
     pdf = emb.toPandas().sort_values("vec_id")
     ids = pdf["vec_id"].to_numpy()
-    mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    cents = norm[:8]  # lowest 8 vec_ids are the seeds (ids are 0..n-1 sorted)
-    assign = (norm @ cents.T).argmax(axis=1)
+    qi = np.rint(
+        np.vstack(pdf["embedding"].to_numpy()).astype(np.float64) * 1024.0
+    ).astype(np.int64)
+
+    def cos6(a, b):
+        # exact int dots, pinned op order, round6 — mirrors operators.cosine
+        return round(
+            float(int((a * b).sum()))
+            / np.sqrt(float(int((a * a).sum())))
+            / np.sqrt(float(int((b * b).sum()))),
+            6,
+        )
+
+    cents = qi[:8]  # lowest 8 vec_ids are the seeds (ids are 0..n-1 sorted)
+    # assignment: argmax of ROUNDED cosine, lowest index on tie (both engines)
+    assign = [
+        max(range(8), key=lambda c: (cos6(v, cents[c]), -c)) for v in qi
+    ]
     for qid in range(5):
-        q = norm[ids == qid][0]
-        probe = np.argsort(-(cents @ q))[:2]
+        q = qi[ids == qid][0]
+        probe = sorted(range(8), key=lambda c: (-cos6(cents[c], q), c))[:2]
         cand = [
-            (int(i), float(v @ q))
-            for i, v, a in zip(ids, norm, assign)
+            (int(i), cos6(v, q))
+            for i, v, a in zip(ids, qi, assign)
             if a in probe and i != qid
         ]
-        cand.sort(key=lambda t: (-round(t[1], 6), t[0]))
+        cand.sort(key=lambda t: (-t[1], t[0]))
         expect = [c[0] for c in cand[:5]]
         mine = [r.neighbor_id for r in sorted(
             (g for g in got if g.query_id == qid), key=lambda r: r.rank
@@ -574,3 +593,28 @@ def test_minhash_udf_matches_sql_form(spark, sf_dir):
     assert udf_rows == sql_rows
     assert udf_rows[90002][0] == ()
     assert udf_rows[90003][0] == ("one two three",)
+
+def test_cosine_expression_equals_arrow_bitexact(spark, sf_dir):
+    """cosine() (Column expression, used inside IVF's transform lambda) and
+    cos_arrow (vectorized re-rank path) must produce BIT-IDENTICAL unrounded
+    doubles: both compute exact integer dots then dab/sqrt(daa)/sqrt(dbb) in
+    the same IEEE op order. This is the arithmetic-parity contract the DuckDB
+    oracle relies on."""
+    from aira_spark.operators.similarity import cos_arrow, cosine
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .limit(300)
+        .withColumn("embedding", F.expr(
+            "transform(embedding, x -> round(CAST(x AS DOUBLE) * 1024.0) / 1024.0)"))
+    )
+    a = emb.selectExpr("vec_id AS ia", "embedding AS va")
+    b = emb.selectExpr("vec_id AS ib", "embedding AS vb")
+    pairs = a.join(b, F.col("ia") % 17 == F.col("ib") % 17).limit(2000)
+    rows = pairs.select(
+        cosine(F.col("va"), F.col("vb")).alias("ce"),
+        cos_arrow(F.col("va"), F.col("vb")).alias("ca"),
+    ).collect()
+    assert len(rows) > 500
+    for r in rows:
+        assert r.ce == r.ca, (r.ce, r.ca)  # bitwise-equal doubles
