@@ -263,3 +263,40 @@ def sql_cell_from_xy(x: str, y: str, res: int = DEFAULT_RES) -> str:
         f"(CAST({res} AS BIGINT) * {1 << RES_SHIFT} + "
         f"CAST({ix} AS BIGINT) * {1 << IX_SHIFT} + CAST({iy} AS BIGINT))"
     )
+
+
+# ---------------------------------------------------------------- Z-order
+
+
+def np_morton_key(ix: int, iy: int, res: int) -> int:
+    """Python reference: bit-interleaved (Morton / Z-order) key of a grid
+    cell — even bits from ix, odd bits from iy."""
+    out = 0
+    for b in range(res):
+        out |= ((ix >> b) & 1) << (2 * b)
+        out |= ((iy >> b) & 1) << (2 * b + 1)
+    return out
+
+
+def morton_key(ix: Column, iy: Column, res: int = DEFAULT_RES) -> Column:
+    """Z-order (Morton) key as a pure integer projection: interleaves the
+    res bits of ix and iy so that cells close in 2-D are close in the 1-D
+    sort order. THE spatial-locality layout device at 100 TB: writing files
+    sorted by morton_key clusters each polygon window / k-ring / bbox query
+    into O(1) contiguous byte ranges per partition, so parquet row-group
+    min/max statistics prune most of the table for spatial predicates
+    (the 1-D analog of Iceberg's Z-order rewrite strategy)."""
+    terms = None
+    for b in range(res):
+        t = F.shiftleft(F.shiftrightunsigned(ix, b).bitwiseAND(F.lit(1)), 2 * b) + \
+            F.shiftleft(F.shiftrightunsigned(iy, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        terms = t if terms is None else terms + t
+    return terms.cast("long")
+
+
+def morton_from_xy(x: Column, y: Column, res: int = DEFAULT_RES) -> Column:
+    """Morton key straight from lon/lat (same grid as cell_from_xy)."""
+    n = 1 << res
+    ix = _clamp(F.floor((x - F.lit(X0)) / F.lit(SPAN_X) * F.lit(float(n))), 0, n - 1)
+    iy = _clamp(F.floor((y - F.lit(Y0)) / F.lit(SPAN_Y) * F.lit(float(n))), 0, n - 1)
+    return morton_key(ix.cast("long"), iy.cast("long"), res)

@@ -278,6 +278,51 @@ def write_images_by_cell(
     ).parquet(out_path)
 
 
+def write_images_zordered(
+    spark: SparkSession, images: DataFrame, out_path: str,
+    part_res: int = 3, sort_res: int = 10,
+) -> None:
+    """Spatial layout with BOTH pruning levers: coarse-cell partitioning
+    (directory-level pruning, as write_images_by_cell) plus Z-order (Morton)
+    sorting WITHIN each partition at a finer grid. Row groups inside every
+    file then carry tight lon/lat min/max statistics, so a window/bbox scan
+    prunes most row groups even inside the partitions it must open — the
+    Iceberg rewrite_data_files(strategy => 'sort', sort_order => zorder(...))
+    analog, expressed with a pure integer projection (functions/cells.py
+    morton_key)."""
+    from ..functions.cells import cell_from_xy, morton_from_xy
+    from ..functions.udfs import decode_meta
+
+    m = F.col("meta")
+    cx = (m["tie_x"] - m["tie_i"] * m["scale_x"]) + m["width"].cast("double") * m["scale_x"] / 2.0
+    cy = (m["tie_y"] + m["tie_j"] * m["scale_y"]) - m["height"].cast("double") * m["scale_y"] / 2.0
+    df = (
+        images.withColumn("meta", decode_meta(F.col("bytes")))
+        .withColumn(
+            "part_cell",
+            F.when(
+                m["error"].isNull() & m["scale_x"].isNotNull(),
+                cell_from_xy(cx, cy, part_res),
+            ).otherwise(F.lit(-1)),
+        )
+        .withColumn(
+            "zkey",
+            F.when(
+                m["error"].isNull() & m["scale_x"].isNotNull(),
+                morton_from_xy(cx, cy, sort_res),
+            ).otherwise(F.lit(-1)),
+        )
+        .drop("meta")
+    )
+    (
+        df.repartition(F.col("part_cell"))
+        .sortWithinPartitions("part_cell", "zkey")
+        .write.mode("overwrite")
+        .partitionBy("part_cell")
+        .parquet(out_path)
+    )
+
+
 def write_images_bucketed(
     spark: SparkSession, images: DataFrame, table: str, buckets: int = 16
 ) -> None:
