@@ -940,8 +940,11 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with deterministic seed centroids: assignment, probe selection
-    and re-rank are all SQL-expressible, so the oracle checks the full plan
-    exactly; the k-means-trained variant is pinned by the pytest recall gate."""
+    and re-rank all have a DuckDB-expressible DEFINITION (exact integer dots,
+    pinned division order, 6dp HALF_UP rounding), so the oracle reproduces the
+    output exactly — assignment now EXECUTES as a vectorized numpy UDF whose
+    parity rests on that arithmetic contract (pinned by the pytest mirror);
+    the k-means-trained variant is pinned by the pytest recall gate."""
     from aira_spark.operators.similarity import ivf_ann_topk_seeded
 
     emb = (

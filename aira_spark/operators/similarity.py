@@ -50,19 +50,32 @@ def cosine(a, b):
 def cos_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
     """Vectorized cosine computing the EXACT value of cosine() above (same
     integer dots, same double-op order) — used on the pair-wise re-rank hot
-    paths where the interpreted higher-order-function form costs ~10x."""
-    A = np.stack(a.to_numpy())
-    B = np.stack(b.to_numpy())
-    # inputs are 1/1024-quantized: rint is exact here (see _qint)
-    Q = np.rint(A.astype(np.float64) * QUANT_SCALE).astype(np.int64)
-    R = np.rint(B.astype(np.float64) * QUANT_SCALE).astype(np.int64)
-    dab = (Q * R).sum(axis=1)
-    daa = (Q * Q).sum(axis=1)
-    dbb = (R * R).sum(axis=1)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        out = dab.astype(np.float64) / np.sqrt(daa.astype(np.float64)) / np.sqrt(
-            dbb.astype(np.float64)
-        )
+    paths where the interpreted higher-order-function form costs ~10x.
+
+    Like cosine(), QUANTIZATION IS PART OF THE DEFINITION: inputs are snapped
+    to the 1/1024 grid (a no-op for the already-quantized driver tables;
+    callers with raw floats get the quantized cosine, within ~dim/2048/|v| of
+    the raw value). NULL operands yield NULL, matching the expression form.
+    """
+    av, bv = a.to_numpy(), b.to_numpy()
+    valid = np.fromiter(
+        (x is not None and y is not None for x, y in zip(av, bv)),
+        dtype=bool, count=len(av),
+    )
+    out = np.full(len(av), np.nan)
+    if valid.any():
+        A = np.stack(av[valid])
+        B = np.stack(bv[valid])
+        Q = np.rint(A.astype(np.float64) * QUANT_SCALE).astype(np.int64)
+        R = np.rint(B.astype(np.float64) * QUANT_SCALE).astype(np.int64)
+        dab = (Q * R).sum(axis=1)
+        daa = (Q * Q).sum(axis=1)
+        dbb = (R * R).sum(axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out[valid] = dab.astype(np.float64) / np.sqrt(
+                daa.astype(np.float64)
+            ) / np.sqrt(dbb.astype(np.float64))
+    # NaN -> null through Arrow, so NULL-in gives NULL-out like cosine()
     return pd.Series(out)
 
 
@@ -349,9 +362,14 @@ def ivf_ann_topk_seeded(
     n_centroids: int = 16, nprobe: int = 4,
 ) -> DataFrame:
     """IVF ANN with DETERMINISTIC seed centroids (the n_centroids lowest
-    vec_ids, no Lloyd iterations) — every stage is SQL-expressible, so the
-    DuckDB oracle checks the full distributed plan exactly: inverted-list
-    assignment, probe selection, and the exact re-rank. The k-means-trained
+    vec_ids, no Lloyd iterations). Every stage has a DuckDB-expressible
+    DEFINITION — exact integer dots, pinned double-division order, 6dp
+    HALF_UP rounding — so the oracle reproduces the output values exactly;
+    since round 3 the assignment stage EXECUTES as a vectorized numpy UDF
+    rather than a SQL projection (10x faster), so assignment parity rests on
+    that arithmetic contract (order-independent integer sums + identical
+    rounding), pinned by test_ivf_seeded_matches_probed_bruteforce's
+    independent mirror, not on shared expression text. The k-means-trained
     variant (ivf_ann_topk below) shares every stage except centroid training
     and is pinned by the pytest recall gate.
 
@@ -403,7 +421,14 @@ def ivf_ann_topk_seeded(
 
     @F.pandas_udf(Ty.IntegerType())
     def assign_udf(vecs: pd.Series) -> pd.Series:
-        A = np.stack(vecs.to_numpy())
+        vv = vecs.to_numpy()
+        valid = np.fromiter(
+            (x is not None for x in vv), dtype=bool, count=len(vv)
+        )
+        res = np.full(len(vv), None, dtype=object)
+        if not valid.any():
+            return pd.Series(res)
+        A = np.stack(vv[valid])
         Q = np.rint(A.astype(np.float64) * QUANT_SCALE).astype(np.int64)
         dab = Q @ qc_mat.T
         sa = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
@@ -419,7 +444,8 @@ def ivf_ann_topk_seeded(
                 for x in cos[i]
             ]
             out[i] = max(range(len(r6)), key=lambda c: (r6[c], -c))
-        return pd.Series(out)
+        res[valid] = out
+        return pd.Series(res)
 
     emb = embeddings.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vec")

@@ -243,6 +243,26 @@ def write_images(spark: SparkSession, sf_dir: str, out_path: str, buckets: int =
     ).parquet(out_path)
 
 
+def _with_footprint_keys(images: DataFrame, keys) -> DataFrame:
+    """Decode metadata once and attach integer spatial-key columns derived
+    from the footprint CENTER of each image's geotransform (the single
+    source of the cx/cy formula for every spatial writer).
+
+    keys: list of (col_name, fn) where fn(cx, cy) -> integer Column; rows
+    without a valid geotransform (decode error or no scale) get -1 in every
+    key column so full-table scans still see them."""
+    from ..functions.udfs import decode_meta
+
+    m = F.col("meta")
+    cx = (m["tie_x"] - m["tie_i"] * m["scale_x"]) + m["width"].cast("double") * m["scale_x"] / 2.0
+    cy = (m["tie_y"] + m["tie_j"] * m["scale_y"]) - m["height"].cast("double") * m["scale_y"] / 2.0
+    valid = m["error"].isNull() & m["scale_x"].isNotNull()
+    df = images.withColumn("meta", decode_meta(F.col("bytes")))
+    for name, fn in keys:
+        df = df.withColumn(name, F.when(valid, fn(cx, cy)).otherwise(F.lit(-1)))
+    return df.drop("meta")
+
+
 def write_images_by_cell(
     spark: SparkSession, images: DataFrame, out_path: str, res: int = 3
 ) -> None:
@@ -257,21 +277,9 @@ def write_images_by_cell(
     full-table queries, skipped by spatial ones).
     """
     from ..functions.cells import cell_from_xy
-    from ..functions.udfs import decode_meta
 
-    m = F.col("meta")
-    cx = (m["tie_x"] - m["tie_i"] * m["scale_x"]) + m["width"].cast("double") * m["scale_x"] / 2.0
-    cy = (m["tie_y"] + m["tie_j"] * m["scale_y"]) - m["height"].cast("double") * m["scale_y"] / 2.0
-    df = (
-        images.withColumn("meta", decode_meta(F.col("bytes")))
-        .withColumn(
-            "part_cell",
-            F.when(
-                m["error"].isNull() & m["scale_x"].isNotNull(),
-                cell_from_xy(cx, cy, res),
-            ).otherwise(F.lit(-1)),
-        )
-        .drop("meta")
+    df = _with_footprint_keys(
+        images, [("part_cell", lambda cx, cy: cell_from_xy(cx, cy, res))]
     )
     df.repartition(F.col("part_cell")).write.mode("overwrite").partitionBy(
         "part_cell"
@@ -291,28 +299,13 @@ def write_images_zordered(
     analog, expressed with a pure integer projection (functions/cells.py
     morton_key)."""
     from ..functions.cells import cell_from_xy, morton_from_xy
-    from ..functions.udfs import decode_meta
 
-    m = F.col("meta")
-    cx = (m["tie_x"] - m["tie_i"] * m["scale_x"]) + m["width"].cast("double") * m["scale_x"] / 2.0
-    cy = (m["tie_y"] + m["tie_j"] * m["scale_y"]) - m["height"].cast("double") * m["scale_y"] / 2.0
-    df = (
-        images.withColumn("meta", decode_meta(F.col("bytes")))
-        .withColumn(
-            "part_cell",
-            F.when(
-                m["error"].isNull() & m["scale_x"].isNotNull(),
-                cell_from_xy(cx, cy, part_res),
-            ).otherwise(F.lit(-1)),
-        )
-        .withColumn(
-            "zkey",
-            F.when(
-                m["error"].isNull() & m["scale_x"].isNotNull(),
-                morton_from_xy(cx, cy, sort_res),
-            ).otherwise(F.lit(-1)),
-        )
-        .drop("meta")
+    df = _with_footprint_keys(
+        images,
+        [
+            ("part_cell", lambda cx, cy: cell_from_xy(cx, cy, part_res)),
+            ("zkey", lambda cx, cy: morton_from_xy(cx, cy, sort_res)),
+        ],
     )
     (
         df.repartition(F.col("part_cell"))

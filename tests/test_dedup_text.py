@@ -210,6 +210,56 @@ def test_lsh_ann_sql_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.45, f"SQL-LSH recall {recall:.2f} too low"
 
 
+def test_cosine_null_embedding_yields_null(spark):
+    """NULL operands through the vectorized cosine give NULL (matching the
+    expression form), and NULL vectors through the IVF assignment UDF give a
+    NULL centroid — neither crashes the job (ADVICE r3 review)."""
+    from aira_spark.operators.similarity import cos_arrow, cosine
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], [1.0, 0.0]),
+            (2, None, [1.0, 0.0]),
+            (3, [0.5, 0.5], None),
+            (4, None, None),
+        ],
+        "id long, a array<double>, b array<double>",
+    )
+    got = {
+        r.id: (r.u, r.e)
+        for r in df.select(
+            "id",
+            cos_arrow(F.col("a"), F.col("b")).alias("u"),
+            cosine(F.col("a"), F.col("b")).alias("e"),
+        ).collect()
+    }
+    assert got[1] == (1.0, 1.0)
+    for i in (2, 3, 4):
+        assert got[i] == (None, None), (i, got[i])
+
+
+def test_ivf_null_vec_assignment(spark, sf_dir):
+    """A NULL embedding row mixed into the table must not crash IVF — it is
+    simply never a candidate (NULL centroid joins nothing)."""
+    from aira_spark.operators.similarity import ivf_ann_topk_seeded
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(50)
+        .unionByName(
+            spark.createDataFrame(
+                [(99999, None)], "vec_id long, embedding array<double>"
+            )
+        )
+    )
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    rows = ivf_ann_topk_seeded(emb, queries, k=3, n_centroids=4, nprobe=2).collect()
+    assert rows and all(r.neighbor_id != 99999 for r in rows)
+
+
 def test_ivf_seeded_matches_probed_bruteforce(spark, sf_dir):
     """Seeded IVF: the top-k inside the probed lists equals a pandas
     re-computation of the same probe semantics (independent cross-check of
@@ -237,13 +287,19 @@ def test_ivf_seeded_matches_probed_bruteforce(spark, sf_dir):
         np.vstack(pdf["embedding"].to_numpy()).astype(np.float64) * 1024.0
     ).astype(np.int64)
 
+    from decimal import ROUND_HALF_UP, Decimal
+
     def cos6(a, b):
-        # exact int dots, pinned op order, round6 — mirrors operators.cosine
-        return round(
+        # exact int dots, pinned op order, HALF_UP round6 — mirrors
+        # operators.cosine + Spark ROUND (Python round() is half-even on the
+        # binary double, which CAN differ on a 7th-digit 5)
+        c = (
             float(int((a * b).sum()))
             / np.sqrt(float(int((a * a).sum())))
-            / np.sqrt(float(int((b * b).sum()))),
-            6,
+            / np.sqrt(float(int((b * b).sum())))
+        )
+        return float(
+            Decimal(repr(c)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
         )
 
     cents = qi[:8]  # lowest 8 vec_ids are the seeds (ids are 0..n-1 sorted)
@@ -253,7 +309,9 @@ def test_ivf_seeded_matches_probed_bruteforce(spark, sf_dir):
     ]
     for qid in range(5):
         q = qi[ids == qid][0]
-        probe = sorted(range(8), key=lambda c: (-cos6(cents[c], q), c))[:2]
+        # operand order matters pre-rounding: the operator computes
+        # cos_arrow(qvec, cvec) = dab/sqrt(q.q)/sqrt(c.c) — mirror it exactly
+        probe = sorted(range(8), key=lambda c: (-cos6(q, cents[c]), c))[:2]
         cand = [
             (int(i), cos6(v, q))
             for i, v, a in zip(ids, qi, assign)
@@ -482,8 +540,19 @@ def test_embedding_near_dup_sql_precision_and_dup_recall(spark, sf_dir):
     }
     for r in pairs:
         a, b = vecs[r.vec_a], vecs[r.vec_b]
-        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
-        assert cos >= 0.99 - 1e-9, (r.vec_a, r.vec_b, cos)
+        # the operator's cosine DEFINITION quantizes to the 1/1024 grid
+        # (exact integer dots) — verify precision against that definition,
+        # and sanity-bound the raw-float cosine by the quantization error
+        qa = np.rint(a * 1024.0).astype(np.int64)
+        qb = np.rint(b * 1024.0).astype(np.int64)
+        qcos = (
+            float((qa * qb).sum())
+            / np.sqrt(float((qa * qa).sum()))
+            / np.sqrt(float((qb * qb).sum()))
+        )
+        assert qcos >= 0.99 - 5.1e-7, (r.vec_a, r.vec_b, qcos)
+        raw = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert raw >= 0.99 - 2e-3, (r.vec_a, r.vec_b, raw)
     found = {(r.vec_a, r.vec_b) for r in pairs}
     for i in dup_ids:
         assert (i, i + 1_000_000) in found, f"exact dup {i} missed"
