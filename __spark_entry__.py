@@ -558,29 +558,30 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from aira_spark.operators.dedup import simhash_table
+    """SimHash composite (tag column; folded to fit the 50-entry roster):
+    'sig' = per-doc 16-bit fingerprints (formula parity with the oracle);
+    'pair' = near-dup pairs via pigeonhole multi-band blocking at the SCALE
+    configuration (64-bit fingerprints, Hamming <= 3, 16-bit bands — Manku
+    et al. WWW'07): 2^16 bucket values per band keep candidate buckets tiny
+    where 16-bit hashes made them quadratic. The pair arm's oracle is an
+    independent BRUTE-FORCE all-pairs popcount in DuckDB, so that check is
+    semantic recall, not formula parity."""
+    from aira_spark.operators.dedup import simhash_dup_pairs, simhash_table
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_table(docs, 16).select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("simhash").cast("long").alias("simhash"),
+    sig = simhash_table(docs, 16).select(
+        F.lit("sig").alias("tag"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+        F.col("simhash").cast("long").alias("v"),
     )
-
-
-def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs via pigeonhole multi-band blocking at the
-    SCALE configuration (64-bit fingerprints, Hamming <= 3, 16-bit bands —
-    Manku et al. WWW'07): 2^16 bucket values per band keep candidate buckets
-    tiny where 16-bit hashes made them quadratic. The oracle is an
-    independent BRUTE-FORCE all-pairs popcount in DuckDB, so the check is
-    semantic recall, not formula parity."""
-    from aira_spark.operators.dedup import simhash_dup_pairs
-
-    return simhash_dup_pairs(_docs_with_dups(spark, sf_dir), 64, 3).select(
-        F.col("doc_a").cast("long").alias("doc_a"),
-        F.col("doc_b").cast("long").alias("doc_b"),
-        F.col("hamming").cast("long").alias("hamming"),
+    pairs = simhash_dup_pairs(_docs_with_dups(spark, sf_dir), 64, 3).select(
+        F.lit("pair").alias("tag"),
+        F.col("doc_a").cast("long").alias("a"),
+        F.col("doc_b").cast("long").alias("b"),
+        F.col("hamming").cast("long").alias("v"),
     )
+    return sig.unionByName(pairs)
 
 
 def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -826,16 +827,40 @@ def q_within_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.unionByName(km)
 
 
+_OVERLAP_PAD = 4.0  # degrees; L-inf proximity band for the rect-rect arm
+
+
 def q_footprint_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raster-footprint x polygon overlap join (exact rect x ring refine
-    after a lossless bbox-cover prefilter)."""
+    """Footprint-join composite (tag column; folded to fit the 50-entry
+    roster): 'poly' = raster-footprint x polygon overlap join (exact rect x
+    ring refine after a lossless bbox-cover prefilter); 'rect' = image x
+    image footprint proximity SELF-join (strict overlap OR L-inf gap <
+    _OVERLAP_PAD degrees, cell-cover blocked, exact refine — the oracle
+    brute-forces all pairs, so a cover blocking hole fails the compare)."""
     from aira_spark.operators.chunks import with_meta
-    from aira_spark.operators.spatial import footprint_polygon_join
+    from aira_spark.operators.spatial import (
+        footprint_overlap_join,
+        footprint_polygon_join,
+    )
     from aira_spark.sources.vectors import polygons_table
 
-    return footprint_polygon_join(
-        with_meta(_images(spark, sf_dir)), polygons_table(spark, sf_dir), CELL_RES
+    wm = with_meta(_images(spark, sf_dir))
+    poly = footprint_polygon_join(
+        wm, polygons_table(spark, sf_dir), CELL_RES
+    ).select(
+        F.lit("poly").alias("tag"),
+        F.col("image_id").alias("id_a"),
+        F.col("poly_id").cast("string").alias("id_b"),
+        F.lit(None).cast("double").alias("olap_w"),
+        F.lit(None).cast("double").alias("olap_h"),
     )
+    rect = footprint_overlap_join(wm, CELL_RES, pad=_OVERLAP_PAD).select(
+        F.lit("rect").alias("tag"),
+        F.col("image_a").alias("id_a"),
+        F.col("image_b").alias("id_b"),
+        "olap_w", "olap_h",
+    )
+    return poly.unionByName(rect)
 
 
 _WIN = (-50.0, -20.0, 50.0, 20.0)
@@ -1004,6 +1029,46 @@ def q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_events_hourly_stream(spark, sf_dir)
 
 
+_ASOF_TOL_US = 21_600_000_000  # 6 h; nulls ~80% of matches at sf0.01
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every click event matched to the same user's most recent
+    view at-or-before it (ties on view ts -> greatest view_id), match nulled
+    when the view is older than 6 h (pandas merge_asof `tolerance`). The
+    Spark side is the single-shuffle union + last(ignorenulls) backfill
+    (operators/asof.py — NO per-key row explosion); the oracle is the naive
+    range-join + row_number formulation, an independent method, so a
+    backfill ordering bug fails the compare instead of being mirrored."""
+    from aira_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    right = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        "ts",
+        F.col("value").alias("view_value"),
+    )
+    out = asof_join(
+        left, right, on="user_id", tolerance_us=_ASOF_TOL_US, right_tie="view_id"
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "ts",
+        F.col("value").cast("double").alias("value"),
+        F.col("r_view_id").cast("long").alias("r_view_id"),
+        F.col("r_ts").alias("r_ts"),
+        F.col("r_view_value").cast("double").alias("r_view_value"),
+        F.expr("timestampdiff(MICROSECOND, r_ts, ts)")
+        .cast("long")
+        .alias("gap_us"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial join of image footprint cell-cover with points —
     (cell, n_images, n_points) at sf0.001."""
@@ -1065,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "patch_stats": q_patch_stats,
         "phash_dedup": q_phash_dedup,
         "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
         "stateful_totals": q_stateful_totals,
         "streaming_hourly": q_streaming_hourly,
         "streaming_cover": q_streaming_cover,
@@ -1080,7 +1146,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
-        "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "lsh_ann": q_lsh_ann,
@@ -1826,8 +1891,17 @@ pairs AS (
   FROM fp f CROSS JOIN edges e
   GROUP BY f.image_id, e.poly_id
 )
-SELECT image_id, poly_id FROM pairs
+SELECT 'poly' AS tag, image_id AS id_a, CAST(poly_id AS VARCHAR) AS id_b,
+  CAST(NULL AS DOUBLE) AS olap_w, CAST(NULL AS DOUBLE) AS olap_h
+FROM pairs
 WHERE vin = 1 OR c_ll OR c_lr OR c_ur OR c_ul OR ecross = 1
+UNION ALL
+SELECT 'rect' AS tag, a.image_id AS id_a, b.image_id AS id_b,
+  LEAST(a.xmax, b.xmax) - GREATEST(a.xmin, b.xmin) AS olap_w,
+  LEAST(a.ymax, b.ymax) - GREATEST(a.ymin, b.ymin) AS olap_h
+FROM fp a JOIN fp b ON a.image_id < b.image_id
+ AND a.xmin < b.xmax + {_OVERLAP_PAD} AND b.xmin < a.xmax + {_OVERLAP_PAD}
+ AND a.ymin < b.ymax + {_OVERLAP_PAD} AND b.ymin < a.ymax + {_OVERLAP_PAD}
 """
 
 
@@ -2178,6 +2252,39 @@ FROM dims WHERE k % 16 = 0
         "footprint_poly": _oracle_footprint_poly(),
         "window_read": _oracle_window_read(),
         "sessionize": _oracle_sessionize(),
+        # independent method: the naive range-join + row_number formulation
+        # (the Spark side is the union + last(ignorenulls) backfill), so a
+        # backfill ordering bug fails the compare instead of being mirrored
+        "asof_join": f"""
+WITH l AS (
+  SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, event_id AS view_id, ts, value AS view_value
+  FROM events WHERE event_type = 'view'
+),
+m AS (
+  SELECT l.user_id, l.event_id, l.ts, l.value,
+         r.view_id, r.ts AS r_ts, r.view_value,
+         row_number() OVER (
+           PARTITION BY l.event_id ORDER BY r.ts DESC, r.view_id DESC
+         ) AS rn
+  FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+),
+best AS (
+  SELECT *,
+    r_ts IS NOT NULL
+      AND epoch_us(ts) - epoch_us(r_ts) <= {_ASOF_TOL_US}::BIGINT AS ok
+  FROM m WHERE rn = 1
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id,
+  ts, CAST(value AS DOUBLE) AS value,
+  CASE WHEN ok THEN CAST(view_id AS BIGINT) END AS r_view_id,
+  CASE WHEN ok THEN r_ts END AS r_ts,
+  CASE WHEN ok THEN CAST(view_value AS DOUBLE) END AS r_view_value,
+  CASE WHEN ok THEN epoch_us(ts) - epoch_us(r_ts) END AS gap_us
+FROM best
+""",
         "stateful_totals": _oracle_stateful_totals(),
         "rasterize_cells": _oracle_rasterize_cells(),
         "rasterize_tiles": _oracle_rasterize_tiles(),
@@ -2257,19 +2364,19 @@ FROM g
         "streaming_dedup": exact_dedup_oracle,
         "dedup_minhash": _oracle_dedup_minhash(),
         "dedup_clusters": _oracle_dedup_clusters(),
+        # composite: 'sig' arm is formula parity; 'pair' arm is brute force
+        # (no blocking) — the oracle intentionally uses a DIFFERENT method
+        # than the Spark pigeonhole-band path, so a blocking recall hole
+        # would fail the hash compare instead of being mirrored
         "simhash": f"""
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-  CAST({tf.simhash(tf.words('text', eng), 16, eng)} AS BIGINT) AS simhash
-FROM documents
-""",
-        # brute force (no blocking): the oracle intentionally uses a DIFFERENT
-        # method than the Spark pigeonhole-band path, so a blocking recall
-        # hole would fail the hash compare instead of being mirrored
-        "simhash_pairs": f"""
 WITH {_DUP_CTE},
 s AS (SELECT doc_id, {tf.simhash(tf.words('text', eng), 64, eng)} AS sh FROM docs)
-SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
-  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+SELECT 'sig' AS tag, CAST(doc_id AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b,
+  CAST({tf.simhash(tf.words('text', eng), 16, eng)} AS BIGINT) AS v
+FROM documents
+UNION ALL
+SELECT 'pair' AS tag, CAST(a.doc_id AS BIGINT) AS a, CAST(b.doc_id AS BIGINT) AS b,
+  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS v
 FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sh, b.sh)) <= 3
 """,

@@ -355,6 +355,87 @@ def footprint_polygon_join(
     ).select("image_id", "poly_id")
 
 
+def footprint_overlap_join(
+    images_with_meta: DataFrame, res: int = DEFAULT_RES, pad: float = 0.0
+) -> DataFrame:
+    """Image x image footprint SELF-join: (image_a, image_b, olap_w, olap_h)
+    for every pair (image_a < image_b) whose footprint rectangles STRICTLY
+    overlap, or — with pad > 0 — come within an L-inf gap < pad degrees
+    (a distance-buffered spatial join; pad = 0 is pure overlap).
+
+    The raster-x-raster sibling of footprint_polygon_join: each footprint is
+    exploded to its cell cover once and the candidate set is a cell
+    equi-join of the cover with itself — never a cross join. The a-side
+    cover is dilated by the FULL pad (equivalent to pad/2 per side for the
+    pairwise test, but keeps the b-side cover and the refine inputs raw):
+    if the padded test passes, rect_a dilated by pad strictly intersects
+    rect_b, so their half-open covers share the cell of an interior point
+    of the intersection — the prefilter is lossless. The exact test then
+    runs as a JVM filter on the candidates.
+
+    olap_w/olap_h are the raw (unpadded) overlap extents; NEGATIVE values
+    are the gap between near-but-disjoint footprints when pad > 0.
+
+    Scale shape (10^12 images): one explode (cover cells per image is O(1)
+    at fixed res vs footprint size), one shuffle on `cell` (near-uniform for
+    geo-distributed footprints; hot cells -> operators/skew.py salting or
+    AQE skew-join), candidate dedup on the (a, b) ID pair only. The bbox
+    columns ride along (4 doubles) so no second join reattaches geometry.
+    """
+    from .chunks import footprint
+
+    fp = footprint(images_with_meta).select(
+        "image_id", "fp_xmin", "fp_ymin", "fp_xmax", "fp_ymax"
+    )
+    p = F.lit(float(pad))
+    a = fp.withColumn(
+        "cell",
+        F.explode(
+            cover_rect(
+                F.col("fp_xmin") - p, F.col("fp_ymin") - p,
+                F.col("fp_xmax") + p, F.col("fp_ymax") + p, res,
+            )
+        ),
+    ).select(
+        "cell", F.col("image_id").alias("image_a"),
+        F.col("fp_xmin").alias("ax0"), F.col("fp_ymin").alias("ay0"),
+        F.col("fp_xmax").alias("ax1"), F.col("fp_ymax").alias("ay1"),
+    )
+    b = fp.withColumn(
+        "cell",
+        F.explode(
+            cover_rect(
+                F.col("fp_xmin"), F.col("fp_ymin"),
+                F.col("fp_xmax"), F.col("fp_ymax"), res,
+            )
+        ),
+    ).select(
+        "cell", F.col("image_id").alias("image_b"),
+        F.col("fp_xmin").alias("bx0"), F.col("fp_ymin").alias("by0"),
+        F.col("fp_xmax").alias("bx1"), F.col("fp_ymax").alias("by1"),
+    )
+    cand = (
+        a.join(b, "cell")
+        .filter(F.col("image_a") < F.col("image_b"))
+        .drop("cell")
+        .dropDuplicates(["image_a", "image_b"])
+    )
+    # exact refine (pad applied once per axis: ax0 - pad/2 < bx1 + pad/2
+    # <=> ax0 < bx1 + pad) + overlap extent, computed in a pinned op order
+    # (least(max) - greatest(min)) mirrored verbatim by the oracle
+    olap_w = F.least("ax1", "bx1") - F.greatest("ax0", "bx0")
+    olap_h = F.least("ay1", "by1") - F.greatest("ay0", "by0")
+    return (
+        cand.filter(
+            (F.col("ax0") < F.col("bx1") + p) & (F.col("bx0") < F.col("ax1") + p)
+            & (F.col("ay0") < F.col("by1") + p) & (F.col("by0") < F.col("ay1") + p)
+        )
+        .withColumn("olap_w", olap_w)
+        .withColumn("olap_h", olap_h)
+        .select("image_a", "image_b", "olap_w", "olap_h")
+    )
+
+
 def knn_join(
     queries: DataFrame,
     points: DataFrame,

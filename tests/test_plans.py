@@ -249,3 +249,35 @@ def test_streaming_dedup_state_plan(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     # the stateful exchange partitions on the group key (text_hash)
     assert "hashpartitioning(text_hash" in plan, plan[:1500]
+
+
+def test_asof_join_single_shuffle_no_explosion(spark, sf_dir):
+    """asof_join plans as ONE hash shuffle on the key (union + running
+    window), never a range join: no cartesian/nested-loop node, and the
+    event_type filters push into the parquet scans."""
+    import __spark_entry__ as em
+
+    df = em.q_asof_join(spark, sf_dir)
+    s = plan_string(df)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "SortMergeJoin" not in s and "BroadcastHashJoin" not in s
+    assert shuffle_count(df) == 1, plan_string(df, "simple")
+    assert "event_type" in pushed_filters(df)
+
+
+def test_footprint_overlap_blocked_equijoin(spark, sf_dir):
+    """footprint_overlap_join candidates come from the padded cell-cover
+    equi-join of the footprint table with itself — never a cross join — and
+    the exact rect refine stays a JVM filter (no Python nodes after the
+    metadata decode)."""
+    import __spark_entry__ as em
+    from aira_spark.operators.chunks import with_meta
+    from aira_spark.operators.spatial import footprint_overlap_join
+
+    wm = with_meta(em._images(spark, sf_dir))
+    df = footprint_overlap_join(wm, pad=4.0)
+    s = plan_string(df)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "BatchEvalPython" not in s

@@ -61,9 +61,16 @@ def main() -> None:
                        "orderBy on the key columns"),
         ("zonal_quantiles", "exact order statistics via the distributive value "
                             "histogram: <=256 rows/cell shuffle, never pixels"),
-        ("simhash_pairs", "pigeonhole band equi-join on (band, bval) — ids + "
-                          "64-bit hashes shuffle, never text; Arrow-vectorized "
-                          "signature; popcount verify on candidates only"),
+        ("simhash", "pair arm: pigeonhole band equi-join on (band, bval) — "
+                    "ids + 64-bit hashes shuffle, never text; Arrow-vectorized "
+                    "signature; popcount verify on candidates only"),
+        ("footprint_poly", "rect arm: footprint self-join blocked by padded "
+                           "cell-cover equi-join (no crossJoin); bbox rides "
+                           "the explode so no geometry re-join; exact refine "
+                           "as a JVM filter"),
+        ("asof_join", "union + last(ignorenulls) running window: ONE shuffle "
+                      "on the key, zero per-key row explosion (vs the naive "
+                      "range-join + row_number the oracle uses)"),
         ("phash_dedup", "image near-dup banding on the mandated phash column: "
                         "same band equi-join; image bytes never enter an "
                         "exchange"),
