@@ -143,7 +143,8 @@ def main() -> None:
         "dedup_clusters": lambda: em.q_dedup_clusters(spark, sf_dir).count(),
         "band_index": lambda: em.q_band_index(spark, sf_dir).count(),
         "pip_salted": lambda: em.q_pip_salted(spark, sf_dir).count(),
-        "simhash_pairs": lambda: em.q_simhash_pairs(spark, sf_dir).count(),
+        "simhash": lambda: em.q_simhash(spark, sf_dir).count(),
+        "asof_join": lambda: em.q_asof_join(spark, sf_dir).count(),
         "phash_dedup": lambda: em.q_phash_dedup(spark, sf_dir).count(),
         "repetition_filter": lambda: em.q_repetition_filter(spark, sf_dir).count(),
         "lsh_ann": lambda: em.q_lsh_ann(spark, sf_dir).count(),
