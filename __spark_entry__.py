@@ -2096,9 +2096,12 @@ def _duck_cos(a: str, b: str, round6: bool = True) -> str:
     dab = _DUCK_DOTI.format(a=qa, b=qb)
     daa = _DUCK_DOTI.format(a=qa, b=qa)
     dbb = _DUCK_DOTI.format(a=qb, b=qb)
+    # NULLIF: zero-norm cosine is NULL by definition across the family
+    # (cosine()/cos_arrow/_duck_cos) — otherwise Spark's NaN ranks first
+    # under cos-desc while DuckDB/Arrow surface NULL (ranked last)
     expr = (
-        f"CAST({dab} AS DOUBLE) / SQRT(CAST({daa} AS DOUBLE)) "
-        f"/ SQRT(CAST({dbb} AS DOUBLE))"
+        f"CAST({dab} AS DOUBLE) / NULLIF(SQRT(CAST({daa} AS DOUBLE)), 0.0) "
+        f"/ NULLIF(SQRT(CAST({dbb} AS DOUBLE)), 0.0)"
     )
     return f"ROUND({expr}, 6)" if round6 else f"({expr})"
 

@@ -53,16 +53,26 @@ def asof_join(
         right_tie = rcols[0]
     payload = F.struct(*[F.col(c) for c in rcols])
 
+    # a right row with NULL event time can never be "at or before" anything
+    # (the range-join definition r.ts <= l.ts excludes it) — drop it here,
+    # else NULLS-FIRST ordering would sort it before every row and last()
+    # would backfill it as a bogus oldest match
+    right = right.filter(F.col(right_ts).isNotNull())
+    # the tie column keeps its NATIVE type (string/timestamp/decimal order
+    # correctly; a blind long cast would null non-numerics and truncate
+    # sub-second timestamps, silently losing the greatest-tie-wins contract)
+    tie_type = right.schema[right_tie].dataType
+
     l = left.withColumn("_side", F.lit(1)).withColumn(
         "_r", F.lit(None).cast(
             right.select(payload.alias("_r")).schema["_r"].dataType
         )
-    ).withColumn("_ts", F.col(left_ts)).withColumn("_tie", F.lit(None).cast("long"))
+    ).withColumn("_ts", F.col(left_ts)).withColumn("_tie", F.lit(None).cast(tie_type))
     r = (
         right.withColumn("_side", F.lit(0))
         .withColumn("_r", payload)
         .withColumn("_ts", F.col(right_ts))
-        .withColumn("_tie", F.col(right_tie).cast("long"))
+        .withColumn("_tie", F.col(right_tie))
     )
     l_tagged = l.select(
         on, "_side", "_ts", "_tie", "_r",

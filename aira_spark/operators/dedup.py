@@ -75,9 +75,13 @@ def minhash_signatures(docs: DataFrame, k: int = 3, n_hash: int = 8) -> DataFram
     def sig(texts: pd.Series) -> pd.DataFrame:
         rows = []
         empty = ([],) + (None,) * n_hash
+        null_row = (None,) * (n_hash + 1)
         for t in texts:
             if t is None:
-                rows.append(empty)
+                # SQL form: size(NULL) is NULL -> if() takes the else branch
+                # -> transform over a NULL sequence -> NULL shingles (NOT
+                # array()); minhash over NULL -> NULL
+                rows.append(null_row)
                 continue
             ws = t.split(" ")  # matches SQL split(text, ' ') incl. empties
             if len(ws) < k:

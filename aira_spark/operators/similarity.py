@@ -40,10 +40,19 @@ def cosine(a, b):
     (unlike a float fold), so the numpy form (cos_arrow) and the DuckDB
     oracle form produce BIT-IDENTICAL doubles — parity by arithmetic, not by
     matching expression text. |q| <= ~2^15 and dim 64 keep every sum far
-    inside int64/2^53 exactness."""
+    inside int64/2^53 exactness.
+
+    Degenerate inputs are NULL BY DEFINITION across all three forms (here,
+    cos_arrow, _duck_cos): a zero-norm side would otherwise be 0/0 = NaN,
+    which Spark ranks FIRST under cos-desc while Arrow/DuckDB surface it as
+    NULL (ranked last) — so the family pins NULL, which sorts last in every
+    engine. Mismatched lengths already propagate NULL through zip_with."""
     qa, qb = _qint(a), _qint(b)
     dab, daa, dbb = _doti(qa, qb), _doti(qa, qa), _doti(qb, qb)
-    return dab.cast("double") / F.sqrt(daa.cast("double")) / F.sqrt(dbb.cast("double"))
+    return F.when(
+        (daa > 0) & (dbb > 0),
+        dab.cast("double") / F.sqrt(daa.cast("double")) / F.sqrt(dbb.cast("double")),
+    )
 
 
 @F.pandas_udf(Ty.DoubleType())
@@ -55,27 +64,35 @@ def cos_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
     Like cosine(), QUANTIZATION IS PART OF THE DEFINITION: inputs are snapped
     to the 1/1024 grid (a no-op for the already-quantized driver tables;
     callers with raw floats get the quantized cosine, within ~dim/2048/|v| of
-    the raw value). NULL operands yield NULL, matching the expression form.
+    the raw value). Degenerate inputs are NULL by definition, matching
+    cosine() and the DuckDB NULLIF form: NULL operands, a pair with
+    mismatched lengths, or a zero-norm side all yield NULL (zero-norm NaN
+    crosses Arrow as null) — NULL sorts last under the family's cos-desc
+    rank windows in both engines.
     """
     av, bv = a.to_numpy(), b.to_numpy()
-    valid = np.fromiter(
-        (x is not None and y is not None for x, y in zip(av, bv)),
-        dtype=bool, count=len(av),
+    n = len(av)
+    la = np.fromiter(
+        (len(x) if x is not None else -1 for x in av), dtype=np.int64, count=n
     )
-    out = np.full(len(av), np.nan)
-    if valid.any():
-        A = np.stack(av[valid])
-        B = np.stack(bv[valid])
-        Q = np.rint(A.astype(np.float64) * QUANT_SCALE).astype(np.int64)
-        R = np.rint(B.astype(np.float64) * QUANT_SCALE).astype(np.int64)
+    lb = np.fromiter(
+        (len(x) if x is not None else -1 for x in bv), dtype=np.int64, count=n
+    )
+    valid = (la >= 0) & (la == lb)
+    out = np.full(n, np.nan)
+    # rows are grouped by dimension so np.stack never sees ragged input
+    for d in np.unique(la[valid]):
+        m = valid & (la == d)
+        Q = np.rint(np.stack(av[m]).astype(np.float64) * QUANT_SCALE).astype(np.int64)
+        R = np.rint(np.stack(bv[m]).astype(np.float64) * QUANT_SCALE).astype(np.int64)
         dab = (Q * R).sum(axis=1)
         daa = (Q * Q).sum(axis=1)
         dbb = (R * R).sum(axis=1)
         with np.errstate(divide="ignore", invalid="ignore"):
-            out[valid] = dab.astype(np.float64) / np.sqrt(
+            out[m] = dab.astype(np.float64) / np.sqrt(
                 daa.astype(np.float64)
             ) / np.sqrt(dbb.astype(np.float64))
-    # NaN -> null through Arrow, so NULL-in gives NULL-out like cosine()
+    # NaN -> null through Arrow, so degenerate-in gives NULL-out like cosine()
     return pd.Series(out)
 
 
@@ -422,8 +439,13 @@ def ivf_ann_topk_seeded(
     @F.pandas_udf(Ty.IntegerType())
     def assign_udf(vecs: pd.Series) -> pd.Series:
         vv = vecs.to_numpy()
+        dim = qc_mat.shape[1]
+        # NULL, wrong-length, or zero-norm vectors get NO assignment (NULL
+        # centroid_id, dropped by the probe equi-join) — exactly what the
+        # oracle's NULLIF cosine produces (all-NULL cos -> NULL argmax)
         valid = np.fromiter(
-            (x is not None for x in vv), dtype=bool, count=len(vv)
+            (x is not None and len(x) == dim for x in vv),
+            dtype=bool, count=len(vv),
         )
         res = np.full(len(vv), None, dtype=object)
         if not valid.any():
@@ -432,7 +454,16 @@ def ivf_ann_topk_seeded(
         Q = np.rint(A.astype(np.float64) * QUANT_SCALE).astype(np.int64)
         dab = Q @ qc_mat.T
         sa = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+        nz = sa > 0.0
+        if not nz.all():
+            valid[valid] = nz
+            Q, dab, sa = Q[nz], dab[nz], sa[nz]
+            if not valid.any():
+                return pd.Series(res)
         cos = dab.astype(np.float64) / sa[:, None] / sqrt_dcc[None, :]
+        # a zero-norm CENTROID scores NULL in the oracle (never wins
+        # list_max); -inf reproduces that "never wins" under argmax
+        cos[:, sqrt_dcc == 0.0] = -np.inf
         # fast path: when the winner leads by > 2e-6 unrounded, no 6dp
         # rounding can change the argmax — exact Decimal arbitration (the
         # slow, Spark-ROUND-identical comparison) runs only on near-ties
