@@ -1,0 +1,108 @@
+"""Cell-cover compaction (H3 compact/uncompact analog for the quadtree grid).
+
+A cover produced at a fine resolution wastes space and broadcast budget when
+large contiguous areas are covered: every fully-covered parent can be
+replaced by one cell a level up. `compact_cover` performs the standard
+bottom-up compaction — any parent whose 4 children are all present replaces
+them, repeated level by level — and `expand_cover` is the exact inverse.
+
+Scale shape: each level is one hash aggregation on the parent id plus one
+anti-join, both over CELL IDS ONLY (no geometry, no payload); the level
+count is bounded by (from_res - min_res) <= 29, so the whole compaction is a
+handful of metadata-light shuffles. At 10^12 images the cover table this
+runs on is already the distinct cell set — orders of magnitude smaller than
+the input — and a compacted cover shrinks the broadcast side of every
+downstream PIP/zonal join (the reason H3 ships compact() as a core op).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.cells import IX_SHIFT, RES_SHIFT, cell_parent
+
+
+def compact_cover(cells: DataFrame, from_res: int, min_res: int) -> DataFrame:
+    """(cell, res): minimal mixed-resolution cover equivalent to the input.
+
+    `cells` must carry a `cell` column wholly at resolution `from_res`
+    (duplicates allowed — compaction works on the distinct set). Cells are
+    promoted to their parent wherever all 4 children are present, repeated
+    down to `min_res`."""
+    if not (0 <= min_res <= from_res):
+        raise ValueError(f"invalid resolution range {from_res}->{min_res}")
+    cur = cells.select(F.col("cell").cast("long").alias("cell")).distinct()
+    levels: list[DataFrame] = []
+    for r in range(from_res, min_res, -1):
+        tagged = cur.withColumn("parent", cell_parent(F.col("cell")))
+        full = (
+            tagged.groupBy("parent").count()
+            .filter(F.col("count") == 4)
+            .select("parent")
+        )
+        keep = tagged.join(full, "parent", "left_anti").select("cell")
+        levels.append(keep.withColumn("res", F.lit(r).cast("long")))
+        cur = full.select(F.col("parent").alias("cell"))
+    levels.append(cur.withColumn("res", F.lit(min_res).cast("long")))
+    return reduce(lambda a, b: a.unionByName(b), levels)
+
+
+def expand_cover(compacted: DataFrame, to_res: int) -> DataFrame:
+    """Inverse of compact_cover: every (cell, res) row explodes into its
+    4^(to_res - res) descendants at `to_res`. Pure JVM SQL (sequence +
+    explode over integer child offsets)."""
+    ix = f"((cell div {1 << IX_SHIFT}) % {1 << (RES_SHIFT - IX_SHIFT)})"
+    iy = f"(cell % {1 << IX_SHIFT})"
+    t = compacted.selectExpr(
+        "cell",
+        f"shiftleft(CAST(1 AS BIGINT), CAST({to_res} - res AS INT)) AS n",
+    ).selectExpr(
+        f"CAST({to_res << RES_SHIFT} AS BIGINT) "
+        f"+ {ix} * n * {1 << IX_SHIFT} + {iy} * n AS base",
+        "n",
+    )
+    # sequence(0, n*n - 1) enumerates the child square in row-major order;
+    # dx = j div n (integer div — exact), dy = j % n
+    return (
+        t.select(
+            F.explode(F.expr("sequence(0, n * n - 1)")).alias("j"), "base", "n"
+        )
+        .selectExpr(f"base + (j div n) * {1 << IX_SHIFT} + (j % n) AS cell")
+        .distinct()
+    )
+
+
+def duck_parent_sql(cell_expr: str, res: int) -> str:
+    """DuckDB integer expression for the parent of a cell KNOWN to be at
+    resolution `res` — the oracle-side mirror of cells.cell_parent (same
+    packed layout: cell = res<<58 | ix<<29 | iy; all ops stay in BIGINT)."""
+    ix = f"((({cell_expr}) // {1 << IX_SHIFT}) % {1 << (RES_SHIFT - IX_SHIFT)})"
+    iy = f"(({cell_expr}) % {1 << IX_SHIFT})"
+    return (
+        f"({(res - 1) << RES_SHIFT} + ({ix} // 2) * {1 << IX_SHIFT} + ({iy} // 2))"
+    )
+
+
+def compact_levels_sql(from_res: int, min_res: int) -> tuple[str, str]:
+    """(level_ctes, final_select) for the DuckDB oracle of compact_cover.
+
+    The caller's WITH chain must already define a CTE `l{from_res}` with one
+    column `cell` (the distinct fine-res cover); one CTE pair per level then
+    mirrors the promote/keep split of the Spark loop exactly."""
+    parts = []
+    outs = []
+    for r in range(from_res, min_res, -1):
+        p = duck_parent_sql("cell", r)
+        parts.append(
+            f"f{r} AS (SELECT {p} AS cell FROM l{r} GROUP BY 1 HAVING COUNT(*) = 4)"
+        )
+        parts.append(
+            f"k{r} AS (SELECT cell FROM l{r} WHERE {p} NOT IN (SELECT cell FROM f{r}))"
+        )
+        parts.append(f"l{r - 1} AS (SELECT cell FROM f{r})")
+        outs.append(f"SELECT cell, CAST({r} AS BIGINT) AS res FROM k{r}")
+    outs.append(f"SELECT cell, CAST({min_res} AS BIGINT) AS res FROM l{min_res}")
+    return ",\n".join(parts), "\nUNION ALL ".join(outs)

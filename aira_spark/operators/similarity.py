@@ -374,6 +374,139 @@ def ivf_assign(embeddings: DataFrame, centroids: np.ndarray) -> DataFrame:
     )
 
 
+def seeded_centroid_rows(
+    embeddings: DataFrame, n_centroids: int
+) -> list[tuple[int, list[float]]]:
+    """Deterministic seed centroids: the n_centroids lowest vec_ids, indexed
+    in vec_id order — a metadata-sized collect (the DuckDB-expressible
+    alternative to Lloyd training, shared by IVF ANN and semantic dedup)."""
+    seeds = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [
+        (c, [float(v) for v in r.embedding])
+        for c, r in enumerate(sorted(seeds, key=lambda r: r.vec_id))
+    ]
+
+
+def seeded_assign_udf(cent_rows: list[tuple[int, list[float]]]):
+    """Vectorized nearest-centroid assignment UDF over literal centroids.
+
+    A PURE MAP: one Arrow pass computes every centroid cosine per vector
+    (int64 quantized matmul — bit-identical doubles to cosine()/_duck_cos)
+    and the argmax with lowest-index tie-break; the embedding table is never
+    shuffled. Rounding to 6dp replicates Spark/DuckDB ROUND exactly:
+    BigDecimal-on-shortest-repr HALF_UP == Decimal(repr(x)) HALF_UP, and the
+    exact-Decimal arbitration runs only on near-ties (<= 2e-6 gap), so
+    ranking equals the oracle's ROUND-then-rank to the bit. NULL,
+    wrong-length, or zero-norm vectors get NULL assignments (dropped by any
+    downstream equi-join), matching the oracle's NULLIF cosine; zero-norm
+    CENTROIDS score -inf (the oracle's NULL never wins list_max)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    qc_mat = np.array(
+        [[round(v * QUANT_SCALE) for v in vec] for _, vec in cent_rows],
+        dtype=np.int64,
+    )
+    sqrt_dcc = np.sqrt((qc_mat * qc_mat).sum(axis=1).astype(np.float64))
+    q6 = Decimal("0.000001")
+
+    @F.pandas_udf(Ty.IntegerType())
+    def assign_udf(vecs: pd.Series) -> pd.Series:
+        vv = vecs.to_numpy()
+        dim = qc_mat.shape[1]
+        valid = np.fromiter(
+            (x is not None and len(x) == dim for x in vv),
+            dtype=bool, count=len(vv),
+        )
+        res = np.full(len(vv), None, dtype=object)
+        if not valid.any():
+            return pd.Series(res)
+        A = np.stack(vv[valid])
+        Q = np.rint(A.astype(np.float64) * QUANT_SCALE).astype(np.int64)
+        dab = Q @ qc_mat.T
+        sa = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+        nz = sa > 0.0
+        if not nz.all():
+            valid[valid] = nz
+            Q, dab, sa = Q[nz], dab[nz], sa[nz]
+            if not valid.any():
+                return pd.Series(res)
+        cos = dab.astype(np.float64) / sa[:, None] / sqrt_dcc[None, :]
+        cos[:, sqrt_dcc == 0.0] = -np.inf
+        # fast path: when the winner leads by > 2e-6 unrounded, no 6dp
+        # rounding can change the argmax — exact Decimal arbitration (the
+        # slow, Spark-ROUND-identical comparison) runs only on near-ties
+        out = cos.argmax(axis=1).astype(np.int32)
+        close = (cos >= cos.max(axis=1)[:, None] - 2.1e-6).sum(axis=1) > 1
+        for i in np.nonzero(close)[0]:
+            r6 = [
+                Decimal(repr(float(x))).quantize(q6, rounding=ROUND_HALF_UP)
+                for x in cos[i]
+            ]
+            out[i] = max(range(len(r6)), key=lambda c: (r6[c], -c))
+        res[valid] = out
+        return pd.Series(res)
+
+    return assign_udf
+
+
+def semantic_dup_pairs(
+    embeddings: DataFrame, n_centroids: int = 16, threshold: float = 0.95
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023):
+    cluster embeddings by nearest centroid, then compare pairs ONLY inside
+    each cluster; (vec_a < vec_b) pairs whose 6dp-rounded cosine clears the
+    threshold are semantic duplicates. Composes with duplicate_clusters for
+    keeper selection exactly like the text-dedup family.
+
+    Scale shape: assignment is the pure-map seeded_assign_udf (no shuffle of
+    the embedding table); the intra-cluster self-join shuffles (centroid_id,
+    vec_id) ID PAIRS only, and vectors are re-attached per side by vec_id
+    equi-joins sized by the candidate count. At 10^12 rows n_centroids is
+    raised so cluster sizes stay bounded (SemDeDup runs ~10^5 clusters); the
+    within-cluster quadratic term is the algorithm's published cost, not an
+    artifact of the plan."""
+    e = embeddings.select("vec_id", "embedding")
+    assigned = e.select(
+        seeded_assign_udf(seeded_centroid_rows(e, n_centroids))(
+            F.col("embedding")
+        ).alias("centroid_id"),
+        "vec_id",
+    )
+    cand = (
+        assigned.alias("a")
+        .join(assigned.alias("b"), "centroid_id")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            "centroid_id",
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+    )
+    cand = (
+        cand.join(
+            e.withColumnRenamed("vec_id", "vec_a").withColumnRenamed(
+                "embedding", "ea"
+            ),
+            "vec_a",
+        ).join(
+            e.withColumnRenamed("vec_id", "vec_b").withColumnRenamed(
+                "embedding", "eb"
+            ),
+            "vec_b",
+        )
+    )
+    return (
+        cand.withColumn("cos", F.round(cos_arrow(F.col("ea"), F.col("eb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", "centroid_id", "cos")
+    )
+
+
 def ivf_ann_topk_seeded(
     embeddings: DataFrame, queries: DataFrame, k: int = 10,
     n_centroids: int = 16, nprobe: int = 4,
@@ -399,84 +532,12 @@ def ivf_ann_topk_seeded(
     compares 6dp-ROUNDED values with identical rounding in Spark, numpy
     (Decimal half-up arbitration on near-ties only) and DuckDB.
     """
-    seeds = (
-        embeddings.select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(n_centroids)
-        .collect()
-    )
-    # centroid table broadcast (metadata-sized); assignment/probe cosines go
-    # through the vectorized cos_arrow (bit-identical to cosine() and the
-    # oracle by arithmetic) and are rounded 6dp by NATIVE F.round, so the
-    # half-up decimal semantics match DuckDB's ROUND exactly (ADVICE r2:
-    # ranking compares ROUNDED values in both engines; ties break on lowest
-    # centroid index)
-    cent_rows = [
-        (c, [float(v) for v in r.embedding])
-        for c, r in enumerate(sorted(seeds, key=lambda r: r.vec_id))
-    ]
+    cent_rows = seeded_centroid_rows(embeddings, n_centroids)
     spark = embeddings.sparkSession
     cent_df = spark.createDataFrame(
         cent_rows, "centroid_id int, cvec array<double>"
     )
-
-    # assignment: a PURE MAP — one vectorized Arrow pass computes all 16
-    # cosines per vector (int64 matmul, bit-identical doubles to cosine())
-    # and the argmax with lowest-index tie-break; embeddings are never
-    # shuffled and never joined back (the 10^12-row shape). Rounding to 6dp
-    # replicates Spark ROUND exactly: BigDecimal-on-shortest-repr HALF_UP
-    # == Decimal(repr(x)) HALF_UP, so ranking equals the oracle's
-    # ROUND-then-rank to the bit.
-    from decimal import ROUND_HALF_UP, Decimal
-
-    qc_mat = np.array(
-        [[round(v * QUANT_SCALE) for v in vec] for _, vec in cent_rows],
-        dtype=np.int64,
-    )
-    sqrt_dcc = np.sqrt((qc_mat * qc_mat).sum(axis=1).astype(np.float64))
-    q6 = Decimal("0.000001")
-
-    @F.pandas_udf(Ty.IntegerType())
-    def assign_udf(vecs: pd.Series) -> pd.Series:
-        vv = vecs.to_numpy()
-        dim = qc_mat.shape[1]
-        # NULL, wrong-length, or zero-norm vectors get NO assignment (NULL
-        # centroid_id, dropped by the probe equi-join) — exactly what the
-        # oracle's NULLIF cosine produces (all-NULL cos -> NULL argmax)
-        valid = np.fromiter(
-            (x is not None and len(x) == dim for x in vv),
-            dtype=bool, count=len(vv),
-        )
-        res = np.full(len(vv), None, dtype=object)
-        if not valid.any():
-            return pd.Series(res)
-        A = np.stack(vv[valid])
-        Q = np.rint(A.astype(np.float64) * QUANT_SCALE).astype(np.int64)
-        dab = Q @ qc_mat.T
-        sa = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
-        nz = sa > 0.0
-        if not nz.all():
-            valid[valid] = nz
-            Q, dab, sa = Q[nz], dab[nz], sa[nz]
-            if not valid.any():
-                return pd.Series(res)
-        cos = dab.astype(np.float64) / sa[:, None] / sqrt_dcc[None, :]
-        # a zero-norm CENTROID scores NULL in the oracle (never wins
-        # list_max); -inf reproduces that "never wins" under argmax
-        cos[:, sqrt_dcc == 0.0] = -np.inf
-        # fast path: when the winner leads by > 2e-6 unrounded, no 6dp
-        # rounding can change the argmax — exact Decimal arbitration (the
-        # slow, Spark-ROUND-identical comparison) runs only on near-ties
-        out = cos.argmax(axis=1).astype(np.int32)
-        close = (cos >= cos.max(axis=1)[:, None] - 2.1e-6).sum(axis=1) > 1
-        for i in np.nonzero(close)[0]:
-            r6 = [
-                Decimal(repr(float(x))).quantize(q6, rounding=ROUND_HALF_UP)
-                for x in cos[i]
-            ]
-            out[i] = max(range(len(r6)), key=lambda c: (r6[c], -c))
-        res[valid] = out
-        return pd.Series(res)
+    assign_udf = seeded_assign_udf(cent_rows)
 
     emb = embeddings.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vec")

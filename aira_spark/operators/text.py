@@ -255,3 +255,47 @@ def corpus_clean(docs: DataFrame, min_quality: float = 0.5) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+def decontaminate(docs: DataFrame, bench: DataFrame, k: int = 13) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word k-gram with an evaluation set (the GPT-3/PaLM 13-gram overlap
+    check). Output per CONTAMINATED doc: (doc_id, n_hit_grams — distinct
+    overlapping grams, n_grams — the doc's distinct gram count,
+    min_bench_doc — lowest overlapping benchmark doc). Docs shorter than k
+    words have no grams and can never be flagged.
+
+    Plan shape: both sides project word k-gram HASHES (integer h64 mod p —
+    the minhash base hash, shared snippet so the oracle is formula-exact),
+    explode, and equi-join on the gram hash. The benchmark side is
+    eval-suite-sized (thousands of docs, not billions), so it BROADCASTS:
+    the 10^12-doc training side is never shuffled — contamination is a
+    map-side hash probe followed by a per-doc hash agg. Gram hashing is pure
+    JVM SQL (md5 + conv), no Python anywhere."""
+    w = tf.words("text", ENG)
+    sh = tf.shingles_from_words(w, k, ENG)
+
+    def gram_side(df: DataFrame, idc: str) -> DataFrame:
+        return df.selectExpr(
+            f"doc_id AS {idc}",
+            f"array_distinct({tf.shingle_hashes(sh, ENG)}) AS ghs",
+        )
+
+    corpus = (
+        gram_side(docs, "doc_id")
+        .select("doc_id", F.size("ghs").alias("n_grams"), F.explode("ghs").alias("g"))
+    )
+    bench_grams = (
+        gram_side(bench, "bench_doc")
+        .select("bench_doc", F.explode("ghs").alias("g"))
+        .distinct()
+    )
+    return (
+        corpus.join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id", "n_grams")
+        .agg(
+            F.countDistinct("g").alias("n_hit_grams"),
+            F.min("bench_doc").alias("min_bench_doc"),
+        )
+        .select("doc_id", "n_hit_grams", "n_grams", "min_bench_doc")
+    )

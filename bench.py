@@ -156,6 +156,11 @@ def main() -> None:
         "corpus_clean": lambda: em.q_corpus_clean(spark, sf_dir).count(),
         "mosaic": lambda: em.q_mosaic(spark, sf_dir).count(),
         "resize_thumbs": lambda: em.q_resize_thumbs(spark, sf_dir).count(),
+        "cell_compact": lambda: em.q_cell_compact(spark, sf_dir).count(),
+        "raster_regions": lambda: em.q_raster_regions(spark, sf_dir).count(),
+        "decontaminate": lambda: em.q_decontaminate(spark, sf_dir).count(),
+        "pack_sequences": lambda: em.q_pack_sequences(spark, sf_dir).count(),
+        "semantic_dedup": lambda: em.q_semantic_dedup(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

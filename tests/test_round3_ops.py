@@ -1,0 +1,213 @@
+"""Round-3 operators: cell-cover compaction, raster polygonize regions,
+benchmark decontamination, sequence packing, semantic dedup."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from aira_spark.functions.cells import np_cell_pack
+from aira_spark.operators.compact import compact_cover, expand_cover
+from aira_spark.operators.packing import pack_sequences
+from aira_spark.operators.regions import (
+    cell_adjacency,
+    threshold_cells,
+)
+from aira_spark.operators.similarity import semantic_dup_pairs
+from aira_spark.operators.text import decontaminate
+
+
+def _cells_df(spark, res, coords):
+    rows = [(int(np_cell_pack(res, ix, iy)),) for ix, iy in coords]
+    return spark.createDataFrame(rows, "cell long")
+
+
+# ---------------------------------------------------------------- compact
+
+
+def test_compact_promotes_full_blocks_across_levels(spark):
+    # an 4x4 block at res 3 compacts two levels to ONE res-1 cell; one
+    # stray cell stays at res 3
+    coords = [(ix, iy) for ix in range(4) for iy in range(4)] + [(7, 7)]
+    out = compact_cover(_cells_df(spark, 3, coords), 3, 0).collect()
+    got = {(r.cell, r.res) for r in out}
+    assert (int(np_cell_pack(1, 0, 0)), 1) in got
+    assert (int(np_cell_pack(3, 7, 7)), 3) in got
+    assert len(got) == 2
+
+
+def test_compact_partial_blocks_stay(spark):
+    # 3 of 4 children -> no promotion
+    coords = [(0, 0), (0, 1), (1, 0)]
+    out = compact_cover(_cells_df(spark, 5, coords), 5, 3).collect()
+    assert {(r.cell, r.res) for r in out} == {
+        (int(np_cell_pack(5, ix, iy)), 5) for ix, iy in coords
+    }
+
+
+def test_compact_expand_roundtrip_on_real_cover(spark, sf_dir):
+    from aira_spark.operators.chunks import cell_cover, with_meta
+    from aira_spark.sources.images import images_table
+
+    cov = cell_cover(with_meta(images_table(spark, sf_dir)), 7).select("cell")
+    base = {r.cell for r in cov.distinct().collect()}
+    comp = compact_cover(cov, 7, 4)
+    # strictly fewer rows than the distinct input unless nothing compacted
+    n_comp = comp.count()
+    assert n_comp <= len(base)
+    # exact inverse: expansion reproduces the original distinct set
+    expanded = {r.cell for r in expand_cover(comp, 7).collect()}
+    assert expanded == base
+    # all resolutions within the requested range
+    rs = {r.res for r in comp.select("res").distinct().collect()}
+    assert rs <= {4, 5, 6, 7}
+
+
+def test_compact_rejects_bad_range(spark):
+    with pytest.raises(ValueError):
+        compact_cover(_cells_df(spark, 3, [(0, 0)]), 3, 4)
+
+
+# ---------------------------------------------------------------- regions
+
+
+def test_threshold_cells_integer_predicate(spark):
+    df = spark.createDataFrame(
+        [(1, 4, 400), (2, 4, 399), (3, 1, 100)],
+        "cell long, n_px long, sum_px long",
+    )
+    kept = {r.cell for r in threshold_cells(df, 100, 1).collect()}
+    assert kept == {1, 3}  # mean >= 100 exactly; 399/4 fails
+
+
+def test_cell_adjacency_4_neighbors_only(spark):
+    # plus-shape: center adjacent to all 4 arms; diagonal NOT adjacent
+    coords = [(5, 5), (6, 5), (4, 5), (5, 6), (5, 4), (7, 7)]
+    cells = _cells_df(spark, 4, coords)
+    edges = cell_adjacency(cells).collect()
+    c = lambda ix, iy: int(np_cell_pack(4, ix, iy))
+    got = {(r.doc_a, r.doc_b) for r in edges}
+    # east/north orientation: doc_a + delta = doc_b
+    assert (c(4, 5), c(5, 5)) in got
+    assert (c(5, 5), c(6, 5)) in got
+    assert (c(5, 4), c(5, 5)) in got
+    assert (c(5, 5), c(5, 6)) in got
+    assert all(a != c(7, 7) and b != c(7, 7) for a, b in got)
+    assert len(got) == 4
+
+
+def test_region_labels_merge_l_shape(spark):
+    # an L-shaped run of cells + an isolated cell: one 5-cell region and one
+    # singleton, via the same path threshold_regions composes
+    from aira_spark.operators.dedup import duplicate_clusters
+
+    coords = [(0, 0), (1, 0), (2, 0), (2, 1), (2, 2), (9, 9)]
+    cells = _cells_df(spark, 4, coords)
+    stats = cells.select(
+        "cell", F.lit(4).alias("n_px"), F.lit(800).alias("sum_px")
+    )
+    hot = threshold_cells(stats, 100, 1)
+    clusters = duplicate_clusters(cell_adjacency(hot)).collect()
+    c = lambda ix, iy: int(np_cell_pack(4, ix, iy))
+    lab = {r.doc_id: r.cluster_id for r in clusters}
+    region = {lab[c(ix, iy)] for ix, iy in coords[:5]}
+    assert region == {c(0, 0)}  # min cell id labels the whole L
+    assert c(9, 9) not in lab  # isolated: no edges -> singleton backfill
+
+
+# ---------------------------------------------------------------- packing
+
+
+def test_pack_sequences_matches_pandas_mirror(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    got = pack_sequences(docs, budget=512, n_shards=8).toPandas()
+    # independent mirror: python tokenize + cumsum (NOT the SQL formula)
+    import re
+
+    pat = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+")
+    pdf = docs.toPandas()
+    pdf["n_tok"] = pdf["text"].map(lambda t: len(pat.findall(t)))
+    import hashlib
+
+    def shard(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 8
+
+    pdf["shard"] = pdf["doc_id"].map(shard)
+    pdf = pdf.sort_values(["shard", "doc_id"])
+    pdf["tok_start"] = pdf.groupby("shard")["n_tok"].cumsum() - pdf["n_tok"]
+    pdf["pack_id"] = pdf["tok_start"] // 512
+    pdf["pack_offset"] = pdf["tok_start"] % 512
+    pdf["straddles"] = (pdf["tok_start"] + pdf["n_tok"] - 1) // 512 > pdf["pack_id"]
+    m = got.sort_values("doc_id").reset_index(drop=True)
+    e = pdf[
+        ["doc_id", "shard", "n_tok", "pack_id", "pack_offset", "straddles"]
+    ].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        m.astype({"straddles": bool}), e.astype(m.dtypes.to_dict())
+    )
+
+
+def test_pack_sequences_offsets_are_dense_within_shard(spark, sf_dir):
+    # within a shard, doc k's start == doc k-1's start + its n_tok (the
+    # concat-and-chunk stream has no holes)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    got = pack_sequences(docs, budget=512, n_shards=4).toPandas()
+    got["start"] = got["pack_id"] * 512 + got["pack_offset"]
+    for _, g in got.sort_values("doc_id").groupby("shard"):
+        starts = g["start"].to_numpy()
+        toks = g["n_tok"].to_numpy()
+        assert (starts[1:] == starts[:-1] + toks[:-1]).all()
+        assert starts[0] == 0
+
+
+# ---------------------------------------------------------------- decontaminate
+
+
+def test_decontaminate_flags_verbatim_overlap(spark):
+    bench_text = " ".join(f"w{i}" for i in range(13))
+    clean_text = " ".join(f"x{i}" for i in range(20))
+    # doc 10 embeds the benchmark 13-gram inside other words; doc 11 shares
+    # only 12 of the 13 words (shifted by one -> no full 13-gram)
+    contaminated = "pre " + bench_text + " post"
+    near_miss = " ".join(f"w{i}" for i in range(12)) + " zz"
+    docs = spark.createDataFrame(
+        [(10, contaminated), (11, near_miss), (12, clean_text)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(1, bench_text)], "doc_id long, text string")
+    out = {r.doc_id: r for r in decontaminate(docs, bench, k=13).collect()}
+    assert set(out) == {10}
+    assert out[10].n_hit_grams == 1
+    assert out[10].min_bench_doc == 1
+
+
+def test_decontaminate_short_docs_never_flagged(spark):
+    short = " ".join(f"w{i}" for i in range(12))  # < 13 words
+    docs = spark.createDataFrame([(1, short)], "doc_id long, text string")
+    bench = spark.createDataFrame([(2, short)], "doc_id long, text string")
+    assert decontaminate(docs, bench, k=13).count() == 0
+
+
+# ---------------------------------------------------------------- semantic dedup
+
+
+def test_semantic_dup_pairs_finds_exact_dups(spark):
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 8)).astype("float32")
+    rows = [(i, [float(v) for v in base[i]]) for i in range(40)]
+    rows.append((100, rows[5][1]))  # exact dup of vec 5
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dup_pairs(df, n_centroids=4, threshold=0.999).collect()
+    assert {(r.vec_a, r.vec_b) for r in out} == {(5, 100)}
+    assert all(abs(r.cos - 1.0) < 1e-5 for r in out)
+
+
+def test_semantic_dup_pairs_respects_threshold(spark):
+    v = [1.0, 0.0, 0.0, 0.0]
+    w = [0.8, 0.6, 0.0, 0.0]  # cos = 0.8
+    df = spark.createDataFrame(
+        [(0, v), (1, w)], "vec_id long, embedding array<float>"
+    )
+    hi = semantic_dup_pairs(df, n_centroids=1, threshold=0.9).count()
+    lo = semantic_dup_pairs(df, n_centroids=1, threshold=0.7).count()
+    assert hi == 0 and lo == 1
