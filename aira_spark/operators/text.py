@@ -3,6 +3,8 @@ document fingerprint (snippet-driven; oracle evaluates identical formulas)."""
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -257,6 +259,49 @@ def corpus_clean(docs: DataFrame, min_quality: float = 0.5) -> DataFrame:
     )
 
 
+def gram_hashes_arrow(k: int):
+    """Vectorized distinct word k-gram hashes — the exact integer values of
+    `array_distinct(shingle_hashes(shingles_from_words(words(text))))` (h64 =
+    first-15-md5-hex-digits mod MH_P, distinct in first-occurrence order),
+    evaluated per Arrow batch instead of Spark's expression interpreter: at
+    k=13 the interpreted transform(concat x13 -> md5 -> conv) chain was the
+    whole cost of decontaminate (~10x at bench scale). NULL text -> NULL
+    array (explode drops it), < k words -> empty array — both matching the
+    SQL form, which survives as the DuckDB oracle; parity pinned by
+    test_gram_hashes_udf_matches_sql."""
+    P = tf.MH_P
+
+    @pandas_udf(Ty.ArrayType(Ty.LongType()))
+    def gh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            ws = t.split(" ")  # matches SQL split(text, ' ') incl. empties
+            if len(ws) < k:
+                out.append([])
+                continue
+            out.append(
+                list(
+                    dict.fromkeys(
+                        int(
+                            hashlib.md5(
+                                " ".join(ws[j : j + k]).encode("utf-8")
+                            ).hexdigest()[:15],
+                            16,
+                        )
+                        % P
+                        for j in range(len(ws) - k + 1)
+                    )
+                )
+            )
+        return pd.Series(out)
+
+    # nondeterministic marker blocks project-collapse re-evaluation
+    return gh.asNondeterministic()
+
+
 def decontaminate(docs: DataFrame, bench: DataFrame, k: int = 13) -> DataFrame:
     """Benchmark decontamination: flag training documents that share any
     word k-gram with an evaluation set (the GPT-3/PaLM 13-gram overlap
@@ -266,19 +311,17 @@ def decontaminate(docs: DataFrame, bench: DataFrame, k: int = 13) -> DataFrame:
     words have no grams and can never be flagged.
 
     Plan shape: both sides project word k-gram HASHES (integer h64 mod p —
-    the minhash base hash, shared snippet so the oracle is formula-exact),
+    the minhash base hash, evaluated by the Arrow-vectorized
+    gram_hashes_arrow; the identical SQL formula is the DuckDB oracle),
     explode, and equi-join on the gram hash. The benchmark side is
     eval-suite-sized (thousands of docs, not billions), so it BROADCASTS:
     the 10^12-doc training side is never shuffled — contamination is a
-    map-side hash probe followed by a per-doc hash agg. Gram hashing is pure
-    JVM SQL (md5 + conv), no Python anywhere."""
-    w = tf.words("text", ENG)
-    sh = tf.shingles_from_words(w, k, ENG)
+    map-side hash probe followed by a per-doc hash agg."""
+    gh = gram_hashes_arrow(k)
 
     def gram_side(df: DataFrame, idc: str) -> DataFrame:
-        return df.selectExpr(
-            f"doc_id AS {idc}",
-            f"array_distinct({tf.shingle_hashes(sh, ENG)}) AS ghs",
+        return df.select(
+            F.col("doc_id").alias(idc), gh(F.col("text")).alias("ghs")
         )
 
     corpus = (

@@ -211,3 +211,41 @@ def test_semantic_dup_pairs_respects_threshold(spark):
     hi = semantic_dup_pairs(df, n_centroids=1, threshold=0.9).count()
     lo = semantic_dup_pairs(df, n_centroids=1, threshold=0.7).count()
     assert hi == 0 and lo == 1
+
+
+def test_gram_hashes_udf_matches_sql(spark, sf_dir):
+    """gram_hashes_arrow must be BIT-IDENTICAL to the SQL expression form
+    (array_distinct over shingle_hashes) that the DuckDB oracle runs —
+    values AND order AND NULL/short-doc edges."""
+    from aira_spark.functions import textfns as tf
+    from aira_spark.operators.text import gram_hashes_arrow
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(120)
+        .unionByName(
+            spark.createDataFrame(
+                [(90001, ""), (90002, "a b c"), (90003, None),
+                 (90004, "a b c d e f g h i j k l m n")],
+                "doc_id long, text string",
+            )
+        )
+    )
+    k = 13
+    sh = tf.shingles_from_words(tf.words("text", "spark"), k, "spark")
+    sql_rows = {
+        r.doc_id: None if r.ghs is None else tuple(r.ghs)
+        for r in docs.selectExpr(
+            "doc_id", f"array_distinct({tf.shingle_hashes(sh, 'spark')}) AS ghs"
+        ).collect()
+    }
+    gh = gram_hashes_arrow(k)
+    udf_rows = {
+        r.doc_id: None if r.ghs is None else tuple(r.ghs)
+        for r in docs.select("doc_id", gh(F.col("text")).alias("ghs")).collect()
+    }
+    assert udf_rows == sql_rows
+    assert udf_rows[90002] == ()          # < k words -> empty
+    assert udf_rows[90003] is None        # NULL text -> NULL
+    assert len(udf_rows[90004]) == 2      # 14 words -> 2 distinct 13-grams
