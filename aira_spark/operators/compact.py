@@ -37,6 +37,13 @@ def compact_cover(cells: DataFrame, from_res: int, min_res: int) -> DataFrame:
     cur = cells.select(F.col("cell").cast("long").alias("cell")).distinct()
     levels: list[DataFrame] = []
     for r in range(from_res, min_res, -1):
+        # each level references `cur` twice (the count==4 promote and the
+        # anti-join keep) and the returned union embeds every level's plan,
+        # so without truncation the cover's lineage is recomputed 2^levels
+        # times in one action. The level frame is the distinct CELL SET
+        # (metadata-sized next to the raster), so an eager localCheckpoint
+        # per level is cheap and keeps every downstream reference a scan.
+        cur = cur.localCheckpoint(eager=True)
         tagged = cur.withColumn("parent", cell_parent(F.col("cell")))
         full = (
             tagged.groupBy("parent").count()
@@ -53,7 +60,13 @@ def compact_cover(cells: DataFrame, from_res: int, min_res: int) -> DataFrame:
 def expand_cover(compacted: DataFrame, to_res: int) -> DataFrame:
     """Inverse of compact_cover: every (cell, res) row explodes into its
     4^(to_res - res) descendants at `to_res`. Pure JVM SQL (sequence +
-    explode over integer child offsets)."""
+    explode over integer child offsets).
+
+    The input must be a true compacted cover (rows disjoint — each fine cell
+    descends from exactly one row, which compact_cover guarantees): the
+    expansion is emitted as-is with NO dedup, because a distinct() here
+    would shuffle the fully-expanded fine-res set — the largest dataset in
+    the operator — to remove duplicates that cannot exist."""
     ix = f"((cell div {1 << IX_SHIFT}) % {1 << (RES_SHIFT - IX_SHIFT)})"
     iy = f"(cell % {1 << IX_SHIFT})"
     t = compacted.selectExpr(
@@ -71,7 +84,6 @@ def expand_cover(compacted: DataFrame, to_res: int) -> DataFrame:
             F.explode(F.expr("sequence(0, n * n - 1)")).alias("j"), "base", "n"
         )
         .selectExpr(f"base + (j div n) * {1 << IX_SHIFT} + (j % n) AS cell")
-        .distinct()
     )
 
 

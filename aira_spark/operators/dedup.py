@@ -161,16 +161,24 @@ def minhash_lsh_pairs(
     )
 
 
-def duplicate_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+def duplicate_clusters(
+    pairs: DataFrame, max_iters: int = 50, jump_after: int = 6
+) -> DataFrame:
     """Connected components over duplicate pairs -> (doc_id, cluster_id,
     cluster_size); cluster_id = the minimum doc_id reachable (the keeper).
 
-    Iterative minimum-label propagation entirely in DataFrames: each round
-    every node takes the min of its own label and its neighbors' labels;
-    convergence when no label changes (<= graph-diameter rounds — duplicate
-    clusters are near-cliques from LSH banding, so diameter is tiny). Each
-    round is one shuffle on node id over (node, label) pairs only; at 10^12
-    scale this is the standard large-graph CC pattern (no driver-side graph).
+    Iterative minimum-label propagation with ADAPTIVE POINTER JUMPING,
+    entirely in DataFrames: each round every node takes the min of (its own
+    label, its neighbors' labels) — and, once the graph has survived
+    `jump_after` hop-only rounds without converging, additionally its
+    label's label. The jump step doubles the propagation distance per round,
+    so total rounds are O(jump_after + log diameter) — a diameter-254 grid
+    region (raster polygonize feeds this operator too) converges in ~14
+    rounds where plain hop-propagation would exhaust max_iters — while
+    near-clique LSH duplicate graphs (diameter 2-3) converge before the
+    jump ever runs and never pay its extra join. Each round shuffles
+    (node, label) pairs only; at 10^12 scale this is the standard
+    large-graph CC pattern (no driver-side graph).
     """
     # localCheckpoint (not persist): edges appear in EVERY round's plan copy,
     # and the label plan doubles per round (labels joined twice) — truncating
@@ -194,22 +202,42 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
             .groupBy(F.col("a").alias("node2"))
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        hop = (
             labels.join(neighbor_min, labels["node"] == neighbor_min["node2"], "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
-                    "label"
+                    "l1"
                 ),
             )
         )
+        if rnd < jump_after:
+            new_labels = hop.select("node", F.col("l1").alias("label"))
+        else:
+            # pointer jump: l1 is always a node id in the same component
+            # (labels start as self and only take mins of component node
+            # ids), so label-of-label is defined for every row; taking its
+            # min doubles the distance already propagated. Left join for the
+            # self-label rows (label(l1) == l1 — coalesce is a no-op there).
+            jump = labels.select(
+                F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+            )
+            new_labels = hop.join(jump, hop["l1"] == jump["jnode"], "left").select(
+                "node",
+                F.least(F.col("l1"), F.coalesce(F.col("jlabel"), F.col("l1"))).alias(
+                    "label"
+                ),
+            )
         if (rnd + 1) % 5 == 0:
-            # the label plan DOUBLES per round (labels feeds both the
-            # neighbor-min join and the carry-over join), and persist() does
-            # not truncate the logical plan — without periodic truncation a
-            # diameter-25 component grows a 2^25-copy plan tree whose AQE
-            # explain string alone OOMs the driver. Checkpoint every 5 rounds
-            # bounds the tree at 2^5 copies of a (checkpoint-truncated) leaf.
+            # the label plan DOUBLES per hop round and TRIPLES per jump round
+            # (labels feeds the neighbor-min join, the carry-over join, and —
+            # when jumping — the pointer jump), and persist() does not
+            # truncate the logical plan — without periodic truncation a few
+            # rounds grow an exponential plan tree whose AQE explain string
+            # alone OOMs the driver. Checkpoint every 5 rounds bounds the
+            # tree at <= 3^5 copies of a (checkpoint-truncated) leaf — an
+            # eager checkpoint is a full materialization, so cadence trades
+            # plan-tree size against extra jobs (5 measured cheaper than 3).
             new_labels = new_labels.localCheckpoint(eager=True)
         else:
             new_labels = new_labels.persist()

@@ -36,16 +36,22 @@ def cell_adjacency(cells: DataFrame) -> DataFrame:
     """(doc_a, doc_b) edges between 4-adjacent cells of one resolution.
 
     The east neighbor is cell + 2^29 (ix+1) and the north neighbor cell + 1
-    (iy+1) in the packed layout — at the grid's edge the bumped id falls
-    outside the occupied set and the join simply misses, so no wraparound
-    guard is needed. One self-equi-join on the candidate neighbor id; the
+    (iy+1) in the packed layout (cell = res<<58 | ix<<29 | iy). Cells on the
+    grid's last row/column are filtered BEFORE the bump: cell + 1 at
+    iy = 2^29 - 1 would carry into the ix field and alias a valid
+    same-resolution id (ix+1, 0), silently linking the top of one column to
+    the bottom of the next (east has the same carry into res at
+    ix = 2^29 - 1). One self-equi-join on the candidate neighbor id; the
     cell set (not the raster) is the join input."""
+    mask = F.lit((1 << IX_SHIFT) - 1).cast("long")
     ids = cells.select(F.col("cell").cast("long").alias("cell")).distinct()
-    east = ids.select(
+    east = ids.filter(
+        F.expr(f"(cell div {1 << IX_SHIFT}) % {1 << IX_SHIFT}") != mask
+    ).select(
         F.col("cell").alias("doc_a"),
         (F.col("cell") + F.lit(1 << IX_SHIFT).cast("long")).alias("doc_b"),
     )
-    north = ids.select(
+    north = ids.filter(F.col("cell") % F.lit(1 << IX_SHIFT) != mask).select(
         F.col("cell").alias("doc_a"), (F.col("cell") + F.lit(1)).alias("doc_b")
     )
     cand = east.unionByName(north)
@@ -63,9 +69,11 @@ def threshold_regions(
     minimum cell id of the region — deterministic, join-stable.
 
     Plan: zonal map-side combine -> cell hash-agg -> integer threshold ->
-    4-adjacency self-join on the cell set -> min-label CC (one (node,label)
-    shuffle per round, <= grid-diameter rounds) -> one final region agg.
-    Isolated cells (no passing neighbor) are singleton regions."""
+    4-adjacency self-join on the cell set -> min-label CC with pointer
+    jumping (one (node,label) shuffle per round, O(log grid-diameter)
+    rounds — a snake region spanning the whole grid converges in ~9 rounds)
+    -> one final region agg. Isolated cells (no passing neighbor) are
+    singleton regions."""
     stats = zonal_stats(images, res).localCheckpoint(eager=True)
     hot = threshold_cells(stats, mean_num, mean_den)
     edges = cell_adjacency(hot)

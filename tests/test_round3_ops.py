@@ -249,3 +249,34 @@ def test_gram_hashes_udf_matches_sql(spark, sf_dir):
     assert udf_rows[90002] == ()          # < k words -> empty
     assert udf_rows[90003] is None        # NULL text -> NULL
     assert len(udf_rows[90004]) == 2      # 14 words -> 2 distinct 13-grams
+
+
+def test_cc_pointer_jump_converges_on_long_path(spark):
+    """A 300-node path (diameter 299) must converge in O(log d) rounds —
+    plain hop-propagation would need 299 rounds and raise; pointer jumping
+    makes max_iters=15 ample."""
+    from aira_spark.operators.dedup import duplicate_clusters
+
+    n = 300
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(n - 1)],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    out = duplicate_clusters(pairs, max_iters=15).collect()
+    assert len(out) == n
+    assert {r.cluster_id for r in out} == {0}
+    assert all(r.cluster_size == n for r in out)
+
+
+def test_cell_adjacency_no_field_carry_at_grid_edge(spark):
+    """A cell at iy = 2^29 - 1 must NOT link to (ix+1, 0) — the +1 bump
+    carries into the ix field and aliases a valid same-resolution id."""
+    from aira_spark.functions.cells import IX_SHIFT, RES_SHIFT
+    from aira_spark.operators.regions import cell_adjacency
+
+    res, ix = 29, 7
+    top = (res << RES_SHIFT) + (ix << IX_SHIFT) + ((1 << IX_SHIFT) - 1)
+    aliased = (res << RES_SHIFT) + ((ix + 1) << IX_SHIFT)  # == top + 1
+    cells = spark.createDataFrame([(top,), (aliased,)], "cell long")
+    edges = cell_adjacency(cells).collect()
+    assert edges == []  # not adjacent: different columns
