@@ -281,3 +281,44 @@ def test_footprint_overlap_blocked_equijoin(spark, sf_dir):
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
     assert "BatchEvalPython" not in s
+
+
+def test_decontaminate_broadcasts_bench_side(spark, sf_dir):
+    """The eval/benchmark gram table must broadcast: the training-corpus side
+    is the 10^12-row side and must reach the contamination join without an
+    exchange of its own (map-side probe; its only shuffle is the final
+    per-doc agg AFTER the join has filtered to hits)."""
+    from aira_spark.operators.text import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    df = decontaminate(docs.filter(F.col("doc_id") % 17 != 0), bench, k=13)
+    assert has_broadcast_join(df)
+    s = plan_string(df)
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+
+
+def test_pack_sequences_single_shuffle(spark, sf_dir):
+    """Packing is ONE hash shuffle on the deterministic shard key (the
+    window sort is within partitions); no join, no second exchange."""
+    from aira_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    df = pack_sequences(docs, budget=512, n_shards=8)
+    assert shuffle_count(df) == 1, plan_string(df)
+
+
+def test_semantic_dedup_no_pre_join_embedding_shuffle(spark, sf_dir):
+    """Cluster assignment is a pure Arrow map: the plan up to the candidate
+    self-join must not exchange the embedding column; candidate pairs and
+    the final re-attach are (broadcastable at this scale) equi-joins, never
+    a cartesian product."""
+    from aira_spark.operators.similarity import semantic_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    df = semantic_dup_pairs(emb, n_centroids=4, threshold=0.9)
+    s = plan_string(df)
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+    assert "ArrowEvalPython" in s or "BatchEvalPython" not in s  # vectorized, never per-row

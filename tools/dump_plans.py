@@ -74,6 +74,24 @@ def main() -> None:
         ("phash_dedup", "image near-dup banding on the mandated phash column: "
                         "same band equi-join; image bytes never enter an "
                         "exchange"),
+        ("decontaminate", "eval-side gram hashes BROADCAST (eval suites are "
+                          "small); the corpus side is a map-side hash probe + "
+                          "per-doc agg — the 10^12-doc side never shuffles "
+                          "before the join"),
+        ("cell_compact", "per-level promote (count==4) + anti-join over cell "
+                         "IDS only; each level localCheckpointed so the cover "
+                         "is scanned once, not 2^levels times"),
+        ("raster_regions", "pixel partials combine map-side (cells shuffle, "
+                           "never pixels); 4-adjacency is a self-equi-join on "
+                           "the bumped cell id; CC rounds shuffle (node,label) "
+                           "pairs only"),
+        ("pack_sequences", "ONE shuffle keyed on the deterministic hash shard; "
+                           "in-shard window cumsum; every output column an "
+                           "integer projection"),
+        ("semantic_dedup", "clustering is a pure Arrow map (embeddings never "
+                           "shuffle to be assigned); within-cluster pairs "
+                           "shuffle ID PAIRS; vectors re-attach via vec_id "
+                           "equi-joins sized by the candidate count"),
     ]
     qs = em.queries()
     lines = [
