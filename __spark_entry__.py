@@ -386,6 +386,52 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SAMPLE_RATES = {"src0": 350_000, "src1": 1_000_000, "src2": 0}
+_SAMPLE_DEFAULT = 120_000
+
+_BM25_QUERIES = [
+    (0, "join"), (0, "scan"), (0, "filter"),
+    (1, "data"), (1, "table"), (1, "row"),
+    (2, "hash"), (2, "stream"), (2, "batch"), (2, "window"),
+]
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sample + train/val/test split:
+    per-source ppm quotas (full / partial / excluded / default strata) and
+    an independent hash split — a pure zero-shuffle projection+filter."""
+    from aira_spark.operators.curation import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    return stratified_sample(docs, _SAMPLE_RATES, _SAMPLE_DEFAULT).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("source").alias("source"),
+        F.col("u_sample").cast("long").alias("u_sample"),
+        F.col("split").alias("split"),
+    )
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 of every document against a 3-query term set (query terms from
+    the synthetic vocabulary): integer-micro contributions summed as
+    BIGINT, so the score is engine-exact."""
+    from aira_spark.operators.rank import bm25_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id long, term string")
+    return bm25_scores(docs, queries).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_terms_hit").cast("long").alias("n_terms_hit"),
+        F.col("score_micros").cast("long").alias("score_micros"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
 def q_band_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-(image, band) pixel-value histogram through the real decode
     path; DuckDB recomputes each count from the generation formula
@@ -1192,8 +1238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50 entries, so every NEW or previously-unrecorded query sits in
     # the head, and the tail (51+) holds only entries whose oracle was
     # hash-green in BOTH the r1 and r2 driver files (meta_decode,
-    # overview_select, crs_info, band_index, ifd_dump) — re-verifiable any
-    # time via tools/check_oracle.py.
+    # overview_select, crs_info, band_index, ifd_dump, q1_pricing,
+    # top_customers) — re-verifiable any time via tools/check_oracle.py.
     return {
         "ratio_sort": q_ratio_sort,
         "tile_assign": q_tile_assign,
@@ -1225,9 +1271,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly": q_streaming_hourly,
         "streaming_cover": q_streaming_cover,
         "streaming_dedup": q_streaming_dedup,
-        "q1_pricing": q_q1_pricing,
-        "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
+        "corpus_sample": q_corpus_sample,
+        "bm25": q_bm25,
         "text_features": q_text_features,
         "repetition_filter": q_repetition_filter,
         "corpus_clean": q_corpus_clean,
@@ -1250,6 +1296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crs_info": q_crs_info,
         "band_index": q_band_index,
         "ifd_dump": q_ifd_dump,
+        "q1_pricing": q_q1_pricing,
+        "top_customers": q_top_customers,
     }
 
 
@@ -2463,6 +2511,19 @@ FROM d WHERE cos >= 0.95
 """
 
 
+def _oracle_corpus_sample() -> str:
+    from aira_spark.operators.curation import oracle_stratified_sample_sql
+
+    return oracle_stratified_sample_sql(_SAMPLE_RATES, _SAMPLE_DEFAULT)
+
+
+def _oracle_bm25() -> str:
+    from aira_spark.operators.rank import oracle_bm25_sql
+
+    values = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
+    return oracle_bm25_sql(values)
+
+
 def oracle_sql() -> dict[str, str]:
     from aira_spark.functions import textfns as tf
 
@@ -2482,6 +2543,8 @@ FROM docs GROUP BY 1
         "raster_regions": _oracle_raster_regions(),
         "decontaminate": _oracle_decontaminate(),
         "pack_sequences": _oracle_pack_sequences(),
+        "corpus_sample": _oracle_corpus_sample(),
+        "bm25": _oracle_bm25(),
         "semantic_dedup": _oracle_semantic_dedup(),
         "streaming_cover": _oracle_cell_cover(modulo=16),
         "zonal_stats": _oracle_zonal_stats(),

@@ -1,0 +1,143 @@
+"""BM25 relevance scoring of a document corpus against a query set.
+
+The standard lexical retrieval scorer (Robertson/Sparck Jones; the Lucene
+idf form ln(1 + (N - df + 0.5)/(df + 0.5)), k1=1.2, b=0.75), expressed so
+the result is EXACTLY reproducible across engines:
+
+- every per-term contribution is computed by ONE shared expression string
+  (identical text in Spark and DuckDB — the repo's one-formula-two-engines
+  rule), then rounded to integer MICROS (round half-up of contribution*1e6);
+- the per-(query, doc) score is the BIGINT SUM of those micros — integer
+  addition is order-independent, so Spark's partial/final agg order vs
+  DuckDB's scan order cannot produce differing last bits (a double SUM
+  would);
+- the reported double score divides the same two exact integers once.
+
+Scale shape: the corpus side is touched twice, both times cheaply — a
+words-explode filtered by the BROADCAST query-term set (hits only survive:
+the shuffle carries (doc_id, term, tf, dl) hit rows, never text), and the
+idf/N/avgdl statistics are metadata-sized aggregates broadcast back. No
+join ever shuffles the corpus; total cost is one hit-row shuffle + one
+(query, doc) agg shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+K1_TEXT = "1.2"
+B_TEXT = "0.75"
+MICROS = 1_000_000
+
+
+def bm25_contrib_text(
+    tf_c: str = "tf", df_c: str = "df", dl_c: str = "dl",
+    n_c: str = "n_docs", tot_c: str = "total_dl",
+) -> str:
+    """Per-term BM25 contribution in integer micros — ONE string, valid and
+    value-identical in Spark SQL and DuckDB (ln/round/CAST agree; division
+    order is pinned by the parenthesization; all inputs are BIGINTs)."""
+    # every integer input is cast to DOUBLE BEFORE arithmetic: Spark would
+    # otherwise rewrite `bigint + 0.5` into DECIMAL(20,0) arithmetic and
+    # divide as decimals (DuckDB stays in DOUBLE) — same-looking text,
+    # different numerics. With explicit casts both engines run the identical
+    # IEEE op sequence.
+    nf, dff, tff, dlf, totf = (
+        f"CAST({n_c} AS DOUBLE)", f"CAST({df_c} AS DOUBLE)",
+        f"CAST({tf_c} AS DOUBLE)", f"CAST({dl_c} AS DOUBLE)",
+        f"CAST({tot_c} AS DOUBLE)",
+    )
+    idf = f"ln(1 + ({nf} - {dff} + 0.5) / ({dff} + 0.5))"
+    tfn = (
+        f"({tff} * ({K1_TEXT} + 1)) / "
+        f"({tff} + {K1_TEXT} * (1 - {B_TEXT} + {B_TEXT} * "
+        f"(({dlf} * {nf}) / {totf})))"
+    )
+    return f"CAST(round(({idf}) * ({tfn}) * {MICROS}, 0) AS BIGINT)"
+
+
+def bm25_scores(docs: DataFrame, queries: DataFrame) -> DataFrame:
+    """(query_id, doc_id, n_terms_hit, score_micros, score): BM25 of every
+    document against every query it shares at least one term with.
+
+    `docs` needs (doc_id, text); `queries` needs (query_id, term) rows and
+    is eval-sized (it broadcasts). Documents sharing no term score 0 and are
+    simply absent — at 10^12 docs materializing zero rows would be the bug.
+    """
+    spark = docs.sparkSession
+    base = docs.selectExpr("doc_id", "split(text, ' ') AS ws").selectExpr(
+        "doc_id", "ws", "CAST(size(ws) AS BIGINT) AS dl"
+    )
+    # corpus stats: two scalar aggregates, broadcast everywhere below
+    stats = base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+    )
+    terms = queries.select("term").distinct()
+    hits = (
+        base.select("doc_id", "dl", F.explode("ws").alias("term"))
+        .join(F.broadcast(terms), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"), F.min("dl").alias("dl"))
+        # materialize: hits feed BOTH the df aggregate and the scoring join —
+        # without truncation Catalyst recomputes the whole explode+join
+        # subtree (a second full corpus scan) for df. Hit rows are tiny
+        # (docs x matched query terms), so this is metadata-sized.
+        .localCheckpoint(eager=True)
+    )
+    dfreq = hits.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(queries), "term")
+        .crossJoin(F.broadcast(stats))
+        .selectExpr(
+            "query_id", "doc_id", f"{bm25_contrib_text()} AS contrib_micros"
+        )
+    )
+    return (
+        scored.groupBy("query_id", "doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_terms_hit"),
+            F.sum("contrib_micros").alias("score_micros"),
+        )
+        .selectExpr(
+            "query_id", "doc_id", "n_terms_hit", "score_micros",
+            f"CAST(score_micros AS DOUBLE) / {MICROS} AS score",
+        )
+    )
+
+
+def oracle_bm25_sql(queries_values: str, table: str = "documents") -> str:
+    """DuckDB mirror: `queries_values` is a VALUES list like
+    "(0, 'join'), (0, 'scan')" defining (query_id, term)."""
+    return f"""
+WITH q(query_id, term) AS (VALUES {queries_values}),
+base AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+         string_split(text, ' ') AS ws
+  FROM {table}
+),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS total_dl FROM base),
+hits AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf, MIN(dl) AS dl
+  FROM (SELECT doc_id, dl, unnest(ws) AS term FROM base)
+  WHERE term IN (SELECT DISTINCT term FROM q)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+          FROM hits GROUP BY term),
+scored AS (
+  SELECT q.query_id, h.doc_id,
+         {bm25_contrib_text(tf_c='h.tf', df_c='d.df', dl_c='h.dl')} AS contrib_micros
+  FROM hits h JOIN dfreq d USING (term) JOIN q USING (term), stats
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+       CAST(SUM(contrib_micros) AS BIGINT) AS score_micros,
+       CAST(SUM(contrib_micros) AS DOUBLE) / {MICROS} AS score
+FROM scored GROUP BY query_id, doc_id
+"""

@@ -161,6 +161,8 @@ def main() -> None:
         "decontaminate": lambda: em.q_decontaminate(spark, sf_dir).count(),
         "pack_sequences": lambda: em.q_pack_sequences(spark, sf_dir).count(),
         "semantic_dedup": lambda: em.q_semantic_dedup(spark, sf_dir).count(),
+        "corpus_sample": lambda: em.q_corpus_sample(spark, sf_dir).count(),
+        "bm25": lambda: em.q_bm25(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

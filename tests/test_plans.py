@@ -322,3 +322,41 @@ def test_semantic_dedup_no_pre_join_embedding_shuffle(spark, sf_dir):
     s = plan_string(df)
     assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
     assert "ArrowEvalPython" in s or "BatchEvalPython" not in s  # vectorized, never per-row
+
+
+def test_corpus_sample_zero_shuffle(spark, sf_dir):
+    """Stratified sampling must be a pure projection + filter above the
+    scan — zero exchanges, no RNG nodes, nothing Python."""
+    from aira_spark.operators.curation import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    df = stratified_sample(docs, {"src0": 500_000}, default_ppm=100_000)
+    assert shuffle_count(df) == 0, plan_string(df)
+    s = plan_string(df)
+    assert "rand" not in s.lower().replace("operand", "")  # no RNG sampling
+
+
+def test_bm25_broadcasts_everything_but_hits(spark, sf_dir):
+    """Query terms, document frequencies, and corpus stats all broadcast;
+    the corpus-sized exchanges are only the hit-row agg and the final
+    (query, doc) agg — never text, never a cartesian product."""
+    from aira_spark.operators.rank import bm25_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    qdf = spark.createDataFrame(
+        [(0, "join"), (0, "scan"), (1, "data")], "query_id long, term string"
+    )
+    df = bm25_scores(docs, qdf)
+    assert has_broadcast_join(df)
+    s = plan_string(df)
+    assert "CartesianProduct" not in s
+    # hits are checkpointed, so the visible exchanges are hit-row-sized
+    # (df distinct-agg, final (query,doc) agg) plus the 1-row stats agg
+    assert shuffle_count(df) <= 5, s
+    # exactly ONE remaining corpus scan (the avgdl/N stats pass over the
+    # text column); the hits subtree is materialized, not recomputed
+    assert count_in_plan(df, "FileScan parquet") <= 1, s

@@ -280,3 +280,84 @@ def test_cell_adjacency_no_field_carry_at_grid_edge(spark):
     cells = spark.createDataFrame([(top,), (aliased,)], "cell long")
     edges = cell_adjacency(cells).collect()
     assert edges == []  # not adjacent: different columns
+
+
+def test_stratified_sample_quota_semantics(spark, sf_dir):
+    """src with ppm=1e6 keeps everything, ppm=0 keeps nothing, partial
+    quotas keep a subset; assignment is deterministic across invocations
+    and the split hash is independent of the sample hash."""
+    from aira_spark.operators.curation import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    rates = {"src0": 1_000_000, "src1": 0}
+    out = stratified_sample(docs, rates, default_ppm=500_000).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    n_src0 = docs.filter(F.col("source") == "src0").count()
+    assert len(by_src.get("src0", [])) == n_src0   # full keep
+    assert "src1" not in by_src                    # excluded
+    rest = [r for r in out if r.source not in ("src0", "src1")]
+    n_rest = docs.filter(~F.col("source").isin("src0", "src1")).count()
+    assert 0 < len(rest) < n_rest                  # partial stratum
+    # deterministic: second run identical
+    again = stratified_sample(docs, rates, default_ppm=500_000).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # splits present and not a constant (independent uniform)
+    splits = {r.split for r in out}
+    assert "train" in splits and len(splits) >= 2
+    # different salt reshuffles membership
+    salted = stratified_sample(docs, rates, default_ppm=500_000, salt="v2").collect()
+    assert {r.doc_id for r in salted} != {r.doc_id for r in out}
+
+
+def test_bm25_matches_python_bruteforce(spark):
+    """BM25 vs an INDEPENDENT python mirror (math.log, float arithmetic,
+    integer-micro rounding) on a hand-sized corpus."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from aira_spark.operators.rank import bm25_scores
+
+    corpus = [
+        (1, "join scan join filter noise words here"),
+        (2, "scan scan scan data data"),
+        (3, "nothing relevant at all"),
+        (4, "join"),
+    ]
+    queries = [(0, "join"), (0, "scan"), (1, "data")]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    qdf = spark.createDataFrame(queries, "query_id long, term string")
+    got = {
+        (r.query_id, r.doc_id): (r.n_terms_hit, r.score_micros)
+        for r in bm25_scores(docs, qdf).collect()
+    }
+    # python mirror
+    k1, b = 1.2, 0.75
+    dls = {d: len(t.split(" ")) for d, t in corpus}
+    n, total = len(corpus), sum(dls.values())
+    tf_ = {}
+    for d, t in corpus:
+        for w in t.split(" "):
+            tf_[(d, w)] = tf_.get((d, w), 0) + 1
+    terms = {t for _, t in queries}
+    df_ = {t: sum(1 for d, _ in corpus if tf_.get((d, t))) for t in terms}
+    exp = {}
+    for q, t in queries:
+        for d, _ in corpus:
+            f = tf_.get((d, t))
+            if not f:
+                continue
+            idf = math.log(1 + (n - df_[t] + 0.5) / (df_[t] + 0.5))
+            tfn = (f * (k1 + 1)) / (f + k1 * (1 - b + b * (dls[d] * n / total)))
+            mic = int(
+                Decimal(repr(idf * tfn * 1_000_000)).quantize(
+                    Decimal("1"), rounding=ROUND_HALF_UP
+                )
+            )
+            hit, s = exp.get((q, d), (0, 0))
+            exp[(q, d)] = (hit + 1, s + mic)
+    assert got == exp
+    assert (0, 3) not in got   # no shared terms -> absent, not zero

@@ -92,6 +92,13 @@ def main() -> None:
                            "shuffle to be assigned); within-cluster pairs "
                            "shuffle ID PAIRS; vectors re-attach via vec_id "
                            "equi-joins sized by the candidate count"),
+        ("corpus_sample", "deterministic stratified sampling as a pure "
+                          "projection + filter: ZERO exchanges, no RNG, "
+                          "reproducible across engines and partitionings"),
+        ("bm25", "query terms / document frequencies / corpus stats all "
+                 "broadcast; hits checkpointed so the corpus is scanned once "
+                 "for matching; integer-micro contributions make the agg "
+                 "order-independent"),
     ]
     qs = em.queries()
     lines = [
