@@ -1233,20 +1233,75 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HLL distinct sketch, both estimator branches in one
+    result: distinct part keys per lineitem returnflag (~2000 distinct —
+    raw harmonic-mean branch) plus distinct words per document source
+    (~31 distinct — linear-counting branch). The register state is a fixed
+    256 integers per group, so the shuffle never scales with vocabulary."""
+    from aira_spark.operators.sketch import hll_distinct
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+        "concat('rf:', l_returnflag) AS grp", "CAST(l_partkey AS STRING) AS v"
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "source AS grp", "explode(split(text, ' ')) AS v"
+    ).where("length(v) > 0")
+    out = hll_distinct(li.unionAll(docs))
+    return out.select(
+        "grp",
+        F.col("n_values").cast("long").alias("n_values"),
+        F.col("n_buckets_used").cast("long").alias("n_buckets_used"),
+        F.col("register_sum").cast("long").alias("register_sum"),
+        F.col("zero_registers").cast("long").alias("zero_registers"),
+        F.col("est_distinct").cast("double").alias("est_distinct"),
+    )
+
+
+def q_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal (3x3 neighborhood) mean over the max-composited mosaic fine
+    grid — map-algebra stencil as scatter-to-9-offsets + one hash agg; the
+    halo exchange is the aggregation's partial combine (pixels never
+    shuffle, only (pos, sum, cnt) integer rows)."""
+    from aira_spark.operators.focal import focal_mean
+
+    return focal_mean(_images(spark, sf_dir, modulo=8), CELL_RES, patch_bits=4)
+
+
+def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-bigram linear quality classifier over every
+    document: Arrow-batched integer logit (exact), shared-text sigmoid/label
+    (the DuckDB oracle runs the identical SQL expression form)."""
+    from aira_spark.operators.classify import classifier_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = classifier_scores(docs, use_arrow=True)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_feats").cast("long").alias("n_feats"),
+        F.col("logit_micros").cast("long").alias("logit_micros"),
+        F.col("score").cast("double").alias("score"),
+        "label",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FIRST-50 DISCIPLINE: the driver's CORRECTNESS report records only the
     # first 50 entries, so every NEW or previously-unrecorded query sits in
     # the head, and the tail (51+) holds only entries whose oracle was
     # hash-green in BOTH the r1 and r2 driver files (meta_decode,
     # overview_select, crs_info, band_index, ifd_dump, q1_pricing,
-    # top_customers) — re-verifiable any time via tools/check_oracle.py.
+    # top_customers, and — rotated out to make room for the round-3 trio
+    # approx_distinct/focal_mean/classifier_scores — zonal_by_polygon,
+    # ngram_jaccard, ann_cosine_topk) — re-verifiable any time via
+    # tools/check_oracle.py.
     return {
         "ratio_sort": q_ratio_sort,
         "tile_assign": q_tile_assign,
         "cell_cover": q_cell_cover,
         "cell_compact": q_cell_compact,
         "zonal_stats": q_zonal_stats,
-        "zonal_by_polygon": q_zonal_by_polygon,
+        "focal_mean": q_focal_mean,
         "pip": q_pip,
         "pip_salted": q_pip_salted,
         "knn": q_knn,
@@ -1284,13 +1339,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
-        "ann_cosine_topk": q_ann_cosine_topk,
+        "approx_distinct": q_approx_distinct,
+        "classifier_scores": q_classifier_scores,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
         "verify_invariants": q_verify_invariants,
+        "zonal_by_polygon": q_zonal_by_polygon,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_cosine_topk": q_ann_cosine_topk,
         "meta_decode": q_meta_decode,
         "overview_select": q_overview_select,
         "crs_info": q_crs_info,
@@ -1934,6 +1992,60 @@ FROM fine GROUP BY 1, 2, 3
 """
 
 
+def _oracle_focal_mean() -> str:
+    # same fine grid as the mosaic oracle, then the 9-offset scatter + agg;
+    # HAVING bool_or(is_center) mirrors the Spark max(is_center) filter
+    nf = 1 << (CELL_RES + 4)
+    fix = f"CAST(LEAST(GREATEST(FLOOR((x - (-180.0)) / 360.0 * {float(nf)}), 0), {nf - 1}) AS BIGINT)"
+    fiy = f"CAST(LEAST(GREATEST(FLOOR((y - (-90.0)) / 180.0 * {float(nf)}), 0), {nf - 1}) AS BIGINT)"
+    return f"""
+WITH {_IMG_CTE},
+sel AS (SELECT * FROM meta WHERE k % 8 = 0),
+rws AS (SELECT *, unnest(generate_series(0, h - 1)) AS r FROM sel),
+pxs AS (SELECT *, unnest(generate_series(0, w - 1)) AS c FROM rws),
+vals AS (
+  SELECT (r * 7 + c * 13 + k) % 256 AS val,
+         cx + (CAST(c AS DOUBLE) + 0.5) * sx AS x,
+         (cy + h * sy) - (CAST(r AS DOUBLE) + 0.5) * sy AS y
+  FROM pxs
+),
+fine AS (SELECT {fix} AS fx, {fiy} AS fy, CAST(MAX(val) AS BIGINT) AS val
+         FROM vals GROUP BY 1, 2),
+sc AS (
+  SELECT fx + o.dx AS tx, fy + o.dy AS ty, val,
+         (o.dx = 0 AND o.dy = 0) AS is_center
+  FROM fine, (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) AS o(dx, dy)
+  WHERE fx + o.dx >= 0 AND fx + o.dx < {nf} AND fy + o.dy >= 0 AND fy + o.dy < {nf}
+)
+SELECT CAST(tx AS BIGINT) AS fx, CAST(ty AS BIGINT) AS fy,
+  CAST(COUNT(*) AS BIGINT) AS n_nbrs, CAST(SUM(val) AS BIGINT) AS sum_val,
+  ROUND(CAST(SUM(val) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS focal_mean
+FROM sc GROUP BY 1, 2 HAVING bool_or(is_center)
+"""
+
+
+def _oracle_classifier_scores() -> str:
+    from aira_spark.operators.classify import oracle_classifier_sql
+
+    return oracle_classifier_sql("documents")
+
+
+def _oracle_approx_distinct() -> str:
+    from aira_spark.functions.sketchfns import oracle_hll_sql
+
+    cte = (
+        "pairs AS (\n"
+        "  SELECT 'rf:' || l_returnflag AS grp, CAST(l_partkey AS VARCHAR) AS v\n"
+        "  FROM lineitem\n"
+        "  UNION ALL\n"
+        "  SELECT source AS grp, w AS v FROM\n"
+        "    (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)\n"
+        "  WHERE length(w) > 0\n"
+        ")"
+    )
+    return oracle_hll_sql(cte)
+
+
 def _oracle_zonal_rollup() -> str:
     # parent cell: same fine-resolution index arithmetic, then the exact bit
     # shift the Spark side performs (ix >> 2 == ix // 4)
@@ -2554,6 +2666,9 @@ FROM docs GROUP BY 1
         "resize_thumbs": _oracle_resize_thumbs(),
         "zonal_exact": _oracle_zonal_exact(),
         "mosaic": _oracle_mosaic(),
+        "focal_mean": _oracle_focal_mean(),
+        "approx_distinct": _oracle_approx_distinct(),
+        "classifier_scores": _oracle_classifier_scores(),
         "zonal_bands": _oracle_zonal_bands(),
         "band_index": _oracle_band_index(),
         "zonal_rollup": _oracle_zonal_rollup(),

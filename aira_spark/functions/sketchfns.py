@@ -1,0 +1,112 @@
+"""Portable HyperLogLog snippet builders: one formula, two engines.
+
+A DETERMINISTIC HLL distinct sketch (Flajolet et al. 2007, with the
+linear-counting small-range correction from the HLL++ paper) whose every
+intermediate is an exact integer, so the Spark query and the DuckDB oracle
+agree bit-for-bit:
+
+  - value hash    h   = h64(v)            (60-bit md5-prefix, textfns.h64)
+  - bucket        j   = h % m             (m = 2^P_BITS registers)
+  - remainder     w   = h // m            (W = 60 - P_BITS bits wide)
+  - rank          rho = W + 1 - bitlen(w) (position of w's leftmost 1-bit,
+                                           W + 1 when w = 0) — bitlen is the
+                                           length of the unpadded binary
+                                           string (Spark conv / DuckDB bin),
+                                           so rho needs no float log2
+  - register      M_j = max(rho)          over the bucket's values
+  - scaled sum    S   = sum_j 2^(K - M_j) with K = W + 1; an EMPTY register
+                        contributes 2^K (rho = 0). S is the hash-compared
+                        integer: m * 2^K <= 2^(P_BITS + 61 - P_BITS) < 2^63.
+  - estimate      E   = alpha_m * m^2 * 2^K / S, replaced by linear counting
+                        m * ln(m / V) when E <= 2.5 m and V (empty
+                        registers) > 0. The one double division uses the
+                        exact integer S; ln differences between the two
+                        engines' libm are absorbed by ROUND(.., 4).
+
+Unlike Spark's approx_count_distinct (whose HLL hash is engine-private and
+unreproducible elsewhere), this sketch is portable: any engine that can md5
+recomputes the identical registers, so sketches can be persisted, merged
+across runs (max is commutative), and audited.
+"""
+
+from __future__ import annotations
+
+from .textfns import h64
+
+P_BITS = 8
+M_REG = 1 << P_BITS  # 256 registers
+W_BITS = 60 - P_BITS  # remainder width (h64 yields 60-bit values)
+K_SCALE = W_BITS + 1  # rho in [1, K_SCALE]; empty register rho = 0
+EMPTY_TERM = 1 << K_SCALE  # an empty register's 2^(K - 0) contribution
+# alpha_m for m >= 128 (Flajolet et al., Fig. 3)
+ALPHA = 0.7213 / (1.0 + 1.079 / M_REG)
+# E_raw numerator alpha * m^2 * 2^K, evaluated ONCE in Python and emitted as
+# the same double literal into both engines' expression text
+RAW_NUM = ALPHA * M_REG * M_REG * float(1 << K_SCALE)
+LC_THRESHOLD = 2.5 * M_REG
+
+
+def bucket_expr(h: str) -> str:
+    """Register index — engine-neutral (h64 is non-negative, so % agrees)."""
+    return f"({h} % {M_REG})"
+
+
+def rho_expr(h: str, engine: str) -> str:
+    """rho of the remainder bits: W + 1 - bit_length(h // m), exact-integer
+    via the unpadded binary-string length (no float log2)."""
+    if engine == "spark":
+        w = f"({h} div {M_REG})"
+        blen = f"length(conv({w}, 10, 2))"
+    else:
+        w = f"({h} // {M_REG})"
+        blen = f"length(bin({w}))"
+    return (
+        f"CAST(CASE WHEN {w} = 0 THEN {K_SCALE} "
+        f"ELSE {K_SCALE} - {blen} END AS BIGINT)"
+    )
+
+
+def register_term_expr(reg: str, engine: str) -> str:
+    """2^(K - M_j) for a present register, as an exact BIGINT shift."""
+    if engine == "spark":
+        return f"shiftleft(CAST(1 AS BIGINT), {K_SCALE} - CAST({reg} AS INT))"
+    return f"(CAST(1 AS BIGINT) << ({K_SCALE} - {reg}))"
+
+
+def estimate_expr(s: str, v: str) -> str:
+    """HLL estimate from the exact scaled register sum S and the empty
+    register count V — identical text in both engines (ln/ROUND agree)."""
+    raw = f"({RAW_NUM!r} / CAST({s} AS DOUBLE))"
+    lc = f"({M_REG}.0 * ln({M_REG}.0 / CAST({v} AS DOUBLE)))"
+    return (
+        f"ROUND(CASE WHEN {raw} <= {LC_THRESHOLD!r} AND {v} > 0 "
+        f"THEN {lc} ELSE {raw} END, 4)"
+    )
+
+
+def hll_projection(value: str, engine: str) -> tuple[str, str]:
+    """(bucket_sql, rho_sql) for one value expression."""
+    h = h64(value, engine)
+    return bucket_expr(h), rho_expr(h, engine)
+
+
+def oracle_hll_sql(pairs_cte: str, grp: str = "grp", val: str = "v") -> str:
+    """DuckDB mirror over a CTE named `pairs` with columns (grp, v)."""
+    bucket, rho = hll_projection(val, "duckdb")
+    term = register_term_expr("reg", "duckdb")
+    s = f"(SUM({term}) + ({M_REG} - COUNT(*)) * {EMPTY_TERM})"
+    v_empty = f"({M_REG} - COUNT(*))"
+    return f"""
+WITH {pairs_cte},
+regs AS (
+  SELECT {grp} AS grp, {bucket} AS bucket,
+         MAX({rho}) AS reg, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pairs GROUP BY 1, 2
+)
+SELECT grp, SUM(cnt) AS n_values,
+  CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+  CAST({s} AS BIGINT) AS register_sum,
+  CAST({v_empty} AS BIGINT) AS zero_registers,
+  {estimate_expr(s, v_empty)} AS est_distinct
+FROM regs GROUP BY grp
+"""

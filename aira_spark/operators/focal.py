@@ -1,0 +1,83 @@
+"""Focal (neighborhood/stencil) raster statistics over a mosaicked grid.
+
+Map-algebra focal ops (focal mean, convolution, slope) need each output
+pixel's NEIGHBORS — across tile AND image boundaries. On a cluster that is
+the halo-exchange problem: every partition must see a one-pixel border of
+its neighbors' data. Expressed as DataFrames, the halo exchange IS a
+scatter-aggregate: each filled fine-grid subcell sends its value to the 9
+positions whose 3x3 window contains it (a projection + posexplode of the 9
+constant offsets), and ONE hash aggregation per target position folds the
+contributions. Catalyst's partial aggregation combines contributions
+map-side, so when the grid is laid out by coarse cell (as
+mosaic_cell_values' agg already leaves it), the exchange carries roughly
+one partial row per target position per source partition — the 9x scatter
+blowup never crosses the wire, and pixel buffers are never shuffled at all
+(only (pos, sum, cnt) integer rows).
+
+Semantics: SPARSE-raster focal mean — the mean is over the FILLED subcells
+of the 3x3 window (count in [1, 9]); windows clip at the global grid edge;
+positions whose own subcell is unfilled emit nothing (max(is_center) keeps
+center-filled rows without re-joining the filled set — a flag folded in the
+same aggregation replaces a second shuffle/join).
+
+Plan shape (pinned by tests/test_plans.py): decode mapInPandas -> mosaic
+hash agg -> offset explode (projection) -> ONE more hash agg; no join, no
+cartesian, no Python nodes past the decode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.cells import DEFAULT_RES, cell_ix, cell_iy
+from .mosaic import mosaic_cell_values
+
+OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+
+def focal_mean(
+    images: DataFrame, res: int = DEFAULT_RES, patch_bits: int = 4
+) -> DataFrame:
+    """(fx, fy, n_nbrs, sum_val, focal_mean): 3x3 focal mean of the
+    max-composited mosaic at the fine grid (res + patch_bits), mean taken
+    over the filled neighbors present in each window."""
+    nf = 1 << (res + patch_bits)
+    vals = mosaic_cell_values(images, res, patch_bits)
+    fine = vals.select(
+        (cell_ix(F.col("cell")) * (1 << patch_bits) + F.col("pc")).alias("fx"),
+        (cell_iy(F.col("cell")) * (1 << patch_bits) + F.col("pr")).alias("fy"),
+        "val",
+    )
+    offs = ", ".join(
+        f"named_struct('dx', {dx}, 'dy', {dy})" for dx, dy in OFFSETS
+    )
+    scattered = fine.select(
+        "fx", "fy", "val", F.expr(f"explode(array({offs}))").alias("o")
+    ).select(
+        (F.col("fx") + F.col("o.dx")).alias("tx"),
+        (F.col("fy") + F.col("o.dy")).alias("ty"),
+        "val",
+        ((F.col("o.dx") == 0) & (F.col("o.dy") == 0)).alias("is_center"),
+    ).where(
+        (F.col("tx") >= 0) & (F.col("tx") < nf)
+        & (F.col("ty") >= 0) & (F.col("ty") < nf)
+    )
+    return (
+        scattered.groupBy("tx", "ty")
+        .agg(
+            F.count("*").cast("long").alias("n_nbrs"),
+            F.sum("val").cast("long").alias("sum_val"),
+            F.max("is_center").alias("has_center"),
+        )
+        .where("has_center")
+        .select(
+            F.col("tx").cast("long").alias("fx"),
+            F.col("ty").cast("long").alias("fy"),
+            "n_nbrs",
+            "sum_val",
+            F.expr(
+                "ROUND(CAST(sum_val AS DOUBLE) / CAST(n_nbrs AS DOUBLE), 6)"
+            ).alias("focal_mean"),
+        )
+    )

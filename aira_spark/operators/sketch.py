@@ -1,0 +1,74 @@
+"""Distributed distinct-count sketching (deterministic HyperLogLog).
+
+Exact COUNT(DISTINCT v) over a 10^12-row corpus is the classic scale trap:
+it must shuffle every distinct VALUE to its reducer (the shuffle is the size
+of the vocabulary). The HLL sketch replaces it with a fixed m-register state
+per group — the shuffle carries at most m = 256 small integer rows per
+(group x input partition) regardless of input size, and Catalyst's partial
+aggregation folds the per-partition registers map-side before the exchange.
+
+The register/estimate formulas live in functions/sketchfns.py as shared
+expression text (one formula, two engines), so the DuckDB oracle reproduces
+the estimate bit-for-bit — unlike approx_count_distinct, whose sketch hash
+is engine-private. Registers use max (commutative/idempotent), so sketches
+for the same group computed on different days or different engines merge
+losslessly: persist the (grp, bucket, reg) rows and re-aggregate.
+
+Plan shape (pinned by tests/test_plans.py): projection -> two hash
+aggregations; NO join, NO Python nodes; the only exchanges are the two
+agg shuffles of register-sized rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.sketchfns import (
+    EMPTY_TERM,
+    M_REG,
+    estimate_expr,
+    hll_projection,
+    register_term_expr,
+)
+
+
+def hll_distinct(pairs: DataFrame, grp: str = "grp", val: str = "v") -> DataFrame:
+    """(grp, n_values, n_buckets_used, register_sum, zero_registers,
+    est_distinct): deterministic HLL distinct estimate of `val` per `grp`.
+
+    `pairs` holds one row per observation (duplicates welcome — registers
+    max-fold them). NULL values are skipped, matching COUNT(DISTINCT).
+    """
+    bucket, rho = hll_projection(val, "spark")
+    term = register_term_expr("reg", "spark")
+    s = f"(SUM({term}) + ({M_REG} - COUNT(*)) * {EMPTY_TERM})"
+    v_empty = f"({M_REG} - COUNT(*))"
+    return (
+        pairs.where(F.col(val).isNotNull())
+        .selectExpr(f"{grp} AS grp", f"{bucket} AS bucket", f"{rho} AS rho")
+        # level 1: per-(group, register) rank max — partial agg runs map-side,
+        # so at most m register rows per group leave each input partition
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("reg"), F.count("*").cast("long").alias("cnt"))
+        # level 2: fold the <= m present registers into the exact scaled sum
+        # S (the hash-compared integer) and the rounded estimate
+        .groupBy("grp")
+        .agg(
+            F.sum("cnt").alias("n_values"),
+            F.count("*").cast("long").alias("n_buckets_used"),
+            F.expr(f"CAST({s} AS BIGINT)").alias("register_sum"),
+            F.expr(f"CAST({v_empty} AS BIGINT)").alias("zero_registers"),
+            F.expr(estimate_expr(s, v_empty)).alias("est_distinct"),
+        )
+    )
+
+
+def distinct_words_by_source(docs: DataFrame) -> DataFrame:
+    """Vocabulary-size sketch per corpus source: the flagship HLL use —
+    distinct whitespace tokens per `source` without shuffling the vocabulary.
+    Empty-string tokens (from empty texts) are excluded in both engines."""
+    pairs = docs.selectExpr(
+        "source AS grp", "explode(split(text, ' ')) AS v"
+    ).where(F.expr("length(v) > 0"))
+    return hll_distinct(pairs, "grp", "v")

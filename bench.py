@@ -163,6 +163,9 @@ def main() -> None:
         "semantic_dedup": lambda: em.q_semantic_dedup(spark, sf_dir).count(),
         "corpus_sample": lambda: em.q_corpus_sample(spark, sf_dir).count(),
         "bm25": lambda: em.q_bm25(spark, sf_dir).count(),
+        "focal_mean": lambda: em.q_focal_mean(spark, sf_dir).count(),
+        "approx_distinct": lambda: em.q_approx_distinct(spark, sf_dir).count(),
+        "classifier_scores": lambda: em.q_classifier_scores(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

@@ -360,3 +360,48 @@ def test_bm25_broadcasts_everything_but_hits(spark, sf_dir):
     # exactly ONE remaining corpus scan (the avgdl/N stats pass over the
     # text column); the hits subtree is materialized, not recomputed
     assert count_in_plan(df, "FileScan parquet") <= 1, s
+
+
+def test_hll_two_agg_no_join(spark, sf_dir):
+    """HLL sketch must be a projection feeding two hash aggregations —
+    no join (the register state replaces the distinct-value shuffle),
+    no Python nodes."""
+    from aira_spark.operators.sketch import distinct_words_by_source
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = distinct_words_by_source(docs)
+    s = plan_string(df)
+    assert shuffle_count(df) == 2, s  # register agg + group fold
+    assert "Join" not in s, s
+    assert "Python" not in s, s  # pure JVM expressions end to end
+
+
+def test_classifier_zero_shuffle_projection(spark, sf_dir):
+    """Classifier scoring is a single map pass: zero exchanges, one Arrow
+    UDF (the logit), no join, no explode surviving the plan."""
+    from aira_spark.operators.classify import classifier_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = classifier_scores(docs, use_arrow=True)
+    s = plan_string(df)
+    assert shuffle_count(df) == 0, s
+    assert count_in_plan(df, "ArrowEvalPython") == 1, s
+    assert "BatchEvalPython" not in s
+    assert "Join" not in s and "Generate" not in s, s
+
+
+def test_focal_scatter_single_extra_agg(spark, sf_dir):
+    """Focal mean adds exactly ONE aggregation exchange on top of the
+    mosaic's: the 9-offset scatter is a Generate (projection-side), the
+    halo exchange is the agg's partial combine — no join, no cartesian,
+    no Python past the decode."""
+    import __spark_entry__ as em
+    from aira_spark.operators.focal import focal_mean
+
+    df = focal_mean(em._images(spark, sf_dir, modulo=8), em.CELL_RES, 4)
+    s = plan_string(df)
+    assert shuffle_count(df) == 2, s  # mosaic agg + focal agg
+    assert "Join" not in s and "CartesianProduct" not in s, s
+    assert "Generate" in s, s  # the offset explode
+    assert count_in_plan(df, "ArrowEvalPython") <= 1, s  # decode only
+    assert "BatchEvalPython" not in s

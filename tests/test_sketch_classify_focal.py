@@ -1,0 +1,227 @@
+"""Round-3 additions: HLL distinct sketch, hashed linear classifier,
+focal (stencil) raster mean."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------------ HLL
+
+
+def _hll_python(values):
+    """Reference HLL mirroring functions/sketchfns.py exactly."""
+    from aira_spark.functions import sketchfns as sk
+
+    regs = [0] * sk.M_REG
+    for v in values:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        j = h % sk.M_REG
+        w = h // sk.M_REG
+        rho = sk.K_SCALE if w == 0 else sk.K_SCALE - w.bit_length()
+        regs[j] = max(regs[j], rho)
+    s = sum(1 << (sk.K_SCALE - r) for r in regs)
+    v_empty = regs.count(0)
+    raw = sk.RAW_NUM / s
+    if raw <= sk.LC_THRESHOLD and v_empty > 0:
+        return round(sk.M_REG * math.log(sk.M_REG / v_empty), 4), s
+    return round(raw, 4), s
+
+
+def test_hll_matches_python_reference_both_branches(spark):
+    from aira_spark.operators.sketch import hll_distinct
+
+    # small group -> linear counting; large group -> raw estimator
+    small = [f"w{i}" for i in range(40)] * 3
+    large = [f"x{i}" for i in range(5000)]
+    rows = [("s", v) for v in small] + [("l", v) for v in large]
+    pairs = spark.createDataFrame(rows, "grp string, v string")
+    got = {r["grp"]: r for r in hll_distinct(pairs).collect()}
+    for grp, vals in (("s", small), ("l", large)):
+        est, s = _hll_python(vals)
+        assert got[grp]["register_sum"] == s
+        assert got[grp]["est_distinct"] == pytest.approx(est, abs=1e-9)
+    # the two groups really exercise different branches
+    assert got["s"]["zero_registers"] > 0
+    assert got["l"]["est_distinct"] > 2.5 * 256
+
+
+def test_hll_accuracy_within_theoretical_error(spark):
+    # m=256 -> relative standard error ~1.04/sqrt(256) = 6.5%; assert 4 sigma
+    from aira_spark.operators.sketch import hll_distinct
+
+    n = 20000
+    pairs = spark.range(n).selectExpr("'g' AS grp", "CAST(id AS STRING) AS v")
+    est = hll_distinct(pairs).collect()[0]["est_distinct"]
+    assert abs(est - n) / n < 0.26
+
+
+def test_hll_duplicates_and_nulls_ignored(spark):
+    from aira_spark.operators.sketch import hll_distinct
+
+    a = spark.createDataFrame(
+        [("g", "a"), ("g", "b"), ("g", None)], "grp string, v string"
+    )
+    b = spark.createDataFrame(
+        [("g", "a"), ("g", "a"), ("g", "b"), ("g", "b")], "grp string, v string"
+    )
+    ra = hll_distinct(a).collect()[0]
+    rb = hll_distinct(b).collect()[0]
+    assert ra["register_sum"] == rb["register_sum"]
+    assert ra["est_distinct"] == rb["est_distinct"]
+    assert ra["n_values"] == 2 and rb["n_values"] == 4
+
+
+def test_hll_registers_merge_losslessly(spark):
+    # computing registers on two halves and max-merging equals one pass —
+    # the property that lets persisted sketches combine across runs/engines
+    from aira_spark.functions.sketchfns import hll_projection
+    from aira_spark.operators.sketch import hll_distinct
+
+    vals = [f"v{i}" for i in range(1000)]
+    whole = spark.createDataFrame(
+        [("g", v) for v in vals], "grp string, v string"
+    )
+    bucket, rho = hll_projection("v", "spark")
+
+    def regs(df):
+        return {
+            (r["b"], ): r["m"]
+            for r in df.selectExpr(f"{bucket} AS b", f"{rho} AS r")
+            .groupBy("b").agg(F.max("r").alias("m")).collect()
+        }
+
+    half1 = whole.where("substring(v, 2) % 2 = 0")
+    half2 = whole.where("substring(v, 2) % 2 = 1")
+    merged = {}
+    for d in (regs(half1), regs(half2)):
+        for k, v in d.items():
+            merged[k] = max(merged.get(k, 0), v)
+    assert merged == regs(whole)
+    assert hll_distinct(whole).collect()[0]["n_values"] == 1000
+
+
+# ----------------------------------------------------------- classifier
+
+
+def test_classifier_udf_matches_sql(spark, sf_dir):
+    from aira_spark.operators.classify import classifier_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(map(tuple, classifier_scores(docs, use_arrow=True).collect()))
+    b = sorted(map(tuple, classifier_scores(docs, use_arrow=False).collect()))
+    assert a == b
+
+
+def test_classifier_hand_computed_logit(spark):
+    from aira_spark.functions import classifyfns as cf
+    from aira_spark.operators.classify import classifier_scores
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha"), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in classifier_scores(docs).collect()}
+    expect1 = cf.BIAS_MICROS + cf.weight_micros(
+        cf.feat_of("alpha beta")
+    ) + cf.weight_micros(cf.feat_of("beta gamma"))
+    assert got[1]["logit_micros"] == expect1
+    assert got[1]["n_feats"] == 2
+    # single word / NULL / empty all score bias-only
+    for d in (2, 3):
+        assert got[d]["logit_micros"] == cf.BIAS_MICROS
+        assert got[d]["n_feats"] == 0
+    assert got[4]["logit_micros"] == cf.BIAS_MICROS  # "" -> one word, 0 grams
+    sig = round(1.0 / (1.0 + math.exp(-expect1 / 1e6)), 6)
+    assert got[1]["score"] == pytest.approx(sig, abs=1e-9)
+    assert got[1]["label"] == ("keep" if expect1 > 0 else "drop")
+
+
+def test_classifier_scores_every_doc(spark, sf_dir):
+    from aira_spark.operators.classify import classifier_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert classifier_scores(docs).count() == docs.count()
+
+
+# ---------------------------------------------------------------- focal
+
+
+def test_focal_mean_matches_numpy_dense_grid(spark, sf_dir):
+    """Brute-force check: rebuild the fine grid from the Spark mosaic rows
+    and convolve with numpy; every focal row must match."""
+    import numpy as np
+
+    import __spark_entry__ as em
+    from aira_spark.functions.cells import np_cell_ix, np_cell_iy
+    from aira_spark.operators.focal import focal_mean
+    from aira_spark.operators.mosaic import mosaic_cell_values
+
+    images = em._images(spark, sf_dir, modulo=4)
+    vals = mosaic_cell_values(images, em.CELL_RES, patch_bits=4).collect()
+    nf = 1 << (em.CELL_RES + 4)
+    filled: dict[tuple[int, int], int] = {}
+    for r in vals:
+        fx = int(np_cell_ix(np.int64(r["cell"]))) * 16 + r["pc"]
+        fy = int(np_cell_iy(np.int64(r["cell"]))) * 16 + r["pr"]
+        filled[(fx, fy)] = r["val"]
+    got = {
+        (r["fx"], r["fy"]): (r["n_nbrs"], r["sum_val"], r["focal_mean"])
+        for r in focal_mean(images, em.CELL_RES, patch_bits=4).collect()
+    }
+    assert set(got) == set(filled)
+    for (fx, fy) in filled:
+        nbrs = [
+            filled[(fx + dx, fy + dy)]
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if 0 <= fx + dx < nf and 0 <= fy + dy < nf
+            and (fx + dx, fy + dy) in filled
+        ]
+        assert got[(fx, fy)][0] == len(nbrs)
+        assert got[(fx, fy)][1] == sum(nbrs)
+        assert got[(fx, fy)][2] == pytest.approx(
+            round(sum(nbrs) / len(nbrs), 6), abs=1e-9
+        )
+
+
+def test_focal_mean_isolated_and_adjacent_cells(spark):
+    """Hand case via a synthetic fine frame run through the scatter-agg
+    (bypassing decode): two adjacent subcells + one isolated."""
+    from aira_spark.operators import focal as fo
+
+    fine = spark.createDataFrame(
+        [(10, 10, 100), (11, 10, 50), (500, 500, 7)],
+        "fx long, fy long, val long",
+    )
+    # reuse the operator's scatter stage by monkey-building the same plan
+    offs = ", ".join(
+        f"named_struct('dx', {dx}, 'dy', {dy})" for dx, dy in fo.OFFSETS
+    )
+    nf = 2048
+    out = (
+        fine.select("fx", "fy", "val", F.expr(f"explode(array({offs}))").alias("o"))
+        .select(
+            (F.col("fx") + F.col("o.dx")).alias("tx"),
+            (F.col("fy") + F.col("o.dy")).alias("ty"),
+            "val",
+            ((F.col("o.dx") == 0) & (F.col("o.dy") == 0)).alias("is_center"),
+        )
+        .where(f"tx >= 0 AND tx < {nf} AND ty >= 0 AND ty < {nf}")
+        .groupBy("tx", "ty")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("val").alias("s"),
+            F.max("is_center").alias("c"),
+        )
+        .where("c")
+        .collect()
+    )
+    got = {(r["tx"], r["ty"]): (r["n"], r["s"]) for r in out}
+    assert got == {
+        (10, 10): (2, 150),
+        (11, 10): (2, 150),
+        (500, 500): (1, 7),
+    }

@@ -99,6 +99,20 @@ def main() -> None:
                  "broadcast; hits checkpointed so the corpus is scanned once "
                  "for matching; integer-micro contributions make the agg "
                  "order-independent"),
+        ("approx_distinct", "HLL sketch: projection -> two hash aggs; the "
+                            "256-register state replaces the distinct-value "
+                            "shuffle (register rows per group, not "
+                            "vocabulary); no join, no Python nodes"),
+        ("focal_mean", "map-algebra stencil: 9-offset Generate + ONE extra "
+                       "hash agg; the halo exchange IS the agg's partial "
+                       "combine — (pos, sum, cnt) integer rows shuffle, "
+                       "pixels never do; max(is_center) replaces a second "
+                       "join against the filled set"),
+        ("classifier_scores", "corpus gate scoring as a single map pass: "
+                              "ZERO exchanges, one Arrow UDF (integer logit "
+                              "with per-executor weight table), no join — "
+                              "the hashed weights need no weights-table "
+                              "broadcast at all"),
     ]
     qs = em.queries()
     lines = [
