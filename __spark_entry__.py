@@ -570,6 +570,26 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL distinct sketch: per-source vocabulary registers
+    accumulated as a native streaming max/count aggregation across 4
+    microbatches (state BOUNDED at 256 rows per group); the final fold
+    equals batch hll_distinct, so the same DuckDB oracle checks the
+    streaming path."""
+    from aira_spark.streaming.events import run_streaming_hll
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = run_streaming_hll(spark, docs)
+    return out.select(
+        "grp",
+        F.col("n_values").cast("long").alias("n_values"),
+        F.col("n_buckets_used").cast("long").alias("n_buckets_used"),
+        F.col("register_sum").cast("long").alias("register_sum"),
+        F.col("zero_registers").cast("long").alias("zero_registers"),
+        F.col("est_distinct").cast("double").alias("est_distinct"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aira_spark.operators.dedup import exact_dedup
 
@@ -1291,10 +1311,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the head, and the tail (51+) holds only entries whose oracle was
     # hash-green in BOTH the r1 and r2 driver files (meta_decode,
     # overview_select, crs_info, band_index, ifd_dump, q1_pricing,
-    # top_customers, and — rotated out to make room for the round-3 trio
-    # approx_distinct/focal_mean/classifier_scores — zonal_by_polygon,
-    # ngram_jaccard, ann_cosine_topk) — re-verifiable any time via
-    # tools/check_oracle.py.
+    # top_customers, and — rotated out to make room for the round-3 group
+    # approx_distinct/focal_mean/classifier_scores/streaming_hll —
+    # zonal_by_polygon, ngram_jaccard, ann_cosine_topk, events_hourly) —
+    # re-verifiable any time via tools/check_oracle.py.
     return {
         "ratio_sort": q_ratio_sort,
         "tile_assign": q_tile_assign,
@@ -1326,7 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly": q_streaming_hourly,
         "streaming_cover": q_streaming_cover,
         "streaming_dedup": q_streaming_dedup,
-        "events_hourly": q_events_hourly,
+        "streaming_hll": q_streaming_hll,
         "corpus_sample": q_corpus_sample,
         "bm25": q_bm25,
         "text_features": q_text_features,
@@ -1346,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
         "verify_invariants": q_verify_invariants,
+        "events_hourly": q_events_hourly,
         "zonal_by_polygon": q_zonal_by_polygon,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -2030,6 +2051,19 @@ def _oracle_classifier_scores() -> str:
     return oracle_classifier_sql("documents")
 
 
+def _oracle_streaming_hll() -> str:
+    from aira_spark.functions.sketchfns import oracle_hll_sql
+
+    cte = (
+        "pairs AS (\n"
+        "  SELECT source AS grp, w AS v FROM\n"
+        "    (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)\n"
+        "  WHERE length(w) > 0\n"
+        ")"
+    )
+    return oracle_hll_sql(cte)
+
+
 def _oracle_approx_distinct() -> str:
     from aira_spark.functions.sketchfns import oracle_hll_sql
 
@@ -2668,6 +2702,7 @@ FROM docs GROUP BY 1
         "mosaic": _oracle_mosaic(),
         "focal_mean": _oracle_focal_mean(),
         "approx_distinct": _oracle_approx_distinct(),
+        "streaming_hll": _oracle_streaming_hll(),
         "classifier_scores": _oracle_classifier_scores(),
         "zonal_bands": _oracle_zonal_bands(),
         "band_index": _oracle_band_index(),

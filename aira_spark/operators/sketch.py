@@ -33,35 +33,43 @@ from ..functions.sketchfns import (
 )
 
 
+def hll_registers(pairs: DataFrame, grp: str = "grp", val: str = "v") -> DataFrame:
+    """(grp, bucket, reg, cnt): the persisted/mergeable sketch state — per
+    (group, register) rank max plus observation count. Partial agg runs
+    map-side, so at most m register rows per group leave each input
+    partition. NULL values are skipped, matching COUNT(DISTINCT)."""
+    bucket, rho = hll_projection(val, "spark")
+    return (
+        pairs.where(F.col(val).isNotNull())
+        .selectExpr(f"{grp} AS grp", f"{bucket} AS bucket", f"{rho} AS rho")
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("reg"), F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def fold_registers(regs: DataFrame) -> DataFrame:
+    """Fold (grp, bucket, reg, cnt) register rows into the exact scaled sum
+    S (the hash-compared integer) and the rounded estimate. Shared by the
+    batch and streaming paths — identical estimates by construction."""
+    term = register_term_expr("reg", "spark")
+    s = f"(SUM({term}) + ({M_REG} - COUNT(*)) * {EMPTY_TERM})"
+    v_empty = f"({M_REG} - COUNT(*))"
+    return regs.groupBy("grp").agg(
+        F.sum("cnt").alias("n_values"),
+        F.count("*").cast("long").alias("n_buckets_used"),
+        F.expr(f"CAST({s} AS BIGINT)").alias("register_sum"),
+        F.expr(f"CAST({v_empty} AS BIGINT)").alias("zero_registers"),
+        F.expr(estimate_expr(s, v_empty)).alias("est_distinct"),
+    )
+
+
 def hll_distinct(pairs: DataFrame, grp: str = "grp", val: str = "v") -> DataFrame:
     """(grp, n_values, n_buckets_used, register_sum, zero_registers,
     est_distinct): deterministic HLL distinct estimate of `val` per `grp`.
 
     `pairs` holds one row per observation (duplicates welcome — registers
-    max-fold them). NULL values are skipped, matching COUNT(DISTINCT).
-    """
-    bucket, rho = hll_projection(val, "spark")
-    term = register_term_expr("reg", "spark")
-    s = f"(SUM({term}) + ({M_REG} - COUNT(*)) * {EMPTY_TERM})"
-    v_empty = f"({M_REG} - COUNT(*))"
-    return (
-        pairs.where(F.col(val).isNotNull())
-        .selectExpr(f"{grp} AS grp", f"{bucket} AS bucket", f"{rho} AS rho")
-        # level 1: per-(group, register) rank max — partial agg runs map-side,
-        # so at most m register rows per group leave each input partition
-        .groupBy("grp", "bucket")
-        .agg(F.max("rho").alias("reg"), F.count("*").cast("long").alias("cnt"))
-        # level 2: fold the <= m present registers into the exact scaled sum
-        # S (the hash-compared integer) and the rounded estimate
-        .groupBy("grp")
-        .agg(
-            F.sum("cnt").alias("n_values"),
-            F.count("*").cast("long").alias("n_buckets_used"),
-            F.expr(f"CAST({s} AS BIGINT)").alias("register_sum"),
-            F.expr(f"CAST({v_empty} AS BIGINT)").alias("zero_registers"),
-            F.expr(estimate_expr(s, v_empty)).alias("est_distinct"),
-        )
-    )
+    max-fold them)."""
+    return fold_registers(hll_registers(pairs, grp, val))
 
 
 def distinct_words_by_source(docs: DataFrame) -> DataFrame:

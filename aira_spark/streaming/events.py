@@ -254,3 +254,34 @@ def run_streaming_dedup(spark: SparkSession, docs: DataFrame) -> DataFrame:
         F.max("n_dups").alias("n_dups"),
         F.min("keeper_id").alias("keeper_id"),
     )
+
+
+def run_streaming_hll(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Streaming HLL distinct sketch: vocabulary size per source computed
+    incrementally as documents arrive.
+
+    The sketch registers ARE the streaming state — a native max/count
+    aggregation keyed on (source, bucket), so state is BOUNDED at m = 256
+    rows per group no matter how many values stream past (the property that
+    makes distinct-count viable on an unbounded stream at all; exact
+    streaming COUNT(DISTINCT) would grow state with the vocabulary). The doc
+    table is staged as 4 parquet files read with maxFilesPerTrigger=1 so
+    registers genuinely accumulate across microbatches. The final register
+    fold reuses operators/sketch.fold_registers, so the result equals the
+    batch hll_distinct (and the same DuckDB oracle checks both)."""
+    from ..operators.sketch import fold_registers, hll_registers
+
+    stage = tempfile.mkdtemp(prefix="aira_shll_")
+    src = docs.selectExpr("source", "text")
+    src.repartition(4).write.mode("overwrite").parquet(stage)
+
+    pairs = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .selectExpr("source AS grp", "explode(split(text, ' ')) AS v")
+        .where(F.expr("length(v) > 0"))
+    )
+    regs = hll_registers(pairs)  # streaming max/count agg: the register state
+    emitted = _run_to_table(spark, regs, "shll", "complete", stage)
+    return fold_registers(emitted)

@@ -225,3 +225,15 @@ def test_focal_mean_isolated_and_adjacent_cells(spark):
         (11, 10): (2, 150),
         (500, 500): (1, 7),
     }
+
+
+def test_streaming_hll_equals_batch(spark, sf_dir):
+    """Registers accumulated across 4 microbatches fold to exactly the
+    batch sketch — the merge-lossless property under streaming state."""
+    from aira_spark.operators.sketch import distinct_words_by_source
+    from aira_spark.streaming.events import run_streaming_hll
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(map(tuple, run_streaming_hll(spark, docs).collect()))
+    b = sorted(map(tuple, distinct_words_by_source(docs).collect()))
+    assert a == b and len(a) > 0
