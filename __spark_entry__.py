@@ -1288,6 +1288,22 @@ def q_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return focal_mean(_images(spark, sf_dir, modulo=8), CELL_RES, patch_bits=4)
 
 
+def q_augment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric augmentation round trip: decode -> flip/rot index transform
+    -> re-encode TIFF -> re-decode -> position-weighted checksum. The oracle
+    recomputes each checksum from the pixel formula with the op's index
+    mapping, so a wrong transform, shape, or lossy encode all fail."""
+    from aira_spark.operators.augment import augment_stats
+
+    return augment_stats(_images(spark, sf_dir, modulo=16)).select(
+        "image_id", "op",
+        F.col("out_w").cast("long").alias("out_w"),
+        F.col("out_h").cast("long").alias("out_h"),
+        F.col("sum_px").cast("long").alias("sum_px"),
+        F.col("wsum").cast("long").alias("wsum"),
+    )
+
+
 def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed-bigram linear quality classifier over every
     document: Arrow-batched integer logit (exact), shared-text sigmoid/label
@@ -1312,9 +1328,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hash-green in BOTH the r1 and r2 driver files (meta_decode,
     # overview_select, crs_info, band_index, ifd_dump, q1_pricing,
     # top_customers, and — rotated out to make room for the round-3 group
-    # approx_distinct/focal_mean/classifier_scores/streaming_hll —
-    # zonal_by_polygon, ngram_jaccard, ann_cosine_topk, events_hourly) —
-    # re-verifiable any time via tools/check_oracle.py.
+    # approx_distinct/focal_mean/classifier_scores/streaming_hll/
+    # augment_stats — zonal_by_polygon, ngram_jaccard, ann_cosine_topk,
+    # events_hourly, sessionize) — re-verifiable any time via
+    # tools/check_oracle.py.
     return {
         "ratio_sort": q_ratio_sort,
         "tile_assign": q_tile_assign,
@@ -1327,6 +1344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": q_knn,
         "within_distance": q_within_distance,
         "resize_thumbs": q_resize_thumbs,
+        "augment_stats": q_augment_stats,
         "zonal_exact": q_zonal_exact,
         "mosaic": q_mosaic,
         "zonal_bands": q_zonal_bands,
@@ -1340,7 +1358,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_regions": q_raster_regions,
         "patch_stats": q_patch_stats,
         "phash_dedup": q_phash_dedup,
-        "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "stateful_totals": q_stateful_totals,
         "streaming_hourly": q_streaming_hourly,
@@ -1366,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
         "verify_invariants": q_verify_invariants,
+        "sessionize": q_sessionize,
         "events_hourly": q_events_hourly,
         "zonal_by_polygon": q_zonal_by_polygon,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2045,6 +2063,34 @@ FROM sc GROUP BY 1, 2 HAVING bool_or(is_center)
 """
 
 
+def _oracle_augment_stats() -> str:
+    from aira_spark.operators.augment import AUG_ORACLE_DIMS, AUG_ORACLE_POS, WSUM_MOD
+
+    arms = []
+    for op, pos in AUG_ORACLE_POS.items():
+        ow, oh = AUG_ORACLE_DIMS[op]
+        arms.append(
+            f"SELECT image_id, '{op}' AS op, CAST({ow} AS BIGINT) AS out_w,\n"
+            f"  CAST({oh} AS BIGINT) AS out_h,\n"
+            f"  CAST(SUM(val) AS BIGINT) AS sum_px,\n"
+            f"  CAST(SUM(({pos} + 1) * val) % {WSUM_MOD} AS BIGINT) AS wsum\n"
+            f"FROM vals GROUP BY image_id, w, h"
+        )
+    union = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH {_IMG_CTE},
+sel AS (SELECT * FROM meta WHERE k % 16 = 0),
+rws AS (SELECT *, unnest(generate_series(0, h - 1)) AS r FROM sel),
+pxs AS (SELECT *, unnest(generate_series(0, w - 1)) AS c FROM rws),
+vals AS (
+  SELECT image_id, w, h, r, c,
+         CAST((r * 7 + c * 13 + k) % 256 AS BIGINT) AS val
+  FROM pxs
+)
+{union}
+"""
+
+
 def _oracle_classifier_scores() -> str:
     from aira_spark.operators.classify import oracle_classifier_sql
 
@@ -2704,6 +2750,7 @@ FROM docs GROUP BY 1
         "approx_distinct": _oracle_approx_distinct(),
         "streaming_hll": _oracle_streaming_hll(),
         "classifier_scores": _oracle_classifier_scores(),
+        "augment_stats": _oracle_augment_stats(),
         "zonal_bands": _oracle_zonal_bands(),
         "band_index": _oracle_band_index(),
         "zonal_rollup": _oracle_zonal_rollup(),

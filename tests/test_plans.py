@@ -405,3 +405,16 @@ def test_focal_scatter_single_extra_agg(spark, sf_dir):
     assert "Generate" in s, s  # the offset explode
     assert count_in_plan(df, "ArrowEvalPython") <= 1, s  # decode only
     assert "BatchEvalPython" not in s
+
+
+def test_augment_zero_shuffle_map_only(spark, sf_dir):
+    """Augmentation is one Arrow map pass over the bytes — zero exchanges,
+    no join; the only Python node is the decode/transform/encode UDF."""
+    import __spark_entry__ as em
+    from aira_spark.operators.augment import augment_stats
+
+    df = augment_stats(em._images(spark, sf_dir, modulo=16))
+    s = plan_string(df)
+    assert shuffle_count(df) == 0, s
+    assert "Join" not in s, s
+    assert "BatchEvalPython" not in s

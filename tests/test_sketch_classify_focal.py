@@ -237,3 +237,54 @@ def test_streaming_hll_equals_batch(spark, sf_dir):
     a = sorted(map(tuple, run_streaming_hll(spark, docs).collect()))
     b = sorted(map(tuple, distinct_words_by_source(docs).collect()))
     assert a == b and len(a) > 0
+
+
+# --------------------------------------------------------------- augment
+
+
+def test_augment_oracle_index_mappings_match_numpy():
+    """The DuckDB position formulas must equal numpy's transform semantics
+    for every op on an asymmetric matrix — checked by evaluating both
+    weighted checksums in pure Python."""
+    import numpy as np
+
+    from aira_spark.operators.augment import (
+        AUG_OPS, AUG_ORACLE_DIMS, AUG_ORACLE_POS)
+
+    h, w = 3, 5
+    a = np.arange(h * w, dtype=np.int64).reshape(h, w) * 7 % 256
+    for op, f in AUG_OPS.items():
+        out = np.ascontiguousarray(f(a))
+        weights = np.arange(1, out.size + 1, dtype=np.int64)
+        np_wsum = int((weights * out.ravel()).sum())
+        pos = AUG_ORACLE_POS[op]
+        sql_wsum = sum(
+            (eval(pos, {}, {"r": r, "c": c, "w": w, "h": h}) + 1) * int(a[r, c])
+            for r in range(h) for c in range(w)
+        )
+        assert np_wsum == sql_wsum, op
+        ow, oh = AUG_ORACLE_DIMS[op]
+        dims = {"w": w, "h": h}
+        assert (out.shape[1], out.shape[0]) == (dims[ow], dims[oh]), op
+
+
+def test_augment_stats_roundtrip_known_image(spark):
+    """A hand-built 2x3 TIFF through the full decode->transform->encode->
+    decode pipeline: checksums equal the direct numpy computation."""
+    import numpy as np
+
+    from aira_spark.operators.augment import AUG_OPS, augment_stats
+    from aira_spark.tiff.encode import write_tiff
+
+    a = np.array([[10, 20, 30], [40, 50, 60]], dtype=np.uint8)
+    buf = write_tiff(a[:, :, None], byteorder="<", layout=("strips", 8))
+    df = spark.createDataFrame([("im0", bytearray(buf))], "image_id string, bytes binary")
+    got = {r["op"]: r for r in augment_stats(df).collect()}
+    assert len(got) == len(AUG_OPS)
+    for op, f in AUG_OPS.items():
+        out = np.ascontiguousarray(f(a)).astype(np.int64)
+        weights = np.arange(1, out.size + 1, dtype=np.int64)
+        r = got[op]
+        assert (r["out_w"], r["out_h"]) == (out.shape[1], out.shape[0]), op
+        assert r["sum_px"] == int(out.sum()), op
+        assert r["wsum"] == int((weights * out.ravel()).sum()), op
