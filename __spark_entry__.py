@@ -1288,6 +1288,28 @@ def q_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return focal_mean(_images(spark, sf_dir, modulo=8), CELL_RES, patch_bits=4)
 
 
+CMS_WATCHLIST = ("data", "the", "join", "stream", "zz_absent")
+
+
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point queries: estimated vs exact frequency of a
+    broadcast watchlist of terms per document source — bounded 4x1024
+    counter state per group instead of a vocabulary-sized histogram; the
+    est >= true sketch guarantee is pinned by pytest."""
+    from aira_spark.operators.sketch import cms_point_estimates
+
+    pairs = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "source AS grp", "explode(split(text, ' ')) AS v"
+    ).where("length(v) > 0")
+    wl = spark.createDataFrame([(t,) for t in CMS_WATCHLIST], "term string")
+    out = cms_point_estimates(pairs, wl)
+    return out.select(
+        "grp", "term",
+        F.col("est_count").cast("long").alias("est_count"),
+        F.col("true_count").cast("long").alias("true_count"),
+    )
+
+
 def q_augment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geometric augmentation round trip: decode -> flip/rot index transform
     -> re-encode TIFF -> re-decode -> position-weighted checksum. The oracle
@@ -1329,9 +1351,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # overview_select, crs_info, band_index, ifd_dump, q1_pricing,
     # top_customers, and — rotated out to make room for the round-3 group
     # approx_distinct/focal_mean/classifier_scores/streaming_hll/
-    # augment_stats — zonal_by_polygon, ngram_jaccard, ann_cosine_topk,
-    # events_hourly, sessionize) — re-verifiable any time via
-    # tools/check_oracle.py.
+    # augment_stats/cms_counts — zonal_by_polygon, ngram_jaccard,
+    # ann_cosine_topk, events_hourly, sessionize, stateful_totals) —
+    # re-verifiable any time via tools/check_oracle.py.
     return {
         "ratio_sort": q_ratio_sort,
         "tile_assign": q_tile_assign,
@@ -1359,7 +1381,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "patch_stats": q_patch_stats,
         "phash_dedup": q_phash_dedup,
         "asof_join": q_asof_join,
-        "stateful_totals": q_stateful_totals,
         "streaming_hourly": q_streaming_hourly,
         "streaming_cover": q_streaming_cover,
         "streaming_dedup": q_streaming_dedup,
@@ -1377,12 +1398,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "approx_distinct": q_approx_distinct,
+        "cms_counts": q_cms_counts,
         "classifier_scores": q_classifier_scores,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
         "verify_invariants": q_verify_invariants,
+        "stateful_totals": q_stateful_totals,
         "sessionize": q_sessionize,
         "events_hourly": q_events_hourly,
         "zonal_by_polygon": q_zonal_by_polygon,
@@ -2061,6 +2084,20 @@ SELECT CAST(tx AS BIGINT) AS fx, CAST(ty AS BIGINT) AS fy,
   ROUND(CAST(SUM(val) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS focal_mean
 FROM sc GROUP BY 1, 2 HAVING bool_or(is_center)
 """
+
+
+def _oracle_cms_counts() -> str:
+    from aira_spark.functions.sketchfns import oracle_cms_sql
+
+    cte = (
+        "pairs AS (\n"
+        "  SELECT source AS grp, w AS v FROM\n"
+        "    (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)\n"
+        "  WHERE length(w) > 0\n"
+        ")"
+    )
+    values = ", ".join(f"('{t}')" for t in CMS_WATCHLIST)
+    return oracle_cms_sql(cte, values)
 
 
 def _oracle_augment_stats() -> str:
@@ -2751,6 +2788,7 @@ FROM docs GROUP BY 1
         "streaming_hll": _oracle_streaming_hll(),
         "classifier_scores": _oracle_classifier_scores(),
         "augment_stats": _oracle_augment_stats(),
+        "cms_counts": _oracle_cms_counts(),
         "zonal_bands": _oracle_zonal_bands(),
         "band_index": _oracle_band_index(),
         "zonal_rollup": _oracle_zonal_rollup(),

@@ -110,3 +110,58 @@ SELECT grp, SUM(cnt) AS n_values,
   {estimate_expr(s, v_empty)} AS est_distinct
 FROM regs GROUP BY grp
 """
+
+
+# ------------------------------------------------------------- count-min
+
+CM_DEPTH = 4
+CM_WIDTH = 1024
+
+
+def cm_bucket_expr(value: str, row: int, engine: str) -> str:
+    """Counter index of `value` in CMS row `row`: an independent md5 stream
+    per row via a row-tagged hash input (the same device as the classifier's
+    ':w' weight tag) — identical integers in both engines."""
+    tagged = f"({value} || ':cm{row}')"
+    return f"({h64(tagged, engine)} % {CM_WIDTH})"
+
+
+def oracle_cms_sql(pairs_cte: str, watchlist_values: str) -> str:
+    """DuckDB mirror of cms_point_estimates over a CTE named `pairs`
+    (grp, v); `watchlist_values` is a VALUES list like "('data'), ('the')"."""
+    counter_ctes = ",\n".join(
+        f"c{i} AS (SELECT grp, {cm_bucket_expr('v', i, 'duckdb')} AS b, "
+        f"CAST(COUNT(*) AS BIGINT) AS cnt FROM pairs GROUP BY 1, 2)"
+        for i in range(CM_DEPTH)
+    )
+    probe_cols = ", ".join(
+        f"{cm_bucket_expr('term', i, 'duckdb')} AS b{i}" for i in range(CM_DEPTH)
+    )
+    joins = "\n".join(
+        f"LEFT JOIN c{i} ON c{i}.grp = p.grp AND c{i}.b = p.b{i}"
+        for i in range(CM_DEPTH)
+    )
+    least = "LEAST(" + ", ".join(
+        f"COALESCE(c{i}.cnt, 0)" for i in range(CM_DEPTH)
+    ) + ")"
+    return f"""
+WITH {pairs_cte},
+wl(term) AS (VALUES {watchlist_values}),
+{counter_ctes},
+probes AS (
+  SELECT g.grp, wl.term, {probe_cols}
+  FROM (SELECT DISTINCT grp FROM pairs) g, wl
+),
+est AS (
+  SELECT p.grp, p.term, CAST({least} AS BIGINT) AS est_count
+  FROM probes p
+  {joins}
+),
+exact AS (
+  SELECT grp, term, CAST(COUNT(*) AS BIGINT) AS true_count
+  FROM pairs JOIN wl ON v = term GROUP BY 1, 2
+)
+SELECT est.grp, est.term, est.est_count,
+       COALESCE(exact.true_count, 0) AS true_count
+FROM est LEFT JOIN exact ON est.grp = exact.grp AND est.term = exact.term
+"""

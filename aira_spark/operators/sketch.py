@@ -80,3 +80,72 @@ def distinct_words_by_source(docs: DataFrame) -> DataFrame:
         "source AS grp", "explode(split(text, ' ')) AS v"
     ).where(F.expr("length(v) > 0"))
     return hll_distinct(pairs, "grp", "v")
+
+
+def cms_counters(pairs: DataFrame, grp: str = "grp", val: str = "v") -> DataFrame:
+    """(grp, row, bucket, cnt): count-min sketch counters — d x w = 4 x 1024
+    bounded counter state per group, built in ONE pass. Like the HLL
+    registers, counters are exact integers from shared hash formulas
+    (portable across engines/runs) and merge by plain addition, and the
+    shuffle carries at most d*w counter rows per (group x input partition)
+    thanks to map-side partial aggregation — never the vocabulary."""
+    from ..functions.sketchfns import CM_DEPTH, cm_bucket_expr
+
+    arms = ", ".join(
+        f"named_struct('row', {i}, 'bucket', {cm_bucket_expr(val, i, 'spark')})"
+        for i in range(CM_DEPTH)
+    )
+    return (
+        pairs.where(F.col(val).isNotNull())
+        .selectExpr(f"{grp} AS grp", f"explode(array({arms})) AS rb")
+        .groupBy("grp", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_point_estimates(
+    pairs: DataFrame, watchlist: DataFrame, grp: str = "grp", val: str = "v"
+) -> DataFrame:
+    """(grp, term, est_count, true_count): count-min frequency estimates for
+    a broadcast watchlist of terms, next to the exact counts (the sketch
+    guarantee est >= true is pinned by pytest; the overestimate is the price
+    of d*w bounded state instead of a vocabulary-sized histogram).
+
+    Scale shape: the counters (<= groups * 4096 rows) and the watchlist both
+    broadcast; the only corpus-sized work is the one counter-building pass.
+    Terms absent from a group estimate >= 0 via whatever collisions their
+    buckets carry — rows are emitted for every (group, watch term), matching
+    the point-query semantics of a real CMS."""
+    from ..functions.sketchfns import CM_DEPTH, cm_bucket_expr
+
+    counters = cms_counters(pairs, grp, val)
+    groups = counters.select("grp").distinct()
+    probes = groups.crossJoin(F.broadcast(watchlist)).selectExpr(
+        "grp", "term", *[
+            f"{cm_bucket_expr('term', i, 'spark')} AS b{i}"
+            for i in range(CM_DEPTH)
+        ]
+    )
+    est = probes
+    for i in range(CM_DEPTH):
+        ci = (
+            counters.where(F.col("row") == i)
+            .selectExpr("grp", f"bucket AS b{i}", f"cnt AS c{i}")
+        )
+        # left join: an empty counter bucket means the row saw NO collisions
+        # for this term -> that row's estimate is 0
+        est = est.join(F.broadcast(ci), ["grp", f"b{i}"], "left").fillna(
+            0, subset=[f"c{i}"]
+        )
+    least = "least(" + ", ".join(f"c{i}" for i in range(CM_DEPTH)) + ")"
+    exact = (
+        pairs.join(F.broadcast(watchlist), F.col(val) == F.col("term"))
+        .groupBy(grp, "term")
+        .agg(F.count("*").cast("long").alias("true_count"))
+        .withColumnRenamed(grp, "grp")
+    )
+    return (
+        est.selectExpr("grp", "term", f"CAST({least} AS BIGINT) AS est_count")
+        .join(exact, ["grp", "term"], "left")
+        .fillna(0, subset=["true_count"])
+    )

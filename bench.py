@@ -168,6 +168,7 @@ def main() -> None:
         "classifier_scores": lambda: em.q_classifier_scores(spark, sf_dir).count(),
         "augment_stats": lambda: em.q_augment_stats(spark, sf_dir).count(),
         "streaming_hll": lambda: em.q_streaming_hll(spark, sf_dir).count(),
+        "cms_counts": lambda: em.q_cms_counts(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

@@ -288,3 +288,52 @@ def test_augment_stats_roundtrip_known_image(spark):
         assert (r["out_w"], r["out_h"]) == (out.shape[1], out.shape[0]), op
         assert r["sum_px"] == int(out.sum()), op
         assert r["wsum"] == int((weights * out.ravel()).sum()), op
+
+
+# ------------------------------------------------------------- count-min
+
+
+def test_cms_estimate_at_least_true_and_exact_on_sparse(spark):
+    from aira_spark.operators.sketch import cms_point_estimates
+
+    # 3 terms with known counts + heavy noise vocabulary
+    rows = (
+        [("g", "apple")] * 50 + [("g", "pear")] * 7 + [("g", "kiwi")] * 1
+        + [("g", f"noise{i}") for i in range(2000)]
+    )
+    pairs = spark.createDataFrame(rows, "grp string, v string")
+    wl = spark.createDataFrame(
+        [("apple",), ("pear",), ("kiwi",), ("absent",)], "term string"
+    )
+    got = {r["term"]: r for r in cms_point_estimates(pairs, wl).collect()}
+    truth = {"apple": 50, "pear": 7, "kiwi": 1, "absent": 0}
+    for t, n in truth.items():
+        assert got[t]["true_count"] == n
+        assert got[t]["est_count"] >= n  # the one-sided CMS guarantee
+        # d=4, w=1024 on ~2058 increments: expected overestimate per row
+        # ~2 and the min over 4 rows is almost surely tight-ish
+        assert got[t]["est_count"] <= n + 40
+
+
+def test_cms_counters_merge_by_addition(spark):
+    # counters built on two halves sum to the whole — the mergeability that
+    # lets per-day sketches combine without reprocessing
+    from pyspark.sql import functions as F
+
+    from aira_spark.operators.sketch import cms_counters
+
+    rows = [("g", f"t{i % 37}") for i in range(500)]
+    whole = spark.createDataFrame(rows, "grp string, v string")
+    h1 = spark.createDataFrame(rows[:250], "grp string, v string")
+    h2 = spark.createDataFrame(rows[250:], "grp string, v string")
+
+    def cmap(df):
+        return {
+            (r["row"], r["bucket"]): r["cnt"] for r in cms_counters(df).collect()
+        }
+
+    merged: dict = {}
+    for d in (cmap(h1), cmap(h2)):
+        for k, v in d.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == cmap(whole)
