@@ -1326,6 +1326,15 @@ def q_augment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_focal_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Central-difference gradient (map-algebra slope) over the mosaic fine
+    grid: weighted-stencil variant of the focal scatter-agg; emitted only
+    where all four cardinal neighbors are filled."""
+    from aira_spark.operators.focal import focal_gradient
+
+    return focal_gradient(_images(spark, sf_dir, modulo=8), CELL_RES, patch_bits=4)
+
+
 def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed-bigram linear quality classifier over every
     document: Arrow-batched integer logit (exact), shared-text sigmoid/label
@@ -1350,10 +1359,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hash-green in BOTH the r1 and r2 driver files (meta_decode,
     # overview_select, crs_info, band_index, ifd_dump, q1_pricing,
     # top_customers, and — rotated out to make room for the round-3 group
-    # approx_distinct/focal_mean/classifier_scores/streaming_hll/
-    # augment_stats/cms_counts — zonal_by_polygon, ngram_jaccard,
-    # ann_cosine_topk, events_hourly, sessionize, stateful_totals) —
-    # re-verifiable any time via tools/check_oracle.py.
+    # approx_distinct/focal_mean/focal_gradient/classifier_scores/
+    # streaming_hll/augment_stats/cms_counts — zonal_by_polygon,
+    # ngram_jaccard, ann_cosine_topk, events_hourly, sessionize,
+    # stateful_totals, within_distance) — re-verifiable any time via
+    # tools/check_oracle.py.
     return {
         "ratio_sort": q_ratio_sort,
         "tile_assign": q_tile_assign,
@@ -1361,10 +1371,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_compact": q_cell_compact,
         "zonal_stats": q_zonal_stats,
         "focal_mean": q_focal_mean,
+        "focal_gradient": q_focal_gradient,
         "pip": q_pip,
         "pip_salted": q_pip_salted,
         "knn": q_knn,
-        "within_distance": q_within_distance,
         "resize_thumbs": q_resize_thumbs,
         "augment_stats": q_augment_stats,
         "zonal_exact": q_zonal_exact,
@@ -1405,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
         "verify_invariants": q_verify_invariants,
+        "within_distance": q_within_distance,
         "stateful_totals": q_stateful_totals,
         "sessionize": q_sessionize,
         "events_hourly": q_events_hourly,
@@ -2163,6 +2174,40 @@ def _oracle_approx_distinct() -> str:
     return oracle_hll_sql(cte)
 
 
+def _oracle_focal_gradient() -> str:
+    # fine-grid CTE as in the mosaic/focal oracles; scatter weights mirror
+    # operators/focal.py GRAD_OFFSETS with the sign flip applied there
+    nf = 1 << (CELL_RES + 4)
+    fix = f"CAST(LEAST(GREATEST(FLOOR((x - (-180.0)) / 360.0 * {float(nf)}), 0), {nf - 1}) AS BIGINT)"
+    fiy = f"CAST(LEAST(GREATEST(FLOOR((y - (-90.0)) / 180.0 * {float(nf)}), 0), {nf - 1}) AS BIGINT)"
+    return f"""
+WITH {_IMG_CTE},
+sel AS (SELECT * FROM meta WHERE k % 8 = 0),
+rws AS (SELECT *, unnest(generate_series(0, h - 1)) AS r FROM sel),
+pxs AS (SELECT *, unnest(generate_series(0, w - 1)) AS c FROM rws),
+vals AS (
+  SELECT (r * 7 + c * 13 + k) % 256 AS val,
+         cx + (CAST(c AS DOUBLE) + 0.5) * sx AS x,
+         (cy + h * sy) - (CAST(r AS DOUBLE) + 0.5) * sy AS y
+  FROM pxs
+),
+fine AS (SELECT {fix} AS fx, {fiy} AS fy, CAST(MAX(val) AS BIGINT) AS val
+         FROM vals GROUP BY 1, 2),
+sc AS (
+  SELECT fx + o.dx AS tx, fy + o.dy AS ty,
+         o.wx * val AS cx, o.wy * val AS cy,
+         (o.dx = 0 AND o.dy = 0) AS is_center
+  FROM fine, (VALUES (0,0,0,0),(1,0,-1,0),(-1,0,1,0),(0,1,0,-1),(0,-1,0,1))
+       AS o(dx, dy, wx, wy)
+  WHERE fx + o.dx >= 0 AND fx + o.dx < {nf} AND fy + o.dy >= 0 AND fy + o.dy < {nf}
+)
+SELECT CAST(tx AS BIGINT) AS fx, CAST(ty AS BIGINT) AS fy,
+  CAST(SUM(cx) AS BIGINT) AS gx, CAST(SUM(cy) AS BIGINT) AS gy,
+  CAST(SUM(cx) * SUM(cx) + SUM(cy) * SUM(cy) AS BIGINT) AS grad2
+FROM sc GROUP BY 1, 2 HAVING bool_or(is_center) AND COUNT(*) = 5
+"""
+
+
 def _oracle_zonal_rollup() -> str:
     # parent cell: same fine-resolution index arithmetic, then the exact bit
     # shift the Spark side performs (ix >> 2 == ix // 4)
@@ -2784,6 +2829,7 @@ FROM docs GROUP BY 1
         "zonal_exact": _oracle_zonal_exact(),
         "mosaic": _oracle_mosaic(),
         "focal_mean": _oracle_focal_mean(),
+        "focal_gradient": _oracle_focal_gradient(),
         "approx_distinct": _oracle_approx_distinct(),
         "streaming_hll": _oracle_streaming_hll(),
         "classifier_scores": _oracle_classifier_scores(),

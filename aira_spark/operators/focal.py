@@ -81,3 +81,72 @@ def focal_mean(
             ).alias("focal_mean"),
         )
     )
+
+
+# central-difference gradient stencil: (offset dx, dy) -> (weight in gx, gy)
+GRAD_OFFSETS = {
+    (0, 0): (0, 0),      # center: presence flag only
+    (1, 0): (1, 0),      # east neighbor adds +val to gx
+    (-1, 0): (-1, 0),
+    (0, 1): (0, 1),
+    (0, -1): (0, -1),
+}
+
+
+def focal_gradient(
+    images: DataFrame, res: int = DEFAULT_RES, patch_bits: int = 4
+) -> DataFrame:
+    """(fx, fy, gx, gy, grad2): central-difference gradient of the mosaic
+    fine grid — gx = val(E) - val(W), gy = val(N) - val(S), grad2 = gx^2 +
+    gy^2 (the integer square of the slope magnitude; map-algebra slope /
+    edge detection). Emitted ONLY where the center and all four cardinal
+    neighbors are filled (a one-sided difference would silently change
+    meaning at data edges).
+
+    Same halo-exchange-as-aggregation shape as focal_mean: each source
+    subcell scatters (weighted) contributions to the 5 stencil targets, one
+    hash agg folds them map-side; the required-neighbor check is a counter
+    folded in the same agg — no join against the filled set."""
+    vals = mosaic_cell_values(images, res, patch_bits)
+    nf = 1 << (res + patch_bits)
+    fine = vals.select(
+        (cell_ix(F.col("cell")) * (1 << patch_bits) + F.col("pc")).alias("fx"),
+        (cell_iy(F.col("cell")) * (1 << patch_bits) + F.col("pr")).alias("fy"),
+        "val",
+    )
+    # a source at s contributes to target t = s + (dx, dy) with the weight
+    # the stencil assigns to the RELATIVE offset t - s = (dx, dy) negated:
+    # val(t + (1,0)) means the source EAST of t, which scatters via (-1, 0)
+    arms = ", ".join(
+        f"named_struct('dx', {dx}, 'dy', {dy}, 'wx', {-wx}, 'wy', {-wy})"
+        for (dx, dy), (wx, wy) in GRAD_OFFSETS.items()
+    )
+    scattered = fine.select(
+        "fx", "fy", "val", F.expr(f"explode(array({arms}))").alias("o")
+    ).select(
+        (F.col("fx") + F.col("o.dx")).alias("tx"),
+        (F.col("fy") + F.col("o.dy")).alias("ty"),
+        (F.col("o.wx").cast("long") * F.col("val")).alias("cx"),
+        (F.col("o.wy").cast("long") * F.col("val")).alias("cy"),
+        ((F.col("o.dx") == 0) & (F.col("o.dy") == 0)).alias("is_center"),
+    ).where(
+        (F.col("tx") >= 0) & (F.col("tx") < nf)
+        & (F.col("ty") >= 0) & (F.col("ty") < nf)
+    )
+    return (
+        scattered.groupBy("tx", "ty")
+        .agg(
+            F.count("*").cast("long").alias("n_contrib"),
+            F.sum("cx").cast("long").alias("gx"),
+            F.sum("cy").cast("long").alias("gy"),
+            F.max("is_center").alias("has_center"),
+        )
+        # 5 contributions = center + all 4 cardinal neighbors present
+        .where(F.col("has_center") & (F.col("n_contrib") == 5))
+        .select(
+            F.col("tx").cast("long").alias("fx"),
+            F.col("ty").cast("long").alias("fy"),
+            "gx", "gy",
+            (F.col("gx") * F.col("gx") + F.col("gy") * F.col("gy")).alias("grad2"),
+        )
+    )

@@ -169,6 +169,7 @@ def main() -> None:
         "augment_stats": lambda: em.q_augment_stats(spark, sf_dir).count(),
         "streaming_hll": lambda: em.q_streaming_hll(spark, sf_dir).count(),
         "cms_counts": lambda: em.q_cms_counts(spark, sf_dir).count(),
+        "focal_gradient": lambda: em.q_focal_gradient(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

@@ -337,3 +337,72 @@ def test_cms_counters_merge_by_addition(spark):
         for k, v in d.items():
             merged[k] = merged.get(k, 0) + v
     assert merged == cmap(whole)
+
+
+def test_focal_gradient_matches_numpy(spark, sf_dir):
+    """Brute-force: central differences over the reconstructed fine grid;
+    only positions with center + all 4 cardinal neighbors emit."""
+    import numpy as np
+
+    import __spark_entry__ as em
+    from aira_spark.functions.cells import np_cell_ix, np_cell_iy
+    from aira_spark.operators.focal import focal_gradient
+    from aira_spark.operators.mosaic import mosaic_cell_values
+
+    images = em._images(spark, sf_dir, modulo=4)
+    vals = mosaic_cell_values(images, em.CELL_RES, patch_bits=4).collect()
+    nf = 1 << (em.CELL_RES + 4)
+    filled: dict[tuple[int, int], int] = {}
+    for r in vals:
+        fx = int(np_cell_ix(np.int64(r["cell"]))) * 16 + r["pc"]
+        fy = int(np_cell_iy(np.int64(r["cell"]))) * 16 + r["pr"]
+        filled[(fx, fy)] = r["val"]
+    got = {
+        (r["fx"], r["fy"]): (r["gx"], r["gy"], r["grad2"])
+        for r in focal_gradient(images, em.CELL_RES, patch_bits=4).collect()
+    }
+    expect = {}
+    for (fx, fy) in filled:
+        nbrs = [(fx + 1, fy), (fx - 1, fy), (fx, fy + 1), (fx, fy - 1)]
+        if all(n in filled and 0 <= n[0] < nf and 0 <= n[1] < nf for n in nbrs):
+            gx = filled[(fx + 1, fy)] - filled[(fx - 1, fy)]
+            gy = filled[(fx, fy + 1)] - filled[(fx, fy - 1)]
+            expect[(fx, fy)] = (gx, gy, gx * gx + gy * gy)
+    assert got == expect
+    assert len(got) > 0  # the fixture really exercises interior pixels
+
+
+def test_focal_gradient_hand_plus(spark):
+    """A plus-shaped arrangement: only the middle qualifies."""
+    from pyspark.sql import functions as F
+
+    from aira_spark.operators import focal as fo
+
+    vals = {(10, 10): 5, (11, 10): 9, (9, 10): 1, (10, 11): 20, (10, 9): 4}
+    spark_df = spark.createDataFrame(
+        [(x, y, v) for (x, y), v in vals.items()], "fx long, fy long, val long"
+    )
+    arms = ", ".join(
+        f"named_struct('dx', {dx}, 'dy', {dy}, 'wx', {-wx}, 'wy', {-wy})"
+        for (dx, dy), (wx, wy) in fo.GRAD_OFFSETS.items()
+    )
+    out = (
+        spark_df.select("fx", "fy", "val",
+                        F.expr(f"explode(array({arms}))").alias("o"))
+        .select(
+            (F.col("fx") + F.col("o.dx")).alias("tx"),
+            (F.col("fy") + F.col("o.dy")).alias("ty"),
+            (F.col("o.wx").cast("long") * F.col("val")).alias("cx"),
+            (F.col("o.wy").cast("long") * F.col("val")).alias("cy"),
+            ((F.col("o.dx") == 0) & (F.col("o.dy") == 0)).alias("is_center"),
+        )
+        .groupBy("tx", "ty")
+        .agg(F.count("*").alias("n"), F.sum("cx").alias("gx"),
+             F.sum("cy").alias("gy"), F.max("is_center").alias("c"))
+        .where("c AND n = 5")
+        .collect()
+    )
+    assert len(out) == 1
+    r = out[0]
+    assert (r["tx"], r["ty"]) == (10, 10)
+    assert r["gx"] == 9 - 1 and r["gy"] == 20 - 4
