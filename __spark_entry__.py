@@ -1288,6 +1288,21 @@ def q_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return focal_mean(_images(spark, sf_dir, modulo=8), CELL_RES, patch_bits=4)
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Untruncated inverted index over the documents table: per term, df,
+    total tf, and the sorted posting list — explode -> two-level hash agg,
+    text never shuffles."""
+    from aira_spark.operators.rank import inverted_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return inverted_index(docs).select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.col("total_tf").cast("long").alias("total_tf"),
+        F.col("postings").cast("array<long>").alias("postings"),
+    )
+
+
 CMS_WATCHLIST = ("data", "the", "join", "stream", "zz_absent")
 
 
@@ -1360,10 +1375,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # overview_select, crs_info, band_index, ifd_dump, q1_pricing,
     # top_customers, and — rotated out to make room for the round-3 group
     # approx_distinct/focal_mean/focal_gradient/classifier_scores/
-    # streaming_hll/augment_stats/cms_counts — zonal_by_polygon,
-    # ngram_jaccard, ann_cosine_topk, events_hourly, sessionize,
-    # stateful_totals, within_distance) — re-verifiable any time via
-    # tools/check_oracle.py.
+    # streaming_hll/augment_stats/cms_counts/inverted_index —
+    # zonal_by_polygon, ngram_jaccard, ann_cosine_topk, events_hourly,
+    # sessionize, stateful_totals, within_distance, zonal_exact) —
+    # re-verifiable any time via tools/check_oracle.py.
     return {
         "ratio_sort": q_ratio_sort,
         "tile_assign": q_tile_assign,
@@ -1377,7 +1392,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": q_knn,
         "resize_thumbs": q_resize_thumbs,
         "augment_stats": q_augment_stats,
-        "zonal_exact": q_zonal_exact,
         "mosaic": q_mosaic,
         "zonal_bands": q_zonal_bands,
         "zonal_rollup": q_zonal_rollup,
@@ -1397,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hll": q_streaming_hll,
         "corpus_sample": q_corpus_sample,
         "bm25": q_bm25,
+        "inverted_index": q_inverted_index,
         "text_features": q_text_features,
         "repetition_filter": q_repetition_filter,
         "corpus_clean": q_corpus_clean,
@@ -1415,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
         "verify_invariants": q_verify_invariants,
+        "zonal_exact": q_zonal_exact,
         "within_distance": q_within_distance,
         "stateful_totals": q_stateful_totals,
         "sessionize": q_sessionize,
@@ -2095,6 +2111,12 @@ SELECT CAST(tx AS BIGINT) AS fx, CAST(ty AS BIGINT) AS fy,
   ROUND(CAST(SUM(val) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS focal_mean
 FROM sc GROUP BY 1, 2 HAVING bool_or(is_center)
 """
+
+
+def _oracle_inverted_index() -> str:
+    from aira_spark.operators.rank import oracle_inverted_index_sql
+
+    return oracle_inverted_index_sql("documents")
 
 
 def _oracle_cms_counts() -> str:
@@ -2819,6 +2841,7 @@ FROM docs GROUP BY 1
         "pack_sequences": _oracle_pack_sequences(),
         "corpus_sample": _oracle_corpus_sample(),
         "bm25": _oracle_bm25(),
+        "inverted_index": _oracle_inverted_index(),
         "semantic_dedup": _oracle_semantic_dedup(),
         "streaming_cover": _oracle_cell_cover(modulo=16),
         "zonal_stats": _oracle_zonal_stats(),

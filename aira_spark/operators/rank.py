@@ -141,3 +141,70 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
        CAST(SUM(contrib_micros) AS DOUBLE) / {MICROS} AS score
 FROM scored GROUP BY query_id, doc_id
 """
+
+
+def inverted_index(
+    docs: DataFrame, min_df: int = 1, max_postings: int | None = None
+) -> DataFrame:
+    """(term, df, total_tf, postings): the classic search-engine inverted
+    index as DataFrames — per term, its document frequency, total term
+    count, and the sorted posting list of (doc_id) it appears in.
+
+    Scale shape: explode -> two-level hash agg, both levels partial/final
+    combined map-side; the only shuffles carry (term, doc_id, tf) hit rows
+    and then per-term partials — text never shuffles. Posting arrays are
+    sorted (collect_list order is partitioning-dependent; sort_array makes
+    the output deterministic and mergeable). `max_postings` truncates hot
+    terms to the doc_ids with highest tf (tie: lowest doc_id) — the
+    impact-ordered-index device that bounds skewed posting rows at web
+    scale; truncation is LOUD in the schema (df still counts every doc, so
+    df > size(postings) marks a truncated row).
+    """
+    tf = (
+        docs.selectExpr("doc_id", "explode(split(text, ' ')) AS term")
+        .where(F.expr("length(term) > 0"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    if max_postings is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("term").orderBy(
+            F.col("tf").desc(), F.col("doc_id")
+        )
+        kept = tf.withColumn("_r", F.row_number().over(w)).where(
+            F.col("_r") <= max_postings
+        )
+        stats = tf.groupBy("term").agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("total_tf"),
+        )
+        idx = (
+            kept.groupBy("term")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
+            .join(stats, "term")
+        )
+    else:
+        idx = tf.groupBy("term").agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("total_tf"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+    return idx.where(F.col("df") >= min_df).select(
+        "term", "df", "total_tf", "postings"
+    )
+
+
+def oracle_inverted_index_sql(table: str = "documents", min_df: int = 1) -> str:
+    """DuckDB mirror of the untruncated index."""
+    return f"""
+WITH hits AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {table}
+  ) WHERE length(term) > 0 GROUP BY term, doc_id
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(tf) AS BIGINT) AS total_tf,
+       list(doc_id ORDER BY doc_id) AS postings
+FROM hits GROUP BY term HAVING COUNT(*) >= {min_df}
+"""

@@ -418,3 +418,20 @@ def test_augment_zero_shuffle_map_only(spark, sf_dir):
     assert shuffle_count(df) == 0, s
     assert "Join" not in s, s
     assert "BatchEvalPython" not in s
+
+
+def test_inverted_index_two_level_agg_no_text_shuffle(spark, sf_dir):
+    """Explode -> (term, doc) agg -> term agg; shuffles carry hit rows and
+    term partials — never the text column."""
+    from aira_spark.operators.rank import inverted_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = inverted_index(docs)
+    s = plan_string(df)
+    assert shuffle_count(df) == 2, s
+    assert "Python" not in s, s
+    # the text column must be pruned before any exchange: it appears only
+    # in the scan/generate, not in shuffle output attribute lists
+    import re
+    for m in re.finditer(r"Exchange[^\n]*\n(?:[^\n]*\n){0,3}", s):
+        assert "text#" not in m.group(0), m.group(0)

@@ -406,3 +406,39 @@ def test_focal_gradient_hand_plus(spark):
     r = out[0]
     assert (r["tx"], r["ty"]) == (10, 10)
     assert r["gx"] == 9 - 1 and r["gy"] == 20 - 4
+
+
+# -------------------------------------------------------- inverted index
+
+
+def test_inverted_index_hand_counts(spark):
+    from aira_spark.operators.rank import inverted_index
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "b")], "doc_id long, text string"
+    )
+    got = {r["term"]: r for r in inverted_index(docs).collect()}
+    assert got["a"]["df"] == 1 and got["a"]["total_tf"] == 2
+    assert got["a"]["postings"] == [1]
+    assert got["b"]["df"] == 3 and got["b"]["total_tf"] == 3
+    assert got["b"]["postings"] == [1, 2, 3]
+    assert got["c"]["postings"] == [2]
+
+
+def test_inverted_index_truncation_keeps_df_honest(spark):
+    """max_postings bounds hot-term posting rows by tf (tie: low doc_id),
+    but df/total_tf still count every document — df > size(postings) marks
+    the truncation."""
+    from aira_spark.operators.rank import inverted_index
+
+    docs = spark.createDataFrame(
+        [(1, "x x x"), (2, "x x"), (3, "x"), (4, "y")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["term"]: r
+        for r in inverted_index(docs, max_postings=2).collect()
+    }
+    assert got["x"]["df"] == 3 and got["x"]["total_tf"] == 6
+    assert got["x"]["postings"] == [1, 2]  # top-2 by tf
+    assert got["y"]["postings"] == [4]

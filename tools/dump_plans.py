@@ -113,6 +113,18 @@ def main() -> None:
                               "with per-executor weight table), no join — "
                               "the hashed weights need no weights-table "
                               "broadcast at all"),
+        ("cms_counts", "count-min counters: one corpus pass into bounded "
+                       "4x1024 state (map-side combined); point queries are "
+                       "broadcast left joins of the counter rows — the "
+                       "vocabulary never materializes"),
+        ("focal_gradient", "weighted stencil through the same scatter-agg "
+                           "as focal_mean: stencil weights are data, not "
+                           "plan shape; required-neighbor check folded into "
+                           "the one aggregation"),
+        ("augment_stats", "augmentation is one Arrow map pass (decode -> "
+                          "index permutation -> re-encode -> re-decode); "
+                          "zero exchanges, stats cross Arrow, pixel buffers "
+                          "never shuffle"),
     ]
     qs = em.queries()
     lines = [
