@@ -234,11 +234,31 @@ def resume_stage(
     write_stage(df, path, stage, key, n_buckets, cell_col, only_buckets=pending)
 
 
+def _merge_shadow_filter(path: str, ids: list[int]):
+    """Bucket shadowing for MERGE snapshots: a merge rewrites the full
+    content of its touched buckets into its own snap= dir, so any OLDER
+    snapshot's rows for those buckets are superseded. Returns a Column
+    excluding them (True = keep), considering only merge snapshots inside
+    `ids` — time travel to a pre-merge snapshot never sees the shadow."""
+    keep = F.lit(True)
+    for s in snapshots(path):
+        sid = s["snapshot-id"]
+        summ = s.get("summary", {})
+        if sid in ids and summ.get("operation") == "merge":
+            bs = summ.get("rewritten-buckets", [])
+            if bs:
+                keep = keep & ~(
+                    (F.col("snap") < F.lit(sid)) & F.col("bucket").isin(bs)
+                )
+    return keep
+
+
 def _read_snapshots(spark: SparkSession, path: str, ids: list[int]) -> DataFrame:
     """The one snapshot-scan shape every reader shares: layout guard, then
-    scan + snap= partition filter + drop. Raises the designed error on the
-    pre-snapshot layout and on a table with no data at all (instead of an
-    opaque PATH_NOT_FOUND / missing-column failure at scan time)."""
+    scan + snap= partition filter + merge-bucket shadowing + drop. Raises
+    the designed error on the pre-snapshot layout and on a table with no
+    data at all (instead of an opaque PATH_NOT_FOUND / missing-column
+    failure at scan time)."""
     data = f"{path}/data"
     if not os.path.isdir(data):
         raise ValueError(f"{path} has no data directory — nothing committed yet")
@@ -247,7 +267,12 @@ def _read_snapshots(spark: SparkSession, path: str, ids: list[int]) -> DataFrame
             f"{data} uses the pre-snapshot layout (top-level bucket= dirs); "
             "recreate the stage — mixing layouts breaks partition discovery"
         )
-    return spark.read.parquet(data).filter(F.col("snap").isin(ids)).drop("snap")
+    return (
+        spark.read.parquet(data)
+        .filter(F.col("snap").isin(ids))
+        .filter(_merge_shadow_filter(path, ids))
+        .drop("snap")
+    )
 
 
 def read_stage(spark: SparkSession, path: str) -> DataFrame:
@@ -346,16 +371,126 @@ def read_stage_changes(
     replaced = [
         s["snapshot-id"]
         for s in in_range
-        if s.get("summary", {}).get("operation") == "replace"
+        # a replace (compaction) rewrites ALL live rows; a merge rewrites its
+        # touched buckets WHOLE (carried old rows + upserts share one snap=
+        # dir) — either inside the range would replay already-processed rows
+        if s.get("summary", {}).get("operation") in ("replace", "merge")
     ]
     if expired or replaced:
         raise ValueError(
             f"range ({from_snapshot}, {to_snapshot}] at {path} contains "
-            f"expired snapshots {expired} / compacted replace snapshots "
-            f"{replaced}; the incremental diff is not recoverable — "
-            "re-bootstrap from a full read"
+            f"expired snapshots {expired} / rewrite (replace/merge) "
+            f"snapshots {replaced}; the incremental diff is not recoverable "
+            "— re-bootstrap from a full read"
         )
     return _read_snapshots(spark, path, [s["snapshot-id"] for s in in_range])
+
+
+def merge_stage(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    stage: str,
+    key: str,
+    n_buckets: int = 32,
+) -> tuple[int, list[int]]:
+    """MERGE INTO (upsert) with bucket-granular copy-on-write — the Iceberg
+    MERGE analog for this layout. Rows in `updates` REPLACE current rows
+    with the same `key`; new keys insert. Only the buckets that contain an
+    updated key rewrite: the new snapshot holds those buckets' full new
+    content (carried survivors + upserts), and readers shadow the same
+    buckets in OLDER snapshots (see _merge_shadow_filter), so untouched
+    buckets' files are never rewritten or re-read differently.
+
+    At 100 TB that granularity is the whole point: a merge touching 1% of
+    keys rewrites ~1% of the table (the touched buckets), not all of it,
+    and the rewrite unit (bucket) is the same unit resume/lineage already
+    verifies. Snapshot isolation is preserved: time travel to a pre-merge
+    snapshot returns pre-merge rows; CDC ranges crossing the merge raise
+    (read_stage_changes) because a merge snapshot mixes carried old rows
+    with new ones. Commit protocol is write_stage's: data lands invisible
+    under a fresh snap= dir, manifest rows append, and metadata.json's
+    atomic swap is the single commit point — a crash before it leaves an
+    orphan dir readers never see.
+
+    `updates` must carry exactly the table's data columns; `key` and
+    `n_buckets` must match the table's partition spec (validated against
+    metadata.json). Returns (snapshot_id, rewritten_buckets).
+    """
+    import json
+
+    mpath = f"{path}/metadata.json"
+    if not os.path.exists(mpath):
+        raise ValueError(f"{path} has no metadata.json — nothing to merge into")
+    with open(mpath) as f:
+        meta = json.load(f)
+    spec = (meta.get("partition-spec") or [{}])[0]
+    want = f"bucket[{n_buckets}]"
+    if spec.get("transform") != want or spec.get("source") != key:
+        raise ValueError(
+            f"merge spec mismatch at {path}: table is "
+            f"{spec.get('transform')} on {spec.get('source')!r}, merge asked "
+            f"{want} on {key!r} — hashing with a different spec would route "
+            "keys to the wrong buckets and silently duplicate them"
+        )
+
+    upd = _with_bucket(updates, key, n_buckets).cache()
+    try:
+        touched = sorted(
+            r["bucket"] for r in upd.select("bucket").distinct().collect()
+        )
+        if not touched:
+            raise ValueError("merge with an empty updates frame is a no-op bug")
+        data_cols = updates.columns
+        cur = read_stage(spark, path)
+        carried = (
+            cur.filter(F.col("bucket").isin(touched))
+            .join(updates.select(key).distinct(), key, "left_anti")
+        )
+        out = carried.select(*data_cols, "bucket").unionByName(
+            upd.select(*data_cols, "bucket")
+        )
+        sid = next_snapshot_id(path)
+        out = out.cache()
+        try:
+            out.write.mode("append").partitionBy("bucket").parquet(
+                f"{path}/data/snap={sid}"
+            )
+            manifest = out.groupBy("bucket").agg(
+                F.lit(stage).alias("stage"),
+                F.lit(sid).alias("snapshot_id"),
+                F.lit(None).cast("long").alias("cell_min"),
+                F.lit(None).cast("long").alias("cell_max"),
+                F.count("*").alias("rows"),
+                F.expr(
+                    "bit_xor(" + _row_checksum_expr(data_cols) + ")"
+                ).alias("checksum"),
+                F.lit("committed").alias("status"),
+            )
+            manifest.select(
+                "stage", "snapshot_id", "bucket", "cell_min", "cell_max",
+                "rows", "checksum", "status"
+            ).write.mode("append").parquet(f"{path}/{MANIFEST}")
+            import time
+
+            meta["snapshots"].append(
+                {
+                    "snapshot-id": sid,
+                    "timestamp-ms": int(time.time() * 1000),
+                    "stage": stage,
+                    "manifest-list": f"{path}/{MANIFEST}",
+                    "summary": {
+                        "operation": "merge",
+                        "rewritten-buckets": touched,
+                    },
+                }
+            )
+            _write_metadata(path, meta)  # <- the commit point
+        finally:
+            out.unpersist()
+    finally:
+        upd.unpersist()
+    return sid, touched
 
 
 def compact_stage(spark: SparkSession, path: str) -> tuple[int, int]:
@@ -446,6 +581,20 @@ def verify_manifest(spark: SparkSession, path: str, stage: str, df: DataFrame,
     # same committed-snapshot filter as committed_buckets: manifest rows from
     # a crashed (metadata-uncommitted) write must not count toward stored state
     committed = committed_snapshot_ids(path)
+    # merge shadowing: a MERGE rewrote its touched buckets' full content, so
+    # manifest rows for those buckets from OLDER snapshots describe
+    # superseded data — permanently (compaction preserves the post-merge
+    # content), hence ALL committed merges shadow, expired or not
+    keep = F.lit(True)
+    for s in snapshots(path):
+        summ = s.get("summary", {})
+        if summ.get("operation") == "merge":
+            bs = summ.get("rewritten-buckets", [])
+            if bs:
+                keep = keep & ~(
+                    (F.col("snapshot_id") < F.lit(s["snapshot-id"]))
+                    & F.col("bucket").isin(bs)
+                )
     m = (
         spark.read.parquet(f"{path}/{MANIFEST}")
         .filter(
@@ -453,6 +602,7 @@ def verify_manifest(spark: SparkSession, path: str, stage: str, df: DataFrame,
             & (F.col("status") == "committed")
             & F.col("snapshot_id").isin(committed)
         )
+        .filter(keep)
         .groupBy("bucket")
         .agg(F.sum("rows").alias("rows_m"), F.expr("bit_xor(checksum)").alias("sum_m"))
     )
