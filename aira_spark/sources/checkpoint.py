@@ -417,23 +417,7 @@ def merge_stage(
     `n_buckets` must match the table's partition spec (validated against
     metadata.json). Returns (snapshot_id, rewritten_buckets).
     """
-    import json
-
-    mpath = f"{path}/metadata.json"
-    if not os.path.exists(mpath):
-        raise ValueError(f"{path} has no metadata.json — nothing to merge into")
-    with open(mpath) as f:
-        meta = json.load(f)
-    spec = (meta.get("partition-spec") or [{}])[0]
-    want = f"bucket[{n_buckets}]"
-    if spec.get("transform") != want or spec.get("source") != key:
-        raise ValueError(
-            f"merge spec mismatch at {path}: table is "
-            f"{spec.get('transform')} on {spec.get('source')!r}, merge asked "
-            f"{want} on {key!r} — hashing with a different spec would route "
-            "keys to the wrong buckets and silently duplicate them"
-        )
-
+    meta = _load_cow_meta(path, key, n_buckets, "merge")
     upd = _with_bucket(updates, key, n_buckets).cache()
     try:
         touched = sorted(
@@ -450,47 +434,120 @@ def merge_stage(
         out = carried.select(*data_cols, "bucket").unionByName(
             upd.select(*data_cols, "bucket")
         )
-        sid = next_snapshot_id(path)
-        out = out.cache()
-        try:
-            out.write.mode("append").partitionBy("bucket").parquet(
-                f"{path}/data/snap={sid}"
-            )
-            manifest = out.groupBy("bucket").agg(
-                F.lit(stage).alias("stage"),
-                F.lit(sid).alias("snapshot_id"),
-                F.lit(None).cast("long").alias("cell_min"),
-                F.lit(None).cast("long").alias("cell_max"),
-                F.count("*").alias("rows"),
-                F.expr(
-                    "bit_xor(" + _row_checksum_expr(data_cols) + ")"
-                ).alias("checksum"),
-                F.lit("committed").alias("status"),
-            )
-            manifest.select(
-                "stage", "snapshot_id", "bucket", "cell_min", "cell_max",
-                "rows", "checksum", "status"
-            ).write.mode("append").parquet(f"{path}/{MANIFEST}")
-            import time
-
-            meta["snapshots"].append(
-                {
-                    "snapshot-id": sid,
-                    "timestamp-ms": int(time.time() * 1000),
-                    "stage": stage,
-                    "manifest-list": f"{path}/{MANIFEST}",
-                    "summary": {
-                        "operation": "merge",
-                        "rewritten-buckets": touched,
-                    },
-                }
-            )
-            _write_metadata(path, meta)  # <- the commit point
-        finally:
-            out.unpersist()
+        sid = _commit_cow(out, path, stage, data_cols, touched, meta)
     finally:
         upd.unpersist()
     return sid, touched
+
+
+def delete_stage(
+    spark: SparkSession,
+    keys: DataFrame,
+    path: str,
+    stage: str,
+    key: str,
+    n_buckets: int = 32,
+) -> tuple[int, list[int]]:
+    """Row-level DELETE with the same bucket-granular copy-on-write as
+    merge_stage: buckets containing a matching key rewrite WITHOUT the
+    deleted rows; every other bucket's files are untouched. A bucket whose
+    rows are all deleted simply writes nothing under the new snapshot (the
+    shadow hides the old rows). Keys with no matching row are a no-op — if
+    NOTHING matches, no snapshot commits and (0, []) returns, so retry
+    loops don't pile up empty snapshots.
+
+    Same isolation contracts as merge: pre-delete time travel still sees
+    the rows, CDC ranges crossing the delete raise, crashes before the
+    metadata commit are invisible."""
+    meta = _load_cow_meta(path, key, n_buckets, "delete")
+    kdf = keys.select(key).distinct()
+    cur = read_stage(spark, path)
+    # only buckets that actually contain a matching row rewrite
+    touched = sorted(
+        r["bucket"]
+        for r in cur.join(kdf, key, "semi").select("bucket").distinct().collect()
+    )
+    if not touched:
+        return 0, []
+    data_cols = [c for c in cur.columns if c != "bucket"]
+    out = (
+        cur.filter(F.col("bucket").isin(touched))
+        .join(kdf, key, "left_anti")
+        .select(*data_cols, "bucket")
+    )
+    sid = _commit_cow(out, path, stage, data_cols, touched, meta)
+    return sid, touched
+
+
+def _load_cow_meta(path: str, key: str, n_buckets: int, op: str) -> dict:
+    """Load metadata.json and validate the (key, n_buckets) spec — hashing
+    with a different spec would route keys to the wrong buckets and
+    silently duplicate (merge) or miss (delete) them."""
+    import json
+
+    mpath = f"{path}/metadata.json"
+    if not os.path.exists(mpath):
+        raise ValueError(f"{path} has no metadata.json — nothing to {op} into")
+    with open(mpath) as f:
+        meta = json.load(f)
+    spec = (meta.get("partition-spec") or [{}])[0]
+    want = f"bucket[{n_buckets}]"
+    if spec.get("transform") != want or spec.get("source") != key:
+        raise ValueError(
+            f"{op} spec mismatch at {path}: table is "
+            f"{spec.get('transform')} on {spec.get('source')!r}, {op} asked "
+            f"{want} on {key!r} — hashing with a different spec would route "
+            "keys to the wrong buckets and silently corrupt them"
+        )
+    return meta
+
+
+def _commit_cow(
+    out: DataFrame, path: str, stage: str, data_cols: list[str],
+    touched: list[int], meta: dict,
+) -> int:
+    """Shared copy-on-write commit (merge + delete): write the touched
+    buckets' new content under a fresh snap= dir, append manifest rows,
+    then the atomic metadata swap — the single commit point."""
+    import time
+
+    sid = next_snapshot_id(path)
+    out = out.cache()
+    try:
+        out.write.mode("append").partitionBy("bucket").parquet(
+            f"{path}/data/snap={sid}"
+        )
+        manifest = out.groupBy("bucket").agg(
+            F.lit(stage).alias("stage"),
+            F.lit(sid).alias("snapshot_id"),
+            F.lit(None).cast("long").alias("cell_min"),
+            F.lit(None).cast("long").alias("cell_max"),
+            F.count("*").alias("rows"),
+            F.expr(
+                "bit_xor(" + _row_checksum_expr(data_cols) + ")"
+            ).alias("checksum"),
+            F.lit("committed").alias("status"),
+        )
+        manifest.select(
+            "stage", "snapshot_id", "bucket", "cell_min", "cell_max",
+            "rows", "checksum", "status"
+        ).write.mode("append").parquet(f"{path}/{MANIFEST}")
+        meta["snapshots"].append(
+            {
+                "snapshot-id": sid,
+                "timestamp-ms": int(time.time() * 1000),
+                "stage": stage,
+                "manifest-list": f"{path}/{MANIFEST}",
+                "summary": {
+                    "operation": "merge",
+                    "rewritten-buckets": touched,
+                },
+            }
+        )
+        _write_metadata(path, meta)  # <- the commit point
+    finally:
+        out.unpersist()
+    return sid
 
 
 def compact_stage(spark: SparkSession, path: str) -> tuple[int, int]:

@@ -152,3 +152,65 @@ def test_merge_crash_before_commit_is_invisible(spark, base, tmp_path, monkeypat
     merge_stage(spark, updates, path, "s", key="k", n_buckets=N_BUCKETS)
     got = {r["k"]: r["v"] for r in read_stage(spark, path).collect()}
     assert got[3] == "NEW3"
+
+
+def test_delete_removes_rows_bucket_granular(spark, base, tmp_path):
+    path = str(tmp_path / "t")
+    write_stage(base, path, "s", key="k", n_buckets=N_BUCKETS)
+    from aira_spark.sources.checkpoint import _with_bucket, delete_stage
+
+    keys = spark.createDataFrame([(3,), (7,), (500,)], "k long")  # 500 absent
+    sid, touched = delete_stage(spark, keys, path, "s", key="k", n_buckets=N_BUCKETS)
+    got = _rows(read_stage(spark, path))
+    assert got == {(k, f"v{k}", 100 + k) for k in range(40) if k not in (3, 7)}
+    # touched = buckets of the keys that actually existed
+    want = sorted(
+        r["bucket"]
+        for r in _with_bucket(
+            spark.createDataFrame([(3,), (7,)], "k long"), "k", N_BUCKETS
+        ).select("bucket").distinct().collect()
+    )
+    assert touched == want
+    cur = read_stage(spark, path).select("k", "v", "amt")
+    assert verify_manifest(spark, path, "s", cur, "k", N_BUCKETS)
+    # time travel still sees the deleted rows
+    pre = [s for s in __import__("json").load(open(f"{path}/metadata.json"))["snapshots"]][0]
+    assert 3 in {r["k"] for r in read_stage_at(spark, path, pre["snapshot-id"]).collect()}
+
+
+def test_delete_no_match_is_noop(spark, base, tmp_path):
+    path = str(tmp_path / "t")
+    write_stage(base, path, "s", key="k", n_buckets=N_BUCKETS)
+    from aira_spark.sources.checkpoint import delete_stage, snapshots
+
+    n_before = len(snapshots(path))
+    keys = spark.createDataFrame([(999,)], "k long")
+    sid, touched = delete_stage(spark, keys, path, "s", key="k", n_buckets=N_BUCKETS)
+    assert (sid, touched) == (0, [])
+    assert len(snapshots(path)) == n_before  # no empty snapshot committed
+    assert read_stage(spark, path).count() == 40
+
+
+def test_delete_entire_bucket(spark, tmp_path):
+    """Deleting every row of a bucket leaves it empty (shadow only, no new
+    files) and the table still reads/verifies."""
+    from aira_spark.sources.checkpoint import _with_bucket, delete_stage
+
+    df = spark.createDataFrame(
+        [(k, f"v{k}", k) for k in range(24)], "k long, v string, amt long"
+    )
+    path = str(tmp_path / "t")
+    write_stage(df, path, "s", key="k", n_buckets=4)
+    # pick one bucket and delete every key in it
+    bk = _with_bucket(df, "k", 4).collect()
+    target = 2
+    doomed = [r["k"] for r in bk if r["bucket"] == target]
+    assert doomed  # fixture sanity
+    keys = spark.createDataFrame([(k,) for k in doomed], "k long")
+    sid, touched = delete_stage(spark, keys, path, "s", key="k", n_buckets=4)
+    assert touched == [target]
+    got = read_stage(spark, path)
+    assert got.count() == 24 - len(doomed)
+    assert got.filter(F.col("bucket") == target).count() == 0
+    cur = got.select("k", "v", "amt")
+    assert verify_manifest(spark, path, "s", cur, "k", 4)

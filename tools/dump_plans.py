@@ -125,6 +125,9 @@ def main() -> None:
                           "index permutation -> re-encode -> re-decode); "
                           "zero exchanges, stats cross Arrow, pixel buffers "
                           "never shuffle"),
+        ("inverted_index", "explode -> two-level hash agg; text pruned "
+                           "before every exchange; postings sorted so the "
+                           "output is deterministic and mergeable"),
     ]
     qs = em.queries()
     lines = [
