@@ -1288,6 +1288,45 @@ def q_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return focal_mean(_images(spark, sf_dir, modulo=8), CELL_RES, patch_bits=4)
 
 
+def q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint image+caption duplicate gate: phash Hamming <= 2 banding OR
+    byte-equal captions, with a verdict column separating re-captioned
+    copies (image_only) from caption collisions (caption_only) and true
+    duplicates (both). Injections cover all three verdicts; the oracle
+    recomputes phashes from the pixel formula and brute-forces both arms."""
+    from aira_spark.operators.dedup import cross_modal_dup_pairs
+
+    imgs = _images(spark, sf_dir, modulo=4).select(
+        "image_id", "phash", "caption",
+        F.expr("CAST(substr(image_id, 4) AS BIGINT)").alias("k"),
+    )
+    x = imgs.filter(F.col("k") % 28 == 0).select(
+        F.concat(F.lit("x"), F.col("image_id")).alias("image_id"),
+        "phash", "caption",
+    )
+    y = imgs.filter(F.col("k") % 36 == 0).select(
+        F.concat(F.lit("y"), F.col("image_id")).alias("image_id"),
+        F.expr("phash ^ 3").alias("phash"), "caption",
+    )
+    z = imgs.filter(F.col("k") % 44 == 0).select(
+        F.concat(F.lit("z"), F.col("image_id")).alias("image_id"),
+        F.expr("phash ^ 255").alias("phash"), "caption",
+    )
+    wv = imgs.filter(F.col("k") % 52 == 0).select(
+        F.concat(F.lit("w"), F.col("image_id")).alias("image_id"),
+        "phash", F.expr("caption || ' v2'").alias("caption"),
+    )
+    allimg = (
+        imgs.select("image_id", "phash", "caption")
+        .unionByName(x).unionByName(y).unionByName(z).unionByName(wv)
+    )
+    return cross_modal_dup_pairs(allimg, max_hamming=2).select(
+        "img_a", "img_b",
+        F.col("hamming").cast("long").alias("hamming"),
+        "same_caption", "verdict",
+    )
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Untruncated inverted index over the documents table: per term, df,
     total tf, and the sorted posting list — explode -> two-level hash agg,
@@ -1375,10 +1414,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # overview_select, crs_info, band_index, ifd_dump, q1_pricing,
     # top_customers, and — rotated out to make room for the round-3 group
     # approx_distinct/focal_mean/focal_gradient/classifier_scores/
-    # streaming_hll/augment_stats/cms_counts/inverted_index —
-    # zonal_by_polygon, ngram_jaccard, ann_cosine_topk, events_hourly,
-    # sessionize, stateful_totals, within_distance, zonal_exact) —
-    # re-verifiable any time via tools/check_oracle.py.
+    # streaming_hll/augment_stats/cms_counts/inverted_index/
+    # cross_modal_dedup — zonal_by_polygon, ngram_jaccard, ann_cosine_topk,
+    # events_hourly, sessionize, stateful_totals, within_distance,
+    # zonal_exact, footprint_poly) — re-verifiable any time via
+    # tools/check_oracle.py.
     return {
         "ratio_sort": q_ratio_sort,
         "tile_assign": q_tile_assign,
@@ -1397,13 +1437,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_rollup": q_zonal_rollup,
         "zonal_quantiles": q_zonal_quantiles,
         "band_histogram": q_band_histogram,
-        "footprint_poly": q_footprint_poly,
         "window_read": q_window_read,
         "rasterize_cells": q_rasterize_cells,
         "rasterize_tiles": q_rasterize_tiles,
         "raster_regions": q_raster_regions,
         "patch_stats": q_patch_stats,
         "phash_dedup": q_phash_dedup,
+        "cross_modal_dedup": q_cross_modal_dedup,
         "asof_join": q_asof_join,
         "streaming_hourly": q_streaming_hourly,
         "streaming_cover": q_streaming_cover,
@@ -1430,6 +1470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
         "verify_invariants": q_verify_invariants,
+        "footprint_poly": q_footprint_poly,
         "zonal_exact": q_zonal_exact,
         "within_distance": q_within_distance,
         "stateful_totals": q_stateful_totals,
@@ -1658,6 +1699,70 @@ SELECT a.image_id AS img_a, b.image_id AS img_b,
        CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
 FROM allimg a JOIN allimg b ON a.image_id < b.image_id
 WHERE bit_count(xor(a.phash, b.phash)) <= 2
+"""
+
+
+def _oracle_cross_modal() -> str:
+    # phash closed-form as in _oracle_phash_dedup, plus the caption formula
+    # 'img-' || k || ' synthetic raster caption' and the x/y/z/w injections;
+    # both arms brute-forced (popcount all-pairs, caption equality), full
+    # outer joined with the same verdict CASE
+    return f"""
+WITH {_IMG_CTE},
+sel AS (SELECT image_id, k, w, h FROM meta WHERE k % 4 = 0),
+rws AS (SELECT *, unnest(generate_series(0, h - 1)) AS r FROM sel),
+pxs AS (SELECT *, unnest(generate_series(0, w - 1)) AS c FROM rws),
+vals AS (
+  SELECT image_id, k, w, h, r // (h // 8) AS bi, c // (w // 8) AS bj,
+         (r * 7 + c * 13 + k) % 256 AS val
+  FROM pxs
+),
+bsums AS (
+  SELECT image_id, w, h, bi, bj, SUM(val) AS s, COUNT(*) AS bc
+  FROM vals GROUP BY 1, 2, 3, 4, 5
+),
+tots AS (SELECT image_id, SUM(val) AS total, COUNT(*) AS n FROM vals GROUP BY 1),
+ph AS (
+  SELECT b.image_id, CAST(substr(b.image_id, 4) AS BIGINT) AS k,
+    CAST(SUM(CASE WHEN bi * 8 + bj < 63 AND s * n > total * bc
+      THEN (CAST(1 AS BIGINT) << CAST(62 - (bi * 8 + bj) AS INTEGER))
+      ELSE 0 END) AS BIGINT) AS phash
+  FROM bsums b JOIN tots t ON b.image_id = t.image_id
+  GROUP BY 1, 2
+),
+capd AS (SELECT image_id, k, phash,
+         'img-' || k || ' synthetic raster caption' AS caption FROM ph),
+allimg AS (
+  SELECT image_id, phash, caption FROM capd
+  UNION ALL
+  SELECT 'x' || image_id, phash, caption FROM capd WHERE k % 28 = 0
+  UNION ALL
+  SELECT 'y' || image_id, xor(phash, 3), caption FROM capd WHERE k % 36 = 0
+  UNION ALL
+  SELECT 'z' || image_id, xor(phash, 255), caption FROM capd WHERE k % 44 = 0
+  UNION ALL
+  SELECT 'w' || image_id, phash, caption || ' v2' FROM capd WHERE k % 52 = 0
+),
+ipairs AS (
+  SELECT a.image_id AS img_a, b.image_id AS img_b,
+         CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+  FROM allimg a JOIN allimg b ON a.image_id < b.image_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 2
+),
+cpairs AS (
+  SELECT a.image_id AS img_a, b.image_id AS img_b, TRUE AS same_caption
+  FROM allimg a JOIN allimg b
+    ON a.caption = b.caption AND a.image_id < b.image_id
+)
+SELECT COALESCE(i.img_a, c.img_a) AS img_a,
+       COALESCE(i.img_b, c.img_b) AS img_b,
+       i.hamming AS hamming,
+       COALESCE(c.same_caption, FALSE) AS same_caption,
+       CASE WHEN i.hamming IS NOT NULL AND c.same_caption THEN 'both'
+            WHEN i.hamming IS NOT NULL THEN 'image_only'
+            ELSE 'caption_only' END AS verdict
+FROM ipairs i FULL OUTER JOIN cpairs c
+  ON i.img_a = c.img_a AND i.img_b = c.img_b
 """
 
 
@@ -2953,6 +3058,7 @@ FROM j WHERE rn <= 5
         "pip_salted": _oracle_pip(),
         "patch_stats": _oracle_patch_stats(),
         "phash_dedup": _oracle_phash_dedup(),
+        "cross_modal_dedup": _oracle_cross_modal(),
         "zonal_quantiles": _oracle_zonal_quantiles(),
         "corpus_clean": _oracle_corpus_clean(),
         "band_histogram": _oracle_band_histogram(),

@@ -438,3 +438,52 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def cross_modal_dup_pairs(
+    images: DataFrame, max_hamming: int = 2, max_caption_group: int = 10_000
+) -> DataFrame:
+    """(img_a, img_b, hamming, same_caption, verdict): joint image+text
+    duplicate detection over the mandated (bytes, caption, phash) rows — the
+    multimodal curation gate. A pair is flagged when its IMAGES are
+    near-identical (phash Hamming <= max_hamming via the pigeonhole band
+    join), when its CAPTIONS are byte-equal (md5 equi-join), or both;
+    `verdict` says which signals fired ('both' | 'image_only' |
+    'caption_only'), the decision a text-image pipeline needs to separate
+    re-captioned crawl copies from coincidental caption collisions.
+
+    Scale shape: both arms are equi-joins (band buckets / caption hash);
+    bytes and pixels never shuffle. Caption groups are guarded like
+    ngram_jaccard blocks: a group larger than max_caption_group raises
+    loudly instead of going quadratic (at web scale boilerplate captions —
+    'stock photo' — must be routed to a frequency filter first)."""
+    img_pairs = phash_dup_pairs(images, max_hamming)
+    cap = images.selectExpr("image_id", "md5(caption) AS ch")
+    biggest = cap.groupBy("ch").count().agg(F.max("count")).collect()[0][0]
+    if biggest is not None and biggest > max_caption_group:
+        raise ValueError(
+            f"caption group of {biggest} rows exceeds max_caption_group="
+            f"{max_caption_group}; frequency-filter boilerplate captions "
+            "before pairwise comparison"
+        )
+    a, b = cap.alias("a"), cap.alias("b")
+    cap_pairs = (
+        a.join(b, "ch")
+        .filter(F.col("a.image_id") < F.col("b.image_id"))
+        .select(
+            F.col("a.image_id").alias("img_a"),
+            F.col("b.image_id").alias("img_b"),
+            F.lit(True).alias("same_caption"),
+        )
+    )
+    joined = img_pairs.join(cap_pairs, ["img_a", "img_b"], "full")
+    return joined.select(
+        "img_a", "img_b",
+        F.col("hamming").cast("long").alias("hamming"),
+        F.coalesce("same_caption", F.lit(False)).alias("same_caption"),
+        F.expr(
+            "CASE WHEN hamming IS NOT NULL AND same_caption THEN 'both' "
+            "WHEN hamming IS NOT NULL THEN 'image_only' "
+            "ELSE 'caption_only' END"
+        ).alias("verdict"),
+    )

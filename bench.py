@@ -171,6 +171,7 @@ def main() -> None:
         "cms_counts": lambda: em.q_cms_counts(spark, sf_dir).count(),
         "focal_gradient": lambda: em.q_focal_gradient(spark, sf_dir).count(),
         "inverted_index": lambda: em.q_inverted_index(spark, sf_dir).count(),
+        "cross_modal_dedup": lambda: em.q_cross_modal_dedup(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

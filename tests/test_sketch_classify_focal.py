@@ -442,3 +442,41 @@ def test_inverted_index_truncation_keeps_df_honest(spark):
     assert got["x"]["df"] == 3 and got["x"]["total_tf"] == 6
     assert got["x"]["postings"] == [1, 2]  # top-2 by tf
     assert got["y"]["postings"] == [4]
+
+
+# ----------------------------------------------------------- cross-modal
+
+
+def test_cross_modal_verdicts(spark):
+    from aira_spark.operators.dedup import cross_modal_dup_pairs
+
+    rows = [
+        ("a1", 0, "same cap"),              # pair with a2: ham 0 + caption
+        ("a2", 0, "same cap"),              # -> both
+        ("b1", 0xFF00FF, "cap b"),
+        ("b2", 0xFF00FF, "cap b DIFFERENT"),  # ham 0, caption differs -> image_only
+        ("c1", 0xF0F0F0F0, "cap c"),
+        ("c2", 0x0F0F0F0F, "cap c"),        # ham 32 > 2, same caption -> caption_only
+    ]
+    imgs = spark.createDataFrame(rows, "image_id string, phash long, caption string")
+    got = {(r["img_a"], r["img_b"]): r for r in cross_modal_dup_pairs(imgs).collect()}
+    assert got[("a1", "a2")]["verdict"] == "both"
+    assert got[("a1", "a2")]["hamming"] == 0
+    assert got[("b1", "b2")]["verdict"] == "image_only"
+    assert got[("b1", "b2")]["same_caption"] is False
+    assert got[("c1", "c2")]["verdict"] == "caption_only"
+    assert got[("c1", "c2")]["hamming"] is None
+    assert len(got) == 3
+
+
+def test_cross_modal_caption_group_guard(spark):
+    import pytest as _pytest
+
+    from aira_spark.operators.dedup import cross_modal_dup_pairs
+
+    imgs = spark.createDataFrame(
+        [(f"i{n}", n, "boilerplate") for n in range(20)],
+        "image_id string, phash long, caption string",
+    )
+    with _pytest.raises(ValueError, match="max_caption_group"):
+        cross_modal_dup_pairs(imgs, max_caption_group=10).collect()
