@@ -1177,6 +1177,21 @@ def q_cell_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIS dissolve by attribute as compacted cell covers: polygons
+    rasterize (center-in-polygon), covers union per category (overlaps melt
+    in the distinct), and each merged cover compacts to mixed resolution."""
+    from aira_spark.operators.dissolve import dissolve_covers
+    from aira_spark.sources.vectors import polygons_table
+
+    out = dissolve_covers(polygons_table(spark, sf_dir), "category", CELL_RES)
+    return out.select(
+        "grp",
+        F.col("cell").cast("long").alias("cell"),
+        F.col("res").cast("long").alias("res"),
+    )
+
+
 def q_raster_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster polygonize: cells whose mean pixel value >= 100 linked by
     4-adjacency, labeled by connected components (min-label propagation);
@@ -1415,22 +1430,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # top_customers, and — rotated out to make room for the round-3 group
     # approx_distinct/focal_mean/focal_gradient/classifier_scores/
     # streaming_hll/augment_stats/cms_counts/inverted_index/
-    # cross_modal_dedup — zonal_by_polygon, ngram_jaccard, ann_cosine_topk,
-    # events_hourly, sessionize, stateful_totals, within_distance,
-    # zonal_exact, footprint_poly) — re-verifiable any time via
-    # tools/check_oracle.py.
+    # cross_modal_dedup/dissolve — zonal_by_polygon, ngram_jaccard,
+    # ann_cosine_topk, events_hourly, sessionize, stateful_totals,
+    # within_distance, zonal_exact, footprint_poly, resize_thumbs) —
+    # re-verifiable any time via tools/check_oracle.py.
     return {
         "ratio_sort": q_ratio_sort,
         "tile_assign": q_tile_assign,
         "cell_cover": q_cell_cover,
         "cell_compact": q_cell_compact,
+        "dissolve": q_dissolve,
         "zonal_stats": q_zonal_stats,
         "focal_mean": q_focal_mean,
         "focal_gradient": q_focal_gradient,
         "pip": q_pip,
         "pip_salted": q_pip_salted,
         "knn": q_knn,
-        "resize_thumbs": q_resize_thumbs,
         "augment_stats": q_augment_stats,
         "mosaic": q_mosaic,
         "zonal_bands": q_zonal_bands,
@@ -1470,6 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
         "verify_invariants": q_verify_invariants,
+        "resize_thumbs": q_resize_thumbs,
         "footprint_poly": q_footprint_poly,
         "zonal_exact": q_zonal_exact,
         "within_distance": q_within_distance,
@@ -2573,6 +2589,45 @@ SELECT poly_id, cell FROM cr WHERE crossings % 2 = 1
 """
 
 
+def _oracle_dissolve() -> str:
+    from aira_spark.operators.compact import compact_levels_sql_grouped
+    from aira_spark.sources.vectors import polygon_edges_oracle_sql
+
+    cw = f"(360.0 / {float(_N)})"
+    chh = f"(180.0 / {float(_N)})"
+    ctr_x = f"(-180.0 + CAST(ix AS DOUBLE) * {cw}) + ({cw} / 2.0)"
+    ctr_y = f"(-90.0 + CAST(iy AS DOUBLE) * {chh}) + ({chh} / 2.0)"
+    ctes, final = compact_levels_sql_grouped(CELL_RES, CELL_RES - 3)
+    return f"""
+WITH edges AS ({polygon_edges_oracle_sql()}),
+bbox AS (
+  SELECT poly_id, LEAST(MIN(ax), MIN(bx)) AS xmin, LEAST(MIN(ay), MIN(by)) AS ymin,
+         GREATEST(MAX(ax), MAX(bx)) AS xmax, GREATEST(MAX(ay), MAX(by)) AS ymax
+  FROM edges GROUP BY poly_id
+),
+cov AS (SELECT poly_id, {_sql_cover('xmin', 'ymin', 'xmax', 'ymax')} FROM bbox),
+xs AS (SELECT poly_id, iy0, iy1, unnest(generate_series(ix0, ix1)) AS ix FROM cov),
+cells AS (SELECT poly_id, ix, unnest(generate_series(iy0, iy1)) AS iy FROM xs),
+ctr AS (SELECT poly_id, ({_PACK} + ix * 536870912 + iy) AS cell,
+               {ctr_x} AS px, {ctr_y} AS py FROM cells),
+cr AS (
+  SELECT c.poly_id, c.cell,
+    SUM(CASE WHEN ((e.ay > c.py) != (e.by > c.py))
+              AND (c.px < (e.bx - e.ax) * (c.py - e.ay) / (e.by - e.ay) + e.ax)
+        THEN 1 ELSE 0 END) AS crossings
+  FROM ctr c JOIN edges e USING (poly_id)
+  GROUP BY c.poly_id, c.cell
+),
+ras AS (SELECT poly_id, cell FROM cr WHERE crossings % 2 = 1),
+l{CELL_RES} AS (
+  SELECT DISTINCT 'cat' || (CAST(substr(poly_id, 5) AS BIGINT) % 3) AS grp, cell
+  FROM ras
+),
+{ctes}
+{final}
+"""
+
+
 def _oracle_dedup_minhash() -> str:
     from aira_spark.functions import textfns as tf
 
@@ -3012,6 +3067,7 @@ FROM best
 """,
         "stateful_totals": _oracle_stateful_totals(),
         "rasterize_cells": _oracle_rasterize_cells(),
+        "dissolve": _oracle_dissolve(),
         "rasterize_tiles": _oracle_rasterize_tiles(),
         "ifd_dump": f"""
 WITH {_IMG_CTE}

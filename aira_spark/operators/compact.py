@@ -118,3 +118,55 @@ def compact_levels_sql(from_res: int, min_res: int) -> tuple[str, str]:
         outs.append(f"SELECT cell, CAST({r} AS BIGINT) AS res FROM k{r}")
     outs.append(f"SELECT cell, CAST({min_res} AS BIGINT) AS res FROM l{min_res}")
     return ",\n".join(parts), "\nUNION ALL ".join(outs)
+
+
+def compact_cover_grouped(
+    cells: DataFrame, from_res: int, min_res: int, grp: str = "grp"
+) -> DataFrame:
+    """(grp, cell, res): compact_cover with the promote/keep split computed
+    independently per group — the primitive behind dissolve (union-by-
+    attribute): each group's merged cover compacts on its own, one hash agg
+    + one anti-join per level over (grp, cell id) rows only."""
+    if not (0 <= min_res <= from_res):
+        raise ValueError(f"invalid resolution range {from_res}->{min_res}")
+    cur = cells.selectExpr(f"{grp} AS grp", "CAST(cell AS BIGINT) AS cell").distinct()
+    levels: list[DataFrame] = []
+    for r in range(from_res, min_res, -1):
+        cur = cur.localCheckpoint(eager=True)  # same 2^levels-lineage guard
+        tagged = cur.withColumn("parent", cell_parent(F.col("cell")))
+        full = (
+            tagged.groupBy("grp", "parent").count()
+            .filter(F.col("count") == 4)
+            .select("grp", "parent")
+        )
+        keep = tagged.join(full, ["grp", "parent"], "left_anti").select("grp", "cell")
+        levels.append(keep.withColumn("res", F.lit(r).cast("long")))
+        cur = full.select("grp", F.col("parent").alias("cell"))
+    levels.append(cur.withColumn("res", F.lit(min_res).cast("long")))
+    return reduce(lambda a, b: a.unionByName(b), levels)
+
+
+def compact_levels_sql_grouped(from_res: int, min_res: int) -> tuple[str, str]:
+    """Grouped DuckDB mirror: the caller defines CTE `l{from_res}` with
+    columns (grp, cell); NOT EXISTS replaces the anti-join per level."""
+    parts = []
+    outs = []
+    for r in range(from_res, min_res, -1):
+        p = duck_parent_sql("cell", r)
+        # inside the NOT EXISTS subquery an unqualified `cell` binds to the
+        # INNER table (f) — the parent must be computed from t.cell
+        pt = duck_parent_sql("t.cell", r)
+        parts.append(
+            f"f{r} AS (SELECT grp, {p} AS cell FROM l{r} "
+            f"GROUP BY 1, 2 HAVING COUNT(*) = 4)"
+        )
+        parts.append(
+            f"k{r} AS (SELECT grp, cell FROM l{r} t WHERE NOT EXISTS "
+            f"(SELECT 1 FROM f{r} f WHERE f.grp = t.grp AND f.cell = {pt}))"
+        )
+        parts.append(f"l{r - 1} AS (SELECT grp, cell FROM f{r})")
+        outs.append(f"SELECT grp, cell, CAST({r} AS BIGINT) AS res FROM k{r}")
+    outs.append(
+        f"SELECT grp, cell, CAST({min_res} AS BIGINT) AS res FROM l{min_res}"
+    )
+    return ",\n".join(parts), "\nUNION ALL ".join(outs)

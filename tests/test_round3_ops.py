@@ -361,3 +361,59 @@ def test_bm25_matches_python_bruteforce(spark):
             exp[(q, d)] = (hit + 1, s + mic)
     assert got == exp
     assert (0, 3) not in got   # no shared terms -> absent, not zero
+
+
+def test_grouped_compact_independent_per_group(spark):
+    """A full 2x2 block in one group must NOT be promoted by siblings in
+    another group; grouped output equals per-group compact_cover."""
+    from aira_spark.functions.cells import np_cell_pack
+    from aira_spark.operators.compact import compact_cover, compact_cover_grouped
+
+    res = 6
+    # group A: a complete 2x2 block (promotes); group B: 3 of the same 4
+    a_cells = [int(np_cell_pack(res, ix, iy)) for ix in (4, 5) for iy in (8, 9)]
+    b_cells = a_cells[:3]
+    rows = [("A", c) for c in a_cells] + [("B", c) for c in b_cells]
+    df = spark.createDataFrame(rows, "grp string, cell long")
+    got = {
+        (r["grp"], r["cell"], r["res"])
+        for r in compact_cover_grouped(df, res, res - 1).collect()
+    }
+    per_group = set()
+    for g, cells in (("A", a_cells), ("B", b_cells)):
+        one = spark.createDataFrame([(c,) for c in cells], "cell long")
+        for r in compact_cover(one, res, res - 1).collect():
+            per_group.add((g, r["cell"], r["res"]))
+    assert got == per_group
+    # A promoted to one parent, B kept its 3 children
+    assert sum(1 for g, _, rr in got if g == "A" and rr == res - 1) == 1
+    assert sum(1 for g, _, rr in got if g == "B" and rr == res) == 3
+
+
+def test_dissolve_melts_overlapping_polygons(spark, sf_dir):
+    """Dissolved cover per category == distinct union of the per-polygon
+    rasterizations, expanded back to fine resolution."""
+    import __spark_entry__ as em
+    from aira_spark.operators.compact import expand_cover
+    from aira_spark.operators.dissolve import dissolve_covers
+    from aira_spark.operators.rasterize import rasterize_to_cells
+    from aira_spark.sources.vectors import polygons_table
+
+    polys = polygons_table(spark, sf_dir)
+    dis = dissolve_covers(polys, "category", em.CELL_RES)
+    ras = rasterize_to_cells(polys, em.CELL_RES).join(
+        polys.select("poly_id", "category"), "poly_id"
+    )
+    for cat in [r["category"] for r in polys.select("category").distinct().collect()]:
+        fine = {
+            r["cell"]
+            for r in expand_cover(
+                dis.filter(F.col("grp") == cat).select("cell", "res"),
+                em.CELL_RES,
+            ).collect()
+        }
+        want = {
+            r["cell"]
+            for r in ras.filter(F.col("category") == cat).select("cell").distinct().collect()
+        }
+        assert fine == want, cat
