@@ -1054,6 +1054,28 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW (inverse-distance-squared) interpolation at supplier locations
+    from the 5 nearest customer observations; synthetic observation value
+    v = (point_id * 7919) % 1000. Rank-ordered folds make the float sums
+    bit-reproducible across engines."""
+    from aira_spark.operators.spatial import idw_interpolate
+    from aira_spark.sources.vectors import points_table
+
+    queries = spark.read.parquet(f"{sf_dir}/supplier.parquet").selectExpr(
+        "s_suppkey AS query_id", f"{_KNN_QX} AS x", f"{_KNN_QY} AS y"
+    )
+    pts = points_table(spark, sf_dir)
+    vals = pts.selectExpr(
+        "point_id", "CAST((point_id * 7919) % 1000 AS DOUBLE) AS val"
+    )
+    return idw_interpolate(queries, pts, vals, k=5, res=CELL_RES).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("n_nbrs").cast("long").alias("n_nbrs"),
+        F.col("est").cast("double").alias("est"),
+    )
+
+
 def q_pip_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same result as `pip`, physically salted on hot cells (skew path)."""
     from aira_spark.functions.cells import cell_from_xy
@@ -1430,9 +1452,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # top_customers, and — rotated out to make room for the round-3 group
     # approx_distinct/focal_mean/focal_gradient/classifier_scores/
     # streaming_hll/augment_stats/cms_counts/inverted_index/
-    # cross_modal_dedup/dissolve — zonal_by_polygon, ngram_jaccard,
+    # cross_modal_dedup/dissolve/idw — zonal_by_polygon, ngram_jaccard,
     # ann_cosine_topk, events_hourly, sessionize, stateful_totals,
-    # within_distance, zonal_exact, footprint_poly, resize_thumbs) —
+    # within_distance, zonal_exact, footprint_poly, resize_thumbs, mosaic) —
     # re-verifiable any time via tools/check_oracle.py.
     return {
         "ratio_sort": q_ratio_sort,
@@ -1446,8 +1468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip": q_pip,
         "pip_salted": q_pip_salted,
         "knn": q_knn,
+        "idw": q_idw,
         "augment_stats": q_augment_stats,
-        "mosaic": q_mosaic,
         "zonal_bands": q_zonal_bands,
         "zonal_rollup": q_zonal_rollup,
         "zonal_quantiles": q_zonal_quantiles,
@@ -1485,6 +1507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
         "verify_invariants": q_verify_invariants,
+        "mosaic": q_mosaic,
         "resize_thumbs": q_resize_thumbs,
         "footprint_poly": q_footprint_poly,
         "zonal_exact": q_zonal_exact,
@@ -2060,6 +2083,41 @@ FROM r WHERE rn <= 5
 UNION ALL
 SELECT 'km', query_id, neighbor_id, CAST(rn_km AS BIGINT), ROUND(dist_km, 3)
 FROM r WHERE rn_km <= 5
+"""
+
+
+def _oracle_idw() -> str:
+    from aira_spark.sources.vectors import points_oracle_sql
+
+    tv = "list_transform(arr, e -> e.v / (e.d * e.d))"
+    tw = "list_transform(arr, e -> 1.0 / (e.d * e.d))"
+    return f"""
+WITH q AS (SELECT s_suppkey AS query_id, {_KNN_QX} AS qx, {_KNN_QY} AS qy FROM supplier),
+p AS ({points_oracle_sql()}),
+d AS (
+  SELECT q.query_id, p.point_id AS neighbor_id,
+    SQRT((p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy)) AS dist
+  FROM q CROSS JOIN p
+),
+r AS (SELECT *,
+  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn
+  FROM d),
+nb AS (
+  SELECT query_id, ROUND(dist, 6) AS dd, rn,
+         CAST((neighbor_id * 7919) % 1000 AS DOUBLE) AS v
+  FROM r WHERE rn <= 5
+),
+g AS (
+  SELECT query_id,
+         list(struct_pack(rank := rn, d := dd, v := v) ORDER BY rn) AS arr
+  FROM nb GROUP BY 1
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+  CAST(len(arr) AS BIGINT) AS n_nbrs,
+  CASE WHEN arr[1].d = 0.0 THEN round(arr[1].v, 6)
+       ELSE ROUND(list_reduce({tv}, (a, b) -> a + b) /
+                  list_reduce({tw}, (a, b) -> a + b), 6) END AS est
+FROM g
 """
 
 
@@ -3008,6 +3066,7 @@ FROM docs GROUP BY 1
         "zonal_by_polygon": _oracle_zonal_by_polygon(),
         "pip": _oracle_pip(),
         "knn": _oracle_knn(),
+        "idw": _oracle_idw(),
         "resize_thumbs": _oracle_resize_thumbs(),
         "zonal_exact": _oracle_zonal_exact(),
         "mosaic": _oracle_mosaic(),

@@ -576,3 +576,52 @@ def knn_join(
         pts.join(F.broadcast(pending.drop("qcell")), how="cross")
     ).select("query_id", "neighbor_id", "rank", "dist")
     return results.unionByName(fallback) if results is not None else fallback
+
+
+def idw_interpolate(
+    queries: DataFrame, points: DataFrame, values: DataFrame,
+    k: int = 5, res: int = DEFAULT_RES,
+) -> DataFrame:
+    """(query_id, n_nbrs, est): inverse-distance-squared (IDW, Shepard 1968)
+    interpolation of a point-observation field at each query location from
+    its k nearest observations — the classic geostatistics gridding op.
+
+    est = sum(v_i / d_i^2) / sum(1 / d_i^2) over the kNN set, with the exact
+    query-on-observation case (d = 0) returning that observation exactly
+    (its weight is infinite). Distances are rounded to 6dp BEFORE weighting
+    and both fold sums run in rank order over a sorted array — floating
+    addition is not associative, so an unordered SQL SUM could differ
+    between engines in the last ULP; the ordered fold makes the estimate
+    bit-reproducible (the DuckDB oracle folds the identical sequence).
+
+    Scale shape: everything rides the knn_join (k-ring prefilter, no cross
+    join); values attach by one neighbor-id equi-join; the per-query state
+    is a k-element array."""
+    nn = knn_join(queries, points, k, res)
+    vals = values.withColumnRenamed("point_id", "neighbor_id")
+    j = nn.withColumn("d", F.round("dist", 6)).join(vals, "neighbor_id")
+    grouped = j.groupBy("query_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("rank").alias("rank"),
+                    F.col("d").alias("d"),
+                    F.col("val").cast("double").alias("v"),
+                )
+            )
+        ).alias("arr")
+    )
+    num = (
+        "aggregate(transform(arr, e -> e.v / (e.d * e.d)), "
+        "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+    )
+    den = (
+        "aggregate(transform(arr, e -> 1.0 / (e.d * e.d)), "
+        "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+    )
+    return grouped.selectExpr(
+        "query_id",
+        "CAST(size(arr) AS BIGINT) AS n_nbrs",
+        f"CASE WHEN arr[0].d = 0.0 THEN round(arr[0].v, 6) "
+        f"ELSE ROUND(({num}) / ({den}), 6) END AS est",
+    )

@@ -480,3 +480,54 @@ def test_cross_modal_caption_group_guard(spark):
     )
     with _pytest.raises(ValueError, match="max_caption_group"):
         cross_modal_dup_pairs(imgs, max_caption_group=10).collect()
+
+
+# ------------------------------------------------------------------- IDW
+
+
+def test_idw_matches_python_bruteforce(spark, sf_dir):
+    import __spark_entry__ as em
+    from aira_spark.operators.spatial import idw_interpolate
+    from aira_spark.sources.vectors import points_table
+
+    queries = spark.read.parquet(f"{sf_dir}/supplier.parquet").selectExpr(
+        "s_suppkey AS query_id", f"{em._KNN_QX} AS x", f"{em._KNN_QY} AS y"
+    )
+    pts = points_table(spark, sf_dir)
+    vals = pts.selectExpr(
+        "point_id", "CAST((point_id * 7919) % 1000 AS DOUBLE) AS val"
+    )
+    got = {
+        r["query_id"]: (r["n_nbrs"], r["est"])
+        for r in idw_interpolate(queries, pts, vals, k=5, res=em.CELL_RES).collect()
+    }
+    P = [(r["point_id"], r["x"], r["y"]) for r in pts.collect()]
+    V = {pid: (pid * 7919) % 1000 for pid, _, _ in P}
+    for q in queries.collect():
+        ds = sorted(
+            (((px - q["x"]) ** 2 + (py - q["y"]) ** 2) ** 0.5, pid)
+            for pid, px, py in P
+        )[:5]
+        num = den = 0.0
+        for d, pid in ds:
+            dr = round(d, 6)
+            num += V[pid] / (dr * dr)
+            den += 1.0 / (dr * dr)
+        est = round(num / den, 6)
+        assert got[q["query_id"]][0] == 5
+        assert got[q["query_id"]][1] == pytest.approx(est, abs=2e-6)
+
+
+def test_idw_exact_hit_returns_observation(spark):
+    from aira_spark.operators.spatial import idw_interpolate
+
+    pts = spark.createDataFrame(
+        [(1, 10.0, 10.0), (2, 11.0, 10.0), (3, 10.0, 11.0)],
+        "point_id long, x double, y double",
+    )
+    vals = spark.createDataFrame(
+        [(1, 42.0), (2, 7.0), (3, 9.0)], "point_id long, val double"
+    )
+    q = spark.createDataFrame([(100, 10.0, 10.0)], "query_id long, x double, y double")
+    got = idw_interpolate(q, pts, vals, k=3).collect()[0]
+    assert got["est"] == 42.0  # d = 0 -> the observation itself, exactly

@@ -128,6 +128,10 @@ def main() -> None:
         ("inverted_index", "explode -> two-level hash agg; text pruned "
                            "before every exchange; postings sorted so the "
                            "output is deterministic and mergeable"),
+        ("cross_modal_dedup", "two equi-join arms (phash band buckets, "
+                              "caption md5) full-outer merged; bytes and "
+                              "pixels never shuffle; caption groups guarded "
+                              "against boilerplate quadratics"),
     ]
     qs = em.queries()
     lines = [
