@@ -590,6 +590,23 @@ def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min counters: additive sketch state accumulated as a
+    native streaming count aggregation across 4 microbatches (bounded at
+    4096 rows/group); final counters equal batch cms_counters, checked by
+    the same-formula DuckDB mirror."""
+    from aira_spark.streaming.events import run_streaming_cms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = run_streaming_cms(spark, docs)
+    return out.select(
+        "grp",
+        F.col("row").cast("long").alias("row"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aira_spark.operators.dedup import exact_dedup
 
@@ -1452,10 +1469,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # top_customers, and — rotated out to make room for the round-3 group
     # approx_distinct/focal_mean/focal_gradient/classifier_scores/
     # streaming_hll/augment_stats/cms_counts/inverted_index/
-    # cross_modal_dedup/dissolve/idw — zonal_by_polygon, ngram_jaccard,
-    # ann_cosine_topk, events_hourly, sessionize, stateful_totals,
-    # within_distance, zonal_exact, footprint_poly, resize_thumbs, mosaic) —
-    # re-verifiable any time via tools/check_oracle.py.
+    # cross_modal_dedup/dissolve/idw/streaming_cms — zonal_by_polygon,
+    # ngram_jaccard, ann_cosine_topk, events_hourly, sessionize,
+    # stateful_totals, within_distance, zonal_exact, footprint_poly,
+    # resize_thumbs, mosaic, dedup_exact [whose oracle stays in the head
+    # via streaming_dedup]) — re-verifiable any time via
+    # tools/check_oracle.py.
     return {
         "ratio_sort": q_ratio_sort,
         "tile_assign": q_tile_assign,
@@ -1486,6 +1505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cover": q_streaming_cover,
         "streaming_dedup": q_streaming_dedup,
         "streaming_hll": q_streaming_hll,
+        "streaming_cms": q_streaming_cms,
         "corpus_sample": q_corpus_sample,
         "bm25": q_bm25,
         "inverted_index": q_inverted_index,
@@ -1495,7 +1515,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
         "fingerprints": q_fingerprints,
-        "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
@@ -1507,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
         "verify_invariants": q_verify_invariants,
+        "dedup_exact": q_dedup_exact,
         "mosaic": q_mosaic,
         "resize_thumbs": q_resize_thumbs,
         "footprint_poly": q_footprint_poly,
@@ -2346,6 +2366,25 @@ def _oracle_classifier_scores() -> str:
     return oracle_classifier_sql("documents")
 
 
+def _oracle_streaming_cms() -> str:
+    from aira_spark.functions.sketchfns import CM_DEPTH, cm_bucket_expr
+
+    arms = "\nUNION ALL\n".join(
+        f"SELECT grp, CAST({i} AS BIGINT) AS row, "
+        f"CAST({cm_bucket_expr('v', i, 'duckdb')} AS BIGINT) AS bucket, "
+        f"CAST(COUNT(*) AS BIGINT) AS cnt FROM pairs GROUP BY 1, 3"
+        for i in range(CM_DEPTH)
+    )
+    return f"""
+WITH pairs AS (
+  SELECT source AS grp, w AS v FROM
+    (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) > 0
+)
+{arms}
+"""
+
+
 def _oracle_streaming_hll() -> str:
     from aira_spark.functions.sketchfns import oracle_hll_sql
 
@@ -3074,6 +3113,7 @@ FROM docs GROUP BY 1
         "focal_gradient": _oracle_focal_gradient(),
         "approx_distinct": _oracle_approx_distinct(),
         "streaming_hll": _oracle_streaming_hll(),
+        "streaming_cms": _oracle_streaming_cms(),
         "classifier_scores": _oracle_classifier_scores(),
         "augment_stats": _oracle_augment_stats(),
         "cms_counts": _oracle_cms_counts(),

@@ -118,7 +118,11 @@ def cms_point_estimates(
     the point-query semantics of a real CMS."""
     from ..functions.sketchfns import CM_DEPTH, cm_bucket_expr
 
-    counters = cms_counters(pairs, grp, val)
+    # the counter table feeds 4 row-joins AND the group list — without
+    # truncation Catalyst recomputes the whole explode+agg subtree 5 times
+    # in one action; counters are <= groups * d * w rows (metadata-sized),
+    # so an eager localCheckpoint makes every reference a scan
+    counters = cms_counters(pairs, grp, val).localCheckpoint(eager=True)
     groups = counters.select("grp").distinct()
     probes = groups.crossJoin(F.broadcast(watchlist)).selectExpr(
         "grp", "term", *[

@@ -285,3 +285,34 @@ def run_streaming_hll(spark: SparkSession, docs: DataFrame) -> DataFrame:
     regs = hll_registers(pairs)  # streaming max/count agg: the register state
     emitted = _run_to_table(spark, regs, "shll", "complete", stage)
     return fold_registers(emitted)
+
+
+def run_streaming_cms(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Streaming count-min counters: term-frequency sketch state accumulated
+    as a native streaming COUNT aggregation keyed on (grp, row, bucket) —
+    bounded at d*w = 4096 rows per group on an unbounded stream, and counts
+    are additive across microbatches, so the final emission equals the batch
+    cms_counters exactly (returned here as the counter table; callers point-
+    query it exactly like the batch path)."""
+    from ..functions.sketchfns import CM_DEPTH, cm_bucket_expr
+
+    stage = tempfile.mkdtemp(prefix="aira_scms_")
+    src = docs.selectExpr("source", "text")
+    src.repartition(4).write.mode("overwrite").parquet(stage)
+
+    arms = ", ".join(
+        f"named_struct('row', {i}, 'bucket', {cm_bucket_expr('v', i, 'spark')})"
+        for i in range(CM_DEPTH)
+    )
+    counters = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .selectExpr("source AS grp", "explode(split(text, ' ')) AS v")
+        .where(F.expr("length(v) > 0"))
+        .selectExpr("grp", f"explode(array({arms})) AS rb")
+        .groupBy("grp", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .count()
+        .selectExpr("grp", "row", "bucket", "CAST(count AS BIGINT) AS cnt")
+    )
+    return _run_to_table(spark, counters, "scms", "complete", stage)

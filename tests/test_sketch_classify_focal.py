@@ -531,3 +531,18 @@ def test_idw_exact_hit_returns_observation(spark):
     q = spark.createDataFrame([(100, 10.0, 10.0)], "query_id long, x double, y double")
     got = idw_interpolate(q, pts, vals, k=3).collect()[0]
     assert got["est"] == 42.0  # d = 0 -> the observation itself, exactly
+
+
+def test_streaming_cms_equals_batch(spark, sf_dir):
+    """Counters accumulated across 4 microbatches equal the one-pass batch
+    counters — additivity under streaming state."""
+    from aira_spark.operators.sketch import cms_counters
+    from aira_spark.streaming.events import run_streaming_cms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(map(tuple, run_streaming_cms(spark, docs).collect()))
+    pairs = docs.selectExpr(
+        "source AS grp", "explode(split(text, ' ')) AS v"
+    ).where("length(v) > 0")
+    b = sorted(map(tuple, cms_counters(pairs).collect()))
+    assert a == b and len(a) > 0

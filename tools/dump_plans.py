@@ -132,6 +132,12 @@ def main() -> None:
                               "caption md5) full-outer merged; bytes and "
                               "pixels never shuffle; caption groups guarded "
                               "against boilerplate quadratics"),
+        ("dissolve", "rasterize (broadcast cover + ray-cast) -> per-group "
+                     "distinct -> grouped per-level compaction; id-only "
+                     "aggregations, no vector topology"),
+        ("idw", "rides the k-ring kNN prefilter; per-query state is a "
+                "k-element sorted array; rank-ordered folds pin float "
+                "reproducibility"),
     ]
     qs = em.queries()
     lines = [
