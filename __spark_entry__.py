@@ -1093,6 +1093,28 @@ def q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point PageRank (10 rounds, damping 0.85) over the kNN
+    digraph of the points table (k=6 including self, self-edge dropped →
+    exactly 5 out-edges per node). Integer contributions make every round
+    order-independent, so the unrolled DuckDB CTE chain matches exactly."""
+    from aira_spark.operators.graph import pagerank_fixed
+    from aira_spark.operators.spatial import knn_join
+    from aira_spark.sources.vectors import points_table
+
+    pts = points_table(spark, sf_dir)
+    queries = pts.selectExpr("point_id AS query_id", "x", "y")
+    nn = knn_join(queries, pts, k=6, res=CELL_RES)
+    edges = nn.filter(F.col("neighbor_id") != F.col("query_id")).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    out = pagerank_fixed(edges, out_degree=5, rounds=10)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("rank_micros").cast("long").alias("rank_micros"),
+    )
+
+
 def q_pip_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same result as `pip`, physically salted on hot cells (skew path)."""
     from aira_spark.functions.cells import cell_from_xy
@@ -1469,7 +1491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # top_customers, and — rotated out to make room for the round-3 group
     # approx_distinct/focal_mean/focal_gradient/classifier_scores/
     # streaming_hll/augment_stats/cms_counts/inverted_index/
-    # cross_modal_dedup/dissolve/idw/streaming_cms — zonal_by_polygon,
+    # cross_modal_dedup/dissolve/idw/streaming_cms/pagerank —
+    # fingerprints, zonal_by_polygon,
     # ngram_jaccard, ann_cosine_topk, events_hourly, sessionize,
     # stateful_totals, within_distance, zonal_exact, footprint_poly,
     # resize_thumbs, mosaic, dedup_exact [whose oracle stays in the head
@@ -1488,6 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_salted": q_pip_salted,
         "knn": q_knn,
         "idw": q_idw,
+        "pagerank": q_pagerank,
         "augment_stats": q_augment_stats,
         "zonal_bands": q_zonal_bands,
         "zonal_rollup": q_zonal_rollup,
@@ -1514,7 +1538,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
-        "fingerprints": q_fingerprints,
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
@@ -1526,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
         "verify_invariants": q_verify_invariants,
+        "fingerprints": q_fingerprints,
         "dedup_exact": q_dedup_exact,
         "mosaic": q_mosaic,
         "resize_thumbs": q_resize_thumbs,
@@ -2104,6 +2128,22 @@ UNION ALL
 SELECT 'km', query_id, neighbor_id, CAST(rn_km AS BIGINT), ROUND(dist_km, 3)
 FROM r WHERE rn_km <= 5
 """
+
+
+def _oracle_pagerank() -> str:
+    from aira_spark.operators.graph import oracle_pagerank_sql
+    from aira_spark.sources.vectors import points_oracle_sql
+
+    edges_cte = f"""p AS ({points_oracle_sql()}),
+d AS (
+  SELECT a.point_id AS src, b.point_id AS dst,
+    SQRT((b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)) AS dist
+  FROM p a CROSS JOIN p b
+),
+rr AS (SELECT *,
+  ROW_NUMBER() OVER (PARTITION BY src ORDER BY dist, dst) AS rn FROM d),
+edges AS (SELECT src, dst FROM rr WHERE rn <= 6 AND src != dst)"""
+    return oracle_pagerank_sql(edges_cte, out_degree=5, rounds=10)
 
 
 def _oracle_idw() -> str:
@@ -3106,6 +3146,7 @@ FROM docs GROUP BY 1
         "pip": _oracle_pip(),
         "knn": _oracle_knn(),
         "idw": _oracle_idw(),
+        "pagerank": _oracle_pagerank(),
         "resize_thumbs": _oracle_resize_thumbs(),
         "zonal_exact": _oracle_zonal_exact(),
         "mosaic": _oracle_mosaic(),

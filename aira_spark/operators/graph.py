@@ -1,0 +1,97 @@
+"""Iterative graph ranking (PageRank) as DataFrame rounds.
+
+PageRank is the canonical iterative-algorithm stress test for a DataFrame
+engine (joins + aggregations in a loop, lineage growth, convergence). Float
+PageRank cannot be compared exactly across engines — partial-sum order
+changes the last ULP every iteration and errors compound. This is the
+INTEGER FIXED-POINT variant: ranks live in micros (BIGINT), every edge
+contribution is the exact integer (DAMP_NUM * rank) div (DAMP_DEN * deg),
+and the per-target fold is a sum of integers — order-independent, so Spark
+at any parallelism and the DuckDB oracle's unrolled CTE chain agree
+bit-for-bit after any number of rounds. Floor division leaks a few micros
+of mass per round (bounded by in-degree); that is part of the operator's
+DEFINITION, not an accident — rank ORDER converges like standard PageRank
+(damping 0.85) while values stay exactly reproducible.
+
+The driver query runs it over the k-nearest-neighbor digraph of the points
+table (every node has exactly k out-edges, so deg is a constant and the
+contribution expression needs no degree join).
+
+Scale shape per round: one (src equi-join) + one hash agg on dst — the
+standard distributed PageRank round; ranks are (node, BIGINT) rows, edges
+never change, and the loop localCheckpoints every few rounds like
+duplicate_clusters to bound lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMP_NUM = 85
+DAMP_DEN = 100
+INIT_MICROS = 1_000_000
+# teleport term: (1 - d) * 1.0 in micros
+TELEPORT = INIT_MICROS * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
+
+
+def pagerank_fixed(
+    edges: DataFrame, out_degree: int, rounds: int = 10,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """(node, rank_micros) after `rounds` synchronous iterations.
+
+    `edges` carries (src, dst) with EVERY src having exactly `out_degree`
+    out-edges (the kNN digraph guarantees it); nodes = distinct src (every
+    node has out-edges, so no dangling-mass term)."""
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    ranks = nodes.withColumn("rank_micros", F.lit(INIT_MICROS).cast("long"))
+    div = DAMP_DEN * out_degree
+    for i in range(rounds):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"({DAMP_NUM} * rank_micros) div {div}").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(TELEPORT) + F.coalesce(F.col("inflow"), F.lit(0)))
+                .cast("long")
+                .alias("rank_micros"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            # same device as duplicate_clusters: each round's plan embeds the
+            # previous round twice-referenced; truncate before it compounds
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def oracle_pagerank_sql(
+    edges_cte: str, out_degree: int, rounds: int = 10
+) -> str:
+    """DuckDB mirror: `edges_cte` defines a CTE `edges(src, dst)`; the
+    iteration unrolls into one CTE per round (identical integer ops)."""
+    div = DAMP_DEN * out_degree
+    parts = [
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        f"r0 AS (SELECT node, CAST({INIT_MICROS} AS BIGINT) AS rank_micros FROM nodes)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"r{i + 1} AS (SELECT n.node, CAST({TELEPORT} + COALESCE(("
+            f"SELECT SUM(({DAMP_NUM} * r.rank_micros) // {div}) "
+            f"FROM edges e JOIN r{i} r ON r.node = e.src "
+            f"WHERE e.dst = n.node), 0) AS BIGINT) AS rank_micros "
+            f"FROM nodes n)"
+        )
+    return (
+        f"WITH {edges_cte},\n" + ",\n".join(parts)
+        + f"\nSELECT node, rank_micros FROM r{rounds}"
+    )

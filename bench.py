@@ -175,6 +175,7 @@ def main() -> None:
         "dissolve": lambda: em.q_dissolve(spark, sf_dir).count(),
         "idw": lambda: em.q_idw(spark, sf_dir).count(),
         "streaming_cms": lambda: em.q_streaming_cms(spark, sf_dir).count(),
+        "pagerank": lambda: em.q_pagerank(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

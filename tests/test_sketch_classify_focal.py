@@ -546,3 +546,48 @@ def test_streaming_cms_equals_batch(spark, sf_dir):
     ).where("length(v) > 0")
     b = sorted(map(tuple, cms_counters(pairs).collect()))
     assert a == b and len(a) > 0
+
+
+# -------------------------------------------------------------- pagerank
+
+
+def test_pagerank_hand_graph(spark):
+    """4-node ring with one hub: integer ranks match a python mirror, the
+    hub outranks ring members, and total mass is conserved minus the
+    documented floor-division leak."""
+    from aira_spark.operators import graph as G
+
+    # every node needs exactly 2 out-edges
+    e = [
+        (1, 2), (1, 4), (2, 3), (2, 4), (3, 1), (3, 4), (4, 1), (4, 2),
+    ]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    got = {
+        r["node"]: r["rank_micros"]
+        for r in G.pagerank_fixed(edges, out_degree=2, rounds=10).collect()
+    }
+    ranks = {n: G.INIT_MICROS for n in (1, 2, 3, 4)}
+    for _ in range(10):
+        nxt = {n: G.TELEPORT for n in ranks}
+        for s, d in e:
+            nxt[d] += (G.DAMP_NUM * ranks[s]) // (G.DAMP_DEN * 2)
+        ranks = nxt
+    assert got == ranks
+    assert got[4] == max(got.values())  # the hub (3 in-edges)
+    # floor leak bound: each of the 8 contributions loses < 1 micro/round
+    assert sum(got.values()) <= 4 * G.INIT_MICROS
+    assert sum(got.values()) > 4 * G.INIT_MICROS - 10 * 8 - 4
+
+
+def test_pagerank_parallelism_invariant(spark):
+    """Identical ranks at different shuffle partitioning — the integer fold
+    is order-independent by construction."""
+    from aira_spark.operators.graph import pagerank_fixed
+
+    e = [(i, (i + 1) % 20) for i in range(20)] + [(i, (i + 7) % 20) for i in range(20)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    a = sorted(map(tuple, pagerank_fixed(edges, 2, rounds=6).collect()))
+    b = sorted(
+        map(tuple, pagerank_fixed(edges.repartition(17), 2, rounds=6).collect())
+    )
+    assert a == b
