@@ -138,6 +138,9 @@ def main() -> None:
         ("idw", "rides the k-ring kNN prefilter; per-query state is a "
                 "k-element sorted array; rank-ordered folds pin float "
                 "reproducibility"),
+        ("pagerank", "iterative join+agg rounds over integer micros; "
+                     "order-independent folds make any parallelism "
+                     "bit-identical; lineage checkpointed every 4 rounds"),
     ]
     qs = em.queries()
     lines = [
