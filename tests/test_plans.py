@@ -435,3 +435,53 @@ def test_inverted_index_two_level_agg_no_text_shuffle(spark, sf_dir):
     import re
     for m in re.finditer(r"Exchange[^\n]*\n(?:[^\n]*\n){0,3}", s):
         assert "text#" not in m.group(0), m.group(0)
+
+
+def test_cross_modal_no_cartesian_no_bytes(spark, sf_dir):
+    """Both gate arms are equi-joins; image bytes never enter an exchange."""
+    import __spark_entry__ as em
+
+    df = em.q_cross_modal_dedup(spark, sf_dir)
+    s = plan_string(df)
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s, s
+    import re
+    for m in re.finditer(r"Exchange[^\n]*\n(?:[^\n]*\n){0,3}", s):
+        assert "bytes#" not in m.group(0), m.group(0)
+
+
+def test_dissolve_no_cartesian_id_only_compaction(spark, sf_dir):
+    """Rasterize arm broadcasts; compaction levels are id-only aggs (the
+    localCheckpoint per level truncates them out of the final plan)."""
+    import __spark_entry__ as em
+
+    df = em.q_dissolve(spark, sf_dir)
+    s = plan_string(df)
+    assert "CartesianProduct" not in s, s
+    assert "BatchEvalPython" not in s
+
+
+def test_idw_rides_knn_no_cross_join(spark, sf_dir):
+    import __spark_entry__ as em
+
+    df = em.q_idw(spark, sf_dir)
+    s = plan_string(df)
+    # the kNN prefilter path may fall back to a broadcast re-rank for
+    # sparse queries, but a plain CartesianProduct must never appear
+    assert "CartesianProduct" not in s, s
+    assert "BatchEvalPython" not in s
+
+
+def test_pagerank_round_shape(spark):
+    """One PageRank round = one equi-join + one hash agg; no cartesian, no
+    Python nodes; ranks and edges are narrow integer rows."""
+    from aira_spark.operators.graph import pagerank_fixed
+
+    e = [(i, (i + 1) % 30) for i in range(30)] + [(i, (i + 11) % 30) for i in range(30)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    df = pagerank_fixed(edges, 2, rounds=1)  # single uncheckpointed round
+    s = plan_string(df)
+    assert "CartesianProduct" not in s, s
+    # no Python EVALUATION nodes (the fixture's createDataFrame scan line
+    # mentions applySchemaToPythonRDD — that's ingestion, not evaluation)
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, s
+    assert count_in_plan(df, "HashAggregate") >= 2, s  # partial+final inflow
