@@ -154,7 +154,44 @@ def main() -> None:
     n_boot = read_stage_changes(spark, stage, 0).count()  # re-bootstrap path
     print(f"REBOOTSTRAP rows={n_boot} (== full {n_full})")
 
-    ok = rows_match and sum_match and n_boot == n_full
+    # --- MERGE INTO: bucket-granular upsert, then the same cursor contract ---
+    from aira_spark.sources.checkpoint import merge_stage, snapshots
+
+    pre_merge = max(s["snapshot-id"] for s in snapshots(stage))
+    updates = pts.filter(F.col("point_id") % 97 == 0).select(
+        "point_id", (-F.col("point_id")).alias("cell")  # sentinel new value
+    )
+    n_upd = updates.count()
+    merge_stage(spark, updates, stage, "pts", key="point_id", n_buckets=8)
+    merged = read_stage(spark, stage)
+    # sentinel check must match the update rule, not `cell < 0`: point_id 0
+    # is a legitimate key and its sentinel -0 == 0
+    n_sentinel = merged.filter(
+        (F.col("point_id") % 97 == 0) & (F.col("cell") == -F.col("point_id"))
+    ).count()
+    merge_rows_ok = merged.count() == n_full and n_sentinel == n_upd
+    try:
+        read_stage_changes(spark, stage, pre_merge)  # range contains the merge
+        merge_guard_ok = False
+        print("MERGE_GUARD FAILED: cursor across a merge did not raise")
+    except ValueError as exc:
+        merge_guard_ok = True
+        print(f"MERGE_GUARD ok: {str(exc)[:90]}...")
+    # re-bootstrap sees exactly the upserted state
+    boot2 = read_stage_changes(spark, stage, 0).select("point_id", "cell")
+    expect = pts.select(
+        "point_id",
+        F.when(F.col("point_id") % 97 == 0, -F.col("point_id"))
+        .otherwise(F.col("cell")).alias("cell"),
+    )
+    merge_sum_ok = _checksum(boot2, ["point_id", "cell"]) == _checksum(
+        expect, ["point_id", "cell"]
+    )
+    print(f"MERGE_PROBE rows_ok={merge_rows_ok} guard_ok={merge_guard_ok} "
+          f"checksum_ok={merge_sum_ok} (upserts={n_upd})")
+
+    ok = (rows_match and sum_match and n_boot == n_full
+          and merge_rows_ok and merge_guard_ok and merge_sum_ok)
     print(f"CDC_PROBE {'PASS' if ok else 'FAIL'}")
     spark.stop()
     sys.exit(0 if ok else 1)
