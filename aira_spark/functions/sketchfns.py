@@ -84,6 +84,20 @@ def estimate_expr(s: str, v: str) -> str:
     )
 
 
+def estimate_e4_expr(s: str, v: str) -> str:
+    """The estimate as INTEGER fixed-point (units of 1e-4): the driver-safe
+    form. `est_distinct` is the roster's only double that passes through
+    libm `ln` + ROUND(double, n) — both engine-build-sensitive — and the
+    driver's pandas canonicalizer additionally floats any non-BIGINT
+    aggregate (CORRECTNESS_r03). ROUND-to-whole then CAST keeps every op in
+    the deterministic IEEE subset (one literal, one division, one multiply),
+    so both engines emit the identical BIGINT."""
+    raw = f"({RAW_NUM!r} / CAST({s} AS DOUBLE))"
+    lc = f"({M_REG}.0 * ln({M_REG}.0 / CAST({v} AS DOUBLE)))"
+    est = f"(CASE WHEN {raw} <= {LC_THRESHOLD!r} AND {v} > 0 THEN {lc} ELSE {raw} END)"
+    return f"CAST(ROUND({est} * 10000.0, 0) AS BIGINT)"
+
+
 def hll_projection(value: str, engine: str) -> tuple[str, str]:
     """(bucket_sql, rho_sql) for one value expression."""
     h = h64(value, engine)
@@ -103,11 +117,11 @@ regs AS (
          MAX({rho}) AS reg, CAST(COUNT(*) AS BIGINT) AS cnt
   FROM pairs GROUP BY 1, 2
 )
-SELECT grp, SUM(cnt) AS n_values,
+SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n_values,
   CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
   CAST({s} AS BIGINT) AS register_sum,
   CAST({v_empty} AS BIGINT) AS zero_registers,
-  {estimate_expr(s, v_empty)} AS est_distinct
+  {estimate_e4_expr(s, v_empty)} AS est_e4
 FROM regs GROUP BY grp
 """
 

@@ -2,11 +2,12 @@
 
 Images/audio/video ride as opaque `binary` columns with typed metadata; all
 transforms are Arrow-batched mapInPandas with explicit schemas and bounded
-batch shapes. TIFF decode is REAL (aira_spark.tiff); JPEG/PNG/audio/video
-codecs are STUBBED (no PIL/ffmpeg in this container) behind
-NotImplementedError with a clearly-marked deterministic fake for plumbing
-tests — the Spark-side schema / partitioning / UDF signatures are the real
-design and are exercised by tests.
+batch shapes. TIFF decode is REAL (aira_spark.tiff) and so is PNG
+(aira_spark.pngio — pure numpy + stdlib zlib); JPEG/audio/video codecs are
+STUBBED (no PIL/ffmpeg in this container) behind NotImplementedError with a
+clearly-marked deterministic fake for plumbing tests — the Spark-side
+schema / partitioning / UDF signatures are the real design and are
+exercised by tests.
 """
 
 from __future__ import annotations
@@ -20,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as Ty
 
 from ..functions.udfs import _decode_full
+from ..pngio import PngError
 from ..tiff.meta import TiffError
 
 FEATURE_SCHEMA = Ty.StructType(
@@ -48,10 +50,14 @@ def _block_mean_8(px: np.ndarray) -> np.ndarray:
 
 
 def decode_image(fmt: str, payload: bytes) -> np.ndarray:
-    """Format dispatch. TIFF is real; other codecs are stubs."""
+    """Format dispatch. TIFF and PNG are real; other codecs are stubs."""
     if fmt.startswith("tiff"):
         _, px = _decode_full(payload)
         return px
+    if fmt.startswith("png"):
+        from ..pngio import decode_png
+
+        return decode_png(payload)
     if fmt.startswith("fake-"):
         # deterministic fake frame derived from the payload hash — plumbing-only
         seed = int.from_bytes(hashlib.sha256(payload).digest()[:4], "little")
@@ -83,7 +89,7 @@ def image_features(images: DataFrame) -> DataFrame:
                             None,
                         )
                     )
-                except (TiffError, NotImplementedError) as exc:
+                except (TiffError, PngError, NotImplementedError) as exc:
                     rows.append((rec.image_id, None, None, None, None, str(exc)))
             yield pd.DataFrame(rows, columns=FEATURE_SCHEMA.fieldNames())
 
@@ -151,6 +157,120 @@ def resize_images(images: DataFrame, th: int, tw: int) -> DataFrame:
     return images.select("image_id", "bytes").mapInPandas(
         fn, schema="image_id string, bytes binary"
     )
+
+
+PNG_MODES = 6  # gray8, rgb8, rgba8, gray16, palette8, gray+alpha8
+PNG_STATS_SCHEMA = (
+    "image_id string, mode long, out_ch long, out_w long, out_h long, "
+    "sum_px long, wsum long"
+)
+_PNG_WSUM_MOD = 1 << 61  # augment.py's position-weighted checksum device
+
+
+def _png_synth(k: int) -> tuple[np.ndarray, np.ndarray | None, int, int]:
+    """Deterministic per-key PNG test image: (pixels-to-encode, palette,
+    mode, out_channels). The pixel formula is closed-form so the DuckDB
+    oracle recomputes the DECODED values independently of the codec:
+      val_s(r, c) = (r*7 + c*13 + k + s*29) % 256        direct modes
+      gray16: ((r*7 + c*13 + k) % 256) * 257             (hi==lo byte)
+      palette idx = (r*7 + c*13 + k) % 256, pal[m] = (3m, 5m, 7m) % 256
+    """
+    w, h = 16 + (k % 7) * 8, 16 + (k % 5) * 8
+    mode = k % 6
+    r = np.arange(h)[:, None, None]
+    c = np.arange(w)[None, :, None]
+    base = r * 7 + c * 13 + k
+    if mode == 3:  # gray16
+        return ((base[:, :, :1] % 256) * 257).astype(np.uint16), None, mode, 1
+    if mode == 4:  # palette8 -> decodes to RGB
+        pal = np.stack(
+            [(np.arange(256) * m) % 256 for m in (3, 5, 7)], axis=1
+        ).astype(np.uint8)
+        return (base[:, :, :1] % 256).astype(np.uint8), pal, mode, 3
+    ch = {0: 1, 1: 3, 2: 4, 5: 2}[mode]
+    s = np.arange(ch)[None, None, :]
+    return ((base + s * 29) % 256).astype(np.uint8), None, mode, ch
+
+
+def png_roundtrip_stats(keys: DataFrame) -> DataFrame:
+    """(image_id, mode, out_ch, out_w, out_h, sum_px, wsum) — the PNG codec
+    driven end-to-end through REAL bytes: synthesize deterministic pixels
+    per key, ENCODE as PNG (color type/depth/palette cycling by k % 6,
+    per-row filters cycling all five spec filters by (k + row) % 5), then
+    DECODE via decode_image and compute integer stats from the DECODED
+    array. wsum is the position-weighted checksum (sum((pos+1)*val) mod
+    2^61): a single wrong byte from any filter/unfilter/palette/16-bit path
+    shifts it, and the oracle recomputes it from the pixel formula alone.
+
+    Scale shape: zero shuffles — synth+encode+decode+reduce all inside one
+    mapInPandas; only 7 small integer columns cross Arrow, never pixels."""
+    from ..pngio import write_png
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf["k"]:
+                k = int(k)
+                px, pal, mode, _ = _png_synth(k)
+                h, w = px.shape[:2]
+                buf = write_png(
+                    px, filters=[(k + row) % 5 for row in range(h)], palette=pal
+                )
+                dec = decode_image("png", buf)
+                a = dec.astype(np.int64)
+                weights = np.arange(1, a.size + 1, dtype=np.int64)
+                rows.append(
+                    (
+                        f"png{k:08d}",
+                        mode,
+                        a.shape[2],
+                        w,
+                        h,
+                        int(a.sum()),
+                        int((weights * a.ravel()).sum() % _PNG_WSUM_MOD),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "mode", "out_ch", "out_w", "out_h",
+                    "sum_px", "wsum",
+                ],
+            )
+
+    return keys.select("k").mapInPandas(fn, schema=PNG_STATS_SCHEMA)
+
+
+def oracle_png_stats_sql(where: str = "p_partkey % 13 = 0") -> str:
+    """DuckDB mirror: recomputes the DECODED pixel values from the closed
+    form (independent of the codec) and folds the same integer stats."""
+    return f"""
+WITH keys AS (SELECT p_partkey AS k FROM part WHERE {where}),
+dims AS (
+  SELECT k, k % 6 AS mode, 16 + (k % 7) * 8 AS w, 16 + (k % 5) * 8 AS h,
+    CASE k % 6 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 4
+               WHEN 3 THEN 1 WHEN 4 THEN 3 ELSE 2 END AS ch
+  FROM keys
+),
+rws AS (SELECT *, unnest(generate_series(0, h - 1)) AS r FROM dims),
+pxs AS (SELECT *, unnest(generate_series(0, w - 1)) AS c FROM rws),
+chs AS (SELECT *, unnest(generate_series(0, ch - 1)) AS s FROM pxs),
+vals AS (
+  SELECT *, CAST(CASE mode
+    WHEN 3 THEN ((r * 7 + c * 13 + k) % 256) * 257
+    WHEN 4 THEN (((r * 7 + c * 13 + k) % 256)
+                 * (CASE s WHEN 0 THEN 3 WHEN 1 THEN 5 ELSE 7 END)) % 256
+    ELSE (r * 7 + c * 13 + k + s * 29) % 256
+  END AS BIGINT) AS val
+  FROM chs
+)
+SELECT 'png' || lpad(CAST(k AS VARCHAR), 8, '0') AS image_id,
+  CAST(mode AS BIGINT) AS mode, CAST(ch AS BIGINT) AS out_ch,
+  CAST(w AS BIGINT) AS out_w, CAST(h AS BIGINT) AS out_h,
+  CAST(SUM(val) AS BIGINT) AS sum_px,
+  CAST(SUM(((r * w + c) * ch + s + 1) * val) % {_PNG_WSUM_MOD} AS BIGINT) AS wsum
+FROM vals GROUP BY k, mode, ch, w, h
+"""
 
 
 FRAME_SCHEMA = Ty.StructType(

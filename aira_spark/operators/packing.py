@@ -59,6 +59,7 @@ def pack_sequences(
         "doc_id",
         "CAST(shard AS BIGINT) AS shard",
         "n_tok",
+        "CAST(tok_start AS BIGINT) AS tok_start",
         f"tok_start div {b} AS pack_id",
         f"tok_start % {b} AS pack_offset",
         f"((tok_start + n_tok - 1) div {b}) > (tok_start div {b}) AS straddles",

@@ -196,7 +196,10 @@ def inverted_index(
 
 
 def oracle_inverted_index_sql(table: str = "documents", min_df: int = 1) -> str:
-    """DuckDB mirror of the untruncated index."""
+    """DuckDB mirror of the untruncated index. Postings are emitted as the
+    comma-joined STRING of the doc_id-ordered list (matching the driver
+    projection of q_inverted_index): a list column is the one schema the
+    driver's pandas canonicalizer cannot hash."""
     return f"""
 WITH hits AS (
   SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM (
@@ -205,6 +208,6 @@ WITH hits AS (
 )
 SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
        CAST(SUM(tf) AS BIGINT) AS total_tf,
-       list(doc_id ORDER BY doc_id) AS postings
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
 FROM hits GROUP BY term HAVING COUNT(*) >= {min_df}
 """

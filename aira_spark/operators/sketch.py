@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from ..functions.sketchfns import (
     EMPTY_TERM,
     M_REG,
+    estimate_e4_expr,
     estimate_expr,
     hll_projection,
     register_term_expr,
@@ -55,11 +56,14 @@ def fold_registers(regs: DataFrame) -> DataFrame:
     s = f"(SUM({term}) + ({M_REG} - COUNT(*)) * {EMPTY_TERM})"
     v_empty = f"({M_REG} - COUNT(*))"
     return regs.groupBy("grp").agg(
-        F.sum("cnt").alias("n_values"),
+        F.sum("cnt").cast("long").alias("n_values"),
         F.count("*").cast("long").alias("n_buckets_used"),
         F.expr(f"CAST({s} AS BIGINT)").alias("register_sum"),
         F.expr(f"CAST({v_empty} AS BIGINT)").alias("zero_registers"),
         F.expr(estimate_expr(s, v_empty)).alias("est_distinct"),
+        # the driver-checked form: integer fixed-point (1e-4 units) — see
+        # sketchfns.estimate_e4_expr for why the double stays out of the gate
+        F.expr(estimate_e4_expr(s, v_empty)).alias("est_e4"),
     )
 
 

@@ -1,0 +1,311 @@
+"""Pure-numpy PNG codec (decode + encode), stdlib-zlib only.
+
+Retires the one multimodal codec stub that is actually implementable in
+this sandbox (no PIL): PNG is zlib (stdlib) + 5 scanline filters, the same
+predictor-style machinery as the TIFF path — filter 1 (Sub) is the wrapping
+cumsum of tiff/pixels.py's int predictor (reference semantics:
+crates/aira-tiff/src/predictor/int.rs:19-37), filter 2 (Up) is its
+row-axis analog, and Average/Paeth are short per-group recurrences.
+
+Spec subset (PNG 1.2), chosen like the reference chose its TIFF surface —
+everything implemented is byte-faithful, everything else is a LOUD error,
+never a wrong pixel:
+
+  - color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA)
+  - bit depths 8 and 16 for types 0/2/4/6; 1/2/4/8 for gray and palette
+  - filters 0-4 per scanline (None/Sub/Up/Average/Paeth)
+  - interlace 0 only (Adam7 raises PngError)
+  - CRC verified on every chunk; IDAT may span multiple chunks
+
+Error model mirrors the TIFF side (tiff/meta.py TiffError): decode never
+returns partial pixels — any structural violation raises PngError, which
+the Spark operators turn into dead-letter error ROWS, never executor
+exceptions.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per color type
+_CT_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# allowed bit depths per color type (PNG 1.2 table 11.1)
+_CT_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
+
+class PngError(Exception):
+    """Structural/unsupported-feature error — the PNG TiffError analog."""
+
+
+def _chunks(buf: bytes):
+    """Yield (type, data) with CRC verification; stops after IEND."""
+    if buf[:8] != _SIG:
+        raise PngError("invalid PNG signature")
+    pos = 8
+    n = len(buf)
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", buf[pos : pos + 4])
+        ctype = buf[pos + 4 : pos + 8]
+        data_end = pos + 8 + length
+        if data_end + 4 > n:
+            raise PngError(f"truncated chunk {ctype!r}")
+        data = buf[pos + 8 : data_end]
+        (crc,) = struct.unpack(">I", buf[data_end : data_end + 4])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise PngError(f"CRC mismatch in chunk {ctype!r}")
+        yield ctype, data
+        pos = data_end + 4
+        if ctype == b"IEND":
+            return
+    raise PngError("missing IEND")
+
+
+def _unfilter(raw: bytes, h: int, row_bytes: int, bpp: int) -> np.ndarray:
+    """Invert the per-scanline filters: (h, row_bytes) reconstructed bytes.
+
+    Sub = wrapping cumsum over bpp-strided lanes (native uint8 overflow,
+    exactly tiff/pixels.py's int-predictor device); Up = vectorized
+    prior-row add; Average/Paeth = per-bpp-group recurrence (left neighbor
+    dependency is inherently sequential along the row)."""
+    arr = np.frombuffer(raw, np.uint8)
+    if arr.size != h * (1 + row_bytes):
+        raise PngError(
+            f"decompressed length {arr.size} != expected {h * (1 + row_bytes)}"
+        )
+    arr = arr.reshape(h, 1 + row_bytes)
+    ftypes = arr[:, 0]
+    if ftypes.size and ftypes.max(initial=0) > 4:
+        bad = int(ftypes.max())
+        raise PngError(f"invalid filter type {bad}")
+    out = np.zeros((h, row_bytes), np.uint8)
+    zero = np.zeros(row_bytes, np.uint8)
+    for i in range(h):
+        f = int(ftypes[i])
+        x = arr[i, 1:]
+        up = out[i - 1] if i > 0 else zero
+        if f == 0:
+            out[i] = x
+        elif f == 1:  # Sub: recon[j] = x[j] + recon[j - bpp]
+            out[i] = (
+                x[: (row_bytes // bpp) * bpp]
+                .reshape(-1, bpp)
+                .cumsum(axis=0, dtype=np.uint8)
+                .reshape(-1)
+            )
+        elif f == 2:  # Up
+            out[i] = x + up
+        elif f == 3:  # Average: x + floor((left + up) / 2)
+            row = out[i]
+            for j0 in range(0, row_bytes, bpp):
+                left = row[j0 - bpp : j0] if j0 else zero[:bpp]
+                avg = (
+                    (left.astype(np.uint16) + up[j0 : j0 + bpp]) >> 1
+                ).astype(np.uint8)
+                row[j0 : j0 + bpp] = x[j0 : j0 + bpp] + avg
+        else:  # Paeth
+            row = out[i]
+            for j0 in range(0, row_bytes, bpp):
+                a = (row[j0 - bpp : j0] if j0 else zero[:bpp]).astype(np.int16)
+                b = up[j0 : j0 + bpp].astype(np.int16)
+                c = (up[j0 - bpp : j0] if j0 else zero[:bpp]).astype(np.int16)
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                ).astype(np.uint8)
+                row[j0 : j0 + bpp] = x[j0 : j0 + bpp] + pred
+    return out
+
+
+def _unpack_subbyte(rows: np.ndarray, w: int, depth: int) -> np.ndarray:
+    """(h, row_bytes) packed big-endian-bit samples -> (h, w) sample values
+    for depths 1/2/4 (gray or palette indices; values NOT scaled)."""
+    h = rows.shape[0]
+    bits = np.unpackbits(rows, axis=1)  # MSB first — PNG bit order
+    per = 8 // depth
+    vals = bits.reshape(h, -1, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    out = (vals * weights).sum(axis=2).astype(np.uint8)
+    return out[:, :w]
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, channels) ndarray (uint8, or uint16 for
+    16-bit depth). Palette images return expanded (h, w, 3) RGB."""
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    seen_iend = False
+    for ctype, data in _chunks(buf):
+        if ctype == b"IHDR":
+            if ihdr is not None:
+                raise PngError("duplicate IHDR")
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            seen_iend = True
+    if ihdr is None or len(ihdr) != 13:
+        raise PngError("missing or malformed IHDR")
+    if not seen_iend:
+        raise PngError("missing IEND")
+    w, h, depth, ct, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if w == 0 or h == 0:
+        raise PngError("zero image dimension")
+    if comp != 0 or filt != 0:
+        raise PngError(f"unknown compression/filter method {comp}/{filt}")
+    if interlace == 1:
+        raise PngError("Adam7 interlace not supported")
+    if interlace != 0:
+        raise PngError(f"unknown interlace method {interlace}")
+    if ct not in _CT_CHANNELS:
+        raise PngError(f"unknown color type {ct}")
+    if depth not in _CT_DEPTHS[ct]:
+        raise PngError(f"bit depth {depth} invalid for color type {ct}")
+    if not idat:
+        raise PngError("no IDAT data")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise PngError(f"IDAT inflate failed: {exc}") from exc
+
+    ch = _CT_CHANNELS[ct]
+    bits_pp = ch * depth
+    bpp = max(1, bits_pp // 8)
+    row_bytes = (w * bits_pp + 7) // 8
+    rows = _unfilter(raw, h, row_bytes, bpp)
+
+    if depth == 16:
+        px = (
+            rows.reshape(h, row_bytes)
+            .view(">u2")
+            .astype(np.uint16)
+            .reshape(h, w, ch)
+        )
+    elif depth == 8:
+        px = rows.reshape(h, w, ch)
+    else:  # 1/2/4-bit: gray or palette indices, 1 channel by table
+        px = _unpack_subbyte(rows, w, depth)[:, :, None]
+
+    if ct == 3:
+        if plte is None or len(plte) % 3 != 0 or len(plte) == 0:
+            raise PngError("palette image without a valid PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise PngError("palette index out of range")
+        px = pal[idx]
+    return px
+
+
+# ------------------------------------------------------------------ encode
+
+
+def _paeth_pred(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    a16, b16, c16 = a.astype(np.int16), b.astype(np.int16), c.astype(np.int16)
+    p = a16 + b16 - c16
+    pa, pb, pc = np.abs(p - a16), np.abs(p - b16), np.abs(p - c16)
+    return np.where((pa <= pb) & (pa <= pc), a16, np.where(pb <= pc, b16, c16)).astype(
+        np.uint8
+    )
+
+
+def _filter_row(
+    f: int, x: np.ndarray, up: np.ndarray, bpp: int
+) -> np.ndarray:
+    """Forward filter (encode side): the exact spec inverse of _unfilter."""
+    if f == 0:
+        return x
+    left = np.zeros_like(x)
+    left[bpp:] = x[:-bpp]
+    if f == 1:
+        return x - left
+    if f == 2:
+        return x - up
+    if f == 3:
+        avg = ((left.astype(np.uint16) + up) >> 1).astype(np.uint8)
+        return x - avg
+    if f == 4:
+        upleft = np.zeros_like(up)
+        upleft[bpp:] = up[:-bpp]
+        return x - _paeth_pred(left, up, upleft)
+    raise PngError(f"invalid filter type {f}")
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def write_png(
+    px: np.ndarray,
+    filters: int | list[int] = 0,
+    palette: np.ndarray | None = None,
+    level: int = 6,
+) -> bytes:
+    """Encode (h, w) or (h, w, c) uint8 / uint16 pixels as a valid PNG.
+
+    `filters`: one filter type 0-4 for every scanline, or a per-row list
+    (fixture generation exercises all five). `palette`: (n, 3) uint8 —
+    `px` then holds indices (color type 3, depth 8). uint16 input encodes
+    as 16-bit big-endian samples."""
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    if palette is not None:
+        if ch != 1 or px.dtype != np.uint8:
+            raise PngError("palette encode needs (h, w, 1) uint8 indices")
+        ct, depth = 3, 8
+    else:
+        ct = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+        if ct is None:
+            raise PngError(f"unsupported channel count {ch}")
+        if px.dtype == np.uint8:
+            depth = 8
+        elif px.dtype == np.uint16:
+            depth = 16
+        else:
+            raise PngError(f"unsupported dtype {px.dtype}")
+
+    if depth == 16:
+        body = px.astype(">u2").tobytes()
+        bpp = 2 * ch
+    else:
+        body = px.astype(np.uint8).tobytes()
+        bpp = ch
+    row_bytes = w * bpp
+    rows = np.frombuffer(body, np.uint8).reshape(h, row_bytes)
+
+    flist = [filters] * h if isinstance(filters, int) else list(filters)
+    if len(flist) != h:
+        raise PngError(f"need {h} filter types, got {len(flist)}")
+    out = np.empty((h, 1 + row_bytes), np.uint8)
+    zero = np.zeros(row_bytes, np.uint8)
+    for i in range(h):
+        up = rows[i - 1] if i > 0 else zero
+        out[i, 0] = flist[i]
+        out[i, 1:] = _filter_row(int(flist[i]), rows[i], up, bpp)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ct, 0, 0, 0)
+    parts = [_SIG, _chunk(b"IHDR", ihdr)]
+    if palette is not None:
+        parts.append(_chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes()))
+    parts.append(_chunk(b"IDAT", zlib.compress(out.tobytes(), level)))
+    parts.append(_chunk(b"IEND", b""))
+    return b"".join(parts)

@@ -244,7 +244,7 @@ def _merge_shadow_filter(path: str, ids: list[int]):
     for s in snapshots(path):
         sid = s["snapshot-id"]
         summ = s.get("summary", {})
-        if sid in ids and summ.get("operation") == "merge":
+        if sid in ids and summ.get("operation") in ("merge", "delete"):
             bs = summ.get("rewritten-buckets", [])
             if bs:
                 keep = keep & ~(
@@ -371,10 +371,11 @@ def read_stage_changes(
     replaced = [
         s["snapshot-id"]
         for s in in_range
-        # a replace (compaction) rewrites ALL live rows; a merge rewrites its
-        # touched buckets WHOLE (carried old rows + upserts share one snap=
-        # dir) — either inside the range would replay already-processed rows
-        if s.get("summary", {}).get("operation") in ("replace", "merge")
+        # a replace (compaction) rewrites ALL live rows; a merge/delete
+        # rewrites its touched buckets WHOLE (carried old rows + upserts
+        # share one snap= dir) — any of them inside the range would replay
+        # already-processed rows
+        if s.get("summary", {}).get("operation") in ("replace", "merge", "delete")
     ]
     if expired or replaced:
         raise ValueError(
@@ -425,6 +426,19 @@ def merge_stage(
         )
         if not touched:
             raise ValueError("merge with an empty updates frame is a no-op bug")
+        # Iceberg MERGE raises when multiple source rows match one target
+        # key; duplicate update keys here would all insert into the
+        # rewritten bucket, silently breaking the 'rows REPLACE current
+        # rows' contract — fail fast instead (upd is already cached)
+        n_rows, n_keys = upd.agg(
+            F.count("*"), F.count_distinct(F.col(key))
+        ).first()
+        if n_rows != n_keys:
+            raise ValueError(
+                f"merge updates contain duplicate {key!r} values "
+                f"({n_rows} rows, {n_keys} distinct keys) — each key must "
+                "appear at most once, like Iceberg MERGE's multiple-match error"
+            )
         data_cols = updates.columns
         cur = read_stage(spark, path)
         carried = (
@@ -434,7 +448,7 @@ def merge_stage(
         out = carried.select(*data_cols, "bucket").unionByName(
             upd.select(*data_cols, "bucket")
         )
-        sid = _commit_cow(out, path, stage, data_cols, touched, meta)
+        sid = _commit_cow(out, path, stage, data_cols, touched, meta, "merge")
     finally:
         upd.unpersist()
     return sid, touched
@@ -475,7 +489,7 @@ def delete_stage(
         .join(kdf, key, "left_anti")
         .select(*data_cols, "bucket")
     )
-    sid = _commit_cow(out, path, stage, data_cols, touched, meta)
+    sid = _commit_cow(out, path, stage, data_cols, touched, meta, "delete")
     return sid, touched
 
 
@@ -504,11 +518,15 @@ def _load_cow_meta(path: str, key: str, n_buckets: int, op: str) -> dict:
 
 def _commit_cow(
     out: DataFrame, path: str, stage: str, data_cols: list[str],
-    touched: list[int], meta: dict,
+    touched: list[int], meta: dict, op: str,
 ) -> int:
     """Shared copy-on-write commit (merge + delete): write the touched
     buckets' new content under a fresh snap= dir, append manifest rows,
-    then the atomic metadata swap — the single commit point."""
+    then the atomic metadata swap — the single commit point. `op` is
+    recorded verbatim in the snapshot summary ('merge'/'delete') so the
+    audit trail reports deletes as deletes; every consumer
+    (_merge_shadow_filter, read_stage_changes, verify_manifest) treats both
+    ops as bucket-rewriting."""
     import time
 
     sid = next_snapshot_id(path)
@@ -539,7 +557,7 @@ def _commit_cow(
                 "stage": stage,
                 "manifest-list": f"{path}/{MANIFEST}",
                 "summary": {
-                    "operation": "merge",
+                    "operation": op,
                     "rewritten-buckets": touched,
                 },
             }
@@ -645,7 +663,7 @@ def verify_manifest(spark: SparkSession, path: str, stage: str, df: DataFrame,
     keep = F.lit(True)
     for s in snapshots(path):
         summ = s.get("summary", {})
-        if summ.get("operation") == "merge":
+        if summ.get("operation") in ("merge", "delete"):
             bs = summ.get("rewritten-buckets", [])
             if bs:
                 keep = keep & ~(

@@ -140,7 +140,8 @@ def test_pack_sequences_matches_pandas_mirror(spark, sf_dir):
     pdf["straddles"] = (pdf["tok_start"] + pdf["n_tok"] - 1) // 512 > pdf["pack_id"]
     m = got.sort_values("doc_id").reset_index(drop=True)
     e = pdf[
-        ["doc_id", "shard", "n_tok", "pack_id", "pack_offset", "straddles"]
+        ["doc_id", "shard", "n_tok", "tok_start", "pack_id", "pack_offset",
+         "straddles"]
     ].sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(
         m.astype({"straddles": bool}), e.astype(m.dtypes.to_dict())

@@ -57,6 +57,24 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()[:16]
 
 
+def pandas_hash(pdf) -> str:
+    """The DRIVER's canonicalization path (reconstructed from the
+    CORRECTNESS_r03 traceback): whole-result pandas DataFrame, columns
+    sorted by name, rows lexsorted by every column, then str() per value.
+    This is STRICTER than value_hash — DuckDB HUGEINT (any uncast SUM /
+    window SUM) reaches pandas as float64 and strs as '3.0' vs Spark's '3',
+    and list columns make sort_values raise TypeError — both drove r3
+    hash-reds that value_hash absorbed. Run it in ADDITION so driver parity
+    breaks loudly here first."""
+    pdf = pdf[sorted(pdf.columns)]
+    pdf = pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+    h = hashlib.sha256()
+    for row in pdf.itertuples(index=False, name=None):
+        h.update("|".join(str(v) for v in row).encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
 def main(argv: list[str]) -> int:
     import duckdb
 
@@ -86,19 +104,44 @@ def main(argv: list[str]) -> int:
             res = con.sql(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
+            dpdf = con.sql(oracles[name]).df()
             t_duck = time.time() - t1
             ok_cols = sorted(scols) == sorted(dcols)
             ok_count = len(srows) == len(drows)
             sh = value_hash(scols, srows)
             dh = value_hash(dcols, drows)
             ok_hash = sh == dh
-            status = "OK " if (ok_cols and ok_count and ok_hash) else "FAIL"
+            # driver-parity pass: pandas on both sides, str() canon
+            try:
+                import pandas as pd
+
+                spdf = pd.DataFrame(srows, columns=scols)
+                # mimic toPandas dtype inference: all-int object cols -> int64
+                # (str '3'); int cols holding NULLs -> float64 (str '3.0')
+                for c in spdf.columns:
+                    if spdf[c].dtype == object:
+                        nn = spdf[c].dropna()
+                        if len(nn) and all(
+                            isinstance(x, (int, float)) and not isinstance(x, bool)
+                            for x in nn
+                        ):
+                            spdf[c] = spdf[c].astype(
+                                "float64" if spdf[c].isna().any() else "int64"
+                            )
+                ok_pandas = pandas_hash(spdf) == pandas_hash(dpdf)
+                pandas_note = "" if ok_pandas else " PANDAS-HASH-DIFF"
+            except Exception as exc:  # noqa: BLE001 — mirror: driver errors too
+                ok_pandas = False
+                pandas_note = f" PANDAS-CANON-ERROR {type(exc).__name__}"
+            status = (
+                "OK " if (ok_cols and ok_count and ok_hash and ok_pandas) else "FAIL"
+            )
             if status == "FAIL":
                 failures += 1
             print(
                 f"{name:20s} {status} rows={len(srows)}/{len(drows)} "
                 f"cols={'=' if ok_cols else f'{scols} vs {dcols}'} "
-                f"hash={'=' if ok_hash else f'{sh} vs {dh}'} "
+                f"hash={'=' if ok_hash else f'{sh} vs {dh}'}{pandas_note} "
                 f"({t_spark:.1f}s spark, {t_duck:.1f}s duck)"
             )
             if not ok_hash and ok_count and ok_cols:
