@@ -1415,6 +1415,24 @@ def q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real merge-table BPE (operators/bpe.py): distributed word counts ->
+    deterministic local merge training (50 merges, count-desc/lexicographic
+    tie-break) -> broadcast-merge Arrow encode. Output unions the merge
+    table ('merge', rank, token, weighted_count) with per-doc token counts
+    ('doc', doc_id, '', n_bpe_tokens); the oracle re-trains AND re-encodes
+    entirely in SQL (unrolled per-round CTE chain, the PageRank device)."""
+    from aira_spark.operators.bpe import bpe_summary
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return bpe_summary(docs, n_merges=50).select(
+        "kind",
+        F.col("rk").cast("long").alias("rk"),
+        "tok",
+        F.col("val").cast("long").alias("val"),
+    )
+
+
 def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PNG codec (pure numpy + stdlib zlib, aira_spark/pngio.py) driven
     end-to-end through real bytes: deterministic per-key pixels -> encode
@@ -1539,8 +1557,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ngram_jaccard, ann_cosine_topk, events_hourly, sessionize,
     # stateful_totals, within_distance, zonal_exact, footprint_poly,
     # resize_thumbs, mosaic, dedup_exact [whose oracle stays in the head
-    # via streaming_dedup]; round 4 rotated simhash [r1+r2+r3 green] out
-    # for png_decode) — re-verifiable any time via tools/check_oracle.py.
+    # via streaming_dedup]; round 4 rotated simhash + dedup_minhash [both
+    # r1+r2+r3 green] out for png_decode + bpe_tokens) — re-verifiable any
+    # time via tools/check_oracle.py.
     # The four r3 driver-reds (inverted_index, approx_distinct,
     # streaming_hll, pack_sequences) stay in the head until they have a
     # green DRIVER row, per VERDICT r3 item 2.
@@ -1585,7 +1604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
-        "dedup_minhash": q_dedup_minhash,
+        "bpe_tokens": q_bpe_tokens,
         "dedup_clusters": q_dedup_clusters,
         "approx_distinct": q_approx_distinct,
         "cms_counts": q_cms_counts,
@@ -1596,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "verify_invariants": q_verify_invariants,
         "simhash": q_simhash,
+        "dedup_minhash": q_dedup_minhash,
         "fingerprints": q_fingerprints,
         "dedup_exact": q_dedup_exact,
         "mosaic": q_mosaic,
@@ -3175,6 +3195,12 @@ def _oracle_png_decode() -> str:
     return oracle_png_stats_sql()
 
 
+def _oracle_bpe_tokens() -> str:
+    from aira_spark.operators.bpe import oracle_bpe_sql
+
+    return oracle_bpe_sql(n_merges=50)
+
+
 def oracle_sql() -> dict[str, str]:
     from aira_spark.functions import textfns as tf
 
@@ -3198,6 +3224,7 @@ FROM docs GROUP BY 1
         "bm25": _oracle_bm25(),
         "inverted_index": _oracle_inverted_index(),
         "png_decode": _oracle_png_decode(),
+        "bpe_tokens": _oracle_bpe_tokens(),
         "semantic_dedup": _oracle_semantic_dedup(),
         "streaming_cover": _oracle_cell_cover(modulo=16),
         "zonal_stats": _oracle_zonal_stats(),
