@@ -1415,6 +1415,23 @@ def q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (4 Lloyd rounds, k=8) over integer-quantized
+    embeddings: literal-baked centroid assignment (zero-shuffle projection,
+    the IVF device), exact BIGINT L2 distances, floor-mean updates — the
+    DuckDB oracle re-runs all 4 rounds as unrolled MATERIALIZED CTEs and
+    every assignment + per-cluster stat matches hash-exact."""
+    from aira_spark.operators.kmeans import kmeans_summary
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_summary(emb, k=8, rounds=4).select(
+        "kind",
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("c").cast("long").alias("c"),
+    )
+
+
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real merge-table BPE (operators/bpe.py): distributed word counts ->
     deterministic local merge training (50 merges, count-desc/lexicographic
@@ -1557,9 +1574,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ngram_jaccard, ann_cosine_topk, events_hourly, sessionize,
     # stateful_totals, within_distance, zonal_exact, footprint_poly,
     # resize_thumbs, mosaic, dedup_exact [whose oracle stays in the head
-    # via streaming_dedup]; round 4 rotated simhash + dedup_minhash [both
-    # r1+r2+r3 green] out for png_decode + bpe_tokens) — re-verifiable any
-    # time via tools/check_oracle.py.
+    # via streaming_dedup]; round 4 rotated simhash + dedup_minhash +
+    # dedup_clusters [all r1+r2+r3 green] out for png_decode + bpe_tokens +
+    # kmeans) — re-verifiable any time via tools/check_oracle.py.
     # The four r3 driver-reds (inverted_index, approx_distinct,
     # streaming_hll, pack_sequences) stay in the head until they have a
     # green DRIVER row, per VERDICT r3 item 2.
@@ -1605,10 +1622,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
         "bpe_tokens": q_bpe_tokens,
-        "dedup_clusters": q_dedup_clusters,
         "approx_distinct": q_approx_distinct,
         "cms_counts": q_cms_counts,
         "classifier_scores": q_classifier_scores,
+        "kmeans": q_kmeans,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1616,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verify_invariants": q_verify_invariants,
         "simhash": q_simhash,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_clusters": q_dedup_clusters,
         "fingerprints": q_fingerprints,
         "dedup_exact": q_dedup_exact,
         "mosaic": q_mosaic,
@@ -3201,6 +3219,12 @@ def _oracle_bpe_tokens() -> str:
     return oracle_bpe_sql(n_merges=50)
 
 
+def _oracle_kmeans() -> str:
+    from aira_spark.operators.kmeans import oracle_kmeans_sql
+
+    return oracle_kmeans_sql(k=8, rounds=4)
+
+
 def oracle_sql() -> dict[str, str]:
     from aira_spark.functions import textfns as tf
 
@@ -3225,6 +3249,7 @@ FROM docs GROUP BY 1
         "inverted_index": _oracle_inverted_index(),
         "png_decode": _oracle_png_decode(),
         "bpe_tokens": _oracle_bpe_tokens(),
+        "kmeans": _oracle_kmeans(),
         "semantic_dedup": _oracle_semantic_dedup(),
         "streaming_cover": _oracle_cell_cover(modulo=16),
         "zonal_stats": _oracle_zonal_stats(),

@@ -105,25 +105,34 @@ def _unfilter(raw: bytes, h: int, row_bytes: int, bpp: int) -> np.ndarray:
         elif f == 2:  # Up
             out[i] = x + up
         elif f == 3:  # Average: x + floor((left + up) / 2)
-            row = out[i]
-            for j0 in range(0, row_bytes, bpp):
-                left = row[j0 - bpp : j0] if j0 else zero[:bpp]
-                avg = (
-                    (left.astype(np.uint16) + up[j0 : j0 + bpp]) >> 1
-                ).astype(np.uint8)
-                row[j0 : j0 + bpp] = x[j0 : j0 + bpp] + avg
-        else:  # Paeth
-            row = out[i]
-            for j0 in range(0, row_bytes, bpp):
-                a = (row[j0 - bpp : j0] if j0 else zero[:bpp]).astype(np.int16)
-                b = up[j0 : j0 + bpp].astype(np.int16)
-                c = (up[j0 - bpp : j0] if j0 else zero[:bpp]).astype(np.int16)
+            # sequential along the row — pure-Python bytearray loop: ~20x
+            # faster than per-group numpy slicing at scanline sizes (tiny
+            # numpy ops are dominated by call overhead)
+            row = bytearray(row_bytes)
+            xb, ub = x.tobytes(), up.tobytes()
+            for j in range(row_bytes):
+                left = row[j - bpp] if j >= bpp else 0
+                row[j] = (xb[j] + ((left + ub[j]) >> 1)) & 255
+            out[i] = np.frombuffer(bytes(row), np.uint8)
+        else:  # Paeth — same bytearray device
+            row = bytearray(row_bytes)
+            xb, ub = x.tobytes(), up.tobytes()
+            for j in range(row_bytes):
+                a = row[j - bpp] if j >= bpp else 0
+                b = ub[j]
+                c = ub[j - bpp] if j >= bpp else 0
                 p = a + b - c
-                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-                pred = np.where(
-                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
-                ).astype(np.uint8)
-                row[j0 : j0 + bpp] = x[j0 : j0 + bpp] + pred
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                row[j] = (xb[j] + pred) & 255
+            out[i] = np.frombuffer(bytes(row), np.uint8)
     return out
 
 
