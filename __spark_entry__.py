@@ -1415,6 +1415,17 @@ def q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM document quality scoring (the CCNet/KenLM gate, log-free):
+    train bigram conditional probabilities in integer PPM over the corpus,
+    score every doc by sum/floor-mean transition probability — one
+    explode+agg to train, one broadcast left join to score, no Python."""
+    from aira_spark.operators.lm import lm_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return lm_scores(docs)
+
+
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means (4 Lloyd rounds, k=8) over integer-quantized
     embeddings: literal-baked centroid assignment (zero-shuffle projection,
@@ -1575,8 +1586,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stateful_totals, within_distance, zonal_exact, footprint_poly,
     # resize_thumbs, mosaic, dedup_exact [whose oracle stays in the head
     # via streaming_dedup]; round 4 rotated simhash + dedup_minhash +
-    # dedup_clusters [all r1+r2+r3 green] out for png_decode + bpe_tokens +
-    # kmeans) — re-verifiable any time via tools/check_oracle.py.
+    # dedup_clusters + zonal_rollup [all r1+r2+r3 green] out for
+    # png_decode + bpe_tokens + kmeans + lm_score) — re-verifiable any
+    # time via tools/check_oracle.py.
     # The four r3 driver-reds (inverted_index, approx_distinct,
     # streaming_hll, pack_sequences) stay in the head until they have a
     # green DRIVER row, per VERDICT r3 item 2.
@@ -1596,7 +1608,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "augment_stats": q_augment_stats,
         "zonal_bands": q_zonal_bands,
-        "zonal_rollup": q_zonal_rollup,
         "zonal_quantiles": q_zonal_quantiles,
         "band_histogram": q_band_histogram,
         "window_read": q_window_read,
@@ -1617,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "inverted_index": q_inverted_index,
         "text_features": q_text_features,
+        "lm_score": q_lm_score,
         "repetition_filter": q_repetition_filter,
         "corpus_clean": q_corpus_clean,
         "decontaminate": q_decontaminate,
@@ -1634,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
+        "zonal_rollup": q_zonal_rollup,
         "fingerprints": q_fingerprints,
         "dedup_exact": q_dedup_exact,
         "mosaic": q_mosaic,
@@ -3225,6 +3238,12 @@ def _oracle_kmeans() -> str:
     return oracle_kmeans_sql(k=8, rounds=4)
 
 
+def _oracle_lm_score() -> str:
+    from aira_spark.operators.lm import oracle_lm_sql
+
+    return oracle_lm_sql("documents")
+
+
 def oracle_sql() -> dict[str, str]:
     from aira_spark.functions import textfns as tf
 
@@ -3250,6 +3269,7 @@ FROM docs GROUP BY 1
         "png_decode": _oracle_png_decode(),
         "bpe_tokens": _oracle_bpe_tokens(),
         "kmeans": _oracle_kmeans(),
+        "lm_score": _oracle_lm_score(),
         "semantic_dedup": _oracle_semantic_dedup(),
         "streaming_cover": _oracle_cell_cover(modulo=16),
         "zonal_stats": _oracle_zonal_stats(),
