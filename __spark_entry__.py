@@ -1415,6 +1415,23 @@ def q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cover_morph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morphological cover ops (the GIS buffer/denoise/hole-fill family):
+    dilate / erode / close / open of the image-footprint cell cover at
+    k=1. Dilation is explode(k_ring)->distinct; erosion is the symmetric
+    witness-count formulation (one agg, no cover-x-cover join); exchanges
+    carry cell ids only."""
+    from aira_spark.operators.chunks import cell_cover, with_meta
+    from aira_spark.operators.morph import morph_summary
+
+    cover = (
+        cell_cover(with_meta(_images(spark, sf_dir, modulo=16)), CELL_RES)
+        .select("cell")
+        .distinct()
+    )
+    return morph_summary(cover, k=1, res=CELL_RES)
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM document quality scoring (the CCNet/KenLM gate, log-free):
     train bigram conditional probabilities in integer PPM over the corpus,
@@ -1586,9 +1603,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stateful_totals, within_distance, zonal_exact, footprint_poly,
     # resize_thumbs, mosaic, dedup_exact [whose oracle stays in the head
     # via streaming_dedup]; round 4 rotated simhash + dedup_minhash +
-    # dedup_clusters + zonal_rollup [all r1+r2+r3 green] out for
-    # png_decode + bpe_tokens + kmeans + lm_score) — re-verifiable any
-    # time via tools/check_oracle.py.
+    # dedup_clusters + zonal_rollup + zonal_bands [all r1+r2+r3 green]
+    # out for png_decode + bpe_tokens + kmeans + lm_score + cover_morph)
+    # — re-verifiable any time via tools/check_oracle.py.
     # The four r3 driver-reds (inverted_index, approx_distinct,
     # streaming_hll, pack_sequences) stay in the head until they have a
     # green DRIVER row, per VERDICT r3 item 2.
@@ -1597,6 +1614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign": q_tile_assign,
         "cell_cover": q_cell_cover,
         "cell_compact": q_cell_compact,
+        "cover_morph": q_cover_morph,
         "dissolve": q_dissolve,
         "zonal_stats": q_zonal_stats,
         "focal_mean": q_focal_mean,
@@ -1607,7 +1625,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw": q_idw,
         "pagerank": q_pagerank,
         "augment_stats": q_augment_stats,
-        "zonal_bands": q_zonal_bands,
         "zonal_quantiles": q_zonal_quantiles,
         "band_histogram": q_band_histogram,
         "window_read": q_window_read,
@@ -1647,6 +1664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
         "zonal_rollup": q_zonal_rollup,
+        "zonal_bands": q_zonal_bands,
         "fingerprints": q_fingerprints,
         "dedup_exact": q_dedup_exact,
         "mosaic": q_mosaic,
@@ -3244,6 +3262,19 @@ def _oracle_lm_score() -> str:
     return oracle_lm_sql("documents")
 
 
+def _oracle_cover_morph() -> str:
+    from aira_spark.operators.morph import oracle_morph_sql
+
+    base = (
+        f"{_IMG_CTE.strip().lstrip()}"
+        f",\n{_cover_ctes(16)},\n"
+        "base AS (SELECT DISTINCT cell FROM cover)"
+    )
+    # oracle_morph_sql wraps `WITH {base_cover_sql}` — strip our leading
+    # "WITH" marker: _IMG_CTE is a bare CTE list already
+    return oracle_morph_sql(base, k=1, res=CELL_RES, pack=7 * (1 << 58))
+
+
 def oracle_sql() -> dict[str, str]:
     from aira_spark.functions import textfns as tf
 
@@ -3270,6 +3301,7 @@ FROM docs GROUP BY 1
         "bpe_tokens": _oracle_bpe_tokens(),
         "kmeans": _oracle_kmeans(),
         "lm_score": _oracle_lm_score(),
+        "cover_morph": _oracle_cover_morph(),
         "semantic_dedup": _oracle_semantic_dedup(),
         "streaming_cover": _oracle_cell_cover(modulo=16),
         "zonal_stats": _oracle_zonal_stats(),
