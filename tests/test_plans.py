@@ -485,3 +485,70 @@ def test_pagerank_round_shape(spark):
     # mentions applySchemaToPythonRDD — that's ingestion, not evaluation)
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, s
     assert count_in_plan(df, "HashAggregate") >= 2, s  # partial+final inflow
+
+
+def test_kmeans_assignment_zero_shuffle_no_python(spark, sf_dir):
+    """The k-means assignment is a literal-baked projection: no join, no
+    Python nodes, zero exchanges — the per-round (cluster, dim) agg is the
+    ONLY shuffle in the whole iteration and it's partial-combined."""
+    from aira_spark.operators.kmeans import kmeans_fixed
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned, _ = kmeans_fixed(emb, k=4, rounds=1)
+    s = plan_string(assigned)
+    assert shuffle_count(assigned) == 0, s
+    assert "Join" not in s and "CartesianProduct" not in s, s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, s
+
+
+def test_lm_score_broadcasts_lm_table(spark, sf_dir):
+    """LM scoring joins the documents' bigrams against the LM table via
+    BROADCAST (the corpus side never shuffles for the join); no Python
+    nodes anywhere — bigrams are arrays_zip JVM expressions."""
+    from aira_spark.operators.lm import lm_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    df = lm_scores(docs)
+    s = plan_string(df)
+    assert has_broadcast_join(df), s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, s
+    assert "CartesianProduct" not in s, s
+
+
+def test_morph_exchanges_carry_cell_ids_only(spark):
+    """Dilation = Generate + distinct agg; erosion adds the witness agg +
+    an equi-join of two cell-id sets. No cartesian, no Python, and no wide
+    payload columns in any exchange."""
+    from aira_spark.functions.cells import np_cell_pack
+    from aira_spark.operators.morph import erode_cover
+
+    cover = spark.createDataFrame(
+        [(int(np_cell_pack(7, 10 + i % 5, 20 + i // 5)),) for i in range(25)],
+        "cell long",
+    )
+    df = erode_cover(cover, 1, 7)
+    s = plan_string(df)
+    assert "CartesianProduct" not in s, s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, s
+    assert "Generate" in s, s  # the k-ring explode
+    # every Exchange row schema is just the cell id (+ count): no wide cols
+    for line in s.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "bytes" not in line and "text" not in line, line
+
+
+def test_bpe_encode_is_single_arrow_map(spark, sf_dir):
+    """BPE encoding with a trained merge list is one Arrow UDF map pass:
+    zero exchanges, no join."""
+    from aira_spark.operators.bpe import encode_token_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    df = encode_token_counts(docs, [("e", "r", 3), ("t", "h", 2)])
+    s = plan_string(df)
+    assert shuffle_count(df) == 0, s
+    assert "Join" not in s, s
+    assert "BatchEvalPython" not in s, s

@@ -141,6 +141,21 @@ def main() -> None:
         ("pagerank", "iterative join+agg rounds over integer micros; "
                      "order-independent folds make any parallelism "
                      "bit-identical; lineage checkpointed every 4 rounds"),
+        ("png_decode", "encode->decode roundtrip inside ONE mapInPandas; "
+                       "only 7 integer stat columns cross Arrow, pixel "
+                       "buffers never shuffle"),
+        ("bpe_tokens", "ONE corpus-scale word-count agg trains the merge "
+                       "table; encode is a broadcast-merge Arrow map with "
+                       "zero shuffles; the merge arm is a tiny local frame"),
+        ("kmeans", "assignment = literal-baked array_min projection (zero "
+                   "shuffles, no join, no Python); the per-round update agg "
+                   "is bounded at k*d rows per task by map-side combine"),
+        ("lm_score", "bigram extraction as arrays_zip JVM expressions; LM "
+                     "table broadcast into the scoring join — the corpus "
+                     "side never shuffles for the join"),
+        ("cover_morph", "dilate = k-ring Generate -> distinct; erode = "
+                        "symmetric witness-count agg (no cover-x-cover "
+                        "join); every exchange carries cell ids only"),
     ]
     qs = em.queries()
     lines = [
