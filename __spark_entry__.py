@@ -1415,6 +1415,26 @@ def q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_poly_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon area/centroid/perimeter (ST_Area/ST_Centroid/ST_Perimeter
+    parity) in exact integers: quantize-translate-shoelace doubled area,
+    exact-rational centroid via floor division, per-edge floor(sqrt)
+    perimeter so aggregation order can't shift a bit. One Generate + one
+    agg; rings never shuffle."""
+    from aira_spark.operators.geom import polygon_metrics
+    from aira_spark.sources.vectors import polygons_table
+
+    return polygon_metrics(polygons_table(spark, sf_dir)).select(
+        "poly_id",
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.col("area2_e8").cast("long").alias("area2_e8"),
+        F.col("ccw").cast("long").alias("ccw"),
+        F.col("cx_e4").cast("long").alias("cx_e4"),
+        F.col("cy_e4").cast("long").alias("cy_e4"),
+        F.col("perim_e4").cast("long").alias("perim_e4"),
+    )
+
+
 def q_cover_morph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morphological cover ops (the GIS buffer/denoise/hole-fill family):
     dilate / erode / close / open of the image-footprint cell cover at
@@ -1603,9 +1623,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stateful_totals, within_distance, zonal_exact, footprint_poly,
     # resize_thumbs, mosaic, dedup_exact [whose oracle stays in the head
     # via streaming_dedup]; round 4 rotated simhash + dedup_minhash +
-    # dedup_clusters + zonal_rollup + zonal_bands [all r1+r2+r3 green]
-    # out for png_decode + bpe_tokens + kmeans + lm_score + cover_morph)
-    # — re-verifiable any time via tools/check_oracle.py.
+    # dedup_clusters + zonal_rollup + zonal_bands + rasterize_cells [all
+    # r1+r2+r3 green] out for png_decode + bpe_tokens + kmeans + lm_score
+    # + cover_morph + poly_metrics) — re-verifiable any time via
+    # tools/check_oracle.py.
     # The four r3 driver-reds (inverted_index, approx_distinct,
     # streaming_hll, pack_sequences) stay in the head until they have a
     # green DRIVER row, per VERDICT r3 item 2.
@@ -1620,6 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focal_mean": q_focal_mean,
         "focal_gradient": q_focal_gradient,
         "pip": q_pip,
+        "poly_metrics": q_poly_metrics,
         "pip_salted": q_pip_salted,
         "knn": q_knn,
         "idw": q_idw,
@@ -1628,7 +1650,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_quantiles": q_zonal_quantiles,
         "band_histogram": q_band_histogram,
         "window_read": q_window_read,
-        "rasterize_cells": q_rasterize_cells,
         "rasterize_tiles": q_rasterize_tiles,
         "raster_regions": q_raster_regions,
         "patch_stats": q_patch_stats,
@@ -1665,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "zonal_rollup": q_zonal_rollup,
         "zonal_bands": q_zonal_bands,
+        "rasterize_cells": q_rasterize_cells,
         "fingerprints": q_fingerprints,
         "dedup_exact": q_dedup_exact,
         "mosaic": q_mosaic,
@@ -3262,6 +3284,12 @@ def _oracle_lm_score() -> str:
     return oracle_lm_sql("documents")
 
 
+def _oracle_poly_metrics() -> str:
+    from aira_spark.operators.geom import oracle_polygon_metrics_sql
+
+    return oracle_polygon_metrics_sql()
+
+
 def _oracle_cover_morph() -> str:
     from aira_spark.operators.morph import oracle_morph_sql
 
@@ -3302,6 +3330,7 @@ FROM docs GROUP BY 1
         "kmeans": _oracle_kmeans(),
         "lm_score": _oracle_lm_score(),
         "cover_morph": _oracle_cover_morph(),
+        "poly_metrics": _oracle_poly_metrics(),
         "semantic_dedup": _oracle_semantic_dedup(),
         "streaming_cover": _oracle_cell_cover(modulo=16),
         "zonal_stats": _oracle_zonal_stats(),

@@ -185,6 +185,7 @@ def main() -> None:
         "kmeans": lambda: em.q_kmeans(spark, sf_dir).count(),
         "lm_score": lambda: em.q_lm_score(spark, sf_dir).count(),
         "cover_morph": lambda: em.q_cover_morph(spark, sf_dir).count(),
+        "poly_metrics": lambda: em.q_poly_metrics(spark, sf_dir).count(),
         "cross_modal_dedup": lambda: em.q_cross_modal_dedup(spark, sf_dir).count(),
         "dissolve": lambda: em.q_dissolve(spark, sf_dir).count(),
         "idw": lambda: em.q_idw(spark, sf_dir).count(),

@@ -156,6 +156,9 @@ def main() -> None:
         ("cover_morph", "dilate = k-ring Generate -> distinct; erode = "
                         "symmetric witness-count agg (no cover-x-cover "
                         "join); every exchange carries cell ids only"),
+        ("poly_metrics", "quantize-translate-shoelace as one Generate + one "
+                         "partial-combined agg; rings never shuffle, only "
+                         "integer partials; no join, no Python"),
     ]
     qs = em.queries()
     lines = [
