@@ -1415,6 +1415,17 @@ def q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_point_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KDE-style heat map: per-cell point counts smoothed through the
+    integer 3x3 kernel (4/2/1, sum 16) via the focal scatter-aggregation —
+    counts combine map-side before the 9x scatter, density is an exact
+    BIGINT numerator in 1/16 units."""
+    from aira_spark.operators.focal import point_density
+    from aira_spark.sources.vectors import points_table
+
+    return point_density(points_table(spark, sf_dir), res=CELL_RES)
+
+
 def q_poly_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polygon area/centroid/perimeter (ST_Area/ST_Centroid/ST_Perimeter
     parity) in exact integers: quantize-translate-shoelace doubled area,
@@ -1623,10 +1634,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stateful_totals, within_distance, zonal_exact, footprint_poly,
     # resize_thumbs, mosaic, dedup_exact [whose oracle stays in the head
     # via streaming_dedup]; round 4 rotated simhash + dedup_minhash +
-    # dedup_clusters + zonal_rollup + zonal_bands + rasterize_cells [all
-    # r1+r2+r3 green] out for png_decode + bpe_tokens + kmeans + lm_score
-    # + cover_morph + poly_metrics) — re-verifiable any time via
-    # tools/check_oracle.py.
+    # dedup_clusters + zonal_rollup + zonal_bands + rasterize_cells +
+    # window_read [all r1+r2+r3 green] out for png_decode + bpe_tokens +
+    # kmeans + lm_score + cover_morph + poly_metrics + point_density) —
+    # re-verifiable any time via tools/check_oracle.py.
     # The four r3 driver-reds (inverted_index, approx_distinct,
     # streaming_hll, pack_sequences) stay in the head until they have a
     # green DRIVER row, per VERDICT r3 item 2.
@@ -1640,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal_stats,
         "focal_mean": q_focal_mean,
         "focal_gradient": q_focal_gradient,
+        "point_density": q_point_density,
         "pip": q_pip,
         "poly_metrics": q_poly_metrics,
         "pip_salted": q_pip_salted,
@@ -1649,7 +1661,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "augment_stats": q_augment_stats,
         "zonal_quantiles": q_zonal_quantiles,
         "band_histogram": q_band_histogram,
-        "window_read": q_window_read,
         "rasterize_tiles": q_rasterize_tiles,
         "raster_regions": q_raster_regions,
         "patch_stats": q_patch_stats,
@@ -1687,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_rollup": q_zonal_rollup,
         "zonal_bands": q_zonal_bands,
         "rasterize_cells": q_rasterize_cells,
+        "window_read": q_window_read,
         "fingerprints": q_fingerprints,
         "dedup_exact": q_dedup_exact,
         "mosaic": q_mosaic,
@@ -3290,6 +3302,33 @@ def _oracle_poly_metrics() -> str:
     return oracle_polygon_metrics_sql()
 
 
+def _oracle_point_density() -> str:
+    from aira_spark.operators.focal import DENSITY_KERNEL
+    from aira_spark.sources.vectors import points_oracle_sql
+
+    offs = ", ".join(
+        f"({dx}, {dy}, {w})" for (dx, dy), w in sorted(DENSITY_KERNEL.items())
+    )
+    return f"""
+WITH p AS ({points_oracle_sql()}),
+cnts AS (
+  SELECT {_sql_ix('x')} AS gx, {_sql_iy('y')} AS gy,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM p GROUP BY 1, 2
+),
+offs(dx, dy, w) AS (VALUES {offs}),
+sc AS (
+  SELECT gx + dx AS tx, gy + dy AS ty, cnt * w AS contrib
+  FROM cnts, offs
+  WHERE gx + dx BETWEEN 0 AND {_N - 1} AND gy + dy BETWEEN 0 AND {_N - 1}
+)
+SELECT CAST(tx AS BIGINT) AS gx, CAST(ty AS BIGINT) AS gy,
+       CAST(COUNT(*) AS BIGINT) AS n_src_cells,
+       CAST(SUM(contrib) AS BIGINT) AS density_16
+FROM sc GROUP BY 1, 2
+"""
+
+
 def _oracle_cover_morph() -> str:
     from aira_spark.operators.morph import oracle_morph_sql
 
@@ -3331,6 +3370,7 @@ FROM docs GROUP BY 1
         "lm_score": _oracle_lm_score(),
         "cover_morph": _oracle_cover_morph(),
         "poly_metrics": _oracle_poly_metrics(),
+        "point_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),
         "streaming_cover": _oracle_cell_cover(modulo=16),
         "zonal_stats": _oracle_zonal_stats(),

@@ -83,6 +83,71 @@ def focal_mean(
     )
 
 
+# KDE-style smoothing kernel: binomial-ish 3x3 integer weights (sum 16)
+DENSITY_KERNEL = {
+    (0, 0): 4,
+    (1, 0): 2, (-1, 0): 2, (0, 1): 2, (0, -1): 2,
+    (1, 1): 1, (1, -1): 1, (-1, 1): 1, (-1, -1): 1,
+}
+
+
+def point_density(points: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
+    """(gx, gy, n_src_cells, density_16): kernel-smoothed point density —
+    the heat-map primitive. Points bin to cells, per-cell counts scatter
+    through the integer 3x3 kernel (center 4 / edge 2 / corner 1, sum 16),
+    and one hash aggregation folds the weighted contributions; density_16
+    is the smoothed density in 1/16 units, kept as an exact BIGINT
+    numerator so engines agree bit-for-bit. Cells within one ring of any
+    occupied cell emit (everything else is exactly zero).
+
+    Scale shape: identical to focal_mean's halo-exchange-as-aggregation —
+    counts combine map-side BEFORE the 9x scatter ever crosses the wire;
+    the exchange carries (pos, weighted partials) integer rows bounded by
+    occupied-neighborhood size, never points."""
+    from ..functions.cells import cell_from_xy
+
+    nf = 1 << res
+    counts = (
+        points.select(
+            cell_from_xy(F.col("x"), F.col("y"), res).alias("cell")
+        )
+        .groupBy("cell")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .select(
+            cell_ix(F.col("cell")).alias("gx"),
+            cell_iy(F.col("cell")).alias("gy"),
+            "cnt",
+        )
+    )
+    offs = ", ".join(
+        f"named_struct('dx', {dx}, 'dy', {dy}, 'w', {w})"
+        for (dx, dy), w in sorted(DENSITY_KERNEL.items())
+    )
+    scattered = counts.select(
+        "gx", "gy", "cnt", F.expr(f"explode(array({offs}))").alias("o")
+    ).select(
+        (F.col("gx") + F.col("o.dx")).alias("tx"),
+        (F.col("gy") + F.col("o.dy")).alias("ty"),
+        (F.col("cnt") * F.col("o.w")).alias("contrib"),
+    ).where(
+        (F.col("tx") >= 0) & (F.col("tx") < nf)
+        & (F.col("ty") >= 0) & (F.col("ty") < nf)
+    )
+    return (
+        scattered.groupBy("tx", "ty")
+        .agg(
+            F.count("*").cast("long").alias("n_src_cells"),
+            F.sum("contrib").cast("long").alias("density_16"),
+        )
+        .select(
+            F.col("tx").cast("long").alias("gx"),
+            F.col("ty").cast("long").alias("gy"),
+            "n_src_cells",
+            "density_16",
+        )
+    )
+
+
 # central-difference gradient stencil: (offset dx, dy) -> (weight in gx, gy)
 GRAD_OFFSETS = {
     (0, 0): (0, 0),      # center: presence flag only

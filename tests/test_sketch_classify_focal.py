@@ -591,3 +591,50 @@ def test_pagerank_parallelism_invariant(spark):
         map(tuple, pagerank_fixed(edges.repartition(17), 2, rounds=6).collect())
     )
     assert a == b
+
+
+# ------------------------------------------------------- point density
+
+
+def test_point_density_hand_case(spark):
+    """Two points in one cell + one neighbor point: hand-fold the 4/2/1
+    kernel. Grid res=4 keeps coordinates readable."""
+    from aira_spark.operators.focal import point_density
+
+    # cell size at res=4: 360/16 = 22.5 x 180/16 = 11.25; put points at
+    # cell centers: cell (8, 8) spans x [0, 22.5), y [0, 11.25)
+    pts = spark.createDataFrame(
+        [(1, 5.0, 5.0), (2, 6.0, 6.0), (3, 30.0, 5.0)],
+        "point_id long, x double, y double",
+    )
+    got = {
+        (r["gx"], r["gy"]): (r["n_src_cells"], r["density_16"])
+        for r in point_density(pts, res=4).collect()
+    }
+    # occupied: (8,8) cnt=2 and (9,8) cnt=1 (x=30 -> ix=floor(210/22.5)=9)
+    # target (8,8): own 2*4 + neighbor-edge 1*2 = 10; sources 2
+    assert got[(8, 8)] == (2, 10)
+    # target (9,8): own 1*4 + neighbor 2*2 = 8
+    assert got[(9, 8)] == (2, 8)
+    # corner-diagonal target (7,7): only (8,8) contributes 2*1
+    assert got[(7, 7)] == (1, 2)
+    # between-the-two target (8,7): (8,8) corner? no — (8,7) is edge-below
+    # of (8,8): 2*2; and diagonal of (9,8): 1*1 -> 5
+    assert got[(8, 7)] == (2, 5)
+    # total mass check: sum of density_16 == 16 * n_points (away from edges)
+    assert sum(v for _, v in got.values()) == 16 * 3
+
+
+def test_point_density_grid_edge_clips(spark):
+    from aira_spark.operators.focal import point_density
+
+    # point in the corner cell (0, 0): scatter targets outside clip away
+    pts = spark.createDataFrame(
+        [(1, -179.0, -89.0)], "point_id long, x double, y double"
+    )
+    got = {
+        (r["gx"], r["gy"]): r["density_16"]
+        for r in point_density(pts, res=4).collect()
+    }
+    assert set(got) == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    assert got[(0, 0)] == 4 and got[(1, 1)] == 1

@@ -159,6 +159,9 @@ def main() -> None:
         ("poly_metrics", "quantize-translate-shoelace as one Generate + one "
                          "partial-combined agg; rings never shuffle, only "
                          "integer partials; no join, no Python"),
+        ("point_density", "counts agg -> weighted 9-offset scatter -> one "
+                          "more agg: the focal halo-exchange shape; counts "
+                          "combine map-side before the scatter"),
     ]
     qs = em.queries()
     lines = [
