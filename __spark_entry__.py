@@ -1415,6 +1415,18 @@ def q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-based DBSCAN over the points table: density clustering with
+    zero pairwise distances — neighborhood counts via the focal scatter,
+    components via min-label CC over 8-adjacent core cells, border/noise
+    labeling via one k-ring min aggregation. min_pts=5 yields a mix of
+    cores (the hot cell + polygon-center clusters), borders, and noise."""
+    from aira_spark.operators.dbscan import grid_dbscan
+    from aira_spark.sources.vectors import points_table
+
+    return grid_dbscan(points_table(spark, sf_dir), res=CELL_RES, min_pts=5)
+
+
 def q_point_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KDE-style heat map: per-cell point counts smoothed through the
     integer 3x3 kernel (4/2/1, sum 16) via the focal scatter-aggregation —
@@ -1635,9 +1647,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # resize_thumbs, mosaic, dedup_exact [whose oracle stays in the head
     # via streaming_dedup]; round 4 rotated simhash + dedup_minhash +
     # dedup_clusters + zonal_rollup + zonal_bands + rasterize_cells +
-    # window_read [all r1+r2+r3 green] out for png_decode + bpe_tokens +
-    # kmeans + lm_score + cover_morph + poly_metrics + point_density) —
-    # re-verifiable any time via tools/check_oracle.py.
+    # window_read + text_features [all r1+r2+r3 green] out for png_decode
+    # + bpe_tokens + kmeans + lm_score + cover_morph + poly_metrics +
+    # point_density + grid_dbscan) — re-verifiable any time via
+    # tools/check_oracle.py.
     # The four r3 driver-reds (inverted_index, approx_distinct,
     # streaming_hll, pack_sequences) stay in the head until they have a
     # green DRIVER row, per VERDICT r3 item 2.
@@ -1652,6 +1665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focal_mean": q_focal_mean,
         "focal_gradient": q_focal_gradient,
         "point_density": q_point_density,
+        "grid_dbscan": q_grid_dbscan,
         "pip": q_pip,
         "poly_metrics": q_poly_metrics,
         "pip_salted": q_pip_salted,
@@ -1676,7 +1690,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": q_corpus_sample,
         "bm25": q_bm25,
         "inverted_index": q_inverted_index,
-        "text_features": q_text_features,
         "lm_score": q_lm_score,
         "repetition_filter": q_repetition_filter,
         "corpus_clean": q_corpus_clean,
@@ -1699,6 +1712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_bands": q_zonal_bands,
         "rasterize_cells": q_rasterize_cells,
         "window_read": q_window_read,
+        "text_features": q_text_features,
         "fingerprints": q_fingerprints,
         "dedup_exact": q_dedup_exact,
         "mosaic": q_mosaic,
@@ -3329,6 +3343,15 @@ FROM sc GROUP BY 1, 2
 """
 
 
+def _oracle_grid_dbscan() -> str:
+    from aira_spark.operators.dbscan import oracle_grid_dbscan_sql
+    from aira_spark.sources.vectors import points_oracle_sql
+
+    return oracle_grid_dbscan_sql(
+        points_oracle_sql(), res=CELL_RES, min_pts=5, pack=7 * (1 << 58)
+    )
+
+
 def _oracle_cover_morph() -> str:
     from aira_spark.operators.morph import oracle_morph_sql
 
@@ -3371,6 +3394,7 @@ FROM docs GROUP BY 1
         "cover_morph": _oracle_cover_morph(),
         "poly_metrics": _oracle_poly_metrics(),
         "point_density": _oracle_point_density(),
+        "grid_dbscan": _oracle_grid_dbscan(),
         "semantic_dedup": _oracle_semantic_dedup(),
         "streaming_cover": _oracle_cell_cover(modulo=16),
         "zonal_stats": _oracle_zonal_stats(),

@@ -187,6 +187,7 @@ def main() -> None:
         "cover_morph": lambda: em.q_cover_morph(spark, sf_dir).count(),
         "poly_metrics": lambda: em.q_poly_metrics(spark, sf_dir).count(),
         "point_density": lambda: em.q_point_density(spark, sf_dir).count(),
+        "grid_dbscan": lambda: em.q_grid_dbscan(spark, sf_dir).count(),
         "cross_modal_dedup": lambda: em.q_cross_modal_dedup(spark, sf_dir).count(),
         "dissolve": lambda: em.q_dissolve(spark, sf_dir).count(),
         "idw": lambda: em.q_idw(spark, sf_dir).count(),

@@ -162,6 +162,10 @@ def main() -> None:
         ("point_density", "counts agg -> weighted 9-offset scatter -> one "
                           "more agg: the focal halo-exchange shape; counts "
                           "combine map-side before the scatter"),
+        ("grid_dbscan", "DBSCAN with zero pairwise distances: focal "
+                        "neighborhood counts -> 8-adjacency bump equi-join "
+                        "over core CELLS -> min-label CC -> k-ring border "
+                        "labeling; points never join points"),
     ]
     qs = em.queries()
     lines = [
