@@ -1415,6 +1415,25 @@ def q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch set algebra: per source-pair vocabulary union (lossless
+    register max-merge) and intersection (inclusion-exclusion, may go
+    negative — standard HLL) in integer fixed-point. Pairing happens on
+    the 256-register tables, never on the corpus."""
+    from aira_spark.operators.sketch import hll_set_estimates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "source AS grp", "explode(split(text, ' ')) AS v"
+    ).where("length(v) > 0")
+    return hll_set_estimates(docs).select(
+        "grp_a", "grp_b",
+        F.col("est_a_e4").cast("long").alias("est_a_e4"),
+        F.col("est_b_e4").cast("long").alias("est_b_e4"),
+        F.col("est_union_e4").cast("long").alias("est_union_e4"),
+        F.col("est_inter_e4").cast("long").alias("est_inter_e4"),
+    )
+
+
 def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-based DBSCAN over the points table: density clustering with
     zero pairwise distances — neighborhood counts via the focal scatter,
@@ -1647,10 +1666,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # resize_thumbs, mosaic, dedup_exact [whose oracle stays in the head
     # via streaming_dedup]; round 4 rotated simhash + dedup_minhash +
     # dedup_clusters + zonal_rollup + zonal_bands + rasterize_cells +
-    # window_read + text_features [all r1+r2+r3 green] out for png_decode
-    # + bpe_tokens + kmeans + lm_score + cover_morph + poly_metrics +
-    # point_density + grid_dbscan) — re-verifiable any time via
-    # tools/check_oracle.py.
+    # window_read + text_features + zonal_stats [all r1+r2+r3 green] out
+    # for png_decode + bpe_tokens + kmeans + lm_score + cover_morph +
+    # poly_metrics + point_density + grid_dbscan + hll_setops) —
+    # re-verifiable any time via tools/check_oracle.py.
     # The four r3 driver-reds (inverted_index, approx_distinct,
     # streaming_hll, pack_sequences) stay in the head until they have a
     # green DRIVER row, per VERDICT r3 item 2.
@@ -1661,7 +1680,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_compact": q_cell_compact,
         "cover_morph": q_cover_morph,
         "dissolve": q_dissolve,
-        "zonal_stats": q_zonal_stats,
         "focal_mean": q_focal_mean,
         "focal_gradient": q_focal_gradient,
         "point_density": q_point_density,
@@ -1686,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cover": q_streaming_cover,
         "streaming_dedup": q_streaming_dedup,
         "streaming_hll": q_streaming_hll,
+        "hll_setops": q_hll_setops,
         "streaming_cms": q_streaming_cms,
         "corpus_sample": q_corpus_sample,
         "bm25": q_bm25,
@@ -1713,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_cells": q_rasterize_cells,
         "window_read": q_window_read,
         "text_features": q_text_features,
+        "zonal_stats": q_zonal_stats,
         "fingerprints": q_fingerprints,
         "dedup_exact": q_dedup_exact,
         "mosaic": q_mosaic,
@@ -3343,6 +3363,19 @@ FROM sc GROUP BY 1, 2
 """
 
 
+def _oracle_hll_setops() -> str:
+    from aira_spark.functions.sketchfns import oracle_hll_setops_sql
+
+    cte = (
+        "pairs AS (\n"
+        "  SELECT source AS grp, w AS v FROM\n"
+        "    (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)\n"
+        "  WHERE length(w) > 0\n"
+        ")"
+    )
+    return oracle_hll_setops_sql(cte)
+
+
 def _oracle_grid_dbscan() -> str:
     from aira_spark.operators.dbscan import oracle_grid_dbscan_sql
     from aira_spark.sources.vectors import points_oracle_sql
@@ -3395,6 +3428,7 @@ FROM docs GROUP BY 1
         "poly_metrics": _oracle_poly_metrics(),
         "point_density": _oracle_point_density(),
         "grid_dbscan": _oracle_grid_dbscan(),
+        "hll_setops": _oracle_hll_setops(),
         "semantic_dedup": _oracle_semantic_dedup(),
         "streaming_cover": _oracle_cell_cover(modulo=16),
         "zonal_stats": _oracle_zonal_stats(),

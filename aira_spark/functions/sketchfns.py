@@ -126,6 +126,47 @@ FROM regs GROUP BY grp
 """
 
 
+def oracle_hll_setops_sql(pairs_cte: str, grp: str = "grp", val: str = "v") -> str:
+    """DuckDB mirror of operators/sketch.hll_set_estimates over a CTE named
+    `pairs` with (grp, v): per-pair lossless register-max union + the
+    inclusion-exclusion intersection, all in est_e4 fixed-point."""
+    bucket, rho = hll_projection(val, "duckdb")
+    term = register_term_expr("reg", "duckdb")
+    s = f"(SUM({term}) + ({M_REG} - COUNT(*)) * {EMPTY_TERM})"
+    v_empty = f"({M_REG} - COUNT(*))"
+    est = estimate_e4_expr(s, v_empty)
+    return f"""
+WITH {pairs_cte},
+regs AS MATERIALIZED (
+  SELECT {grp} AS grp, {bucket} AS bucket,
+         MAX({rho}) AS reg, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pairs GROUP BY 1, 2
+),
+singles AS (SELECT grp, {est} AS est_e4 FROM regs GROUP BY grp),
+gp AS (
+  SELECT a.grp AS grp_a, b.grp AS grp_b
+  FROM (SELECT DISTINCT grp FROM regs) a
+  JOIN (SELECT DISTINCT grp FROM regs) b ON a.grp < b.grp
+),
+u AS (
+  SELECT gp.grp_a, gp.grp_b, r.bucket, MAX(r.reg) AS reg
+  FROM regs r JOIN gp ON r.grp IN (gp.grp_a, gp.grp_b)
+  GROUP BY 1, 2, 3
+),
+ufold AS (
+  SELECT grp_a, grp_b, {est} AS est_union_e4 FROM u GROUP BY 1, 2
+)
+SELECT gp.grp_a, gp.grp_b,
+  sa.est_e4 AS est_a_e4, sb.est_e4 AS est_b_e4,
+  uf.est_union_e4,
+  CAST(sa.est_e4 + sb.est_e4 - uf.est_union_e4 AS BIGINT) AS est_inter_e4
+FROM gp
+JOIN ufold uf ON uf.grp_a = gp.grp_a AND uf.grp_b = gp.grp_b
+JOIN singles sa ON sa.grp = gp.grp_a
+JOIN singles sb ON sb.grp = gp.grp_b
+"""
+
+
 # ------------------------------------------------------------- count-min
 
 CM_DEPTH = 4

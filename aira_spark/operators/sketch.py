@@ -86,6 +86,52 @@ def distinct_words_by_source(docs: DataFrame) -> DataFrame:
     return hll_distinct(pairs, "grp", "v")
 
 
+def hll_set_estimates(pairs: DataFrame, grp: str = "grp", val: str = "v") -> DataFrame:
+    """(grp_a, grp_b, est_a_e4, est_b_e4, est_union_e4, est_inter_e4):
+    sketch SET ALGEBRA over every group pair — the HLL union is LOSSLESS
+    (elementwise register max, the same merge that makes sketches
+    persistable), and the intersection estimate is inclusion-exclusion
+    |A∩B| ≈ E(A) + E(B) - E(A∪B), which can go negative for disjoint
+    sets (standard HLL behavior — emitted as-is, integer fixed-point).
+
+    Scale shape: ONE corpus pass builds the per-group registers; pairing
+    happens on the REGISTER table (groups x 256 rows — metadata-sized),
+    never on data: each pair's union sketch is a re-aggregation of two
+    groups' register rows via a broadcast pair list."""
+    regs = hll_registers(pairs, grp, val).localCheckpoint(eager=True)
+    groups = regs.select("grp").distinct()
+    pairs_df = (
+        groups.selectExpr("grp AS grp_a")
+        .join(F.broadcast(groups.selectExpr("grp AS grp_b")))
+        .where("grp_a < grp_b")
+    )
+    # per-group singles (est in fixed-point)
+    singles = fold_registers(regs).selectExpr("grp", "est_e4")
+    # union registers: tag each register row with every pair it belongs to
+    tagged = (
+        regs.join(
+            F.broadcast(pairs_df),
+            (F.col("grp") == F.col("grp_a")) | (F.col("grp") == F.col("grp_b")),
+        )
+        .groupBy("grp_a", "grp_b", "bucket")
+        .agg(F.max("reg").alias("reg"), F.sum("cnt").cast("long").alias("cnt"))
+        .withColumn("grp", F.concat_ws("|", "grp_a", "grp_b"))
+    )
+    unions = fold_registers(tagged.select("grp", "bucket", "reg", "cnt")).selectExpr(
+        "grp", "est_e4 AS est_union_e4"
+    )
+    return (
+        pairs_df.withColumn("grp", F.concat_ws("|", "grp_a", "grp_b"))
+        .join(unions, "grp")
+        .join(singles.selectExpr("grp AS grp_a", "est_e4 AS est_a_e4"), "grp_a")
+        .join(singles.selectExpr("grp AS grp_b", "est_e4 AS est_b_e4"), "grp_b")
+        .selectExpr(
+            "grp_a", "grp_b", "est_a_e4", "est_b_e4", "est_union_e4",
+            "est_a_e4 + est_b_e4 - est_union_e4 AS est_inter_e4",
+        )
+    )
+
+
 def cms_counters(pairs: DataFrame, grp: str = "grp", val: str = "v") -> DataFrame:
     """(grp, row, bucket, cnt): count-min sketch counters — d x w = 4 x 1024
     bounded counter state per group, built in ONE pass. Like the HLL

@@ -188,6 +188,7 @@ def main() -> None:
         "poly_metrics": lambda: em.q_poly_metrics(spark, sf_dir).count(),
         "point_density": lambda: em.q_point_density(spark, sf_dir).count(),
         "grid_dbscan": lambda: em.q_grid_dbscan(spark, sf_dir).count(),
+        "hll_setops": lambda: em.q_hll_setops(spark, sf_dir).count(),
         "cross_modal_dedup": lambda: em.q_cross_modal_dedup(spark, sf_dir).count(),
         "dissolve": lambda: em.q_dissolve(spark, sf_dir).count(),
         "idw": lambda: em.q_idw(spark, sf_dir).count(),

@@ -638,3 +638,53 @@ def test_point_density_grid_edge_clips(spark):
     }
     assert set(got) == {(0, 0), (0, 1), (1, 0), (1, 1)}
     assert got[(0, 0)] == 4 and got[(1, 1)] == 1
+
+
+# ------------------------------------------------------- HLL set algebra
+
+
+def test_hll_setops_identical_and_disjoint(spark):
+    """Two identical vocabularies: union == each single, intersection ==
+    single. Two disjoint ones: union == combined sketch, intersection
+    estimate stays within the sketch's error band around 0."""
+    from aira_spark.operators.sketch import hll_distinct, hll_set_estimates
+
+    words_a = [f"w{i}" for i in range(400)]
+    words_c = [f"z{i}" for i in range(300)]
+    rows = (
+        [("a", w) for w in words_a]
+        + [("b", w) for w in words_a]      # b identical to a
+        + [("c", w) for w in words_c]      # c disjoint from both
+    )
+    pairs = spark.createDataFrame(rows, "grp string, v string")
+    got = {
+        (r["grp_a"], r["grp_b"]): r
+        for r in hll_set_estimates(pairs).collect()
+    }
+    singles = {r["grp"]: r["est_e4"] for r in hll_distinct(pairs).collect()}
+    ab = got[("a", "b")]
+    assert ab["est_union_e4"] == singles["a"] == singles["b"]
+    assert ab["est_inter_e4"] == singles["a"]
+    ac = got[("a", "c")]
+    # disjoint: inclusion-exclusion intersection ~ 0 within sketch error
+    # (256 registers -> ~6.5% relative error; bound loosely at 25% of |A|)
+    assert abs(ac["est_inter_e4"]) < 0.25 * singles["a"]
+    # union of disjoint sets >= the larger single (max-merge monotonicity)
+    assert ac["est_union_e4"] >= max(singles["a"], singles["c"]) - 1
+
+
+def test_hll_setops_union_matches_concatenated_group(spark):
+    """The pair union sketch must equal the sketch of the CONCATENATED
+    group bit-for-bit (register max-merge is lossless)."""
+    from aira_spark.operators.sketch import hll_distinct, hll_set_estimates
+
+    rows = [("a", f"w{i % 37}") for i in range(200)] + [
+        ("b", f"v{i % 23}") for i in range(150)
+    ]
+    pairs = spark.createDataFrame(rows, "grp string, v string")
+    both = spark.createDataFrame(
+        [("ab", v) for _, v in rows], "grp string, v string"
+    )
+    u = hll_set_estimates(pairs).collect()[0]["est_union_e4"]
+    e = hll_distinct(both).collect()[0]["est_e4"]
+    assert u == e
