@@ -71,6 +71,23 @@ def main() -> None:
                  n_buckets=8, cell_col="cell")
     n_rollup = read_stage(spark, f"{out}/rollup").count()
 
+    # stage: analytics over the ingested points under --py-files — the
+    # round-4 operators run as cluster-job stages too (checkpointed)
+    from aira_spark.operators.dbscan import grid_dbscan
+    from aira_spark.sources.vectors import points_table as pts_table
+
+    clusters = grid_dbscan(pts_table(spark, sf_dir), res=cell_res, min_pts=5)
+    resume_stage(
+        clusters.selectExpr("gx * 1024 + gy AS cellkey", "*"),
+        f"{out}/dbscan", "dbscan", key="cellkey", n_buckets=8,
+        cell_col="cellkey",
+    )
+    n_dbscan = read_stage(spark, f"{out}/dbscan").count()
+    n_cores = (
+        read_stage(spark, f"{out}/dbscan").where("role = 'core'").count()
+    )
+    print(f"DBSCAN cells={n_dbscan} cores={n_cores}")
+
     # table maintenance: compact the cover stage's snapshots (resume-heavy
     # runs accumulate one file set per partial commit) and prove content
     # equality via the manifest checksums
