@@ -1415,6 +1415,17 @@ def q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KDE heat map: kernel-weighted density accumulated across
+    microbatches as a native SUM keyed at (target, source-cell) — state
+    bounded at 9x occupied cells — whose final fold equals batch
+    point_density bit-for-bit (same oracle checks both paths)."""
+    from aira_spark.sources.vectors import points_table
+    from aira_spark.streaming.events import run_streaming_density
+
+    return run_streaming_density(spark, points_table(spark, sf_dir), CELL_RES)
+
+
 def q_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL sketch set algebra: per source-pair vocabulary union (lossless
     register max-merge) and intersection (inclusion-exclusion, may go
@@ -1666,9 +1677,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # resize_thumbs, mosaic, dedup_exact [whose oracle stays in the head
     # via streaming_dedup]; round 4 rotated simhash + dedup_minhash +
     # dedup_clusters + zonal_rollup + zonal_bands + rasterize_cells +
-    # window_read + text_features + zonal_stats [all r1+r2+r3 green] out
-    # for png_decode + bpe_tokens + kmeans + lm_score + cover_morph +
-    # poly_metrics + point_density + grid_dbscan + hll_setops) —
+    # window_read + text_features + zonal_stats + pip [all r1+r2+r3
+    # green] out for png_decode + bpe_tokens + kmeans + lm_score +
+    # cover_morph + poly_metrics + point_density + grid_dbscan +
+    # hll_setops + streaming_density; pip's refine path stays head-checked
+    # via pip_salted, which shares its oracle formulation) —
     # re-verifiable any time via tools/check_oracle.py.
     # The four r3 driver-reds (inverted_index, approx_distinct,
     # streaming_hll, pack_sequences) stay in the head until they have a
@@ -1684,7 +1697,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focal_gradient": q_focal_gradient,
         "point_density": q_point_density,
         "grid_dbscan": q_grid_dbscan,
-        "pip": q_pip,
         "poly_metrics": q_poly_metrics,
         "pip_salted": q_pip_salted,
         "knn": q_knn,
@@ -1705,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "streaming_hll": q_streaming_hll,
         "hll_setops": q_hll_setops,
+        "streaming_density": q_streaming_density,
         "streaming_cms": q_streaming_cms,
         "corpus_sample": q_corpus_sample,
         "bm25": q_bm25,
@@ -1733,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_read": q_window_read,
         "text_features": q_text_features,
         "zonal_stats": q_zonal_stats,
+        "pip": q_pip,
         "fingerprints": q_fingerprints,
         "dedup_exact": q_dedup_exact,
         "mosaic": q_mosaic,
@@ -3429,6 +3443,8 @@ FROM docs GROUP BY 1
         "point_density": _oracle_point_density(),
         "grid_dbscan": _oracle_grid_dbscan(),
         "hll_setops": _oracle_hll_setops(),
+        # streaming path == batch point_density bit-for-bit: same oracle
+        "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),
         "streaming_cover": _oracle_cell_cover(modulo=16),
         "zonal_stats": _oracle_zonal_stats(),

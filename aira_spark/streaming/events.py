@@ -329,3 +329,65 @@ def run_streaming_cms(spark: SparkSession, docs: DataFrame) -> DataFrame:
         .selectExpr("grp", "row", "bucket", "CAST(count AS BIGINT) AS cnt")
     )
     return _run_to_table(spark, counters, "scms", "complete", stage)
+
+
+def run_streaming_density(
+    spark: SparkSession, points: DataFrame, res: int
+) -> DataFrame:
+    """Streaming point-density heat map: the KDE kernel smoothing of
+    operators/focal.point_density computed incrementally as points arrive.
+
+    Structured Streaming allows ONE aggregation per query, so the state is
+    keyed at the FINER (target, source-cell) granularity — a native SUM of
+    kernel weights per (tx, ty, src) triple, bounded at 9x the occupied
+    cells regardless of how many points stream past (the same
+    finer-key-state device as the streaming HLL registers) — and the final
+    batch fold per (tx, ty) reproduces batch point_density bit-for-bit, so
+    the same DuckDB oracle checks the streaming path."""
+    from ..functions.cells import cell_from_xy, cell_ix, cell_iy
+    from ..operators.focal import DENSITY_KERNEL
+
+    nf = 1 << res
+    stage = tempfile.mkdtemp(prefix="aira_sdens_")
+    src = points.select("point_id", "x", "y")
+    src.repartition(_n_batches()).write.mode("overwrite").parquet(stage)
+
+    offs = ", ".join(
+        f"named_struct('dx', {dx}, 'dy', {dy}, 'w', {w})"
+        for (dx, dy), w in sorted(DENSITY_KERNEL.items())
+    )
+    cells = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .select(cell_from_xy(F.col("x"), F.col("y"), res).alias("cell"))
+        .select(
+            cell_ix(F.col("cell")).alias("gx"),
+            cell_iy(F.col("cell")).alias("gy"),
+        )
+    )
+    scattered = cells.select(
+        "gx", "gy", F.expr(f"explode(array({offs}))").alias("o")
+    ).select(
+        (F.col("gx") + F.col("o.dx")).alias("tx"),
+        (F.col("gy") + F.col("o.dy")).alias("ty"),
+        F.col("gx").alias("sx"),
+        F.col("gy").alias("sy"),
+        F.col("o.w").alias("w"),
+    ).where(
+        (F.col("tx") >= 0) & (F.col("tx") < nf)
+        & (F.col("ty") >= 0) & (F.col("ty") < nf)
+    )
+    state = scattered.groupBy("tx", "ty", "sx", "sy").agg(
+        F.sum("w").cast("long").alias("wsum")
+    )
+    emitted = _run_to_table(spark, state, "sdens", "complete", stage)
+    return emitted.groupBy("tx", "ty").agg(
+        F.count("*").cast("long").alias("n_src_cells"),
+        F.sum("wsum").cast("long").alias("density_16"),
+    ).select(
+        F.col("tx").cast("long").alias("gx"),
+        F.col("ty").cast("long").alias("gy"),
+        "n_src_cells",
+        "density_16",
+    )

@@ -189,6 +189,7 @@ def main() -> None:
         "point_density": lambda: em.q_point_density(spark, sf_dir).count(),
         "grid_dbscan": lambda: em.q_grid_dbscan(spark, sf_dir).count(),
         "hll_setops": lambda: em.q_hll_setops(spark, sf_dir).count(),
+        "streaming_density": lambda: em.q_streaming_density(spark, sf_dir).count(),
         "cross_modal_dedup": lambda: em.q_cross_modal_dedup(spark, sf_dir).count(),
         "dissolve": lambda: em.q_dissolve(spark, sf_dir).count(),
         "idw": lambda: em.q_idw(spark, sf_dir).count(),

@@ -688,3 +688,17 @@ def test_hll_setops_union_matches_concatenated_group(spark):
     u = hll_set_estimates(pairs).collect()[0]["est_union_e4"]
     e = hll_distinct(both).collect()[0]["est_e4"]
     assert u == e
+
+
+def test_streaming_density_equals_batch(spark):
+    from aira_spark.operators.focal import point_density
+    from aira_spark.streaming.events import run_streaming_density
+
+    pts = spark.createDataFrame(
+        [(i, float((i * 37) % 300 - 150), float((i * 53) % 140 - 70))
+         for i in range(200)],
+        "point_id long, x double, y double",
+    )
+    batch = sorted(map(tuple, point_density(pts, res=6).collect()))
+    stream = sorted(map(tuple, run_streaming_density(spark, pts, 6).collect()))
+    assert stream == batch
