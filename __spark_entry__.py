@@ -109,6 +109,28 @@ def _sql_cover(xmin: str, ymin: str, xmax: str, ymax: str) -> str:
     return f"{ix0} AS ix0, {ix1} AS ix1, {iy0} AS iy0, {iy1} AS iy1"
 
 
+def _fine_cte_sql(modulo: int = 8, patch_bits: int = 4) -> str:
+    """Full WITH prefix ending in `fine(fx, fy, val)` — the max-composited
+    mosaic fine grid recomputed from first principles (pixel formula
+    (r*7 + c*13 + k) % 256), shared by the raster-stack oracles."""
+    nf = 1 << (CELL_RES + patch_bits)
+    fix = f"CAST(LEAST(GREATEST(FLOOR((x - (-180.0)) / 360.0 * {float(nf)}), 0), {nf - 1}) AS BIGINT)"
+    fiy = f"CAST(LEAST(GREATEST(FLOOR((y - (-90.0)) / 180.0 * {float(nf)}), 0), {nf - 1}) AS BIGINT)"
+    return f"""
+WITH {_IMG_CTE},
+sel AS (SELECT * FROM meta WHERE k % {modulo} = 0),
+rws AS (SELECT *, unnest(generate_series(0, h - 1)) AS r FROM sel),
+pxs AS (SELECT *, unnest(generate_series(0, w - 1)) AS c FROM rws),
+vals AS (
+  SELECT (r * 7 + c * 13 + k) % 256 AS val,
+         cx + (CAST(c AS DOUBLE) + 0.5) * sx AS x,
+         (cy + h * sy) - (CAST(r AS DOUBLE) + 0.5) * sy AS y
+  FROM pxs
+),
+fine AS (SELECT {fix} AS fx, {fiy} AS fy, CAST(MAX(val) AS BIGINT) AS val
+         FROM vals GROUP BY 1, 2)"""
+
+
 _IMG_CACHE: dict[str, DataFrame] = {}
 
 
@@ -1644,6 +1666,18 @@ def q_focal_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
     return focal_gradient(_images(spark, sf_dir, modulo=8), CELL_RES, patch_bits=4)
 
 
+def q_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COG-style overview/pyramid build: levels 0..3 of the mosaic fine
+    grid as ONE scatter + ONE hash agg (operators/pyramid.py) — the write
+    side of the reference's reduced-resolution page support (overview
+    selection mirrored by q_overview_select)."""
+    from aira_spark.operators.pyramid import pyramid_levels
+
+    return pyramid_levels(
+        _images(spark, sf_dir, modulo=8), CELL_RES, patch_bits=4, levels=3
+    )
+
+
 def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed-bigram linear quality classifier over every
     document: Arrow-batched integer logit (exact), shared-text sigmoid/label
@@ -1767,6 +1801,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ifd_dump": q_ifd_dump,
         "q1_pricing": q_q1_pricing,
         "top_customers": q_top_customers,
+        # --- round-4 late additions: tail-placed (the head-50 is full of
+        # entries awaiting their FIRST green driver row this round); all
+        # verified via tools/check_oracle.py now, slated to rotate into the
+        # head in round 5 once the r4 head goes green.
+        "pyramid": q_pyramid,
     }
 
 
@@ -2686,6 +2725,12 @@ FROM sc GROUP BY 1, 2 HAVING bool_or(is_center) AND COUNT(*) = 5
 """
 
 
+def _oracle_pyramid() -> str:
+    from aira_spark.operators.pyramid import oracle_pyramid_sql
+
+    return oracle_pyramid_sql(_fine_cte_sql(modulo=8), levels=3)
+
+
 def _oracle_zonal_rollup() -> str:
     # parent cell: same fine-resolution index arithmetic, then the exact bit
     # shift the Spark side performs (ix >> 2 == ix // 4)
@@ -3443,6 +3488,7 @@ FROM docs GROUP BY 1
         "point_density": _oracle_point_density(),
         "grid_dbscan": _oracle_grid_dbscan(),
         "hll_setops": _oracle_hll_setops(),
+        "pyramid": _oracle_pyramid(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),
