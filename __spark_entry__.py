@@ -1678,6 +1678,15 @@ def q_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares iso-line census over the mosaic fine grid at three
+    thresholds: scatter corners to block anchors + one agg
+    (operators/contours.py) — the raster->vector contour step."""
+    from aira_spark.operators.contours import contour_cases
+
+    return contour_cases(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
+
+
 def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed-bigram linear quality classifier over every
     document: Arrow-batched integer logit (exact), shared-text sigmoid/label
@@ -1806,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verified via tools/check_oracle.py now, slated to rotate into the
         # head in round 5 once the r4 head goes green.
         "pyramid": q_pyramid,
+        "contours": q_contours,
     }
 
 
@@ -2731,6 +2741,12 @@ def _oracle_pyramid() -> str:
     return oracle_pyramid_sql(_fine_cte_sql(modulo=8), levels=3)
 
 
+def _oracle_contours() -> str:
+    from aira_spark.operators.contours import oracle_contours_sql
+
+    return oracle_contours_sql(_fine_cte_sql(modulo=8))
+
+
 def _oracle_zonal_rollup() -> str:
     # parent cell: same fine-resolution index arithmetic, then the exact bit
     # shift the Spark side performs (ix >> 2 == ix // 4)
@@ -3489,6 +3505,7 @@ FROM docs GROUP BY 1
         "grid_dbscan": _oracle_grid_dbscan(),
         "hll_setops": _oracle_hll_setops(),
         "pyramid": _oracle_pyramid(),
+        "contours": _oracle_contours(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

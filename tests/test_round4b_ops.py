@@ -64,6 +64,53 @@ def test_pyramid_level_zero_is_fine_grid(spark, sf_dir):
         assert filled[(r["px"], r["py"])] == r["sum_val"]
 
 
+# ---------------------------------------------------------------- contours
+
+
+def test_contours_match_brute_force(spark, sf_dir):
+    import __spark_entry__ as em
+    from aira_spark.operators.contours import (
+        CORNER_BITS,
+        DEFAULT_THRESHOLDS,
+        contour_cases,
+    )
+
+    filled = _fine_grid(spark, sf_dir)
+    got = {
+        (r["threshold"], r["case_id"]): (r["n_cells"], r["n_segments"])
+        for r in contour_cases(
+            em._images(spark, sf_dir, modulo=8), em.CELL_RES, 4
+        ).collect()
+    }
+    want = {}
+    anchors = {(fx - dx, fy - dy) for fx, fy in filled
+               for dx, dy, _ in CORNER_BITS}
+    for ax, ay in anchors:
+        corners = {(dx, dy): filled.get((ax + dx, ay + dy))
+                   for dx, dy, _ in CORNER_BITS}
+        if any(v is None for v in corners.values()):
+            continue
+        for t in DEFAULT_THRESHOLDS:
+            case = sum(bit for dx, dy, bit in CORNER_BITS
+                       if corners[(dx, dy)] >= t)
+            n, s = want.get((t, case), (0, 0))
+            segs = 0 if case in (0, 15) else 2 if case in (5, 10) else 1
+            want[(t, case)] = (n + 1, s + segs)
+    assert got == want
+
+
+def test_contours_saddle_and_empty_cases(spark, sf_dir):
+    """Sanity on the case->segment lookup itself across all 16 cases."""
+    from aira_spark.operators.contours import SEGS_CASE_SQL
+
+    segs = {c: (0 if c in (0, 15) else 2 if c in (5, 10) else 1)
+            for c in range(16)}
+    rows = spark.range(16).selectExpr(
+        "id AS case_id", f"{SEGS_CASE_SQL.format(c='id')} AS segs"
+    ).collect()
+    assert {r["case_id"]: r["segs"] for r in rows} == segs
+
+
 def test_pyramid_single_extra_agg_no_join(spark, sf_dir):
     """The whole L-level stack is ONE scatter (Generate) + ONE hash agg on
     top of the mosaic's: 2 exchanges total, no join, no Python past the
