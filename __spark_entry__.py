@@ -1687,6 +1687,15 @@ def q_contours(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contour_cases(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
 
 
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I + Geary's C of the mosaic fine grid (rook weights):
+    join-free halo scatter + per-cell sufficient statistics + one
+    single-row aggregate of exact BIGINTs (operators/autocorr.py)."""
+    from aira_spark.operators.autocorr import spatial_autocorr
+
+    return spatial_autocorr(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
+
+
 def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed-bigram linear quality classifier over every
     document: Arrow-batched integer logit (exact), shared-text sigmoid/label
@@ -1816,6 +1825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # head in round 5 once the r4 head goes green.
         "pyramid": q_pyramid,
         "contours": q_contours,
+        "autocorr": q_autocorr,
     }
 
 
@@ -2747,6 +2757,12 @@ def _oracle_contours() -> str:
     return oracle_contours_sql(_fine_cte_sql(modulo=8))
 
 
+def _oracle_autocorr() -> str:
+    from aira_spark.operators.autocorr import oracle_autocorr_sql
+
+    return oracle_autocorr_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
+
+
 def _oracle_zonal_rollup() -> str:
     # parent cell: same fine-resolution index arithmetic, then the exact bit
     # shift the Spark side performs (ix >> 2 == ix // 4)
@@ -3506,6 +3522,7 @@ FROM docs GROUP BY 1
         "hll_setops": _oracle_hll_setops(),
         "pyramid": _oracle_pyramid(),
         "contours": _oracle_contours(),
+        "autocorr": _oracle_autocorr(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

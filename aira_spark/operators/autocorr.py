@@ -1,0 +1,176 @@
+"""Spatial autocorrelation statistics (global Moran's I and Geary's C)
+over the mosaicked fine grid with rook (4-neighbor) binary weights.
+
+Moran's I = (n/W) * sum_ij w_ij (v_i - m)(v_j - m) / sum_i (v_i - m)^2 and
+Geary's C = ((n-1)/2W) * sum_ij w_ij (v_i - v_j)^2 / sum_i (v_i - m)^2 are
+THE standard first questions asked of any gridded measurement (is the
+raster spatially clustered, random, or dispersed?).
+
+Scale shape — no pairwise join materializes: the neighbor structure is the
+same halo exchange as focal.py, ONE scatter of each filled subcell's value
+to its 4 rook neighbors (+ itself) and ONE hash aggregation per target
+cell. Per-cell sufficient statistics (deg_i, sum_j v_j, sum_j v_j^2) make
+every cross term a per-row expression:
+
+    sum_ij w v_i v_j        = sum_i v_i * nbr_sum_i
+    sum_ij w (v_i + v_j)    = sum_i (deg_i * v_i + nbr_sum_i)
+    sum_ij w (v_i - v_j)^2  = sum_i (deg_i * v_i^2 + nbr_sum2_i
+                                      - 2 v_i * nbr_sum_i)
+
+so the whole statistic is scatter -> agg -> ONE single-row aggregate of
+exact BIGINT sums. The final I and C divide those exact integers through a
+SHARED expression text (explicit DOUBLE casts, pinned parenthesization) so
+Spark and DuckDB execute the identical IEEE sequence — the bm25 rule.
+
+Mean centering is exact: both numerators and the denominator are expanded
+algebraically (multiply through by n^2) instead of subtracting a rounded
+mean, so there is NO fixed-point centering error at any n.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.cells import DEFAULT_RES, cell_ix, cell_iy
+from .mosaic import mosaic_cell_values
+
+ROOK = [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)]
+
+_D = "CAST({x} AS DOUBLE)"
+
+
+def moran_expr_text() -> str:
+    """I = (n/W) * (n^2*Swvv - n*S*Swvp + S^2*W) / (n*(n*Sv2 - S^2)), in
+    integer micros — one string, valid in Spark SQL and DuckDB."""
+    n, s, sv2 = _D.format(x="n"), _D.format(x="s_v"), _D.format(x="s_v2")
+    w, swvv, swvp = (
+        _D.format(x="w_pairs"), _D.format(x="s_wvv"), _D.format(x="s_wvp"),
+    )
+    num = f"((({n} * {n}) * {swvv}) - (({n} * {s}) * {swvp}) + (({s} * {s}) * {w}))"
+    den = f"({n} * (({n} * {sv2}) - ({s} * {s})))"
+    return (
+        f"CASE WHEN w_pairs = 0 THEN NULL ELSE "
+        f"CAST(round((({n} / {w}) * ({num} / {den})) * 1000000, 0) AS BIGINT) END"
+    )
+
+
+def geary_expr_text() -> str:
+    """C = ((n-1)/(2W)) * n*Swd2 / (n*Sv2 - S^2), integer micros."""
+    n, s, sv2 = _D.format(x="n"), _D.format(x="s_v"), _D.format(x="s_v2")
+    w, swd2 = _D.format(x="w_pairs"), _D.format(x="s_wd2")
+    num = f"({n} * {swd2})"
+    den = f"(({n} * {sv2}) - ({s} * {s}))"
+    return (
+        f"CASE WHEN w_pairs = 0 THEN NULL ELSE "
+        f"CAST(round(((({n} - 1) / (2 * {w})) * ({num} / {den})) * 1000000, 0)"
+        f" AS BIGINT) END"
+    )
+
+
+_FINAL_SELECT = (
+    "n, s_v, s_v2, w_pairs, s_wvv, s_wvp, s_wd2, "
+    "{moran} AS moran_e6, {geary} AS geary_e6"
+)
+
+
+def spatial_autocorr(
+    images: DataFrame, res: int = DEFAULT_RES, patch_bits: int = 4
+) -> DataFrame:
+    """One row: (n, s_v, s_v2, w_pairs, s_wvv, s_wvp, s_wd2, moran_e6,
+    geary_e6) — global Moran's I / Geary's C of the mosaic fine grid."""
+    pb = 1 << patch_bits
+    nf = 1 << (res + patch_bits)
+    fine = mosaic_cell_values(images, res, patch_bits).select(
+        (cell_ix(F.col("cell")) * pb + F.col("pc")).alias("fx"),
+        (cell_iy(F.col("cell")) * pb + F.col("pr")).alias("fy"),
+        "val",
+    )
+    arms = ", ".join(
+        f"named_struct('tx', fx + {dx}, 'ty', fy + {dy}, "
+        f"'is_center', {str(dx == 0 and dy == 0).lower()})"
+        for dx, dy in ROOK
+    )
+    scattered = fine.select(
+        "val", F.expr(f"explode(array({arms})) AS o")
+    ).where(
+        (F.col("o.tx") >= 0) & (F.col("o.tx") < nf)
+        & (F.col("o.ty") >= 0) & (F.col("o.ty") < nf)
+    )
+    cells = (
+        scattered.groupBy("o.tx", "o.ty")
+        .agg(
+            F.max(F.when(F.col("o.is_center"), F.col("val"))).alias("v"),
+            F.sum(
+                F.when(~F.col("o.is_center"), F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("deg"),
+            F.sum(
+                F.when(~F.col("o.is_center"), F.col("val")).otherwise(F.lit(0))
+            ).cast("long").alias("nbr_sum"),
+            F.sum(
+                F.when(~F.col("o.is_center"), F.col("val") * F.col("val"))
+                .otherwise(F.lit(0))
+            ).cast("long").alias("nbr_sum2"),
+        )
+        .where(F.col("v").isNotNull())
+    )
+    totals = cells.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s_v"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("s_v2"),
+        F.sum("deg").cast("long").alias("w_pairs"),
+        F.sum(F.col("v") * F.col("nbr_sum")).cast("long").alias("s_wvv"),
+        F.sum(F.col("deg") * F.col("v") + F.col("nbr_sum"))
+        .cast("long").alias("s_wvp"),
+        F.sum(
+            F.col("deg") * F.col("v") * F.col("v")
+            + F.col("nbr_sum2")
+            - 2 * F.col("v") * F.col("nbr_sum")
+        ).cast("long").alias("s_wd2"),
+    )
+    return totals.selectExpr(
+        "n", "s_v", "s_v2", "w_pairs", "s_wvv", "s_wvp", "s_wd2",
+        f"{moran_expr_text()} AS moran_e6",
+        f"{geary_expr_text()} AS geary_e6",
+    )
+
+
+def oracle_autocorr_sql(
+    fine_cte: str, res: int = DEFAULT_RES, patch_bits: int = 4
+) -> str:
+    """DuckDB mirror over a WITH clause ending in fine(fx, fy, val)."""
+    nf = 1 << (res + patch_bits)
+    offs = ", ".join(
+        f"({dx}, {dy}, {str(dx == 0 and dy == 0).lower()})"
+        for dx, dy in ROOK
+    )
+    final = _FINAL_SELECT.format(
+        moran=moran_expr_text(), geary=geary_expr_text()
+    )
+    return f"""{fine_cte},
+sc AS (
+  SELECT fx + o.dx AS tx, fy + o.dy AS ty, val, o.is_center
+  FROM fine, (VALUES {offs}) AS o(dx, dy, is_center)
+  WHERE fx + o.dx >= 0 AND fx + o.dx < {nf}
+    AND fy + o.dy >= 0 AND fy + o.dy < {nf}
+),
+cells AS (
+  SELECT tx, ty,
+    MAX(CASE WHEN is_center THEN val END) AS v,
+    CAST(SUM(CASE WHEN is_center THEN 0 ELSE 1 END) AS BIGINT) AS deg,
+    CAST(SUM(CASE WHEN is_center THEN 0 ELSE val END) AS BIGINT) AS nbr_sum,
+    CAST(SUM(CASE WHEN is_center THEN 0 ELSE val * val END) AS BIGINT)
+      AS nbr_sum2
+  FROM sc GROUP BY tx, ty HAVING bool_or(is_center)
+),
+totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(v) AS BIGINT) AS s_v,
+    CAST(SUM(v * v) AS BIGINT) AS s_v2,
+    CAST(SUM(deg) AS BIGINT) AS w_pairs,
+    CAST(SUM(v * nbr_sum) AS BIGINT) AS s_wvv,
+    CAST(SUM(deg * v + nbr_sum) AS BIGINT) AS s_wvp,
+    CAST(SUM(deg * v * v + nbr_sum2 - 2 * v * nbr_sum) AS BIGINT) AS s_wd2
+  FROM cells
+)
+SELECT {final} FROM totals"""

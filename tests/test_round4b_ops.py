@@ -111,6 +111,57 @@ def test_contours_saddle_and_empty_cases(spark, sf_dir):
     assert {r["case_id"]: r["segs"] for r in rows} == segs
 
 
+# ---------------------------------------------------------------- autocorr
+
+
+def test_autocorr_matches_brute_force(spark, sf_dir):
+    """Float brute force over the reconstructed grid: integer sufficient
+    statistics must match exactly, I and C micros within 1 ulp of round."""
+    import __spark_entry__ as em
+    from aira_spark.operators.autocorr import spatial_autocorr
+
+    filled = _fine_grid(spark, sf_dir)
+    r = spatial_autocorr(
+        em._images(spark, sf_dir, modulo=8), em.CELL_RES, 4
+    ).collect()[0]
+    n = len(filled)
+    vs = list(filled.values())
+    s_v, s_v2 = sum(vs), sum(v * v for v in vs)
+    pairs = [
+        (v, filled[(fx + dx, fy + dy)])
+        for (fx, fy), v in filled.items()
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1))
+        if (fx + dx, fy + dy) in filled
+    ]
+    w = len(pairs)
+    assert (r["n"], r["s_v"], r["s_v2"], r["w_pairs"]) == (n, s_v, s_v2, w)
+    assert r["s_wvv"] == sum(a * b for a, b in pairs)
+    assert r["s_wvp"] == sum(a + b for a, b in pairs)
+    assert r["s_wd2"] == sum((a - b) ** 2 for a, b in pairs)
+    m = s_v / n
+    den = sum((v - m) ** 2 for v in vs)
+    moran = (n / w) * sum((a - m) * (b - m) for a, b in pairs) / den
+    geary = ((n - 1) / (2 * w)) * sum((a - b) ** 2 for a, b in pairs) / den
+    assert abs(r["moran_e6"] - moran * 1e6) < 2, (r["moran_e6"], moran)
+    assert abs(r["geary_e6"] - geary * 1e6) < 2, (r["geary_e6"], geary)
+    # the grid mosaics real pixel data — it must read as positively
+    # autocorrelated (I > 0, C < 1), else the statistic is miswired
+    assert r["moran_e6"] > 0 and r["geary_e6"] < 1_000_000
+
+
+def test_autocorr_no_join_scatter_agg(spark, sf_dir):
+    import __spark_entry__ as em
+    from aira_spark.operators.autocorr import spatial_autocorr
+    from tests.test_plans import count_in_plan, plan_string, shuffle_count
+
+    df = spatial_autocorr(em._images(spark, sf_dir, modulo=8), em.CELL_RES, 4)
+    s = plan_string(df)
+    assert "Join" not in s and "CartesianProduct" not in s, s
+    assert shuffle_count(df) <= 3, s  # mosaic + cell agg + single-row agg
+    assert count_in_plan(df, "ArrowEvalPython") <= 1, s
+    assert "BatchEvalPython" not in s, s
+
+
 def test_pyramid_single_extra_agg_no_join(spark, sf_dir):
     """The whole L-level stack is ONE scatter (Generate) + ONE hash agg on
     top of the mosaic's: 2 exchanges total, no join, no Python past the
