@@ -1696,6 +1696,30 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial_autocorr(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
 
 
+_EV_X = "CAST((event_id * 2654435761) % 350000000 AS DOUBLE) / 1000000.0 - 178.0"
+_EV_Y = "CAST((event_id * 1013904223) % 170000000 AS DOUBLE) / 1000000.0 - 86.0"
+
+
+def q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flow matrix: events snapped to grid cells,
+    LAG-paired per user in (ts, event_id) order, rolled up to
+    (from_cell, to_cell) trip/user counts (operators/trajectory.py)."""
+    from aira_spark.functions.cells import cell_from_xy
+    from aira_spark.operators.trajectory import od_flows
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "user_id", "ts", "event_id", f"{_EV_X} AS x", f"{_EV_Y} AS y"
+        )
+        .select(
+            "user_id", "ts", "event_id",
+            cell_from_xy(F.col("x"), F.col("y"), CELL_RES).alias("cell"),
+        )
+    )
+    return od_flows(ev)
+
+
 def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed-bigram linear quality classifier over every
     document: Arrow-batched integer logit (exact), shared-text sigmoid/label
@@ -1826,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyramid": q_pyramid,
         "contours": q_contours,
         "autocorr": q_autocorr,
+        "od_flows": q_od_flows,
     }
 
 
@@ -2763,6 +2788,18 @@ def _oracle_autocorr() -> str:
     return oracle_autocorr_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
 
 
+def _oracle_od_flows() -> str:
+    from aira_spark.operators.trajectory import oracle_od_flows_sql
+
+    cte = (
+        "WITH ev AS (\n"
+        f"  SELECT user_id, ts, event_id, {_sql_cell(_EV_X, _EV_Y)} AS cell\n"
+        "  FROM events\n"
+        ")"
+    )
+    return oracle_od_flows_sql(cte)
+
+
 def _oracle_zonal_rollup() -> str:
     # parent cell: same fine-resolution index arithmetic, then the exact bit
     # shift the Spark side performs (ix >> 2 == ix // 4)
@@ -3523,6 +3560,7 @@ FROM docs GROUP BY 1
         "pyramid": _oracle_pyramid(),
         "contours": _oracle_contours(),
         "autocorr": _oracle_autocorr(),
+        "od_flows": _oracle_od_flows(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

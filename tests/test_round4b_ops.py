@@ -162,6 +162,49 @@ def test_autocorr_no_join_scatter_agg(spark, sf_dir):
     assert "BatchEvalPython" not in s, s
 
 
+# ---------------------------------------------------------------- od flows
+
+
+def test_od_flows_hand_trajectories(spark):
+    """Three users, hand-written cell sequences: exact trip/user/move
+    counts, LAG ties broken by event_id."""
+    from aira_spark.operators.trajectory import od_flows
+
+    rows = [
+        # user 1: a -> b -> b -> a   (ties: two events at ts=2)
+        (1, 1, 10, "a"), (1, 2, 11, "b"), (1, 2, 12, "b"), (1, 3, 13, "a"),
+        # user 2: a -> b
+        (2, 1, 20, "a"), (2, 2, 21, "b"),
+        # user 3: single event — no transitions
+        (3, 1, 30, "c"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts long, event_id long, cell string")
+    got = {
+        (r["from_cell"], r["to_cell"]): (r["n_trips"], r["n_users"], r["n_moves"])
+        for r in od_flows(ev).collect()
+    }
+    assert got == {
+        ("a", "b"): (2, 2, 2),
+        ("b", "b"): (1, 1, 0),
+        ("b", "a"): (1, 1, 1),
+    }
+
+
+def test_od_flows_conserves_transitions(spark, sf_dir):
+    """Sum of n_trips == total events minus one per user with >= 1 event."""
+    import __spark_entry__ as em
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    total = (
+        em.q_od_flows(spark, sf_dir)
+        .agg({"n_trips": "sum"})
+        .collect()[0][0]
+    )
+    assert total == n_events - n_users
+
+
 def test_pyramid_single_extra_agg_no_join(spark, sf_dir):
     """The whole L-level stack is ONE scatter (Generate) + ONE hash agg on
     top of the mosaic's: 2 exchanges total, no join, no Python past the
