@@ -1720,6 +1720,18 @@ def q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return od_flows(ev)
 
 
+def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence + PMI over the documents corpus: window-arm
+    explode pair generator (no self-join), broadcast unigram joins,
+    shared-text PMI micros (operators/cooccur.py)."""
+    from aira_spark.operators.cooccur import pmi_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return pmi_pairs(docs, window=3, min_count=3)
+
+
 def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed-bigram linear quality classifier over every
     document: Arrow-batched integer logit (exact), shared-text sigmoid/label
@@ -1851,6 +1863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contours": q_contours,
         "autocorr": q_autocorr,
         "od_flows": q_od_flows,
+        "pmi": q_pmi,
     }
 
 
@@ -2800,6 +2813,12 @@ def _oracle_od_flows() -> str:
     return oracle_od_flows_sql(cte)
 
 
+def _oracle_pmi() -> str:
+    from aira_spark.operators.cooccur import oracle_pmi_sql
+
+    return oracle_pmi_sql("documents", window=3, min_count=3)
+
+
 def _oracle_zonal_rollup() -> str:
     # parent cell: same fine-resolution index arithmetic, then the exact bit
     # shift the Spark side performs (ix >> 2 == ix // 4)
@@ -3561,6 +3580,7 @@ FROM docs GROUP BY 1
         "contours": _oracle_contours(),
         "autocorr": _oracle_autocorr(),
         "od_flows": _oracle_od_flows(),
+        "pmi": _oracle_pmi(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -205,6 +205,47 @@ def test_od_flows_conserves_transitions(spark, sf_dir):
     assert total == n_events - n_users
 
 
+# ---------------------------------------------------------------- pmi
+
+
+def test_pmi_hand_corpus(spark):
+    """Tiny corpus with known window pairs: exact counts + PMI formula."""
+    import math
+
+    from aira_spark.operators.cooccur import pmi_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    # window=2 ordered pairs: doc1 -> ab,aa,ba,bb,ab ; doc2 -> ab,ac,bc
+    got = {
+        (r["w1"], r["w2"]): (r["c_xy"], r["c_x"], r["c_y"], r["pmi_micros"])
+        for r in pmi_pairs(docs, window=2, min_count=2).collect()
+    }
+    n_pairs, n_uni = 8, 7
+    c = {"a": 3, "b": 3, "c": 1}
+    assert set(got) == {("a", "b")}
+    cxy, cx, cy, micros = got[("a", "b")]
+    assert (cxy, cx, cy) == (3, 3, 3)
+    want = math.log((3 * n_uni * n_uni) / (n_pairs * c["a"] * c["b"]))
+    assert abs(micros - round(want * 1e6)) <= 1
+
+
+def test_pmi_pair_generator_no_self_join(spark, sf_dir):
+    """The pair generator is projection-side (Generate), never a self-join
+    of the exploded corpus; unigram joins broadcast."""
+    from aira_spark.operators.cooccur import pmi_pairs
+    from tests.test_plans import plan_string
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    s = plan_string(pmi_pairs(docs))
+    assert "SortMergeJoin" not in s, s
+    assert "BroadcastHashJoin" in s, s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, s
+
+
 def test_pyramid_single_extra_agg_no_join(spark, sf_dir):
     """The whole L-level stack is ONE scatter (Generate) + ONE hash agg on
     top of the mosaic's: 2 exchanges total, no join, no Python past the
