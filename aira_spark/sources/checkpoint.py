@@ -641,6 +641,48 @@ def compact_stage(spark: SparkSession, path: str) -> tuple[int, int]:
     return before, _count_files([sid])
 
 
+def remove_orphan_files(path: str, older_than_s: float = 0.0) -> list[int]:
+    """Delete snap= data dirs that never reached the metadata.json commit
+    point (the Iceberg remove_orphan_files maintenance action): a write
+    killed between its parquet write and its metadata append leaves a dir
+    readers can never see, holding disk until cleaned.
+
+    Unlike compact_stage (which rewrites data and expires history), this is
+    a pure garbage collection — live AND expired committed snapshots are
+    untouched, so logical content, time travel, and manifests are all
+    unchanged.
+
+    `older_than_s` mirrors Iceberg's `older_than` guard: a snap dir younger
+    than this many seconds is kept even if uncommitted, because it may be an
+    IN-FLIGHT write whose metadata append hasn't happened yet — deleting it
+    would corrupt a concurrent writer. Production default in Iceberg is 3
+    days; tests pass 0 to collect immediately.
+
+    Returns the snapshot ids whose dirs were removed.
+    """
+    import shutil
+    import time
+
+    data = f"{path}/data"
+    if not os.path.isdir(data):
+        return []
+    committed = set(committed_snapshot_ids(path))
+    removed: list[int] = []
+    now = time.time()
+    for d in sorted(os.listdir(data)):
+        if not d.startswith("snap="):
+            continue
+        sid = int(d.split("=", 1)[1])
+        if sid in committed:
+            continue
+        full = f"{data}/{d}"
+        if now - os.path.getmtime(full) < older_than_s:
+            continue  # possibly an in-flight write — the Iceberg age guard
+        shutil.rmtree(full, ignore_errors=True)
+        removed.append(sid)
+    return removed
+
+
 def verify_manifest(spark: SparkSession, path: str, stage: str, df: DataFrame,
                     key: str, n_buckets: int = 32) -> bool:
     """Recompute per-bucket (rows, checksum) from df and compare to manifest."""

@@ -276,3 +276,42 @@ def test_cdc_cursor_overtaken_by_compaction_raises(spark, source, tmp_path):
                 n_buckets=N_BUCKETS)                                  # snap 6
     with pytest.raises(ValueError, match="never committed"):
         read_stage_changes(spark, path, 5)
+
+
+def test_remove_orphan_files_gc(spark, source, tmp_path):
+    """remove_orphan_files deletes only uncommitted snap dirs older than the
+    age guard; committed (live AND expired) snapshots are untouched and
+    logical content is unchanged."""
+    import os
+
+    from aira_spark.sources.checkpoint import remove_orphan_files
+
+    path = str(tmp_path / "gc")
+    write_stage(source, path, "s", key="o_orderkey", n_buckets=N_BUCKETS)
+    write_stage(source.limit(50), path, "s", key="o_orderkey",
+                n_buckets=N_BUCKETS)
+    n = read_stage(spark, path).count()
+    # crashed write: data only, never committed to metadata.json
+    source.limit(10).withColumn("bucket", F.lit(0)).write.partitionBy(
+        "bucket"
+    ).parquet(f"{path}/data/snap=3")
+    # age guard: a young orphan is presumed in-flight and kept
+    assert remove_orphan_files(path, older_than_s=3600) == []
+    assert os.path.isdir(f"{path}/data/snap=3")
+    # immediate collection removes it; committed dirs survive
+    assert remove_orphan_files(path, older_than_s=0) == [3]
+    assert not os.path.isdir(f"{path}/data/snap=3")
+    assert os.path.isdir(f"{path}/data/snap=1")
+    assert os.path.isdir(f"{path}/data/snap=2")
+    assert read_stage(spark, path).count() == n
+    assert verify_manifest(spark, path, "s", source.union(source.limit(50)),
+                           key="o_orderkey", n_buckets=N_BUCKETS)
+
+
+def test_remove_orphan_files_noop_on_clean_table(spark, source, tmp_path):
+    from aira_spark.sources.checkpoint import remove_orphan_files
+
+    path = str(tmp_path / "gc2")
+    write_stage(source, path, "s", key="o_orderkey", n_buckets=N_BUCKETS)
+    assert remove_orphan_files(path, older_than_s=0) == []
+    assert remove_orphan_files(str(tmp_path / "missing")) == []
