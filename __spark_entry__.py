@@ -1732,6 +1732,17 @@ def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_pairs(docs, window=3, min_count=3)
 
 
+def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: seeded per-subspace codebooks, zero-shuffle
+    encode, broadcast ADC lookup tables, one top-k window
+    (operators/pq.py) — the byte-code memory-scale path next to the
+    IVF/LSH/brute-force family."""
+    from aira_spark.operators.pq import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_topk(emb, query_pred="vec_id < 8", m_sub=4, k_codes=8, topk=10)
+
+
 def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed-bigram linear quality classifier over every
     document: Arrow-batched integer logit (exact), shared-text sigmoid/label
@@ -1864,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocorr": q_autocorr,
         "od_flows": q_od_flows,
         "pmi": q_pmi,
+        "pq_ann": q_pq_ann,
     }
 
 
@@ -2819,6 +2831,15 @@ def _oracle_pmi() -> str:
     return oracle_pmi_sql("documents", window=3, min_count=3)
 
 
+def _oracle_pq_ann() -> str:
+    from aira_spark.operators.pq import oracle_pq_sql
+
+    return oracle_pq_sql(
+        "embeddings", query_pred="vec_id < 8", m_sub=4, k_codes=8, topk=10,
+        dim=64,
+    )
+
+
 def _oracle_zonal_rollup() -> str:
     # parent cell: same fine-resolution index arithmetic, then the exact bit
     # shift the Spark side performs (ix >> 2 == ix // 4)
@@ -3581,6 +3602,7 @@ FROM docs GROUP BY 1
         "autocorr": _oracle_autocorr(),
         "od_flows": _oracle_od_flows(),
         "pmi": _oracle_pmi(),
+        "pq_ann": _oracle_pq_ann(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -246,6 +246,76 @@ def test_pmi_pair_generator_no_self_join(spark, sf_dir):
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, s
 
 
+# ---------------------------------------------------------------- pq ann
+
+
+def test_pq_codes_and_adc_match_numpy(spark, sf_dir):
+    """Rebuild codebooks/codes/ADC in numpy from the same seeded
+    construction; every (query, vec) distance and rank must match."""
+    import numpy as np
+
+    from aira_spark.operators.pq import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = [
+        (r["query_id"], r["vec_id"], r["adc_dist"], r["rnk"])
+        for r in pq_topk(emb, "vec_id < 4", m_sub=4, k_codes=8, topk=5)
+        .orderBy("query_id", "rnk").collect()
+    ]
+    rows = emb.orderBy("vec_id").collect()
+    v = {
+        r["vec_id"]: np.round(
+            np.asarray(r["embedding"], dtype=np.float64) * 1024.0
+        ).astype(np.int64)
+        for r in rows
+    }
+    ids = sorted(v)
+    d = len(v[ids[0]])
+    sub = d // 4
+    cbs = [
+        [v[j][m * sub : (m + 1) * sub] for j in ids[:8]] for m in range(4)
+    ]
+    codes = {
+        i: [
+            min(
+                range(8),
+                key=lambda j: (
+                    int(((v[i][m * sub:(m + 1) * sub] - cbs[m][j]) ** 2).sum()),
+                    j,
+                ),
+            )
+            for m in range(4)
+        ]
+        for i in ids
+    }
+    want = []
+    for qid in [i for i in ids if i < 4]:
+        adc = {
+            i: sum(
+                int(((v[qid][m * sub:(m + 1) * sub] - cbs[m][codes[i][m]]) ** 2).sum())
+                for m in range(4)
+            )
+            for i in ids
+        }
+        ranked = sorted(ids, key=lambda i: (adc[i], i))[:5]
+        want += [(qid, i, adc[i], r + 1) for r, i in enumerate(ranked)]
+    assert sorted(got) == sorted(want)
+
+
+def test_pq_single_shuffle_topk_only(spark, sf_dir):
+    """Encode + ADC scoring are pure projections over a broadcast LUT; the
+    only exchange in the plan is the per-query top-k window."""
+    from aira_spark.operators.pq import pq_topk
+    from tests.test_plans import plan_string, shuffle_count
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = pq_topk(emb, "vec_id < 4", m_sub=4, k_codes=8, topk=5)
+    s = plan_string(df)
+    assert shuffle_count(df) == 1, s  # the top-k window
+    assert "SortMergeJoin" not in s and "CartesianProduct" not in s, s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, s
+
+
 def test_pyramid_single_extra_agg_no_join(spark, sf_dir):
     """The whole L-level stack is ONE scatter (Generate) + ONE hash agg on
     top of the mosaic's: 2 exchanges total, no join, no Python past the
