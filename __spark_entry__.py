@@ -1743,6 +1743,15 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, query_pred="vec_id < 8", m_sub=4, k_codes=8, topk=10)
 
 
+def q_terrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-octant + slope-class census of the gradient field — integer
+    comparisons pick the compass sector, no trig in the checked output
+    (operators/terrain.py)."""
+    from aira_spark.operators.terrain import terrain_census
+
+    return terrain_census(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
+
+
 def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed-bigram linear quality classifier over every
     document: Arrow-batched integer logit (exact), shared-text sigmoid/label
@@ -1876,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_flows": q_od_flows,
         "pmi": q_pmi,
         "pq_ann": q_pq_ann,
+        "terrain": q_terrain,
     }
 
 
@@ -2840,6 +2850,12 @@ def _oracle_pq_ann() -> str:
     )
 
 
+def _oracle_terrain() -> str:
+    from aira_spark.operators.terrain import oracle_terrain_sql
+
+    return oracle_terrain_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
+
+
 def _oracle_zonal_rollup() -> str:
     # parent cell: same fine-resolution index arithmetic, then the exact bit
     # shift the Spark side performs (ix >> 2 == ix // 4)
@@ -3603,6 +3619,7 @@ FROM docs GROUP BY 1
         "od_flows": _oracle_od_flows(),
         "pmi": _oracle_pmi(),
         "pq_ann": _oracle_pq_ann(),
+        "terrain": _oracle_terrain(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -1,0 +1,99 @@
+"""Terrain classification census: aspect (8 compass octants) and slope
+class from the central-difference gradient — map-algebra hillshade's two
+inputs, kept EXACT.
+
+GIS aspect is conventionally atan2(gy, gx) quantized to compass sectors;
+computing the angle itself would drag libm trig into the checked output
+(the r3 lesson: engine-build-sensitive doubles fail the driver gate). The
+octant of a vector is decidable by INTEGER comparisons alone — sign tests
+plus one |gx| vs |gy| comparison pick the 45-degree sector with zero
+floating point — so aspect here is a shared CASE text over exact BIGINTs,
+bit-identical in Spark and DuckDB. Slope is the exact grad2 = gx^2 + gy^2
+bucketed by integer thresholds (the squared-magnitude classes; taking the
+sqrt would again be cosmetic + inexact).
+
+Scale shape: reuses focal_gradient's halo scatter-agg (pixels never
+shuffle), classification is a pure projection, and the census is one tiny
+aggregation over <= 9 x 4 keys with map-side combine — the output is
+metadata-sized no matter how many tiles feed it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..functions.cells import DEFAULT_RES
+from .focal import GRAD_OFFSETS, focal_gradient
+
+# 45-degree sectors with boundaries at multiples of 45 degrees:
+# E=[0,45), NE=[45,90), N=[90,135), NW=[135,180), W=[180,225),
+# SW=[225,270), S=[270,315), SE=[315,360); ties (boundary angles) land in
+# the counter-clockwise sector by the >=/> choices below — deterministic
+# and identical in both engines.
+ASPECT_CASE = """CASE
+  WHEN gx = 0 AND gy = 0 THEN 'flat'
+  WHEN gy >= 0 AND gx > 0 AND gx > gy THEN 'E'
+  WHEN gx > 0 AND gy > 0 AND gy >= gx THEN 'NE'
+  WHEN gx <= 0 AND gy > 0 AND -gx < gy THEN 'N'
+  WHEN gx < 0 AND gy > 0 AND -gx >= gy THEN 'NW'
+  WHEN gy <= 0 AND gx < 0 AND -gx > -gy THEN 'W'
+  WHEN gx < 0 AND gy < 0 AND -gy >= -gx THEN 'SW'
+  WHEN gx >= 0 AND gy < 0 AND gx < -gy THEN 'S'
+  ELSE 'SE' END"""
+
+SLOPE_CASE = """CASE
+  WHEN grad2 = 0 THEN 'level'
+  WHEN grad2 < 1024 THEN 'gentle'
+  WHEN grad2 < 16384 THEN 'moderate'
+  ELSE 'steep' END"""
+
+
+def terrain_census(
+    images: DataFrame, res: int = DEFAULT_RES, patch_bits: int = 4
+) -> DataFrame:
+    """(aspect, slope_class, n_cells, sum_grad2): census of the gradient
+    field over all fully-stenciled fine-grid cells."""
+    from pyspark.sql import functions as F
+
+    g = focal_gradient(images, res, patch_bits)
+    return (
+        g.selectExpr(
+            f"{ASPECT_CASE} AS aspect", f"{SLOPE_CASE} AS slope_class",
+            "grad2",
+        )
+        .groupBy("aspect", "slope_class")
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.sum("grad2").cast("long").alias("sum_grad2"),
+        )
+    )
+
+
+def oracle_terrain_sql(fine_cte: str, res: int = DEFAULT_RES,
+                       patch_bits: int = 4) -> str:
+    """DuckDB mirror over a WITH clause ending in fine(fx, fy, val):
+    gradient scatter (GRAD_OFFSETS, scatter weights negated exactly as
+    focal.focal_gradient does), then the shared classification text."""
+    nf = 1 << (res + patch_bits)
+    offs = ", ".join(
+        f"({dx},{dy},{-wx},{-wy})"
+        for (dx, dy), (wx, wy) in GRAD_OFFSETS.items()
+    )
+    return f"""{fine_cte},
+sc AS (
+  SELECT fx + o.dx AS tx, fy + o.dy AS ty,
+         o.wx * val AS cx, o.wy * val AS cy,
+         (o.dx = 0 AND o.dy = 0) AS is_center
+  FROM fine, (VALUES {offs}) AS o(dx, dy, wx, wy)
+  WHERE fx + o.dx >= 0 AND fx + o.dx < {nf}
+    AND fy + o.dy >= 0 AND fy + o.dy < {nf}
+),
+grad AS (
+  SELECT CAST(SUM(cx) AS BIGINT) AS gx, CAST(SUM(cy) AS BIGINT) AS gy,
+    CAST(SUM(cx) * SUM(cx) + SUM(cy) * SUM(cy) AS BIGINT) AS grad2
+  FROM sc GROUP BY tx, ty HAVING bool_or(is_center) AND COUNT(*) = 5
+)
+SELECT {ASPECT_CASE} AS aspect, {SLOPE_CASE} AS slope_class,
+  CAST(COUNT(*) AS BIGINT) AS n_cells,
+  CAST(SUM(grad2) AS BIGINT) AS sum_grad2
+FROM grad GROUP BY 1, 2"""

@@ -316,6 +316,47 @@ def test_pq_single_shuffle_topk_only(spark, sf_dir):
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, s
 
 
+# ---------------------------------------------------------------- terrain
+
+
+def test_aspect_octants_match_atan2(spark):
+    """The integer CASE must agree with float atan2 sector assignment on a
+    dense sweep of gradient vectors (boundaries land counter-clockwise)."""
+    import math
+
+    from aira_spark.operators.terrain import ASPECT_CASE
+
+    rows = [
+        (gx, gy) for gx in range(-5, 6) for gy in range(-5, 6)
+    ]
+    df = spark.createDataFrame(rows, "gx long, gy long")
+    got = {
+        (r["gx"], r["gy"]): r["aspect"]
+        for r in df.selectExpr("gx", "gy", f"{ASPECT_CASE} AS aspect").collect()
+    }
+    names = ["E", "NE", "N", "NW", "W", "SW", "S", "SE"]
+    for gx, gy in rows:
+        if gx == 0 and gy == 0:
+            assert got[(gx, gy)] == "flat"
+            continue
+        ang = math.degrees(math.atan2(gy, gx)) % 360.0
+        want = names[int(ang // 45) % 8]
+        assert got[(gx, gy)] == want, (gx, gy, ang, got[(gx, gy)], want)
+
+
+def test_terrain_census_totals(spark, sf_dir):
+    """Census cell count == focal_gradient row count; sum_grad2 conserved."""
+    import __spark_entry__ as em
+    from aira_spark.operators.focal import focal_gradient
+    from aira_spark.operators.terrain import terrain_census
+
+    imgs = em._images(spark, sf_dir, modulo=8)
+    g = focal_gradient(imgs, em.CELL_RES, 4).collect()
+    rows = terrain_census(imgs, em.CELL_RES, 4).collect()
+    assert sum(r["n_cells"] for r in rows) == len(g)
+    assert sum(r["sum_grad2"] for r in rows) == sum(r["grad2"] for r in g)
+
+
 def test_pyramid_single_extra_agg_no_join(spark, sf_dir):
     """The whole L-level stack is ONE scatter (Generate) + ONE hash agg on
     top of the mosaic's: 2 exchanges total, no join, no Python past the
