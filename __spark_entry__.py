@@ -1752,6 +1752,18 @@ def q_terrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terrain_census(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy funnel conversion view -> click -> purchase over events:
+    per-step filtered aggregation + broadcast of the shrinking converted-
+    user set (operators/funnel.py)."""
+    from aira_spark.operators.funnel import funnel_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_type"
+    )
+    return funnel_counts(ev)
+
+
 def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed-bigram linear quality classifier over every
     document: Arrow-batched integer logit (exact), shared-text sigmoid/label
@@ -1886,6 +1898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi": q_pmi,
         "pq_ann": q_pq_ann,
         "terrain": q_terrain,
+        "funnel": q_funnel,
     }
 
 
@@ -2856,6 +2869,12 @@ def _oracle_terrain() -> str:
     return oracle_terrain_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
 
 
+def _oracle_funnel() -> str:
+    from aira_spark.operators.funnel import oracle_funnel_sql
+
+    return oracle_funnel_sql("events")
+
+
 def _oracle_zonal_rollup() -> str:
     # parent cell: same fine-resolution index arithmetic, then the exact bit
     # shift the Spark side performs (ix >> 2 == ix // 4)
@@ -3620,6 +3639,7 @@ FROM docs GROUP BY 1
         "pmi": _oracle_pmi(),
         "pq_ann": _oracle_pq_ann(),
         "terrain": _oracle_terrain(),
+        "funnel": _oracle_funnel(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -357,6 +357,45 @@ def test_terrain_census_totals(spark, sf_dir):
     assert sum(r["sum_grad2"] for r in rows) == sum(r["grad2"] for r in g)
 
 
+# ---------------------------------------------------------------- funnel
+
+
+def test_funnel_hand_users(spark):
+    """Greedy semantics: strict-after ordering, ties non-qualifying,
+    out-of-order steps don't convert."""
+    import datetime as dt
+
+    from aira_spark.operators.funnel import funnel_counts
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)
+    rows = [
+        # u1 full funnel in order
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # u2: click BEFORE view -> stops after view
+        (2, t(5), "view"), (2, t(4), "click"),
+        # u3: view+click simultaneous -> tie does NOT qualify
+        (3, t(1), "view"), (3, t(1), "click"),
+        # u4: view then two clicks; purchase before the first click -> stops
+        (4, t(1), "view"), (4, t(2), "click"), (4, t(9), "click"),
+        (4, t(1), "purchase"),
+        # u5: never views
+        (5, t(1), "click"), (5, t(2), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r["step"]: r["n_users"] for r in funnel_counts(ev).collect()}
+    assert got == {"view": 4, "click": 2, "purchase": 1}
+
+
+def test_funnel_monotone_on_events(spark, sf_dir):
+    import __spark_entry__ as em
+
+    rows = sorted(
+        em.q_funnel(spark, sf_dir).collect(), key=lambda r: r["step_idx"]
+    )
+    ns = [r["n_users"] for r in rows]
+    assert ns == sorted(ns, reverse=True) and ns[0] > 0
+
+
 def test_pyramid_single_extra_agg_no_join(spark, sf_dir):
     """The whole L-level stack is ONE scatter (Generate) + ONE hash agg on
     top of the mosaic's: 2 exchanges total, no join, no Python past the
