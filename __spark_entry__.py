@@ -1764,6 +1764,16 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(ev)
 
 
+def q_vocab_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf head + frequency-of-frequency spectrum + type/token totals of
+    the documents corpus in one kind-tagged union frame
+    (operators/vocab.py)."""
+    from aira_spark.operators.vocab import vocab_census
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    return vocab_census(docs, top_n=30)
+
+
 def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed-bigram linear quality classifier over every
     document: Arrow-batched integer logit (exact), shared-text sigmoid/label
@@ -1899,6 +1909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_ann": q_pq_ann,
         "terrain": q_terrain,
         "funnel": q_funnel,
+        "vocab_census": q_vocab_census,
     }
 
 
@@ -2875,6 +2886,12 @@ def _oracle_funnel() -> str:
     return oracle_funnel_sql("events")
 
 
+def _oracle_vocab_census() -> str:
+    from aira_spark.operators.vocab import oracle_vocab_sql
+
+    return oracle_vocab_sql("documents", top_n=30)
+
+
 def _oracle_zonal_rollup() -> str:
     # parent cell: same fine-resolution index arithmetic, then the exact bit
     # shift the Spark side performs (ix >> 2 == ix // 4)
@@ -3640,6 +3657,7 @@ FROM docs GROUP BY 1
         "pq_ann": _oracle_pq_ann(),
         "terrain": _oracle_terrain(),
         "funnel": _oracle_funnel(),
+        "vocab_census": _oracle_vocab_census(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -396,6 +396,36 @@ def test_funnel_monotone_on_events(spark, sf_dir):
     assert ns == sorted(ns, reverse=True) and ns[0] > 0
 
 
+# ---------------------------------------------------------------- vocab
+
+
+def test_vocab_census_hand_corpus(spark):
+    from aira_spark.operators.vocab import vocab_census
+
+    docs = spark.createDataFrame(
+        [("a a a b b c",), ("a b x y",)], "text string"
+    )
+    rows = vocab_census(docs, top_n=2).collect()
+    top = {r["k"]: (r["a"], r["b"]) for r in rows if r["kind"] == "top"}
+    fof = {r["k"]: (r["a"], r["b"]) for r in rows if r["kind"] == "fof"}
+    stat = {r["k"]: r["a"] for r in rows if r["kind"] == "stat"}
+    assert top == {"a": (1, 4), "b": (2, 3)}
+    # freqs: a=4 (cls 2), b=3 (cls 1), c=1, x=1, y=1 (cls 0)
+    assert fof == {"0": (3, 3), "1": (1, 3), "2": (1, 4)}
+    assert stat == {"n_tokens": 10, "n_types": 5}
+
+
+def test_vocab_fof_conserves_tokens(spark, sf_dir):
+    import __spark_entry__ as em
+
+    rows = em.q_vocab_census(spark, sf_dir).collect()
+    stat = {r["k"]: r["a"] for r in rows if r["kind"] == "stat"}
+    fof_terms = sum(r["a"] for r in rows if r["kind"] == "fof")
+    fof_tokens = sum(r["b"] for r in rows if r["kind"] == "fof")
+    assert fof_terms == stat["n_types"]
+    assert fof_tokens == stat["n_tokens"]
+
+
 def test_pyramid_single_extra_agg_no_join(spark, sf_dir):
     """The whole L-level stack is ONE scatter (Generate) + ONE hash agg on
     top of the mosaic's: 2 exchanges total, no join, no Python past the
