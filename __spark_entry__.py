@@ -1774,6 +1774,14 @@ def q_vocab_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_census(docs, top_n=30)
 
 
+def q_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear 2x upsample of the mosaic fine grid — exact {1,3,9}/16
+    stencil as one scatter + one agg (operators/resample.py)."""
+    from aira_spark.operators.resample import upsample_bilinear
+
+    return upsample_bilinear(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
+
+
 def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed-bigram linear quality classifier over every
     document: Arrow-batched integer logit (exact), shared-text sigmoid/label
@@ -1910,6 +1918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terrain": q_terrain,
         "funnel": q_funnel,
         "vocab_census": q_vocab_census,
+        "upsample": q_upsample,
     }
 
 
@@ -2892,6 +2901,12 @@ def _oracle_vocab_census() -> str:
     return oracle_vocab_sql("documents", top_n=30)
 
 
+def _oracle_upsample() -> str:
+    from aira_spark.operators.resample import oracle_upsample_sql
+
+    return oracle_upsample_sql(_fine_cte_sql(modulo=8))
+
+
 def _oracle_zonal_rollup() -> str:
     # parent cell: same fine-resolution index arithmetic, then the exact bit
     # shift the Spark side performs (ix >> 2 == ix // 4)
@@ -3658,6 +3673,7 @@ FROM docs GROUP BY 1
         "terrain": _oracle_terrain(),
         "funnel": _oracle_funnel(),
         "vocab_census": _oracle_vocab_census(),
+        "upsample": _oracle_upsample(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -426,6 +426,57 @@ def test_vocab_fof_conserves_tokens(spark, sf_dir):
     assert fof_tokens == stat["n_tokens"]
 
 
+# ---------------------------------------------------------------- upsample
+
+
+def test_upsample_matches_numpy_bilinear(spark, sf_dir):
+    """Brute-force: for each emitted target, recompute the 4-source
+    bilinear sum from the reconstructed grid; coverage = exactly the
+    targets whose 4 sources are all filled."""
+    import __spark_entry__ as em
+    from aira_spark.operators.resample import upsample_bilinear
+
+    filled = _fine_grid(spark, sf_dir)
+    got = {
+        (r["tx"], r["ty"]): (r["val_x16"], r["val"])
+        for r in upsample_bilinear(
+            em._images(spark, sf_dir, modulo=8), em.CELL_RES, 4
+        ).collect()
+    }
+
+    def sources(t):
+        # target center (t + .5)/2 -> source pair (s0, s1) with weights 1,3
+        if t % 2 == 0:
+            return [(t // 2 - 1, 1), (t // 2, 3)]
+        return [(t // 2, 3), (t // 2 + 1, 1)]
+
+    want = {}
+    for (tx, ty) in {
+        (2 * fx + ox, 2 * fy + oy)
+        for fx, fy in filled for ox in (-1, 0, 1, 2) for oy in (-1, 0, 1, 2)
+    }:
+        srcs = [
+            (filled.get((sx, sy)), wx * wy)
+            for sx, wx in sources(tx) for sy, wy in sources(ty)
+        ]
+        if any(v is None for v, _ in srcs):
+            continue
+        x16 = sum(v * w for v, w in srcs)
+        want[(tx, ty)] = (x16, x16 // 16)
+    assert got == want
+
+
+def test_upsample_roundtrips_constant_region(spark):
+    """On a constant grid the interpolation is the identity — checked via
+    the oracle arms: weights sum to 16 per target."""
+    from aira_spark.operators.resample import AXIS_ARMS
+
+    assert sum(w for _, w in AXIS_ARMS) == 8  # 8*8/4 = 16 in 2D /16
+    assert sorted(
+        wx * wy for _, wx in AXIS_ARMS for _, wy in AXIS_ARMS
+    )[-1] == 9
+
+
 def test_pyramid_single_extra_agg_no_join(spark, sf_dir):
     """The whole L-level stack is ONE scatter (Generate) + ONE hash agg on
     top of the mosaic's: 2 exchanges total, no join, no Python past the
