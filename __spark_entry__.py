@@ -1782,6 +1782,18 @@ def q_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upsample_bilinear(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
 
 
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed TF-IDF term weights over the vocabulary band
+    min_df <= df <= 0.5*N — BM25's sibling lexical vectorizer; text never
+    shuffles, the surviving vocabulary broadcasts (operators/tfidf.py)."""
+    from aira_spark.operators.tfidf import tfidf_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return tfidf_weights(docs, min_df=5, max_df_frac="0.5")
+
+
 def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed-bigram linear quality classifier over every
     document: Arrow-batched integer logit (exact), shared-text sigmoid/label
@@ -1919,6 +1931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "vocab_census": q_vocab_census,
         "upsample": q_upsample,
+        "tfidf": q_tfidf,
     }
 
 
@@ -2907,6 +2920,12 @@ def _oracle_upsample() -> str:
     return oracle_upsample_sql(_fine_cte_sql(modulo=8))
 
 
+def _oracle_tfidf() -> str:
+    from aira_spark.operators.tfidf import oracle_tfidf_sql
+
+    return oracle_tfidf_sql("documents", min_df=5, max_df_frac="0.5")
+
+
 def _oracle_zonal_rollup() -> str:
     # parent cell: same fine-resolution index arithmetic, then the exact bit
     # shift the Spark side performs (ix >> 2 == ix // 4)
@@ -3674,6 +3693,7 @@ FROM docs GROUP BY 1
         "funnel": _oracle_funnel(),
         "vocab_census": _oracle_vocab_census(),
         "upsample": _oracle_upsample(),
+        "tfidf": _oracle_tfidf(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

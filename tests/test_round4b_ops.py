@@ -492,3 +492,42 @@ def test_pyramid_single_extra_agg_no_join(spark, sf_dir):
     assert "Generate" in s, s  # the level explode
     assert count_in_plan(df, "ArrowEvalPython") <= 1, s
     assert "BatchEvalPython" not in s, s
+
+
+# ---------------------------------------------------------------- tfidf
+
+
+def test_tfidf_hand_corpus(spark):
+    """3-doc corpus, min_df=2 max_df=0.99: 'a' in all 3 docs survives only
+    if 3 <= 0.99*3 fails -> excluded; 'b' df=2 survives."""
+    import math
+
+    from aira_spark.operators.tfidf import tfidf_weights
+
+    docs = spark.createDataFrame(
+        [(1, "a b b"), (2, "a b"), (3, "a c")], "doc_id long, text string"
+    )
+    rows = tfidf_weights(docs, min_df=2, max_df_frac="0.67").collect()
+    got = {(r["doc_id"], r["term"]): r for r in rows}
+    # 'a' df=3 > 0.67*3=2.01 -> out; 'c' df=1 < 2 -> out; 'b' df=2 stays
+    assert set(got) == {(1, "b"), (2, "b")}
+    r = got[(1, "b")]
+    assert (r["tf"], r["df"], r["n_docs"]) == (2, 2, 3)
+    want = round(2 * (math.log((3 + 1) / (2 + 1)) + 1) * 1_000_000)
+    assert r["tfidf_micros"] == want
+    assert got[(2, "b")]["tf"] == 1
+
+
+def test_tfidf_vocab_broadcast_text_never_shuffles(spark, sf_dir):
+    """Plan: the document-frequency band joins back BROADCAST; the only
+    exchanges carry (doc_id, term, tf) rows, never `text`."""
+    import __spark_entry__ as em
+    from tests.test_plans import plan_string
+
+    df = em.q_tfidf(spark, sf_dir)
+    s = plan_string(df)
+    assert "BroadcastHashJoin" in s or "BroadcastNestedLoopJoin" in s, s
+    assert "SortMergeJoin" not in s, s
+    for frag in s.split("Exchange")[1:]:
+        head = frag.split("\n")[0]
+        assert "text" not in head, head
