@@ -1794,6 +1794,15 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_weights(docs, min_df=5, max_df_frac="0.5")
 
 
+def q_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(image, band) histogram-equalization LUT — exact integer CDF
+    remap over the sparse value histogram; pixels never enter an exchange
+    (operators/equalize.py)."""
+    from aira_spark.operators.equalize import equalize_lut
+
+    return equalize_lut(_images(spark, sf_dir, modulo=4))
+
+
 def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed-bigram linear quality classifier over every
     document: Arrow-batched integer logit (exact), shared-text sigmoid/label
@@ -1932,6 +1941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_census": q_vocab_census,
         "upsample": q_upsample,
         "tfidf": q_tfidf,
+        "equalize": q_equalize,
     }
 
 
@@ -2077,14 +2087,15 @@ LEFT JOIN keepers k ON k.doc_id = b.doc_id
 """
 
 
-def _oracle_band_histogram() -> str:
-    # spp per variant mirrors meta_decode; pixel formula from images.py
-    return f"""
-WITH {_IMG_CTE},
+def _bands_cte_sql(modulo: int = 4) -> str:
+    """CTE chain ending in bands(image_id, k, r, c, s): one row per pixel
+    per band — spp per variant mirrors meta_decode; pixel formula
+    (r*7 + c*13 + s*29 + k) % 256 from sources/images.py."""
+    return f"""{_IMG_CTE},
 sp AS (
   SELECT image_id, k, w, h,
     CASE WHEN v IN (1,2,4,10) THEN 3 WHEN v IN (6,9) THEN 2 ELSE 1 END AS spp
-  FROM meta WHERE k % 4 = 0
+  FROM meta WHERE k % {modulo} = 0
 ),
 rows_r AS (SELECT *, unnest(generate_series(0, h - 1)) AS r FROM sp),
 px AS (
@@ -2093,7 +2104,12 @@ px AS (
 ),
 bands AS (
   SELECT image_id, k, r, c, unnest(generate_series(0, spp - 1)) AS s FROM px
-)
+)"""
+
+
+def _oracle_band_histogram() -> str:
+    return f"""
+WITH {_bands_cte_sql(modulo=4)}
 SELECT image_id, CAST(s AS BIGINT) AS band,
        CAST((r * 7 + c * 13 + s * 29 + k) % 256 AS BIGINT) AS value,
        CAST(COUNT(*) AS BIGINT) AS cnt
@@ -2926,6 +2942,12 @@ def _oracle_tfidf() -> str:
     return oracle_tfidf_sql("documents", min_df=5, max_df_frac="0.5")
 
 
+def _oracle_equalize() -> str:
+    from aira_spark.operators.equalize import oracle_equalize_sql
+
+    return oracle_equalize_sql(_bands_cte_sql(modulo=4))
+
+
 def _oracle_zonal_rollup() -> str:
     # parent cell: same fine-resolution index arithmetic, then the exact bit
     # shift the Spark side performs (ix >> 2 == ix // 4)
@@ -3694,6 +3716,7 @@ FROM docs GROUP BY 1
         "vocab_census": _oracle_vocab_census(),
         "upsample": _oracle_upsample(),
         "tfidf": _oracle_tfidf(),
+        "equalize": _oracle_equalize(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

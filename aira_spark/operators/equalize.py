@@ -1,0 +1,81 @@
+"""Histogram equalization — the contrast-normalization remap table, per
+(image, band), computed without ever shuffling a pixel.
+
+The classic transfer function over the value histogram:
+
+    eq(v) = floor( (cdf(v) - cdf_min) * 255 / (n_px - cdf_min) )
+
+with cdf(v) = #pixels <= v, cdf_min = cdf at the smallest PRESENT value.
+Every quantity is an exact integer, so Spark and the DuckDB oracle agree to
+the bit; the degenerate flat image (n_px == cdf_min, a single distinct
+value) maps to 0 by definition in both engines.
+
+Scale shape (the zonal_quantiles histogram-decomposition trick,
+zonal.py:362): the map side emits the SPARSE per-(image, band) value
+histogram (<= 256 rows per band regardless of pixel count) from one Arrow
+decode pass; the only exchange carries those bounded histogram rows to a
+single window partitioned by (image_id, band). Applying the LUT to pixels
+is a map-side broadcast-join-free rejoin the caller does next to the
+decode — the remap TABLE is the operator output, pixels never enter an
+exchange. Parity target: a raster engine's `equalize` / contrast-stretch
+stage over aira's decoded chunks (crates/aira-tiff/src/decoder.rs decode
+surface; the reference ships no stretch op — this extends the domain)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .zonal import band_histogram
+
+
+def equalize_lut(images: DataFrame) -> DataFrame:
+    """(image_id, band, value, cnt, cdf, eq_val): the exact equalization
+    look-up table for every present pixel value of every band."""
+    hist = band_histogram(images)
+    byband = Window.partitionBy("image_id", "band")
+    cum = Window.partitionBy("image_id", "band").orderBy("value")
+    return (
+        hist.withColumn("cdf", F.sum("cnt").over(cum))
+        .withColumn("n", F.sum("cnt").over(byband))
+        .withColumn("cdf_min", F.min("cdf").over(byband))
+        .select(
+            "image_id",
+            F.col("band").cast("long").alias("band"),
+            F.col("value").cast("long").alias("value"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("cdf").cast("long").alias("cdf"),
+            F.expr(
+                "CAST(CASE WHEN n = cdf_min THEN 0 ELSE "
+                "CAST((cdf - cdf_min) * 255 AS BIGINT) DIV (n - cdf_min) "
+                "END AS BIGINT)"
+            ).alias("eq_val"),
+        )
+    )
+
+
+def oracle_equalize_sql(bands_cte: str) -> str:
+    """DuckDB mirror over a CTE chain ending in `bands(image_id, ..., value
+    per pixel)` — the band_histogram oracle's pixel reconstruction."""
+    return f"""
+WITH {bands_cte},
+hist AS (
+  SELECT image_id, CAST(s AS BIGINT) AS band,
+         CAST((r * 7 + c * 13 + s * 29 + k) % 256 AS BIGINT) AS value,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM bands GROUP BY 1, 2, 3
+),
+cdf AS (
+  SELECT *,
+    SUM(cnt) OVER (PARTITION BY image_id, band ORDER BY value) AS cdf,
+    SUM(cnt) OVER (PARTITION BY image_id, band) AS n
+  FROM hist
+),
+lut AS (
+  SELECT *, MIN(cdf) OVER (PARTITION BY image_id, band) AS cdf_min FROM cdf
+)
+SELECT image_id, band, value, cnt, CAST(cdf AS BIGINT) AS cdf,
+  CAST(CASE WHEN n = cdf_min THEN 0
+       ELSE ((cdf - cdf_min) * 255) // (n - cdf_min) END AS BIGINT) AS eq_val
+FROM lut
+"""

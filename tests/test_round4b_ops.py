@@ -531,3 +531,64 @@ def test_tfidf_vocab_broadcast_text_never_shuffles(spark, sf_dir):
     for frag in s.split("Exchange")[1:]:
         head = frag.split("\n")[0]
         assert "text" not in head, head
+
+
+# ---------------------------------------------------------------- equalize
+
+
+def test_equalize_lut_matches_numpy(spark):
+    """Hand image through the real decode path: LUT equals the classic
+    integer cdf remap computed by numpy."""
+    import numpy as np
+
+    from aira_spark.operators.equalize import equalize_lut
+    from aira_spark.tiff.encode import write_tiff
+
+    rng = np.random.RandomState(7)
+    a = rng.randint(0, 40, size=(9, 7), dtype=np.uint8) * 5
+    buf = write_tiff(a[:, :, None], byteorder="<", layout=("strips", 4))
+    df = spark.createDataFrame(
+        [("im0", bytearray(buf))], "image_id string, bytes binary"
+    )
+    got = {r["value"]: r for r in equalize_lut(df).collect()}
+
+    vals, cnts = np.unique(a, return_counts=True)
+    cdf = np.cumsum(cnts)
+    n, cmin = int(cdf[-1]), int(cdf[0])
+    assert set(got) == set(int(v) for v in vals)
+    for v, c, cd in zip(vals, cnts, cdf):
+        r = got[int(v)]
+        assert (r["cnt"], r["cdf"]) == (int(c), int(cd))
+        assert r["eq_val"] == (int(cd) - cmin) * 255 // (n - cmin)
+    # endpoints of the classic remap
+    assert got[int(vals[0])]["eq_val"] == 0
+    assert got[int(vals[-1])]["eq_val"] == 255
+
+
+def test_equalize_flat_image_maps_to_zero(spark):
+    import numpy as np
+
+    from aira_spark.operators.equalize import equalize_lut
+    from aira_spark.tiff.encode import write_tiff
+
+    a = np.full((4, 4), 99, dtype=np.uint8)
+    buf = write_tiff(a[:, :, None], byteorder="<", layout=("strips", 4))
+    df = spark.createDataFrame(
+        [("im0", bytearray(buf))], "image_id string, bytes binary"
+    )
+    rows = equalize_lut(df).collect()
+    assert len(rows) == 1 and rows[0]["eq_val"] == 0 and rows[0]["cnt"] == 16
+
+
+def test_equalize_one_bounded_exchange_no_join(spark, sf_dir):
+    """Plan: one Arrow decode pass, ONE exchange (the histogram window),
+    no join — pixels never shuffle, only <=256-row-per-band histograms."""
+    import __spark_entry__ as em
+    from tests.test_plans import count_in_plan, plan_string, shuffle_count
+
+    df = em.q_equalize(spark, sf_dir)
+    s = plan_string(df)
+    assert shuffle_count(df) == 1, s
+    assert "Join" not in s, s
+    assert count_in_plan(df, "ArrowEvalPython") == 0, s  # mapInPandas only
+    assert "BatchEvalPython" not in s, s
