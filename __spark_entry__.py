@@ -1794,6 +1794,29 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_weights(docs, min_df=5, max_df_frac="0.5")
 
 
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance (<= 4 hops) from the point_id%20==0
+    seed set over the same kNN digraph as q_pagerank — Pregel-style
+    frontier supersteps as DataFrame rounds (operators/graph.py)."""
+    from aira_spark.operators.graph import bfs_hops
+    from aira_spark.operators.spatial import knn_join
+    from aira_spark.sources.vectors import points_table
+
+    pts = points_table(spark, sf_dir)
+    queries = pts.selectExpr("point_id AS query_id", "x", "y")
+    nn = knn_join(queries, pts, k=6, res=CELL_RES)
+    edges = nn.filter(F.col("neighbor_id") != F.col("query_id")).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    seeds = pts.filter(F.col("point_id") % 20 == 0).select(
+        F.col("point_id").alias("node")
+    )
+    return bfs_hops(edges, seeds, max_hops=4).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("hop").cast("long").alias("hop"),
+    )
+
+
 def q_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(image, band) histogram-equalization LUT — exact integer CDF
     remap over the sparse value histogram; pixels never enter an exchange
@@ -1942,6 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsample": q_upsample,
         "tfidf": q_tfidf,
         "equalize": q_equalize,
+        "bfs_hops": q_bfs_hops,
     }
 
 
@@ -2509,11 +2533,13 @@ FROM r WHERE rn_km <= 5
 """
 
 
-def _oracle_pagerank() -> str:
-    from aira_spark.operators.graph import oracle_pagerank_sql
+def _knn_edges_cte() -> str:
+    """CTE chain ending in edges(src, dst): the k=6-including-self kNN
+    digraph of the points table (exactly 5 out-edges per node) — shared by
+    the pagerank and bfs_hops oracles."""
     from aira_spark.sources.vectors import points_oracle_sql
 
-    edges_cte = f"""p AS ({points_oracle_sql()}),
+    return f"""p AS ({points_oracle_sql()}),
 d AS (
   SELECT a.point_id AS src, b.point_id AS dst,
     SQRT((b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)) AS dist
@@ -2522,7 +2548,22 @@ d AS (
 rr AS (SELECT *,
   ROW_NUMBER() OVER (PARTITION BY src ORDER BY dist, dst) AS rn FROM d),
 edges AS (SELECT src, dst FROM rr WHERE rn <= 6 AND src != dst)"""
-    return oracle_pagerank_sql(edges_cte, out_degree=5, rounds=10)
+
+
+def _oracle_pagerank() -> str:
+    from aira_spark.operators.graph import oracle_pagerank_sql
+
+    return oracle_pagerank_sql(_knn_edges_cte(), out_degree=5, rounds=10)
+
+
+def _oracle_bfs_hops() -> str:
+    from aira_spark.operators.graph import oracle_bfs_sql
+
+    return oracle_bfs_sql(
+        _knn_edges_cte(),
+        "SELECT point_id AS node FROM p WHERE point_id % 20 = 0",
+        max_hops=4,
+    )
 
 
 def _oracle_idw() -> str:
@@ -3717,6 +3758,7 @@ FROM docs GROUP BY 1
         "upsample": _oracle_upsample(),
         "tfidf": _oracle_tfidf(),
         "equalize": _oracle_equalize(),
+        "bfs_hops": _oracle_bfs_hops(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

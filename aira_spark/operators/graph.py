@@ -95,3 +95,69 @@ def oracle_pagerank_sql(
         f"WITH {edges_cte},\n" + ",\n".join(parts)
         + f"\nSELECT node, rank_micros FROM r{rounds}"
     )
+
+
+def bfs_hops(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 4
+) -> DataFrame:
+    """(node, hop): minimum hop distance from the seed set, bounded by
+    `max_hops` — multi-source BFS, the other canonical iterative graph
+    primitive next to pagerank_fixed (reachability, influence radius,
+    geodesic neighborhoods over the kNN digraph).
+
+    Per round: frontier ⋈ edges (equi-join on src) → DISTINCT dst →
+    LEFT ANTI against the settled set → the next frontier at hop+1. Hop
+    counts are exact integers, so every engine agrees regardless of join
+    order. Scale shape: each round shuffles only (node) / (src, dst) ID
+    rows; the frontier localCheckpoints every round (it is also the early-
+    stop probe, so the materialization is free), keeping lineage flat; an
+    empty frontier short-circuits the remaining rounds on the driver — the
+    standard Pregel-style superstep loop expressed as DataFrame ops."""
+    dist = (
+        seeds.select("node").distinct()
+        .withColumn("hop", F.lit(0).cast("long"))
+    )
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            edges.join(
+                frontier.withColumnRenamed("node", "src"), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.take(1):
+            break
+        dist = dist.unionByName(
+            nxt.withColumn("hop", F.lit(h).cast("long"))
+        )
+        frontier = nxt
+    return dist
+
+
+def oracle_bfs_sql(
+    edges_cte: str, seeds_sql: str, max_hops: int = 4
+) -> str:
+    """DuckDB mirror: unrolled frontier CTE per hop (the pagerank unroll
+    device). `edges_cte` defines edges(src, dst); `seeds_sql` selects the
+    seed node set as a single column `node`."""
+    parts = [
+        f"f0 AS (SELECT DISTINCT node FROM ({seeds_sql}))",
+        "d0 AS (SELECT node, CAST(0 AS BIGINT) AS hop FROM f0)",
+    ]
+    for h in range(1, max_hops + 1):
+        parts.append(
+            f"f{h} AS (SELECT DISTINCT e.dst AS node FROM edges e "
+            f"JOIN f{h - 1} f ON f.node = e.src "
+            f"WHERE e.dst NOT IN (SELECT node FROM d{h - 1}))"
+        )
+        parts.append(
+            f"d{h} AS (SELECT * FROM d{h - 1} UNION ALL "
+            f"SELECT node, CAST({h} AS BIGINT) AS hop FROM f{h})"
+        )
+    return (
+        f"WITH {edges_cte},\n" + ",\n".join(parts)
+        + f"\nSELECT node, hop FROM d{max_hops}"
+    )

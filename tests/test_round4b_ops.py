@@ -592,3 +592,39 @@ def test_equalize_one_bounded_exchange_no_join(spark, sf_dir):
     assert "Join" not in s, s
     assert count_in_plan(df, "ArrowEvalPython") == 0, s  # mapInPandas only
     assert "BatchEvalPython" not in s, s
+
+
+# ---------------------------------------------------------------- bfs_hops
+
+
+def test_bfs_hops_cycle_two_seeds(spark):
+    from aira_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 1)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(1,), (4,)], "node long")
+    got = {r["node"]: r["hop"] for r in bfs_hops(edges, seeds, 2).collect()}
+    assert got == {1: 0, 4: 0, 2: 1, 5: 1, 3: 2, 6: 2}
+
+
+def test_bfs_hops_early_stop_on_exhaustion(spark):
+    from aira_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame([(1, 2), (9, 8)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["hop"] for r in bfs_hops(edges, seeds, 50).collect()}
+    assert got == {1: 0, 2: 1}  # frontier empties after hop 1; 9/8 unreachable
+
+
+def test_bfs_hops_min_hop_wins_on_reconvergence(spark):
+    from aira_spark.operators.graph import bfs_hops
+
+    # two paths 1->4: direct and via 2,3 — settled-set anti-join keeps hop 1
+    edges = spark.createDataFrame(
+        [(1, 4), (1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["hop"] for r in bfs_hops(edges, seeds, 4).collect()}
+    assert got == {1: 0, 4: 1, 2: 1, 3: 2}
