@@ -1794,6 +1794,20 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_weights(docs, min_df=5, max_df_frac="0.5")
 
 
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle over events — one distinct
+    (user_id, week) shuffle, broadcast cohort sizes
+    (operators/retention.py)."""
+    from aira_spark.operators.retention import retention_cohorts
+
+    # thin the stream (event_id % 37 = 0) so first-activity spreads across
+    # weeks and the triangle has real staggered cohorts, not one block
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_id") % 37 == 0
+    )
+    return retention_cohorts(ev.select("user_id", "ts"))
+
+
 def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS hop distance (<= 4 hops) from the point_id%20==0
     seed set over the same kNN digraph as q_pagerank — Pregel-style
@@ -1966,6 +1980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf": q_tfidf,
         "equalize": q_equalize,
         "bfs_hops": q_bfs_hops,
+        "retention": q_retention,
     }
 
 
@@ -2989,6 +3004,12 @@ def _oracle_equalize() -> str:
     return oracle_equalize_sql(_bands_cte_sql(modulo=4))
 
 
+def _oracle_retention() -> str:
+    from aira_spark.operators.retention import oracle_retention_sql
+
+    return oracle_retention_sql("(SELECT * FROM events WHERE event_id % 37 = 0)")
+
+
 def _oracle_zonal_rollup() -> str:
     # parent cell: same fine-resolution index arithmetic, then the exact bit
     # shift the Spark side performs (ix >> 2 == ix // 4)
@@ -3759,6 +3780,7 @@ FROM docs GROUP BY 1
         "tfidf": _oracle_tfidf(),
         "equalize": _oracle_equalize(),
         "bfs_hops": _oracle_bfs_hops(),
+        "retention": _oracle_retention(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

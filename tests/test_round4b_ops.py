@@ -628,3 +628,45 @@ def test_bfs_hops_min_hop_wins_on_reconvergence(spark):
     seeds = spark.createDataFrame([(1,)], "node long")
     got = {r["node"]: r["hop"] for r in bfs_hops(edges, seeds, 4).collect()}
     assert got == {1: 0, 4: 1, 2: 1, 3: 2}
+
+
+# ---------------------------------------------------------------- retention
+
+
+def test_retention_hand_events(spark):
+    """3 users across 3 Mondays: u1 active wk0+wk1, u2 wk0 only, u3 joins
+    wk1 and returns wk2."""
+    from datetime import datetime
+
+    from aira_spark.operators.retention import retention_cohorts
+
+    W0, W1, W2 = (
+        datetime(2024, 1, 1, 9),   # Mon
+        datetime(2024, 1, 10, 9),  # Wed of wk1
+        datetime(2024, 1, 15, 9),  # Mon of wk2
+    )
+    ev = spark.createDataFrame(
+        [(1, W0), (1, W1), (2, W0), (3, W1), (3, W2)],
+        "user_id long, ts timestamp",
+    )
+    rows = retention_cohorts(ev).collect()
+    got = {
+        (r["cohort_week"], r["week_no"]): (r["n_active"], r["cohort_size"])
+        for r in rows
+    }
+    assert got == {
+        ("2024-01-01", 0): (2, 2),  # u1+u2 in cohort wk0
+        ("2024-01-01", 1): (1, 2),  # only u1 returns
+        ("2024-01-08", 0): (1, 1),  # u3's own cohort
+        ("2024-01-08", 1): (1, 1),  # u3 returns
+    }
+    weeks = {r["cohort_week"]: r["week"] for r in rows if r["week_no"] == 0}
+    assert weeks == {"2024-01-01": "2024-01-01", "2024-01-08": "2024-01-08"}
+
+
+def test_retention_sizes_broadcast(spark, sf_dir):
+    import __spark_entry__ as em
+    from tests.test_plans import plan_string
+
+    s = plan_string(em.q_retention(spark, sf_dir))
+    assert "BroadcastHashJoin" in s, s
