@@ -1794,6 +1794,15 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_weights(docs, min_df=5, max_df_frac="0.5")
 
 
+def q_focal_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3x3 focal median over the mosaic fine grid — the same scatter
+    halo exchange as focal_mean, but the fold is a bounded (<=9-element)
+    sorted list and two exact order statistics (operators/focal.py)."""
+    from aira_spark.operators.focal import focal_median
+
+    return focal_median(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
+
+
 def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention triangle over events — one distinct
     (user_id, week) shuffle, broadcast cohort sizes
@@ -1981,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equalize": q_equalize,
         "bfs_hops": q_bfs_hops,
         "retention": q_retention,
+        "focal_median": q_focal_median,
     }
 
 
@@ -3004,6 +3014,31 @@ def _oracle_equalize() -> str:
     return oracle_equalize_sql(_bands_cte_sql(modulo=4))
 
 
+def _oracle_focal_median() -> str:
+    # fine grid + 9-offset scatter as focal_mean; the fold is list_sort +
+    # 1-based order-statistic indexing (exact integers, no .5 medians)
+    nf = 1 << (CELL_RES + 4)
+    return f"""{_fine_cte_sql(modulo=8)},
+sc AS (
+  SELECT fx + o.dx AS tx, fy + o.dy AS ty, val,
+         (o.dx = 0 AND o.dy = 0) AS is_center
+  FROM fine, (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) AS o(dx, dy)
+  WHERE fx + o.dx >= 0 AND fx + o.dx < {nf} AND fy + o.dy >= 0 AND fy + o.dy < {nf}
+),
+folded AS (
+  SELECT CAST(tx AS BIGINT) AS fx, CAST(ty AS BIGINT) AS fy,
+    CAST(COUNT(*) AS BIGINT) AS n_nbrs, list_sort(list(val)) AS vs
+  FROM sc GROUP BY 1, 2 HAVING bool_or(is_center)
+)
+SELECT fx, fy, n_nbrs,
+  CAST(vs[CAST((n_nbrs + 1) // 2 AS INT)] AS BIGINT) AS med_lo,
+  CAST(vs[CAST(n_nbrs // 2 + 1 AS INT)] AS BIGINT) AS med_hi,
+  CAST(vs[CAST((n_nbrs + 1) // 2 AS INT)]
+     + vs[CAST(n_nbrs // 2 + 1 AS INT)] AS BIGINT) AS med_x2
+FROM folded
+"""
+
+
 def _oracle_retention() -> str:
     from aira_spark.operators.retention import oracle_retention_sql
 
@@ -3781,6 +3816,7 @@ FROM docs GROUP BY 1
         "equalize": _oracle_equalize(),
         "bfs_hops": _oracle_bfs_hops(),
         "retention": _oracle_retention(),
+        "focal_median": _oracle_focal_median(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

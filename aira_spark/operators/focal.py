@@ -215,3 +215,57 @@ def focal_gradient(
             (F.col("gx") * F.col("gx") + F.col("gy") * F.col("gy")).alias("grad2"),
         )
     )
+
+
+def focal_median(
+    images: DataFrame, res: int = DEFAULT_RES, patch_bits: int = 4
+) -> DataFrame:
+    """(fx, fy, n_nbrs, med_lo, med_hi, med_x2): EXACT 3x3 focal median of
+    the mosaic fine grid — the edge-preserving smoother (salt-and-pepper
+    denoise) next to focal_mean's linear one.
+
+    Medians don't decompose into sums, but the window is BOUNDED (<= 9
+    filled neighbors), so the same scatter-aggregate halo exchange works
+    with collect_list instead of sum: partial lists combine map-side and
+    never exceed 9 small integers per target. med_lo/med_hi are the lower/
+    upper order statistics at ranks (n+1) DIV 2 and n DIV 2 + 1 (equal for
+    odd n); med_x2 = med_lo + med_hi is twice the textbook median, kept in
+    exact integers so every engine agrees bit-for-bit (no .5 floats)."""
+    nf = 1 << (res + patch_bits)
+    vals = mosaic_cell_values(images, res, patch_bits)
+    fine = vals.select(
+        (cell_ix(F.col("cell")) * (1 << patch_bits) + F.col("pc")).alias("fx"),
+        (cell_iy(F.col("cell")) * (1 << patch_bits) + F.col("pr")).alias("fy"),
+        "val",
+    )
+    offs = ", ".join(
+        f"named_struct('dx', {dx}, 'dy', {dy})" for dx, dy in OFFSETS
+    )
+    scattered = fine.select(
+        "fx", "fy", "val", F.expr(f"explode(array({offs}))").alias("o")
+    ).select(
+        (F.col("fx") + F.col("o.dx")).alias("tx"),
+        (F.col("fy") + F.col("o.dy")).alias("ty"),
+        "val",
+        ((F.col("o.dx") == 0) & (F.col("o.dy") == 0)).alias("is_center"),
+    ).where(
+        (F.col("tx") >= 0) & (F.col("tx") < nf)
+        & (F.col("ty") >= 0) & (F.col("ty") < nf)
+    )
+    return (
+        scattered.groupBy("tx", "ty")
+        .agg(
+            F.count("*").cast("long").alias("n_nbrs"),
+            F.expr("array_sort(collect_list(val))").alias("vs"),
+            F.max("is_center").alias("has_center"),
+        )
+        .where("has_center")
+        .select(
+            F.col("tx").cast("long").alias("fx"),
+            F.col("ty").cast("long").alias("fy"),
+            "n_nbrs",
+            F.expr("CAST(element_at(vs, CAST((n_nbrs + 1) DIV 2 AS INT)) AS BIGINT)").alias("med_lo"),
+            F.expr("CAST(element_at(vs, CAST(n_nbrs DIV 2 + 1 AS INT)) AS BIGINT)").alias("med_hi"),
+        )
+        .withColumn("med_x2", (F.col("med_lo") + F.col("med_hi")).cast("long"))
+    )

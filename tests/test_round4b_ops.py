@@ -670,3 +670,41 @@ def test_retention_sizes_broadcast(spark, sf_dir):
 
     s = plan_string(em.q_retention(spark, sf_dir))
     assert "BroadcastHashJoin" in s, s
+
+
+# ------------------------------------------------------------ focal_median
+
+
+def test_focal_median_matches_brute_force(spark, sf_dir):
+    import __spark_entry__ as em
+    from aira_spark.operators.focal import focal_median
+
+    filled = _fine_grid(spark, sf_dir)
+    got = {
+        (r["fx"], r["fy"]): (r["n_nbrs"], r["med_lo"], r["med_hi"], r["med_x2"])
+        for r in focal_median(
+            em._images(spark, sf_dir, modulo=8), em.CELL_RES, 4
+        ).collect()
+    }
+    assert set(got) == set(filled)
+    for (fx, fy), _ in filled.items():
+        vs = sorted(
+            filled[(fx + dx, fy + dy)]
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if (fx + dx, fy + dy) in filled
+        )
+        n = len(vs)
+        lo, hi = vs[(n + 1) // 2 - 1], vs[n // 2]
+        assert got[(fx, fy)] == (n, lo, hi, lo + hi), (fx, fy)
+
+
+def test_focal_median_same_plan_as_mean(spark, sf_dir):
+    """Scatter + ONE ObjectHashAggregate, no join, bounded lists."""
+    import __spark_entry__ as em
+    from tests.test_plans import plan_string, shuffle_count
+
+    df = em.q_focal_median(spark, sf_dir)
+    s = plan_string(df)
+    assert shuffle_count(df) == 2, s  # mosaic agg + focal agg
+    assert "Join" not in s, s
+    assert "Generate" in s, s
