@@ -1794,6 +1794,15 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_weights(docs, min_df=5, max_df_frac="0.5")
 
 
+def q_wht(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Low-sequency Walsh-Hadamard coefficients of every full 8x8 band-0
+    block — exact-integer frequency features, zero exchanges
+    (operators/wht.py)."""
+    from aira_spark.operators.wht import wht_block_features
+
+    return wht_block_features(_images(spark, sf_dir, modulo=16), max_uv=4)
+
+
 def q_focal_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3x3 focal median over the mosaic fine grid — the same scatter
     halo exchange as focal_mean, but the fold is a bounded (<=9-element)
@@ -1991,6 +2000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_hops": q_bfs_hops,
         "retention": q_retention,
         "focal_median": q_focal_median,
+        "wht": q_wht,
     }
 
 
@@ -3014,6 +3024,16 @@ def _oracle_equalize() -> str:
     return oracle_equalize_sql(_bands_cte_sql(modulo=4))
 
 
+def _oracle_wht() -> str:
+    from aira_spark.operators.wht import oracle_wht_sql
+
+    px_cte = f"""{_IMG_CTE},
+sel AS (SELECT image_id, k, w, h FROM meta WHERE k % 16 = 0),
+rws AS (SELECT *, unnest(generate_series(0, h - 1)) AS r FROM sel),
+px AS (SELECT *, unnest(generate_series(0, w - 1)) AS c FROM rws)"""
+    return oracle_wht_sql(px_cte, max_uv=4)
+
+
 def _oracle_focal_median() -> str:
     # fine grid + 9-offset scatter as focal_mean; the fold is list_sort +
     # 1-based order-statistic indexing (exact integers, no .5 medians)
@@ -3817,6 +3837,7 @@ FROM docs GROUP BY 1
         "bfs_hops": _oracle_bfs_hops(),
         "retention": _oracle_retention(),
         "focal_median": _oracle_focal_median(),
+        "wht": _oracle_wht(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -708,3 +708,57 @@ def test_focal_median_same_plan_as_mean(spark, sf_dir):
     assert shuffle_count(df) == 2, s  # mosaic agg + focal agg
     assert "Join" not in s, s
     assert "Generate" in s, s
+
+
+# ---------------------------------------------------------------- wht
+
+
+def test_wht_known_block(spark):
+    """Hand 8x8 image: C(0,0) = block sum; a pure vertical step edge
+    excites only the u-axis (v=0) coefficients."""
+    import numpy as np
+
+    from aira_spark.operators.wht import H8, wht_block_features
+    from aira_spark.tiff.encode import write_tiff
+
+    a = np.zeros((8, 8), dtype=np.uint8)
+    a[4:, :] = 10  # horizontal edge: varies along r only
+    buf = write_tiff(a[:, :, None], byteorder="<", layout=("strips", 8))
+    df = spark.createDataFrame(
+        [("im0", bytearray(buf))], "image_id string, bytes binary"
+    )
+    got = {(r["u"], r["v"]): r["coef"]
+           for r in wht_block_features(df, max_uv=8).collect()}
+    want = H8 @ a.astype(np.int64) @ H8.T
+    assert got[(0, 0)] == int(a.sum()) == 320
+    for (u, v), c in got.items():
+        assert c == int(want[u, v]), (u, v)
+    assert all(c == 0 for (u, v), c in got.items() if v != 0)
+
+
+def test_wht_clips_partial_blocks(spark):
+    import numpy as np
+
+    from aira_spark.operators.wht import wht_block_features
+    from aira_spark.tiff.encode import write_tiff
+
+    a = np.arange(10 * 13, dtype=np.uint8).reshape(10, 13) % 251
+    buf = write_tiff(a[:, :, None], byteorder="<", layout=("strips", 8))
+    df = spark.createDataFrame(
+        [("im0", bytearray(buf))], "image_id string, bytes binary"
+    )
+    rows = wht_block_features(df, max_uv=2).collect()
+    # 10x13 -> exactly one full 8x8 block
+    assert {(r["bx"], r["by"]) for r in rows} == {(0, 0)}
+    got = {(r["u"], r["v"]): r["coef"] for r in rows}
+    assert got[(0, 0)] == int(a[:8, :8].astype(np.int64).sum())
+
+
+def test_wht_zero_exchanges(spark, sf_dir):
+    import __spark_entry__ as em
+    from tests.test_plans import plan_string, shuffle_count
+
+    df = em.q_wht(spark, sf_dir)
+    s = plan_string(df)
+    assert shuffle_count(df) == 0, s
+    assert "Join" not in s, s
