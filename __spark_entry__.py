@@ -1794,6 +1794,29 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_weights(docs, min_df=5, max_df_frac="0.5")
 
 
+# single-character deletion at position (k % (len-1)) + 2 — identical text
+# in both engines (the one-formula-two-engines rule); never touches char 1,
+# so the first-char block has recall 1.0
+_FUZZY_DEL = (
+    "concat(substr(p_name, 1, (p_partkey % (length(p_name) - 1)) + 1), "
+    "substr(p_name, (p_partkey % (length(p_name) - 1)) + 3))"
+)
+
+
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage: every part name with one deterministically deleted
+    character, matched back to the clean name registry — blocking equi-join
+    (broadcast registry) + exact Levenshtein refine (operators/fuzzy.py)."""
+    from aira_spark.operators.fuzzy import fuzzy_join
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    dirty = part.selectExpr(
+        "CAST(p_partkey AS BIGINT) AS rec_id", f"{_FUZZY_DEL} AS dirty_name"
+    )
+    registry = part.selectExpr("p_name AS match_name")
+    return fuzzy_join(dirty, registry, max_dist=1)
+
+
 def q_wht(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Low-sequency Walsh-Hadamard coefficients of every full 8x8 band-0
     block — exact-integer frequency features, zero exchanges
@@ -2001,6 +2024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention": q_retention,
         "focal_median": q_focal_median,
         "wht": q_wht,
+        "fuzzy_join": q_fuzzy_join,
     }
 
 
@@ -3024,6 +3048,16 @@ def _oracle_equalize() -> str:
     return oracle_equalize_sql(_bands_cte_sql(modulo=4))
 
 
+def _oracle_fuzzy_join() -> str:
+    from aira_spark.operators.fuzzy import oracle_fuzzy_sql
+
+    return oracle_fuzzy_sql(
+        f"SELECT CAST(p_partkey AS BIGINT) AS rec_id, {_FUZZY_DEL} AS dirty_name FROM part",
+        "SELECT p_name AS match_name FROM part",
+        max_dist=1,
+    )
+
+
 def _oracle_wht() -> str:
     from aira_spark.operators.wht import oracle_wht_sql
 
@@ -3838,6 +3872,7 @@ FROM docs GROUP BY 1
         "retention": _oracle_retention(),
         "focal_median": _oracle_focal_median(),
         "wht": _oracle_wht(),
+        "fuzzy_join": _oracle_fuzzy_join(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -762,3 +762,48 @@ def test_wht_zero_exchanges(spark, sf_dir):
     s = plan_string(df)
     assert shuffle_count(df) == 0, s
     assert "Join" not in s, s
+
+
+# ---------------------------------------------------------------- fuzzy
+
+
+def test_fuzzy_join_hand_cases(spark):
+    from aira_spark.operators.fuzzy import fuzzy_join
+
+    dirty = spark.createDataFrame(
+        [(1, "smal ring"),   # 'small ring' minus one l -> dist 1
+         (2, "red widget"),  # exact -> dist 0
+         (3, "zzz nothing")],  # no block partner within budget
+        "rec_id long, dirty_name string",
+    )
+    reg = spark.createDataFrame(
+        [("small ring",), ("red widget",), ("red gadget",)],
+        "match_name string",
+    )
+    got = {r["rec_id"]: (r["match_name"], r["dist"])
+           for r in fuzzy_join(dirty, reg, max_dist=1).collect()}
+    assert got == {1: ("small ring", 1), 2: ("red widget", 0)}
+
+
+def test_fuzzy_join_tie_breaks_lexicographically(spark):
+    from aira_spark.operators.fuzzy import fuzzy_join
+
+    dirty = spark.createDataFrame([(1, "cat")], "rec_id long, dirty_name string")
+    reg = spark.createDataFrame(
+        [("cab",), ("car",), ("cut",)], "match_name string"
+    )
+    rows = fuzzy_join(dirty, reg, max_dist=1).collect()
+    assert len(rows) == 1 and rows[0]["match_name"] == "cab"
+
+
+def test_fuzzy_join_recall_and_broadcast(spark, sf_dir):
+    """Every corrupted part name recovers a match (recall 1.0 under the
+    single-deletion model), and the registry side broadcasts."""
+    import __spark_entry__ as em
+    from tests.test_plans import plan_string
+
+    df = em.q_fuzzy_join(spark, sf_dir)
+    assert df.count() == spark.read.parquet(f"{sf_dir}/part.parquet").count()
+    s = plan_string(df)
+    assert "BroadcastHashJoin" in s, s
+    assert "SortMergeJoin" not in s and "CartesianProduct" not in s, s
