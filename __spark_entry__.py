@@ -1826,6 +1826,19 @@ def q_wht(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wht_block_features(_images(spark, sf_dir, modulo=16), max_uv=4)
 
 
+def q_change_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-epoch change detection: k%16==0 images vs k%16==8 images,
+    union + one fold per fine position + per-coarse-cell transition census
+    — no join anywhere (operators/change.py)."""
+    from aira_spark.operators.change import change_census
+
+    imgs = _images(spark, sf_dir)
+    kmod = F.expr("CAST(substr(image_id, 4) AS BIGINT) % 16")
+    return change_census(
+        imgs.filter(kmod == 0), imgs.filter(kmod == 8), CELL_RES, 4
+    )
+
+
 def q_focal_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3x3 focal median over the mosaic fine grid — the same scatter
     halo exchange as focal_mean, but the fold is a bounded (<=9-element)
@@ -2025,6 +2038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focal_median": q_focal_median,
         "wht": q_wht,
         "fuzzy_join": q_fuzzy_join,
+        "change_census": q_change_census,
     }
 
 
@@ -3048,6 +3062,27 @@ def _oracle_equalize() -> str:
     return oracle_equalize_sql(_bands_cte_sql(modulo=4))
 
 
+def _oracle_change_census() -> str:
+    from aira_spark.operators.change import oracle_change_sql
+
+    nf = 1 << (CELL_RES + 4)
+    fix = f"CAST(LEAST(GREATEST(FLOOR((x - (-180.0)) / 360.0 * {float(nf)}), 0), {nf - 1}) AS BIGINT)"
+    fiy = f"CAST(LEAST(GREATEST(FLOOR((y - (-90.0)) / 180.0 * {float(nf)}), 0), {nf - 1}) AS BIGINT)"
+    fine2 = f"""{_IMG_CTE},
+sel AS (SELECT *, (k % 16) // 8 AS epoch FROM meta WHERE k % 8 = 0),
+rws AS (SELECT *, unnest(generate_series(0, h - 1)) AS r FROM sel),
+pxs AS (SELECT *, unnest(generate_series(0, w - 1)) AS c FROM rws),
+vals AS (
+  SELECT epoch, (r * 7 + c * 13 + k) % 256 AS val,
+         cx + (CAST(c AS DOUBLE) + 0.5) * sx AS x,
+         (cy + h * sy) - (CAST(r AS DOUBLE) + 0.5) * sy AS y
+  FROM pxs
+),
+fine2 AS (SELECT {fix} AS fx, {fiy} AS fy, epoch,
+          CAST(MAX(val) AS BIGINT) AS val FROM vals GROUP BY 1, 2, 3)"""
+    return oracle_change_sql(fine2, patch_bits=4)
+
+
 def _oracle_fuzzy_join() -> str:
     from aira_spark.operators.fuzzy import oracle_fuzzy_sql
 
@@ -3873,6 +3908,7 @@ FROM docs GROUP BY 1
         "focal_median": _oracle_focal_median(),
         "wht": _oracle_wht(),
         "fuzzy_join": _oracle_fuzzy_join(),
+        "change_census": _oracle_change_census(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -807,3 +807,54 @@ def test_fuzzy_join_recall_and_broadcast(spark, sf_dir):
     s = plan_string(df)
     assert "BroadcastHashJoin" in s, s
     assert "SortMergeJoin" not in s and "CartesianProduct" not in s, s
+
+
+# ------------------------------------------------------------ change_census
+
+
+def test_change_census_matches_brute_force(spark, sf_dir):
+    import __spark_entry__ as em
+
+    fa = _fine_grid(spark, sf_dir, modulo=16)
+    import numpy as np
+
+    from aira_spark.functions.cells import np_cell_ix, np_cell_iy
+    from aira_spark.operators.mosaic import mosaic_cell_values
+
+    imgs = em._images(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    kmod = F.expr("CAST(substr(image_id, 4) AS BIGINT) % 16")
+    fb = {}
+    for r in mosaic_cell_values(imgs.filter(kmod == 8), em.CELL_RES, 4).collect():
+        fx = int(np_cell_ix(np.int64(r["cell"]))) * 16 + r["pc"]
+        fy = int(np_cell_iy(np.int64(r["cell"]))) * 16 + r["pr"]
+        fb[(fx, fy)] = r["val"]
+
+    want = {}
+    for pos in set(fa) | set(fb):
+        cx, cy = pos[0] // 16, pos[1] // 16
+        a, b = fa.get(pos), fb.get(pos)
+        ap, go = int(a is None), int(b is None)
+        ch = int(a is not None and b is not None and a != b)
+        sm = int(a is not None and b is not None and a == b)
+        ad = abs(b - a) if (a is not None and b is not None) else 0
+        w = want.setdefault((cx, cy), [0, 0, 0, 0, 0])
+        for i, inc in enumerate((ap, go, ch, sm, ad)):
+            w[i] += inc
+
+    got = {
+        (r["cx"], r["cy"]): [r["n_appeared"], r["n_gone"], r["n_changed"],
+                             r["n_same"], r["sum_abs_delta"]]
+        for r in em.q_change_census(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_change_census_no_join(spark, sf_dir):
+    import __spark_entry__ as em
+    from tests.test_plans import plan_string
+
+    s = plan_string(em.q_change_census(spark, sf_dir))
+    assert "Join" not in s and "CartesianProduct" not in s, s
+    assert "Union" in s, s
