@@ -1826,6 +1826,18 @@ def q_wht(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wht_block_features(_images(spark, sf_dir, modulo=16), max_uv=4)
 
 
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov event-transition matrix per user stream — one
+    window + one bounded hash agg (operators/transitions.py)."""
+    from aira_spark.operators.transitions import event_transitions
+
+    return event_transitions(
+        spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "user_id", "event_id", "ts", "event_type"
+        )
+    )
+
+
 def q_change_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-epoch change detection: k%16==0 images vs k%16==8 images,
     union + one fold per fine position + per-coarse-cell transition census
@@ -2039,6 +2051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wht": q_wht,
         "fuzzy_join": q_fuzzy_join,
         "change_census": q_change_census,
+        "transitions": q_transitions,
     }
 
 
@@ -3062,6 +3075,12 @@ def _oracle_equalize() -> str:
     return oracle_equalize_sql(_bands_cte_sql(modulo=4))
 
 
+def _oracle_transitions() -> str:
+    from aira_spark.operators.transitions import oracle_transitions_sql
+
+    return oracle_transitions_sql("events")
+
+
 def _oracle_change_census() -> str:
     from aira_spark.operators.change import oracle_change_sql
 
@@ -3909,6 +3928,7 @@ FROM docs GROUP BY 1
         "wht": _oracle_wht(),
         "fuzzy_join": _oracle_fuzzy_join(),
         "change_census": _oracle_change_census(),
+        "transitions": _oracle_transitions(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -858,3 +858,35 @@ def test_change_census_no_join(spark, sf_dir):
     s = plan_string(em.q_change_census(spark, sf_dir))
     assert "Join" not in s and "CartesianProduct" not in s, s
     assert "Union" in s, s
+
+
+# ------------------------------------------------------------- transitions
+
+
+def test_transitions_hand_stream(spark):
+    from datetime import datetime
+
+    from aira_spark.operators.transitions import event_transitions
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    ev = spark.createDataFrame(
+        [
+            (1, 10, t(1), "view"), (1, 11, t(2), "click"),
+            (1, 12, t(3), "view"),
+            (2, 20, t(1), "view"), (2, 21, t(2), "click"),
+            # equal-ts tie inside user 3: event_id orders them
+            (3, 31, t(5), "a"), (3, 30, t(5), "b"),
+        ],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+    got = {
+        (r["src_type"], r["dst_type"]): (r["n_transitions"], r["n_users"])
+        for r in event_transitions(ev).collect()
+    }
+    assert got == {
+        ("view", "click"): (2, 2),
+        ("click", "view"): (1, 1),
+        ("b", "a"): (1, 1),  # id 30 before 31 at equal ts
+    }
