@@ -1826,6 +1826,15 @@ def q_wht(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wht_block_features(_images(spark, sf_dir, modulo=16), max_uv=4)
 
 
+def q_flow_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 steepest-descent flow direction over the mosaic fine grid — the
+    hydrology primitive as one scatter + one lexicographic-min agg
+    (operators/terrain.py)."""
+    from aira_spark.operators.terrain import flow_direction
+
+    return flow_direction(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
+
+
 def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov event-transition matrix per user stream — one
     window + one bounded hash agg (operators/transitions.py)."""
@@ -2052,6 +2061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join": q_fuzzy_join,
         "change_census": q_change_census,
         "transitions": q_transitions,
+        "flow_dir": q_flow_dir,
     }
 
 
@@ -3075,6 +3085,12 @@ def _oracle_equalize() -> str:
     return oracle_equalize_sql(_bands_cte_sql(modulo=4))
 
 
+def _oracle_flow_dir() -> str:
+    from aira_spark.operators.terrain import oracle_flow_sql
+
+    return oracle_flow_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
+
+
 def _oracle_transitions() -> str:
     from aira_spark.operators.transitions import oracle_transitions_sql
 
@@ -3929,6 +3945,7 @@ FROM docs GROUP BY 1
         "fuzzy_join": _oracle_fuzzy_join(),
         "change_census": _oracle_change_census(),
         "transitions": _oracle_transitions(),
+        "flow_dir": _oracle_flow_dir(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

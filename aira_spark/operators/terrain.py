@@ -97,3 +97,101 @@ SELECT {ASPECT_CASE} AS aspect, {SLOPE_CASE} AS slope_class,
   CAST(COUNT(*) AS BIGINT) AS n_cells,
   CAST(SUM(grad2) AS BIGINT) AS sum_grad2
 FROM grad GROUP BY 1, 2"""
+
+
+def flow_direction(
+    images: DataFrame, res: int = DEFAULT_RES, patch_bits: int = 4
+) -> DataFrame:
+    """(fx, fy, val, flow_dir, drop_val): D8 steepest-descent flow direction
+    over the mosaic fine grid — the hydrology primitive (watershed/flow-
+    accumulation input) next to the aspect census.
+
+    flow_dir is the 3x3 position code (dy+1)*3 + (dx+1) of the neighbor
+    with the LOWEST value (ties -> lowest code; center code 4 is reserved),
+    or -1 for pits/flats (no strictly lower neighbor). drop_val = the exact
+    integer descent. Steepest descent on a unit grid = minimum neighbor
+    value, so the selection is one lexicographic MIN over (nbr_val, code)
+    structs folded in the SAME scatter-aggregate halo exchange as
+    focal_mean — one scatter + one agg, no join, pixels never shuffle."""
+    from pyspark.sql import functions as F
+
+    from .focal import OFFSETS
+    from .mosaic import mosaic_cell_values
+    from ..functions.cells import cell_ix, cell_iy
+
+    nf = 1 << (res + patch_bits)
+    vals = mosaic_cell_values(images, res, patch_bits)
+    fine = vals.select(
+        (cell_ix(F.col("cell")) * (1 << patch_bits) + F.col("pc")).alias("fx"),
+        (cell_iy(F.col("cell")) * (1 << patch_bits) + F.col("pr")).alias("fy"),
+        "val",
+    )
+    offs = ", ".join(
+        f"named_struct('dx', {dx}, 'dy', {dy})" for dx, dy in OFFSETS
+    )
+    # the scatter target sees this source at the INVERSE offset, so the
+    # code stored is the source's position in the TARGET's 3x3 window
+    scattered = fine.select(
+        "fx", "fy", "val", F.expr(f"explode(array({offs}))").alias("o")
+    ).select(
+        (F.col("fx") + F.col("o.dx")).alias("tx"),
+        (F.col("fy") + F.col("o.dy")).alias("ty"),
+        "val",
+        ((1 - F.col("o.dy")) * 3 + (1 - F.col("o.dx"))).alias("code"),
+    ).where(
+        (F.col("tx") >= 0) & (F.col("tx") < nf)
+        & (F.col("ty") >= 0) & (F.col("ty") < nf)
+    )
+    return (
+        scattered.groupBy("tx", "ty")
+        .agg(
+            F.max(F.when(F.col("code") == 4, F.col("val"))).alias("cval"),
+            F.min(
+                F.when(
+                    F.col("code") != 4,
+                    F.struct(F.col("val").alias("nv"), F.col("code").alias("nc")),
+                )
+            ).alias("m"),
+        )
+        .where(F.col("cval").isNotNull())
+        .select(
+            F.col("tx").cast("long").alias("fx"),
+            F.col("ty").cast("long").alias("fy"),
+            F.col("cval").cast("long").alias("val"),
+            F.expr(
+                "CAST(CASE WHEN m IS NOT NULL AND m.nv < cval THEN m.nc "
+                "ELSE -1 END AS BIGINT)"
+            ).alias("flow_dir"),
+            F.expr(
+                "CAST(CASE WHEN m IS NOT NULL AND m.nv < cval "
+                "THEN cval - m.nv ELSE 0 END AS BIGINT)"
+            ).alias("drop_val"),
+        )
+    )
+
+
+def oracle_flow_sql(fine_cte: str, res: int, patch_bits: int = 4) -> str:
+    """DuckDB mirror over a CTE chain ending in fine(fx, fy, val)."""
+    nf = 1 << (res + patch_bits)
+    return f"""{fine_cte},
+sc AS (
+  SELECT fx + o.dx AS tx, fy + o.dy AS ty, val,
+         (1 - o.dy) * 3 + (1 - o.dx) AS code
+  FROM fine, (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) AS o(dx, dy)
+  WHERE fx + o.dx >= 0 AND fx + o.dx < {nf} AND fy + o.dy >= 0 AND fy + o.dy < {nf}
+),
+ctr AS (
+  SELECT tx, ty, MAX(CASE WHEN code = 4 THEN val END) AS cval
+  FROM sc GROUP BY 1, 2 HAVING bool_or(code = 4)
+),
+best AS (
+  SELECT tx, ty, val AS nv, code,
+    ROW_NUMBER() OVER (PARTITION BY tx, ty ORDER BY val, code) AS rn
+  FROM sc WHERE code != 4
+)
+SELECT CAST(c.tx AS BIGINT) AS fx, CAST(c.ty AS BIGINT) AS fy,
+  CAST(c.cval AS BIGINT) AS val,
+  CAST(CASE WHEN b.nv < c.cval THEN b.code ELSE -1 END AS BIGINT) AS flow_dir,
+  CAST(CASE WHEN b.nv < c.cval THEN c.cval - b.nv ELSE 0 END AS BIGINT) AS drop_val
+FROM ctr c LEFT JOIN best b ON b.tx = c.tx AND b.ty = c.ty AND b.rn = 1
+"""

@@ -890,3 +890,42 @@ def test_transitions_hand_stream(spark):
         ("click", "view"): (1, 1),
         ("b", "a"): (1, 1),  # id 30 before 31 at equal ts
     }
+
+
+# ---------------------------------------------------------------- flow_dir
+
+
+def test_flow_dir_matches_brute_force(spark, sf_dir):
+    import __spark_entry__ as em
+    from aira_spark.operators.terrain import flow_direction
+
+    filled = _fine_grid(spark, sf_dir)
+    got = {
+        (r["fx"], r["fy"]): (r["val"], r["flow_dir"], r["drop_val"])
+        for r in flow_direction(
+            em._images(spark, sf_dir, modulo=8), em.CELL_RES, 4
+        ).collect()
+    }
+    assert set(got) == set(filled)
+    for (fx, fy), v in filled.items():
+        # code = the neighbor's position in the CENTER's 3x3 window
+        nbrs = sorted(
+            (filled[(fx + dx, fy + dy)], (dy + 1) * 3 + (dx + 1))
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0) and (fx + dx, fy + dy) in filled
+        )
+        if nbrs and nbrs[0][0] < v:
+            want = (v, nbrs[0][1], v - nbrs[0][0])
+        else:
+            want = (v, -1, 0)
+        assert got[(fx, fy)] == want, (fx, fy)
+
+
+def test_flow_dir_no_join_two_aggs(spark, sf_dir):
+    import __spark_entry__ as em
+    from tests.test_plans import plan_string, shuffle_count
+
+    df = em.q_flow_dir(spark, sf_dir)
+    s = plan_string(df)
+    assert shuffle_count(df) == 2, s  # mosaic agg + flow agg
+    assert "Join" not in s, s
