@@ -1826,6 +1826,22 @@ def q_wht(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wht_block_features(_images(spark, sf_dir, modulo=16), max_uv=4)
 
 
+_SKY_PTS = (
+    "CAST(FLOOR(p_retailprice * 100.0) AS BIGINT) AS x",
+    "CAST(p_size AS BIGINT) AS y",
+)
+
+
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (minimize price cents AND size) over part — the
+    distributed prefix-scan skyline vs DuckDB's quadratic NOT EXISTS
+    (operators/skyline.py)."""
+    from aira_spark.operators.skyline import skyline
+
+    pts = spark.read.parquet(f"{sf_dir}/part.parquet").selectExpr(*_SKY_PTS)
+    return skyline(pts, n_buckets=64)
+
+
 def q_flow_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D8 steepest-descent flow direction over the mosaic fine grid — the
     hydrology primitive as one scatter + one lexicographic-min agg
@@ -2062,6 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_census": q_change_census,
         "transitions": q_transitions,
         "flow_dir": q_flow_dir,
+        "skyline": q_skyline,
     }
 
 
@@ -3085,6 +3102,12 @@ def _oracle_equalize() -> str:
     return oracle_equalize_sql(_bands_cte_sql(modulo=4))
 
 
+def _oracle_skyline() -> str:
+    from aira_spark.operators.skyline import oracle_skyline_sql
+
+    return oracle_skyline_sql(f"SELECT {', '.join(_SKY_PTS)} FROM part")
+
+
 def _oracle_flow_dir() -> str:
     from aira_spark.operators.terrain import oracle_flow_sql
 
@@ -3946,6 +3969,7 @@ FROM docs GROUP BY 1
         "change_census": _oracle_change_census(),
         "transitions": _oracle_transitions(),
         "flow_dir": _oracle_flow_dir(),
+        "skyline": _oracle_skyline(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

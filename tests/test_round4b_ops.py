@@ -929,3 +929,49 @@ def test_flow_dir_no_join_two_aggs(spark, sf_dir):
     s = plan_string(df)
     assert shuffle_count(df) == 2, s  # mosaic agg + flow agg
     assert "Join" not in s, s
+
+
+# ---------------------------------------------------------------- skyline
+
+
+def _brute_skyline(pts):
+    from collections import Counter
+
+    c = Counter(pts)
+    out = {}
+    for (x, y), n in c.items():
+        if not any(
+            (qx <= x and qy <= y and (qx < x or qy < y)) for qx, qy in c
+        ):
+            out[(x, y)] = n
+    return out
+
+
+def test_skyline_hand_points(spark):
+    from aira_spark.operators.skyline import skyline
+
+    pts = [(1, 9), (2, 7), (2, 7), (3, 8), (5, 4), (6, 4), (7, 1), (7, 2)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {(r["x"], r["y"]): r["n_pts"] for r in skyline(df, 4).collect()}
+    assert got == {(1, 9): 1, (2, 7): 2, (5, 4): 1, (7, 1): 1}
+    assert got == _brute_skyline(pts)
+
+
+def test_skyline_random_matches_brute_force(spark):
+    import random
+
+    from aira_spark.operators.skyline import skyline
+
+    rng = random.Random(42)
+    pts = [(rng.randrange(0, 200), rng.randrange(0, 200)) for _ in range(600)]
+    df = spark.createDataFrame(pts, "x long, y long").repartition(16)
+    got = {(r["x"], r["y"]): r["n_pts"] for r in skyline(df, 8).collect()}
+    assert got == _brute_skyline(pts)
+
+
+def test_skyline_degenerate_single_x(spark):
+    from aira_spark.operators.skyline import skyline
+
+    df = spark.createDataFrame([(5, 3), (5, 1), (5, 2)], "x long, y long")
+    got = [(r["x"], r["y"]) for r in skyline(df, 64).collect()]
+    assert got == [(5, 1)]
