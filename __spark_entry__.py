@@ -1832,6 +1832,18 @@ _SKY_PTS = (
 )
 
 
+def q_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition-gap audit: exact polygon raster LEFT-joined on cell ids
+    against the distinct image-footprint cover; per-polygon covered/gap
+    census (operators/gaps.py)."""
+    from aira_spark.operators.chunks import cell_cover, with_meta
+    from aira_spark.operators.gaps import coverage_gaps
+    from aira_spark.sources.vectors import polygons_table
+
+    cov = cell_cover(with_meta(_images(spark, sf_dir, modulo=8)), CELL_RES)
+    return coverage_gaps(polygons_table(spark, sf_dir), cov, CELL_RES)
+
+
 def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto frontier (minimize price cents AND size) over part — the
     distributed prefix-scan skyline vs DuckDB's quadratic NOT EXISTS
@@ -2079,6 +2091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitions": q_transitions,
         "flow_dir": q_flow_dir,
         "skyline": q_skyline,
+        "coverage_gaps": q_coverage_gaps,
     }
 
 
@@ -3102,6 +3115,49 @@ def _oracle_equalize() -> str:
     return oracle_equalize_sql(_bands_cte_sql(modulo=4))
 
 
+def _oracle_coverage_gaps() -> str:
+    # polygon raster = the dissolve oracle's ray-cast chain (p-prefixed to
+    # avoid colliding with _cover_ctes' cov/xs/cells); image cover =
+    # _cover_ctes at modulo 8
+    from aira_spark.sources.vectors import polygon_edges_oracle_sql
+
+    cw = f"(360.0 / {float(_N)})"
+    chh = f"(180.0 / {float(_N)})"
+    ctr_x = f"(-180.0 + CAST(ix AS DOUBLE) * {cw}) + ({cw} / 2.0)"
+    ctr_y = f"(-90.0 + CAST(iy AS DOUBLE) * {chh}) + ({chh} / 2.0)"
+    return f"""
+WITH {_IMG_CTE},
+{_cover_ctes(8)},
+icov AS (SELECT DISTINCT cell FROM cover),
+edges AS ({polygon_edges_oracle_sql()}),
+pbbox AS (
+  SELECT poly_id, LEAST(MIN(ax), MIN(bx)) AS xmin, LEAST(MIN(ay), MIN(by)) AS ymin,
+         GREATEST(MAX(ax), MAX(bx)) AS xmax, GREATEST(MAX(ay), MAX(by)) AS ymax
+  FROM edges GROUP BY poly_id
+),
+pcov AS (SELECT poly_id, {_sql_cover('xmin', 'ymin', 'xmax', 'ymax')} FROM pbbox),
+pxs AS (SELECT poly_id, iy0, iy1, unnest(generate_series(ix0, ix1)) AS ix FROM pcov),
+pcells AS (SELECT poly_id, ix, unnest(generate_series(iy0, iy1)) AS iy FROM pxs),
+pctr AS (SELECT poly_id, ({_PACK} + ix * 536870912 + iy) AS cell,
+                {ctr_x} AS px, {ctr_y} AS py FROM pcells),
+pcr AS (
+  SELECT c.poly_id, c.cell,
+    SUM(CASE WHEN ((e.ay > c.py) != (e.by > c.py))
+              AND (c.px < (e.bx - e.ax) * (c.py - e.ay) / (e.by - e.ay) + e.ax)
+        THEN 1 ELSE 0 END) AS crossings
+  FROM pctr c JOIN edges e USING (poly_id)
+  GROUP BY c.poly_id, c.cell
+),
+ras AS (SELECT poly_id, cell FROM pcr WHERE crossings % 2 = 1)
+SELECT r.poly_id,
+  CAST(COUNT(*) AS BIGINT) AS n_cells,
+  CAST(SUM(CASE WHEN i.cell IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_covered,
+  CAST(SUM(CASE WHEN i.cell IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gap
+FROM ras r LEFT JOIN icov i ON i.cell = r.cell
+GROUP BY 1
+"""
+
+
 def _oracle_skyline() -> str:
     from aira_spark.operators.skyline import oracle_skyline_sql
 
@@ -3970,6 +4026,7 @@ FROM docs GROUP BY 1
         "transitions": _oracle_transitions(),
         "flow_dir": _oracle_flow_dir(),
         "skyline": _oracle_skyline(),
+        "coverage_gaps": _oracle_coverage_gaps(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

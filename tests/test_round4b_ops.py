@@ -975,3 +975,43 @@ def test_skyline_degenerate_single_x(spark):
     df = spark.createDataFrame([(5, 3), (5, 1), (5, 2)], "x long, y long")
     got = [(r["x"], r["y"]) for r in skyline(df, 64).collect()]
     assert got == [(5, 1)]
+
+
+# ------------------------------------------------------------ coverage_gaps
+
+
+def test_coverage_gaps_hand_case(spark):
+    """One unit-square polygon, cover containing half its raster cells."""
+    from aira_spark.operators.gaps import coverage_gaps
+    from aira_spark.operators.rasterize import rasterize_to_cells
+
+    ring = [
+        {"x": 0.0, "y": 0.0}, {"x": 3.0, "y": 0.0}, {"x": 3.0, "y": 3.0},
+        {"x": 0.0, "y": 3.0}, {"x": 0.0, "y": 0.0},
+    ]
+    polys = spark.createDataFrame(
+        [("p0", ring)],
+        "poly_id string, ring array<struct<x double, y double>>",
+    )
+    res = 8
+    ras = rasterize_to_cells(polys, res).collect()
+    cells = [r["cell"] for r in ras]
+    assert len(cells) >= 4
+    half = cells[: len(cells) // 2]
+    cov = spark.createDataFrame(
+        [("img", c) for c in half], "image_id string, cell long"
+    )
+    got = coverage_gaps(polys, cov, res).collect()[0]
+    assert got["n_cells"] == len(cells)
+    assert got["n_covered"] == len(half)
+    assert got["n_gap"] == len(cells) - len(half)
+
+
+def test_coverage_gaps_totals_consistent(spark, sf_dir):
+    import __spark_entry__ as em
+
+    rows = em.q_coverage_gaps(spark, sf_dir).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert r["n_covered"] + r["n_gap"] == r["n_cells"]
+        assert r["n_cells"] > 0
