@@ -98,7 +98,11 @@ def grid_dbscan(points: DataFrame, res: int, min_pts: int) -> DataFrame:
     core = cells.where(F.col("nbh_cnt") >= min_pts).select("cell", "own_cnt")
     rest = cells.where(F.col("nbh_cnt") < min_pts).select("cell", "own_cnt")
 
-    comp = duplicate_clusters(_core_adjacency8(core, res)).select(
+    # grid adjacency graphs are long snakes (diameter tens-to-hundreds of
+    # cells), the regime pointer jumping exists for — start jumping after 3
+    # hop rounds instead of the LSH-clique default 6; each saved round is a
+    # full synchronous superstep
+    comp = duplicate_clusters(_core_adjacency8(core, res), jump_after=3).select(
         F.col("doc_id").alias("cell"), F.col("cluster_id").alias("cluster")
     )
     core_lab = core.join(comp, "cell", "left").withColumn(

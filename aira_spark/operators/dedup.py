@@ -161,24 +161,72 @@ def minhash_lsh_pairs(
     )
 
 
+def _clusters_local(edges: DataFrame) -> DataFrame:
+    """Driver-local union-find over a bounded (a, b) edge frame — identical
+    (doc_id, cluster_id = min member, cluster_size) labels to the
+    distributed loop, in one collect + one createDataFrame."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edges.collect():
+        a, b = r["a"], r["b"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    members: dict = {}
+    for node in parent:
+        members.setdefault(find(node), []).append(node)
+    rows = [
+        (node, min(group), len(group))
+        for group in members.values()
+        for node in group
+    ]
+    id_type = edges.schema["a"].dataType.simpleString()
+    return edges.sparkSession.createDataFrame(
+        rows, f"doc_id {id_type}, cluster_id {id_type}, cluster_size long"
+    ).localCheckpoint()
+
+
 def duplicate_clusters(
-    pairs: DataFrame, max_iters: int = 50, jump_after: int = 6
+    pairs: DataFrame,
+    max_iters: int = 50,
+    jump_after: int = 6,
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over duplicate pairs -> (doc_id, cluster_id,
     cluster_size); cluster_id = the minimum doc_id reachable (the keeper).
 
-    Iterative minimum-label propagation with ADAPTIVE POINTER JUMPING,
-    entirely in DataFrames: each round every node takes the min of (its own
-    label, its neighbors' labels) — and, once the graph has survived
-    `jump_after` hop-only rounds without converging, additionally its
-    label's label. The jump step doubles the propagation distance per round,
-    so total rounds are O(jump_after + log diameter) — a diameter-254 grid
-    region (raster polygonize feeds this operator too) converges in ~14
-    rounds where plain hop-propagation would exhaust max_iters — while
-    near-clique LSH duplicate graphs (diameter 2-3) converge before the
-    jump ever runs and never pay its extra join. Each round shuffles
-    (node, label) pairs only; at 10^12 scale this is the standard
-    large-graph CC pattern (no driver-side graph).
+    Two paths, same labels either way:
+
+    - **small graphs** (<= `local_threshold` directed edge rows after the
+      dedup — known for free from the eager checkpoint): driver-local
+      union-find. A 2M-row collect is the bounded-sample device the IVF
+      centroid trainer already uses (similarity.py); a synchronous
+      DataFrame round costs ~0.5-2s of pure scheduling on ANY cluster, so
+      a 28-round loop over an 8k-edge graph spends 40s computing what
+      union-find finishes in milliseconds. The cutoff is an executor/driver
+      memory bound, not a semantics switch.
+    - **large graphs**: iterative minimum-label propagation with ADAPTIVE
+      POINTER JUMPING, entirely in DataFrames: each round every node takes
+      the min of (its own label, its neighbors' labels) — and, once the
+      graph has survived `jump_after` hop-only rounds without converging,
+      additionally the CURRENT round's label of its label (jumping through
+      the fresh generation doubles the propagated distance per round; the
+      stale generation only adds it). Total rounds O(jump_after +
+      log diameter); near-clique LSH duplicate graphs (diameter 2-3)
+      converge before the jump ever runs and never pay its extra join.
+      Each round shuffles (node, label) pairs only; at 10^12 scale this is
+      the standard large-graph CC pattern (no driver-side graph).
     """
     # localCheckpoint (not persist): edges appear in EVERY round's plan copy,
     # and the label plan doubles per round (labels joined twice) — truncating
@@ -189,12 +237,28 @@ def duplicate_clusters(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if edges.count() <= local_threshold:
+        return _clusters_local(edges)
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .persist()
     )
+
+    # Convergence probe: min-label propagation is MONOTONE (a node's label
+    # never increases), so the loop has converged exactly when the label
+    # total stops decreasing. Summing as DECIMAL(38,0) keeps the total
+    # exact for ~1e19 nodes x 2^63 labels, far past any real graph. One
+    # narrow agg job per round (it doubles as the persist materialization)
+    # replaces the previous labels-join-labels diff probe — same decision,
+    # one shuffle less per round.
+    def label_total(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("t")
+        ).collect()[0]["t"]
+
+    prev_total = label_total(labels)
     converged = False
     for rnd in range(max_iters):
         neighbor_min = (
@@ -214,13 +278,21 @@ def duplicate_clusters(
         if rnd < jump_after:
             new_labels = hop.select("node", F.col("l1").alias("label"))
         else:
-            # pointer jump: l1 is always a node id in the same component
-            # (labels start as self and only take mins of component node
-            # ids), so label-of-label is defined for every row; taking its
-            # min doubles the distance already propagated. Left join for the
-            # self-label rows (label(l1) == l1 — coalesce is a no-op there).
-            jump = labels.select(
-                F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+            # pointer jump THROUGH THE FRESH GENERATION: l1 is always a node
+            # id in the same component (labels start as self and only take
+            # mins of component node ids), so l1-of-l1 is defined for every
+            # row, and because l1 already encodes this round's propagation,
+            # min(l1, l1[l1]) DOUBLES the distance per round (jumping via
+            # the previous generation — labels — only adds it; measured 28
+            # rounds vs ~12 on the sf0.1 grid-snake graph). Left join for
+            # the self-label rows (l1(l1) == l1 — coalesce is a no-op).
+            # localCheckpoint, NOT persist: new_labels references hop TWICE
+            # and hop references labels twice — without truncation the plan
+            # tree grows 4x per jump round and the optimizer stalls long
+            # before the every-5-rounds cadence fires.
+            hop = hop.localCheckpoint(eager=True)
+            jump = hop.select(
+                F.col("node").alias("jnode"), F.col("l1").alias("jlabel")
             )
             new_labels = hop.join(jump, hop["l1"] == jump["jnode"], "left").select(
                 "node",
@@ -241,18 +313,13 @@ def duplicate_clusters(
             new_labels = new_labels.localCheckpoint(eager=True)
         else:
             new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        total = label_total(new_labels)
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if total == prev_total:
             converged = True
             break
+        prev_total = total
     if not converged:
         # silent wrong labels are worse than an error: a component whose
         # diameter exceeds max_iters would return split clusters

@@ -77,7 +77,8 @@ def threshold_regions(
     stats = zonal_stats(images, res).localCheckpoint(eager=True)
     hot = threshold_cells(stats, mean_num, mean_den)
     edges = cell_adjacency(hot)
-    clusters = duplicate_clusters(edges).select(
+    # grid-snake regime: jump early (see dbscan.py — same rationale)
+    clusters = duplicate_clusters(edges, jump_after=3).select(
         F.col("doc_id").alias("cell"), F.col("cluster_id").alias("region_id")
     )
     labeled = (

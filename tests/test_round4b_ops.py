@@ -1015,3 +1015,32 @@ def test_coverage_gaps_totals_consistent(spark, sf_dir):
     for r in rows:
         assert r["n_covered"] + r["n_gap"] == r["n_cells"]
         assert r["n_cells"] > 0
+
+
+# --------------------------------------------------- CC local vs distributed
+
+
+def test_cc_local_and_distributed_paths_agree(spark):
+    """The driver-local union-find fast path and the pointer-jumping
+    DataFrame loop produce identical (cluster_id, cluster_size) labels —
+    on a long path graph (jump regime) plus a clique (early-converge
+    regime) plus an isolated pair."""
+    from aira_spark.operators.dedup import duplicate_clusters
+
+    pairs = (
+        [(i, i + 1) for i in range(30)]
+        + [(100, 101), (101, 102), (100, 102)]
+        + [(200, 201)]
+    )
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    loc = {r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+           for r in duplicate_clusters(df).collect()}
+    dist = {r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+            for r in duplicate_clusters(df, jump_after=3, local_threshold=0).collect()}
+    want = (
+        {i: (0, 31) for i in range(31)}
+        | {i: (100, 3) for i in (100, 101, 102)}
+        | {i: (200, 2) for i in (200, 201)}
+    )
+    assert loc == want
+    assert dist == want
