@@ -1832,6 +1832,17 @@ _SKY_PTS = (
 )
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment over the dup-injected corpus — the
+    inverted gram join catches the 'doc plus appended tail' pairs whose
+    symmetric Jaccard is diluted (operators/dedup.py:containment_pairs)."""
+    from aira_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _docs_with_dups(spark, sf_dir), k=3, threshold_ppm=800_000
+    )
+
+
 def q_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Acquisition-gap audit: exact polygon raster LEFT-joined on cell ids
     against the distinct image-footprint cover; per-polygon covered/gap
@@ -2092,6 +2103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_dir": q_flow_dir,
         "skyline": q_skyline,
         "coverage_gaps": q_coverage_gaps,
+        "containment": q_containment,
     }
 
 
@@ -3115,6 +3127,12 @@ def _oracle_equalize() -> str:
     return oracle_equalize_sql(_bands_cte_sql(modulo=4))
 
 
+def _oracle_containment() -> str:
+    from aira_spark.operators.dedup import oracle_containment_sql
+
+    return oracle_containment_sql(_DUP_CTE.strip(), k=3, threshold_ppm=800_000)
+
+
 def _oracle_coverage_gaps() -> str:
     # polygon raster = the dissolve oracle's ray-cast chain (p-prefixed to
     # avoid colliding with _cover_ctes' cov/xs/cells); image cover =
@@ -4027,6 +4045,7 @@ FROM docs GROUP BY 1
         "flow_dir": _oracle_flow_dir(),
         "skyline": _oracle_skyline(),
         "coverage_gaps": _oracle_coverage_gaps(),
+        "containment": _oracle_containment(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

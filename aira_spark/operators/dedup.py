@@ -554,3 +554,91 @@ def cross_modal_dup_pairs(
             "ELSE 'caption_only' END"
         ).alias("verdict"),
     )
+
+
+def containment_pairs(
+    docs: DataFrame, k: int = 3, threshold_ppm: int = 800_000,
+    max_gram_df: int | None = 10_000,
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared, n_a, n_b, cont_ppm): ASYMMETRIC near-dup —
+    containment of the smaller k-gram set in the larger, |A∩B| / min(|A|,
+    |B|) in exact ppm. Catches quote-inclusion / appended-boilerplate dups
+    whose symmetric Jaccard is diluted by the longer side (the classic
+    "document plus a tail" case that ngram_jaccard_pairs under-scores).
+
+    Scale shape: the INVERTED gram join — distinct (doc, gram) rows
+    self-join on gram, so candidate work is Σ_g df(g)², concentrated
+    exactly where text actually repeats, instead of the block-quadratic
+    all-pairs. Hot grams (stopword shingles, boilerplate) are the skew
+    risk: any gram with df > max_gram_df raises loudly BEFORE the join is
+    scheduled (the ngram_jaccard guard device) — at corpus scale those
+    grams should be stoplisted upstream, and silently dropping them here
+    would corrupt the exact counts. Only (doc_id, gram-hash-sized strings)
+    cross the exchanges; text never shuffles past the shingle projection."""
+    from ..functions import textfns as tf
+
+    sh = tf.shingles("text", k, ENG)
+    g = (
+        docs.selectExpr("doc_id", f"explode({sh}) AS gram")
+        .distinct()
+        .localCheckpoint(eager=True)  # reused 3x below (join x2 + counts)
+    )
+    if max_gram_df is not None:
+        over = (
+            g.groupBy("gram").count()
+            .filter(F.col("count") > max_gram_df)
+            .limit(1).collect()
+        )
+        if over:
+            r = over[0]
+            raise RuntimeError(
+                f"containment_pairs: gram {r['gram']!r} appears in "
+                f"{r['count']} docs > max_gram_df={max_gram_df}; the gram "
+                "join would be quadratic in its df — stoplist boilerplate "
+                "grams upstream or raise the guard for bounded inputs"
+            )
+    n = g.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_grams"))
+    shared = (
+        g.select(F.col("doc_id").alias("doc_a"), "gram")
+        .join(g.select(F.col("doc_id").alias("doc_b"), "gram"), "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    return (
+        shared.join(n.selectExpr("doc_id AS doc_a", "n_grams AS n_a"), "doc_a")
+        .join(n.selectExpr("doc_id AS doc_b", "n_grams AS n_b"), "doc_b")
+        .withColumn(
+            "cont_ppm",
+            F.expr("(n_shared * 1000000) DIV least(n_a, n_b)").cast("long"),
+        )
+        .filter(F.col("cont_ppm") >= threshold_ppm)
+        .select("doc_a", "doc_b", "n_shared", "n_a", "n_b", "cont_ppm")
+    )
+
+
+def oracle_containment_sql(
+    docs_cte: str, k: int = 3, threshold_ppm: int = 800_000
+) -> str:
+    """DuckDB mirror over a CTE `docs(doc_id, text)`."""
+    from ..functions import textfns as tf
+
+    sh = tf.shingles("text", k, "duck")
+    return f"""
+WITH {docs_cte},
+g AS (SELECT DISTINCT doc_id, unnest({sh}) AS gram FROM docs),
+n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.doc_a, s.doc_b, s.n_shared,
+       na.n_grams AS n_a, nb.n_grams AS n_b,
+       CAST((s.n_shared * 1000000) // LEAST(na.n_grams, nb.n_grams) AS BIGINT) AS cont_ppm
+FROM shared s
+JOIN n na ON na.doc_id = s.doc_a
+JOIN n nb ON nb.doc_id = s.doc_b
+WHERE (s.n_shared * 1000000) // LEAST(na.n_grams, nb.n_grams) >= {threshold_ppm}
+"""

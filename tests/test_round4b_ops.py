@@ -1044,3 +1044,55 @@ def test_cc_local_and_distributed_paths_agree(spark):
     )
     assert loc == want
     assert dist == want
+
+
+# ------------------------------------------------------------- containment
+
+
+def test_containment_catches_inclusion_jaccard_misses(spark):
+    """Short doc fully quoted inside a long doc: containment 1.0, while the
+    symmetric Jaccard is diluted below 0.5."""
+    from aira_spark.operators.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"filler{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally unrelated words here")],
+        "doc_id long, text string",
+    )
+    rows = containment_pairs(docs, k=3, threshold_ppm=900_000).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["cont_ppm"] == 1_000_000  # every gram of the short doc matches
+    assert r["n_shared"] == r["n_a"] == 3
+    # jaccard = 3 / (3 + 23 - 3) ~ 0.13 — the symmetric metric misses it
+    assert r["n_shared"] * 2 < r["n_b"]
+
+
+def test_containment_hot_gram_guard(spark):
+    import pytest as pt
+
+    from aira_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "the same boiler plate line") for i in range(8)],
+        "doc_id long, text string",
+    )
+    with pt.raises(RuntimeError, match="max_gram_df"):
+        containment_pairs(docs, k=3, max_gram_df=4).collect()
+
+
+def test_containment_finds_injected_tail_dups(spark, sf_dir):
+    """Every +2000000 injected 'appended tail' doc must pair with its
+    original at containment 1.0."""
+    import __spark_entry__ as em
+
+    rows = em.q_containment(spark, sf_dir).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["cont_ppm"] for r in rows}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_words = {r["doc_id"]: len(r["text"].split(" "))
+               for r in docs.select("doc_id", "text").collect()}
+    for d in n_words:
+        if d % 11 == 0 and n_words[d] >= 3:
+            assert pairs.get((d, d + 2_000_000)) == 1_000_000, d
