@@ -1832,6 +1832,25 @@ _SKY_PTS = (
 )
 
 
+def q_cell_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell OLS trend of daily event value — exact integer sufficient
+    statistics, slope in floor-div micros (operators/trend.py)."""
+    from aira_spark.functions.cells import cell_from_xy
+    from aira_spark.operators.trend import cell_trends
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        f"{_EV_X} AS x", f"{_EV_Y} AS y",
+        "CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT) AS day",
+        "CAST(FLOOR(value * 100.0) AS BIGINT) AS cents",
+    )
+    return cell_trends(
+        ev.select(
+            cell_from_xy(F.col("x"), F.col("y"), CELL_RES).alias("cell"),
+            "day", "cents",
+        )
+    )
+
+
 def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric n-gram containment over the dup-injected corpus — the
     inverted gram join catches the 'doc plus appended tail' pairs whose
@@ -2104,6 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline": q_skyline,
         "coverage_gaps": q_coverage_gaps,
         "containment": q_containment,
+        "cell_trends": q_cell_trends,
     }
 
 
@@ -3127,6 +3147,16 @@ def _oracle_equalize() -> str:
     return oracle_equalize_sql(_bands_cte_sql(modulo=4))
 
 
+def _oracle_cell_trends() -> str:
+    from aira_spark.operators.trend import oracle_trend_sql
+
+    return oracle_trend_sql(
+        f"SELECT {_sql_cell(_EV_X, _EV_Y)} AS cell, "
+        "CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day, "
+        "CAST(FLOOR(value * 100.0) AS BIGINT) AS cents FROM events"
+    )
+
+
 def _oracle_containment() -> str:
     from aira_spark.operators.dedup import oracle_containment_sql
 
@@ -4046,6 +4076,7 @@ FROM docs GROUP BY 1
         "skyline": _oracle_skyline(),
         "coverage_gaps": _oracle_coverage_gaps(),
         "containment": _oracle_containment(),
+        "cell_trends": _oracle_cell_trends(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -1096,3 +1096,49 @@ def test_containment_finds_injected_tail_dups(spark, sf_dir):
     for d in n_words:
         if d % 11 == 0 and n_words[d] >= 3:
             assert pairs.get((d, d + 2_000_000)) == 1_000_000, d
+
+
+# ------------------------------------------------------------- cell_trends
+
+
+def test_cell_trends_hand_series(spark):
+    from aira_spark.operators.trend import cell_trends
+
+    # cell 1: y = 100x + 50 exactly; cell 2: one day (den 0); cell 3:
+    # negative slope with a remainder -> floor semantics
+    rows = (
+        [(1, x, 100 * x + 50) for x in range(5)]
+        + [(2, 3, 700)]
+        + [(3, 0, 10), (3, 1, 3)]
+    )
+    ev = spark.createDataFrame(rows, "cell long, day long, cents long")
+    got = {r["cell"]: r for r in cell_trends(ev).collect()}
+    assert got[1]["slope_e6"] == 100 * 1_000_000
+    assert (got[1]["n_days"], got[1]["sx"]) == (5, 10)
+    assert got[2]["slope_e6"] == 0 and got[2]["n_days"] == 1
+    # slope = -7 exactly? n=2 sx=1 sy=13 sxy=3 sxx=1: num=2*3-13=-7, den=2*1-1=1
+    assert got[3]["slope_e6"] == -7 * 1_000_000
+
+
+def test_cell_trends_splits_daily_duplicates(spark):
+    """Two events in the same (cell, day) fold into one daily y."""
+    from aira_spark.operators.trend import cell_trends
+
+    ev = spark.createDataFrame(
+        [(1, 0, 5), (1, 0, 7), (1, 1, 20)], "cell long, day long, cents long"
+    )
+    r = cell_trends(ev).collect()[0]
+    # days (0,12),(1,20): num=2*20-1*32=8, den=2*1-1=1 -> slope 8e6
+    assert (r["n_days"], r["sy"], r["slope_e6"]) == (2, 32, 8_000_000)
+
+
+def test_cell_trends_floor_division_negative(spark):
+    from aira_spark.operators.trend import cell_trends
+
+    # num = -1, den = 2 -> floor(-0.5e6) = -500000
+    ev = spark.createDataFrame(
+        [(1, 0, 1), (1, 1, 1), (1, 2, 0)], "cell long, day long, cents long"
+    )
+    r = cell_trends(ev).collect()[0]
+    # n=3 sx=3 sy=2 sxy=1 sxx=5: num=3*1-3*2=-3, den=3*5-9=6 -> -0.5 -> -500000
+    assert r["slope_e6"] == -500_000
