@@ -1832,6 +1832,18 @@ _SKY_PTS = (
 )
 
 
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p10/p25/p50/p75/p90 of order-price cents via two-phase
+    bucketed rank selection — no global sort, no approximation
+    (operators/quantiles.py)."""
+    from aira_spark.operators.quantiles import exact_quantiles
+
+    vals = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+        f"{_PRICE_CENTS} AS v"
+    )
+    return exact_quantiles(vals)
+
+
 def q_cell_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell OLS trend of daily event value — exact integer sufficient
     statistics, slope in floor-div micros (operators/trend.py)."""
@@ -2124,6 +2136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coverage_gaps": q_coverage_gaps,
         "containment": q_containment,
         "cell_trends": q_cell_trends,
+        "exact_quantiles": q_exact_quantiles,
     }
 
 
@@ -3147,6 +3160,12 @@ def _oracle_equalize() -> str:
     return oracle_equalize_sql(_bands_cte_sql(modulo=4))
 
 
+def _oracle_exact_quantiles() -> str:
+    from aira_spark.operators.quantiles import oracle_quantiles_sql
+
+    return oracle_quantiles_sql(f"SELECT {_PRICE_CENTS} AS v FROM orders")
+
+
 def _oracle_cell_trends() -> str:
     from aira_spark.operators.trend import oracle_trend_sql
 
@@ -4077,6 +4096,7 @@ FROM docs GROUP BY 1
         "coverage_gaps": _oracle_coverage_gaps(),
         "containment": _oracle_containment(),
         "cell_trends": _oracle_cell_trends(),
+        "exact_quantiles": _oracle_exact_quantiles(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -195,6 +195,21 @@ def main() -> None:
         "idw": lambda: em.q_idw(spark, sf_dir).count(),
         "streaming_cms": lambda: em.q_streaming_cms(spark, sf_dir).count(),
         "pagerank": lambda: em.q_pagerank(spark, sf_dir).count(),
+        # round-4b additions (all bounded-exchange shapes; see SURVEY §8)
+        "tfidf": lambda: em.q_tfidf(spark, sf_dir).count(),
+        "equalize": lambda: em.q_equalize(spark, sf_dir).count(),
+        "bfs_hops": lambda: em.q_bfs_hops(spark, sf_dir).count(),
+        "retention": lambda: em.q_retention(spark, sf_dir).count(),
+        "focal_median": lambda: em.q_focal_median(spark, sf_dir).count(),
+        "wht": lambda: em.q_wht(spark, sf_dir).count(),
+        "fuzzy_join": lambda: em.q_fuzzy_join(spark, sf_dir).count(),
+        "change_census": lambda: em.q_change_census(spark, sf_dir).count(),
+        "transitions": lambda: em.q_transitions(spark, sf_dir).count(),
+        "flow_dir": lambda: em.q_flow_dir(spark, sf_dir).count(),
+        "skyline": lambda: em.q_skyline(spark, sf_dir).count(),
+        "coverage_gaps": lambda: em.q_coverage_gaps(spark, sf_dir).count(),
+        "containment": lambda: em.q_containment(spark, sf_dir).count(),
+        "cell_trends": lambda: em.q_cell_trends(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

@@ -1142,3 +1142,36 @@ def test_cell_trends_floor_division_negative(spark):
     r = cell_trends(ev).collect()[0]
     # n=3 sx=3 sy=2 sxy=1 sxx=5: num=3*1-3*2=-3, den=3*5-9=6 -> -0.5 -> -500000
     assert r["slope_e6"] == -500_000
+
+
+# --------------------------------------------------------- exact_quantiles
+
+
+def test_exact_quantiles_matches_sorted_list(spark):
+    import random
+
+    from aira_spark.operators.quantiles import DEFAULT_QS, exact_quantiles
+
+    rng = random.Random(7)
+    vals = [rng.randrange(-10_000, 10_000_000) for _ in range(5000)]
+    vals += [vals[0]] * 50  # heavy duplicate
+    df = spark.createDataFrame([(v,) for v in vals], "v long").repartition(8)
+    got = {(r["q_num"], r["q_den"]): (r["rank"], r["value"])
+           for r in exact_quantiles(df).collect()}
+    s = sorted(vals)
+    n = len(s)
+    for num, den in DEFAULT_QS:
+        rank = -((-num * n) // den)
+        assert got[(num, den)] == (rank, s[rank - 1]), (num, den)
+
+
+def test_exact_quantiles_tiny_and_constant(spark):
+    from aira_spark.operators.quantiles import exact_quantiles
+
+    df = spark.createDataFrame([(42,)] * 9, "v long")
+    rows = exact_quantiles(df, qs=((1, 2),)).collect()
+    assert rows[0]["value"] == 42 and rows[0]["rank"] == 5
+
+    one = spark.createDataFrame([(7,)], "v long")
+    rows = exact_quantiles(one, qs=((9, 10),)).collect()
+    assert rows[0]["value"] == 7 and rows[0]["rank"] == 1
