@@ -100,6 +100,17 @@ def _sql_cell(x: str, y: str) -> str:
     return f"({_PACK} + {_sql_ix(x)} * 536870912 + {_sql_iy(y)})"
 
 
+def _sql_cell_at(x: str, y: str, res: int) -> str:
+    """cell pack at an arbitrary resolution (the _sql_cell family is pinned
+    to CELL_RES; cell_anomalies runs coarser)."""
+    n = 1 << res
+    ix = f"CAST(LEAST(GREATEST(FLOOR(({x} - (-180.0)) / 360.0 * {float(n)}), 0), {n - 1}) AS BIGINT)"
+    iy = f"CAST(LEAST(GREATEST(FLOOR(({y} - (-90.0)) / 180.0 * {float(n)}), 0), {n - 1}) AS BIGINT)"
+    return (
+        f"(CAST({res} AS BIGINT) * 288230376151711744 + {ix} * 536870912 + {iy})"
+    )
+
+
 def _sql_cover(xmin: str, ymin: str, xmax: str, ymax: str) -> str:
     """Returns ix0/ix1/iy0/iy1 select-list fragment (mirrors cells.cover_rect)."""
     ix0 = f"CAST(LEAST(GREATEST(FLOOR(({xmin} - (-180.0)) / 360.0 * {float(_N)}), 0), {_N - 1}) AS BIGINT)"
@@ -1832,6 +1843,33 @@ _SKY_PTS = (
 )
 
 
+def _cell_day_events(
+    spark: SparkSession, sf_dir: str, res: int = CELL_RES
+) -> DataFrame:
+    from aira_spark.functions.cells import cell_from_xy
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        f"{_EV_X} AS x", f"{_EV_Y} AS y",
+        "CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT) AS day",
+        "CAST(FLOOR(value * 100.0) AS BIGINT) AS cents",
+    )
+    return ev.select(
+        cell_from_xy(F.col("x"), F.col("y"), res).alias("cell"),
+        "day", "cents",
+    )
+
+
+def q_cell_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell daily anomaly flags — the k-sigma test as an exact integer
+    cross-multiplied predicate, no sqrt/float in the verdict. Runs at
+    CELL_RES-3 so each cell accumulates a real daily series: max possible
+    z^2 over n points is n-1, so a k=2 test needs n > 5 days per cell
+    (operators/trend.py)."""
+    from aira_spark.operators.trend import cell_anomalies
+
+    return cell_anomalies(_cell_day_events(spark, sf_dir, CELL_RES - 3), k=2)
+
+
 def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p10/p25/p50/p75/p90 of order-price cents via two-phase
     bucketed rank selection — no global sort, no approximation
@@ -1847,20 +1885,9 @@ def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cell_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell OLS trend of daily event value — exact integer sufficient
     statistics, slope in floor-div micros (operators/trend.py)."""
-    from aira_spark.functions.cells import cell_from_xy
     from aira_spark.operators.trend import cell_trends
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
-        f"{_EV_X} AS x", f"{_EV_Y} AS y",
-        "CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT) AS day",
-        "CAST(FLOOR(value * 100.0) AS BIGINT) AS cents",
-    )
-    return cell_trends(
-        ev.select(
-            cell_from_xy(F.col("x"), F.col("y"), CELL_RES).alias("cell"),
-            "day", "cents",
-        )
-    )
+    return cell_trends(_cell_day_events(spark, sf_dir))
 
 
 def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2137,6 +2164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": q_containment,
         "cell_trends": q_cell_trends,
         "exact_quantiles": q_exact_quantiles,
+        "cell_anomalies": q_cell_anomalies,
     }
 
 
@@ -3166,14 +3194,28 @@ def _oracle_exact_quantiles() -> str:
     return oracle_quantiles_sql(f"SELECT {_PRICE_CENTS} AS v FROM orders")
 
 
+_CELL_DAY_SQL = (
+    f"SELECT {_sql_cell(_EV_X, _EV_Y)} AS cell, "
+    "CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day, "
+    "CAST(FLOOR(value * 100.0) AS BIGINT) AS cents FROM events"
+)
+
+
 def _oracle_cell_trends() -> str:
     from aira_spark.operators.trend import oracle_trend_sql
 
-    return oracle_trend_sql(
-        f"SELECT {_sql_cell(_EV_X, _EV_Y)} AS cell, "
+    return oracle_trend_sql(_CELL_DAY_SQL)
+
+
+def _oracle_cell_anomalies() -> str:
+    from aira_spark.operators.trend import oracle_anomalies_sql
+
+    coarse = (
+        f"SELECT {_sql_cell_at(_EV_X, _EV_Y, CELL_RES - 3)} AS cell, "
         "CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day, "
         "CAST(FLOOR(value * 100.0) AS BIGINT) AS cents FROM events"
     )
+    return oracle_anomalies_sql(coarse, k=2)
 
 
 def _oracle_containment() -> str:
@@ -4097,6 +4139,7 @@ FROM docs GROUP BY 1
         "containment": _oracle_containment(),
         "cell_trends": _oracle_cell_trends(),
         "exact_quantiles": _oracle_exact_quantiles(),
+        "cell_anomalies": _oracle_cell_anomalies(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

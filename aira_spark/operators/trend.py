@@ -76,3 +76,64 @@ SELECT CAST(cell AS BIGINT) AS cell, n_days, sx, sy, sxy, sxx,
   CAST(CASE WHEN {_SLOPE_DEN} = 0 THEN 0 ELSE {slope} END AS BIGINT) AS slope_e6
 FROM stats
 """
+
+
+_DEV2 = "(n_days * y - sy) * (n_days * y - sy)"
+_VAR_N2 = "(n_days * syy - sy * sy)"  # n^2 * variance
+
+
+def cell_anomalies(events: DataFrame, k: int = 3) -> DataFrame:
+    """(cell, day, y, n_days, dev2, thr, is_anomaly): days whose activity
+    deviates more than k sigma from the cell's own daily mean — the
+    monitoring alarm next to cell_trends, with the z-test done ENTIRELY in
+    integers: z^2 >= k^2 is equivalent to (n*y - sy)^2 >= k^2*(n*syy - sy^2)
+    (both sides scaled by n^2), so no sqrt, no division, no float ever
+    enters the verdict and every engine agrees bit-for-bit.
+
+    Scale shape: the daily fold (one map-side-combined agg), the per-cell
+    moment agg over the BOUNDED daily table, and one broadcast-sized join
+    back — cells x days rows end to end. Cells with a single active day
+    have zero variance and flag nothing (dev2 = 0 = thr)."""
+    daily = events.groupBy("cell", "day").agg(
+        F.sum("cents").cast("long").alias("y")
+    )
+    stats = daily.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    return (
+        daily.join(stats, "cell")
+        .selectExpr(
+            "CAST(cell AS BIGINT) AS cell",
+            "CAST(day AS BIGINT) AS day",
+            "y",
+            "n_days",
+            f"CAST({_DEV2} AS BIGINT) AS dev2",
+            f"CAST({k * k} * {_VAR_N2} AS BIGINT) AS thr",
+            f"CAST(CASE WHEN {_DEV2} > {k * k} * {_VAR_N2} THEN 1 ELSE 0 END"
+            " AS BIGINT) AS is_anomaly",
+        )
+    )
+
+
+def oracle_anomalies_sql(events_sql: str, k: int = 3) -> str:
+    return f"""
+WITH ev AS ({events_sql}),
+daily AS (
+  SELECT cell, day, CAST(SUM(cents) AS BIGINT) AS y FROM ev GROUP BY 1, 2
+),
+stats AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_days,
+    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM daily GROUP BY 1
+)
+SELECT CAST(cell AS BIGINT) AS cell, CAST(day AS BIGINT) AS day, y, n_days,
+  CAST({_DEV2} AS BIGINT) AS dev2,
+  CAST({k * k} * {_VAR_N2} AS BIGINT) AS thr,
+  CAST(CASE WHEN {_DEV2} > {k * k} * {_VAR_N2} THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM (
+  SELECT d.cell, d.day, d.y, s.n_days, s.sy, s.syy
+  FROM daily d JOIN stats s ON s.cell = d.cell
+)
+"""

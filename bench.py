@@ -210,6 +210,8 @@ def main() -> None:
         "coverage_gaps": lambda: em.q_coverage_gaps(spark, sf_dir).count(),
         "containment": lambda: em.q_containment(spark, sf_dir).count(),
         "cell_trends": lambda: em.q_cell_trends(spark, sf_dir).count(),
+        "exact_quantiles": lambda: em.q_exact_quantiles(spark, sf_dir).count(),
+        "cell_anomalies": lambda: em.q_cell_anomalies(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

@@ -1175,3 +1175,50 @@ def test_exact_quantiles_tiny_and_constant(spark):
     one = spark.createDataFrame([(7,)], "v long")
     rows = exact_quantiles(one, qs=((9, 10),)).collect()
     assert rows[0]["value"] == 7 and rows[0]["rank"] == 1
+
+
+# ----------------------------------------------------------- cell_anomalies
+
+
+def test_cell_anomalies_hand_series(spark):
+    from aira_spark.operators.trend import cell_anomalies
+
+    # cell 1: nine quiet days at 10 plus one 1000-cent spike -> only the
+    # spike flags at k=2; cell 2: constant -> zero variance, nothing flags
+    rows = [(1, d, 10) for d in range(9)] + [(1, 9, 1000)]
+    rows += [(2, d, 50) for d in range(5)]
+    ev = spark.createDataFrame(rows, "cell long, day long, cents long")
+    got = {(r["cell"], r["day"]): r for r in cell_anomalies(ev, k=2).collect()}
+    flagged = {k for k, r in got.items() if r["is_anomaly"] == 1}
+    assert flagged == {(1, 9)}
+    n, sy, syy = 10, 9 * 10 + 1000, 9 * 100 + 1000 * 1000
+    r = got[(1, 9)]
+    assert r["dev2"] == (n * 1000 - sy) ** 2
+    assert r["thr"] == 4 * (n * syy - sy * sy)
+    assert all(got[(2, d)]["thr"] == 0 for d in range(5))
+
+
+def test_cell_anomalies_matches_float_zscore(spark, sf_dir):
+    """Reconstruct per-cell daily series from the output and verify every
+    flag against a plain float z-score (strict |z| > k)."""
+    from collections import defaultdict
+
+    import __spark_entry__ as em
+
+    rows = em.q_cell_anomalies(spark, sf_dir).collect()
+    assert rows
+    series = defaultdict(list)
+    for r in rows:
+        series[r["cell"]].append(r)
+    n_flagged = 0
+    for cell, rs in series.items():
+        ys = [r["y"] for r in rs]
+        n = len(ys)
+        assert all(r["n_days"] == n for r in rs)
+        mean = sum(ys) / n
+        var = sum((y - mean) ** 2 for y in ys) / n
+        for r in rs:
+            want = var > 0 and (r["y"] - mean) ** 2 > 4 * var
+            assert bool(r["is_anomaly"]) == want, (cell, r["day"])
+            n_flagged += r["is_anomaly"]
+    assert n_flagged > 0  # real data must produce some spikes at k=2
