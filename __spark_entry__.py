@@ -1859,6 +1859,15 @@ def _cell_day_events(
     )
 
 
+def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact X^T X over the embeddings table — per-batch numpy partial
+    Grams + one tiny agg; the PCA/whitening input with zero joins
+    (operators/gram.py)."""
+    from aira_spark.operators.gram import gram_matrix
+
+    return gram_matrix(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
 def q_cell_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell daily anomaly flags — the k-sigma test as an exact integer
     cross-multiplied predicate, no sqrt/float in the verdict. Runs at
@@ -2165,6 +2174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_trends": q_cell_trends,
         "exact_quantiles": q_exact_quantiles,
         "cell_anomalies": q_cell_anomalies,
+        "gram_matrix": q_gram_matrix,
     }
 
 
@@ -3188,6 +3198,12 @@ def _oracle_equalize() -> str:
     return oracle_equalize_sql(_bands_cte_sql(modulo=4))
 
 
+def _oracle_gram_matrix() -> str:
+    from aira_spark.operators.gram import oracle_gram_sql
+
+    return oracle_gram_sql("embeddings", d=64)
+
+
 def _oracle_exact_quantiles() -> str:
     from aira_spark.operators.quantiles import oracle_quantiles_sql
 
@@ -4140,6 +4156,7 @@ FROM docs GROUP BY 1
         "cell_trends": _oracle_cell_trends(),
         "exact_quantiles": _oracle_exact_quantiles(),
         "cell_anomalies": _oracle_cell_anomalies(),
+        "gram_matrix": _oracle_gram_matrix(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

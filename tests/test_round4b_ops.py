@@ -1222,3 +1222,40 @@ def test_cell_anomalies_matches_float_zscore(spark, sf_dir):
             assert bool(r["is_anomaly"]) == want, (cell, r["day"])
             n_flagged += r["is_anomaly"]
     assert n_flagged > 0  # real data must produce some spikes at k=2
+
+
+# ------------------------------------------------------------- gram_matrix
+
+
+def test_gram_matrix_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    import __spark_entry__ as em
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    x = np.stack([r["embedding"] for r in emb.collect()]).astype(np.float64)
+    v = x * 1024.0
+    q = (np.floor(np.abs(v) + 0.5) * np.sign(v)).astype(np.int64)
+    want = q.T @ q
+    got = {(r["i"], r["j"]): r["gram"]
+           for r in em.q_gram_matrix(spark, sf_dir).collect()}
+    d = q.shape[1]
+    assert len(got) == d * (d + 1) // 2
+    for (i, j), g in got.items():
+        assert g == int(want[i, j]), (i, j)
+
+
+def test_gram_matrix_partition_invariant_no_shuffle_of_vectors(spark, sf_dir):
+    import __spark_entry__ as em
+    from aira_spark.operators.gram import gram_matrix
+    from tests.test_plans import plan_string, shuffle_count
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = {(r["i"], r["j"]): r["gram"] for r in gram_matrix(emb).collect()}
+    b = {(r["i"], r["j"]): r["gram"]
+         for r in gram_matrix(emb.repartition(13)).collect()}
+    assert a == b
+    df = em.q_gram_matrix(spark, sf_dir)
+    s = plan_string(df)
+    assert shuffle_count(df) == 1, s  # only d^2-row partials cross the wire
+    assert "Join" not in s, s
