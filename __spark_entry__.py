@@ -1859,6 +1859,16 @@ def _cell_day_events(
     )
 
 
+def q_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF -> PNG transcode audit: real decode -> re-encode (all five PNG
+    filters) -> decode, with a position-weighted checksum the oracle
+    recomputes from the generation formula — independent of both codecs
+    (operators/multimodal.py:transcode_stats)."""
+    from aira_spark.operators.multimodal import transcode_stats
+
+    return transcode_stats(_images(spark, sf_dir, modulo=16))
+
+
 def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact X^T X over the embeddings table — per-batch numpy partial
     Grams + one tiny agg; the PCA/whitening input with zero joins
@@ -2175,6 +2185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_quantiles": q_exact_quantiles,
         "cell_anomalies": q_cell_anomalies,
         "gram_matrix": q_gram_matrix,
+        "transcode": q_transcode,
     }
 
 
@@ -3198,6 +3209,29 @@ def _oracle_equalize() -> str:
     return oracle_equalize_sql(_bands_cte_sql(modulo=4))
 
 
+def _oracle_transcode() -> str:
+    # independent of both codecs: sum_px / wsum recomputed from the pixel
+    # generation formula with pos = (r*w + c)*spp + s (channel-interleaved)
+    mod = 1 << 61
+    return f"""
+WITH {_IMG_CTE},
+sp AS (
+  SELECT image_id, k, w, h,
+    CASE WHEN v IN (1,2,4,10) THEN 3 WHEN v IN (6,9) THEN 2 ELSE 1 END AS spp
+  FROM meta WHERE k % 16 = 0
+),
+rws AS (SELECT *, unnest(generate_series(0, h - 1)) AS r FROM sp),
+pxs AS (SELECT *, unnest(generate_series(0, w - 1)) AS c FROM rws),
+bands AS (SELECT *, unnest(generate_series(0, spp - 1)) AS s FROM pxs)
+SELECT image_id, CAST(spp AS BIGINT) AS out_ch, CAST(w AS BIGINT) AS out_w,
+  CAST(h AS BIGINT) AS out_h,
+  CAST(SUM((r * 7 + c * 13 + s * 29 + k) % 256) AS BIGINT) AS sum_px,
+  CAST(SUM(((r * w + c) * spp + s + 1)
+           * ((r * 7 + c * 13 + s * 29 + k) % 256)) % {mod} AS BIGINT) AS wsum
+FROM bands GROUP BY 1, 2, 3, 4
+"""
+
+
 def _oracle_gram_matrix() -> str:
     from aira_spark.operators.gram import oracle_gram_sql
 
@@ -4157,6 +4191,7 @@ FROM docs GROUP BY 1
         "exact_quantiles": _oracle_exact_quantiles(),
         "cell_anomalies": _oracle_cell_anomalies(),
         "gram_matrix": _oracle_gram_matrix(),
+        "transcode": _oracle_transcode(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

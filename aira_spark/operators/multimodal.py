@@ -350,3 +350,62 @@ def patchify(images: DataFrame, patch: int = 16) -> DataFrame:
         schema="image_id string, patch_row int, patch_col int, ph int, pw int, "
                "px_sum long, px_min long, px_max long",
     )
+
+
+def transcode_stats(images: "DataFrame") -> "DataFrame":
+    """(image_id, out_ch, out_w, out_h, sum_px, wsum): TIFF -> PNG
+    transcode audit through REAL bytes — decode the stored TIFF (every
+    compression/predictor/endian/planar variant), re-encode as PNG (filter
+    type cycling by row so all five spec filters carry real data), decode
+    the PNG back, and checksum the final array. wsum is the position-
+    weighted checksum over channel-interleaved pixels (augment.py's
+    device): any byte the transcode chain corrupts shifts it, and the
+    oracle recomputes it from the generation formula alone — independent of
+    BOTH codecs.
+
+    Scale shape: zero shuffles — decode+encode+decode+reduce inside one
+    mapInPandas; 6 integer columns cross Arrow, never pixel buffers."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.udfs import _decode_full
+    from ..pngio import write_png
+    from ..tiff.meta import TiffError
+
+    cols = ["image_id", "out_ch", "out_w", "out_h", "sum_px", "wsum"]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                try:
+                    _, px = _decode_full(rec.bytes)
+                except TiffError:
+                    continue
+                # synthetic values are exact 0..255 in every variant dtype
+                a8 = px.astype(np.uint8)
+                h, w, ch = a8.shape
+                buf = write_png(
+                    a8 if ch > 1 else a8[:, :, 0],
+                    filters=[r % 5 for r in range(h)],
+                )
+                dec = decode_image("png", buf).astype(np.int64)
+                weights = np.arange(1, dec.size + 1, dtype=np.int64)
+                rows.append(
+                    (
+                        rec.image_id, dec.shape[2], w, h,
+                        int(dec.sum()),
+                        int((weights * dec.ravel()).sum() % _PNG_WSUM_MOD),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return images.select("image_id", "bytes").mapInPandas(
+        fn,
+        schema=(
+            "image_id string, out_ch long, out_w long, out_h long, "
+            "sum_px long, wsum long"
+        ),
+    )

@@ -1259,3 +1259,35 @@ def test_gram_matrix_partition_invariant_no_shuffle_of_vectors(spark, sf_dir):
     s = plan_string(df)
     assert shuffle_count(df) == 1, s  # only d^2-row partials cross the wire
     assert "Join" not in s, s
+
+
+# --------------------------------------------------------------- transcode
+
+
+def test_transcode_roundtrip_hand_image(spark):
+    """A hand 5x7x2 (gray+alpha) TIFF through decode->PNG->decode: stats
+    equal the direct numpy computation on the ORIGINAL array."""
+    import numpy as np
+
+    from aira_spark.operators.multimodal import transcode_stats
+    from aira_spark.tiff.encode import write_tiff
+
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 256, size=(5, 7, 2), dtype=np.uint8)
+    buf = write_tiff(a, byteorder=">", layout=("strips", 2))
+    df = spark.createDataFrame(
+        [("im0", bytearray(buf))], "image_id string, bytes binary"
+    )
+    r = transcode_stats(df).collect()[0]
+    w = np.arange(1, a.size + 1, dtype=np.int64)
+    assert (r["out_ch"], r["out_w"], r["out_h"]) == (2, 7, 5)
+    assert r["sum_px"] == int(a.sum())
+    assert r["wsum"] == int((w * a.astype(np.int64).ravel()).sum() % (1 << 61))
+
+
+def test_transcode_zero_shuffles(spark, sf_dir):
+    import __spark_entry__ as em
+    from tests.test_plans import plan_string, shuffle_count
+
+    df = em.q_transcode(spark, sf_dir)
+    assert shuffle_count(df) == 0, plan_string(df)
