@@ -1859,6 +1859,23 @@ def _cell_day_events(
     )
 
 
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out kNN majority-vote classifier over the labeled
+    embeddings (vec_id % 25 queries, k=9) — rides cosine_topk, integer
+    votes, deterministic tie-breaks (operators/similarity.py)."""
+    from aira_spark.operators.similarity import knn_classify
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.expr(_QUANT)
+    )
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("true_label"),
+    )
+    return knn_classify(emb, queries, k=9)
+
+
 def q_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIFF -> PNG transcode audit: real decode -> re-encode (all five PNG
     filters) -> decode, with a position-weighted checksum the oracle
@@ -2186,6 +2203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_anomalies": q_cell_anomalies,
         "gram_matrix": q_gram_matrix,
         "transcode": q_transcode,
+        "knn_classify": q_knn_classify,
     }
 
 
@@ -3209,6 +3227,35 @@ def _oracle_equalize() -> str:
     return oracle_equalize_sql(_bands_cte_sql(modulo=4))
 
 
+def _oracle_knn_classify() -> str:
+    return f"""
+WITH emb AS (SELECT vec_id, label, {_DUCK_QUANT} AS qv FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS true_label, qv
+      FROM emb WHERE vec_id % 25 = 0),
+d AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+    {_duck_cos('e.qv', 'q.qv')} AS cos
+  FROM emb e CROSS JOIN q WHERE e.vec_id != q.query_id
+),
+r AS (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM d),
+votes AS (
+  SELECT query_id, label, CAST(COUNT(*) AS BIGINT) AS n_votes
+  FROM r WHERE rn <= 9 GROUP BY 1, 2
+),
+pred AS (
+  SELECT query_id, label AS pred_label, n_votes, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY n_votes DESC, label) AS vr
+  FROM votes
+)
+SELECT CAST(p.query_id AS BIGINT) AS query_id,
+  CAST(p.pred_label AS BIGINT) AS pred_label, p.n_votes,
+  CAST(q.true_label AS BIGINT) AS true_label,
+  CAST(CASE WHEN p.pred_label = q.true_label THEN 1 ELSE 0 END AS BIGINT) AS correct
+FROM pred p JOIN q ON q.query_id = p.query_id WHERE p.vr = 1
+"""
+
+
 def _oracle_transcode() -> str:
     # independent of both codecs: sum_px / wsum recomputed from the pixel
     # generation formula with pos = (r*w + c)*spp + s (channel-interleaved)
@@ -4192,6 +4239,7 @@ FROM docs GROUP BY 1
         "cell_anomalies": _oracle_cell_anomalies(),
         "gram_matrix": _oracle_gram_matrix(),
         "transcode": _oracle_transcode(),
+        "knn_classify": _oracle_knn_classify(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

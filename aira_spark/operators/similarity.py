@@ -632,3 +632,62 @@ def ivf_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+def knn_classify(
+    embeddings: DataFrame, queries: DataFrame, k: int = 9
+) -> DataFrame:
+    """(query_id, pred_label, n_votes, true_label, correct): k-nearest-
+    neighbor majority-vote classification — the zero-training baseline
+    every embedding-quality audit runs (leave-one-out over the labeled
+    table itself). `embeddings` carries (vec_id, embedding, label);
+    `queries` carries (query_id, qvec, true_label).
+
+    Rides cosine_topk exactly (broadcast queries, corpus never shuffles,
+    6dp-rounded exact-parity cosine with (cos desc, id) tie-break, so the
+    neighbor SET is deterministic in both engines); the vote is a bounded
+    (query, label) hash agg and the argmax a k-row window with (votes
+    desc, label) tie-break. Everything checked is an exact integer."""
+    nn = cosine_topk(
+        embeddings.select("vec_id", "embedding"), 
+        queries.select("query_id", "qvec"), k,
+    )
+    labeled = nn.join(
+        embeddings.select(
+            F.col("vec_id").alias("neighbor_id"), "label"
+        ),
+        "neighbor_id",
+    )
+    votes = labeled.groupBy("query_id", "label").agg(
+        F.count("*").cast("long").alias("n_votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label")
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(
+            "query_id",
+            F.col("label").cast("long").alias("pred_label"),
+            "n_votes",
+        )
+    )
+    return (
+        pred.join(
+            F.broadcast(
+                queries.select(
+                    "query_id", F.col("true_label").cast("long").alias("true_label")
+                )
+            ),
+            "query_id",
+        )
+        .withColumn(
+            "correct",
+            (F.col("pred_label") == F.col("true_label")).cast("long"),
+        )
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "pred_label", "n_votes", "true_label", "correct",
+        )
+    )

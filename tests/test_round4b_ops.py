@@ -1291,3 +1291,55 @@ def test_transcode_zero_shuffles(spark, sf_dir):
 
     df = em.q_transcode(spark, sf_dir)
     assert shuffle_count(df) == 0, plan_string(df)
+
+
+# ------------------------------------------------------------ knn_classify
+
+
+def test_knn_classify_hand_clusters(spark):
+    """Two tight label clusters on the 2-sphere directions: each query
+    predicts its own cluster's label, leave-one-out."""
+    from aira_spark.operators.similarity import knn_classify
+
+    def v(x, y):
+        return [float(x), float(y)] + [0.0] * 62
+
+    rows = (
+        [(i, v(1.0, 0.01 * i), 7) for i in range(4)]
+        + [(10 + i, v(0.01 * i, 1.0), 3) for i in range(4)]
+    )
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    queries = emb.selectExpr(
+        "vec_id AS query_id", "embedding AS qvec", "label AS true_label"
+    )
+    got = {r["query_id"]: r for r in knn_classify(emb, queries, k=3).collect()}
+    assert len(got) == 8
+    for qid, r in got.items():
+        assert r["correct"] == 1, qid
+        assert r["pred_label"] == (7 if qid < 10 else 3)
+        assert r["n_votes"] == 3  # all 3 nearest are same-cluster
+
+
+def test_knn_classify_tie_breaks_min_label(spark):
+    from aira_spark.operators.similarity import knn_classify
+
+    def v(x, y):
+        return [float(x), float(y)] + [0.0] * 62
+
+    # query at 45 degrees, one neighbor of each label equidistant, k=2
+    emb = spark.createDataFrame(
+        [
+            (1, v(1.0, 0.0), 9),
+            (2, v(0.0, 1.0), 4),
+            (3, v(0.7071, 0.7071), 0),
+        ],
+        "vec_id long, embedding array<double>, label long",
+    )
+    q = spark.createDataFrame(
+        [(3, v(0.7071, 0.7071), 0)],
+        "query_id long, qvec array<double>, true_label long",
+    )
+    r = knn_classify(emb, q, k=2).collect()[0]
+    assert r["pred_label"] == 4 and r["n_votes"] == 1  # 1-1 tie -> min label
