@@ -1859,6 +1859,18 @@ def _cell_day_events(
     )
 
 
+def q_trajectory_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user path/net/max-hop lengths in 1e-4-deg integer units — the
+    floor-sqrt per-hop device, one entity-local window
+    (operators/trajectory.py)."""
+    from aira_spark.operators.trajectory import trajectory_lengths
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id", "ts", "event_id", f"{_EV_X} AS x", f"{_EV_Y} AS y"
+    )
+    return trajectory_lengths(ev)
+
+
 def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out kNN majority-vote classifier over the labeled
     embeddings (vec_id % 25 queries, k=9) — rides cosine_topk, integer
@@ -2204,6 +2216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gram_matrix": q_gram_matrix,
         "transcode": q_transcode,
         "knn_classify": q_knn_classify,
+        "trajectory_lengths": q_trajectory_lengths,
     }
 
 
@@ -3227,6 +3240,14 @@ def _oracle_equalize() -> str:
     return oracle_equalize_sql(_bands_cte_sql(modulo=4))
 
 
+def _oracle_trajectory_lengths() -> str:
+    from aira_spark.operators.trajectory import oracle_trajectory_sql
+
+    return oracle_trajectory_sql(
+        f"SELECT user_id, ts, event_id, {_EV_X} AS x, {_EV_Y} AS y FROM events"
+    )
+
+
 def _oracle_knn_classify() -> str:
     return f"""
 WITH emb AS (SELECT vec_id, label, {_DUCK_QUANT} AS qv FROM embeddings),
@@ -4240,6 +4261,7 @@ FROM docs GROUP BY 1
         "gram_matrix": _oracle_gram_matrix(),
         "transcode": _oracle_transcode(),
         "knn_classify": _oracle_knn_classify(),
+        "trajectory_lengths": _oracle_trajectory_lengths(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -75,3 +75,95 @@ SELECT from_cell, to_cell,
     AS n_moves
 FROM moves WHERE from_cell IS NOT NULL
 GROUP BY from_cell, to_cell"""
+
+
+def trajectory_lengths(events: DataFrame) -> DataFrame:
+    """(user_id, n_hops, path_e4, max_hop_e4, net_e4): per-user travelled
+    path statistics over the time-ordered event stream — total path length,
+    longest single hop, and net (start->end) displacement, all in 1e-4-deg
+    integer units.
+
+    Exactness (the poly_metrics perimeter device, geom.py): coordinates
+    floor-quantize to 1e-4 deg, each hop contributes floor(sqrt(dx^2+dy^2))
+    as an INTEGER, and the per-user fold sums integers — aggregation order
+    cannot shift a bit, unlike a double SUM of distances. Net displacement
+    reuses first/last(ordered) over the same single window.
+
+    Scale shape: identical to od_flows — ONE window keyed on user_id
+    (entity-local sort, no global order), one hash agg; hops are
+    (user, int, int) rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hop = "CAST(floor(sqrt(CAST(dx * dx + dy * dy AS DOUBLE))) AS BIGINT)"
+    hops = (
+        events.select(
+            "user_id", "ts", "event_id",
+            F.expr("CAST(floor(x * 10000.0) AS BIGINT)").alias("xq"),
+            F.expr("CAST(floor(y * 10000.0) AS BIGINT)").alias("yq"),
+        )
+        .select(
+            "user_id", "xq", "yq",
+            (F.col("xq") - F.lag("xq").over(w)).alias("dx"),
+            (F.col("yq") - F.lag("yq").over(w)).alias("dy"),
+            F.first("xq").over(w).alias("x0"),
+            F.first("yq").over(w).alias("y0"),
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(Window.partitionBy("user_id")).alias("n_ev"),
+        )
+    )
+    return (
+        hops.groupBy("user_id")
+        .agg(
+            F.count(F.col("dx")).cast("long").alias("n_hops"),
+            F.coalesce(F.sum(F.expr(hop)), F.lit(0)).cast("long")
+            .alias("path_e4"),
+            F.coalesce(F.max(F.expr(hop)), F.lit(0)).cast("long")
+            .alias("max_hop_e4"),
+            F.max(F.when(F.col("rn") == F.col("n_ev"),
+                         F.struct("xq", "yq"))).alias("last_pt"),
+            F.max(F.when(F.col("rn") == 1,
+                         F.struct(F.col("x0").alias("xq"),
+                                  F.col("y0").alias("yq")))).alias("first_pt"),
+        )
+        .selectExpr(
+            "CAST(user_id AS BIGINT) AS user_id", "n_hops", "path_e4",
+            "max_hop_e4",
+            "CAST(floor(sqrt(CAST("
+            "(last_pt.xq - first_pt.xq) * (last_pt.xq - first_pt.xq) + "
+            "(last_pt.yq - first_pt.yq) * (last_pt.yq - first_pt.yq)"
+            " AS DOUBLE))) AS BIGINT) AS net_e4",
+        )
+    )
+
+
+def oracle_trajectory_sql(events_sql: str) -> str:
+    """DuckDB mirror over a subquery yielding (user_id, ts, event_id, x, y)."""
+    hop = "CAST(floor(sqrt(CAST(dx * dx + dy * dy AS DOUBLE))) AS BIGINT)"
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+    CAST(floor(x * 10000.0) AS BIGINT) AS xq,
+    CAST(floor(y * 10000.0) AS BIGINT) AS yq
+  FROM ({events_sql})
+),
+hops AS (
+  SELECT user_id, xq, yq,
+    xq - LAG(xq) OVER w AS dx, yq - LAG(yq) OVER w AS dy,
+    FIRST_VALUE(xq) OVER w AS x0, FIRST_VALUE(yq) OVER w AS y0,
+    ROW_NUMBER() OVER w AS rn,
+    COUNT(*) OVER (PARTITION BY user_id) AS n_ev
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+  CAST(COUNT(dx) AS BIGINT) AS n_hops,
+  CAST(COALESCE(SUM({hop}), 0) AS BIGINT) AS path_e4,
+  CAST(COALESCE(MAX({hop}), 0) AS BIGINT) AS max_hop_e4,
+  CAST(floor(sqrt(CAST(
+    (MAX(CASE WHEN rn = n_ev THEN xq END) - MAX(CASE WHEN rn = 1 THEN x0 END))
+      * (MAX(CASE WHEN rn = n_ev THEN xq END) - MAX(CASE WHEN rn = 1 THEN x0 END))
+    + (MAX(CASE WHEN rn = n_ev THEN yq END) - MAX(CASE WHEN rn = 1 THEN y0 END))
+      * (MAX(CASE WHEN rn = n_ev THEN yq END) - MAX(CASE WHEN rn = 1 THEN y0 END))
+   AS DOUBLE))) AS BIGINT) AS net_e4
+FROM hops GROUP BY user_id
+"""

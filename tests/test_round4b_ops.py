@@ -1343,3 +1343,49 @@ def test_knn_classify_tie_breaks_min_label(spark):
     )
     r = knn_classify(emb, q, k=2).collect()[0]
     assert r["pred_label"] == 4 and r["n_votes"] == 1  # 1-1 tie -> min label
+
+
+# ------------------------------------------------------- trajectory_lengths
+
+
+def test_trajectory_lengths_hand_path(spark):
+    import math
+
+    from aira_spark.operators.trajectory import trajectory_lengths
+
+    # user 1 walks a 3-4-5 right triangle (binary-exact coords so the 1e-4
+    # quantization is exact: 0.75 and 1.0 are dyadic):
+    # (0,0) -> (0.75,0) -> (0.75,1.0) -> back to (0,0)
+    pts = [(0.0, 0.0), (0.75, 0.0), (0.75, 1.0), (0.0, 0.0)]
+    rows = [(1, i, i, x, y) for i, (x, y) in enumerate(pts)]
+    rows += [(2, 0, 10, 1.0, 1.0)]  # single event: zero everything
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, x double, y double"
+    )
+    got = {r["user_id"]: r for r in trajectory_lengths(ev).collect()}
+    r1 = got[1]
+    assert r1["n_hops"] == 3
+    assert r1["path_e4"] == 7500 + 10000 + 12500
+    assert r1["max_hop_e4"] == 12500
+    assert r1["net_e4"] == 0  # closed loop
+    r2 = got[2]
+    assert (r2["n_hops"], r2["path_e4"], r2["max_hop_e4"], r2["net_e4"]) == (
+        0, 0, 0, 0,
+    )
+    assert math.isqrt(3 * 3 + 4 * 4) == 5  # the device the op relies on
+
+
+def test_trajectory_lengths_net_le_path(spark, sf_dir):
+    """Triangle inequality must hold row-by-row on real data (quantized
+    floor can only shrink each hop, never the net below-zero)."""
+    import __spark_entry__ as em
+
+    rows = em.q_trajectory_lengths(spark, sf_dir).collect()
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    assert len(rows) == n_users
+    for r in rows:
+        assert r["net_e4"] <= r["path_e4"] + r["n_hops"]  # +1 floor slack/hop
+        assert r["max_hop_e4"] <= r["path_e4"]
