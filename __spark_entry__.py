@@ -1859,6 +1859,15 @@ def _cell_day_events(
     )
 
 
+def q_basins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watershed delineation: every fine-grid cell labeled with the pit
+    its steepest-descent path reaches — pointer doubling over the flow
+    forest, O(log path) rounds (operators/terrain.py:drainage_basins)."""
+    from aira_spark.operators.terrain import drainage_basins
+
+    return drainage_basins(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
+
+
 def q_trajectory_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user path/net/max-hop lengths in 1e-4-deg integer units — the
     floor-sqrt per-hop device, one entity-local window
@@ -2217,6 +2226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcode": q_transcode,
         "knn_classify": q_knn_classify,
         "trajectory_lengths": q_trajectory_lengths,
+        "basins": q_basins,
     }
 
 
@@ -3238,6 +3248,16 @@ def _oracle_equalize() -> str:
     from aira_spark.operators.equalize import oracle_equalize_sql
 
     return oracle_equalize_sql(_bands_cte_sql(modulo=4))
+
+
+def _oracle_basins() -> str:
+    from aira_spark.operators.terrain import oracle_basins_sql
+
+    # the fine CTE already opens its own WITH — strip it because
+    # oracle_basins_sql needs WITH RECURSIVE in front
+    fine = _fine_cte_sql(modulo=8).strip()
+    assert fine.startswith("WITH")
+    return oracle_basins_sql(fine[len("WITH"):].strip(), CELL_RES, 4)
 
 
 def _oracle_trajectory_lengths() -> str:
@@ -4262,6 +4282,7 @@ FROM docs GROUP BY 1
         "transcode": _oracle_transcode(),
         "knn_classify": _oracle_knn_classify(),
         "trajectory_lengths": _oracle_trajectory_lengths(),
+        "basins": _oracle_basins(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

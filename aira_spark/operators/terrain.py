@@ -170,8 +170,9 @@ def flow_direction(
     )
 
 
-def oracle_flow_sql(fine_cte: str, res: int, patch_bits: int = 4) -> str:
-    """DuckDB mirror over a CTE chain ending in fine(fx, fy, val)."""
+def oracle_flow_ctes(fine_cte: str, res: int, patch_bits: int = 4) -> str:
+    """CTE chain (no final SELECT) ending in flow(fx, fy, val, flow_dir,
+    drop_val) — shared by the flow_dir and basins oracles."""
     nf = 1 << (res + patch_bits)
     return f"""{fine_cte},
 sc AS (
@@ -188,10 +189,108 @@ best AS (
   SELECT tx, ty, val AS nv, code,
     ROW_NUMBER() OVER (PARTITION BY tx, ty ORDER BY val, code) AS rn
   FROM sc WHERE code != 4
-)
-SELECT CAST(c.tx AS BIGINT) AS fx, CAST(c.ty AS BIGINT) AS fy,
-  CAST(c.cval AS BIGINT) AS val,
-  CAST(CASE WHEN b.nv < c.cval THEN b.code ELSE -1 END AS BIGINT) AS flow_dir,
-  CAST(CASE WHEN b.nv < c.cval THEN c.cval - b.nv ELSE 0 END AS BIGINT) AS drop_val
-FROM ctr c LEFT JOIN best b ON b.tx = c.tx AND b.ty = c.ty AND b.rn = 1
+),
+flow AS (
+  SELECT CAST(c.tx AS BIGINT) AS fx, CAST(c.ty AS BIGINT) AS fy,
+    CAST(c.cval AS BIGINT) AS val,
+    CAST(CASE WHEN b.nv < c.cval THEN b.code ELSE -1 END AS BIGINT) AS flow_dir,
+    CAST(CASE WHEN b.nv < c.cval THEN c.cval - b.nv ELSE 0 END AS BIGINT) AS drop_val
+  FROM ctr c LEFT JOIN best b ON b.tx = c.tx AND b.ty = c.ty AND b.rn = 1
+)"""
+
+
+def oracle_flow_sql(fine_cte: str, res: int, patch_bits: int = 4) -> str:
+    """DuckDB mirror over a CTE chain ending in fine(fx, fy, val)."""
+    return (
+        oracle_flow_ctes(fine_cte, res, patch_bits)
+        + "\nSELECT fx, fy, val, flow_dir, drop_val FROM flow\n"
+    )
+
+
+BASIN_K = 1 << 30  # (fx, fy) -> single BIGINT node id; grids stay far below
+
+
+def drainage_basins(
+    images: DataFrame, res: int = DEFAULT_RES, patch_bits: int = 4,
+    max_rounds: int = 40,
+) -> DataFrame:
+    """(fx, fy, basin, basin_size): every fine-grid position labeled with
+    the PIT its steepest-descent path terminates at (basin = the pit's
+    packed node id fx*2^30+fy), plus the basin's cell count — watershed
+    delineation, the hydrology payoff of flow_direction.
+
+    The flow graph is a FUNCTIONAL FOREST (each node one parent, strictly
+    decreasing value, so no cycles); root-finding is POINTER DOUBLING:
+    each round parent := parent(parent), doubling the compressed distance,
+    so rounds are ceil(log2(longest path)) — the classic O(log n)
+    find-roots for functional graphs as DataFrame self-joins on integer
+    ids. Each round shuffles (node, parent) pairs only, localCheckpointed
+    (the plan references the table twice per round); convergence = a round
+    that changes nothing (checked by the same monotone-free diff count the
+    round join already computes)."""
+    from pyspark.sql import functions as F
+
+    flow = flow_direction(images, res, patch_bits)
+    p = flow.selectExpr(
+        f"fx * {BASIN_K} + fy AS node",
+        # decode the 3x3 code back to the neighbor offset; pits self-loop
+        f"CASE WHEN flow_dir = -1 THEN fx * {BASIN_K} + fy "
+        f"ELSE (fx + flow_dir % 3 - 1) * {BASIN_K} + (fy + flow_dir DIV 3 - 1) "
+        "END AS parent",
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        q = p.selectExpr("node AS qnode", "parent AS qparent")
+        nxt = (
+            p.join(q, p["parent"] == q["qnode"])
+            .selectExpr("node", "qparent AS parent", "parent AS old")
+        ).localCheckpoint(eager=True)
+        changed = nxt.where("parent != old").limit(1).count()
+        p = nxt.select("node", "parent")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"drainage_basins did not converge in {max_rounds} doubling "
+            "rounds (path length > 2^rounds — impossible on a real grid)"
+        )
+    sizes = p.groupBy("parent").agg(F.count("*").cast("long").alias("basin_size"))
+    return (
+        p.join(sizes, "parent")
+        .selectExpr(
+            f"CAST(node DIV {BASIN_K} AS BIGINT) AS fx",
+            f"CAST(node % {BASIN_K} AS BIGINT) AS fy",
+            "CAST(parent AS BIGINT) AS basin",
+            "basin_size",
+        )
+    )
+
+
+def oracle_basins_sql(fine_cte: str, res: int, patch_bits: int = 4) -> str:
+    """DuckDB mirror: parent pointers from the shared flow chain, then a
+    RECURSIVE walk to each node's root — an independent (linear, not
+    doubling) formulation."""
+    return f"""
+WITH RECURSIVE {oracle_flow_ctes(fine_cte, res, patch_bits)},
+p AS (
+  SELECT fx * {BASIN_K} + fy AS node,
+    CASE WHEN flow_dir = -1 THEN fx * {BASIN_K} + fy
+    ELSE (fx + flow_dir % 3 - 1) * {BASIN_K} + (fy + flow_dir // 3 - 1)
+    END AS parent
+  FROM flow
+),
+roots AS (SELECT node FROM p WHERE parent = node),
+walk(node, cur) AS (
+  SELECT node, parent FROM p
+  UNION
+  SELECT w.node, p2.parent FROM walk w JOIN p p2 ON p2.node = w.cur
+  WHERE p2.parent != w.cur
+),
+basin AS (
+  SELECT w.node, w.cur AS basin FROM walk w WHERE w.cur IN (SELECT node FROM roots)
+),
+sizes AS (SELECT basin, CAST(COUNT(*) AS BIGINT) AS basin_size FROM basin GROUP BY 1)
+SELECT CAST(b.node // {BASIN_K} AS BIGINT) AS fx,
+  CAST(b.node % {BASIN_K} AS BIGINT) AS fy,
+  CAST(b.basin AS BIGINT) AS basin, s.basin_size
+FROM basin b JOIN sizes s ON s.basin = b.basin
 """

@@ -1389,3 +1389,63 @@ def test_trajectory_lengths_net_le_path(spark, sf_dir):
     for r in rows:
         assert r["net_e4"] <= r["path_e4"] + r["n_hops"]  # +1 floor slack/hop
         assert r["max_hop_e4"] <= r["path_e4"]
+
+
+# ------------------------------------------------------------------ basins
+
+
+def test_basins_match_brute_force(spark, sf_dir):
+    import __spark_entry__ as em
+    from aira_spark.operators.terrain import BASIN_K, drainage_basins
+
+    filled = _fine_grid(spark, sf_dir)
+
+    def parent(pos):
+        fx, fy = pos
+        nbrs = sorted(
+            (filled[(fx + dx, fy + dy)], (dy + 1) * 3 + (dx + 1), (fx + dx, fy + dy))
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0) and (fx + dx, fy + dy) in filled
+        )
+        if nbrs and nbrs[0][0] < filled[pos]:
+            return nbrs[0][2]
+        return pos
+
+    want = {}
+    sizes = {}
+    for pos in filled:
+        cur = pos
+        while True:
+            nxt = parent(cur)
+            if nxt == cur:
+                break
+            cur = nxt
+        want[pos] = cur[0] * BASIN_K + cur[1]
+        sizes[want[pos]] = sizes.get(want[pos], 0) + 1
+
+    got = {
+        (r["fx"], r["fy"]): (r["basin"], r["basin_size"])
+        for r in drainage_basins(
+            em._images(spark, sf_dir, modulo=8), em.CELL_RES, 4
+        ).collect()
+    }
+    assert set(got) == set(filled)
+    for pos, basin in want.items():
+        assert got[pos] == (basin, sizes[basin]), pos
+
+
+def test_basins_pits_label_themselves(spark, sf_dir):
+    import __spark_entry__ as em
+    from aira_spark.operators.terrain import BASIN_K, flow_direction
+
+    pits = {
+        (r["fx"], r["fy"])
+        for r in flow_direction(
+            em._images(spark, sf_dir, modulo=8), em.CELL_RES, 4
+        ).collect()
+        if r["flow_dir"] == -1
+    }
+    rows = em.q_basins(spark, sf_dir).collect()
+    basin_ids = {r["basin"] for r in rows}
+    assert basin_ids == {fx * BASIN_K + fy for fx, fy in pits}
+    assert sum(r["basin_size"] for r in rows if (r["fx"], r["fy"]) in pits) == len(rows)
