@@ -1859,6 +1859,26 @@ def _cell_day_events(
     )
 
 
+def q_co_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated same-(cell, hour) user pairs on the coarse 4x4 grid —
+    bucket equi-join with loud hot-bucket guard
+    (operators/trajectory.py:co_location_pairs)."""
+    from aira_spark.functions.cells import cell_from_xy
+    from aira_spark.operators.trajectory import co_location_pairs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id", f"{_EV_X} AS x", f"{_EV_Y} AS y",
+        "CAST(date_trunc('hour', ts) AS STRING) AS hour",
+    )
+    return co_location_pairs(
+        ev.select(
+            "user_id", "hour",
+            cell_from_xy(F.col("x"), F.col("y"), 2).alias("cell"),
+        ),
+        min_meetings=2,
+    )
+
+
 def q_basins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watershed delineation: every fine-grid cell labeled with the pit
     its steepest-descent path reaches — pointer doubling over the flow
@@ -2227,6 +2247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_classify": q_knn_classify,
         "trajectory_lengths": q_trajectory_lengths,
         "basins": q_basins,
+        "co_location": q_co_location,
     }
 
 
@@ -3248,6 +3269,16 @@ def _oracle_equalize() -> str:
     from aira_spark.operators.equalize import oracle_equalize_sql
 
     return oracle_equalize_sql(_bands_cte_sql(modulo=4))
+
+
+def _oracle_co_location() -> str:
+    from aira_spark.operators.trajectory import oracle_colocation_sql
+
+    return oracle_colocation_sql(
+        f"SELECT user_id, {_sql_cell_at(_EV_X, _EV_Y, 2)} AS cell, "
+        "CAST(date_trunc('hour', ts) AS VARCHAR) AS hour FROM events",
+        min_meetings=2,
+    )
 
 
 def _oracle_basins() -> str:
@@ -4283,6 +4314,7 @@ FROM docs GROUP BY 1
         "knn_classify": _oracle_knn_classify(),
         "trajectory_lengths": _oracle_trajectory_lengths(),
         "basins": _oracle_basins(),
+        "co_location": _oracle_co_location(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

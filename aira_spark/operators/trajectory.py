@@ -167,3 +167,72 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
    AS DOUBLE))) AS BIGINT) AS net_e4
 FROM hops GROUP BY user_id
 """
+
+
+def co_location_pairs(
+    events: DataFrame, min_meetings: int = 2, max_group: int = 10_000
+) -> DataFrame:
+    """(user_a, user_b, n_meetings, n_places): user pairs repeatedly
+    present in the same (cell, hour) bucket — proximity/contact analysis,
+    the entity-pair product of the trajectory family. `events` carries
+    (user_id, cell, hour).
+
+    Scale shape: presence dedups to DISTINCT (user, cell, hour) first (a
+    user's burst of events in one bucket counts once), the candidate join
+    is an equi-join on the (cell, hour) bucket — work is Σ_g |g|², so hot
+    buckets (a stadium hour) are THE skew risk: any bucket over `max_group`
+    raises loudly before the join is scheduled (the ngram/caption guard
+    device; at planet scale those buckets need a finer grid or sampling,
+    decided upstream, not silently here). Only (user, cell, hour) id rows
+    shuffle."""
+    from pyspark.sql import functions as F
+
+    pres = events.select("user_id", "cell", "hour").distinct()
+    over = (
+        pres.groupBy("cell", "hour").count()
+        .filter(F.col("count") > max_group)
+        .limit(1).collect()
+    )
+    if over:
+        r = over[0]
+        raise RuntimeError(
+            f"co_location_pairs: bucket (cell={r['cell']}, hour="
+            f"{r['hour']}) holds {r['count']} users > max_group="
+            f"{max_group}; the pair join would be quadratic in it — use a "
+            "finer grid for hot areas"
+        )
+    a = pres.selectExpr("user_id AS user_a", "cell", "hour")
+    b = pres.selectExpr("user_id AS user_b", "cell", "hour")
+    return (
+        a.join(b, ["cell", "hour"])
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.count("*").cast("long").alias("n_meetings"),
+            F.countDistinct("cell").cast("long").alias("n_places"),
+        )
+        .filter(F.col("n_meetings") >= min_meetings)
+        .selectExpr(
+            "CAST(user_a AS BIGINT) AS user_a",
+            "CAST(user_b AS BIGINT) AS user_b",
+            "n_meetings", "n_places",
+        )
+    )
+
+
+def oracle_colocation_sql(events_sql: str, min_meetings: int = 2) -> str:
+    """DuckDB mirror over a subquery yielding (user_id, cell, hour)."""
+    return f"""
+WITH pres AS (SELECT DISTINCT user_id, cell, hour FROM ({events_sql})),
+pairs AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b,
+    CAST(COUNT(*) AS BIGINT) AS n_meetings,
+    CAST(COUNT(DISTINCT a.cell) AS BIGINT) AS n_places
+  FROM pres a JOIN pres b
+    ON a.cell = b.cell AND a.hour = b.hour AND a.user_id < b.user_id
+  GROUP BY 1, 2
+)
+SELECT CAST(user_a AS BIGINT) AS user_a, CAST(user_b AS BIGINT) AS user_b,
+       n_meetings, n_places
+FROM pairs WHERE n_meetings >= {min_meetings}
+"""

@@ -1449,3 +1449,40 @@ def test_basins_pits_label_themselves(spark, sf_dir):
     basin_ids = {r["basin"] for r in rows}
     assert basin_ids == {fx * BASIN_K + fy for fx, fy in pits}
     assert sum(r["basin_size"] for r in rows if (r["fx"], r["fy"]) in pits) == len(rows)
+
+
+# ------------------------------------------------------------- co_location
+
+
+def test_co_location_hand_meetings(spark):
+    from aira_spark.operators.trajectory import co_location_pairs
+
+    rows = [
+        # users 1,2 meet twice (cells a@h1, b@h2); user 3 meets 1 once
+        (1, "a", "h1"), (2, "a", "h1"),
+        (1, "b", "h2"), (2, "b", "h2"),
+        (1, "c", "h3"), (3, "c", "h3"),
+        # duplicate presence rows must dedup before pairing
+        (2, "a", "h1"), (2, "a", "h1"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, cell string, hour string")
+    got = {
+        (r["user_a"], r["user_b"]): (r["n_meetings"], r["n_places"])
+        for r in co_location_pairs(ev, min_meetings=1).collect()
+    }
+    assert got == {(1, 2): (2, 2), (1, 3): (1, 1)}
+    two = co_location_pairs(ev, min_meetings=2).collect()
+    assert [(r["user_a"], r["user_b"]) for r in two] == [(1, 2)]
+
+
+def test_co_location_hot_bucket_guard(spark):
+    import pytest as pt
+
+    from aira_spark.operators.trajectory import co_location_pairs
+
+    ev = spark.createDataFrame(
+        [(i, "hot", "h") for i in range(50)],
+        "user_id long, cell string, hour string",
+    )
+    with pt.raises(RuntimeError, match="max_group"):
+        co_location_pairs(ev, max_group=10).collect()
