@@ -730,3 +730,60 @@ def verify_manifest(spark: SparkSession, path: str, stage: str, df: DataFrame,
         | F.col("rows_m").isNull()
     )
     return diff.isEmpty()
+
+
+def expire_snapshots(
+    spark: SparkSession, path: str, keep_last: int = 1
+) -> list[int]:
+    """Iceberg's expire_snapshots maintenance action: drop live snapshots
+    whose every row is SHADOWED by later merge/delete rewrites — they
+    contribute nothing to the current view and exist only for time travel.
+    Expired ids keep their metadata entry (marked expired, so
+    read_stage_at raises the designed error instead of returning wrong
+    AS-OF data) and their snap= data dir is deleted.
+
+    Safety rules, checked per candidate:
+    - the newest `keep_last` live snapshots are never expired (Iceberg's
+      retain-last), whatever their contribution;
+    - a snapshot is expired ONLY if its visible row count under the
+      current shadow filter is exactly 0 (a row-level check, one pruned
+      scan per candidate — partition filters make it cheap), so partial
+      shadowing can never lose data.
+
+    Returns the expired snapshot ids."""
+    import json
+    import shutil
+
+    live = live_snapshot_ids(path)
+    if len(live) <= keep_last:
+        return []
+    current = set(live)
+    expired: list[int] = []
+    data = f"{path}/data"
+    for sid in live[:-keep_last] if keep_last else live:
+        # this snapshot's partition, under the full shadow filter of the
+        # current live set — snap= partition pruning makes it one small scan
+        contrib = (
+            spark.read.parquet(data)
+            .filter(F.col("snap") == sid)
+            .filter(_merge_shadow_filter(path, sorted(current)))
+            .limit(1)
+            .count()
+        )
+        if contrib == 0:
+            expired.append(sid)
+            current.discard(sid)
+
+    if not expired:
+        return []
+    meta_path = f"{path}/metadata.json"
+    with open(meta_path) as f:
+        meta = json.load(f)
+    for s in meta["snapshots"]:
+        if s["snapshot-id"] in expired:
+            s["expired"] = True
+            s.setdefault("summary", {})["expired-by"] = "expire_snapshots"
+    _write_metadata(path, meta)
+    for sid in expired:
+        shutil.rmtree(f"{path}/data/snap={sid}", ignore_errors=True)
+    return expired

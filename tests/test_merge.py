@@ -214,3 +214,36 @@ def test_delete_entire_bucket(spark, tmp_path):
     assert got.filter(F.col("bucket") == target).count() == 0
     cur = got.select("k", "v", "amt")
     assert verify_manifest(spark, path, "s", cur, "k", 4)
+
+
+def test_expire_snapshots_drops_fully_shadowed_only(spark, base, tmp_path):
+    """A merge that rewrites EVERY bucket fully shadows the base snapshot:
+    expire removes it (dir gone, AS-OF raises) without changing the live
+    view; a partially-shadowing merge expires nothing."""
+    import os
+
+    from aira_spark.sources.checkpoint import expire_snapshots
+
+    # --- partial shadow: nothing expires
+    p1 = str(tmp_path / "partial")
+    write_stage(base, p1, "s", key="k", n_buckets=N_BUCKETS)
+    sid1 = next_snapshot_id(p1) - 1
+    upd = spark.createDataFrame([(3, "N3", 1)], "k long, v string, amt long")
+    merge_stage(spark, upd, p1, "s", key="k", n_buckets=N_BUCKETS)
+    assert expire_snapshots(spark, p1, keep_last=1) == []
+    assert os.path.isdir(f"{p1}/data/snap={sid1}")
+
+    # --- full shadow: every base key rewritten -> base snapshot expires
+    p2 = str(tmp_path / "full")
+    write_stage(base, p2, "s", key="k", n_buckets=N_BUCKETS)
+    sid2 = next_snapshot_id(p2) - 1
+    all_upd = base.withColumn("v", F.concat(F.lit("U"), F.col("v")))
+    merge_stage(spark, all_upd, p2, "s", key="k", n_buckets=N_BUCKETS)
+    before = _rows(read_stage(spark, p2))
+    assert expire_snapshots(spark, p2, keep_last=1) == [sid2]
+    assert _rows(read_stage(spark, p2)) == before  # live view unchanged
+    assert not os.path.isdir(f"{p2}/data/snap={sid2}")
+    with pytest.raises(ValueError, match="expired"):
+        read_stage_at(spark, p2, sid2)
+    # idempotent + newest always retained
+    assert expire_snapshots(spark, p2, keep_last=1) == []
