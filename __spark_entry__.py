@@ -1859,6 +1859,22 @@ def _cell_day_events(
     )
 
 
+def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingest with dead-letter quarantine: PERMISSIVE schema-enforced
+    scan over a deterministically corrupted event feed; the oracle
+    recomputes every count from the source table alone
+    (sources/jsonl.py)."""
+    from aira_spark.sources.jsonl import (
+        jsonl_ingest_summary,
+        read_events_jsonl,
+        write_events_jsonl,
+    )
+
+    out = f"/tmp/aira_jsonl_{os.path.basename(sf_dir.rstrip('/'))}"
+    write_events_jsonl(spark, sf_dir, out)
+    return jsonl_ingest_summary(read_events_jsonl(spark, out))
+
+
 def q_co_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated same-(cell, hour) user pairs on the coarse 4x4 grid —
     bucket equi-join with loud hot-bucket guard
@@ -2248,6 +2264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trajectory_lengths": q_trajectory_lengths,
         "basins": q_basins,
         "co_location": q_co_location,
+        "jsonl_ingest": q_jsonl_ingest,
     }
 
 
@@ -3269,6 +3286,12 @@ def _oracle_equalize() -> str:
     from aira_spark.operators.equalize import oracle_equalize_sql
 
     return oracle_equalize_sql(_bands_cte_sql(modulo=4))
+
+
+def _oracle_jsonl_ingest() -> str:
+    from aira_spark.sources.jsonl import oracle_jsonl_sql
+
+    return oracle_jsonl_sql("events")
 
 
 def _oracle_co_location() -> str:
@@ -4315,6 +4338,7 @@ FROM docs GROUP BY 1
         "trajectory_lengths": _oracle_trajectory_lengths(),
         "basins": _oracle_basins(),
         "co_location": _oracle_co_location(),
+        "jsonl_ingest": _oracle_jsonl_ingest(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -72,25 +72,29 @@ def read_events_jsonl(spark: SparkSession, path: str) -> DataFrame:
 
 def jsonl_ingest_summary(df: DataFrame) -> DataFrame:
     """(event_type, n_rows, value_cents): per-type counts over the parsed
-    rows plus one '_dead_letter_' row counting quarantined lines."""
-    good = (
-        df.where(F.col("_corrupt").isNull())
-        .groupBy("event_type")
+    rows plus one '_dead_letter_' row counting quarantined lines — ONE
+    pass, the dead-letter bucket is just another group key (and referencing
+    a parsed column alongside `_corrupt` sidesteps Spark's
+    QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction by construction)."""
+    return (
+        df.groupBy(
+            F.when(F.col("_corrupt").isNotNull(), F.lit("_dead_letter_"))
+            .otherwise(F.col("event_type"))
+            .alias("event_type")
+        )
         .agg(
             F.count("*").cast("long").alias("n_rows"),
-            F.sum(F.expr("CAST(FLOOR(value * 100.0) AS BIGINT)"))
-            .cast("long").alias("value_cents"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("_corrupt").isNull(),
+                        F.expr("CAST(FLOOR(value * 100.0) AS BIGINT)"),
+                    )
+                ),
+                F.lit(0),
+            ).cast("long").alias("value_cents"),
         )
     )
-    dead = (
-        df.where(F.col("_corrupt").isNotNull())
-        .agg(F.count("*").cast("long").alias("n_rows"))
-        .selectExpr(
-            "'_dead_letter_' AS event_type", "n_rows",
-            "CAST(0 AS BIGINT) AS value_cents",
-        )
-    )
-    return good.unionByName(dead)
 
 
 def oracle_jsonl_sql(table: str = "events") -> str:
