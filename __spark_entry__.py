@@ -1859,6 +1859,17 @@ def _cell_day_events(
     )
 
 
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source uniform-mixture sampling plan (downsample-to-smallest in
+    exact ppm) — the planning stage upstream of corpus_sample
+    (operators/mixture.py)."""
+    from aira_spark.operators.mixture import mixture_weights
+
+    return mixture_weights(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("source", "text")
+    )
+
+
 def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL ingest with dead-letter quarantine: PERMISSIVE schema-enforced
     scan over a deterministically corrupted event feed; the oracle
@@ -2265,6 +2276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basins": q_basins,
         "co_location": q_co_location,
         "jsonl_ingest": q_jsonl_ingest,
+        "mixture_weights": q_mixture_weights,
     }
 
 
@@ -3286,6 +3298,12 @@ def _oracle_equalize() -> str:
     from aira_spark.operators.equalize import oracle_equalize_sql
 
     return oracle_equalize_sql(_bands_cte_sql(modulo=4))
+
+
+def _oracle_mixture_weights() -> str:
+    from aira_spark.operators.mixture import oracle_mixture_sql
+
+    return oracle_mixture_sql("documents")
 
 
 def _oracle_jsonl_ingest() -> str:
@@ -4339,6 +4357,7 @@ FROM docs GROUP BY 1
         "basins": _oracle_basins(),
         "co_location": _oracle_co_location(),
         "jsonl_ingest": _oracle_jsonl_ingest(),
+        "mixture_weights": _oracle_mixture_weights(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -1534,3 +1534,38 @@ def test_jsonl_ingest_roundtrip_values_exact(spark, sf_dir, tmp_path):
     )
     assert parsed.exceptAll(src).count() == 0
     assert src.exceptAll(parsed).count() == 0
+
+
+# --------------------------------------------------------- mixture_weights
+
+
+def test_mixture_weights_hand_sources(spark):
+    from aira_spark.operators.mixture import mixture_weights
+
+    docs = spark.createDataFrame(
+        [
+            ("web", "a b c d e f"),      # 6 tokens
+            ("web", "a b c d e f"),      # 12 total
+            ("books", "x y z"),          # 3 tokens (smallest)
+            ("code", "p q r s"),         # 4 tokens
+        ],
+        "source string, text string",
+    )
+    got = {r["source"]: r for r in mixture_weights(docs).collect()}
+    assert got["books"]["sample_ppm"] == 1_000_000  # keeps everything
+    assert got["books"]["tokens_after"] == 3
+    assert got["web"]["sample_ppm"] == 250_000  # 3/12
+    assert got["web"]["tokens_after"] == 3
+    assert got["code"]["sample_ppm"] == 750_000  # floor(3e6/4)
+    assert got["code"]["tokens_after"] == 3
+    assert got["web"]["n_docs"] == 2 and got["web"]["n_tokens"] == 12
+
+
+def test_mixture_weights_budget_never_exceeds_min(spark, sf_dir):
+    import __spark_entry__ as em
+
+    rows = em.q_mixture_weights(spark, sf_dir).collect()
+    mn = min(r["n_tokens"] for r in rows)
+    for r in rows:
+        assert r["tokens_after"] <= mn
+        assert mn - r["tokens_after"] <= r["n_tokens"] // 1_000_000 + 1
