@@ -1859,6 +1859,40 @@ def _cell_day_events(
     )
 
 
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile census of the classifier's quality logit — composes the
+    hashed classifier with the two-phase exact-quantile device: 9 exact
+    boundaries, broadcast back, decile = 1 + #boundaries strictly below
+    (tie-stable in both engines, no NTILE row-ordering ambiguity)."""
+    from aira_spark.operators.classify import classifier_scores
+    from aira_spark.operators.quantiles import exact_quantiles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scores = classifier_scores(docs, use_arrow=True).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("logit_micros").cast("long").alias("logit_micros"),
+    ).persist()
+    bounds = exact_quantiles(
+        scores.selectExpr("logit_micros AS v"),
+        qs=tuple((i, 10) for i in range(1, 10)),
+    ).select(F.col("value").alias("bound"))
+    return (
+        scores.crossJoin(F.broadcast(bounds))
+        .groupBy("doc_id", "logit_micros")
+        .agg(
+            (1 + F.sum(
+                F.when(F.col("logit_micros") > F.col("bound"), 1).otherwise(0)
+            )).cast("long").alias("decile")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("logit_micros").cast("long").alias("min_logit"),
+            F.max("logit_micros").cast("long").alias("max_logit"),
+        )
+    )
+
+
 def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source uniform-mixture sampling plan (downsample-to-smallest in
     exact ppm) — the planning stage upstream of corpus_sample
@@ -2277,6 +2311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "co_location": q_co_location,
         "jsonl_ingest": q_jsonl_ingest,
         "mixture_weights": q_mixture_weights,
+        "quality_deciles": q_quality_deciles,
     }
 
 
@@ -3298,6 +3333,35 @@ def _oracle_equalize() -> str:
     from aira_spark.operators.equalize import oracle_equalize_sql
 
     return oracle_equalize_sql(_bands_cte_sql(modulo=4))
+
+
+def _oracle_quality_deciles() -> str:
+    from aira_spark.functions import classifyfns as cf
+
+    grams = cf.grams_expr("text", "duckdb")
+    return f"""
+WITH scored AS (
+  SELECT doc_id, {cf.logit_expr(grams, "duckdb")} AS logit_micros
+  FROM documents
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM scored),
+vc AS (SELECT logit_micros AS v, COUNT(*) AS cnt FROM scored GROUP BY 1),
+cum AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum FROM vc),
+qs(i) AS (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)),
+bounds AS (
+  SELECT q.i, MIN(c.v) AS bound
+  FROM qs q, n, cum c WHERE c.cum * 10 >= n.n * q.i GROUP BY q.i
+),
+dec AS (
+  SELECT s.doc_id, s.logit_micros,
+    1 + (SELECT COUNT(*) FROM bounds b WHERE s.logit_micros > b.bound) AS decile
+  FROM scored s
+)
+SELECT CAST(decile AS BIGINT) AS decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(MIN(logit_micros) AS BIGINT) AS min_logit,
+  CAST(MAX(logit_micros) AS BIGINT) AS max_logit
+FROM dec GROUP BY 1
+"""
 
 
 def _oracle_mixture_weights() -> str:
@@ -4358,6 +4422,7 @@ FROM docs GROUP BY 1
         "co_location": _oracle_co_location(),
         "jsonl_ingest": _oracle_jsonl_ingest(),
         "mixture_weights": _oracle_mixture_weights(),
+        "quality_deciles": _oracle_quality_deciles(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -1569,3 +1569,25 @@ def test_mixture_weights_budget_never_exceeds_min(spark, sf_dir):
     for r in rows:
         assert r["tokens_after"] <= mn
         assert mn - r["tokens_after"] <= r["n_tokens"] // 1_000_000 + 1
+
+
+# --------------------------------------------------------- quality_deciles
+
+
+def test_quality_deciles_partition_and_order(spark, sf_dir):
+    """Deciles cover all docs, are non-overlapping in logit ranges, and
+    roughly balanced (exact-boundary rule, ties to the lower decile)."""
+    import __spark_entry__ as em
+
+    rows = sorted(
+        em.q_quality_deciles(spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_logit"] <= b["min_logit"]
+    # boundary rule keeps deciles within ±1 of each other barring ties
+    sizes = [r["n_docs"] for r in rows]
+    assert max(sizes) - min(sizes) <= max(3, n_docs // 20)
