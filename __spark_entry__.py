@@ -1859,6 +1859,18 @@ def _cell_day_events(
     )
 
 
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from two count-min sketches (inner
+    product, min over rows) — |lineitem ⋈ heavy-lineitem| on l_partkey
+    without touching the join (operators/sketch.py:cms_join_size)."""
+    from aira_spark.operators.sketch import cms_join_size
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    a = li.selectExpr("CAST(l_partkey AS STRING) AS v")
+    b = li.where("l_quantity > 25").selectExpr("CAST(l_partkey AS STRING) AS v")
+    return cms_join_size(a, b)
+
+
 def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile census of the classifier's quality logit — composes the
     hashed classifier with the two-phase exact-quantile device: 9 exact
@@ -2312,6 +2324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_ingest": q_jsonl_ingest,
         "mixture_weights": q_mixture_weights,
         "quality_deciles": q_quality_deciles,
+        "cms_join_size": q_cms_join_size,
     }
 
 
@@ -3333,6 +3346,15 @@ def _oracle_equalize() -> str:
     from aira_spark.operators.equalize import oracle_equalize_sql
 
     return oracle_equalize_sql(_bands_cte_sql(modulo=4))
+
+
+def _oracle_cms_join_size() -> str:
+    from aira_spark.operators.sketch import oracle_cms_join_sql
+
+    return oracle_cms_join_sql(
+        "SELECT CAST(l_partkey AS VARCHAR) AS v FROM lineitem",
+        "SELECT CAST(l_partkey AS VARCHAR) AS v FROM lineitem WHERE l_quantity > 25",
+    )
 
 
 def _oracle_quality_deciles() -> str:
@@ -4423,6 +4445,7 @@ FROM docs GROUP BY 1
         "jsonl_ingest": _oracle_jsonl_ingest(),
         "mixture_weights": _oracle_mixture_weights(),
         "quality_deciles": _oracle_quality_deciles(),
+        "cms_join_size": _oracle_cms_join_size(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -203,3 +203,62 @@ def cms_point_estimates(
         .join(exact, ["grp", "term"], "left")
         .fillna(0, subset=["true_count"])
     )
+
+
+def cms_join_size(a: DataFrame, b: DataFrame, val: str = "v") -> DataFrame:
+    """(row, inner_prod): count-min JOIN-SIZE estimation — the classic
+    sketch inner product. For equi-join on the sketched key,
+    |A ⋈ B| <= Σ_j cmsA[i][j]·cmsB[i][j] for EVERY row i (hash collisions
+    only add), so min over rows is the estimate and the guarantee is
+    one-sided, exactly like the point queries. Emitted per hash row
+    (0..d-1) plus the fold row -1 = the estimate — the query optimizer's
+    cardinality primitive, computed from two bounded sketches without ever
+    touching the join.
+
+    Scale shape: one counter pass per side (bounded d×w state each), then
+    a (row, bucket) equi-join of two ≤4096-row tables — broadcast, free.
+    Counters are exact integers from the shared hash text, so both engines
+    agree bit-for-bit."""
+    ca = cms_counters(a.selectExpr("'s' AS grp", f"{val} AS v"))
+    cb = cms_counters(b.selectExpr("'s' AS grp", f"{val} AS v"))
+    prod = (
+        ca.selectExpr("row", "bucket", "cnt AS ca")
+        .join(
+            F.broadcast(cb.selectExpr("row", "bucket", "cnt AS cb")),
+            ["row", "bucket"],
+        )
+        .groupBy("row")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("inner_prod"))
+    )
+    est = prod.agg(
+        F.min("inner_prod").cast("long").alias("inner_prod")
+    ).selectExpr("CAST(-1 AS BIGINT) AS row", "inner_prod")
+    return prod.selectExpr("CAST(row AS BIGINT) AS row", "inner_prod").unionByName(est)
+
+
+def oracle_cms_join_sql(a_sql: str, b_sql: str) -> str:
+    """DuckDB mirror over two subqueries each yielding a key column `v`."""
+    from ..functions.sketchfns import CM_DEPTH, cm_bucket_expr
+
+    def counters(src: str, name: str) -> str:
+        arms = "\nUNION ALL\n".join(
+            f"SELECT CAST({i} AS BIGINT) AS row, "
+            f"CAST({cm_bucket_expr('v', i, 'duckdb')} AS BIGINT) AS bucket, "
+            f"CAST(COUNT(*) AS BIGINT) AS cnt FROM {name}_src "
+            "WHERE v IS NOT NULL GROUP BY 2"
+            for i in range(CM_DEPTH)
+        )
+        return f"{name}_src AS ({src}),\n{name} AS (\n{arms}\n)"
+
+    return f"""
+WITH {counters(a_sql, "ca")},
+{counters(b_sql, "cb")},
+prod AS (
+  SELECT ca.row, CAST(SUM(ca.cnt * cb.cnt) AS BIGINT) AS inner_prod
+  FROM ca JOIN cb ON cb.row = ca.row AND cb.bucket = ca.bucket
+  GROUP BY 1
+)
+SELECT row, inner_prod FROM prod
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(MIN(inner_prod) AS BIGINT) FROM prod
+"""

@@ -1591,3 +1591,35 @@ def test_quality_deciles_partition_and_order(spark, sf_dir):
     # boundary rule keeps deciles within ±1 of each other barring ties
     sizes = [r["n_docs"] for r in rows]
     assert max(sizes) - min(sizes) <= max(3, n_docs // 20)
+
+
+# ------------------------------------------------------------ cms_join_size
+
+
+def test_cms_join_size_guarantee_and_tightness(spark, sf_dir):
+    """One-sided: est >= true join size on every row; tight on the real
+    (low-collision) key distribution."""
+    import __spark_entry__ as em
+
+    rows = {r["row"]: r["inner_prod"]
+            for r in em.q_cms_join_size(spark, sf_dir).collect()}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    a = li.selectExpr("l_partkey AS k")
+    b = li.where("l_quantity > 25").selectExpr("l_partkey AS k")
+    true_size = a.join(b, "k").count()
+    est = rows[-1]
+    assert est == min(rows[i] for i in range(4))
+    for i in range(4):
+        assert rows[i] >= true_size
+    assert est <= true_size * 1.2  # 4x1024 sketch on ~2k keys stays tight
+
+
+def test_cms_join_size_exact_on_disjoint(spark):
+    from aira_spark.operators.sketch import cms_join_size
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(50)], "v string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(50)], "v string")
+    rows = {r["row"]: r["inner_prod"] for r in cms_join_size(a, b).collect()}
+    # disjoint keys: the only inner-product mass is hash collisions —
+    # bounded, and usually zero on 100 keys over 4096 buckets
+    assert rows[-1] <= 5
