@@ -1859,6 +1859,22 @@ def _cell_day_events(
     )
 
 
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts over the kNN digraph (undirected) — compact-forward
+    with degree-ordered orientation (operators/graph.py:triangle_counts)."""
+    from aira_spark.operators.graph import triangle_counts
+    from aira_spark.operators.spatial import knn_join
+    from aira_spark.sources.vectors import points_table
+
+    pts = points_table(spark, sf_dir)
+    queries = pts.selectExpr("point_id AS query_id", "x", "y")
+    nn = knn_join(queries, pts, k=6, res=CELL_RES)
+    edges = nn.filter(F.col("neighbor_id") != F.col("query_id")).select(
+        F.col("query_id").alias("doc_a"), F.col("neighbor_id").alias("doc_b")
+    )
+    return triangle_counts(edges)
+
+
 def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-cardinality estimation from two count-min sketches (inner
     product, min over rows) — |lineitem ⋈ heavy-lineitem| on l_partkey
@@ -2325,6 +2341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": q_mixture_weights,
         "quality_deciles": q_quality_deciles,
         "cms_join_size": q_cms_join_size,
+        "triangles": q_triangles,
     }
 
 
@@ -3346,6 +3363,12 @@ def _oracle_equalize() -> str:
     from aira_spark.operators.equalize import oracle_equalize_sql
 
     return oracle_equalize_sql(_bands_cte_sql(modulo=4))
+
+
+def _oracle_triangles() -> str:
+    from aira_spark.operators.graph import oracle_triangles_sql
+
+    return oracle_triangles_sql(_knn_edges_cte())
 
 
 def _oracle_cms_join_size() -> str:
@@ -4446,6 +4469,7 @@ FROM docs GROUP BY 1
         "mixture_weights": _oracle_mixture_weights(),
         "quality_deciles": _oracle_quality_deciles(),
         "cms_join_size": _oracle_cms_join_size(),
+        "triangles": _oracle_triangles(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -161,3 +161,79 @@ def oracle_bfs_sql(
         f"WITH {edges_cte},\n" + ",\n".join(parts)
         + f"\nSELECT node, hop FROM d{max_hops}"
     )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """(node, n_tri): triangles through every node, plus the fold row
+    node = -1 carrying the GLOBAL triangle count — the standard clustering
+    primitive (cohesion, community strength) over the kNN graph.
+
+    The classic compact-forward shape: undirect + dedup the edge set, then
+    ORIENT every edge from the (degree, id)-smaller endpoint to the larger
+    — each node's oriented out-degree is O(sqrt(m)) whatever the degree
+    skew, so the wedge join (out-neighbor pairs per node) is bounded where
+    a naive orientation blows up on hubs. Wedges close into triangles via
+    one more equi-join against the oriented edge list. Every exchange
+    carries integer id pairs/triples; per-node counts come from scattering
+    each triangle to its 3 corners into one hash agg."""
+    und = (
+        edges.selectExpr("doc_a AS a", "doc_b AS b")
+        .unionByName(edges.selectExpr("doc_b AS a", "doc_a AS b"))
+        .where("a != b")
+        .distinct()
+    )
+    deg = und.groupBy("a").agg(F.count("*").alias("deg"))
+    # orient: keep (a,b) iff (deg(a), a) < (deg(b), b)
+    d1 = deg.selectExpr("a", "deg AS dega")
+    d2 = deg.selectExpr("a AS b", "deg AS degb")
+    o = (
+        und.join(d1, "a").join(d2, "b")
+        .where("(dega < degb) OR (dega = degb AND a < b)")
+        .select("a", "b")
+        .localCheckpoint(eager=True)  # reused by the wedge AND close joins
+    )
+    x = o.selectExpr("a", "b AS v")
+    y = o.selectExpr("a", "b AS w")
+    wedges = x.join(y, "a").where("v < w")
+    # the closing edge lives in o in DEGREE order, which need not match the
+    # wedge's id order — normalize both sides to (min id, max id)
+    o_norm = o.selectExpr("least(a, b) AS v", "greatest(a, b) AS w")
+    tri = wedges.join(o_norm, ["v", "w"]).select(
+        F.col("a").alias("n1"), F.col("v").alias("n2"), F.col("w").alias("n3")
+    )
+    per_node = (
+        tri.selectExpr("explode(array(n1, n2, n3)) AS node")
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_tri"))
+    )
+    total = per_node.agg(
+        (F.sum("n_tri") / 3).cast("long").alias("n_tri")
+    ).selectExpr("CAST(-1 AS BIGINT) AS node", "n_tri")
+    return per_node.selectExpr("CAST(node AS BIGINT) AS node", "n_tri").unionByName(total)
+
+
+def oracle_triangles_sql(edges_cte: str) -> str:
+    """DuckDB mirror: an INDEPENDENT formulation — plain a<b<c three-way
+    join over the undirected distinct edge set (no orientation trick)."""
+    return f"""
+WITH {edges_cte},
+und AS (
+  SELECT src AS a, dst AS b FROM edges WHERE src != dst
+  UNION SELECT dst, src FROM edges WHERE src != dst
+),
+tri AS (
+  SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b AND e2.b > e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+  WHERE e1.a < e1.b
+),
+per_node AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+  FROM (SELECT unnest([n1, n2, n3]) AS node FROM tri)
+  GROUP BY 1
+)
+SELECT CAST(node AS BIGINT) AS node, n_tri FROM per_node
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(COALESCE(SUM(n_tri), 0) // 3 AS BIGINT) FROM per_node
+"""

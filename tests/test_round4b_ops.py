@@ -1623,3 +1623,34 @@ def test_cms_join_size_exact_on_disjoint(spark):
     # disjoint keys: the only inner-product mass is hash collisions —
     # bounded, and usually zero on 100 keys over 4096 buckets
     assert rows[-1] <= 5
+
+
+# --------------------------------------------------------------- triangles
+
+
+def test_triangle_counts_hand_graphs(spark):
+    from aira_spark.operators.graph import triangle_counts
+
+    # K4 (4 triangles, 3 per node) + a square with one diagonal (2
+    # triangles) + a triangle-free path
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    sq = [(10, 11), (11, 12), (12, 13), (13, 10), (10, 12)]
+    path = [(20, 21), (21, 22)]
+    df = spark.createDataFrame(k4 + sq + path, "doc_a long, doc_b long")
+    got = {r["node"]: r["n_tri"] for r in triangle_counts(df).collect()}
+    assert got[-1] == 4 + 2
+    for n in range(4):
+        assert got[n] == 3
+    assert got[10] == 2 and got[12] == 2 and got[11] == 1 and got[13] == 1
+    assert 20 not in got and 22 not in got
+
+
+def test_triangle_counts_duplicate_and_reversed_edges_collapse(spark):
+    from aira_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (1, 2)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["node"]: r["n_tri"] for r in triangle_counts(df).collect()}
+    assert got == {-1: 1, 1: 1, 2: 1, 3: 1}
