@@ -1859,6 +1859,22 @@ def _cell_day_events(
     )
 
 
+def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom filter audit: build over heavy lineitem part keys,
+    probe every part key; exact hit/true/false-positive census
+    (operators/sketch.py:bloom_probe)."""
+    from aira_spark.operators.sketch import bloom_probe
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    build = li.where("l_quantity > 45").selectExpr(
+        "CAST(l_partkey AS STRING) AS v"
+    )
+    probe = spark.read.parquet(f"{sf_dir}/part.parquet").selectExpr(
+        "CAST(p_partkey AS STRING) AS v"
+    )
+    return bloom_probe(build, probe)
+
+
 def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counts over the kNN digraph (undirected) — compact-forward
     with degree-ordered orientation (operators/graph.py:triangle_counts)."""
@@ -2342,6 +2358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_deciles": q_quality_deciles,
         "cms_join_size": q_cms_join_size,
         "triangles": q_triangles,
+        "bloom_probe": q_bloom_probe,
     }
 
 
@@ -3363,6 +3380,15 @@ def _oracle_equalize() -> str:
     from aira_spark.operators.equalize import oracle_equalize_sql
 
     return oracle_equalize_sql(_bands_cte_sql(modulo=4))
+
+
+def _oracle_bloom_probe() -> str:
+    from aira_spark.operators.sketch import oracle_bloom_sql
+
+    return oracle_bloom_sql(
+        "SELECT CAST(l_partkey AS VARCHAR) AS v FROM lineitem WHERE l_quantity > 45",
+        "SELECT CAST(p_partkey AS VARCHAR) AS v FROM part",
+    )
 
 
 def _oracle_triangles() -> str:
@@ -4470,6 +4496,7 @@ FROM docs GROUP BY 1
         "quality_deciles": _oracle_quality_deciles(),
         "cms_join_size": _oracle_cms_join_size(),
         "triangles": _oracle_triangles(),
+        "bloom_probe": _oracle_bloom_probe(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -262,3 +262,88 @@ SELECT row, inner_prod FROM prod
 UNION ALL
 SELECT CAST(-1 AS BIGINT), CAST(MIN(inner_prod) AS BIGINT) FROM prod
 """
+
+
+def bloom_probe(build: DataFrame, probe: DataFrame, val: str = "v") -> DataFrame:
+    """One row (n_bits_set, n_probed, n_hits, n_true, n_false_pos): build a
+    PORTABLE Bloom filter over `build` and probe every distinct `probe`
+    value — the join-pruning primitive (ship the bits, skip the shuffle for
+    rows that cannot match), made engine-reproducible by reusing the
+    count-min hash rows: the filter IS the CMS with counts clipped to
+    presence, bits = distinct (row, bucket) over d=4 independent md5-based
+    hashes x w=1024 buckets. A value hits iff all 4 of its (row, bucket)
+    bits are set — one-sided like every sketch here (no false negatives;
+    n_false_pos measures the rate the 4096-bit budget buys).
+
+    Scale shape: the build side folds to <= 4096 DISTINCT bit rows (one
+    pass, map-side combined) and BROADCASTS; the probe side explodes its 4
+    arms and equi-joins the bits — hits are keys whose matched-arm count
+    is 4. Nothing but (row, bucket) ids and probe keys move."""
+    from ..functions.sketchfns import CM_DEPTH, cm_bucket_expr
+
+    arms = ", ".join(
+        f"named_struct('row', {i}, 'bucket', {cm_bucket_expr('v', i, 'spark')})"
+        for i in range(CM_DEPTH)
+    )
+    bset = build.selectExpr(f"{val} AS v").where("v IS NOT NULL").distinct()
+    bits = (
+        bset.selectExpr(f"explode(array({arms})) AS rb")
+        .select(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .distinct()
+    )
+    pset = probe.selectExpr(f"{val} AS v").where("v IS NOT NULL").distinct()
+    probed = pset.selectExpr(
+        "v", f"explode(array({arms})) AS rb"
+    ).select(
+        "v", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+    )
+    hits = (
+        probed.join(F.broadcast(bits), ["row", "bucket"])
+        .groupBy("v")
+        .agg(F.count("*").alias("n_arms"))
+        .where(F.col("n_arms") == CM_DEPTH)
+        .select("v")
+    )
+    truth = pset.join(bset.withColumnRenamed("v", "v2"), F.col("v") == F.col("v2"), "left_semi")
+    n_bits = bits.count()
+    n_probed = pset.count()
+    n_hits = hits.count()
+    n_true = truth.count()
+    n_fp = hits.join(truth, "v", "left_anti").count()
+    return build.sparkSession.createDataFrame(
+        [(n_bits, n_probed, n_hits, n_true, n_fp)],
+        "n_bits_set long, n_probed long, n_hits long, n_true long, n_false_pos long",
+    )
+
+
+def oracle_bloom_sql(build_sql: str, probe_sql: str) -> str:
+    """DuckDB mirror over subqueries each yielding a key column `v`."""
+    from ..functions.sketchfns import CM_DEPTH, cm_bucket_expr
+
+    bit_arms = "\nUNION\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS row, "
+        f"CAST({cm_bucket_expr('v', i, 'duckdb')} AS BIGINT) AS bucket "
+        "FROM bset"
+        for i in range(CM_DEPTH)
+    )
+    probe_arms = "\nUNION ALL\n".join(
+        f"SELECT v, CAST({i} AS BIGINT) AS row, "
+        f"CAST({cm_bucket_expr('v', i, 'duckdb')} AS BIGINT) AS bucket "
+        "FROM pset"
+        for i in range(CM_DEPTH)
+    )
+    return f"""
+WITH bset AS (SELECT DISTINCT v FROM ({build_sql}) WHERE v IS NOT NULL),
+pset AS (SELECT DISTINCT v FROM ({probe_sql}) WHERE v IS NOT NULL),
+bits AS ({bit_arms}),
+probed AS ({probe_arms}),
+hits AS (
+  SELECT p.v FROM probed p JOIN bits b ON b.row = p.row AND b.bucket = p.bucket
+  GROUP BY p.v HAVING COUNT(*) = {CM_DEPTH}
+)
+SELECT CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS n_bits_set,
+  CAST((SELECT COUNT(*) FROM pset) AS BIGINT) AS n_probed,
+  CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_hits,
+  CAST((SELECT COUNT(*) FROM pset WHERE v IN (SELECT v FROM bset)) AS BIGINT) AS n_true,
+  CAST((SELECT COUNT(*) FROM hits WHERE v NOT IN (SELECT v FROM bset)) AS BIGINT) AS n_false_pos
+"""

@@ -1654,3 +1654,42 @@ def test_triangle_counts_duplicate_and_reversed_edges_collapse(spark):
     )
     got = {r["node"]: r["n_tri"] for r in triangle_counts(df).collect()}
     assert got == {-1: 1, 1: 1, 2: 1, 3: 1}
+
+
+# -------------------------------------------------------------- bloom_probe
+
+
+def test_bloom_no_false_negatives_and_sane_fp(spark):
+    from aira_spark.operators.sketch import bloom_probe
+
+    build = spark.createDataFrame([(f"k{i}",) for i in range(100)], "v string")
+    probe = spark.createDataFrame(
+        [(f"k{i}",) for i in range(100)] + [(f"x{i}",) for i in range(400)],
+        "v string",
+    )
+    r = bloom_probe(build, probe).collect()[0]
+    assert r["n_probed"] == 500 and r["n_true"] == 100
+    # one-sided: every true member hits
+    assert r["n_hits"] - r["n_false_pos"] == 100
+    # 400 bits over 4096, k=4: fp rate ~ (400/4096)^4 ~ 1e-4 — a handful max
+    assert r["n_false_pos"] <= 3
+    assert r["n_bits_set"] <= 400
+
+
+def test_bloom_membership_census_matches_exact(spark, sf_dir):
+    import __spark_entry__ as em
+
+    r = em.q_bloom_probe(spark, sf_dir).collect()[0]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    true = (
+        part.selectExpr("p_partkey AS k")
+        .join(
+            li.where("l_quantity > 45").selectExpr("l_partkey AS k").distinct(),
+            "k", "left_semi",
+        )
+        .count()
+    )
+    assert r["n_true"] == true
+    assert r["n_hits"] >= r["n_true"]  # no false negatives
+    assert r["n_false_pos"] == r["n_hits"] - r["n_true"]
