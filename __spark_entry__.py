@@ -1859,6 +1859,18 @@ def _cell_day_events(
     )
 
 
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension of each user's event_type over time — change
+    detection + interval closing in one entity-local shuffle
+    (operators/scd.py)."""
+    from aira_spark.operators.scd import scd2_build
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id", "event_id", "ts", "event_type AS attr"
+    )
+    return scd2_build(ev)
+
+
 def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable Bloom filter audit: build over heavy lineitem part keys,
     probe every part key; exact hit/true/false-positive census
@@ -2359,6 +2371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_join_size": q_cms_join_size,
         "triangles": q_triangles,
         "bloom_probe": q_bloom_probe,
+        "scd2": q_scd2,
     }
 
 
@@ -3380,6 +3393,12 @@ def _oracle_equalize() -> str:
     from aira_spark.operators.equalize import oracle_equalize_sql
 
     return oracle_equalize_sql(_bands_cte_sql(modulo=4))
+
+
+def _oracle_scd2() -> str:
+    from aira_spark.operators.scd import oracle_scd2_sql
+
+    return oracle_scd2_sql("events", "event_type")
 
 
 def _oracle_bloom_probe() -> str:
@@ -4497,6 +4516,7 @@ FROM docs GROUP BY 1
         "cms_join_size": _oracle_cms_join_size(),
         "triangles": _oracle_triangles(),
         "bloom_probe": _oracle_bloom_probe(),
+        "scd2": _oracle_scd2(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -1693,3 +1693,54 @@ def test_bloom_membership_census_matches_exact(spark, sf_dir):
     assert r["n_true"] == true
     assert r["n_hits"] >= r["n_true"]  # no false negatives
     assert r["n_false_pos"] == r["n_hits"] - r["n_true"]
+
+
+# -------------------------------------------------------------------- scd2
+
+
+def test_scd2_hand_history(spark):
+    from datetime import datetime
+
+    from aira_spark.operators.scd import scd2_build
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    ev = spark.createDataFrame(
+        [
+            (1, 10, t(1), "bronze"), (1, 11, t(2), "bronze"),  # dup collapses
+            (1, 12, t(3), "gold"), (1, 13, t(4), "bronze"),   # back again
+            (2, 20, t(5), "silver"),
+        ],
+        "user_id long, event_id long, ts timestamp, attr string",
+    )
+    rows = sorted(
+        scd2_build(ev).collect(), key=lambda r: (r["user_id"], r["version"])
+    )
+    hist = [(r["user_id"], r["attr"], r["version"], r["is_current"]) for r in rows]
+    assert hist == [
+        (1, "bronze", 1, 0), (1, "gold", 2, 0), (1, "bronze", 3, 1),
+        (2, "silver", 1, 1),
+    ]
+    # intervals chain: each valid_to equals the next valid_from
+    u1 = [r for r in rows if r["user_id"] == 1]
+    assert u1[0]["valid_to"] == u1[1]["valid_from"]
+    assert u1[1]["valid_to"] == u1[2]["valid_from"]
+    assert u1[2]["valid_to"] is None
+
+
+def test_scd2_intervals_cover_and_chain(spark, sf_dir):
+    import __spark_entry__ as em
+    from collections import defaultdict
+
+    rows = em.q_scd2(spark, sf_dir).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    for u, rs in by_user.items():
+        rs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in rs] == list(range(1, len(rs) + 1))
+        assert sum(r["is_current"] for r in rs) == 1 and rs[-1]["is_current"] == 1
+        for a, b in zip(rs, rs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["attr"] != b["attr"]  # consecutive dups collapsed
