@@ -1859,6 +1859,18 @@ def _cell_day_events(
     )
 
 
+def q_morton_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order range-scan audit: the benchmark window decomposed into
+    literal morton key ranges; range-scan count must equal the direct
+    cell-snapped bbox count (operators/mortonq.py)."""
+    from aira_spark.operators.mortonq import morton_range_audit
+    from aira_spark.sources.vectors import points_table
+
+    return morton_range_audit(
+        points_table(spark, sf_dir).select("x", "y"), _WIN, CELL_RES
+    )
+
+
 def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 dimension of each user's event_type over time — change
     detection + interval closing in one entity-local shuffle
@@ -2372,6 +2384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "bloom_probe": q_bloom_probe,
         "scd2": q_scd2,
+        "morton_ranges": q_morton_ranges,
     }
 
 
@@ -3393,6 +3406,13 @@ def _oracle_equalize() -> str:
     from aira_spark.operators.equalize import oracle_equalize_sql
 
     return oracle_equalize_sql(_bands_cte_sql(modulo=4))
+
+
+def _oracle_morton_ranges() -> str:
+    from aira_spark.operators.mortonq import oracle_morton_sql
+    from aira_spark.sources.vectors import points_oracle_sql
+
+    return oracle_morton_sql(points_oracle_sql(), _WIN, CELL_RES)
 
 
 def _oracle_scd2() -> str:
@@ -4517,6 +4537,7 @@ FROM docs GROUP BY 1
         "triangles": _oracle_triangles(),
         "bloom_probe": _oracle_bloom_probe(),
         "scd2": _oracle_scd2(),
+        "morton_ranges": _oracle_morton_ranges(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -1744,3 +1744,35 @@ def test_scd2_intervals_cover_and_chain(spark, sf_dir):
         for a, b in zip(rs, rs[1:]):
             assert a["valid_to"] == b["valid_from"]
             assert a["attr"] != b["attr"]  # consecutive dups collapsed
+
+
+# ------------------------------------------------------------ morton_ranges
+
+
+def test_morton_decomposition_exact_coverage():
+    from aira_spark.operators.mortonq import _interleave, morton_ranges
+
+    res = 5
+    for rect in [(0, 0, 31, 31), (3, 5, 17, 29), (7, 7, 7, 7), (0, 30, 31, 31)]:
+        ranges = morton_ranges(*rect, res)
+        # disjoint + sorted
+        for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
+            assert h1 < l2 or h1 <= l2
+        covered = set()
+        for lo, hi in ranges:
+            covered.update(range(lo, hi))
+        ix0, iy0, ix1, iy1 = rect
+        want = {
+            _interleave(x, y, res)
+            for x in range(ix0, ix1 + 1) for y in range(iy0, iy1 + 1)
+        }
+        assert covered == want, rect
+
+
+def test_morton_audit_counts_agree(spark, sf_dir):
+    import __spark_entry__ as em
+
+    r = em.q_morton_ranges(spark, sf_dir).collect()[0]
+    assert r["n_pts_ranges"] == r["n_pts_bbox"]
+    assert r["n_pts_bbox"] > 0
+    assert 1 <= r["n_ranges"] <= 4 * (1 << em.CELL_RES)  # perimeter bound
