@@ -1859,6 +1859,29 @@ def _cell_day_events(
     )
 
 
+def q_texture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band Gini-impurity texture census — the log-free value-diversity
+    measure riding band_histogram's one-decode sparse histogram
+    (operators/equalize.py:texture_stats)."""
+    from aira_spark.operators.equalize import texture_stats
+
+    return texture_stats(_images(spark, sf_dir, modulo=4))
+
+
+def q_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-session occupancy per hour (30-min-gap sessions, bounded
+    interval->hour explode) — capacity analytics over events
+    (operators/occupancy.py)."""
+    from aira_spark.operators.occupancy import session_occupancy
+
+    return session_occupancy(
+        spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "user_id", "event_id", "ts"
+        ),
+        gap_minutes=30,
+    )
+
+
 def q_morton_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order range-scan audit: the benchmark window decomposed into
     literal morton key ranges; range-scan count must equal the direct
@@ -2385,6 +2408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_probe": q_bloom_probe,
         "scd2": q_scd2,
         "morton_ranges": q_morton_ranges,
+        "occupancy": q_occupancy,
+        "texture_stats": q_texture_stats,
     }
 
 
@@ -3406,6 +3431,18 @@ def _oracle_equalize() -> str:
     from aira_spark.operators.equalize import oracle_equalize_sql
 
     return oracle_equalize_sql(_bands_cte_sql(modulo=4))
+
+
+def _oracle_texture_stats() -> str:
+    from aira_spark.operators.equalize import oracle_texture_sql
+
+    return oracle_texture_sql(_bands_cte_sql(modulo=4))
+
+
+def _oracle_occupancy() -> str:
+    from aira_spark.operators.occupancy import oracle_occupancy_sql
+
+    return oracle_occupancy_sql("events", gap_minutes=30)
 
 
 def _oracle_morton_ranges() -> str:
@@ -4538,6 +4575,8 @@ FROM docs GROUP BY 1
         "bloom_probe": _oracle_bloom_probe(),
         "scd2": _oracle_scd2(),
         "morton_ranges": _oracle_morton_ranges(),
+        "occupancy": _oracle_occupancy(),
+        "texture_stats": _oracle_texture_stats(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

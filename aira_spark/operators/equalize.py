@@ -79,3 +79,54 @@ SELECT image_id, band, value, cnt, CAST(cdf AS BIGINT) AS cdf,
        ELSE ((cdf - cdf_min) * 255) // (n - cdf_min) END AS BIGINT) AS eq_val
 FROM lut
 """
+
+
+def texture_stats(images: DataFrame) -> DataFrame:
+    """(image_id, band, n_px, n_distinct, max_cnt, gini_e6): per-band value
+    diversity — Gini impurity 1 - Σ(c/n)² as the log-free texture /
+    complexity measure (flat fills score 0, uniform noise approaches 1;
+    the curation signal for blank/synthetic-image filtering).
+
+    Exactness: gini_e6 = ((n² - Σc²) * 1e6) DIV n² — pure integer
+    arithmetic over exact counts (entropy would drag libm logs into the
+    checked output; Gini ranks the same way). Shape: rides band_histogram's
+    one-decode sparse histogram; the fold is a ≤256-row-per-band hash agg,
+    pixels never shuffle."""
+    hist = band_histogram(images)
+    return (
+        hist.groupBy("image_id", F.col("band").cast("long").alias("band"))
+        .agg(
+            F.sum("cnt").cast("long").alias("n_px"),
+            F.count("*").cast("long").alias("n_distinct"),
+            F.max("cnt").cast("long").alias("max_cnt"),
+            F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("sum_c2"),
+        )
+        .selectExpr(
+            "image_id", "band", "n_px", "n_distinct", "max_cnt",
+            "CAST(((n_px * n_px - sum_c2) * 1000000) DIV (n_px * n_px)"
+            " AS BIGINT) AS gini_e6",
+        )
+    )
+
+
+def oracle_texture_sql(bands_cte: str) -> str:
+    """DuckDB mirror over the bands CTE (one row per pixel per band)."""
+    return f"""
+WITH {bands_cte},
+hist AS (
+  SELECT image_id, CAST(s AS BIGINT) AS band,
+         (r * 7 + c * 13 + s * 29 + k) % 256 AS value,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM bands GROUP BY 1, 2, 3
+),
+st AS (
+  SELECT image_id, band, CAST(SUM(cnt) AS BIGINT) AS n_px,
+    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+    CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+    CAST(SUM(cnt * cnt) AS BIGINT) AS sum_c2
+  FROM hist GROUP BY 1, 2
+)
+SELECT image_id, band, n_px, n_distinct, max_cnt,
+  CAST(((n_px * n_px - sum_c2) * 1000000) // (n_px * n_px) AS BIGINT) AS gini_e6
+FROM st
+"""

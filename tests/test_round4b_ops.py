@@ -1776,3 +1776,56 @@ def test_morton_audit_counts_agree(spark, sf_dir):
     assert r["n_pts_ranges"] == r["n_pts_bbox"]
     assert r["n_pts_bbox"] > 0
     assert 1 <= r["n_ranges"] <= 4 * (1 << em.CELL_RES)  # perimeter bound
+
+
+# ----------------------------------------------------------- occupancy/gini
+
+
+def test_occupancy_hand_sessions(spark):
+    from datetime import datetime
+
+    from aira_spark.operators.occupancy import session_occupancy
+
+    def t(h, m):
+        return datetime(2024, 1, 1, h, m)
+
+    ev = spark.createDataFrame(
+        [
+            # user 1: one session 00:10 -> 02:05 (gaps < 30m) -> hours 0,1,2
+            (1, 1, t(0, 10)), (1, 2, t(0, 35)), (1, 3, t(1, 0)),
+            (1, 4, t(1, 25)), (1, 5, t(1, 50)), (1, 6, t(2, 5)),
+            # user 1: second session after a 3h gap -> hour 5
+            (1, 7, t(5, 15)),
+            # user 2: session overlapping hour 1 only
+            (2, 8, t(1, 40)), (2, 9, t(1, 55)),
+        ],
+        "user_id long, event_id long, ts timestamp",
+    )
+    got = {r["hour"][:13]: (r["n_sessions"], r["n_users"])
+           for r in session_occupancy(ev, 30).collect()}
+    assert got == {
+        "2024-01-01 00": (1, 1),
+        "2024-01-01 01": (2, 2),
+        "2024-01-01 02": (1, 1),
+        "2024-01-01 05": (1, 1),
+    }
+
+
+def test_texture_gini_extremes(spark):
+    import numpy as np
+
+    from aira_spark.operators.equalize import texture_stats
+    from aira_spark.tiff.encode import write_tiff
+
+    flat = np.full((8, 8), 7, dtype=np.uint8)
+    distinct = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    rows = []
+    for name, a in (("flat", flat), ("uniq", distinct)):
+        rows.append((name, bytearray(write_tiff(a[:, :, None]))))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    got = {r["image_id"]: r for r in texture_stats(df).collect()}
+    assert got["flat"]["gini_e6"] == 0
+    assert got["flat"]["n_distinct"] == 1 and got["flat"]["max_cnt"] == 64
+    # 64 distinct values of 64 px: gini = 1 - 64/64^2 = 63/64
+    assert got["uniq"]["gini_e6"] == (63 * 1_000_000) // 64
+    assert got["uniq"]["n_distinct"] == 64 and got["uniq"]["max_cnt"] == 1
