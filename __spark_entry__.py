@@ -1859,6 +1859,18 @@ def _cell_day_events(
     )
 
 
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequently-bought-together part pairs over order baskets, support
+    >= 2 — within-basket pair join with the oversized-basket guard
+    (operators/basket.py)."""
+    from aira_spark.operators.basket import basket_pairs
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+        "l_orderkey AS order_id", "l_partkey AS item"
+    )
+    return basket_pairs(li, min_support=2)
+
+
 def q_texture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-band Gini-impurity texture census — the log-free value-diversity
     measure riding band_histogram's one-decode sparse histogram
@@ -2410,6 +2422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morton_ranges": q_morton_ranges,
         "occupancy": q_occupancy,
         "texture_stats": q_texture_stats,
+        "basket_pairs": q_basket_pairs,
     }
 
 
@@ -3431,6 +3444,15 @@ def _oracle_equalize() -> str:
     from aira_spark.operators.equalize import oracle_equalize_sql
 
     return oracle_equalize_sql(_bands_cte_sql(modulo=4))
+
+
+def _oracle_basket_pairs() -> str:
+    from aira_spark.operators.basket import oracle_basket_sql
+
+    return oracle_basket_sql(
+        "SELECT l_orderkey AS order_id, l_partkey AS item FROM lineitem",
+        min_support=2,
+    )
 
 
 def _oracle_texture_stats() -> str:
@@ -4577,6 +4599,7 @@ FROM docs GROUP BY 1
         "morton_ranges": _oracle_morton_ranges(),
         "occupancy": _oracle_occupancy(),
         "texture_stats": _oracle_texture_stats(),
+        "basket_pairs": _oracle_basket_pairs(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

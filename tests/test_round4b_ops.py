@@ -1829,3 +1829,36 @@ def test_texture_gini_extremes(spark):
     # 64 distinct values of 64 px: gini = 1 - 64/64^2 = 63/64
     assert got["uniq"]["gini_e6"] == (63 * 1_000_000) // 64
     assert got["uniq"]["n_distinct"] == 64 and got["uniq"]["max_cnt"] == 1
+
+
+# ------------------------------------------------------------- basket_pairs
+
+
+def test_basket_pairs_hand_orders(spark):
+    from aira_spark.operators.basket import basket_pairs
+
+    rows = [
+        (1, 10), (1, 20), (1, 30),
+        (2, 10), (2, 20),
+        (3, 10), (3, 20), (3, 20),  # dup item collapses
+        (4, 99),
+    ]
+    items = spark.createDataFrame(rows, "order_id long, item long")
+    got = {(r["item_a"], r["item_b"]): r["n_orders"]
+           for r in basket_pairs(items, min_support=2).collect()}
+    assert got == {(10, 20): 3}
+    all_pairs = {(r["item_a"], r["item_b"]): r["n_orders"]
+                 for r in basket_pairs(items, min_support=1).collect()}
+    assert all_pairs == {(10, 20): 3, (10, 30): 1, (20, 30): 1}
+
+
+def test_basket_pairs_guard(spark):
+    import pytest as pt
+
+    from aira_spark.operators.basket import basket_pairs
+
+    items = spark.createDataFrame(
+        [(1, i) for i in range(100)], "order_id long, item long"
+    )
+    with pt.raises(RuntimeError, match="max_basket"):
+        basket_pairs(items, max_basket=50).collect()
