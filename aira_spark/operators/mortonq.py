@@ -94,7 +94,17 @@ def morton_range_audit(
         "mkey", morton_from_xy(F.col("x"), F.col("y"), res)
     )
     n_ranges = len(ranges)
-    by_range = keyed.where(F.expr(range_predicate_sql(ranges, "mkey"))).count()
+    # broadcast range JOIN, not a literal OR chain: a 64+-arm OR inside the
+    # count's hash agg blows past whole-stage codegen's method-size limit
+    # (observed janino compile failure -> interpreted fallback); the
+    # broadcast non-equi join is the plan a range index produces anyway
+    rdf = points.sparkSession.createDataFrame(
+        list(ranges), "lo long, hi long"
+    )
+    by_range = keyed.join(
+        F.broadcast(rdf),
+        (F.col("mkey") >= F.col("lo")) & (F.col("mkey") < F.col("hi")),
+    ).count()
     # the exact cell-snapped bbox: compare at CELL granularity (the ranges
     # cover whole cells, so the direct predicate snaps the same way)
     n = 1 << res
