@@ -1859,6 +1859,20 @@ def _cell_day_events(
     )
 
 
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column DQ census of events (nulls deterministically injected
+    into props at event_id % 13 == 0 — the source is null-free) — one wide
+    agg, unpivoted (operators/profile.py)."""
+    from aira_spark.operators.profile import profile_table
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_id", "user_id", "event_type",
+        "CASE WHEN event_id % 13 = 0 THEN NULL ELSE props END AS props",
+        "CAST(ts AS STRING) AS ts",
+    )
+    return profile_table(ev)
+
+
 def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequently-bought-together part pairs over order baskets, support
     >= 2 — within-basket pair join with the oversized-basket guard
@@ -2423,6 +2437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "occupancy": q_occupancy,
         "texture_stats": q_texture_stats,
         "basket_pairs": q_basket_pairs,
+        "profile": q_profile,
     }
 
 
@@ -3444,6 +3459,19 @@ def _oracle_equalize() -> str:
     from aira_spark.operators.equalize import oracle_equalize_sql
 
     return oracle_equalize_sql(_bands_cte_sql(modulo=4))
+
+
+def _oracle_profile() -> str:
+    from aira_spark.operators.profile import oracle_profile_sql
+
+    src = (
+        "(SELECT event_id, user_id, event_type, "
+        "CASE WHEN event_id % 13 = 0 THEN NULL ELSE props END AS props, "
+        "CAST(ts AS VARCHAR) AS ts FROM events)"
+    )
+    return oracle_profile_sql(
+        src, ["event_id", "user_id", "event_type", "props", "ts"]
+    )
 
 
 def _oracle_basket_pairs() -> str:
@@ -4600,6 +4628,7 @@ FROM docs GROUP BY 1
         "occupancy": _oracle_occupancy(),
         "texture_stats": _oracle_texture_stats(),
         "basket_pairs": _oracle_basket_pairs(),
+        "profile": _oracle_profile(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -1862,3 +1862,33 @@ def test_basket_pairs_guard(spark):
     )
     with pt.raises(RuntimeError, match="max_basket"):
         basket_pairs(items, max_basket=50).collect()
+
+
+# ----------------------------------------------------------------- profile
+
+
+def test_profile_hand_table(spark):
+    from aira_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")],
+        "k long, s string",
+    )
+    got = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert got["k"]["n_rows"] == 4
+    assert got["k"]["n_nulls"] == 1 and got["k"]["n_distinct"] == 3
+    assert (got["k"]["min_s"], got["k"]["max_s"]) == ("1", "3")
+    assert got["s"]["n_nulls"] == 1 and got["s"]["n_distinct"] == 2
+    assert (got["s"]["min_s"], got["s"]["max_s"]) == ("a", "b")
+
+
+def test_profile_one_scan(spark, sf_dir):
+    import __spark_entry__ as em
+    from tests.test_plans import plan_string
+
+    import re
+
+    s = plan_string(em.q_profile(spark, sf_dir))
+    # every column profiled in ONE pass over the file (the formatted plan
+    # names each scan node once in the tree and once in the detail section)
+    assert len(re.findall(r"\(\d+\) Scan parquet", s)) == 1, s
