@@ -1859,6 +1859,44 @@ def _cell_day_events(
     )
 
 
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the BM25 arm and a TF-IDF arm over the
+    same 3 queries (top-20 per arm, fused top-10) — the hybrid-retrieval
+    combiner in exact integers (operators/rank.py:rrf_fusion)."""
+    from pyspark.sql import Window
+
+    from aira_spark.operators.rank import bm25_scores, rrf_fusion
+    from aira_spark.operators.tfidf import tfidf_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id long, term string")
+
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("score_micros").desc(), F.col("doc_id")
+    )
+    arm_a = (
+        bm25_scores(docs, queries)
+        .withColumn("rank", F.row_number().over(wa))
+        .where("rank <= 20")
+        .select("query_id", "doc_id", "rank")
+    )
+    tf = tfidf_weights(docs, min_df=5, max_df_frac="0.5")
+    wb = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("doc_id")
+    )
+    arm_b = (
+        tf.join(F.broadcast(queries), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("tfidf_micros").alias("s"))
+        .withColumn("rank", F.row_number().over(wb))
+        .where("rank <= 20")
+        .select("query_id", "doc_id", "rank")
+    )
+    return rrf_fusion(arm_a, arm_b, k=60, topn=10)
+
+
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column DQ census of events (nulls deterministically injected
     into props at event_id % 13 == 0 — the source is null-free) — one wide
@@ -2438,6 +2476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "texture_stats": q_texture_stats,
         "basket_pairs": q_basket_pairs,
         "profile": q_profile,
+        "rank_fusion": q_rank_fusion,
     }
 
 
@@ -3459,6 +3498,47 @@ def _oracle_equalize() -> str:
     from aira_spark.operators.equalize import oracle_equalize_sql
 
     return oracle_equalize_sql(_bands_cte_sql(modulo=4))
+
+
+def _oracle_rank_fusion() -> str:
+    from aira_spark.operators.rank import oracle_bm25_sql
+    from aira_spark.operators.tfidf import oracle_tfidf_sql
+
+    values = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
+    return f"""
+WITH qt(query_id, term) AS (VALUES {values}),
+arm_a AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY score_micros DESC, doc_id) AS rank
+    FROM ({oracle_bm25_sql(values)})
+  ) WHERE rank <= 20
+),
+arm_b AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT qt.query_id, t.doc_id, ROW_NUMBER() OVER (
+      PARTITION BY qt.query_id
+      ORDER BY SUM(t.tfidf_micros) DESC, t.doc_id) AS rank
+    FROM ({oracle_tfidf_sql("documents", 5, "0.5")}) t
+    JOIN qt ON qt.term = t.term
+    GROUP BY qt.query_id, t.doc_id
+  ) WHERE rank <= 20
+),
+u AS (SELECT * FROM arm_a UNION ALL SELECT * FROM arm_b),
+fused AS (
+  SELECT query_id, doc_id,
+    CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_micros,
+    CAST(COUNT(*) AS BIGINT) AS n_arms
+  FROM u GROUP BY 1, 2
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
+  rrf_micros, n_arms, CAST(fused_rank AS BIGINT) AS fused_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY rrf_micros DESC, doc_id) AS fused_rank
+  FROM fused
+) WHERE fused_rank <= 10
+"""
 
 
 def _oracle_profile() -> str:
@@ -4629,6 +4709,7 @@ FROM docs GROUP BY 1
         "texture_stats": _oracle_texture_stats(),
         "basket_pairs": _oracle_basket_pairs(),
         "profile": _oracle_profile(),
+        "rank_fusion": _oracle_rank_fusion(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -211,3 +211,46 @@ SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
        string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
 FROM hits GROUP BY term HAVING COUNT(*) >= {min_df}
 """
+
+
+def rrf_fusion(
+    arm_a: DataFrame, arm_b: DataFrame, k: int = 60, topn: int = 10
+) -> DataFrame:
+    """(query_id, doc_id, rrf_micros, n_arms, fused_rank): reciprocal-rank
+    fusion of two retrieval arms — the standard score-free ranking combiner
+    (hybrid lexical+semantic search ships this): each arm contributes
+    floor(1e6 / (k + rank)) micros, documents missing from an arm simply
+    contribute nothing, and the fused order is (rrf desc, doc_id).
+
+    Exactness: ranks are integers, each contribution is ONE floor division,
+    the fold is an integer sum — engine-exact, unlike score-space fusion
+    which would mix differently-scaled floats. Shape: both arms arrive as
+    (query_id, doc_id, rank) — bounded top-N per query — so the union +
+    fold + per-query window all run over eval-sized frames; the corpus
+    never re-enters."""
+    u = arm_a.unionByName(arm_b)
+    fused = (
+        u.selectExpr(
+            "query_id", "doc_id",
+            f"CAST(1000000 DIV ({k} + rank) AS BIGINT) AS contrib",
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("contrib").cast("long").alias("rrf_micros"),
+            F.count("*").cast("long").alias("n_arms"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micros").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("fused_rank") <= topn)
+        .selectExpr(
+            "CAST(query_id AS BIGINT) AS query_id",
+            "CAST(doc_id AS BIGINT) AS doc_id",
+            "rrf_micros", "n_arms", "fused_rank",
+        )
+    )

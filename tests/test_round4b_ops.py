@@ -1892,3 +1892,44 @@ def test_profile_one_scan(spark, sf_dir):
     # every column profiled in ONE pass over the file (the formatted plan
     # names each scan node once in the tree and once in the detail section)
     assert len(re.findall(r"\(\d+\) Scan parquet", s)) == 1, s
+
+
+# ------------------------------------------------------------- rank_fusion
+
+
+def test_rrf_fusion_hand_arms(spark):
+    from aira_spark.operators.rank import rrf_fusion
+
+    # arm A ranks docs 1,2,3; arm B ranks 3,2,9 (doc 9 in one arm only)
+    a = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2), (0, 3, 3)], "query_id long, doc_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(0, 3, 1), (0, 2, 2), (0, 9, 3)], "query_id long, doc_id long, rank long"
+    )
+    rows = {r["doc_id"]: r for r in rrf_fusion(a, b, k=60, topn=10).collect()}
+    c = lambda r: 1_000_000 // (60 + r)
+    assert rows[3]["rrf_micros"] == c(3) + c(1) and rows[3]["n_arms"] == 2
+    assert rows[2]["rrf_micros"] == c(2) + c(2)
+    assert rows[1]["rrf_micros"] == c(1) and rows[1]["n_arms"] == 1
+    assert rows[9]["rrf_micros"] == c(3)
+    # fused order: 3 (c(1)+c(3)=32266) > 2 (2x c(2)=32258) > 1 > 9
+    order = sorted(rows.values(), key=lambda r: r["fused_rank"])
+    assert [r["doc_id"] for r in order] == [3, 2, 1, 9]
+
+
+def test_rank_fusion_bounded_and_consistent(spark, sf_dir):
+    import __spark_entry__ as em
+
+    rows = em.q_rank_fusion(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["fused_rank"])
+        assert [r["fused_rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 10
+        vals = [r["rrf_micros"] for r in rs]
+        assert vals == sorted(vals, reverse=True)
+        assert all(1 <= r["n_arms"] <= 2 for r in rs)
