@@ -1859,6 +1859,15 @@ def _cell_day_events(
     )
 
 
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension join under Structured Streaming: events
+    enriched with the broadcast customer segment, watermarked hourly
+    rollup == the batch join+agg (streaming/events.py)."""
+    from aira_spark.streaming.events import run_streaming_enrich
+
+    return run_streaming_enrich(spark, sf_dir)
+
+
 def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion of the BM25 arm and a TF-IDF arm over the
     same 3 queries (top-20 per arm, fused top-10) — the hybrid-retrieval
@@ -2477,6 +2486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_pairs": q_basket_pairs,
         "profile": q_profile,
         "rank_fusion": q_rank_fusion,
+        "streaming_enrich": q_streaming_enrich,
     }
 
 
@@ -3498,6 +3508,17 @@ def _oracle_equalize() -> str:
     from aira_spark.operators.equalize import oracle_equalize_sql
 
     return oracle_equalize_sql(_bands_cte_sql(modulo=4))
+
+
+def _oracle_streaming_enrich() -> str:
+    return """
+SELECT c.c_mktsegment AS mktsegment,
+  CAST(date_trunc('hour', e.ts) AS VARCHAR) AS hour,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(FLOOR(e.value * 100.0) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1, 2
+"""
 
 
 def _oracle_rank_fusion() -> str:
@@ -4710,6 +4731,7 @@ FROM docs GROUP BY 1
         "basket_pairs": _oracle_basket_pairs(),
         "profile": _oracle_profile(),
         "rank_fusion": _oracle_rank_fusion(),
+        "streaming_enrich": _oracle_streaming_enrich(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -391,3 +391,39 @@ def run_streaming_density(
         "n_src_cells",
         "density_16",
     )
+
+
+def run_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joined to the CUSTOMER
+    dimension (stream-static joins broadcast the static side per
+    microbatch — the standard streaming dimension lookup, no state), then
+    a watermarked hourly rollup per market segment. Returns the final
+    table: (mktsegment, hour, n_events, value_cents) — equal to the batch
+    join+agg bit-for-bit (the oracle)."""
+    src = f"{sf_dir}/events.parquet"
+    stage = tempfile.mkdtemp(prefix="aira_stream_")
+    shutil.copy(src, os.path.join(stage, "events.parquet"))
+    schema = spark.read.parquet(src).schema
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").selectExpr(
+        "c_custkey AS user_id", "c_mktsegment AS mktsegment"
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .join(F.broadcast(dim), "user_id")  # stream-static: per-batch lookup
+        .groupBy(F.window("ts", "1 hour"), F.col("mktsegment"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr("CAST(FLOOR(value * 100.0) AS BIGINT)")).alias("value_cents"),
+        )
+        .select(
+            "mktsegment",
+            F.col("window.start").cast("string").alias("hour"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("value_cents").cast("long").alias("value_cents"),
+        )
+    )
+    return _run_to_table(spark, stream, "streaming_enrich", "complete", stage)

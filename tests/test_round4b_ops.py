@@ -1933,3 +1933,37 @@ def test_rank_fusion_bounded_and_consistent(spark, sf_dir):
         vals = [r["rrf_micros"] for r in rs]
         assert vals == sorted(vals, reverse=True)
         assert all(1 <= r["n_arms"] <= 2 for r in rs)
+
+
+# -------------------------------------------------------- streaming_enrich
+
+
+def test_streaming_enrich_equals_batch(spark, sf_dir):
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    got = {
+        (r["mktsegment"], r["hour"]): (r["n_events"], r["value_cents"])
+        for r in em.q_streaming_enrich(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").selectExpr(
+        "c_custkey AS user_id", "c_mktsegment AS mktsegment"
+    )
+    want = {
+        (r["mktsegment"], r["hour"]): (r["n_events"], r["value_cents"])
+        for r in (
+            ev.join(dim, "user_id")
+            .groupBy(
+                "mktsegment",
+                F.expr("CAST(date_trunc('hour', ts) AS STRING)").alias("hour"),
+            )
+            .agg(
+                F.count("*").cast("long").alias("n_events"),
+                F.sum(F.expr("CAST(FLOOR(value * 100.0) AS BIGINT)"))
+                .cast("long").alias("value_cents"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
