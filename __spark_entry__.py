@@ -1859,6 +1859,24 @@ def _cell_day_events(
     )
 
 
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood self-dedup over the union of clean and
+    corrupted part names — the sort-based blocking complement of
+    fuzzy_join (operators/fuzzy.py:sorted_neighborhood_pairs)."""
+    from aira_spark.operators.fuzzy import sorted_neighborhood_pairs
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    recs = part.selectExpr(
+        "CAST(p_partkey AS BIGINT) AS rec_id", "p_name AS name"
+    ).unionByName(
+        part.selectExpr(
+            "CAST(p_partkey + 1000000 AS BIGINT) AS rec_id",
+            f"{_FUZZY_DEL} AS name",
+        )
+    )
+    return sorted_neighborhood_pairs(recs, window=3, max_dist=1)
+
+
 def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static dimension join under Structured Streaming: events
     enriched with the broadcast customer segment, watermarked hourly
@@ -2487,6 +2505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile": q_profile,
         "rank_fusion": q_rank_fusion,
         "streaming_enrich": q_streaming_enrich,
+        "sorted_neighborhood": q_sorted_neighborhood,
     }
 
 
@@ -3508,6 +3527,17 @@ def _oracle_equalize() -> str:
     from aira_spark.operators.equalize import oracle_equalize_sql
 
     return oracle_equalize_sql(_bands_cte_sql(modulo=4))
+
+
+def _oracle_sorted_neighborhood() -> str:
+    from aira_spark.operators.fuzzy import oracle_sorted_neighborhood_sql
+
+    recs = (
+        "SELECT CAST(p_partkey AS BIGINT) AS rec_id, p_name AS name FROM part "
+        "UNION ALL "
+        f"SELECT CAST(p_partkey + 1000000 AS BIGINT), {_FUZZY_DEL} FROM part"
+    )
+    return oracle_sorted_neighborhood_sql(recs, window=3, max_dist=1)
 
 
 def _oracle_streaming_enrich() -> str:
@@ -4732,6 +4762,7 @@ FROM docs GROUP BY 1
         "profile": _oracle_profile(),
         "rank_fusion": _oracle_rank_fusion(),
         "streaming_enrich": _oracle_streaming_enrich(),
+        "sorted_neighborhood": _oracle_sorted_neighborhood(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

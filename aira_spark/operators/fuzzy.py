@@ -81,3 +81,81 @@ best AS (
 )
 SELECT rec_id, dirty_name, match_name, dist FROM best WHERE rn = 1
 """
+
+
+def sorted_neighborhood_pairs(
+    recs: DataFrame, window: int = 3, max_dist: int = 1
+) -> DataFrame:
+    """(rec_a, rec_b, dist): near-duplicate record pairs found by SORTED
+    NEIGHBORHOOD — the other classic record-linkage blocking next to
+    fuzzy_join's key blocking: sort records by the name, compare each to
+    its next `window - 1` neighbors in sort order, refine by exact
+    Levenshtein. Catches what key blocking misses when the first character
+    itself is corrupted, at the cost of sort locality assumptions.
+
+    Scale shape: the sort is PER FIRST-CHAR BLOCK (partitionBy + orderBy —
+    a real cluster range-partitions instead; blocking bounds window-edge
+    loss the same way), neighbors come from `window - 1` LEAD arms in the
+    same window (one shuffle total), and only candidate pairs reach the
+    Levenshtein refine. `recs` carries (rec_id, name)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.expr("substr(name, 1, 1)")).orderBy(
+        "name", "rec_id"
+    )
+    # two projections: the window LEADs must materialize BEFORE the explode
+    # (a generator over raw window expressions is rejected by the analyzer,
+    # and a WHERE after it gets rewritten back into the window project)
+    lead_cols = [
+        c
+        for i in range(1, window)
+        for c in (
+            F.lead("rec_id", i).over(w).alias(f"rid{i}"),
+            F.lead("name", i).over(w).alias(f"nm{i}"),
+        )
+    ]
+    leads = recs.select(
+        F.col("rec_id").alias("rec_a"), F.col("name").alias("name_a"),
+        *lead_cols,
+    )
+    structs = ", ".join(
+        f"named_struct('rid', rid{i}, 'nm', nm{i})" for i in range(1, window)
+    )
+    cand = leads.selectExpr(
+        "rec_a", "name_a",
+        f"explode(filter(array({structs}), s -> s.rid IS NOT NULL)) AS nb",
+    ).select(
+        "rec_a", "name_a",
+        F.col("nb.rid").alias("rec_b"), F.col("nb.nm").alias("name_b"),
+    )
+    return (
+        cand.where(F.expr(f"levenshtein(name_a, name_b) <= {max_dist}"))
+        .selectExpr(
+            "CAST(LEAST(rec_a, rec_b) AS BIGINT) AS rec_a",
+            "CAST(GREATEST(rec_a, rec_b) AS BIGINT) AS rec_b",
+            "CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist",
+        )
+        .distinct()
+    )
+
+
+def oracle_sorted_neighborhood_sql(
+    recs_sql: str, window: int = 3, max_dist: int = 1
+) -> str:
+    """DuckDB mirror over a subquery yielding (rec_id, name)."""
+    arms = "\nUNION ALL\n".join(
+        f"SELECT rec_id AS rec_a, name AS name_a, "
+        f"LEAD(rec_id, {i}) OVER w{i} AS rec_b, LEAD(name, {i}) OVER w{i} AS name_b "
+        f"FROM recs WINDOW w{i} AS ("
+        "PARTITION BY substr(name, 1, 1) ORDER BY name, rec_id)"
+        for i in range(1, window)
+    )
+    return f"""
+WITH recs AS ({recs_sql}),
+cand AS ({arms})
+SELECT DISTINCT CAST(LEAST(rec_a, rec_b) AS BIGINT) AS rec_a,
+  CAST(GREATEST(rec_a, rec_b) AS BIGINT) AS rec_b,
+  CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+FROM cand
+WHERE rec_b IS NOT NULL AND levenshtein(name_a, name_b) <= {max_dist}
+"""

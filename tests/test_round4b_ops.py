@@ -1967,3 +1967,42 @@ def test_streaming_enrich_equals_batch(spark, sf_dir):
         )
     }
     assert got == want
+
+
+# ------------------------------------------------------ sorted_neighborhood
+
+
+def test_sorted_neighborhood_hand_records(spark):
+    from aira_spark.operators.fuzzy import sorted_neighborhood_pairs
+
+    recs = spark.createDataFrame(
+        [
+            (1, "apple pie"), (2, "apple pi"),   # adjacent after sort, dist 1
+            (3, "apple tart"),                    # within window of 2? sorted:
+            (4, "zebra"),                          # isolated
+        ],
+        "rec_id long, name string",
+    )
+    got = {(r["rec_a"], r["rec_b"]): r["dist"]
+           for r in sorted_neighborhood_pairs(recs, window=3, max_dist=1).collect()}
+    # sort order: 'apple pi' < 'apple pie' < 'apple tart' < (z-block) 'zebra'
+    assert got == {(1, 2): 1}
+
+
+def test_sorted_neighborhood_finds_injected_variants(spark, sf_dir):
+    """Every corrupted name must pair with at least one same-name record
+    (its clean source sorts adjacently unless an identical name intervenes,
+    in which case that identical neighbor pairs at dist 0)."""
+    import __spark_entry__ as em
+
+    rows = em.q_sorted_neighborhood(spark, sf_dir).collect()
+    assert rows
+    paired = set()
+    for r in rows:
+        assert 0 <= r["dist"] <= 1 and r["rec_a"] < r["rec_b"]
+        paired.add(r["rec_a"])
+        paired.add(r["rec_b"])
+    n_parts = spark.read.parquet(f"{sf_dir}/part.parquet").count()
+    # with 64 distinct names over thousands of records, sort-adjacency
+    # pairs nearly everything; require broad (not total) coverage
+    assert len(paired) > n_parts
