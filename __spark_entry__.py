@@ -1859,6 +1859,19 @@ def _cell_day_events(
     )
 
 
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user seconds from first view to first subsequent purchase —
+    the funnel's temporal companion, exact epoch-second integers
+    (operators/conversion.py)."""
+    from aira_spark.operators.conversion import conversion_lags
+
+    return conversion_lags(
+        spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "user_id", "ts", "event_type"
+        )
+    )
+
+
 def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood self-dedup over the union of clean and
     corrupted part names — the sort-based blocking complement of
@@ -2506,6 +2519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_fusion": q_rank_fusion,
         "streaming_enrich": q_streaming_enrich,
         "sorted_neighborhood": q_sorted_neighborhood,
+        "conversion_lag": q_conversion_lag,
     }
 
 
@@ -3527,6 +3541,12 @@ def _oracle_equalize() -> str:
     from aira_spark.operators.equalize import oracle_equalize_sql
 
     return oracle_equalize_sql(_bands_cte_sql(modulo=4))
+
+
+def _oracle_conversion_lag() -> str:
+    from aira_spark.operators.conversion import oracle_conversion_sql
+
+    return oracle_conversion_sql("events")
 
 
 def _oracle_sorted_neighborhood() -> str:
@@ -4763,6 +4783,7 @@ FROM docs GROUP BY 1
         "rank_fusion": _oracle_rank_fusion(),
         "streaming_enrich": _oracle_streaming_enrich(),
         "sorted_neighborhood": _oracle_sorted_neighborhood(),
+        "conversion_lag": _oracle_conversion_lag(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -2006,3 +2006,38 @@ def test_sorted_neighborhood_finds_injected_variants(spark, sf_dir):
     # with 64 distinct names over thousands of records, sort-adjacency
     # pairs nearly everything; require broad (not total) coverage
     assert len(paired) > n_parts
+
+
+# ---------------------------------------------------------- conversion_lag
+
+
+def test_conversion_lag_hand_events(spark):
+    from datetime import datetime
+
+    from aira_spark.operators.conversion import conversion_lags
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    ev = spark.createDataFrame(
+        [
+            # user 1: purchase BEFORE first view must not count; lag = 30
+            (1, t(5), "purchase"), (1, t(10), "view"), (1, t(40), "purchase"),
+            # user 2: converts instantly (same second)
+            (2, t(7), "view"), (2, t(7), "purchase"),
+            # user 3: views but never purchases -> absent
+            (3, t(1), "view"),
+            # user 4: purchases but never views -> absent
+            (4, t(2), "purchase"),
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = {r["user_id"]: r["lag_s"] for r in conversion_lags(ev).collect()}
+    assert got == {1: 30, 2: 0}
+
+
+def test_conversion_lag_nonnegative_real(spark, sf_dir):
+    import __spark_entry__ as em
+
+    rows = em.q_conversion_lag(spark, sf_dir).collect()
+    assert rows and all(r["lag_s"] >= 0 for r in rows)
