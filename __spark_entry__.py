@@ -1859,6 +1859,14 @@ def _cell_day_events(
     )
 
 
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: exact tertile scores per metric + the
+    composite 111..333 segment code (operators/rfm.py)."""
+    from aira_spark.operators.rfm import rfm_segments
+
+    return rfm_segments(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+
+
 def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user seconds from first view to first subsequent purchase —
     the funnel's temporal companion, exact epoch-second integers
@@ -2520,6 +2528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_enrich": q_streaming_enrich,
         "sorted_neighborhood": q_sorted_neighborhood,
         "conversion_lag": q_conversion_lag,
+        "rfm": q_rfm,
     }
 
 
@@ -3541,6 +3550,12 @@ def _oracle_equalize() -> str:
     from aira_spark.operators.equalize import oracle_equalize_sql
 
     return oracle_equalize_sql(_bands_cte_sql(modulo=4))
+
+
+def _oracle_rfm() -> str:
+    from aira_spark.operators.rfm import oracle_rfm_sql
+
+    return oracle_rfm_sql("orders")
 
 
 def _oracle_conversion_lag() -> str:
@@ -4784,6 +4799,7 @@ FROM docs GROUP BY 1
         "streaming_enrich": _oracle_streaming_enrich(),
         "sorted_neighborhood": _oracle_sorted_neighborhood(),
         "conversion_lag": _oracle_conversion_lag(),
+        "rfm": _oracle_rfm(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -2041,3 +2041,31 @@ def test_conversion_lag_nonnegative_real(spark, sf_dir):
 
     rows = em.q_conversion_lag(spark, sf_dir).collect()
     assert rows and all(r["lag_s"] >= 0 for r in rows)
+
+
+# --------------------------------------------------------------------- rfm
+
+
+def test_rfm_scores_consistent(spark, sf_dir):
+    """Scores in 1..3; recency inverted (fresher -> higher); segment is the
+    positional composite; tertiles roughly balance."""
+    import __spark_entry__ as em
+    from collections import Counter
+
+    rows = em.q_rfm(spark, sf_dir).collect()
+    n = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select("o_custkey").distinct().count()
+    assert len(rows) == n
+    for r in rows:
+        for s in ("r_score", "f_score", "m_score"):
+            assert 1 <= r[s] <= 3
+        assert r["segment"] == r["r_score"] * 100 + r["f_score"] * 10 + r["m_score"]
+    # monotonicity: sort by rec_days — r_score must be non-increasing
+    by_rec = sorted(rows, key=lambda r: r["rec_days"])
+    scores = [r["r_score"] for r in by_rec]
+    assert all(a >= b for a, b in zip(scores, scores[1:]))
+    by_cents = sorted(rows, key=lambda r: r["cents"])
+    mscores = [r["m_score"] for r in by_cents]
+    assert all(a <= b for a, b in zip(mscores, mscores[1:]))
+    c = Counter(r["m_score"] for r in rows)
+    assert min(c.values()) * 2 >= max(c.values()) - 5  # rough tertile balance
