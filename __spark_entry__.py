@@ -1859,6 +1859,40 @@ def _cell_day_events(
     )
 
 
+def q_wht_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-domain image grouping: the 15-bit sign signature of block
+    (0,0)'s low-sequency WHT coefficients — exact copies (injected 'x'
+    rows) collide exactly; groups of size > 1 emitted with their keeper.
+    Composes operators/wht.py with the dedup family's group shape."""
+    from aira_spark.operators.wht import wht_block_features
+
+    imgs = _images(spark, sf_dir, modulo=16)
+    kmod = F.expr("CAST(substr(image_id, 4) AS BIGINT) % 32")
+    both = imgs.unionByName(
+        imgs.filter(kmod == 0).select(
+            F.concat(F.lit("x"), F.col("image_id")).alias("image_id"),
+            *[c for c in imgs.columns if c != "image_id"],
+        )
+    )
+    coefs = wht_block_features(both, max_uv=4).where(
+        "bx = 0 AND by = 0 AND NOT (u = 0 AND v = 0)"
+    )
+    sigs = coefs.groupBy("image_id").agg(
+        F.sum(
+            F.expr("CAST(CASE WHEN coef > 0 THEN 1 ELSE 0 END AS BIGINT) "
+                   "* shiftleft(CAST(1 AS BIGINT), CAST(u * 4 + v AS INT))")
+        ).cast("long").alias("sig")
+    )
+    return (
+        sigs.groupBy("sig")
+        .agg(
+            F.count("*").cast("long").alias("n_images"),
+            F.min("image_id").alias("keeper_id"),
+        )
+        .where("n_images > 1")
+    )
+
+
 def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: exact tertile scores per metric + the
     composite 111..333 segment code (operators/rfm.py)."""
@@ -2529,6 +2563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_neighborhood": q_sorted_neighborhood,
         "conversion_lag": q_conversion_lag,
         "rfm": q_rfm,
+        "wht_sig": q_wht_sig,
     }
 
 
@@ -3550,6 +3585,42 @@ def _oracle_equalize() -> str:
     from aira_spark.operators.equalize import oracle_equalize_sql
 
     return oracle_equalize_sql(_bands_cte_sql(modulo=4))
+
+
+def _oracle_wht_sig() -> str:
+    # block (0,0) sign signature recomputed from the pixel formula; the 'x'
+    # copies share k (identical pixels) so they collide by construction
+    return f"""
+WITH {_IMG_CTE},
+sel0 AS (SELECT image_id, k FROM meta WHERE k % 16 = 0),
+sel AS (
+  SELECT image_id, k FROM sel0
+  UNION ALL SELECT 'x' || image_id, k FROM sel0 WHERE k % 32 = 0
+),
+rws AS (SELECT *, unnest(generate_series(0, 7)) AS r FROM sel),
+pxs AS (SELECT *, unnest(generate_series(0, 7)) AS c FROM rws),
+arms AS (
+  SELECT image_id, u.u, v.v,
+    ((r * 7 + c * 13 + k) % 256)
+      * (1 - 2 * ((bit_count(CAST(u.u AS BIGINT) & CAST(r AS BIGINT))
+                 + bit_count(CAST(v.v AS BIGINT) & CAST(c AS BIGINT))) % 2)) AS term
+  FROM pxs, unnest(generate_series(0, 3)) AS u(u),
+       unnest(generate_series(0, 3)) AS v(v)
+  WHERE NOT (u.u = 0 AND v.v = 0)
+),
+coefs AS (
+  SELECT image_id, u, v, SUM(term) AS coef FROM arms GROUP BY 1, 2, 3
+),
+sigs AS (
+  SELECT image_id,
+    CAST(SUM(CASE WHEN coef > 0 THEN 1 ELSE 0 END * (1 << (u * 4 + v)))
+         AS BIGINT) AS sig
+  FROM coefs GROUP BY 1
+)
+SELECT CAST(sig AS BIGINT) AS sig, CAST(COUNT(*) AS BIGINT) AS n_images,
+  MIN(image_id) AS keeper_id
+FROM sigs GROUP BY 1 HAVING COUNT(*) > 1
+"""
 
 
 def _oracle_rfm() -> str:
@@ -4800,6 +4871,7 @@ FROM docs GROUP BY 1
         "sorted_neighborhood": _oracle_sorted_neighborhood(),
         "conversion_lag": _oracle_conversion_lag(),
         "rfm": _oracle_rfm(),
+        "wht_sig": _oracle_wht_sig(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

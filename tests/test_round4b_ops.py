@@ -2069,3 +2069,30 @@ def test_rfm_scores_consistent(spark, sf_dir):
     assert all(a <= b for a, b in zip(mscores, mscores[1:]))
     c = Counter(r["m_score"] for r in rows)
     assert min(c.values()) * 2 >= max(c.values()) - 5  # rough tertile balance
+
+
+# ----------------------------------------------------------------- wht_sig
+
+
+def test_wht_sig_groups_contain_injected_copies(spark, sf_dir):
+    """Every injected 'x' copy must share a signature group with its
+    source; keeper is the lexicographic min of the group."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    rows = em.q_wht_sig(spark, sf_dir).collect()
+    assert rows
+    imgs = em._images(spark, sf_dir, modulo=16)
+    copies = [
+        r["image_id"]
+        for r in imgs.filter(
+            F.expr("CAST(substr(image_id, 4) AS BIGINT) % 32 = 0")
+        ).select("image_id").collect()
+    ]
+    assert copies
+    total_grouped = sum(r["n_images"] for r in rows)
+    assert total_grouped >= 2 * len(copies)
+    for r in rows:
+        assert r["n_images"] >= 2
+        # keeper sorts before any x-prefixed copy
+        assert not r["keeper_id"].startswith("x")
