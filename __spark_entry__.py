@@ -2378,6 +2378,63 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest path (6 Bellman-Ford rounds) from
+    the point_id%20==0 seed set over the kNN digraph with deterministic
+    integer edge weights — the weighted companion of q_bfs_hops
+    (operators/graph.py:sssp_fixed)."""
+    from aira_spark.operators.graph import sssp_fixed
+    from aira_spark.operators.spatial import knn_join
+    from aira_spark.sources.vectors import points_table
+
+    pts = points_table(spark, sf_dir)
+    queries_ = pts.selectExpr("point_id AS query_id", "x", "y")
+    nn = knn_join(queries_, pts, k=6, res=CELL_RES)
+    edges = (
+        nn.filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            F.col("query_id").alias("src"),
+            F.col("neighbor_id").alias("dst"),
+        )
+        .withColumn(
+            "w", F.expr("CAST((src * 7 + dst * 3) % 9 + 1 AS BIGINT)")
+        )
+    )
+    seeds = pts.filter(F.col("point_id") % 20 == 0).select(
+        F.col("point_id").alias("node")
+    )
+    return sssp_fixed(edges, seeds, rounds=6).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: per-user daily activity spans x the 40
+    globally busiest hours, exact integer overlap seconds — bin-equi
+    prefilter + broadcast, the time-dimension mirror of the cell-cover
+    pattern (operators/interval.py)."""
+    from aira_spark.operators.interval import interval_overlap
+
+    return interval_overlap(
+        spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "user_id", "ts"
+        ),
+        top_k=40,
+    )
+
+
+def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (domain) quota cap: keep at most 25 docs per source,
+    longest first — skew-proof two-phase salted top-k identical to the
+    plain window the oracle runs (operators/curation.py:source_quota)."""
+    from aira_spark.operators.curation import source_quota
+
+    return source_quota(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), cap=25
+    )
+
+
 def q_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(image, band) histogram-equalization LUT — exact integer CDF
     remap over the sparse value histogram; pixels never enter an exchange
@@ -2566,6 +2623,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_lag": q_conversion_lag,
         "rfm": q_rfm,
         "wht_sig": q_wht_sig,
+        "sssp": q_sssp,
+        "interval_overlap": q_interval_overlap,
+        "source_quota": q_source_quota,
     }
 
 
@@ -3164,6 +3224,33 @@ def _oracle_bfs_hops() -> str:
         "SELECT point_id AS node FROM p WHERE point_id % 20 = 0",
         max_hops=4,
     )
+
+
+def _oracle_sssp() -> str:
+    from aira_spark.operators.graph import oracle_sssp_sql
+
+    edges_w = (
+        f"{_knn_edges_cte()},\n"
+        "edges_w AS (SELECT src, dst, "
+        "CAST((src * 7 + dst * 3) % 9 + 1 AS BIGINT) AS w FROM edges)"
+    )
+    return oracle_sssp_sql(
+        edges_w,
+        "SELECT point_id AS node FROM p WHERE point_id % 20 = 0",
+        rounds=6,
+    )
+
+
+def _oracle_interval_overlap() -> str:
+    from aira_spark.operators.interval import oracle_interval_sql
+
+    return oracle_interval_sql("events", top_k=40)
+
+
+def _oracle_source_quota() -> str:
+    from aira_spark.operators.curation import oracle_source_quota_sql
+
+    return oracle_source_quota_sql("documents", cap=25)
 
 
 def _oracle_idw() -> str:
@@ -4874,6 +4961,9 @@ FROM docs GROUP BY 1
         "conversion_lag": _oracle_conversion_lag(),
         "rfm": _oracle_rfm(),
         "wht_sig": _oracle_wht_sig(),
+        "sssp": _oracle_sssp(),
+        "interval_overlap": _oracle_interval_overlap(),
+        "source_quota": _oracle_source_quota(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

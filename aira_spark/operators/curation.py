@@ -115,3 +115,61 @@ SELECT doc_id, source, u_sample,
             ELSE 'test' END AS split
 FROM t WHERE u_sample < quota_ppm
 """
+
+
+def source_quota(
+    docs: DataFrame, cap: int = 25, n_salt: int = 8
+) -> DataFrame:
+    """(doc_id, source, rk, n_chars): at most `cap` docs kept per source,
+    preferring longer docs (n_chars DESC, doc_id ASC — a total order).
+
+    Per-domain caps are the standard web-corpus curation step (a handful
+    of boilerplate-heavy domains otherwise dominate the token budget).
+
+    Scale shape — skew-proof two-phase top-k: a naive row_number over
+    `source` puts every row of a hot domain into ONE task's sort. Phase 1
+    ranks within (source, salt) where salt = pmod(hash(doc_id), n_salt)
+    and keeps rk <= cap, shrinking each source to <= n_salt*cap candidate
+    rows regardless of domain size (any global top-cap member is top-cap
+    within its salt slice, so no survivor is lost). Phase 2 re-ranks the
+    bounded candidates per source and keeps the true top `cap`. Results
+    are identical to the single-phase window, which is what the oracle
+    runs."""
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    w1 = Window.partitionBy(
+        "source", F.pmod(F.xxhash64("doc_id"), F.lit(n_salt))
+    ).orderBy(*order)
+    cand = (
+        base.withColumn("srk", F.row_number().over(w1))
+        .where(F.col("srk") <= cap)
+        .drop("srk")
+    )
+    w2 = Window.partitionBy("source").orderBy(*order)
+    return (
+        cand.withColumn("rk", F.row_number().over(w2).cast("long"))
+        .where(F.col("rk") <= cap)
+        .select("doc_id", "source", "rk", "n_chars")
+    )
+
+
+def oracle_source_quota_sql(table: str = "documents", cap: int = 25) -> str:
+    """DuckDB mirror: the plain single-phase ROW_NUMBER — independent of
+    the salted two-phase rewrite, so a lost-survivor bug cannot cancel."""
+    return f"""
+WITH r AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+         ) AS BIGINT) AS rk
+  FROM {table}
+)
+SELECT doc_id, source, rk, n_chars FROM r WHERE rk <= {int(cap)}
+"""

@@ -237,3 +237,67 @@ SELECT CAST(node AS BIGINT) AS node, n_tri FROM per_node
 UNION ALL
 SELECT CAST(-1 AS BIGINT), CAST(COALESCE(SUM(n_tri), 0) // 3 AS BIGINT) FROM per_node
 """
+
+
+def sssp_fixed(
+    edges: DataFrame, seeds: DataFrame, rounds: int = 6,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """(node, dist): minimum WEIGHTED distance from the seed set after
+    `rounds` synchronous Bellman-Ford relaxations — the weighted companion
+    of bfs_hops (travel-time / cost geodesics over the kNN digraph).
+
+    `edges` carries (src, dst, w) with an exact-integer weight column.
+    Fixed-round semantics (the pagerank unroll device): after exactly
+    `rounds` relaxations both engines hold the identical state whether or
+    not the fixpoint was reached; the pytest pins convergence separately.
+
+    Scale shape per round: one equi-join on src + one min hash-agg on
+    node — only (node, BIGINT) rows shuffle, edges stream map-side; the
+    running distance table localCheckpoints every `checkpoint_every`
+    rounds so lineage stays flat (the duplicate_clusters device)."""
+    dist = (
+        seeds.select("node").distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
+    for i in range(rounds):
+        relaxed = edges.join(dist, edges.src == dist.node).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).cast("long").alias("dist"),
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+        )
+        if (i + 1) % checkpoint_every == 0:
+            dist = dist.localCheckpoint(eager=True)
+    return dist
+
+
+def oracle_sssp_sql(
+    edges_w_cte: str, seeds_sql: str, rounds: int = 6
+) -> str:
+    """DuckDB mirror: one CTE per relaxation round (the pagerank unroll
+    device). `edges_w_cte` must define edges_w(src, dst, w) with BIGINT
+    weights; `seeds_sql` selects the seed node set as one column `node`.
+    MIN keeps BIGINT in both engines; the explicit CASTs make it canon-safe
+    regardless. Each round CTE is MATERIALIZED: d{i} is referenced twice
+    (carry-over arm + relaxation arm), so inlined evaluation would be
+    exponential in `rounds`."""
+    parts = [
+        f"s0 AS (SELECT DISTINCT node FROM ({seeds_sql}))",
+        "d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist FROM s0)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"d{i + 1} AS MATERIALIZED "
+            f"(SELECT node, CAST(MIN(dist) AS BIGINT) AS dist "
+            f"FROM (SELECT node, dist FROM d{i} UNION ALL "
+            f"SELECT e.dst AS node, d.dist + e.w AS dist "
+            f"FROM edges_w e JOIN d{i} d ON d.node = e.src) GROUP BY node)"
+        )
+    return (
+        f"WITH {edges_w_cte},\n" + ",\n".join(parts)
+        + f"\nSELECT CAST(node AS BIGINT) AS node, dist FROM d{rounds}"
+    )

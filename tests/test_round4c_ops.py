@@ -1,0 +1,214 @@
+"""Round-4 closing additions: weighted SSSP, interval-overlap join,
+per-source quota — hand-case + brute-force mirrors + plan shapes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------------ sssp
+
+
+def _edges_df(spark, triples):
+    return spark.createDataFrame(
+        [(int(s), int(d), int(w)) for s, d, w in triples],
+        "src long, dst long, w long",
+    )
+
+
+def test_sssp_weighted_beats_hop_path(spark):
+    """A 3-hop cheap path must beat the 1-hop expensive edge — pins that
+    sssp is weighted, not BFS."""
+    from aira_spark.operators.graph import sssp_fixed
+
+    edges = _edges_df(
+        spark,
+        [(0, 3, 10), (0, 1, 1), (1, 2, 1), (2, 3, 1)],
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in sssp_fixed(edges, seeds, rounds=6).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_sssp_matches_numpy_bellman_ford(spark):
+    """Fixed-round state == a literal numpy Bellman-Ford after the same
+    number of relaxations, on a deterministic pseudo-random digraph."""
+    from aira_spark.operators.graph import sssp_fixed
+
+    n = 40
+    triples = []
+    for u in range(n):
+        for j in range(3):
+            v = (u * 7 + j * 13 + 5) % n
+            if v != u:
+                triples.append((u, v, (u * 3 + v) % 6 + 1))
+    seeds_py = [0, 17]
+    rounds = 5
+
+    INF = float("inf")
+    dist = {u: INF for u in range(n)}
+    for s in seeds_py:
+        dist[s] = 0
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for u, v, w in triples:
+            if dist[u] + w < nxt[v]:
+                nxt[v] = dist[u] + w
+        dist = nxt
+    want = {u: int(d) for u, d in dist.items() if d < INF}
+
+    edges = _edges_df(spark, triples)
+    seeds = spark.createDataFrame([(s,) for s in seeds_py], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in sssp_fixed(edges, seeds, rounds=rounds).collect()
+    }
+    assert got == want
+
+
+def test_sssp_converged_on_hand_graph(spark):
+    """rounds=6 == rounds=9 on the small graph (fixpoint reached) — the
+    bench/oracle round count is not truncating real distances there."""
+    from aira_spark.operators.graph import sssp_fixed
+
+    edges = _edges_df(
+        spark,
+        [(i, (i + 1) % 8, 2) for i in range(8)] + [(3, 6, 1)],
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    a = {r["node"]: r["dist"] for r in sssp_fixed(edges, seeds, rounds=6).collect()}
+    b = {r["node"]: r["dist"] for r in sssp_fixed(edges, seeds, rounds=9).collect()}
+    assert a == b
+
+
+# ------------------------------------------------------- interval_overlap
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(int(u), t) for u, t in rows], "user_id long, ts string"
+    ).select("user_id", F.to_timestamp("ts").alias("ts"))
+
+
+def test_interval_overlap_hand_case(spark):
+    from aira_spark.operators.interval import interval_overlap
+
+    # user 1: span 09:30..11:10 on day D; user 2: one event at 10:05.
+    # three busy hours by construction: 10:00 (3 events), 09:00 (1), 11:00 (1)
+    ev = _ev(
+        spark,
+        [
+            (1, "2024-03-01 09:30:00"),
+            (1, "2024-03-01 10:20:00"),
+            (1, "2024-03-01 11:10:00"),
+            (2, "2024-03-01 10:05:00"),
+            (2, "2024-03-01 10:59:59"),
+        ],
+    )
+    got = {
+        (r["user_id"], r["hr"]): (r["overlap_s"], r["n_events"])
+        for r in interval_overlap(ev, top_k=2).collect()
+    }
+    # top-2 busy hours: the 10:00 hour (3 events) then the 09:00 hour (1
+    # event, earliest of the tied singles). user 1 overlaps both; user 2
+    # only the 10:00 hour.
+    assert len(got) == 3
+    counts = sorted(n for (_, n) in got.values())
+    assert counts == [1, 3, 3]
+    # user 1's overlap with the busy 10:00 hour is the full hour;
+    # user 2's is 10:05:00..10:59:59 = 3300 s
+    full_hour = [v for (u, _), (v, n) in got.items() if u == 1 and n == 3]
+    assert full_hour == [3600]
+    u2 = [v for (u, _), (v, n) in got.items() if u == 2 and n == 3]
+    assert u2 == [3300]
+
+
+def test_interval_overlap_brute_force_real(spark, sf_dir):
+    """Spark result == a python brute force over the real events slice."""
+    from aira_spark.operators.interval import interval_overlap
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts")
+        .filter(F.col("user_id") % 17 == 0)
+    )
+    rows = ev.select(
+        F.col("user_id").cast("long").alias("u"),
+        F.unix_timestamp("ts").cast("long").alias("t"),
+    ).collect()
+    spans, hours = {}, {}
+    for r in rows:
+        key = (r["u"], r["t"] // 86400)
+        t0, t1 = spans.get(key, (r["t"], r["t"]))
+        spans[key] = (min(t0, r["t"]), max(t1, r["t"]))
+        hours[r["t"] // 3600] = hours.get(r["t"] // 3600, 0) + 1
+    busy = sorted(hours.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    want = set()
+    for (u, day), (t0, t1) in spans.items():
+        for hr, n in busy:
+            lo, hi = max(t0, hr * 3600), min(t1, hr * 3600 + 3599)
+            if lo <= hi:
+                want.add((u, day, hr, n, hi - lo + 1))
+    got = {
+        (r["user_id"], r["day"], r["hr"], r["n_events"], r["overlap_s"])
+        for r in interval_overlap(ev, top_k=10).collect()
+    }
+    assert got == want
+
+
+def test_interval_overlap_plan_broadcasts_busy(spark, sf_dir):
+    from aira_spark.operators.interval import interval_overlap
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts"
+    )
+    plan = interval_overlap(ev)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ----------------------------------------------------------- source_quota
+
+
+def test_source_quota_matches_plain_window(spark, sf_dir):
+    """Salted two-phase == single-phase row_number (survivor preservation)."""
+    from pyspark.sql import Window
+
+    from aira_spark.operators.curation import source_quota
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        (r["doc_id"], r["source"], r["rk"], r["n_chars"])
+        for r in source_quota(docs, cap=7, n_salt=4).collect()
+    }
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    want = {
+        (r["doc_id"], r["source"], r["rk"], r["n_chars"])
+        for r in docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 7)
+        .collect()
+    }
+    assert got == want
+
+
+def test_source_quota_cap_respected(spark, sf_dir):
+    from aira_spark.operators.curation import source_quota
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per = (
+        source_quota(docs, cap=5)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"), F.max("rk").alias("mx"))
+        .collect()
+    )
+    assert per and all(r["n"] <= 5 and r["mx"] <= 5 for r in per)
