@@ -2435,6 +2435,19 @@ def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style segment-level exact dedup + document reassembly: every
+    repeated 12-word segment dropped corpus-wide (first occurrence wins),
+    docs rebuilt from survivors (operators/lines.py)."""
+    from aira_spark.operators.lines import line_dedup
+
+    return line_dedup(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+    )
+
+
 def q_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(image, band) histogram-equalization LUT — exact integer CDF
     remap over the sparse value histogram; pixels never enter an exchange
@@ -2626,6 +2639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp": q_sssp,
         "interval_overlap": q_interval_overlap,
         "source_quota": q_source_quota,
+        "line_dedup": q_line_dedup,
     }
 
 
@@ -3245,6 +3259,12 @@ def _oracle_interval_overlap() -> str:
     from aira_spark.operators.interval import oracle_interval_sql
 
     return oracle_interval_sql("events", top_k=40)
+
+
+def _oracle_line_dedup() -> str:
+    from aira_spark.operators.lines import oracle_line_dedup_sql
+
+    return oracle_line_dedup_sql("documents")
 
 
 def _oracle_source_quota() -> str:
@@ -4964,6 +4984,7 @@ FROM docs GROUP BY 1
         "sssp": _oracle_sssp(),
         "interval_overlap": _oracle_interval_overlap(),
         "source_quota": _oracle_source_quota(),
+        "line_dedup": _oracle_line_dedup(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

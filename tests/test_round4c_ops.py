@@ -212,3 +212,48 @@ def test_source_quota_cap_respected(spark, sf_dir):
         .collect()
     )
     assert per and all(r["n"] <= 5 and r["mx"] <= 5 for r in per)
+
+
+# ------------------------------------------------------------- line_dedup
+
+
+def test_line_dedup_hand_case(spark):
+    """First occurrence wins in (doc_id, seg_idx) order; later copies drop;
+    docs reassemble in original segment order; a fully-duplicated doc
+    comes back as the empty string."""
+    from aira_spark.operators.lines import line_dedup
+
+    seg_a = " ".join(["a"] * 3)
+    seg_b = " ".join(["b"] * 3)
+    seg_c = " ".join(["c"] * 3)
+    docs = spark.createDataFrame(
+        [
+            (1, f"{seg_a} {seg_b}"),        # both novel
+            (2, f"{seg_b} {seg_c}"),        # b is a repeat, c novel
+            (3, f"{seg_a} {seg_b}"),        # fully duplicated
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_segs"], r["n_kept"], r["clean_text"])
+        for r in line_dedup(docs, seg_words=3).collect()
+    }
+    assert got == {
+        1: (2, 2, f"{seg_a} {seg_b}"),
+        2: (2, 1, seg_c),
+        3: (2, 0, ""),
+    }
+
+
+def test_line_dedup_ragged_tail_and_within_doc_repeat(spark):
+    """A trailing sub-width segment still participates; a repeat WITHIN
+    one doc keeps only the earlier position."""
+    from aira_spark.operators.lines import line_dedup
+
+    docs = spark.createDataFrame(
+        [(7, "x x x x x x y")],  # segs (w=3): 'x x x', 'x x x', 'y'
+        "doc_id long, text string",
+    )
+    (row,) = line_dedup(docs, seg_words=3).collect()
+    assert (row["n_segs"], row["n_kept"]) == (3, 2)
+    assert row["clean_text"] == "x x x y"
