@@ -212,6 +212,10 @@ def main() -> None:
         "cell_trends": lambda: em.q_cell_trends(spark, sf_dir).count(),
         "exact_quantiles": lambda: em.q_exact_quantiles(spark, sf_dir).count(),
         "cell_anomalies": lambda: em.q_cell_anomalies(spark, sf_dir).count(),
+        "sssp": lambda: em.q_sssp(spark, sf_dir).count(),
+        "interval_overlap": lambda: em.q_interval_overlap(spark, sf_dir).count(),
+        "source_quota": lambda: em.q_source_quota(spark, sf_dir).count(),
+        "line_dedup": lambda: em.q_line_dedup(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline
