@@ -2040,6 +2040,16 @@ def q_morton_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout keys (plus Morton for comparison) for every
+    point — the locality-optimal file-sort projection, zero shuffles
+    (operators/hilbert.py)."""
+    from aira_spark.operators.hilbert import hilbert_layout
+    from aira_spark.sources.vectors import points_table
+
+    return hilbert_layout(points_table(spark, sf_dir), res=CELL_RES)
+
+
 def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 dimension of each user's event_type over time — change
     detection + interval closing in one entity-local shuffle
@@ -2640,6 +2650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap": q_interval_overlap,
         "source_quota": q_source_quota,
         "line_dedup": q_line_dedup,
+        "hilbert_layout": q_hilbert_layout,
     }
 
 
@@ -3259,6 +3270,13 @@ def _oracle_interval_overlap() -> str:
     from aira_spark.operators.interval import oracle_interval_sql
 
     return oracle_interval_sql("events", top_k=40)
+
+
+def _oracle_hilbert_layout() -> str:
+    from aira_spark.operators.hilbert import oracle_hilbert_sql
+    from aira_spark.sources.vectors import points_oracle_sql
+
+    return oracle_hilbert_sql(points_oracle_sql(), res=CELL_RES)
 
 
 def _oracle_line_dedup() -> str:
@@ -4985,6 +5003,7 @@ FROM docs GROUP BY 1
         "interval_overlap": _oracle_interval_overlap(),
         "source_quota": _oracle_source_quota(),
         "line_dedup": _oracle_line_dedup(),
+        "hilbert_layout": _oracle_hilbert_layout(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

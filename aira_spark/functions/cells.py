@@ -300,3 +300,61 @@ def morton_from_xy(x: Column, y: Column, res: int = DEFAULT_RES) -> Column:
     ix = _clamp(F.floor((x - F.lit(X0)) / F.lit(SPAN_X) * F.lit(float(n))), 0, n - 1)
     iy = _clamp(F.floor((y - F.lit(Y0)) / F.lit(SPAN_Y) * F.lit(float(n))), 0, n - 1)
     return morton_key(ix.cast("long"), iy.cast("long"), res)
+
+
+# --------------------------------------------------------------- Hilbert
+
+
+def np_hilbert_key(ix, iy, res: int):
+    """Vectorized numpy Hilbert curve index of grid cells on the 2^res
+    grid (the canonical iterative xy->d walk: quadrant digit + rotate/flip
+    per level; the flip is the full-width bitwise complement n-1-x, whose
+    low bits equal the in-quadrant flip — high bits are never re-read).
+
+    Morton's sibling with strictly better locality: consecutive keys are
+    ALWAYS L1-adjacent cells (Z-order jumps across the grid at quadrant
+    seams), so range scans over a Hilbert-sorted layout touch fewer,
+    longer contiguous stretches for the same bbox."""
+    import numpy as np
+
+    x = np.asarray(ix, dtype=np.int64).copy()
+    y = np.asarray(iy, dtype=np.int64).copy()
+    d = np.zeros_like(x)
+    n = 1 << res
+    s = n >> 1
+    while s > 0:
+        rx = ((x & s) != 0).astype(np.int64)
+        ry = ((y & s) != 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        flip = (ry == 0) & (rx == 1)
+        x = np.where(flip, n - 1 - x, x)
+        y = np.where(flip, n - 1 - y, y)
+        swap = ry == 0
+        x, y = np.where(swap, y, x), np.where(swap, x, y)
+        s >>= 1
+    return d
+
+
+def sql_hilbert_cte(src: str, res: int) -> str:
+    """DuckDB CTE chain computing the SAME walk: `src` must select
+    (id, x, y); the chain ends in CTE hfin(id, hkey). One simple
+    projection per level — linear, no recursion."""
+    n = 1 << res
+    parts = [f"h0 AS (SELECT id, CAST(0 AS BIGINT) AS d, x, y FROM ({src}))"]
+    for k in range(res):
+        s = 1 << (res - 1 - k)
+        parts.append(
+            f"h{k + 1} AS (SELECT id, d, "
+            "CASE WHEN ry = 0 THEN yf ELSE xf END AS x, "
+            "CASE WHEN ry = 0 THEN xf ELSE yf END AS y "
+            "FROM (SELECT id, "
+            f"d + {s * s} * (CASE WHEN rx = 0 THEN ry ELSE 3 - ry END) AS d, "
+            f"CASE WHEN ry = 0 AND rx = 1 THEN {n - 1} - x ELSE x END AS xf, "
+            f"CASE WHEN ry = 0 AND rx = 1 THEN {n - 1} - y ELSE y END AS yf, "
+            "rx, ry FROM (SELECT id, d, x, y, "
+            f"(x // {s}) % 2 AS rx, (y // {s}) % 2 AS ry FROM h{k})))"
+        )
+    parts.append(
+        f"hfin AS (SELECT id, CAST(d AS BIGINT) AS hkey FROM h{res})"
+    )
+    return ",\n".join(parts)

@@ -257,3 +257,90 @@ def test_line_dedup_ragged_tail_and_within_doc_repeat(spark):
     (row,) = line_dedup(docs, seg_words=3).collect()
     assert (row["n_segs"], row["n_kept"]) == (3, 2)
     assert row["clean_text"] == "x x x y"
+
+
+# --------------------------------------------------------- hilbert_layout
+
+
+def test_hilbert_curve_property():
+    """Bijection + unit-step adjacency over the full grid — the defining
+    Hilbert property (Z-order fails adjacency at every quadrant seam)."""
+    import numpy as np
+
+    from aira_spark.functions.cells import np_hilbert_key
+
+    res = 5
+    n = 1 << res
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    k = np_hilbert_key(xs.ravel(), ys.ravel(), res)
+    assert sorted(k.tolist()) == list(range(n * n))
+    order = np.argsort(k)
+    px, py = xs.ravel()[order], ys.ravel()[order]
+    steps = np.abs(np.diff(px)) + np.abs(np.diff(py))
+    assert (steps == 1).all()
+
+
+def test_hilbert_locality_beats_morton():
+    """The layout payoff, quantified with the RIGHT metric (Moon et al.,
+    clustering properties of the Hilbert curve): the number of contiguous
+    key runs a bbox query decomposes into — each run is one range scan.
+    Hilbert must need fewer runs than Morton summed over the test rects.
+    (Mean |Δkey| between adjacent cells is NOT the metric: Morton wins
+    that one trivially because x-steps at even x cost exactly +1.)"""
+    import numpy as np
+
+    from aira_spark.functions.cells import np_hilbert_key, np_morton_key
+
+    res = 5
+
+    def runs(keyf):
+        tot = 0
+        for x0, y0, x1, y1 in [
+            (2, 3, 9, 12),
+            (0, 0, 15, 15),
+            (5, 5, 20, 9),
+            (10, 2, 29, 29),
+            (7, 19, 12, 31),
+        ]:
+            xs, ys = np.meshgrid(
+                np.arange(x0, x1 + 1), np.arange(y0, y1 + 1), indexing="ij"
+            )
+            k = np.sort(keyf(xs.ravel(), ys.ravel()))
+            tot += 1 + int((np.diff(k) > 1).sum())
+        return tot
+
+    h = runs(lambda x, y: np_hilbert_key(x, y, res))
+    m = runs(
+        lambda x, y: np.array(
+            [np_morton_key(int(a), int(b), res) for a, b in zip(x, y)]
+        )
+    )
+    assert h < m
+
+
+def test_hilbert_layout_spark_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from aira_spark.functions.cells import np_hilbert_key
+    from aira_spark.operators.hilbert import hilbert_layout
+    from aira_spark.sources.vectors import points_table
+
+    rows = hilbert_layout(points_table(spark, sf_dir), res=6).collect()
+    ix = np.array([r["ix"] for r in rows])
+    iy = np.array([r["iy"] for r in rows])
+    want = np_hilbert_key(ix, iy, 6)
+    got = np.array([r["hkey"] for r in rows])
+    assert (got == want).all()
+
+
+def test_hilbert_layout_zero_shuffles(spark, sf_dir):
+    from aira_spark.operators.hilbert import hilbert_layout
+    from aira_spark.sources.vectors import points_table
+
+    plan = (
+        hilbert_layout(points_table(spark, sf_dir))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
