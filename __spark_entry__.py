@@ -2050,6 +2050,15 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hilbert_layout(points_table(spark, sf_dir), res=CELL_RES)
 
 
+def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (2h window / 1h slide) streaming rollup — each
+    event lands in two overlapping windows; final state == batch
+    (streaming/events.py:run_streaming_sliding)."""
+    from aira_spark.streaming.events import run_streaming_sliding
+
+    return run_streaming_sliding(spark, sf_dir)
+
+
 def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 dimension of each user's event_type over time — change
     detection + interval closing in one entity-local shuffle
@@ -2651,6 +2660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quota": q_source_quota,
         "line_dedup": q_line_dedup,
         "hilbert_layout": q_hilbert_layout,
+        "streaming_sliding": q_streaming_sliding,
     }
 
 
@@ -3270,6 +3280,12 @@ def _oracle_interval_overlap() -> str:
     from aira_spark.operators.interval import oracle_interval_sql
 
     return oracle_interval_sql("events", top_k=40)
+
+
+def _oracle_streaming_sliding() -> str:
+    from aira_spark.streaming.events import ORACLE_STREAMING_SLIDING
+
+    return ORACLE_STREAMING_SLIDING
 
 
 def _oracle_hilbert_layout() -> str:
@@ -5004,6 +5020,7 @@ FROM docs GROUP BY 1
         "source_quota": _oracle_source_quota(),
         "line_dedup": _oracle_line_dedup(),
         "hilbert_layout": _oracle_hilbert_layout(),
+        "streaming_sliding": _oracle_streaming_sliding(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

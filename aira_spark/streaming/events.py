@@ -427,3 +427,59 @@ def run_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_table(spark, stream, "streaming_enrich", "complete", stage)
+
+
+def run_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window streaming aggregation: 2-hour windows sliding every
+    hour, so each event lands in exactly TWO overlapping windows — the
+    overlap fan-out the tumbling rollups (run_events_hourly_stream) never
+    exercise. Input staged as _n_batches() files read with
+    maxFilesPerTrigger=1 so window state accumulates across microbatch
+    boundaries; counts/sums are additive, so the final table equals the
+    batch computation — which the DuckDB oracle reproduces by fanning
+    each event into its two window starts. Window starts emitted as epoch
+    microseconds (session tz pinned UTC; exact integers, canon-safe)."""
+    src = f"{sf_dir}/events.parquet"
+    stage = tempfile.mkdtemp(prefix="aira_sliding_")
+    spark.read.parquet(src).repartition(_n_batches()).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    schema = spark.read.parquet(src).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr("CAST(FLOOR(value * 100.0) AS BIGINT)")).alias("value_cents"),
+        )
+        .select(
+            F.col("event_type"),
+            F.unix_micros(F.col("window.start")).alias("win_start_us"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("value_cents").cast("long").alias("value_cents"),
+        )
+    )
+    return _run_to_table(spark, stream, "sliding", "complete", stage)
+
+
+ORACLE_STREAMING_SLIDING = """
+WITH ue AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+    CAST(FLOOR(value * 100.0) AS BIGINT) AS cents
+  FROM events
+),
+fan AS (
+  SELECT event_type, t, cents,
+    UNNEST([(t // 3600) * 3600, (t // 3600) * 3600 - 3600]) AS ws
+  FROM ue
+)
+SELECT event_type, CAST(ws * 1000000 AS BIGINT) AS win_start_us,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(cents) AS BIGINT) AS value_cents
+FROM fan GROUP BY 1, 2
+"""

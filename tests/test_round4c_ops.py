@@ -344,3 +344,38 @@ def test_hilbert_layout_zero_shuffles(spark, sf_dir):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+# ------------------------------------------------------ streaming_sliding
+
+
+def test_streaming_sliding_equals_batch(spark, sf_dir):
+    """Final sliding-window state across microbatches == the one-shot
+    batch computation (additive counts/sums), and the 2h/1h overlap puts
+    every event in exactly two windows (count conservation x2)."""
+    from aira_spark.streaming.events import run_streaming_sliding
+
+    got = run_streaming_sliding(spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    want = (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr("CAST(FLOOR(value * 100.0) AS BIGINT)")).alias(
+                "value_cents"
+            ),
+        )
+        .select(
+            "event_type",
+            F.unix_micros(F.col("window.start")).alias("win_start_us"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("value_cents").cast("long").alias("value_cents"),
+        )
+    )
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w
+    total = sum(r[2] for r in g)
+    assert total == 2 * ev.count()
