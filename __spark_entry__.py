@@ -2050,6 +2050,16 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hilbert_layout(points_table(spark, sf_dir), res=CELL_RES)
 
 
+def q_convex_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-coarse-cell convex hull vertices (strict hull, exact integer
+    orientation predicates) — Andrew's chain in bounded grouped maps,
+    maximal-edge SQL oracle (operators/hull.py)."""
+    from aira_spark.operators.hull import convex_hulls
+    from aira_spark.sources.vectors import points_table
+
+    return convex_hulls(points_table(spark, sf_dir), res=4)
+
+
 def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window (2h window / 1h slide) streaming rollup — each
     event lands in two overlapping windows; final state == batch
@@ -2661,6 +2671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "hilbert_layout": q_hilbert_layout,
         "streaming_sliding": q_streaming_sliding,
+        "convex_hulls": q_convex_hulls,
     }
 
 
@@ -3280,6 +3291,13 @@ def _oracle_interval_overlap() -> str:
     from aira_spark.operators.interval import oracle_interval_sql
 
     return oracle_interval_sql("events", top_k=40)
+
+
+def _oracle_convex_hulls() -> str:
+    from aira_spark.operators.hull import oracle_hull_sql
+    from aira_spark.sources.vectors import points_oracle_sql
+
+    return oracle_hull_sql(points_oracle_sql(), res=4)
 
 
 def _oracle_streaming_sliding() -> str:
@@ -5021,6 +5039,7 @@ FROM docs GROUP BY 1
         "line_dedup": _oracle_line_dedup(),
         "hilbert_layout": _oracle_hilbert_layout(),
         "streaming_sliding": _oracle_streaming_sliding(),
+        "convex_hulls": _oracle_convex_hulls(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -379,3 +379,119 @@ def test_streaming_sliding_equals_batch(spark, sf_dir):
     assert g == w
     total = sum(r[2] for r in g)
     assert total == 2 * ev.count()
+
+
+# ------------------------------------------------------------ convex_hulls
+
+
+def _hull_brute(pts):
+    """Independent maximal-edge hull (ids of vertices) over distinct-coord
+    points [(x, y, id)] — O(n^3), mirrors neither the chain nor the SQL."""
+    if len(pts) <= 2:
+        return {p[2] for p in pts}
+    verts = set()
+    for i, a in enumerate(pts):
+        for b in pts[i + 1:]:
+            mn = mx = 0
+            bad = False
+            for c in pts:
+                if c is a or c is b:
+                    continue
+                cr = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+                mn, mx = min(mn, cr), max(mx, cr)
+                if cr == 0 and not (
+                    (c[0] - a[0]) * (c[0] - b[0]) + (c[1] - a[1]) * (c[1] - b[1]) < 0
+                ):
+                    bad = True
+            if not bad and (mn >= 0 or mx <= 0):
+                verts.add(a[2])
+                verts.add(b[2])
+    return verts
+
+
+def test_convex_hull_hand_cases(spark):
+    """Square + interior point + collinear edge midpoint: vertices are the
+    4 corners only. Fully-collinear cluster: the two extremes. Pairs and
+    singletons are their own hulls."""
+    from aira_spark.operators.hull import convex_hulls
+
+    # coordinates inside one res-4 cell (cells are 22.5 x 11.25 deg)
+    rows = [
+        # square cluster around (1, 1)
+        (1, 1.0, 1.0), (2, 2.0, 1.0), (3, 2.0, 2.0), (4, 1.0, 2.0),
+        (5, 1.5, 1.5),            # interior
+        (6, 1.5, 1.0),            # collinear on the bottom edge
+    ]
+    pts = spark.createDataFrame(rows, "point_id long, x double, y double")
+    got = {
+        r["point_id"] for r in convex_hulls(pts, res=4).collect()
+    }
+    assert got == {1, 2, 3, 4}
+
+    collinear = spark.createDataFrame(
+        [(11, 5.0, 5.0), (12, 5.5, 5.5), (13, 6.0, 6.0)],
+        "point_id long, x double, y double",
+    )
+    got2 = {r["point_id"] for r in convex_hulls(collinear, res=4).collect()}
+    assert got2 == {11, 13}
+
+    tiny = spark.createDataFrame(
+        [(21, 8.0, 8.0), (22, 8.5, 8.0)],
+        "point_id long, x double, y double",
+    )
+    got3 = {r["point_id"] for r in convex_hulls(tiny, res=4).collect()}
+    assert got3 == {21, 22}
+
+
+def test_convex_hull_brute_force_real(spark, sf_dir):
+    from collections import defaultdict
+
+    from aira_spark.operators.hull import Q, convex_hulls
+    from aira_spark.functions.cells import np_cell_from_xy
+    from aira_spark.sources.vectors import points_table
+
+    pts_df = points_table(spark, sf_dir).filter("point_id % 3 = 0")
+    raw = pts_df.collect()
+    groups = defaultdict(dict)
+    for r in raw:
+        grp = int(np_cell_from_xy(r["x"], r["y"], 4))
+        qx = int(round(r["x"] * Q))
+        qy = int(round(r["y"] * Q))
+        k = (qx, qy)
+        if k not in groups[grp] or r["point_id"] < groups[grp][k]:
+            groups[grp][k] = int(r["point_id"])
+    want = set()
+    for grp, coords in groups.items():
+        pts = [(x, y, pid) for (x, y), pid in coords.items()]
+        for pid in _hull_brute(pts):
+            want.add((grp, pid))
+    got = {
+        (r["grp"], r["point_id"])
+        for r in convex_hulls(pts_df, res=4).collect()
+    }
+    assert got == want
+
+
+def test_convex_hull_contains_all_points(spark, sf_dir):
+    """Every cluster point lies inside-or-on its hull polygon (the
+    defining property, checked with exact integer ray casting)."""
+    from collections import defaultdict
+
+    from aira_spark.operators.hull import convex_hulls, Q, _chain
+    from aira_spark.functions.cells import np_cell_from_xy
+    from aira_spark.sources.vectors import points_table
+
+    pts_df = points_table(spark, sf_dir).filter("point_id % 5 = 0")
+    hull = defaultdict(list)
+    for r in convex_hulls(pts_df, res=4).collect():
+        hull[r["grp"]].append((r["qx"], r["qy"], r["point_id"]))
+    for r in pts_df.collect():
+        grp = int(np_cell_from_xy(r["x"], r["y"], 4))
+        px, py = int(round(r["x"] * Q)), int(round(r["y"] * Q))
+        verts = _chain(sorted(hull[grp]))
+        if len(verts) < 3:
+            continue  # degenerate hulls checked by the brute-force test
+        for i in range(len(verts)):
+            a, b = verts[i], verts[(i + 1) % len(verts)]
+            cr = (b[0] - a[0]) * (py - a[1]) - (b[1] - a[1]) * (px - a[0])
+            assert cr >= 0, (grp, (px, py), a, b)
