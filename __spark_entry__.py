@@ -2060,6 +2060,18 @@ def q_convex_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return convex_hulls(points_table(spark, sf_dir), res=4)
 
 
+def q_adaptive_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-adaptive quadtree partition assignment (split while
+    count > 64, res 2..6) — the spatial-layout skew killer, recursion
+    collapsed to one explode + agg + join (operators/adaptive.py)."""
+    from aira_spark.operators.adaptive import adaptive_partitions
+    from aira_spark.sources.vectors import points_table
+
+    return adaptive_partitions(
+        points_table(spark, sf_dir), r_min=2, r_max=6, threshold=64
+    )
+
+
 def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window (2h window / 1h slide) streaming rollup — each
     event lands in two overlapping windows; final state == batch
@@ -2672,6 +2684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_layout": q_hilbert_layout,
         "streaming_sliding": q_streaming_sliding,
         "convex_hulls": q_convex_hulls,
+        "adaptive_partitions": q_adaptive_partitions,
     }
 
 
@@ -3291,6 +3304,15 @@ def _oracle_interval_overlap() -> str:
     from aira_spark.operators.interval import oracle_interval_sql
 
     return oracle_interval_sql("events", top_k=40)
+
+
+def _oracle_adaptive_partitions() -> str:
+    from aira_spark.operators.adaptive import oracle_adaptive_sql
+    from aira_spark.sources.vectors import points_oracle_sql
+
+    return oracle_adaptive_sql(
+        points_oracle_sql(), r_min=2, r_max=6, threshold=64
+    )
 
 
 def _oracle_convex_hulls() -> str:
@@ -5040,6 +5062,7 @@ FROM docs GROUP BY 1
         "hilbert_layout": _oracle_hilbert_layout(),
         "streaming_sliding": _oracle_streaming_sliding(),
         "convex_hulls": _oracle_convex_hulls(),
+        "adaptive_partitions": _oracle_adaptive_partitions(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

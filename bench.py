@@ -219,6 +219,7 @@ def main() -> None:
         "hilbert_layout": lambda: em.q_hilbert_layout(spark, sf_dir).count(),
         "streaming_sliding": lambda: em.q_streaming_sliding(spark, sf_dir).count(),
         "convex_hulls": lambda: em.q_convex_hulls(spark, sf_dir).count(),
+        "adaptive_partitions": lambda: em.q_adaptive_partitions(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

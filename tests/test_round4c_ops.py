@@ -495,3 +495,46 @@ def test_convex_hull_contains_all_points(spark, sf_dir):
             a, b = verts[i], verts[(i + 1) % len(verts)]
             cr = (b[0] - a[0]) * (py - a[1]) - (b[1] - a[1]) * (px - a[0])
             assert cr >= 0, (grp, (px, py), a, b)
+
+
+# ----------------------------------------------------- adaptive_partitions
+
+
+def test_adaptive_partitions_matches_recursive_quadtree(spark, sf_dir):
+    """The closed-form (shallowest level with count <= T) equals a literal
+    recursive quadtree split run in python."""
+    from collections import Counter, defaultdict
+
+    from aira_spark.functions.cells import np_cell_from_xy
+    from aira_spark.operators.adaptive import adaptive_partitions
+    from aira_spark.sources.vectors import points_table
+
+    r_min, r_max, T = 2, 6, 8  # low T: sf0.001 has 150 points
+    pts_df = points_table(spark, sf_dir)
+    raw = [(int(r["point_id"]), r["x"], r["y"]) for r in pts_df.collect()]
+    counts = {
+        r: Counter(int(np_cell_from_xy(x, y, r)) for _, x, y in raw)
+        for r in range(r_min, r_max + 1)
+    }
+
+    def leaf(x, y):
+        # literal recursion: split while over threshold and depth remains
+        for r in range(r_min, r_max + 1):
+            c = int(np_cell_from_xy(x, y, r))
+            if counts[r][c] <= T or r == r_max:
+                return r, c, counts[r][c]
+        raise AssertionError
+
+    want = {pid: leaf(x, y) for pid, x, y in raw}
+    got = {
+        r["point_id"]: (r["leaf_res"], r["leaf_cell"], r["leaf_count"])
+        for r in adaptive_partitions(
+            pts_df, r_min=r_min, r_max=r_max, threshold=T
+        ).collect()
+    }
+    assert got == want
+    # the partitioner's contract: every non-max-depth leaf is bounded
+    for res, _, cnt in got.values():
+        assert cnt <= T or res == r_max
+    # and it actually split somewhere (T=8 forces splits at res 2)
+    assert any(res > r_min for res, _, _ in got.values())
