@@ -2060,6 +2060,44 @@ def q_convex_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return convex_hulls(points_table(spark, sf_dir), res=4)
 
 
+_SEG_X = "CAST((event_id * 2654435761) % 100000 AS BIGINT)"
+_SEG_Y = "CAST((event_id * 1013904223) % 100000 AS BIGINT)"
+
+
+def q_segment_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line x line spatial join: crossing trajectory hops between
+    different users, exact 4-orientation integer predicate, bin-cover
+    prefilter (operators/segments.py)."""
+    from pyspark.sql import Window
+
+    from aira_spark.operators.segments import segment_intersections
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where("user_id % 15 = 0")
+        .selectExpr(
+            "user_id",
+            "ts",
+            "event_id",
+            f"{_SEG_X} AS axq",
+            f"{_SEG_Y} AS ayq",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    segs = (
+        ev.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("event_id").cast("long").alias("seg_id"),
+            "axq",
+            "ayq",
+            F.lead("axq").over(w).alias("bxq"),
+            F.lead("ayq").over(w).alias("byq"),
+        )
+        .where("bxq IS NOT NULL")
+    )
+    return segment_intersections(segs)
+
+
 def q_adaptive_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Density-adaptive quadtree partition assignment (split while
     count > 64, res 2..6) — the spatial-layout skew killer, recursion
@@ -2685,6 +2723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sliding": q_streaming_sliding,
         "convex_hulls": q_convex_hulls,
         "adaptive_partitions": q_adaptive_partitions,
+        "segment_intersections": q_segment_intersections,
     }
 
 
@@ -3304,6 +3343,24 @@ def _oracle_interval_overlap() -> str:
     from aira_spark.operators.interval import oracle_interval_sql
 
     return oracle_interval_sql("events", top_k=40)
+
+
+def _oracle_segment_intersections() -> str:
+    from aira_spark.operators.segments import oracle_segments_sql
+
+    segs_cte = f"""ev AS (
+  SELECT user_id, ts, event_id,
+    {_SEG_X} AS axq, {_SEG_Y} AS ayq
+  FROM events WHERE user_id % 15 = 0
+),
+raw AS (
+  SELECT CAST(event_id AS BIGINT) AS seg_id, user_id, axq, ayq,
+    LEAD(axq) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS bxq,
+    LEAD(ayq) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS byq
+  FROM ev
+),
+segs AS (SELECT * FROM raw WHERE bxq IS NOT NULL)"""
+    return oracle_segments_sql(segs_cte)
 
 
 def _oracle_adaptive_partitions() -> str:
@@ -5063,6 +5120,7 @@ FROM docs GROUP BY 1
         "streaming_sliding": _oracle_streaming_sliding(),
         "convex_hulls": _oracle_convex_hulls(),
         "adaptive_partitions": _oracle_adaptive_partitions(),
+        "segment_intersections": _oracle_segment_intersections(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

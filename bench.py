@@ -220,6 +220,7 @@ def main() -> None:
         "streaming_sliding": lambda: em.q_streaming_sliding(spark, sf_dir).count(),
         "convex_hulls": lambda: em.q_convex_hulls(spark, sf_dir).count(),
         "adaptive_partitions": lambda: em.q_adaptive_partitions(spark, sf_dir).count(),
+        "segment_intersections": lambda: em.q_segment_intersections(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

@@ -538,3 +538,126 @@ def test_adaptive_partitions_matches_recursive_quadtree(spark, sf_dir):
         assert cnt <= T or res == r_max
     # and it actually split somewhere (T=8 forces splits at res 2)
     assert any(res > r_min for res, _, _ in got.values())
+
+
+# ------------------------------------------------- segment_intersections
+
+
+def _segs_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "seg_id long, user_id long, axq long, ayq long, bxq long, byq long"
+    )
+
+
+def test_segment_intersections_hand_cases(spark):
+    """Proper X crossing, T-touch, collinear overlap, endpoint touch,
+    parallel-disjoint, same-user excluded."""
+    from aira_spark.operators.segments import segment_intersections
+
+    segs = _segs_df(
+        spark,
+        [
+            (1, 1, 0, 0, 100, 100),     # diagonal
+            (2, 2, 0, 100, 100, 0),     # crosses 1 properly at (50,50)
+            (3, 3, 50, 50, 200, 50),    # T-touch: endpoint on seg 1? (50,50) lies on 1
+            (4, 4, 300, 300, 400, 300),
+            (5, 5, 350, 300, 450, 300), # collinear overlap with 4
+            (6, 6, 400, 300, 400, 500), # endpoint touch with 4 at (400,300)
+            (7, 7, 0, 500, 100, 500),
+            (8, 8, 0, 600, 100, 600),   # parallel to 7, disjoint
+            (9, 1, 0, 100, 100, 0),     # same user as... user 1 != seg 2's user,
+                                        # but same geometry as 2; vs seg 1 SAME user -> excluded
+        ],
+    )
+    got = {
+        (r["seg_a"], r["seg_b"]): r["kind"]
+        for r in segment_intersections(segs).collect()
+    }
+    assert got[(1, 2)] == "proper"
+    assert got[(1, 3)] == "touch"
+    assert got[(4, 5)] == "touch"
+    assert got[(4, 6)] == "touch"
+    assert (7, 8) not in got
+    assert (1, 9) not in got          # same user
+    assert got[(2, 9)] == "touch"     # identical collinear segments, different users
+    assert got[(3, 9)] == "touch"     # (50,50) endpoint lies on 9 too
+
+
+def test_segment_intersections_brute_force_real(spark, sf_dir):
+    """Bin-cover candidates lose nothing: Spark == python all-pairs brute
+    force with the same integer predicate over real trajectory hops."""
+    from collections import defaultdict
+
+    from aira_spark.operators.segments import segment_intersections
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where("user_id % 7 = 0")
+        .selectExpr(
+            "user_id", "ts", "event_id",
+            "CAST((event_id * 2654435761) % 100000 AS BIGINT) AS x",
+            "CAST((event_id * 1013904223) % 100000 AS BIGINT) AS y",
+        )
+        .collect()
+    )
+    byu = defaultdict(list)
+    for r in rows:
+        byu[r["user_id"]].append((r["ts"], r["event_id"], r["x"], r["y"]))
+    segs = []
+    for u, evs in byu.items():
+        evs.sort()
+        for (t0, e0, x0, y0), (t1, e1, x1, y1) in zip(evs, evs[1:]):
+            segs.append((e0, u, x0, y0, x1, y1))
+
+    def cross(ox, oy, ax, ay, bx, by):
+        return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+
+    def on(px, py, qx, qy, rx, ry):
+        return min(px, qx) <= rx <= max(px, qx) and min(py, qy) <= ry <= max(py, qy)
+
+    def hits(s1, s2):
+        _, _, ax, ay, bx, by = s1
+        _, _, cx, cy, dx, dy = s2
+        d1 = cross(cx, cy, dx, dy, ax, ay)
+        d2 = cross(cx, cy, dx, dy, bx, by)
+        d3 = cross(ax, ay, bx, by, cx, cy)
+        d4 = cross(ax, ay, bx, by, dx, dy)
+        if ((d1 > 0 and d2 < 0) or (d1 < 0 and d2 > 0)) and (
+            (d3 > 0 and d4 < 0) or (d3 < 0 and d4 > 0)
+        ):
+            return "proper"
+        if (
+            (d1 == 0 and on(cx, cy, dx, dy, ax, ay))
+            or (d2 == 0 and on(cx, cy, dx, dy, bx, by))
+            or (d3 == 0 and on(ax, ay, bx, by, cx, cy))
+            or (d4 == 0 and on(ax, ay, bx, by, dx, dy))
+        ):
+            return "touch"
+        return None
+
+    want = {}
+    for i, s1 in enumerate(segs):
+        for s2 in segs[i + 1:]:
+            if s1[1] == s2[1]:
+                continue
+            a, b = (s1, s2) if s1[0] < s2[0] else (s2, s1)
+            k = hits(a, b)
+            if k:
+                want[(a[0], b[0])] = k
+
+    sdf = _segs_df(spark, segs)
+    got = {
+        (r["seg_a"], r["seg_b"]): r["kind"]
+        for r in segment_intersections(sdf).collect()
+    }
+    assert got == want
+
+
+def test_segment_intersections_hot_bin_guard(spark):
+    from aira_spark.operators.segments import segment_intersections
+
+    segs = _segs_df(
+        spark, [(i, i, 0, 0, 50, 50) for i in range(30)]
+    )
+    with pytest.raises(ValueError, match="max_bin"):
+        segment_intersections(segs, max_bin=10)
