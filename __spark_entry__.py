@@ -2064,13 +2064,10 @@ _SEG_X = "CAST((event_id * 2654435761) % 100000 AS BIGINT)"
 _SEG_Y = "CAST((event_id * 1013904223) % 100000 AS BIGINT)"
 
 
-def q_segment_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Line x line spatial join: crossing trajectory hops between
-    different users, exact 4-orientation integer predicate, bin-cover
-    prefilter (operators/segments.py)."""
+def _trajectory_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(seg_id, user_id, axq, ayq, bxq, byq): consecutive trajectory hops
+    of every 15th user on the folded 10-deg integer grid."""
     from pyspark.sql import Window
-
-    from aira_spark.operators.segments import segment_intersections
 
     ev = (
         spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -2084,7 +2081,7 @@ def q_segment_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    segs = (
+    return (
         ev.select(
             F.col("user_id").cast("long").alias("user_id"),
             F.col("event_id").cast("long").alias("seg_id"),
@@ -2095,7 +2092,46 @@ def q_segment_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where("bxq IS NOT NULL")
     )
-    return segment_intersections(segs)
+
+
+def _segs_cte_sql() -> str:
+    return f"""ev AS (
+  SELECT user_id, ts, event_id,
+    {_SEG_X} AS axq, {_SEG_Y} AS ayq
+  FROM events WHERE user_id % 15 = 0
+),
+raw AS (
+  SELECT CAST(event_id AS BIGINT) AS seg_id, user_id, axq, ayq,
+    LEAD(axq) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS bxq,
+    LEAD(ayq) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS byq
+  FROM ev
+),
+segs AS (SELECT * FROM raw WHERE bxq IS NOT NULL)"""
+
+
+def q_segment_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line x line spatial join: crossing trajectory hops between
+    different users, exact 4-orientation integer predicate, bin-cover
+    prefilter (operators/segments.py)."""
+    from aira_spark.operators.segments import segment_intersections
+
+    return segment_intersections(_trajectory_segments(spark, sf_dir))
+
+
+def q_route_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corridor query: points within 0.15 deg of any trajectory hop —
+    exact integer point-segment distance predicate, expanded-bbox bin
+    prefilter (operators/segments.py:route_proximity)."""
+    from aira_spark.operators.segments import route_proximity
+
+    pts = spark.read.parquet(f"{sf_dir}/customer.parquet").selectExpr(
+        "CAST(c_custkey AS BIGINT) AS point_id",
+        "CAST((c_custkey * 48271) % 100000 AS BIGINT) AS pxq",
+        "CAST((c_custkey * 69621) % 100000 AS BIGINT) AS pyq",
+    )
+    return route_proximity(
+        _trajectory_segments(spark, sf_dir), pts, d=1500
+    )
 
 
 def q_adaptive_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2724,6 +2760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convex_hulls": q_convex_hulls,
         "adaptive_partitions": q_adaptive_partitions,
         "segment_intersections": q_segment_intersections,
+        "route_proximity": q_route_proximity,
     }
 
 
@@ -3348,19 +3385,19 @@ def _oracle_interval_overlap() -> str:
 def _oracle_segment_intersections() -> str:
     from aira_spark.operators.segments import oracle_segments_sql
 
-    segs_cte = f"""ev AS (
-  SELECT user_id, ts, event_id,
-    {_SEG_X} AS axq, {_SEG_Y} AS ayq
-  FROM events WHERE user_id % 15 = 0
-),
-raw AS (
-  SELECT CAST(event_id AS BIGINT) AS seg_id, user_id, axq, ayq,
-    LEAD(axq) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS bxq,
-    LEAD(ayq) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS byq
-  FROM ev
-),
-segs AS (SELECT * FROM raw WHERE bxq IS NOT NULL)"""
-    return oracle_segments_sql(segs_cte)
+    return oracle_segments_sql(_segs_cte_sql())
+
+
+def _oracle_route_proximity() -> str:
+    from aira_spark.operators.segments import oracle_route_proximity_sql
+
+    pts = (
+        "SELECT CAST(c_custkey AS BIGINT) AS point_id, "
+        "CAST((c_custkey * 48271) % 100000 AS BIGINT) AS pxq, "
+        "CAST((c_custkey * 69621) % 100000 AS BIGINT) AS pyq "
+        "FROM customer"
+    )
+    return oracle_route_proximity_sql(_segs_cte_sql(), pts, d=1500)
 
 
 def _oracle_adaptive_partitions() -> str:
@@ -5121,6 +5158,7 @@ FROM docs GROUP BY 1
         "convex_hulls": _oracle_convex_hulls(),
         "adaptive_partitions": _oracle_adaptive_partitions(),
         "segment_intersections": _oracle_segment_intersections(),
+        "route_proximity": _oracle_route_proximity(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

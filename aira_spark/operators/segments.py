@@ -146,3 +146,106 @@ SELECT CAST(seg_a AS BIGINT) AS seg_a, CAST(seg_b AS BIGINT) AS seg_b,
   CASE WHEN {proper_expr()} THEN 'proper' ELSE 'touch' END AS kind
 FROM pairs WHERE {intersect_expr()}
 """
+
+
+def within_expr(d: int) -> str:
+    """Shared predicate text over (axq, ayq, bxq, byq, pxq, pyq): true iff
+    point P lies within distance `d` of closed segment AB — exact in
+    int64: the clamped-projection case split compares squared distances,
+    and the interior case compares cross(AB,AP)^2 <= d^2 * |AB|^2 (no
+    division, no sqrt, no float).
+
+    Overflow budget: with 1e-4-deg grid coords < 2^17 and d <= 10^4,
+    d^2 * den < 5e18 fits int64, but cross itself can reach ~10^10 whose
+    SQUARE overflows — the nested CASE rejects |cross| > 3e9 before
+    squaring (any such cross already exceeds d*sqrt(den), so the answer
+    is false; 3e9^2 = 9e18 still fits). Both engines evaluate CASE arms
+    lazily, so the guarded square never executes on huge crosses."""
+    dx, dy = "(bxq - axq)", "(byq - ayq)"
+    apx, apy = "(pxq - axq)", "(pyq - ayq)"
+    bpx, bpy = "(pxq - bxq)", "(pyq - byq)"
+    den = f"({dx} * {dx} + {dy} * {dy})"
+    t = f"({apx} * {dx} + {apy} * {dy})"
+    cr = f"({dx} * {apy} - {dy} * {apx})"
+    d2 = d * d
+    return (
+        f"(CASE WHEN {den} = 0 OR {t} <= 0 "
+        f"THEN {apx} * {apx} + {apy} * {apy} <= {d2} "
+        f"WHEN {t} >= {den} "
+        f"THEN {bpx} * {bpx} + {bpy} * {bpy} <= {d2} "
+        f"ELSE (CASE WHEN ABS({cr}) > 3000000000 THEN FALSE "
+        f"ELSE {cr} * {cr} <= {d2} * {den} END) END)"
+    )
+
+
+def route_proximity(
+    segs: DataFrame, points: DataFrame, d: int, max_bin: int = 200_000
+) -> DataFrame:
+    """(seg_id, point_id): every (segment, point) pair within exact grid
+    distance `d` — the corridor / points-near-route query.
+
+    Candidates: the segment's bbox expanded by `d`, covered with the same
+    coarse bins as segment_intersections, equi-joined against the point's
+    single bin (a proven superset: a point within d of the segment lies
+    inside the expanded bbox). The exact refine is the shared
+    within_expr predicate — a JVM filter, no Python."""
+    binned = (
+        segs.withColumn(
+            "gx",
+            F.explode(
+                F.sequence(
+                    F.expr(f"(LEAST(axq, bxq) - {d}) div {BIN}"),
+                    F.expr(f"(GREATEST(axq, bxq) + {d}) div {BIN}"),
+                )
+            ),
+        )
+        .withColumn(
+            "gy",
+            F.explode(
+                F.sequence(
+                    F.expr(f"(LEAST(ayq, byq) - {d}) div {BIN}"),
+                    F.expr(f"(GREATEST(ayq, byq) + {d}) div {BIN}"),
+                )
+            ),
+        )
+        .withColumn("bin", F.expr("gx * 1024 + gy"))
+        .drop("gx", "gy")
+    )
+    hot = (
+        binned.groupBy("bin")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > max_bin)
+        .take(1)
+    )
+    if hot:
+        raise ValueError(
+            f"route_proximity: bin {hot[0]['bin']} holds {hot[0]['n']} "
+            f"segments (> max_bin={max_bin}); refine the binning"
+        )
+    pts = points.withColumn(
+        "bin", F.expr(f"(pxq div {BIN}) * 1024 + (pyq div {BIN})")
+    )
+    cand = binned.join(pts, "bin").drop("bin").distinct()
+    return cand.where(F.expr(within_expr(d))).select(
+        F.col("seg_id").cast("long").alias("seg_id"),
+        F.col("point_id").cast("long").alias("point_id"),
+    )
+
+
+def oracle_route_proximity_sql(
+    segs_cte: str, points_sql: str, d: int
+) -> str:
+    """DuckDB mirror: brute-force ALL (segment, point) pairs — no bins —
+    with the identical predicate."""
+    return f"""
+WITH {segs_cte},
+pts AS ({points_sql}),
+pairs AS (
+  SELECT s.seg_id, p.point_id,
+    s.axq, s.ayq, s.bxq, s.byq, p.pxq, p.pyq
+  FROM segs s CROSS JOIN pts p
+)
+SELECT CAST(seg_id AS BIGINT) AS seg_id,
+  CAST(point_id AS BIGINT) AS point_id
+FROM pairs WHERE {within_expr(d)}
+"""

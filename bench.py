@@ -221,6 +221,7 @@ def main() -> None:
         "convex_hulls": lambda: em.q_convex_hulls(spark, sf_dir).count(),
         "adaptive_partitions": lambda: em.q_adaptive_partitions(spark, sf_dir).count(),
         "segment_intersections": lambda: em.q_segment_intersections(spark, sf_dir).count(),
+        "route_proximity": lambda: em.q_route_proximity(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

@@ -661,3 +661,74 @@ def test_segment_intersections_hot_bin_guard(spark):
     )
     with pytest.raises(ValueError, match="max_bin"):
         segment_intersections(segs, max_bin=10)
+
+
+# ------------------------------------------------------- route_proximity
+
+
+def test_route_proximity_hand_cases(spark):
+    """Interior perpendicular hit, endpoint-cap hit/miss, degenerate
+    zero-length segment, far miss."""
+    from aira_spark.operators.segments import route_proximity
+
+    segs = _segs_df(spark, [(1, 1, 1000, 1000, 5000, 1000), (2, 2, 7000, 7000, 7000, 7000)])
+    pts = spark.createDataFrame(
+        [
+            (10, 3000, 1400),   # 400 above the interior -> hit at d=500
+            (11, 3000, 1600),   # 600 above -> miss
+            (12, 400, 1000),    # 600 left of endpoint A -> miss at d=500
+            (13, 700, 1000),    # 300 left of endpoint A -> hit (cap)
+            (14, 7300, 7400),   # dist 500 exactly from the degenerate seg -> hit
+            (15, 7301, 7400),   # just outside -> miss
+        ],
+        "point_id long, pxq long, pyq long",
+    )
+    got = {
+        (r["seg_id"], r["point_id"])
+        for r in route_proximity(segs, pts, d=500).collect()
+    }
+    assert got == {(1, 10), (1, 13), (2, 14)}
+
+
+def test_route_proximity_brute_force_real(spark, sf_dir):
+    from aira_spark.operators.segments import route_proximity
+
+    segs_rows = [
+        (int(r["seg_id"]), int(r["user_id"]), int(r["axq"]), int(r["ayq"]),
+         int(r["bxq"]), int(r["byq"]))
+        for r in __import__("__spark_entry__")._trajectory_segments(
+            spark, sf_dir
+        ).collect()
+    ]
+    pts_rows = [
+        (i, (i * 48271) % 100000, (i * 69621) % 100000)
+        for i in range(0, 150, 2)
+    ]
+    d = 1500
+
+    def hit(ax, ay, bx, by, px, py):
+        dx, dy = bx - ax, by - ay
+        den = dx * dx + dy * dy
+        t = (px - ax) * dx + (py - ay) * dy
+        if den == 0 or t <= 0:
+            return (px - ax) ** 2 + (py - ay) ** 2 <= d * d
+        if t >= den:
+            return (px - bx) ** 2 + (py - by) ** 2 <= d * d
+        cr = dx * (py - ay) - dy * (px - ax)
+        return cr * cr <= d * d * den
+
+    want = {
+        (s[0], p[0])
+        for s in segs_rows
+        for p in pts_rows
+        if hit(s[2], s[3], s[4], s[5], p[1], p[2])
+    }
+    segs = _segs_df(spark, segs_rows)
+    pts = spark.createDataFrame(
+        pts_rows, "point_id long, pxq long, pyq long"
+    )
+    got = {
+        (r["seg_id"], r["point_id"])
+        for r in route_proximity(segs, pts, d=d).collect()
+    }
+    assert got == want
