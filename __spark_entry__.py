@@ -2698,7 +2698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-4 late additions (entries 81+): tail-placed — the
         # head-50 is full of entries awaiting their FIRST green driver row
         # this round. Every tail entry below is green in the local replica
-        # of the driver gate (tools/check_oracle.py, 129/129 OK incl. the
+        # of the driver gate (tools/check_oracle.py, 139/139 OK incl. the
         # driver-parity pandas canon hash) and slated to rotate into the
         # head across round 5 as head slots go driver-green.
         "pyramid": q_pyramid,

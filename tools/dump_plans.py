@@ -162,6 +162,36 @@ def main() -> None:
         ("point_density", "counts agg -> weighted 9-offset scatter -> one "
                           "more agg: the focal halo-exchange shape; counts "
                           "combine map-side before the scatter"),
+        ("sssp", "weighted Bellman-Ford rounds: per round one src equi-join "
+                 "+ one MIN hash agg; only (node, BIGINT) rows shuffle; "
+                 "lineage localCheckpointed"),
+        ("interval_overlap", "bin-equi candidate join (bounded <=24-bin "
+                             "explode) with the top-K busy-hour side "
+                             "BROADCAST; exact integer overlap refine — no "
+                             "range-join nested loop"),
+        ("source_quota", "skew-proof per-domain cap: phase-1 rank within "
+                         "(source, salt) bounds any hot domain before the "
+                         "phase-2 re-rank sees it"),
+        ("line_dedup", "segment election is ONE map-side-combinable hash agg "
+                       "on seg (no window sort on a boilerplate-hot "
+                       "segment); reassembly sorts within each doc's own "
+                       "collected list"),
+        ("hilbert_layout", "layout keys as a zero-shuffle projection: the "
+                           "xy->d walk runs vectorized per Arrow batch; "
+                           "Morton stays a pure JVM bit-interleave"),
+        ("convex_hulls", "one shuffle on the bounded grouping cell; chain "
+                         "runs per group in applyInPandas; output is hull "
+                         "vertices only"),
+        ("adaptive_partitions", "quadtree splits with no recursion: level "
+                                "explode -> map-side-combinable counts -> "
+                                "one equi-join -> min-level agg"),
+        ("segment_intersections", "bbox bin-cover equi-join (proven candidate "
+                                  "superset), coords ride the explode, exact "
+                                  "4-orientation refine as a JVM filter; loud "
+                                  "hot-bin guard"),
+        ("route_proximity", "expanded-bbox bin cover vs single-bin points; "
+                            "exact clamped-projection distance predicate with "
+                            "a lazy overflow guard — all JVM expressions"),
         ("grid_dbscan", "DBSCAN with zero pairwise distances: focal "
                         "neighborhood counts -> 8-adjacency bump equi-join "
                         "over core CELLS -> min-label CC -> k-ring border "
