@@ -241,7 +241,7 @@ SELECT CAST(-1 AS BIGINT), CAST(COALESCE(SUM(n_tri), 0) // 3 AS BIGINT) FROM per
 
 def sssp_fixed(
     edges: DataFrame, seeds: DataFrame, rounds: int = 6,
-    checkpoint_every: int = 2,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """(node, dist): minimum WEIGHTED distance from the seed set after
     `rounds` synchronous Bellman-Ford relaxations — the weighted companion
@@ -255,7 +255,12 @@ def sssp_fixed(
     Scale shape per round: one equi-join on src + one min hash-agg on
     node — only (node, BIGINT) rows shuffle, edges stream map-side; the
     running distance table localCheckpoints every `checkpoint_every`
-    rounds so lineage stays flat (the duplicate_clusters device)."""
+    rounds so lineage stays flat (the duplicate_clusters device). The
+    edge table is materialized ONCE up front: every round re-reads it,
+    and dist's union arm additionally doubles lineage per round, so an
+    expensive upstream edge build (e.g. a kNN join) would otherwise be
+    re-executed a multiplicative number of times."""
+    edges = edges.localCheckpoint(eager=True)
     dist = (
         seeds.select("node").distinct()
         .withColumn("dist", F.lit(0).cast("long"))

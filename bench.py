@@ -237,6 +237,9 @@ def main() -> None:
     # streaming sketches: per-microbatch session overhead). The ORACLE and
     # pytest configs are untouched — correctness still runs the full shape.
     os.environ.setdefault("SPARK_GRAFT_PAGERANK_ROUNDS", "6")
+    # segment pairs grow quadratically with users in the fixed 10-deg box;
+    # bench thins to every 60th user (oracle/pytest stay at mod 15)
+    os.environ.setdefault("SPARK_GRAFT_SEG_MOD", "60")
     os.environ.setdefault("SPARK_GRAFT_STREAM_BATCHES", "2")
     for name, fn in selected.items():
         timed(name, fn)
