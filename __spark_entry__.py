@@ -2141,6 +2141,112 @@ def q_route_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_rolling_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling activity per event type — the RANGE-frame
+    window (rangeBetween on the integer day, not rowsBetween: gap days
+    must widen the frame correctly). Exact integers: cents sums, counts,
+    and a floor-div 7-day mean; one entity-local window shuffle."""
+    from pyspark.sql import Window
+
+    daily = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(
+            "event_type",
+            F.expr("unix_timestamp(ts) div 86400").alias("day"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("CAST(FLOOR(value * 100.0) AS BIGINT)")).alias(
+                "cents"
+            ),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type",
+        F.col("day").cast("long").alias("day"),
+        F.col("n").cast("long").alias("n"),
+        F.col("cents").cast("long").alias("cents"),
+        F.sum("cents").over(w).cast("long").alias("cents_7d"),
+        F.sum("n").over(w).cast("long").alias("n_7d"),
+        F.expr(
+            "CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY day "
+            "RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) div "
+            "sum(n) OVER (PARTITION BY event_type ORDER BY day "
+            "RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)"
+        ).alias("avg_cents_7d"),
+    )
+
+
+def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-type matrix via the built-in PIVOT (explicit value
+    list, so the schema is static and both engines emit identical
+    columns); zero counts as literal 0 via coalesce."""
+    df = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            F.expr("unix_timestamp(ts) div 86400").alias("day"),
+            "event_type",
+        )
+        .groupBy("day")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    return df.select(
+        F.col("day").cast("long").alias("day"),
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order census over ROLLUP(mktsegment, o_orderpriority) — native
+    grouping sets with grouping_id; NULL group keys coalesced to '(all)'
+    so the canon never sees NULL-vs-'None' ambiguity."""
+    joined = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .join(
+            spark.read.parquet(f"{sf_dir}/customer.parquet").selectExpr(
+                "c_custkey", "c_mktsegment"
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_mktsegment",
+            "o_orderpriority",
+            F.expr(_PRICE_CENTS).alias("cents"),
+        )
+    )
+    return (
+        joined.rollup("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("cents"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            F.coalesce(F.col("c_mktsegment"), F.lit("(all)")).alias(
+                "mktsegment"
+            ),
+            F.coalesce(F.col("o_orderpriority"), F.lit("(all)")).alias(
+                "priority"
+            ),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("cents").cast("long").alias("cents"),
+            F.col("gid").cast("long").alias("gid"),
+        )
+    )
+
+
 def q_adaptive_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Density-adaptive quadtree partition assignment (split while
     count > 64, res 2..6) — the spatial-layout skew killer, recursion
@@ -2768,6 +2874,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_partitions": q_adaptive_partitions,
         "segment_intersections": q_segment_intersections,
         "route_proximity": q_route_proximity,
+        "rolling_activity": q_rolling_activity,
+        "event_pivot": q_event_pivot,
+        "sales_rollup": q_sales_rollup,
     }
 
 
@@ -3387,6 +3496,50 @@ def _oracle_interval_overlap() -> str:
     from aira_spark.operators.interval import oracle_interval_sql
 
     return oracle_interval_sql("events", top_k=40)
+
+
+_ORACLE_ROLLING_ACTIVITY = """
+WITH daily AS (
+  SELECT event_type,
+    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, CAST(day AS BIGINT) AS day, n, cents,
+  CAST(SUM(cents) OVER w AS BIGINT) AS cents_7d,
+  CAST(SUM(n) OVER w AS BIGINT) AS n_7d,
+  CAST(SUM(cents) OVER w // SUM(n) OVER w AS BIGINT) AS avg_cents_7d
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def _oracle_event_pivot() -> str:
+    arms = ", ".join(
+        f"CAST(COUNT(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in _EVENT_TYPES
+    )
+    return f"""
+SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, {arms}
+FROM events GROUP BY 1
+"""
+
+
+def _oracle_sales_rollup() -> str:
+    return f"""
+WITH j AS (
+  SELECT c_mktsegment, o_orderpriority, {_PRICE_CENTS} AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT COALESCE(c_mktsegment, '(all)') AS mktsegment,
+  COALESCE(o_orderpriority, '(all)') AS priority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(cents) AS BIGINT) AS cents,
+  CAST(GROUPING(c_mktsegment) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
+FROM j GROUP BY ROLLUP(c_mktsegment, o_orderpriority)
+"""
 
 
 def _oracle_segment_intersections() -> str:
@@ -5166,6 +5319,9 @@ FROM docs GROUP BY 1
         "adaptive_partitions": _oracle_adaptive_partitions(),
         "segment_intersections": _oracle_segment_intersections(),
         "route_proximity": _oracle_route_proximity(),
+        "rolling_activity": _ORACLE_ROLLING_ACTIVITY,
+        "event_pivot": _oracle_event_pivot(),
+        "sales_rollup": _oracle_sales_rollup(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -222,6 +222,9 @@ def main() -> None:
         "adaptive_partitions": lambda: em.q_adaptive_partitions(spark, sf_dir).count(),
         "segment_intersections": lambda: em.q_segment_intersections(spark, sf_dir).count(),
         "route_proximity": lambda: em.q_route_proximity(spark, sf_dir).count(),
+        "rolling_activity": lambda: em.q_rolling_activity(spark, sf_dir).count(),
+        "event_pivot": lambda: em.q_event_pivot(spark, sf_dir).count(),
+        "sales_rollup": lambda: em.q_sales_rollup(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

@@ -732,3 +732,62 @@ def test_route_proximity_brute_force_real(spark, sf_dir):
         for r in route_proximity(segs, pts, d=d).collect()
     }
     assert got == want
+
+
+# ----------------------------------------- rolling / pivot / rollup surface
+
+
+def test_rolling_activity_range_frame_skips_gap_days(spark, sf_dir):
+    """RANGE (value-based) frame, not ROWS: a day more than 6 days after
+    its predecessor must NOT include it. Verified against a python
+    recomputation over the real daily aggregates."""
+    import __spark_entry__ as em
+
+    rows = em.q_rolling_activity(spark, sf_dir).collect()
+    daily = {}
+    for r in rows:
+        daily[(r["event_type"], r["day"])] = (r["n"], r["cents"])
+    for r in rows:
+        lo = r["day"] - 6
+        n7 = sum(
+            n for (t, d), (n, _) in daily.items()
+            if t == r["event_type"] and lo <= d <= r["day"]
+        )
+        c7 = sum(
+            c for (t, d), (_, c) in daily.items()
+            if t == r["event_type"] and lo <= d <= r["day"]
+        )
+        assert (r["n_7d"], r["cents_7d"]) == (n7, c7)
+        assert r["avg_cents_7d"] == c7 // n7
+
+
+def test_event_pivot_counts_conserved(spark, sf_dir):
+    import __spark_entry__ as em
+
+    rows = em.q_event_pivot(spark, sf_dir).collect()
+    total = sum(
+        sum(r[f"n_{t}"] for t in em._EVENT_TYPES) for r in rows
+    )
+    assert total == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert all(len(r) == 1 + len(em._EVENT_TYPES) for r in rows)
+
+
+def test_sales_rollup_gid_levels(spark, sf_dir):
+    import __spark_entry__ as em
+
+    rows = em.q_sales_rollup(spark, sf_dir).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r["gid"], []).append(r)
+    # gid 0 = leaf, 1 = per-segment subtotal, 3 = grand total
+    assert set(by_gid) == {0, 1, 3}
+    assert len(by_gid[3]) == 1
+    grand = by_gid[3][0]
+    assert grand["mktsegment"] == "(all)" and grand["priority"] == "(all)"
+    assert grand["n_orders"] == sum(r["n_orders"] for r in by_gid[0])
+    assert grand["cents"] == sum(r["cents"] for r in by_gid[0])
+    for seg_row in by_gid[1]:
+        leaf = [
+            r for r in by_gid[0] if r["mktsegment"] == seg_row["mktsegment"]
+        ]
+        assert seg_row["n_orders"] == sum(r["n_orders"] for r in leaf)
