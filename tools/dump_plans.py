@@ -192,6 +192,13 @@ def main() -> None:
         ("route_proximity", "expanded-bbox bin cover vs single-bin points; "
                             "exact clamped-projection distance predicate with "
                             "a lazy overflow guard — all JVM expressions"),
+        ("rolling_activity", "RANGE-frame running window above one daily "
+                             "hash agg — a single entity-local sort, no "
+                             "self-join for the trailing total"),
+        ("event_pivot", "built-in pivot with explicit values: one "
+                        "partial+final hash agg, static output schema"),
+        ("sales_rollup", "native ROLLUP grouping sets: Expand + one hash "
+                         "agg above a broadcast dim join"),
         ("grid_dbscan", "DBSCAN with zero pairwise distances: focal "
                         "neighborhood counts -> 8-adjacency bump equi-join "
                         "over core CELLS -> min-label CC -> k-ring border "
