@@ -2535,6 +2535,15 @@ def q_flow_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flow_direction(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
 
 
+def q_flow_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 flow accumulation (contributing cell count per fine-grid cell) —
+    monotone Jacobi rounds on the flow forest, single-row stopping probe
+    (operators/terrain.py:flow_accumulation)."""
+    from aira_spark.operators.terrain import flow_accumulation
+
+    return flow_accumulation(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
+
+
 def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov event-transition matrix per user stream — one
     window + one bounded hash agg (operators/transitions.py)."""
@@ -2877,6 +2886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_activity": q_rolling_activity,
         "event_pivot": q_event_pivot,
         "sales_rollup": q_sales_rollup,
+        "flow_acc": q_flow_acc,
     }
 
 
@@ -4424,6 +4434,15 @@ def _oracle_flow_dir() -> str:
     return oracle_flow_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
 
 
+def _oracle_flow_acc() -> str:
+    from aira_spark.operators.terrain import oracle_flow_acc_sql
+
+    # oracle_flow_acc_sql prepends WITH RECURSIVE itself
+    fine = _fine_cte_sql(modulo=8).strip()
+    assert fine.startswith("WITH")
+    return oracle_flow_acc_sql(fine[len("WITH"):].strip(), CELL_RES, 4)
+
+
 def _oracle_transitions() -> str:
     from aira_spark.operators.transitions import oracle_transitions_sql
 
@@ -5322,6 +5341,7 @@ FROM docs GROUP BY 1
         "rolling_activity": _ORACLE_ROLLING_ACTIVITY,
         "event_pivot": _oracle_event_pivot(),
         "sales_rollup": _oracle_sales_rollup(),
+        "flow_acc": _oracle_flow_acc(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -294,3 +294,109 @@ SELECT CAST(b.node // {BASIN_K} AS BIGINT) AS fx,
   CAST(b.basin AS BIGINT) AS basin, s.basin_size
 FROM basin b JOIN sizes s ON s.basin = b.basin
 """
+
+
+def flow_accumulation(
+    images: DataFrame, res: int = DEFAULT_RES, patch_bits: int = 4,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """(fx, fy, acc): D8 flow accumulation — for every fine-grid cell the
+    number of cells (ITSELF included, so acc >= 1) whose steepest-descent
+    path passes through it. The contributing-area raster that turns
+    flow_direction into stream networks (cells with high acc ARE the
+    rivers); the third hydrology stage after flow_dir and basins.
+
+    The flow graph is the same functional forest as drainage_basins
+    (child -> parent edges, strictly decreasing value, pits self-loop), and
+    acc(v) is exactly the size of v's subtree under the child->parent
+    orientation. Computed by the monotone Jacobi iteration
+
+        acc_0(v) = 1;  acc_{i+1}(v) = 1 + sum_{parent(u)=v, u != v} acc_i(u)
+
+    which converges to the subtree sizes after exactly height(forest)
+    rounds. acc_i is per-node non-decreasing and bounded by the fixpoint,
+    so SUM(acc) over all nodes strictly increases until convergence — the
+    stopping probe is ONE cheap single-row aggregate per round, no diff
+    join (cf. drainage_basins' changed-count probe). Descent height is
+    bounded by the number of distinct values on a descending path (<= 256
+    on byte-valued mosaics) and is far smaller on real terrain; max_rounds
+    is a loud guard, never a silent truncation.
+
+    Scale shape per round: one equi-join of (node, acc) BIGINT pairs
+    against the static edge table + one hash agg on parent (map-side
+    combine) — the PageRank round shape; pixel values never re-enter the
+    loop and each round localCheckpoints to keep lineage flat.
+    """
+    from pyspark.sql import functions as F
+
+    flow = flow_direction(images, res, patch_bits)
+    p = flow.selectExpr(
+        f"fx * {BASIN_K} + fy AS node",
+        f"CASE WHEN flow_dir = -1 THEN fx * {BASIN_K} + fy "
+        f"ELSE (fx + flow_dir % 3 - 1) * {BASIN_K} + (fy + flow_dir DIV 3 - 1) "
+        "END AS parent",
+    ).localCheckpoint(eager=True)
+    edges = p.where("parent != node").selectExpr(
+        "node AS child", "parent"
+    ).localCheckpoint(eager=True)
+    nodes = p.select("node")
+    acc = nodes.withColumn("acc", F.lit(1).cast("long"))
+    prev_total = -1
+    for _ in range(max_rounds):
+        inflow = (
+            edges.join(acc, edges.child == acc.node)
+            .groupBy("parent")
+            .agg(F.sum("acc").alias("s"))
+        )
+        acc = (
+            nodes.join(inflow, nodes.node == inflow.parent, "left")
+            .select(
+                "node",
+                (F.lit(1) + F.coalesce(F.col("s"), F.lit(0)))
+                .cast("long")
+                .alias("acc"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        total = acc.agg(F.sum("acc")).collect()[0][0]
+        if total == prev_total:
+            break
+        prev_total = total
+    else:
+        raise RuntimeError(
+            f"flow_accumulation did not converge in {max_rounds} rounds "
+            "(descent path longer than max_rounds — impossible on a "
+            "byte-valued mosaic)"
+        )
+    return acc.selectExpr(
+        f"CAST(node DIV {BASIN_K} AS BIGINT) AS fx",
+        f"CAST(node % {BASIN_K} AS BIGINT) AS fy",
+        "CAST(acc AS BIGINT) AS acc",
+    )
+
+
+def oracle_flow_acc_sql(fine_cte: str, res: int, patch_bits: int = 4) -> str:
+    """DuckDB mirror, independently formulated: enumerate every (cell,
+    cell-on-its-descent-path) pair with a RECURSIVE walk seeded at (node,
+    node) — acc(v) is then a plain COUNT per path cell, not a subtree
+    recursion, so an agreement is evidence for the Jacobi fixpoint."""
+    return f"""
+WITH RECURSIVE {oracle_flow_ctes(fine_cte, res, patch_bits)},
+p AS (
+  SELECT fx * {BASIN_K} + fy AS node,
+    CASE WHEN flow_dir = -1 THEN fx * {BASIN_K} + fy
+    ELSE (fx + flow_dir % 3 - 1) * {BASIN_K} + (fy + flow_dir // 3 - 1)
+    END AS parent
+  FROM flow
+),
+paths(u, cur) AS (
+  SELECT node, node FROM p
+  UNION
+  SELECT w.u, p2.parent FROM paths w JOIN p p2 ON p2.node = w.cur
+  WHERE p2.parent != w.cur
+)
+SELECT CAST(cur // {BASIN_K} AS BIGINT) AS fx,
+  CAST(cur % {BASIN_K} AS BIGINT) AS fy,
+  CAST(COUNT(*) AS BIGINT) AS acc
+FROM paths GROUP BY 1, 2
+"""
