@@ -2535,6 +2535,16 @@ def q_flow_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flow_direction(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
 
 
+def q_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* hot/cold-spot classification per fine-grid cell —
+    one halo scatter + broadcast global totals, significance via exact
+    128-bit cross-multiplied square compare, no sqrt/libm
+    (operators/autocorr.py:gi_hotspots)."""
+    from aira_spark.operators.autocorr import gi_hotspots
+
+    return gi_hotspots(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
+
+
 def q_flow_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D8 flow accumulation (contributing cell count per fine-grid cell) —
     monotone Jacobi rounds on the flow forest, single-row stopping probe
@@ -2887,6 +2897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_pivot": q_event_pivot,
         "sales_rollup": q_sales_rollup,
         "flow_acc": q_flow_acc,
+        "hotspots": q_hotspots,
     }
 
 
@@ -4434,6 +4445,12 @@ def _oracle_flow_dir() -> str:
     return oracle_flow_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
 
 
+def _oracle_hotspots() -> str:
+    from aira_spark.operators.autocorr import oracle_hotspots_sql
+
+    return oracle_hotspots_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
+
+
 def _oracle_flow_acc() -> str:
     from aira_spark.operators.terrain import oracle_flow_acc_sql
 
@@ -5342,6 +5359,7 @@ FROM docs GROUP BY 1
         "event_pivot": _oracle_event_pivot(),
         "sales_rollup": _oracle_sales_rollup(),
         "flow_acc": _oracle_flow_acc(),
+        "hotspots": _oracle_hotspots(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -174,3 +174,154 @@ totals AS (
   FROM cells
 )
 SELECT {final} FROM totals"""
+
+
+# Getis-Ord Gi* z^2 thresholds as exact rationals: 1.96^2 = (49/25)^2 and
+# 2.576^2 = (322/125)^2 — the 95% / 99% two-tailed normal cutoffs.
+GI_T95_NUM, GI_T95_DEN = 2401, 625
+GI_T99_NUM, GI_T99_DEN = 103684, 15625
+
+
+def _gi_class_case(cast: str) -> str:
+    """Shared CASE text classifying each cell from exact integer pieces.
+
+    z^2 = num^2 * (n-1) / (g_var * k_var) with num = n*S_i - k_i*sx,
+    g_var = n*sx2 - sx^2, k_var = n*k_i - k_i^2; the threshold test
+    T_den * num^2 * (n-1) > T_num * g_var * k_var is exact once the
+    products are evaluated in 128-bit integers — `cast` is a "{x}" format
+    template supplying the per-engine widening (Spark DECIMAL(38,0),
+    DuckDB HUGEINT; both exact integer types, so the comparison has one
+    answer). Magnitude budget at
+    the bench grid (n<=7000, val<=255): LHS <= 15625 * (7000*9*255)^2 *
+    7000 ~ 3e28, RHS <= 103684 * 7000^2*65025 * 7000*9 ~ 2e25 — 9+ orders
+    inside both types' ~1e38 range."""
+    w = cast.format
+    lhs = f"{w(x='num')} * {w(x='num')} * {w(x='(n - 1)')}"
+    kvar = "(n * k_i - k_i * k_i)"
+    rhs = f"{w(x='g_var')} * {w(x=kvar)}"
+    return (
+        f"CASE WHEN g_var = 0 OR {kvar} = 0 THEN 'ns' "
+        f"WHEN num > 0 AND {GI_T99_DEN} * {lhs} > {GI_T99_NUM} * {rhs} "
+        f"THEN 'hot99' "
+        f"WHEN num > 0 AND {GI_T95_DEN} * {lhs} > {GI_T95_NUM} * {rhs} "
+        f"THEN 'hot95' "
+        f"WHEN num < 0 AND {GI_T99_DEN} * {lhs} > {GI_T99_NUM} * {rhs} "
+        f"THEN 'cold99' "
+        f"WHEN num < 0 AND {GI_T95_DEN} * {lhs} > {GI_T95_NUM} * {rhs} "
+        f"THEN 'cold95' "
+        f"ELSE 'ns' END"
+    )
+
+
+def gi_hotspots(
+    images: DataFrame, res: int = DEFAULT_RES, patch_bits: int = 4
+) -> DataFrame:
+    """(fx, fy, k_i, s_i, num, gi_class): local Getis-Ord Gi* hot/cold-spot
+    classification of every fine-grid cell — the LOCAL companion to the
+    global Moran/Geary statistic above, and the standard "where are the
+    clusters" map (hot99/hot95/cold95/cold99/ns at the two-tailed normal
+    cutoffs).
+
+    Gi* uses queen 3x3 weights INCLUDING self: S_i = sum of present
+    neighborhood values, k_i = present neighborhood size. The z-score's
+    numerator and variance are kept as exact integers (num = n*S_i -
+    k_i*sx; g_var = n*sx2 - sx^2), and the significance test is the
+    CROSS-MULTIPLIED square comparison in 128-bit exact arithmetic — no
+    sqrt, no libm, no doubles anywhere near the checked output (the r3
+    driver-gate lesson).
+
+    Scale shape: ONE halo scatter (9 arms, the focal_mean exchange) + one
+    hash agg gives every per-cell piece; the three global sums are a
+    single-row aggregate BROADCAST back over the cells (metadata-sized);
+    classification is a pure projection. Cells never pair with cells.
+    """
+    from .focal import OFFSETS
+
+    pb = 1 << patch_bits
+    nf = 1 << (res + patch_bits)
+    fine = mosaic_cell_values(images, res, patch_bits).select(
+        (cell_ix(F.col("cell")) * pb + F.col("pc")).alias("fx"),
+        (cell_iy(F.col("cell")) * pb + F.col("pr")).alias("fy"),
+        "val",
+    )
+    arms = ", ".join(
+        f"named_struct('tx', fx + {dx}, 'ty', fy + {dy}, "
+        f"'is_center', {str(dx == 0 and dy == 0).lower()})"
+        for dx, dy in OFFSETS
+    )
+    scattered = fine.select(
+        "val", F.expr(f"explode(array({arms})) AS o")
+    ).where(
+        (F.col("o.tx") >= 0) & (F.col("o.tx") < nf)
+        & (F.col("o.ty") >= 0) & (F.col("o.ty") < nf)
+    )
+    cells = (
+        scattered.groupBy("o.tx", "o.ty")
+        .agg(
+            F.max(F.when(F.col("o.is_center"), F.col("val"))).alias("v"),
+            F.count("*").cast("long").alias("k_i"),
+            F.sum("val").cast("long").alias("s_i"),
+        )
+        .where(F.col("v").isNotNull())
+        .select(
+            F.col("tx").cast("long").alias("fx"),
+            F.col("ty").cast("long").alias("fy"),
+            "v", "k_i", "s_i",
+        )
+    )
+    totals = cells.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sx"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("sx2"),
+    )
+    return (
+        cells.crossJoin(F.broadcast(totals))
+        .selectExpr(
+            "fx", "fy", "k_i", "s_i", "n",
+            "n * s_i - k_i * sx AS num",
+            "n * sx2 - sx * sx AS g_var",
+        )
+        .selectExpr(
+            "fx", "fy", "k_i", "s_i", "CAST(num AS BIGINT) AS num",
+            f"{_gi_class_case('CAST({x} AS DECIMAL(38,0))')} AS gi_class",
+        )
+    )
+
+
+def oracle_hotspots_sql(
+    fine_cte: str, res: int = DEFAULT_RES, patch_bits: int = 4
+) -> str:
+    """DuckDB mirror over a WITH clause ending in fine(fx, fy, val): the
+    identical scatter/totals algebra with HUGEINT as the 128-bit widener."""
+    nf = 1 << (res + patch_bits)
+    offs = ", ".join(
+        f"({dx}, {dy}, {str(dx == 0 and dy == 0).lower()})"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    case = _gi_class_case("CAST({x} AS HUGEINT)")
+    return f"""{fine_cte},
+sc AS (
+  SELECT fx + o.dx AS tx, fy + o.dy AS ty, val, o.is_center
+  FROM fine, (VALUES {offs}) AS o(dx, dy, is_center)
+  WHERE fx + o.dx >= 0 AND fx + o.dx < {nf}
+    AND fy + o.dy >= 0 AND fy + o.dy < {nf}
+),
+cells AS (
+  SELECT CAST(tx AS BIGINT) AS fx, CAST(ty AS BIGINT) AS fy,
+    MAX(CASE WHEN is_center THEN val END) AS v,
+    CAST(COUNT(*) AS BIGINT) AS k_i,
+    CAST(SUM(val) AS BIGINT) AS s_i
+  FROM sc GROUP BY tx, ty HAVING bool_or(is_center)
+),
+totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sx,
+    CAST(SUM(v * v) AS BIGINT) AS sx2
+  FROM cells
+),
+pieces AS (
+  SELECT fx, fy, k_i, s_i, n,
+    CAST(n * s_i - k_i * sx AS BIGINT) AS num,
+    CAST(n * sx2 - sx * sx AS BIGINT) AS g_var
+  FROM cells, totals
+)
+SELECT fx, fy, k_i, s_i, num, {case} AS gi_class FROM pieces"""

@@ -111,3 +111,75 @@ def test_flow_acc_conservation(spark, sf_dir):
         assert acc[(fx, fy)] == basin_sizes[fx * BASIN_K + fy]
     # non-pit cells always accumulate strictly less than their pit
     assert all(v >= 1 for v in acc.values())
+
+
+# --------------------------------------------------------------- hotspots
+
+
+def test_hotspots_match_exact_integer_mirror(spark, sf_dir):
+    import __spark_entry__ as em
+    from aira_spark.operators.autocorr import (
+        GI_T95_DEN, GI_T95_NUM, GI_T99_DEN, GI_T99_NUM, gi_hotspots,
+    )
+
+    filled = _fine_grid(spark, sf_dir)
+    n = len(filled)
+    sx = sum(filled.values())
+    sx2 = sum(v * v for v in filled.values())
+    g_var = n * sx2 - sx * sx
+
+    def classify(pos):
+        fx, fy = pos
+        nb = [
+            filled[(fx + dx, fy + dy)]
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if (fx + dx, fy + dy) in filled
+        ]
+        k_i, s_i = len(nb), sum(nb)
+        num = n * s_i - k_i * sx
+        kvar = n * k_i - k_i * k_i
+        if g_var == 0 or kvar == 0:
+            return k_i, s_i, num, "ns"
+        lhs = num * num * (n - 1)
+        rhs = g_var * kvar
+        if num > 0 and GI_T99_DEN * lhs > GI_T99_NUM * rhs:
+            c = "hot99"
+        elif num > 0 and GI_T95_DEN * lhs > GI_T95_NUM * rhs:
+            c = "hot95"
+        elif num < 0 and GI_T99_DEN * lhs > GI_T99_NUM * rhs:
+            c = "cold99"
+        elif num < 0 and GI_T95_DEN * lhs > GI_T95_NUM * rhs:
+            c = "cold95"
+        else:
+            c = "ns"
+        return k_i, s_i, num, c
+
+    got = {
+        (r["fx"], r["fy"]): (r["k_i"], r["s_i"], r["num"], r["gi_class"])
+        for r in gi_hotspots(
+            em._images(spark, sf_dir, modulo=8), em.CELL_RES, 4
+        ).collect()
+    }
+    assert set(got) == set(filled)
+    for pos in filled:
+        assert got[pos] == classify(pos), pos
+    # the classification is non-degenerate on the bench grid
+    assert len({c for (_, _, _, c) in got.values()}) >= 2
+
+
+def test_hotspots_class_case_hand_values(spark):
+    """Significance boundary pinned by hand: n=100, sx=100, sx2=200
+    (g_var=10000), k_i=9 (kvar=819). z^2 = num^2*99/(10000*819); the 95%
+    cutoff num^2 > 2401*8190000/(625*99) ~ 317,789 -> |num| > 563.7."""
+    from aira_spark.operators.autocorr import _gi_class_case
+
+    case = _gi_class_case("CAST({x} AS DECIMAL(38,0))")
+    df = spark.createDataFrame(
+        [(100, 100, 200, 9, 563), (100, 100, 200, 9, 564),
+         (100, 100, 200, 9, -564), (100, 100, 200, 9, -1000)],
+        "n long, sx long, sx2 long, k_i long, num long",
+    ).selectExpr("*", "n * sx2 - sx * sx AS g_var")
+    got = [r[0] for r in df.selectExpr(f"{case} AS c").collect()]
+    # |num|=563: z^2 below 1.96^2 cutoff; 564: above (hot/cold95);
+    # -1000: z ~ -3.46 -> cold99
+    assert got == ["ns", "hot95", "cold95", "cold99"]
