@@ -2545,6 +2545,16 @@ def q_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gi_hotspots(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
 
 
+def q_box_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integral-image box-filter census per image: O(1)-per-pixel summed-
+    area-table box sums inside the decode mapInPandas, zero exchanges;
+    only a 6-field integer census crosses Arrow
+    (operators/boxfilter.py)."""
+    from aira_spark.operators.boxfilter import box_filter_census
+
+    return box_filter_census(_images(spark, sf_dir, modulo=16), radius=3)
+
+
 def q_flow_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D8 flow accumulation (contributing cell count per fine-grid cell) —
     monotone Jacobi rounds on the flow forest, single-row stopping probe
@@ -2898,6 +2908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_rollup": q_sales_rollup,
         "flow_acc": q_flow_acc,
         "hotspots": q_hotspots,
+        "box_filter": q_box_filter,
     }
 
 
@@ -4451,6 +4462,16 @@ def _oracle_hotspots() -> str:
     return oracle_hotspots_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
 
 
+def _oracle_box_filter() -> str:
+    from aira_spark.operators.boxfilter import oracle_box_filter_sql
+
+    px_cte = f"""{_IMG_CTE},
+sel AS (SELECT image_id, k, w, h FROM meta WHERE k % 16 = 0),
+rws AS (SELECT *, unnest(generate_series(0, h - 1)) AS r FROM sel),
+px AS (SELECT *, unnest(generate_series(0, w - 1)) AS c FROM rws)"""
+    return oracle_box_filter_sql(px_cte, radius=3)
+
+
 def _oracle_flow_acc() -> str:
     from aira_spark.operators.terrain import oracle_flow_acc_sql
 
@@ -5360,6 +5381,7 @@ FROM docs GROUP BY 1
         "sales_rollup": _oracle_sales_rollup(),
         "flow_acc": _oracle_flow_acc(),
         "hotspots": _oracle_hotspots(),
+        "box_filter": _oracle_box_filter(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -183,3 +183,62 @@ def test_hotspots_class_case_hand_values(spark):
     # |num|=563: z^2 below 1.96^2 cutoff; 564: above (hot/cold95);
     # -1000: z ~ -3.46 -> cold99
     assert got == ["ns", "hot95", "cold95", "cold99"]
+
+
+# ------------------------------------------------------------- box_filter
+
+
+def test_box_filter_matches_numpy_brute_force(spark):
+    import numpy as np
+
+    from aira_spark.operators.boxfilter import CHECK_MOD, box_filter_census
+    from aira_spark.tiff.encode import write_tiff
+
+    rng_a = (np.arange(12 * 15, dtype=np.int64).reshape(12, 15) * 37) % 256
+    a = rng_a.astype(np.uint8)
+    buf = write_tiff(a[:, :, None], byteorder="<", layout=("strips", 8))
+    df = spark.createDataFrame(
+        [("im0", bytearray(buf))], "image_id string, bytes binary"
+    )
+    R = 3
+    h, w = a.shape
+    boxes = {}
+    for r in range(R, h - R):
+        for c in range(R, w - R):
+            boxes[(r, c)] = int(
+                a[r - R:r + R + 1, c - R:c + R + 1].astype(np.int64).sum()
+            )
+    rows = box_filter_census(df, radius=R).collect()
+    assert len(rows) == 1
+    got = rows[0]
+    assert got["n_int"] == len(boxes) == (h - 2 * R) * (w - 2 * R)
+    assert got["sum_box"] == sum(boxes.values())
+    assert got["min_box"] == min(boxes.values())
+    assert got["max_box"] == max(boxes.values())
+    assert got["checksum"] == sum(
+        v * ((r * w + c) % CHECK_MOD) for (r, c), v in boxes.items()
+    )
+
+
+def test_box_filter_skips_undersized_images(spark):
+    import numpy as np
+
+    from aira_spark.operators.boxfilter import box_filter_census
+    from aira_spark.tiff.encode import write_tiff
+
+    small = np.ones((4, 4), dtype=np.uint8)
+    buf = write_tiff(small[:, :, None], byteorder="<", layout=("strips", 4))
+    df = spark.createDataFrame(
+        [("tiny", bytearray(buf))], "image_id string, bytes binary"
+    )
+    assert box_filter_census(df, radius=3).count() == 0
+
+
+def test_box_filter_zero_exchanges(spark, sf_dir):
+    import __spark_entry__ as em
+    from tests.test_plans import plan_string, shuffle_count
+
+    df = em.q_box_filter(spark, sf_dir)
+    s = plan_string(df)
+    assert shuffle_count(df) == 0, s
+    assert "Join" not in s, s
