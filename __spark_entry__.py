@@ -2555,6 +2555,26 @@ def q_box_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return box_filter_census(_images(spark, sf_dir, modulo=16), radius=3)
 
 
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the 2-degree radius graph (k=4, fixed 8 peeling rounds)
+    — survivor
+    semi-joins + hash agg per round, id-only exchanges
+    (operators/graph.py:k_core)."""
+    from aira_spark.operators.graph import k_core
+    from aira_spark.operators.spatial import within_distance_join
+    from aira_spark.sources.vectors import points_table
+
+    pts = points_table(spark, sf_dir)
+    queries = pts.selectExpr("point_id AS query_id", "x", "y")
+    # radius graph (2-degree band) — variable degree, so peeling is
+    # non-trivial (the regular kNN digraph's k-core is all-or-nothing)
+    pairs = within_distance_join(queries, pts, d=2.0, res=CELL_RES)
+    edges = pairs.filter(F.col("point_id") != F.col("query_id")).select(
+        F.col("query_id").alias("src"), F.col("point_id").alias("dst")
+    )
+    return k_core(edges, k=4, rounds=8)
+
+
 def q_flow_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D8 flow accumulation (contributing cell count per fine-grid cell) —
     monotone Jacobi rounds on the flow forest, single-row stopping probe
@@ -2909,6 +2929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_acc": q_flow_acc,
         "hotspots": q_hotspots,
         "box_filter": q_box_filter,
+        "k_core": q_k_core,
     }
 
 
@@ -4472,6 +4493,19 @@ px AS (SELECT *, unnest(generate_series(0, w - 1)) AS c FROM rws)"""
     return oracle_box_filter_sql(px_cte, radius=3)
 
 
+def _oracle_k_core() -> str:
+    from aira_spark.operators.graph import oracle_k_core_sql
+    from aira_spark.sources.vectors import points_oracle_sql
+
+    cte = f"""p AS ({points_oracle_sql()}),
+edges AS (
+  SELECT a.point_id AS src, b.point_id AS dst
+  FROM p a JOIN p b ON a.point_id != b.point_id
+  AND SQRT((b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)) <= 2.0
+)"""
+    return oracle_k_core_sql(cte, k=4, rounds=8)
+
+
 def _oracle_flow_acc() -> str:
     from aira_spark.operators.terrain import oracle_flow_acc_sql
 
@@ -5382,6 +5416,7 @@ FROM docs GROUP BY 1
         "flow_acc": _oracle_flow_acc(),
         "hotspots": _oracle_hotspots(),
         "box_filter": _oracle_box_filter(),
+        "k_core": _oracle_k_core(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -306,3 +306,76 @@ def oracle_sssp_sql(
         f"WITH {edges_w_cte},\n" + ",\n".join(parts)
         + f"\nSELECT CAST(node AS BIGINT) AS node, dist FROM d{rounds}"
     )
+
+
+def k_core(edges: DataFrame, k: int, rounds: int = 8) -> DataFrame:
+    """(node, core_deg): the k-core of the undirected graph — the maximal
+    subgraph where every surviving node keeps >= k surviving neighbors —
+    after `rounds` synchronous peeling iterations, with core_deg the
+    node's degree INSIDE the surviving subgraph. The standard cohesion
+    filter (community kernels, spam/bot fringes peel off first).
+
+    Peeling is the textbook fixpoint: drop every node with degree < k,
+    recompute degrees, repeat. Rounds are FIXED (the pagerank device):
+    once the fixpoint is reached every further round is a no-op, so a
+    fixed round count >= the convergence depth gives bit-identical output
+    in Spark at any parallelism and in the oracle's unrolled CTE chain,
+    with no engine-dependent convergence probe in the checked result.
+    Non-convergence inside `rounds` is NOT silent: rows with core_deg < k
+    remain in the output and any downstream gate (or the pytest fixpoint
+    probe) sees them.
+
+    Scale shape per round: the survivor set (single-column ids) joins the
+    static undirected edge list twice (semi-join shape) + one hash agg —
+    id rows only in every exchange; localCheckpoint per round keeps the
+    lineage flat. Degree skew is bounded by the same compact-forward
+    argument as triangle_counts: peeling only ever SHRINKS the edge set.
+    """
+    und = (
+        edges.selectExpr("src AS a", "dst AS b")
+        .unionByName(edges.selectExpr("dst AS a", "src AS b"))
+        .where("a != b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    surv = und.select("a").distinct()
+    for _ in range(rounds):
+        alive = (
+            und.join(surv, "a")
+            .join(surv.selectExpr("a AS b"), "b")
+        )
+        deg = alive.groupBy("a").agg(F.count("*").alias("core_deg"))
+        surv = (
+            deg.where(F.col("core_deg") >= k)
+            .select("a")
+            .localCheckpoint(eager=True)
+        )
+    final_deg = (
+        und.join(surv, "a")
+        .join(surv.selectExpr("a AS b"), "b")
+        .groupBy("a")
+        .agg(F.count("*").cast("long").alias("core_deg"))
+    )
+    return final_deg.selectExpr("CAST(a AS BIGINT) AS node", "core_deg")
+
+
+def oracle_k_core_sql(edges_cte: str, k: int, rounds: int = 8) -> str:
+    """DuckDB mirror: `edges_cte` defines edges(src, dst); the peeling
+    unrolls into one MATERIALIZED survivor CTE per round."""
+    parts = [
+        "und AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges "
+        "WHERE src != dst UNION SELECT dst, src FROM edges WHERE src != dst)",
+        "s0 AS (SELECT DISTINCT a FROM und)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"s{i + 1} AS MATERIALIZED (SELECT u.a FROM und u "
+            f"JOIN s{i} x ON x.a = u.a JOIN s{i} y ON y.a = u.b "
+            f"GROUP BY u.a HAVING COUNT(*) >= {k})"
+        )
+    return (
+        f"WITH {edges_cte},\n" + ",\n".join(parts) + f"""
+SELECT CAST(u.a AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+FROM und u JOIN s{rounds} x ON x.a = u.a JOIN s{rounds} y ON y.a = u.b
+GROUP BY u.a"""
+    )

@@ -242,3 +242,75 @@ def test_box_filter_zero_exchanges(spark, sf_dir):
     s = plan_string(df)
     assert shuffle_count(df) == 0, s
     assert "Join" not in s, s
+
+
+# ----------------------------------------------------------------- k_core
+
+
+def _kc_edges(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "src long, dst long"
+    )
+
+
+def test_k_core_clique_survives_tail_peels(spark):
+    """5-clique (every node degree 4) + a pendant path hanging off node 0:
+    the 4-core is exactly the clique, every survivor at core_deg 4, and
+    the path peels off within two rounds."""
+    import itertools
+
+    from aira_spark.operators.graph import k_core
+
+    clique = list(itertools.combinations(range(5), 2))
+    tail = [(0, 10), (10, 11), (11, 12)]
+    got = {
+        r["node"]: r["core_deg"]
+        for r in k_core(_kc_edges(spark, clique + tail), k=4, rounds=8).collect()
+    }
+    assert got == {n: 4 for n in range(5)}
+
+
+def test_k_core_cascade_needs_multiple_rounds(spark):
+    """A chain where each removal drops the next node below k=2: a path
+    0-1-2-3 attached to a triangle (3,4,5). Peeling must cascade 0, then
+    1, then 2 over successive rounds, leaving only the triangle."""
+    from aira_spark.operators.graph import k_core
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 3)]
+    got = {
+        r["node"]: r["core_deg"]
+        for r in k_core(_kc_edges(spark, edges), k=2, rounds=8).collect()
+    }
+    assert got == {3: 2, 4: 2, 5: 2}
+
+
+def test_k_core_fixpoint_stable_beyond_convergence(spark):
+    """Extra rounds past the fixpoint are no-ops: rounds=4 and rounds=9
+    give identical output on the cascade graph (convergence depth 3)."""
+    from aira_spark.operators.graph import k_core
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 3)]
+    a = sorted(map(tuple, k_core(_kc_edges(spark, edges), k=2, rounds=4).collect()))
+    b = sorted(map(tuple, k_core(_kc_edges(spark, edges), k=2, rounds=9).collect()))
+    assert a == b
+
+
+def test_k_core_empty_when_k_exceeds_degeneracy(spark):
+    """k above the graph's degeneracy empties the core entirely."""
+    from aira_spark.operators.graph import k_core
+
+    edges = [(0, 1), (1, 2), (2, 0)]
+    assert k_core(_kc_edges(spark, edges), k=3, rounds=6).count() == 0
+
+
+def test_k_core_undirected_and_dedup(spark):
+    """Duplicate and reversed edge listings collapse: (a,b) listed twice
+    plus (b,a) counts as ONE undirected edge for degrees."""
+    from aira_spark.operators.graph import k_core
+
+    edges = [(0, 1), (0, 1), (1, 0), (1, 2), (2, 0)]
+    got = {
+        r["node"]: r["core_deg"]
+        for r in k_core(_kc_edges(spark, edges), k=2, rounds=6).collect()
+    }
+    assert got == {0: 2, 1: 2, 2: 2}
