@@ -2555,6 +2555,26 @@ def q_box_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return box_filter_census(_images(spark, sf_dir, modulo=16), radius=3)
 
 
+def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped 3-4 chamfer proximity raster (gdal_proximity parity): exact
+    distance to the nearest high-value mosaic cell via the closed-form
+    metric — one feature scatter + one MIN agg, zero joins
+    (operators/proximity.py)."""
+    from aira_spark.operators.proximity import proximity_raster
+
+    return proximity_raster(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
+
+
+def q_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambertian hillshade banding census (GDAL hillshade parity) — band
+    of cos(N, L) decided by exact cross-multiplied integer squares, no
+    sqrt/libm; rides focal_gradient's halo scatter
+    (operators/terrain.py:hillshade_census)."""
+    from aira_spark.operators.terrain import hillshade_census
+
+    return hillshade_census(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
+
+
 def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core of the 2-degree radius graph (k=4, fixed 8 peeling rounds)
     — survivor
@@ -2930,6 +2950,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspots": q_hotspots,
         "box_filter": q_box_filter,
         "k_core": q_k_core,
+        "proximity": q_proximity,
+        "hillshade": q_hillshade,
     }
 
 
@@ -4493,6 +4515,18 @@ px AS (SELECT *, unnest(generate_series(0, w - 1)) AS c FROM rws)"""
     return oracle_box_filter_sql(px_cte, radius=3)
 
 
+def _oracle_proximity() -> str:
+    from aira_spark.operators.proximity import oracle_proximity_sql
+
+    return oracle_proximity_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
+
+
+def _oracle_hillshade() -> str:
+    from aira_spark.operators.terrain import oracle_hillshade_sql
+
+    return oracle_hillshade_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
+
+
 def _oracle_k_core() -> str:
     from aira_spark.operators.graph import oracle_k_core_sql
     from aira_spark.sources.vectors import points_oracle_sql
@@ -5417,6 +5451,8 @@ FROM docs GROUP BY 1
         "hotspots": _oracle_hotspots(),
         "box_filter": _oracle_box_filter(),
         "k_core": _oracle_k_core(),
+        "proximity": _oracle_proximity(),
+        "hillshade": _oracle_hillshade(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -400,3 +400,89 @@ SELECT CAST(cur // {BASIN_K} AS BIGINT) AS fx,
   CAST(COUNT(*) AS BIGINT) AS acc
 FROM paths GROUP BY 1, 2
 """
+
+
+# Lambertian hillshade bands. Light vector L points TOWARD the source at
+# azimuth 315 deg (NW: -x, +y) with integer components; surface normal
+# N = (-gx, -gy, NZ) from the central-difference gradient with the
+# z-exaggeration baked into NZ. shade = cos(angle(N, L)) = N.L/(|N||L|);
+# computing it would need sqrt, so the BANDS are decided by exact integer
+# cross-multiplied squares instead (the cell_anomalies device):
+#   shadow:  N.L <= 0                     (facing away from the light)
+#   dim:     0 < shade < 1/2    <=>  4*num^2 <  |N|^2*|L|^2
+#   lit:     1/2 <= shade < s3/2 <=> 4*num^2 < 3*|N|^2*|L|^2
+#   bright:  shade >= sqrt(3)/2
+# num = gx*LX_NEG - gy*LY + NZ*LZ with LX_NEG = -LX folded in (N = -g).
+HS_LX, HS_LY, HS_LZ = -1, 1, 2  # azimuth 315 deg, elevation atan(2/sqrt(2))
+HS_NZ = 8  # z-exaggeration: flat terrain lands 'lit' (cos ~ 0.816)
+HS_L2 = HS_LX * HS_LX + HS_LY * HS_LY + HS_LZ * HS_LZ
+
+HILLSHADE_CASE = f"""CASE
+  WHEN num <= 0 THEN 'shadow'
+  WHEN 4 * num * num < (grad2 + {HS_NZ * HS_NZ}) * {HS_L2} THEN 'dim'
+  WHEN 4 * num * num < 3 * (grad2 + {HS_NZ * HS_NZ}) * {HS_L2} THEN 'lit'
+  ELSE 'bright' END"""
+
+HS_NUM = (
+    f"CAST({-HS_LX} AS BIGINT) * gx + CAST({-HS_LY} AS BIGINT) * gy"
+    f" + CAST({HS_NZ * HS_LZ} AS BIGINT)"
+)
+
+
+def hillshade_census(
+    images: DataFrame, res: int = DEFAULT_RES, patch_bits: int = 4
+) -> DataFrame:
+    """(shade_band, n_cells, sum_num): Lambertian hillshade banding census
+    over all fully-stenciled fine-grid cells — GDAL `hillshade` parity
+    without a single float: the band of cos(N, L) is decided by exact
+    cross-multiplied integer squares (no sqrt, no division, no libm in
+    the checked output), and sum_num carries the exact unnormalized
+    illumination numerator so a wrong gradient can't hide in the bands.
+
+    Same scale shape as terrain_census: rides focal_gradient's halo
+    scatter-agg (pixels never shuffle), banding is a pure projection, and
+    the census is one map-side-combined agg over <= 4 keys."""
+    from pyspark.sql import functions as F
+
+    g = focal_gradient(images, res, patch_bits)
+    return (
+        g.selectExpr(f"{HS_NUM} AS num", "grad2")
+        .selectExpr(f"{HILLSHADE_CASE} AS shade_band", "num")
+        .groupBy("shade_band")
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.sum("num").cast("long").alias("sum_num"),
+        )
+    )
+
+
+def oracle_hillshade_sql(fine_cte: str, res: int = DEFAULT_RES,
+                         patch_bits: int = 4) -> str:
+    """DuckDB mirror: the focal_gradient scatter (as oracle_terrain_sql)
+    then the SAME shared numerator + banding CASE text."""
+    nf = 1 << (res + patch_bits)
+    from .focal import GRAD_OFFSETS
+
+    offs = ", ".join(
+        f"({dx},{dy},{-wx},{-wy})"
+        for (dx, dy), (wx, wy) in GRAD_OFFSETS.items()
+    )
+    return f"""{fine_cte},
+sc AS (
+  SELECT fx + o.dx AS tx, fy + o.dy AS ty,
+         o.wx * val AS cx, o.wy * val AS cy,
+         (o.dx = 0 AND o.dy = 0) AS is_center
+  FROM fine, (VALUES {offs}) AS o(dx, dy, wx, wy)
+  WHERE fx + o.dx >= 0 AND fx + o.dx < {nf}
+    AND fy + o.dy >= 0 AND fy + o.dy < {nf}
+),
+grad AS (
+  SELECT CAST(SUM(cx) AS BIGINT) AS gx, CAST(SUM(cy) AS BIGINT) AS gy,
+    CAST(SUM(cx) * SUM(cx) + SUM(cy) * SUM(cy) AS BIGINT) AS grad2
+  FROM sc GROUP BY tx, ty HAVING bool_or(is_center) AND COUNT(*) = 5
+),
+hs AS (SELECT {HS_NUM} AS num, grad2 FROM grad)
+SELECT {HILLSHADE_CASE} AS shade_band,
+  CAST(COUNT(*) AS BIGINT) AS n_cells,
+  CAST(SUM(num) AS BIGINT) AS sum_num
+FROM hs GROUP BY 1"""

@@ -314,3 +314,156 @@ def test_k_core_undirected_and_dedup(spark):
         for r in k_core(_kc_edges(spark, edges), k=2, rounds=6).collect()
     }
     assert got == {0: 2, 1: 2, 2: 2}
+
+
+# -------------------------------------------------------------- proximity
+
+
+def test_chamfer_closed_form_is_shortest_path():
+    """The closed form 3*max+min equals Dijkstra over 3-cost orthogonal +
+    4-cost diagonal moves for every offset inside the cap."""
+    import heapq
+
+    from aira_spark.operators.proximity import chamfer_offsets
+
+    cap = 12
+    # Dijkstra from (0,0) on an unbounded grid, clipped to a safe box
+    box = cap  # no shortest path within cap leaves |d| <= cap
+    dist = {(0, 0): 0}
+    pq = [(0, 0, 0)]
+    moves = [
+        (dx, dy, 4 if dx and dy else 3)
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)
+    ]
+    while pq:
+        d, x, y = heapq.heappop(pq)
+        if d > dist.get((x, y), 1 << 30) or d > cap:
+            continue
+        for dx, dy, w in moves:
+            nx, ny = x + dx, y + dy
+            if abs(nx) > box or abs(ny) > box:
+                continue
+            nd = d + w
+            if nd < dist.get((nx, ny), 1 << 30):
+                dist[(nx, ny)] = nd
+                heapq.heappush(pq, (nd, nx, ny))
+    want = {(dx, dy): w for dx, dy, w in chamfer_offsets(cap)}
+    got = {k: v for k, v in dist.items() if v <= cap}
+    assert got == want
+
+
+def test_proximity_matches_brute_force(spark, sf_dir):
+    import __spark_entry__ as em
+    from aira_spark.operators.proximity import proximity_raster
+
+    filled = _fine_grid(spark, sf_dir)
+    nf = 1 << (em.CELL_RES + 4)
+    feats = [(fx, fy) for (fx, fy), v in filled.items() if v >= 200]
+    want = {}
+    for fx, fy in feats:
+        for dx in range(-4, 5):
+            for dy in range(-4, 5):
+                w = 3 * max(abs(dx), abs(dy)) + min(abs(dx), abs(dy))
+                tx, ty = fx + dx, fy + dy
+                if w <= 12 and 0 <= tx < nf and 0 <= ty < nf:
+                    want[(tx, ty)] = min(want.get((tx, ty), 99), w)
+    got = {
+        (r["fx"], r["fy"]): r["dist34"]
+        for r in proximity_raster(
+            em._images(spark, sf_dir, modulo=8), em.CELL_RES, 4
+        ).collect()
+    }
+    assert got == want
+    assert 0 in got.values() and 12 in got.values()
+
+
+def test_proximity_no_join_two_aggs(spark, sf_dir):
+    import __spark_entry__ as em
+    from tests.test_plans import plan_string, shuffle_count
+
+    df = em.q_proximity(spark, sf_dir)
+    s = plan_string(df)
+    assert shuffle_count(df) == 2, s  # mosaic agg + min agg
+    assert "Join" not in s, s
+
+
+# -------------------------------------------------------------- hillshade
+
+
+def test_hillshade_bands_match_float_cosine():
+    """The integer cross-multiplied banding agrees with the float cosine
+    thresholds (0, 1/2, sqrt(3)/2) away from exact boundaries."""
+    import math
+
+    from aira_spark.operators.terrain import HS_L2, HS_NZ
+
+    for gx in range(-40, 41, 3):
+        for gy in range(-40, 41, 7):
+            num = gx - gy + HS_NZ * 2  # -LX=1, -LY=-1, NZ*LZ=16
+            grad2 = gx * gx + gy * gy
+            n2l2 = (grad2 + HS_NZ * HS_NZ) * HS_L2
+            if num <= 0:
+                band = "shadow"
+            elif 4 * num * num < n2l2:
+                band = "dim"
+            elif 4 * num * num < 3 * n2l2:
+                band = "lit"
+            else:
+                band = "bright"
+            cos = num / math.sqrt(n2l2)
+            if num <= 0:
+                want = "shadow"
+            elif cos < 0.5 - 1e-9:
+                want = "dim"
+            elif cos < math.sqrt(3) / 2 - 1e-9:
+                want = "lit"
+            else:
+                want = "bright"
+            assert band == want, (gx, gy, cos, band, want)
+
+
+def test_hillshade_census_matches_brute_force(spark, sf_dir):
+    import __spark_entry__ as em
+    from aira_spark.operators.terrain import HS_L2, HS_NZ, hillshade_census
+
+    filled = _fine_grid(spark, sf_dir)
+    want = {}
+    for (fx, fy), v in filled.items():
+        nb = {
+            (dx, dy): filled.get((fx + dx, fy + dy))
+            for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1))
+        }
+        if any(x is None for x in nb.values()):
+            continue
+        gx = nb[(1, 0)] - nb[(-1, 0)]
+        gy = nb[(0, 1)] - nb[(0, -1)]
+        num = gx - gy + HS_NZ * 2
+        n2l2 = (gx * gx + gy * gy + HS_NZ * HS_NZ) * HS_L2
+        if num <= 0:
+            band = "shadow"
+        elif 4 * num * num < n2l2:
+            band = "dim"
+        elif 4 * num * num < 3 * n2l2:
+            band = "lit"
+        else:
+            band = "bright"
+        n, s = want.get(band, (0, 0))
+        want[band] = (n + 1, s + num)
+    got = {
+        r["shade_band"]: (r["n_cells"], r["sum_num"])
+        for r in hillshade_census(
+            em._images(spark, sf_dir, modulo=8), em.CELL_RES, 4
+        ).collect()
+    }
+    assert got == want
+
+
+def test_hillshade_no_join(spark, sf_dir):
+    import __spark_entry__ as em
+    from tests.test_plans import plan_string, shuffle_count
+
+    df = em.q_hillshade(spark, sf_dir)
+    s = plan_string(df)
+    # mosaic agg + gradient agg + the <=4-key census agg (map-side combined)
+    assert shuffle_count(df) == 3, s
+    assert "Join" not in s, s
