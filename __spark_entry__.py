@@ -2575,6 +2575,19 @@ def q_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hillshade_census(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
 
 
+def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed importance scoring (Xie et al. 2023, log-free integer
+    variant): bigrams hash into 4096 buckets, per-bucket weight =
+    ppm_target - ppm_source, docs scored by the sum — the weight model is
+    bounded at B rows so it ALWAYS broadcasts (operators/dsir.py)."""
+    from aira_spark.operators.dsir import dsir_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    return dsir_scores(docs)
+
+
 def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core of the 2-degree radius graph (k=4, fixed 8 peeling rounds)
     — survivor
@@ -2952,6 +2965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core": q_k_core,
         "proximity": q_proximity,
         "hillshade": q_hillshade,
+        "dsir_scores": q_dsir_scores,
     }
 
 
@@ -4527,6 +4541,12 @@ def _oracle_hillshade() -> str:
     return oracle_hillshade_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
 
 
+def _oracle_dsir_scores() -> str:
+    from aira_spark.operators.dsir import oracle_dsir_sql
+
+    return oracle_dsir_sql()
+
+
 def _oracle_k_core() -> str:
     from aira_spark.operators.graph import oracle_k_core_sql
     from aira_spark.sources.vectors import points_oracle_sql
@@ -5453,6 +5473,7 @@ FROM docs GROUP BY 1
         "k_core": _oracle_k_core(),
         "proximity": _oracle_proximity(),
         "hillshade": _oracle_hillshade(),
+        "dsir_scores": _oracle_dsir_scores(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

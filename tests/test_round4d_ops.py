@@ -467,3 +467,90 @@ def test_hillshade_no_join(spark, sf_dir):
     # mosaic agg + gradient agg + the <=4-key census agg (map-side combined)
     assert shuffle_count(df) == 3, s
     assert "Join" not in s, s
+
+
+# ------------------------------------------------------------ dsir_scores
+
+
+def _dsir_py(rows, buckets=4096):
+    """Pure-python mirror of the DSIR integer scoring for (doc_id, text,
+    lang) rows with target lang='en'."""
+    import hashlib
+
+    def bucket(w1, w2):
+        h = hashlib.md5(f"{w1} {w2}".encode()).hexdigest()[:15]
+        return int(h, 16) % buckets
+
+    occ = []  # (doc_id, lang, b)
+    for doc_id, text, lang in rows:
+        ws = text.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            if a and b:
+                occ.append((doc_id, lang, bucket(a, b)))
+    cnt_t, cnt_s = {}, {}
+    for _, lang, b in occ:
+        d = cnt_t if lang == "en" else cnt_s
+        d[b] = d.get(b, 0) + 1
+    tot_t, tot_s = sum(cnt_t.values()), sum(cnt_s.values())
+    w = {
+        b: 10**6 * cnt_t.get(b, 0) // tot_t - 10**6 * cnt_s.get(b, 0) // tot_s
+        for b in set(cnt_t) | set(cnt_s)
+    }
+    out = {doc_id: (0, 0) for doc_id, _, _ in rows}
+    for doc_id, _, b in occ:
+        n, s = out[doc_id]
+        out[doc_id] = (n + 1, s + w[b])
+    return out
+
+
+def test_dsir_matches_python_mirror(spark):
+    from aira_spark.operators.dsir import dsir_scores
+
+    rows = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "the dog sat on the rug", "en"),
+        (3, "le chat est sur le tapis", "fr"),
+        (4, "der hund sitzt auf dem teppich", "de"),
+        (5, "the cat sat", "zh"),  # target bigrams, source lang
+        (6, "oneword", "en"),  # no bigram -> (0, 0)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r["doc_id"]: (r["n_feats"], r["score"])
+        for r in dsir_scores(df).collect()
+    }
+    assert got == _dsir_py(rows)
+
+
+def test_dsir_separates_target_from_source(spark):
+    """Disjoint vocabularies: target-looking docs must outrank
+    source-looking docs, and a doc made of target bigrams scores positive
+    even under a source lang label."""
+    from aira_spark.operators.dsir import dsir_scores
+
+    rows = (
+        [(i, "alpha beta gamma delta alpha beta", "en") for i in range(10)]
+        + [(100 + i, "uno dos tres cuatro uno dos", "es") for i in range(10)]
+        + [(200, "alpha beta gamma", "zh"), (201, "uno dos tres", "en")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: r["score"] for r in dsir_scores(df).collect()}
+    assert got[200] > 0 > got[100]
+    assert got[0] > 0
+    # doc 201 is en-labelled but made of source bigrams: the TARGET corpus
+    # itself contains it, so its bigrams carry both target and source mass
+    assert got[200] > got[201]
+
+
+def test_dsir_weight_model_bounded_and_broadcast(spark):
+    import __spark_entry__ as em
+    from aira_spark.operators.dsir import importance_weights
+    from tests.test_plans import plan_string
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    wt = importance_weights(docs)
+    assert wt.count() <= 4096
+    s = plan_string(em.q_dsir_scores(spark, "/root/testdata/sf0.01"))
+    assert "BroadcastHashJoin" in s or "BroadcastNestedLoopJoin" in s, s
