@@ -2575,6 +2575,16 @@ def q_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hillshade_census(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream watermarked inner join (view->purchase attribution
+    within 4h): two unbounded sides, join state evicted by watermark +
+    time-bound condition, append output == the batch join bit-for-bit
+    (streaming/events.py:run_stream_stream_join)."""
+    from aira_spark.streaming.events import run_stream_stream_join
+
+    return run_stream_stream_join(spark, sf_dir)
+
+
 def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR hashed importance scoring (Xie et al. 2023, log-free integer
     variant): bigrams hash into 4096 buckets, per-bucket weight =
@@ -2966,6 +2976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity": q_proximity,
         "hillshade": q_hillshade,
         "dsir_scores": q_dsir_scores,
+        "stream_stream_join": q_stream_stream_join,
     }
 
 
@@ -4541,6 +4552,11 @@ def _oracle_hillshade() -> str:
     return oracle_hillshade_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
 
 
+from aira_spark.streaming.events import (
+    ORACLE_STREAM_STREAM_JOIN as _ORACLE_SSJOIN,
+)
+
+
 def _oracle_dsir_scores() -> str:
     from aira_spark.operators.dsir import oracle_dsir_sql
 
@@ -5474,6 +5490,7 @@ FROM docs GROUP BY 1
         "proximity": _oracle_proximity(),
         "hillshade": _oracle_hillshade(),
         "dsir_scores": _oracle_dsir_scores(),
+        "stream_stream_join": _ORACLE_SSJOIN,
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -483,3 +483,101 @@ SELECT event_type, CAST(ws * 1000000 AS BIGINT) AS win_start_us,
   CAST(SUM(cents) AS BIGINT) AS value_cents
 FROM fan GROUP BY 1, 2
 """
+
+
+def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INNER JOIN with event-time watermarks on both sides:
+    view -> purchase attribution per user within 4 hours — the one
+    Structured Streaming operator class the rest of the roster never
+    exercises (two unbounded sides, join STATE retained and evicted by
+    the watermark + time-bound condition, append-only output).
+
+    Correctness-by-construction for the stream == batch oracle: both
+    sides are staged as _n_batches() TIME-SLICED files (equal event-time
+    ranges, written in ascending order so the file source replays them
+    oldest-first). Each side's stream is then time-ascending, so no
+    arriving row is ever older than the global (min-of-sides) watermark
+    and nothing is late-dropped; Spark evicts view-side state only when
+    v_ts + 4h < watermark, by which point every matching purchase has
+    either arrived or would itself be late — so the append output is
+    EXACTLY the batch join, which the DuckDB oracle runs verbatim.
+
+    Scale shape: state is bounded by the 4h window x per-user arrival
+    rate per side (the watermark evicts beyond it); the join itself is a
+    stream-symmetric hash join keyed on user_id — hot users salt the same
+    way the batch side does. Returns (user_id, v_id, p_id, v_us, p_us,
+    p_cents) — exact integers only."""
+    src = f"{sf_dir}/events.parquet"
+    ev = spark.read.parquet(src).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).collect()[0]
+    n = _n_batches()
+    stage = tempfile.mkdtemp(prefix="aira_ssjoin_")
+    vdir, pdir = os.path.join(stage, "views"), os.path.join(stage, "purch")
+    width = (hi - lo) // n + 1
+    for i in range(n):
+        s = ev.where(F.unix_micros("ts") >= lo + i * width).where(
+            F.unix_micros("ts") < lo + (i + 1) * width
+        )
+        s.where("event_type = 'view'").select(
+            "user_id", "event_id", "ts"
+        ).coalesce(1).write.mode("append").parquet(vdir)
+        s.where("event_type = 'purchase'").selectExpr(
+            "user_id", "event_id", "ts",
+            "CAST(FLOOR(value * 100.0) AS BIGINT) AS cents",
+        ).coalesce(1).write.mode("append").parquet(pdir)
+
+    v = (
+        spark.readStream.schema(spark.read.parquet(vdir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(vdir)
+        .selectExpr("user_id AS v_user", "event_id AS v_id", "ts AS v_ts")
+        .withWatermark("v_ts", "1 hour")
+    )
+    p = (
+        spark.readStream.schema(spark.read.parquet(pdir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pdir)
+        .selectExpr(
+            "user_id AS p_user", "event_id AS p_id", "ts AS p_ts",
+            "cents AS p_cents",
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = v.join(
+        p,
+        F.expr(
+            "v_user = p_user AND p_ts >= v_ts "
+            "AND p_ts <= v_ts + interval 4 hours"
+        ),
+    ).selectExpr(
+        "CAST(v_user AS BIGINT) AS user_id",
+        "CAST(v_id AS BIGINT) AS v_id",
+        "CAST(p_id AS BIGINT) AS p_id",
+        "unix_micros(v_ts) AS v_us",
+        "unix_micros(p_ts) AS p_us",
+        "CAST(p_cents AS BIGINT) AS p_cents",
+    )
+    return _run_to_table(spark, joined, "ssjoin", "append", stage)
+
+
+ORACLE_STREAM_STREAM_JOIN = """
+WITH v AS (
+  SELECT user_id, event_id AS v_id, ts AS v_ts FROM events
+  WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, event_id AS p_id, ts AS p_ts,
+    CAST(FLOOR(value * 100.0) AS BIGINT) AS p_cents
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT CAST(v.user_id AS BIGINT) AS user_id,
+  CAST(v.v_id AS BIGINT) AS v_id, CAST(p.p_id AS BIGINT) AS p_id,
+  CAST(epoch_us(v.v_ts) AS BIGINT) AS v_us,
+  CAST(epoch_us(p.p_ts) AS BIGINT) AS p_us, p.p_cents
+FROM v JOIN p ON v.user_id = p.user_id
+  AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 4 HOUR
+"""

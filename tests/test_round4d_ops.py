@@ -554,3 +554,83 @@ def test_dsir_weight_model_bounded_and_broadcast(spark):
     assert wt.count() <= 4096
     s = plan_string(em.q_dsir_scores(spark, "/root/testdata/sf0.01"))
     assert "BroadcastHashJoin" in s or "BroadcastNestedLoopJoin" in s, s
+
+
+# ---------------------------------------------------- stream_stream_join
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from aira_spark.streaming.events import run_stream_stream_join
+
+    got = {tuple(r) for r in run_stream_stream_join(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    v = ev.where("event_type = 'view'").selectExpr(
+        "user_id AS v_user", "event_id AS v_id", "ts AS v_ts"
+    )
+    p = ev.where("event_type = 'purchase'").selectExpr(
+        "user_id AS p_user", "event_id AS p_id", "ts AS p_ts",
+        "CAST(FLOOR(value * 100.0) AS BIGINT) AS p_cents",
+    )
+    want = {
+        tuple(r)
+        for r in v.join(
+            p,
+            F.expr(
+                "v_user = p_user AND p_ts >= v_ts "
+                "AND p_ts <= v_ts + interval 4 hours"
+            ),
+        ).selectExpr(
+            "CAST(v_user AS BIGINT) AS user_id",
+            "CAST(v_id AS BIGINT) AS v_id",
+            "CAST(p_id AS BIGINT) AS p_id",
+            "unix_micros(v_ts) AS v_us",
+            "unix_micros(p_ts) AS p_us",
+            "CAST(p_cents AS BIGINT) AS p_cents",
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_stream_stream_join_pairs_cross_microbatch_boundaries(spark, tmp_path):
+    """A pair straddling two time-sliced microbatch files MUST still be
+    emitted — the case that requires join STATE retained across triggers
+    (a within-batch-only join would pass the equality test on lucky
+    data; this constructs the hard case explicitly). Synthetic span 40h
+    over 4 slices (~10h each): view at 9.5h / purchase at 10.5h land in
+    DIFFERENT files, 1h apart (inside the 4h window)."""
+    import datetime
+
+    from aira_spark.streaming.events import run_stream_stream_join
+
+    t0 = datetime.datetime(2024, 3, 1)
+
+    def at(hours):
+        return t0 + datetime.timedelta(hours=hours)
+
+    rows = [
+        (1, at(0.0), 7, "view", 1.0, ""),        # anchors span start
+        (2, at(9.5), 7, "view", 1.0, ""),        # slice 0
+        (3, at(10.5), 7, "purchase", 2.5, ""),   # slice 1 <- crosser
+        (4, at(12.0), 7, "purchase", 3.0, ""),   # slice 1, 2.5h after view 2
+        (5, at(20.0), 9, "view", 1.0, ""),       # slice 2, no purchase
+        (6, at(39.0), 7, "purchase", 4.0, ""),   # slice 3, outside any window
+        (7, at(40.0), 9, "click", 1.0, ""),      # anchors span end
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(f"{sf}/events.parquet")
+    got = {
+        (r["v_id"], r["p_id"])
+        for r in run_stream_stream_join(spark, sf).collect()
+    }
+    # view 2 matches purchases 3 (cross-slice) and 4; nothing else pairs
+    assert got == {(2, 3), (2, 4)}
