@@ -2585,6 +2585,21 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_stream_join(spark, sf_dir)
 
 
+def q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-matching baseline: each ping snapped to its best road segment
+    within 0.15 deg — exact integer floored squared distance, argmin as
+    one lexicographic struct-MIN agg, bin-cover candidates
+    (operators/segments.py:map_match)."""
+    from aira_spark.operators.segments import map_match
+
+    pts = spark.read.parquet(f"{sf_dir}/customer.parquet").selectExpr(
+        "CAST(c_custkey AS BIGINT) AS point_id",
+        "CAST((c_custkey * 48271) % 100000 AS BIGINT) AS pxq",
+        "CAST((c_custkey * 69621) % 100000 AS BIGINT) AS pyq",
+    )
+    return map_match(_trajectory_segments(spark, sf_dir), pts, d=1500)
+
+
 def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR hashed importance scoring (Xie et al. 2023, log-free integer
     variant): bigrams hash into 4096 buckets, per-bucket weight =
@@ -2976,6 +2991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity": q_proximity,
         "hillshade": q_hillshade,
         "dsir_scores": q_dsir_scores,
+        "map_match": q_map_match,
         "stream_stream_join": q_stream_stream_join,
     }
 
@@ -3658,6 +3674,18 @@ def _oracle_route_proximity() -> str:
         "FROM customer"
     )
     return oracle_route_proximity_sql(_segs_cte_sql(), pts, d=1500)
+
+
+def _oracle_map_match() -> str:
+    from aira_spark.operators.segments import oracle_map_match_sql
+
+    pts = (
+        "SELECT CAST(c_custkey AS BIGINT) AS point_id, "
+        "CAST((c_custkey * 48271) % 100000 AS BIGINT) AS pxq, "
+        "CAST((c_custkey * 69621) % 100000 AS BIGINT) AS pyq "
+        "FROM customer"
+    )
+    return oracle_map_match_sql(_segs_cte_sql(), pts, d=1500)
 
 
 def _oracle_adaptive_partitions() -> str:
@@ -5490,6 +5518,7 @@ FROM docs GROUP BY 1
         "proximity": _oracle_proximity(),
         "hillshade": _oracle_hillshade(),
         "dsir_scores": _oracle_dsir_scores(),
+        "map_match": _oracle_map_match(),
         "stream_stream_join": _ORACLE_SSJOIN,
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),

@@ -178,17 +178,16 @@ def within_expr(d: int) -> str:
     )
 
 
-def route_proximity(
+def _proximity_pairs(
     segs: DataFrame, points: DataFrame, d: int, max_bin: int = 200_000
 ) -> DataFrame:
-    """(seg_id, point_id): every (segment, point) pair within exact grid
-    distance `d` — the corridor / points-near-route query.
-
-    Candidates: the segment's bbox expanded by `d`, covered with the same
-    coarse bins as segment_intersections, equi-joined against the point's
-    single bin (a proven superset: a point within d of the segment lies
-    inside the expanded bbox). The exact refine is the shared
-    within_expr predicate — a JVM filter, no Python."""
+    """(seg_id, point_id, axq, ayq, bxq, byq, pxq, pyq): every pair within
+    exact grid distance `d`, coords still attached (they rode the explode
+    — no geometry re-join). Candidates: the segment's bbox expanded by
+    `d`, covered with the same coarse bins as segment_intersections,
+    equi-joined against the point's single bin (a proven superset: a
+    point within d of the segment lies inside the expanded bbox). The
+    exact refine is the shared within_expr predicate — a JVM filter."""
     binned = (
         segs.withColumn(
             "gx",
@@ -226,7 +225,15 @@ def route_proximity(
         "bin", F.expr(f"(pxq div {BIN}) * 1024 + (pyq div {BIN})")
     )
     cand = binned.join(pts, "bin").drop("bin").distinct()
-    return cand.where(F.expr(within_expr(d))).select(
+    return cand.where(F.expr(within_expr(d)))
+
+
+def route_proximity(
+    segs: DataFrame, points: DataFrame, d: int, max_bin: int = 200_000
+) -> DataFrame:
+    """(seg_id, point_id): every (segment, point) pair within exact grid
+    distance `d` — the corridor / points-near-route query."""
+    return _proximity_pairs(segs, points, d, max_bin).select(
         F.col("seg_id").cast("long").alias("seg_id"),
         F.col("point_id").cast("long").alias("point_id"),
     )
@@ -248,4 +255,85 @@ pairs AS (
 SELECT CAST(seg_id AS BIGINT) AS seg_id,
   CAST(point_id AS BIGINT) AS point_id
 FROM pairs WHERE {within_expr(d)}
+"""
+
+
+def snap_dq2_expr(engine: str) -> str:
+    """Shared expression text over (axq, ayq, bxq, byq, pxq, pyq): the
+    EXACT floored squared grid distance from point P to closed segment AB
+    — floor(cross^2 / |AB|^2) in the interior case (integer division is
+    the snapping resolution: 1 grid unit^2 = (1e-4 deg)^2), exact integer
+    squared endpoint distance otherwise. Safe to evaluate ONLY on rows
+    already inside a within_expr(d) filter with d <= 10^4: there
+    cross^2 <= d^2 * |AB|^2 < 4e17 fits int64 without the 3e9 guard."""
+    dx, dy = "(bxq - axq)", "(byq - ayq)"
+    apx, apy = "(pxq - axq)", "(pyq - ayq)"
+    bpx, bpy = "(pxq - bxq)", "(pyq - byq)"
+    den = f"({dx} * {dx} + {dy} * {dy})"
+    t = f"({apx} * {dx} + {apy} * {dy})"
+    cr = f"({dx} * {apy} - {dy} * {apx})"
+    fdiv = "div" if engine == "spark" else "//"
+    return (
+        f"(CASE WHEN {den} = 0 OR {t} <= 0 "
+        f"THEN {apx} * {apx} + {apy} * {apy} "
+        f"WHEN {t} >= {den} "
+        f"THEN {bpx} * {bpx} + {bpy} * {bpy} "
+        f"ELSE ({cr} * {cr}) {fdiv} {den} END)"
+    )
+
+
+def map_match(
+    segs: DataFrame, points: DataFrame, d: int, max_bin: int = 200_000
+) -> DataFrame:
+    """(point_id, seg_id, dq2): every ping snapped to its single BEST road
+    segment among candidates within grid distance `d` — the map-matching
+    baseline (nearest-segment snap with a deterministic spec: argmin by
+    (floor(squared grid distance), seg_id), so the winner is identical at
+    any parallelism and in both engines; pings with no segment within
+    `d` are absent, matching the usual off-network drop).
+
+    Scale shape: candidates ride route_proximity's expanded-bbox bin
+    cover (equi-join, loud hot-bin guard); the exact refine + dq2 are JVM
+    filters/projections; the argmin is ONE hash agg of a lexicographic
+    (dq2, seg_id) struct MIN — map-side combinable, no window, no join
+    back. Candidate pairs are id+coord rows only."""
+    pairs = _proximity_pairs(segs, points, d, max_bin=max_bin)
+    scored = pairs.selectExpr(
+        "point_id", "seg_id", f"{snap_dq2_expr('spark')} AS dq2"
+    )
+    return (
+        scored.groupBy("point_id")
+        .agg(F.min(F.struct("dq2", "seg_id")).alias("m"))
+        .selectExpr(
+            "CAST(point_id AS BIGINT) AS point_id",
+            "CAST(m.seg_id AS BIGINT) AS seg_id",
+            "CAST(m.dq2 AS BIGINT) AS dq2",
+        )
+    )
+
+
+def oracle_map_match_sql(segs_cte: str, points_sql: str, d: int) -> str:
+    """DuckDB mirror: brute-force ALL pairs (no bins), identical within
+    predicate + dq2 text, winner via ROW_NUMBER (a window formulation vs
+    the struct-MIN fold)."""
+    return f"""
+WITH {segs_cte},
+pts AS ({points_sql}),
+pairs AS (
+  SELECT s.seg_id, p.point_id,
+    s.axq, s.ayq, s.bxq, s.byq, p.pxq, p.pyq
+  FROM segs s CROSS JOIN pts p
+),
+hits AS (
+  SELECT point_id, seg_id, {snap_dq2_expr('duck')} AS dq2
+  FROM pairs WHERE {within_expr(d)}
+),
+ranked AS (
+  SELECT point_id, seg_id, dq2,
+    ROW_NUMBER() OVER (PARTITION BY point_id ORDER BY dq2, seg_id) AS rn
+  FROM hits
+)
+SELECT CAST(point_id AS BIGINT) AS point_id,
+  CAST(seg_id AS BIGINT) AS seg_id, CAST(dq2 AS BIGINT) AS dq2
+FROM ranked WHERE rn = 1
 """

@@ -634,3 +634,122 @@ def test_stream_stream_join_pairs_cross_microbatch_boundaries(spark, tmp_path):
     }
     # view 2 matches purchases 3 (cross-slice) and 4; nothing else pairs
     assert got == {(2, 3), (2, 4)}
+
+
+# ---------------------------------------------------------------- map_match
+
+
+def _segs_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "seg_id long, axq long, ayq long, bxq long, byq long"
+    )
+
+
+def _pts_df(spark, rows):
+    return spark.createDataFrame(rows, "point_id long, pxq long, pyq long")
+
+
+def test_map_match_hand_cases(spark):
+    """Interior projection beats endpoint case; exact dq2 values; the
+    off-network ping is absent."""
+    from aira_spark.operators.segments import map_match
+
+    segs = _segs_df(spark, [
+        (1, 0, 0, 100, 0),     # horizontal through origin
+        (2, 0, 50, 100, 50),   # horizontal at y=50
+    ])
+    pts = _pts_df(spark, [
+        (10, 50, 10),    # 10 below seg2, 10 above seg1 -> tie on dq2=100
+        (11, 50, 40),    # interior: 40 from seg1, 10 from seg2
+        (12, 150, 0),    # beyond B of seg1: endpoint distance 50^2
+        (13, 5000, 5000),  # off-network (d=200)
+    ])
+    got = {
+        r["point_id"]: (r["seg_id"], r["dq2"])
+        for r in map_match(segs, pts, d=200).collect()
+    }
+    assert got == {
+        10: (1, 100),   # tie on dq2 -> lower seg_id wins
+        11: (2, 100),
+        12: (1, 2500),
+    }
+
+
+def test_map_match_matches_python_brute_force(spark):
+    """Randomized mirror: floored rational distance + (dq2, seg_id)
+    argmin reproduced in pure python."""
+    import random
+
+    from aira_spark.operators.segments import map_match
+
+    rng = random.Random(42)
+    segs = [
+        (i, rng.randrange(1000), rng.randrange(1000),
+         rng.randrange(1000), rng.randrange(1000))
+        for i in range(40)
+    ]
+    pts = [
+        (100 + i, rng.randrange(1000), rng.randrange(1000))
+        for i in range(60)
+    ]
+    d = 150
+
+    def dq2(ax, ay, bx, by, px, py):
+        dx, dy = bx - ax, by - ay
+        apx, apy = px - ax, py - ay
+        den = dx * dx + dy * dy
+        t = apx * dx + apy * dy
+        if den == 0 or t <= 0:
+            return apx * apx + apy * apy
+        if t >= den:
+            bpx, bpy = px - bx, py - by
+            return bpx * bpx + bpy * bpy
+        cr = dx * apy - dy * apx
+        return (cr * cr) // den
+
+    def within(ax, ay, bx, by, px, py):
+        dx, dy = bx - ax, by - ay
+        apx, apy = px - ax, py - ay
+        den = dx * dx + dy * dy
+        t = apx * dx + apy * dy
+        if den == 0 or t <= 0:
+            return apx * apx + apy * apy <= d * d
+        if t >= den:
+            bpx, bpy = px - bx, py - by
+            return bpx * bpx + bpy * bpy <= d * d
+        cr = dx * apy - dy * apx
+        return cr * cr <= d * d * den
+
+    want = {}
+    for pid, px, py in pts:
+        best = None
+        for sid, ax, ay, bx, by in segs:
+            if within(ax, ay, bx, by, px, py):
+                key = (dq2(ax, ay, bx, by, px, py), sid)
+                if best is None or key < best:
+                    best = key
+        if best is not None:
+            want[pid] = (best[1], best[0])
+    got = {
+        r["point_id"]: (r["seg_id"], r["dq2"])
+        for r in map_match(_segs_df(spark, segs), _pts_df(spark, pts), d=d).collect()
+    }
+    assert got == want
+    assert len(got) > 10  # non-degenerate
+
+
+def test_map_match_no_window_one_argmin_agg(spark):
+    """The argmin is a struct-MIN hash agg, never a ranking window (the
+    full query plan does contain ONE window, but it belongs to the
+    trajectory-segment source's lead(), not to the snap)."""
+    from aira_spark.operators.segments import map_match
+    from tests.test_plans import plan_string
+
+    segs = _segs_df(spark, [(1, 0, 0, 100, 0)])
+    pts = _pts_df(spark, [(10, 50, 10)])
+    s = plan_string(map_match(segs, pts, d=200))
+    assert "Window" not in s, s
+    # struct-MIN compiles to SortAggregate (min over struct is not
+    # hash-aggregable) — still a partial/final agg pair, map-side combined
+    assert "SortAggregate" in s or "HashAggregate" in s, s
+    assert "partial_min" in s, s
