@@ -2792,6 +2792,16 @@ def q_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return equalize_lut(_images(spark, sf_dir, modulo=4))
 
 
+def q_hist_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram MATCHING remap table vs the pooled corpus reference —
+    cross-multiplied integer quantile matching, bounded broadcast
+    reference, pixels never in an exchange
+    (operators/equalize.py:match_lut)."""
+    from aira_spark.operators.equalize import match_lut
+
+    return match_lut(_images(spark, sf_dir, modulo=4))
+
+
 def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed-bigram linear quality classifier over every
     document: Arrow-batched integer logit (exact), shared-text sigmoid/label
@@ -2992,6 +3002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hillshade": q_hillshade,
         "dsir_scores": q_dsir_scores,
         "map_match": q_map_match,
+        "hist_match": q_hist_match,
         "stream_stream_join": q_stream_stream_join,
     }
 
@@ -4150,6 +4161,12 @@ def _oracle_equalize() -> str:
     from aira_spark.operators.equalize import oracle_equalize_sql
 
     return oracle_equalize_sql(_bands_cte_sql(modulo=4))
+
+
+def _oracle_hist_match() -> str:
+    from aira_spark.operators.equalize import oracle_match_sql
+
+    return oracle_match_sql(_bands_cte_sql(modulo=4))
 
 
 def _oracle_wht_sig() -> str:
@@ -5519,6 +5536,7 @@ FROM docs GROUP BY 1
         "hillshade": _oracle_hillshade(),
         "dsir_scores": _oracle_dsir_scores(),
         "map_match": _oracle_map_match(),
+        "hist_match": _oracle_hist_match(),
         "stream_stream_join": _ORACLE_SSJOIN,
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),

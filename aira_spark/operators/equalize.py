@@ -130,3 +130,93 @@ SELECT image_id, band, n_px, n_distinct, max_cnt,
   CAST(((n_px * n_px - sum_c2) * 1000000) // (n_px * n_px) AS BIGINT) AS gini_e6
 FROM st
 """
+
+
+def match_lut(images: DataFrame) -> DataFrame:
+    """(image_id, band, value, cnt, match_val): the histogram-MATCHING
+    remap table per (image, band) against the POOLED corpus reference —
+    corpus-level tonal normalization (the multi-scene mosaic/balancing
+    stage next to per-image equalization).
+
+    Classic quantile matching, kept exact: match_val = the smallest
+    reference value r with cdf_ref(r)/n_ref >= cdf_img(v)/n_img, decided
+    by the cross-multiplied integer predicate cdf_ref(r) * n_img >=
+    cdf_img(v) * n_ref (no division, no float). A match always exists:
+    cdf_ref(max present r) = n_ref bounds the inequality.
+
+    Scale shape: both sides ride band_histogram's one-decode sparse
+    histogram. The per-image CDF is the equalize window over <= 256 rows
+    per band; the REFERENCE is the <= 256-rows-per-band pooled histogram
+    (a bounded two-stage agg), which BROADCASTS to a <= 256-candidate
+    map-side min per LUT row — pixels never enter an exchange, and no
+    stage's width depends on corpus size."""
+    hist = band_histogram(images)
+    cum = Window.partitionBy("image_id", "band").orderBy("value")
+    byband = Window.partitionBy("image_id", "band")
+    img = (
+        hist.withColumn("cdf", F.sum("cnt").over(cum))
+        .withColumn("n", F.sum("cnt").over(byband))
+    )
+    rcum = Window.partitionBy("band").orderBy("value")
+    rband = Window.partitionBy("band")
+    ref = (
+        hist.groupBy("band", "value")
+        .agg(F.sum("cnt").alias("rcnt"))
+        .withColumn("cdf_ref", F.sum("rcnt").over(rcum))
+        .withColumn("n_ref", F.sum("rcnt").over(rband))
+        .selectExpr("band", "value AS r", "cdf_ref", "n_ref")
+    )
+    return (
+        img.join(F.broadcast(ref), "band")
+        .groupBy("image_id", "band", "value", "cnt")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cdf_ref") * F.col("n") >= F.col("cdf") * F.col("n_ref"),
+                    F.col("r"),
+                )
+            ).alias("match_val")
+        )
+        .select(
+            "image_id",
+            F.col("band").cast("long").alias("band"),
+            F.col("value").cast("long").alias("value"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("match_val").cast("long").alias("match_val"),
+        )
+    )
+
+
+def oracle_match_sql(bands_cte: str) -> str:
+    """DuckDB mirror over the bands CTE: same sparse histograms, same
+    window CDFs, same cross-multiplied quantile-matching predicate."""
+    return f"""
+WITH {bands_cte},
+hist AS (
+  SELECT image_id, CAST(s AS BIGINT) AS band,
+         CAST((r * 7 + c * 13 + s * 29 + k) % 256 AS BIGINT) AS value,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM bands GROUP BY 1, 2, 3
+),
+icdf AS (
+  SELECT *,
+    SUM(cnt) OVER (PARTITION BY image_id, band ORDER BY value) AS cdf,
+    SUM(cnt) OVER (PARTITION BY image_id, band) AS n
+  FROM hist
+),
+refh AS (
+  SELECT band, value AS r, CAST(SUM(cnt) AS BIGINT) AS rcnt
+  FROM hist GROUP BY 1, 2
+),
+ref AS (
+  SELECT band, r,
+    SUM(rcnt) OVER (PARTITION BY band ORDER BY r) AS cdf_ref,
+    SUM(rcnt) OVER (PARTITION BY band) AS n_ref
+  FROM refh
+)
+SELECT i.image_id, i.band, i.value, i.cnt,
+  CAST(MIN(CASE WHEN ref.cdf_ref * i.n >= i.cdf * ref.n_ref
+       THEN ref.r END) AS BIGINT) AS match_val
+FROM icdf i JOIN ref ON ref.band = i.band
+GROUP BY 1, 2, 3, 4
+"""

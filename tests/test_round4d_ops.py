@@ -753,3 +753,93 @@ def test_map_match_no_window_one_argmin_agg(spark):
     # hash-aggregable) — still a partial/final agg pair, map-side combined
     assert "SortAggregate" in s or "HashAggregate" in s, s
     assert "partial_min" in s, s
+
+
+# --------------------------------------------------------------- hist_match
+
+
+def test_hist_match_identity_on_single_image_corpus(spark):
+    """With a one-image corpus the pooled reference IS the image, so
+    quantile matching must be the identity on present values."""
+    import numpy as np
+
+    from aira_spark.operators.equalize import match_lut
+    from aira_spark.tiff.encode import write_tiff
+
+    a = ((np.arange(64).reshape(8, 8) * 37) % 256).astype(np.uint8)
+    buf = write_tiff(a[:, :, None], byteorder="<", layout=("strips", 4))
+    df = spark.createDataFrame(
+        [("im0", bytearray(buf))], "image_id string, bytes binary"
+    )
+    rows = match_lut(df).collect()
+    assert rows and all(r["match_val"] == r["value"] for r in rows)
+
+
+def test_hist_match_matches_python_mirror(spark, sf_dir):
+    import __spark_entry__ as em
+    from aira_spark.operators.equalize import match_lut
+    from aira_spark.operators.zonal import band_histogram
+
+    images = em._images(spark, sf_dir, modulo=4)
+    hist = {}
+    for r in band_histogram(images).collect():
+        hist[(r["image_id"], r["band"], r["value"])] = r["cnt"]
+    # per-image cdf + pooled reference cdf
+    imgs = sorted({(i, b) for (i, b, _) in hist})
+    ref_cnt = {}
+    for (i, b, v), c in hist.items():
+        ref_cnt[(b, v)] = ref_cnt.get((b, v), 0) + c
+    want = {}
+    for i, b in imgs:
+        vals = sorted(v for (ii, bb, v) in hist if (ii, bb) == (i, b))
+        n = sum(hist[(i, b, v)] for v in vals)
+        rvals = sorted(v for (bb, v) in ref_cnt if bb == b)
+        n_ref = sum(ref_cnt[(b, v)] for v in rvals)
+        cdf = 0
+        for v in vals:
+            cdf += hist[(i, b, v)]
+            cr = 0
+            m = None
+            for r in rvals:
+                cr += ref_cnt[(b, r)]
+                if cr * n >= cdf * n_ref:
+                    m = r
+                    break
+            want[(i, b, v)] = (hist[(i, b, v)], m)
+    got = {
+        (r["image_id"], r["band"], r["value"]): (r["cnt"], r["match_val"])
+        for r in match_lut(images).collect()
+    }
+    assert got == want
+
+
+def test_hist_match_shifted_pair_hand_case(spark):
+    """Two single-band images with disjoint value ranges: the darker
+    image's values map UP toward the pooled middle, the brighter one's
+    map DOWN — and every match_val is a value PRESENT in the reference."""
+    import numpy as np
+
+    from aira_spark.operators.equalize import match_lut
+    from aira_spark.tiff.encode import write_tiff
+
+    dark = np.full((4, 4), 10, dtype=np.uint8)
+    dark[0, 0] = 20
+    bright = np.full((4, 4), 200, dtype=np.uint8)
+    bright[0, 0] = 210
+    rows = []
+    for name, a in (("dark", dark), ("bright", bright)):
+        buf = write_tiff(a[:, :, None], byteorder="<", layout=("strips", 4))
+        rows.append((name, bytearray(buf)))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    got = {
+        (r["image_id"], r["value"]): r["match_val"]
+        for r in match_lut(df).collect()
+    }
+    # pooled hist: 10:15, 20:1, 200:15, 210:1 (n_ref=32). dark cdf(10)=15/16
+    # -> smallest r with cdf_ref*16 >= 15*32: cdf_ref >= 30 -> r=200.
+    # dark cdf(20)=16/16 -> cdf_ref >= 32 -> r=210.
+    # bright cdf(200)=15/16 -> r=200; bright cdf(210)=16/16 -> r=210.
+    assert got == {
+        ("dark", 10): 200, ("dark", 20): 210,
+        ("bright", 200): 200, ("bright", 210): 210,
+    }
