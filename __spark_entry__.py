@@ -2802,6 +2802,16 @@ def q_hist_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_lut(_images(spark, sf_dir, modulo=4))
 
 
+def q_otsu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Otsu binarization threshold per (image, band) — exact integer
+    between-class-variance argmax via a 128-bit cross-multiplied
+    anti-join over the <=256-row sparse histogram; pixels never in an
+    exchange (operators/equalize.py:otsu_threshold)."""
+    from aira_spark.operators.equalize import otsu_threshold
+
+    return otsu_threshold(_images(spark, sf_dir, modulo=4))
+
+
 def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed-bigram linear quality classifier over every
     document: Arrow-batched integer logit (exact), shared-text sigmoid/label
@@ -3003,6 +3013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_scores": q_dsir_scores,
         "map_match": q_map_match,
         "hist_match": q_hist_match,
+        "otsu": q_otsu,
         "stream_stream_join": q_stream_stream_join,
     }
 
@@ -4167,6 +4178,12 @@ def _oracle_hist_match() -> str:
     from aira_spark.operators.equalize import oracle_match_sql
 
     return oracle_match_sql(_bands_cte_sql(modulo=4))
+
+
+def _oracle_otsu() -> str:
+    from aira_spark.operators.equalize import oracle_otsu_sql
+
+    return oracle_otsu_sql(_bands_cte_sql(modulo=4))
 
 
 def _oracle_wht_sig() -> str:
@@ -5537,6 +5554,7 @@ FROM docs GROUP BY 1
         "dsir_scores": _oracle_dsir_scores(),
         "map_match": _oracle_map_match(),
         "hist_match": _oracle_hist_match(),
+        "otsu": _oracle_otsu(),
         "stream_stream_join": _ORACLE_SSJOIN,
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),

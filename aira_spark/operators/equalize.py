@@ -187,6 +187,109 @@ def match_lut(images: DataFrame) -> DataFrame:
     )
 
 
+def otsu_threshold(images: DataFrame) -> DataFrame:
+    """(image_id, band, thr, n_bg, n_fg, d): Otsu's binarization threshold
+    per (image, band) — the classic automatic foreground/background split
+    (Otsu 1979), the segmentation stage downstream of equalization.
+
+    Otsu maximizes the between-class variance sigma_B^2(t) =
+    n0*n1*(mu0-mu1)^2 / n^2 over thresholds t (background = values <= t).
+    With exact integer histogram moments (n0 = cdf(t), s0 = sum of v*cnt
+    for v <= t) the n-invariant objective is d(t)^2 / b(t) with
+
+        d(t) = s0*(n-n0) - (S-s0)*n0     (= s0*n1 - s1*n0)
+        b(t) = n0*(n-n0)
+
+    and the argmax is decided WITHOUT division or floats: candidate c2
+    beats c1 iff d2^2*b1 > d1^2*b2, evaluated in 128-bit exact integers
+    (Spark DECIMAL(38,0) / DuckDB HUGEINT, the gi_hotspots widening).
+    Magnitude budget: |d| <= 255*n^2/4 fits BIGINT to n ~ 380k px/band;
+    d^2*b <= 1015*n^6/64 stays under 1e38 to n ~ 460k — both clear the
+    IMG_SCALE=8 bench maximum (196k) with headroom. Ties break to the
+    SMALLEST threshold (a stated convention, identical in both engines).
+    Flat bands (one distinct value, cdf == n everywhere) have no valid
+    split and emit no row.
+
+    Scale shape: rides band_histogram's one-decode sparse histogram; the
+    only exchange is <= 256 rows per band into the cdf window, and the
+    argmax is an equi-keyed ANTI self-join whose per-group quadratic is
+    hard-bounded by the 256-value domain. Pixels never enter an exchange,
+    and no stage's width depends on corpus size."""
+    hist = band_histogram(images)
+    byband = Window.partitionBy("image_id", "band")
+    cum = Window.partitionBy("image_id", "band").orderBy("value")
+    cand = (
+        hist.withColumn("cdf", F.sum("cnt").over(cum))
+        .withColumn("s0", F.sum(F.col("value") * F.col("cnt")).over(cum))
+        .withColumn("n", F.sum("cnt").over(byband))
+        .withColumn("s", F.sum(F.col("value") * F.col("cnt")).over(byband))
+        .where(F.col("cdf") < F.col("n"))
+        .selectExpr(
+            "image_id",
+            "CAST(band AS BIGINT) AS band",
+            "CAST(value AS BIGINT) AS thr",
+            "CAST(cdf AS BIGINT) AS n_bg",
+            "CAST(n - cdf AS BIGINT) AS n_fg",
+            "CAST(s0 * (n - cdf) - (s - s0) * cdf AS BIGINT) AS d",
+            "CAST(cdf * (n - cdf) AS BIGINT) AS b",
+        )
+    )
+    c1, c2 = cand.alias("c1"), cand.alias("c2")
+    w = "CAST({} AS DECIMAL(38,0))"
+    a2 = f"{w.format('c2.d')} * c2.d * c1.b"
+    a1 = f"{w.format('c1.d')} * c1.d * c2.b"
+    beats = F.expr(f"({a2} > {a1}) OR ({a2} = {a1} AND c2.thr < c1.thr)")
+    return c1.join(
+        c2,
+        (F.col("c1.image_id") == F.col("c2.image_id"))
+        & (F.col("c1.band") == F.col("c2.band"))
+        & beats,
+        "left_anti",
+    ).select("image_id", "band", "thr", "n_bg", "n_fg", "d")
+
+
+def oracle_otsu_sql(bands_cte: str) -> str:
+    """DuckDB mirror: same histogram windows, same candidate algebra, same
+    cross-multiplied 128-bit argmax as a NOT EXISTS anti-join."""
+    return f"""
+WITH {bands_cte},
+hist AS (
+  SELECT image_id, CAST(s AS BIGINT) AS band,
+         CAST((r * 7 + c * 13 + s * 29 + k) % 256 AS BIGINT) AS value,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM bands GROUP BY 1, 2, 3
+),
+cdf AS (
+  SELECT image_id, band, value, cnt,
+    SUM(cnt) OVER w AS cdf,
+    SUM(value * cnt) OVER w AS s0,
+    SUM(cnt) OVER (PARTITION BY image_id, band) AS n,
+    SUM(value * cnt) OVER (PARTITION BY image_id, band) AS s
+  FROM hist
+  WINDOW w AS (PARTITION BY image_id, band ORDER BY value)
+),
+cand AS (
+  SELECT image_id, band, value AS thr,
+    CAST(cdf AS BIGINT) AS n_bg,
+    CAST(n - cdf AS BIGINT) AS n_fg,
+    CAST(s0 * (n - cdf) - (s - s0) * cdf AS BIGINT) AS d,
+    CAST(cdf * (n - cdf) AS BIGINT) AS b
+  FROM cdf WHERE cdf < n
+)
+SELECT c1.image_id, c1.band, c1.thr, c1.n_bg, c1.n_fg, c1.d
+FROM cand c1
+WHERE NOT EXISTS (
+  SELECT 1 FROM cand c2
+  WHERE c2.image_id = c1.image_id AND c2.band = c1.band
+    AND (CAST(c2.d AS HUGEINT) * c2.d * c1.b
+           > CAST(c1.d AS HUGEINT) * c1.d * c2.b
+         OR (CAST(c2.d AS HUGEINT) * c2.d * c1.b
+               = CAST(c1.d AS HUGEINT) * c1.d * c2.b
+             AND c2.thr < c1.thr))
+)
+"""
+
+
 def oracle_match_sql(bands_cte: str) -> str:
     """DuckDB mirror over the bands CTE: same sparse histograms, same
     window CDFs, same cross-multiplied quantile-matching predicate."""

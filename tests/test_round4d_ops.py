@@ -843,3 +843,84 @@ def test_hist_match_shifted_pair_hand_case(spark):
         ("dark", 10): 200, ("dark", 20): 210,
         ("bright", 200): 200, ("bright", 210): 210,
     }
+
+
+# --------------------------------------------------------------------- otsu
+
+
+def test_otsu_trimodal_hand_case_and_flat_band(spark):
+    """Hand-checkable 3-value histogram picks the max-separation split;
+    a flat (single-value) band emits NO row (no valid split exists)."""
+    import numpy as np
+
+    from aira_spark.operators.equalize import otsu_threshold
+    from aira_spark.tiff.encode import write_tiff
+
+    # 16 px: six 0s, four 100s, six 255s. Candidates: thr=0 -> d=-11580,
+    # b=60; thr=100 -> d=-12900, b=60 -> argmax d^2/b is thr=100.
+    a = np.array([0] * 6 + [100] * 4 + [255] * 6, dtype=np.uint8)
+    tri = a.reshape(4, 4)
+    flat = np.full((4, 4), 7, dtype=np.uint8)
+    rows = []
+    for name, arr in (("tri", tri), ("flat", flat)):
+        buf = write_tiff(arr[:, :, None], byteorder="<", layout=("strips", 4))
+        rows.append((name, bytearray(buf)))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    got = {r["image_id"]: r for r in otsu_threshold(df).collect()}
+    assert set(got) == {"tri"}
+    r = got["tri"]
+    assert (r["thr"], r["n_bg"], r["n_fg"], r["d"]) == (100, 10, 6, -12900)
+
+
+def test_otsu_tie_breaks_to_smallest_threshold(spark):
+    """Symmetric histogram {0:1, 100:2, 200:1}: thr=0 and thr=100 give the
+    identical objective (d=-400, b=3) -> the smallest threshold wins."""
+    import numpy as np
+
+    from aira_spark.operators.equalize import otsu_threshold
+    from aira_spark.tiff.encode import write_tiff
+
+    a = np.array([[0, 100], [100, 200]], dtype=np.uint8)
+    buf = write_tiff(a[:, :, None], byteorder="<", layout=("strips", 2))
+    df = spark.createDataFrame(
+        [("im0", bytearray(buf))], "image_id string, bytes binary"
+    )
+    rows = otsu_threshold(df).collect()
+    assert len(rows) == 1 and rows[0]["thr"] == 0 and rows[0]["d"] == -400
+
+
+def test_otsu_matches_fraction_mirror(spark, sf_dir):
+    """Brute-force python mirror with exact Fractions over the corpus."""
+    from fractions import Fraction
+
+    import __spark_entry__ as em
+    from aira_spark.operators.equalize import otsu_threshold
+    from aira_spark.operators.zonal import band_histogram
+
+    images = em._images(spark, sf_dir, modulo=4)
+    hists: dict = {}
+    for r in band_histogram(images).collect():
+        hists.setdefault((r["image_id"], r["band"]), {})[r["value"]] = r["cnt"]
+    want = {}
+    for (i, b), h in hists.items():
+        vals = sorted(h)
+        n = sum(h.values())
+        stot = sum(v * c for v, c in h.items())
+        best = None
+        cdf = s0 = 0
+        for v in vals:
+            cdf += h[v]
+            s0 += v * h[v]
+            if cdf == n:
+                continue
+            d = s0 * (n - cdf) - (stot - s0) * cdf
+            obj = Fraction(d * d, cdf * (n - cdf))
+            if best is None or obj > best[0]:
+                best = (obj, v, cdf, n - cdf, d)
+        if best is not None:
+            want[(i, b)] = best[1:]
+    got = {
+        (r["image_id"], r["band"]): (r["thr"], r["n_bg"], r["n_fg"], r["d"])
+        for r in otsu_threshold(images).collect()
+    }
+    assert got == want
