@@ -2812,6 +2812,16 @@ def q_otsu(spark: SparkSession, sf_dir: str) -> DataFrame:
     return otsu_threshold(_images(spark, sf_dir, modulo=4))
 
 
+def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-ray line-of-sight viewshed census per lattice observer — exact
+    cross-multiplied slope blocking over the mosaic fine grid, bounded
+    ray explode + one equi-join, anti-join blocker test hard-bounded by
+    radius^2 per ray (operators/terrain.py:viewshed)."""
+    from aira_spark.operators.terrain import viewshed
+
+    return viewshed(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
+
+
 def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed-bigram linear quality classifier over every
     document: Arrow-batched integer logit (exact), shared-text sigmoid/label
@@ -3014,6 +3024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_match": q_map_match,
         "hist_match": q_hist_match,
         "otsu": q_otsu,
+        "viewshed": q_viewshed,
         "stream_stream_join": q_stream_stream_join,
     }
 
@@ -4184,6 +4195,12 @@ def _oracle_otsu() -> str:
     from aira_spark.operators.equalize import oracle_otsu_sql
 
     return oracle_otsu_sql(_bands_cte_sql(modulo=4))
+
+
+def _oracle_viewshed() -> str:
+    from aira_spark.operators.terrain import oracle_viewshed_sql
+
+    return oracle_viewshed_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
 
 
 def _oracle_wht_sig() -> str:
@@ -5555,6 +5572,7 @@ FROM docs GROUP BY 1
         "map_match": _oracle_map_match(),
         "hist_match": _oracle_hist_match(),
         "otsu": _oracle_otsu(),
+        "viewshed": _oracle_viewshed(),
         "stream_stream_join": _ORACLE_SSJOIN,
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),

@@ -486,3 +486,154 @@ SELECT {HILLSHADE_CASE} AS shade_band,
   CAST(COUNT(*) AS BIGINT) AS n_cells,
   CAST(SUM(num) AS BIGINT) AS sum_num
 FROM hs GROUP BY 1"""
+
+
+# 8 compass rays (4 cardinal + 4 diagonal) for the line-of-sight scan.
+VS_DIRS = [(1, 0), (-1, 0), (0, 1), (0, -1), (1, 1), (1, -1), (-1, 1), (-1, -1)]
+
+
+def viewshed(
+    images: DataFrame,
+    res: int = DEFAULT_RES,
+    patch_bits: int = 4,
+    radius: int = 6,
+    lattice: int = 4,
+) -> DataFrame:
+    """(ox, oy, z_obs, n_tgt, n_vis): 8-ray line-of-sight viewshed census
+    per observer — the classic terrain visibility question ("how much of
+    the surrounding relief can this point see"), restricted to the 8
+    compass rays so every sightline lies on exact lattice points (the
+    R8 analog of flow_direction's D8).
+
+    A target at step k along a ray is VISIBLE iff no nearer cell on the
+    same ray subtends an equal-or-greater elevation angle:
+
+        visible(k)  <=>  for all present j < k:
+                         (z_j - z_o) * k < (z_k - z_o) * j
+
+    — the cross-multiplied slope comparison, exact in BIGINT (|z| <= 255,
+    k <= radius), no division, no trig. Grazing sightlines (equality)
+    BLOCK, and absent cells (grid holes) are transparent — both stated
+    conventions, identical in the two engines. The nearest present cell
+    on each ray is always visible, so n_vis >= 1 wherever n_tgt >= 1;
+    observers whose rays hit no present cell emit no row.
+
+    Scale shape: observers are the 1/lattice^2 modular sublattice of the
+    mosaic fine grid; each scatters 8*radius candidate coordinates (a
+    bounded explode) into ONE equi-join against the fine grid, and the
+    blocker test is an equi-keyed ANTI self-join whose per-ray quadratic
+    is hard-bounded by radius^2. Pixels never enter an exchange (the
+    mosaic ships per-image subcell partials only), and no stage's width
+    depends on corpus size."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_ix, cell_iy
+    from .mosaic import mosaic_cell_values
+
+    pb = 1 << patch_bits
+    nf = 1 << (res + patch_bits)
+    fine = mosaic_cell_values(images, res, patch_bits).select(
+        (cell_ix(F.col("cell")) * pb + F.col("pc")).alias("fx"),
+        (cell_iy(F.col("cell")) * pb + F.col("pr")).alias("fy"),
+        "val",
+    )
+    obs = fine.where(
+        (F.col("fx") % lattice == 0) & (F.col("fy") % lattice == 0)
+    ).select(
+        F.col("fx").alias("ox"), F.col("fy").alias("oy"),
+        F.col("val").alias("zo"),
+    )
+    arms = ", ".join(
+        f"named_struct('dx', {dx}, 'dy', {dy}, 'k', {k})"
+        for dx, dy in VS_DIRS
+        for k in range(1, radius + 1)
+    )
+    rays = obs.select(
+        "ox", "oy", "zo", F.expr(f"explode(array({arms})) AS a")
+    ).select(
+        "ox", "oy", "zo",
+        F.col("a.dx").alias("dx"), F.col("a.dy").alias("dy"),
+        F.col("a.k").cast("long").alias("k"),
+        (F.col("ox") + F.col("a.dx") * F.col("a.k")).alias("tx"),
+        (F.col("oy") + F.col("a.dy") * F.col("a.k")).alias("ty"),
+    ).where(
+        (F.col("tx") >= 0) & (F.col("tx") < nf)
+        & (F.col("ty") >= 0) & (F.col("ty") < nf)
+    )
+    tgt = fine.select(
+        F.col("fx").alias("tx"), F.col("fy").alias("ty"),
+        F.col("val").alias("z"),
+    )
+    cand = rays.join(tgt, ["tx", "ty"]).select(
+        "ox", "oy", "zo", "dx", "dy", "k", "z"
+    )
+    c1, c2 = cand.alias("c1"), cand.alias("c2")
+    blocked = (
+        (F.col("c1.ox") == F.col("c2.ox"))
+        & (F.col("c1.oy") == F.col("c2.oy"))
+        & (F.col("c1.dx") == F.col("c2.dx"))
+        & (F.col("c1.dy") == F.col("c2.dy"))
+        & (F.col("c2.k") < F.col("c1.k"))
+        & (
+            (F.col("c2.z") - F.col("c1.zo")) * F.col("c1.k")
+            >= (F.col("c1.z") - F.col("c1.zo")) * F.col("c2.k")
+        )
+    )
+    vis = c1.join(c2, blocked, "left_anti")
+    n_tgt = cand.groupBy("ox", "oy").agg(
+        F.min("zo").cast("long").alias("z_obs"),
+        F.count("*").cast("long").alias("n_tgt"),
+    )
+    n_vis = vis.groupBy("ox", "oy").agg(
+        F.count("*").cast("long").alias("n_vis")
+    )
+    return n_tgt.join(n_vis, ["ox", "oy"]).select(
+        F.col("ox").cast("long").alias("ox"),
+        F.col("oy").cast("long").alias("oy"),
+        "z_obs", "n_tgt", "n_vis",
+    )
+
+
+def oracle_viewshed_sql(
+    fine_cte: str,
+    res: int = DEFAULT_RES,
+    patch_bits: int = 4,
+    radius: int = 6,
+    lattice: int = 4,
+) -> str:
+    """DuckDB mirror over the fine(fx, fy, val) CTE: identical observer
+    sublattice, ray explode, cross-multiplied blocker NOT EXISTS."""
+    nf = 1 << (res + patch_bits)
+    dirs = ", ".join(f"({dx}, {dy})" for dx, dy in VS_DIRS)
+    return f"""{fine_cte},
+obs AS (
+  SELECT fx AS ox, fy AS oy, val AS zo FROM fine
+  WHERE fx % {lattice} = 0 AND fy % {lattice} = 0
+),
+cand AS (
+  SELECT o.ox, o.oy, o.zo, d.dx, d.dy, CAST(s.k AS BIGINT) AS k, f.val AS z
+  FROM obs o,
+       (VALUES {dirs}) AS d(dx, dy),
+       (SELECT unnest(generate_series(1, {radius})) AS k) s,
+       fine f
+  WHERE f.fx = o.ox + d.dx * s.k AND f.fy = o.oy + d.dy * s.k
+    AND o.ox + d.dx * s.k >= 0 AND o.ox + d.dx * s.k < {nf}
+    AND o.oy + d.dy * s.k >= 0 AND o.oy + d.dy * s.k < {nf}
+),
+vis AS (
+  SELECT * FROM cand c1
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cand c2
+    WHERE c2.ox = c1.ox AND c2.oy = c1.oy
+      AND c2.dx = c1.dx AND c2.dy = c1.dy AND c2.k < c1.k
+      AND (c2.z - c1.zo) * c1.k >= (c1.z - c1.zo) * c2.k
+  )
+)
+SELECT CAST(a.ox AS BIGINT) AS ox, CAST(a.oy AS BIGINT) AS oy,
+       a.z_obs, a.n_tgt, b.n_vis
+FROM (SELECT ox, oy, CAST(MIN(zo) AS BIGINT) AS z_obs,
+             CAST(COUNT(*) AS BIGINT) AS n_tgt
+      FROM cand GROUP BY 1, 2) a
+JOIN (SELECT ox, oy, CAST(COUNT(*) AS BIGINT) AS n_vis
+      FROM vis GROUP BY 1, 2) b
+ON a.ox = b.ox AND a.oy = b.oy"""

@@ -924,3 +924,58 @@ def test_otsu_matches_fraction_mirror(spark, sf_dir):
         for r in otsu_threshold(images).collect()
     }
     assert got == want
+
+
+# ----------------------------------------------------------------- viewshed
+
+
+def test_viewshed_matches_brute_force(spark, sf_dir):
+    """Full python mirror of the 8-ray LOS scan over the mosaic fine grid:
+    same lattice, same cross-multiplied grazing-blocks convention, same
+    holes-are-transparent rule."""
+    import __spark_entry__ as em
+    from aira_spark.operators.terrain import VS_DIRS, viewshed
+
+    radius, lattice = 6, 4
+    nf = 1 << (em.CELL_RES + 4)
+    filled = _fine_grid(spark, sf_dir)
+    want = {}
+    for (ox, oy), zo in filled.items():
+        if ox % lattice or oy % lattice:
+            continue
+        cands = []
+        for dx, dy in VS_DIRS:
+            for k in range(1, radius + 1):
+                tx, ty = ox + dx * k, oy + dy * k
+                if not (0 <= tx < nf and 0 <= ty < nf):
+                    continue
+                z = filled.get((tx, ty))
+                if z is not None:
+                    cands.append((dx, dy, k, z))
+        if not cands:
+            continue
+        n_vis = sum(
+            1
+            for dx, dy, k, z in cands
+            if not any(
+                (dx2, dy2) == (dx, dy)
+                and k2 < k
+                and (z2 - zo) * k >= (z - zo) * k2
+                for dx2, dy2, k2, z2 in cands
+            )
+        )
+        want[(ox, oy)] = (zo, len(cands), n_vis)
+    rows = viewshed(
+        em._images(spark, sf_dir, modulo=8), em.CELL_RES, 4
+    ).collect()
+    got = {
+        (r["ox"], r["oy"]): (r["z_obs"], r["n_tgt"], r["n_vis"])
+        for r in rows
+    }
+    assert got == want
+    # structural invariants: observers sit on the lattice, the nearest
+    # present cell per ray is always visible -> 1 <= n_vis <= n_tgt
+    assert rows
+    for r in rows:
+        assert r["ox"] % lattice == 0 and r["oy"] % lattice == 0
+        assert 1 <= r["n_vis"] <= r["n_tgt"]
