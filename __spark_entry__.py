@@ -2426,6 +2426,30 @@ def q_trajectory_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trajectory_lengths(ev)
 
 
+def q_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory-similarity join: exact squared directed Hausdorff
+    distances between candidate user-trajectory pairs — shared-coarse-cell
+    banding (never all-pairs), broadcast pair table, integer min/max
+    folds (operators/trajectory.py:hausdorff_join).
+
+    SPARK_GRAFT_HAUS_MOD thins users for BENCH runs only (candidate
+    pairs grow quadratically with users); oracle/pytest configs leave it
+    unset, so correctness always checks every user."""
+    from aira_spark.operators.trajectory import hausdorff_join
+
+    mod = int(os.environ.get("SPARK_GRAFT_HAUS_MOD", "1"))
+    pings = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(f"user_id % {mod} = 0")
+        .selectExpr(
+            "user_id",
+            "CAST((event_id * 2654435761) % 350000000 AS BIGINT) AS ix",
+            "CAST((event_id * 1013904223) % 170000000 AS BIGINT) AS iy",
+        )
+    )
+    return hausdorff_join(pings)
+
+
 def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out kNN majority-vote classifier over the labeled
     embeddings (vec_id % 25 queries, k=9) — rides cosine_topk, integer
@@ -3025,6 +3049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_match": q_hist_match,
         "otsu": q_otsu,
         "viewshed": q_viewshed,
+        "hausdorff": q_hausdorff,
         "stream_stream_join": q_stream_stream_join,
     }
 
@@ -4201,6 +4226,18 @@ def _oracle_viewshed() -> str:
     from aira_spark.operators.terrain import oracle_viewshed_sql
 
     return oracle_viewshed_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
+
+
+def _oracle_hausdorff() -> str:
+    from aira_spark.operators.trajectory import oracle_hausdorff_sql
+
+    pings = """WITH pings AS (
+  SELECT user_id,
+    CAST((event_id * 2654435761) % 350000000 AS BIGINT) AS ix,
+    CAST((event_id * 1013904223) % 170000000 AS BIGINT) AS iy
+  FROM events
+)"""
+    return oracle_hausdorff_sql(pings)
 
 
 def _oracle_wht_sig() -> str:
@@ -5573,6 +5610,7 @@ FROM docs GROUP BY 1
         "hist_match": _oracle_hist_match(),
         "otsu": _oracle_otsu(),
         "viewshed": _oracle_viewshed(),
+        "hausdorff": _oracle_hausdorff(),
         "stream_stream_join": _ORACLE_SSJOIN,
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),

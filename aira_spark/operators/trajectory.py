@@ -236,3 +236,147 @@ SELECT CAST(user_a AS BIGINT) AS user_a, CAST(user_b AS BIGINT) AS user_b,
        n_meetings, n_places
 FROM pairs WHERE n_meetings >= {min_meetings}
 """
+
+
+def hausdorff_join(
+    pings: DataFrame, shift: int = 21, max_cell_users: int = 10_000
+) -> DataFrame:
+    """(user_a, user_b, n_a, n_b, h_ab, h_ba, h2): trajectory-similarity
+    join — the exact SQUARED directed Hausdorff distances between every
+    candidate pair of user trajectories:
+
+        h_ab = max over a in A of  min over b in B of  d2(a, b)
+        h2   = max(h_ab, h_ba)     (the symmetric Hausdorff, squared)
+
+    `pings` carries (user_id, ix, iy) with EXACT integer coordinates
+    (1e-6-degree units here); d2 = (dx^2 + dy^2) stays in BIGINT
+    (|dx| <= 3.5e8 -> d2 <= 1.5e17), so every min/max fold is exact and
+    order-independent — deterministic at any parallelism, bit-equal in
+    both engines. No sqrt: ranking and thresholding read squared values.
+
+    Scale shape (never all-pairs): trajectories dedupe to DISTINCT
+    points, candidate pairs come from a shared-coarse-cell equi-join
+    (cell = coords >> shift) with the co_location_pairs loud hot-bucket
+    guard, and only candidate pairs expand to the point-pair product —
+    work is Σ_pairs |A|·|B| with |A| bounded per user (a runaway device
+    would cap points per trajectory upstream). The pair table BROADCASTS
+    into the two ping joins; only id+coord rows ever shuffle. Directed
+    maxes are two map-side-combined agg chains over the same distance
+    relation."""
+    from pyspark.sql import functions as F
+
+    pts = pings.select(
+        "user_id",
+        F.col("ix").cast("long").alias("ix"),
+        F.col("iy").cast("long").alias("iy"),
+    ).distinct()
+    cells = pts.select(
+        "user_id",
+        F.shiftright(F.col("ix"), shift).alias("cx"),
+        F.shiftright(F.col("iy"), shift).alias("cy"),
+    ).distinct()
+    over = (
+        cells.groupBy("cx", "cy").count()
+        .filter(F.col("count") > max_cell_users)
+        .limit(1).collect()
+    )
+    if over:
+        r = over[0]
+        raise RuntimeError(
+            f"hausdorff_join: cell ({r['cx']},{r['cy']}) holds "
+            f"{r['count']} users > max_cell_users={max_cell_users}; the "
+            "candidate join would be quadratic in it — raise `shift` "
+            "resolution or pre-partition hot regions"
+        )
+    pairs = (
+        cells.selectExpr("user_id AS user_a", "cx", "cy")
+        .join(cells.selectExpr("user_id AS user_b", "cx", "cy"), ["cx", "cy"])
+        .filter(F.col("user_a") < F.col("user_b"))
+        .select("user_a", "user_b")
+        .distinct()
+    )
+    pa = pts.selectExpr("user_id AS user_a", "ix AS ax", "iy AS ay")
+    pb = pts.selectExpr("user_id AS user_b", "ix AS bx", "iy AS by")
+    d2 = (
+        F.broadcast(pairs).join(pa, "user_a").join(pb, "user_b")
+        .select(
+            "user_a", "user_b", "ax", "ay", "bx", "by",
+            (
+                (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+                + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
+            ).alias("d2"),
+        )
+    )
+    h_ab = (
+        d2.groupBy("user_a", "user_b", "ax", "ay")
+        .agg(F.min("d2").alias("m"))
+        .groupBy("user_a", "user_b")
+        .agg(F.max("m").cast("long").alias("h_ab"))
+    )
+    h_ba = (
+        d2.groupBy("user_a", "user_b", "bx", "by")
+        .agg(F.min("d2").alias("m"))
+        .groupBy("user_a", "user_b")
+        .agg(F.max("m").cast("long").alias("h_ba"))
+    )
+    sizes = pts.groupBy("user_id").count()
+    return (
+        h_ab.join(h_ba, ["user_a", "user_b"])
+        .join(
+            sizes.selectExpr("user_id AS user_a", "count AS n_a"), "user_a"
+        )
+        .join(
+            sizes.selectExpr("user_id AS user_b", "count AS n_b"), "user_b"
+        )
+        .selectExpr(
+            "CAST(user_a AS BIGINT) AS user_a",
+            "CAST(user_b AS BIGINT) AS user_b",
+            "CAST(n_a AS BIGINT) AS n_a",
+            "CAST(n_b AS BIGINT) AS n_b",
+            "h_ab", "h_ba",
+            "CAST(GREATEST(h_ab, h_ba) AS BIGINT) AS h2",
+        )
+    )
+
+
+def oracle_hausdorff_sql(pings_cte: str, shift: int = 21) -> str:
+    """DuckDB mirror over a WITH chain ending in pings(user_id, ix, iy):
+    same dedup, same shared-cell candidate pairs, same exact min/max."""
+    return f"""{pings_cte},
+pts AS (SELECT DISTINCT user_id, CAST(ix AS BIGINT) AS ix,
+               CAST(iy AS BIGINT) AS iy FROM pings),
+cells AS (SELECT DISTINCT user_id, ix >> {shift} AS cx, iy >> {shift} AS cy
+          FROM pts),
+pairs AS (
+  SELECT DISTINCT a.user_id AS user_a, b.user_id AS user_b
+  FROM cells a JOIN cells b ON a.cx = b.cx AND a.cy = b.cy
+  WHERE a.user_id < b.user_id
+),
+d2 AS (
+  SELECT p.user_a, p.user_b, pa.ix AS ax, pa.iy AS ay,
+         pb.ix AS bx, pb.iy AS by,
+         (pa.ix - pb.ix) * (pa.ix - pb.ix)
+           + (pa.iy - pb.iy) * (pa.iy - pb.iy) AS d2
+  FROM pairs p
+  JOIN pts pa ON pa.user_id = p.user_a
+  JOIN pts pb ON pb.user_id = p.user_b
+),
+hab AS (
+  SELECT user_a, user_b, CAST(MAX(m) AS BIGINT) AS h_ab
+  FROM (SELECT user_a, user_b, ax, ay, MIN(d2) AS m
+        FROM d2 GROUP BY 1, 2, 3, 4)
+  GROUP BY 1, 2
+),
+hba AS (
+  SELECT user_a, user_b, CAST(MAX(m) AS BIGINT) AS h_ba
+  FROM (SELECT user_a, user_b, bx, by, MIN(d2) AS m
+        FROM d2 GROUP BY 1, 2, 3, 4)
+  GROUP BY 1, 2
+),
+sz AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM pts GROUP BY 1)
+SELECT h1.user_a, h1.user_b, sa.n AS n_a, sb.n AS n_b, h1.h_ab, h2.h_ba,
+       CAST(GREATEST(h1.h_ab, h2.h_ba) AS BIGINT) AS h2
+FROM hab h1
+JOIN hba h2 ON h1.user_a = h2.user_a AND h1.user_b = h2.user_b
+JOIN sz sa ON sa.user_id = h1.user_a
+JOIN sz sb ON sb.user_id = h1.user_b"""

@@ -243,6 +243,7 @@ def main() -> None:
     # segment pairs grow quadratically with users in the fixed 10-deg box;
     # bench thins to every 60th user (oracle/pytest stay at mod 15)
     os.environ.setdefault("SPARK_GRAFT_SEG_MOD", "60")
+    os.environ.setdefault("SPARK_GRAFT_HAUS_MOD", "5")
     os.environ.setdefault("SPARK_GRAFT_STREAM_BATCHES", "2")
     for name, fn in selected.items():
         timed(name, fn)

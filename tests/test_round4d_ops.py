@@ -979,3 +979,88 @@ def test_viewshed_matches_brute_force(spark, sf_dir):
     for r in rows:
         assert r["ox"] % lattice == 0 and r["oy"] % lattice == 0
         assert 1 <= r["n_vis"] <= r["n_tgt"]
+
+
+# ---------------------------------------------------------------- hausdorff
+
+
+def test_hausdorff_hand_pair_and_banding(spark):
+    """Two co-located trajectories give the hand-computed directed
+    distances; a third user in a far cell pairs with nobody."""
+    from aira_spark.operators.trajectory import hausdorff_join
+
+    rows = [
+        (1, 0, 0), (1, 10, 0),        # A
+        (2, 0, 5),                    # B
+        (3, 50_000_000, 50_000_000),  # C: different coarse cell
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ix long, iy long")
+    got = hausdorff_join(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    # h_ab: a=(0,0)->25, a=(10,0)->125 -> max 125; h_ba: b=(0,5)->25
+    assert (r["user_a"], r["user_b"]) == (1, 2)
+    assert (r["n_a"], r["n_b"]) == (2, 1)
+    assert (r["h_ab"], r["h_ba"], r["h2"]) == (125, 25, 125)
+
+
+def test_hausdorff_hot_cell_guard_raises(spark):
+    from aira_spark.operators.trajectory import hausdorff_join
+
+    df = spark.createDataFrame(
+        [(u, 0, 0) for u in range(5)], "user_id long, ix long, iy long"
+    )
+    with pytest.raises(RuntimeError, match="max_cell_users"):
+        hausdorff_join(df, max_cell_users=3).collect()
+
+
+def test_hausdorff_matches_brute_force(spark, sf_dir):
+    """Full python mirror at sf0.001: same dedup, same shared-cell pair
+    banding, same exact integer squared Hausdorff. Uses a coarser grid
+    (shift=24) than the roster default so the tiny 15-user slice still
+    produces candidate pairs."""
+    from aira_spark.operators.trajectory import hausdorff_join
+
+    shift = 24
+    rows = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id", "event_id"
+    ).collect()
+    pts: dict = {}
+    for r in rows:
+        e = r["event_id"]
+        pts.setdefault(r["user_id"], set()).add(
+            ((e * 2654435761) % 350000000, (e * 1013904223) % 170000000)
+        )
+    cells = {
+        u: {(x >> shift, y >> shift) for x, y in p} for u, p in pts.items()
+    }
+    users = sorted(pts)
+    want = {}
+    for i, ua in enumerate(users):
+        for ub in users[i + 1:]:
+            if not (cells[ua] & cells[ub]):
+                continue
+            a, b = pts[ua], pts[ub]
+            h_ab = max(
+                min((ax - bx) ** 2 + (ay - by) ** 2 for bx, by in b)
+                for ax, ay in a
+            )
+            h_ba = max(
+                min((ax - bx) ** 2 + (ay - by) ** 2 for ax, ay in a)
+                for bx, by in b
+            )
+            want[(ua, ub)] = (
+                len(a), len(b), h_ab, h_ba, max(h_ab, h_ba)
+            )
+    pings = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id",
+        "CAST((event_id * 2654435761) % 350000000 AS BIGINT) AS ix",
+        "CAST((event_id * 1013904223) % 170000000 AS BIGINT) AS iy",
+    )
+    got = {
+        (r["user_a"], r["user_b"]): (
+            r["n_a"], r["n_b"], r["h_ab"], r["h_ba"], r["h2"]
+        )
+        for r in hausdorff_join(pings, shift=shift).collect()
+    }
+    assert got == want and got
