@@ -2846,6 +2846,16 @@ def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return viewshed(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
 
 
+def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer image moments + principal-axis orientation class per
+    (image, band) — one Arrow decode pass emits six BIGINTs per band,
+    128-bit central algebra, orientation by sign/magnitude comparisons
+    (operators/moments.py:image_moments)."""
+    from aira_spark.operators.moments import image_moments
+
+    return image_moments(_images(spark, sf_dir, modulo=4))
+
+
 def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed-bigram linear quality classifier over every
     document: Arrow-batched integer logit (exact), shared-text sigmoid/label
@@ -3050,6 +3060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "otsu": q_otsu,
         "viewshed": q_viewshed,
         "hausdorff": q_hausdorff,
+        "moments": q_moments,
         "stream_stream_join": q_stream_stream_join,
     }
 
@@ -4238,6 +4249,12 @@ def _oracle_hausdorff() -> str:
   FROM events
 )"""
     return oracle_hausdorff_sql(pings)
+
+
+def _oracle_moments() -> str:
+    from aira_spark.operators.moments import oracle_moments_sql
+
+    return oracle_moments_sql(_bands_cte_sql(modulo=4))
 
 
 def _oracle_wht_sig() -> str:
@@ -5611,6 +5628,7 @@ FROM docs GROUP BY 1
         "otsu": _oracle_otsu(),
         "viewshed": _oracle_viewshed(),
         "hausdorff": _oracle_hausdorff(),
+        "moments": _oracle_moments(),
         "stream_stream_join": _ORACLE_SSJOIN,
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),

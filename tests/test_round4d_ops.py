@@ -1064,3 +1064,96 @@ def test_hausdorff_matches_brute_force(spark, sf_dir):
         for r in hausdorff_join(pings, shift=shift).collect()
     }
     assert got == want and got
+
+
+# ------------------------------------------------------------------ moments
+
+
+def _np_moments(a):
+    """Exact integer moment mirror for a single 2-D uint band."""
+    import numpy as np
+
+    v = a.astype(object)
+    h, w = a.shape
+    r = np.arange(h, dtype=object)[:, None]
+    c = np.arange(w, dtype=object)[None, :]
+    m00 = int((v).sum()); m10 = int((v * c).sum()); m01 = int((v * r).sum())
+    m20 = int((v * c * c).sum()); m02 = int((v * r * r).sum())
+    m11 = int((v * r * c).sum())
+    n20 = m20 * m00 - m10 * m10
+    n02 = m02 * m00 - m01 * m01
+    n11 = m11 * m00 - m10 * m01
+
+    def trunc_div(x, y):
+        q = abs(x) // y
+        return q if x >= 0 else -q
+
+    a_, b_ = n20 - n02, 2 * n11
+    if a_ == 0 and b_ == 0:
+        orient = "isotropic"
+    elif a_ >= 0 and a_ >= b_ and a_ >= -b_:
+        orient = "E-W"
+    elif b_ > 0 and b_ > a_ and b_ > -a_:
+        orient = "NE-SW"
+    elif a_ < 0 and -a_ >= b_ and -a_ >= -b_:
+        orient = "N-S"
+    else:
+        orient = "NW-SE"
+    if m00 == 0:
+        return (0, 0, 0, 0, 0, 0, "isotropic")
+    return (m00, m10, m01, trunc_div(n20, m00), trunc_div(n02, m00),
+            trunc_div(n11, m00), orient)
+
+
+def test_moments_orientation_hand_cases(spark):
+    """A horizontal bar is E-W, a vertical bar N-S, the main diagonal has
+    positive mu11 (the 'NE-SW' class in the r-down convention), the
+    anti-diagonal negative mu11; a uniform square is isotropic."""
+    import numpy as np
+
+    from aira_spark.operators.moments import image_moments
+    from aira_spark.tiff.encode import write_tiff
+
+    cases = {}
+    z = np.zeros((8, 8), dtype=np.uint8)
+    bar = z.copy(); bar[4, 1:7] = 200; cases["ew"] = (bar, "E-W")
+    vbar = z.copy(); vbar[1:7, 4] = 200; cases["ns"] = (vbar, "N-S")
+    diag = z.copy(); np.fill_diagonal(diag, 200); cases["d1"] = (diag, "NE-SW")
+    adiag = np.fliplr(diag).copy(); cases["d2"] = (adiag, "NW-SE")
+    flat = np.full((8, 8), 9, dtype=np.uint8); cases["iso"] = (flat, "isotropic")
+    rows = [
+        (name, bytearray(write_tiff(a[:, :, None], byteorder="<",
+                                    layout=("strips", 4))))
+        for name, (a, _) in cases.items()
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    got = {r["image_id"]: r for r in image_moments(df).collect()}
+    for name, (a, want_orient) in cases.items():
+        r = got[name]
+        want = _np_moments(a)
+        assert (r["m00"], r["m10"], r["m01"], r["mu20_d"], r["mu02_d"],
+                r["mu11_d"], r["orient"]) == want, name
+        assert r["orient"] == want_orient, name
+
+
+def test_moments_match_python_mirror(spark, sf_dir):
+    import numpy as np
+
+    import __spark_entry__ as em
+    from aira_spark.functions.udfs import _decode_full
+    from aira_spark.operators.moments import image_moments
+
+    images = em._images(spark, sf_dir, modulo=4)
+    want = {}
+    for rec in images.select("image_id", "bytes").collect():
+        m, px = _decode_full(bytes(rec["bytes"]))
+        for s in range(px.shape[2]):
+            want[(rec["image_id"], s)] = _np_moments(px[:, :, s])
+    got = {
+        (r["image_id"], r["band"]): (
+            r["m00"], r["m10"], r["m01"], r["mu20_d"], r["mu02_d"],
+            r["mu11_d"], r["orient"],
+        )
+        for r in image_moments(images).collect()
+    }
+    assert got == want and got
