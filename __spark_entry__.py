@@ -2450,6 +2450,21 @@ def q_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hausdorff_join(pings)
 
 
+def q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point (dwell) detection per user — gaps-and-islands over the
+    time-ordered ping stream with an exact integer hop predicate, ONE
+    entity-local window + one hash agg
+    (operators/trajectory.py:stay_points)."""
+    from aira_spark.operators.trajectory import stay_points
+
+    pings = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id", "ts", "event_id",
+        "CAST((event_id * 2654435761) % 350000000 AS BIGINT) AS ix",
+        "CAST((event_id * 1013904223) % 170000000 AS BIGINT) AS iy",
+    )
+    return stay_points(pings)
+
+
 def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out kNN majority-vote classifier over the labeled
     embeddings (vec_id % 25 queries, k=9) — rides cosine_topk, integer
@@ -3061,6 +3076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viewshed": q_viewshed,
         "hausdorff": q_hausdorff,
         "moments": q_moments,
+        "stay_points": q_stay_points,
         "stream_stream_join": q_stream_stream_join,
     }
 
@@ -4255,6 +4271,18 @@ def _oracle_moments() -> str:
     from aira_spark.operators.moments import oracle_moments_sql
 
     return oracle_moments_sql(_bands_cte_sql(modulo=4))
+
+
+def _oracle_stay_points() -> str:
+    from aira_spark.operators.trajectory import oracle_stay_points_sql
+
+    pings = """WITH pings AS (
+  SELECT user_id, ts, event_id,
+    CAST((event_id * 2654435761) % 350000000 AS BIGINT) AS ix,
+    CAST((event_id * 1013904223) % 170000000 AS BIGINT) AS iy
+  FROM events
+)"""
+    return oracle_stay_points_sql(pings)
 
 
 def _oracle_wht_sig() -> str:
@@ -5629,6 +5657,7 @@ FROM docs GROUP BY 1
         "viewshed": _oracle_viewshed(),
         "hausdorff": _oracle_hausdorff(),
         "moments": _oracle_moments(),
+        "stay_points": _oracle_stay_points(),
         "stream_stream_join": _ORACLE_SSJOIN,
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),

@@ -380,3 +380,102 @@ FROM hab h1
 JOIN hba h2 ON h1.user_a = h2.user_a AND h1.user_b = h2.user_b
 JOIN sz sa ON sa.user_id = h1.user_a
 JOIN sz sb ON sb.user_id = h1.user_b"""
+
+
+def stay_points(
+    pings: DataFrame, d2_max: int = 2_500_000_000_000_000, min_pings: int = 3
+) -> DataFrame:
+    """(user_id, stay_id, n_pings, dur_s, cx_d, cy_d): stay-point (dwell)
+    detection — maximal runs of consecutive pings where every hop stays
+    within sqrt(d2_max) — the GeoLife stay-point primitive feeding POI
+    mining and home/work inference. `pings` carries (user_id, ts,
+    event_id, ix, iy) with exact integer coordinates.
+
+    Gaps-and-islands, kept exact: a ping OPENS a new run iff it is the
+    user's first or its hop d2 = dx^2 + dy^2 exceeds d2_max (BIGINT, no
+    sqrt); stay_id = running SUM of open flags over the (ts, event_id)
+    order — deterministic at any parallelism (event_id breaks ts ties).
+    Run centroids divide by n; they ship ONCE-divided in floor fixed
+    point (cx_d = SUM(ix) DIV n — `DIV` and DuckDB `//` both truncate
+    toward zero; coords are non-negative so floor == trunc), and dur_s
+    is the exact whole-second span (timestamp DIFFERENCE — timezone
+    cancels). Runs shorter than `min_pings` are dropped (a moving
+    vehicle's singleton "stays" are noise by definition).
+
+    Scale shape: identical to od_flows — ONE window keyed on user_id
+    (entity-local sort), one hash agg keyed (user_id, stay_id) with
+    map-side combine; only (user, int, int) rows shuffle. Nothing
+    quadratic, no join."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (
+        pings.select(
+            "user_id", "ts", "event_id", "ix", "iy",
+            (F.col("ix") - F.lag("ix").over(w)).alias("dx"),
+            (F.col("iy") - F.lag("iy").over(w)).alias("dy"),
+        )
+        .withColumn(
+            "opens",
+            F.when(
+                F.col("dx").isNull()
+                | (
+                    F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy")
+                    > F.lit(d2_max)
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("stay_id", F.sum("opens").over(w))
+    )
+    return (
+        runs.groupBy("user_id", "stay_id")
+        .agg(
+            F.count("*").cast("long").alias("n_pings"),
+            (
+                F.unix_timestamp(F.max("ts"))
+                - F.unix_timestamp(F.min("ts"))
+            ).cast("long").alias("dur_s"),
+            F.sum("ix").alias("sx"),
+            F.sum("iy").alias("sy"),
+        )
+        .where(F.col("n_pings") >= min_pings)
+        .selectExpr(
+            "CAST(user_id AS BIGINT) AS user_id",
+            "CAST(stay_id AS BIGINT) AS stay_id",
+            "n_pings", "dur_s",
+            "CAST(sx DIV n_pings AS BIGINT) AS cx_d",
+            "CAST(sy DIV n_pings AS BIGINT) AS cy_d",
+        )
+    )
+
+
+def oracle_stay_points_sql(
+    pings_cte: str, d2_max: int = 2_500_000_000_000_000, min_pings: int = 3
+) -> str:
+    """DuckDB mirror over a WITH chain ending in pings(user_id, ts,
+    event_id, ix, iy): same windows, same integer predicate."""
+    return f"""{pings_cte},
+hops AS (
+  SELECT user_id, ts, event_id, ix, iy,
+    ix - LAG(ix) OVER w AS dx, iy - LAG(iy) OVER w AS dy
+  FROM pings WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+flagged AS (
+  SELECT *, CASE WHEN dx IS NULL
+                   OR dx * dx + dy * dy > {d2_max} THEN 1 ELSE 0 END AS opens
+  FROM hops
+),
+runs AS (
+  SELECT *, SUM(opens) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS stay_id
+  FROM flagged
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+  CAST(stay_id AS BIGINT) AS stay_id,
+  CAST(COUNT(*) AS BIGINT) AS n_pings,
+  CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS dur_s,
+  CAST(SUM(ix) // COUNT(*) AS BIGINT) AS cx_d,
+  CAST(SUM(iy) // COUNT(*) AS BIGINT) AS cy_d
+FROM runs GROUP BY 1, 2
+HAVING COUNT(*) >= {min_pings}"""

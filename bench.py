@@ -225,6 +225,37 @@ def main() -> None:
         "rolling_activity": lambda: em.q_rolling_activity(spark, sf_dir).count(),
         "event_pivot": lambda: em.q_event_pivot(spark, sf_dir).count(),
         "sales_rollup": lambda: em.q_sales_rollup(spark, sf_dir).count(),
+        # round-4c/4d additions (bounded-exchange shapes; see SURVEY §8).
+        # Cheap metadata/tail ops and per-family duplicates stay out to keep
+        # the suite's burst exposure flat.
+        "autocorr": lambda: em.q_autocorr(spark, sf_dir).count(),
+        "hotspots": lambda: em.q_hotspots(spark, sf_dir).count(),
+        "box_filter": lambda: em.q_box_filter(spark, sf_dir).count(),
+        "flow_acc": lambda: em.q_flow_acc(spark, sf_dir).count(),
+        "k_core": lambda: em.q_k_core(spark, sf_dir).count(),
+        "hillshade": lambda: em.q_hillshade(spark, sf_dir).count(),
+        "proximity": lambda: em.q_proximity(spark, sf_dir).count(),
+        "dsir_scores": lambda: em.q_dsir_scores(spark, sf_dir).count(),
+        "map_match": lambda: em.q_map_match(spark, sf_dir).count(),
+        "hist_match": lambda: em.q_hist_match(spark, sf_dir).count(),
+        "otsu": lambda: em.q_otsu(spark, sf_dir).count(),
+        "viewshed": lambda: em.q_viewshed(spark, sf_dir).count(),
+        "hausdorff": lambda: em.q_hausdorff(spark, sf_dir).count(),
+        "moments": lambda: em.q_moments(spark, sf_dir).count(),
+        "trajectory_lengths": lambda: em.q_trajectory_lengths(spark, sf_dir).count(),
+        "sorted_neighborhood": lambda: em.q_sorted_neighborhood(spark, sf_dir).count(),
+        "rank_fusion": lambda: em.q_rank_fusion(spark, sf_dir).count(),
+        "profile": lambda: em.q_profile(spark, sf_dir).count(),
+        "pq_ann": lambda: em.q_pq_ann(spark, sf_dir).count(),
+        "transcode": lambda: em.q_transcode(spark, sf_dir).count(),
+        "stream_stream_join": lambda: em.q_stream_stream_join(spark, sf_dir).count(),
+        "rfm": lambda: em.q_rfm(spark, sf_dir).count(),
+        "funnel": lambda: em.q_funnel(spark, sf_dir).count(),
+        "gram_matrix": lambda: em.q_gram_matrix(spark, sf_dir).count(),
+        "morton_ranges": lambda: em.q_morton_ranges(spark, sf_dir).count(),
+        "occupancy": lambda: em.q_occupancy(spark, sf_dir).count(),
+        "co_location": lambda: em.q_co_location(spark, sf_dir).count(),
+        "stay_points": lambda: em.q_stay_points(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

@@ -1157,3 +1157,89 @@ def test_moments_match_python_mirror(spark, sf_dir):
         for r in image_moments(images).collect()
     }
     assert got == want and got
+
+
+# -------------------------------------------------------------- stay_points
+
+
+def test_stay_points_hand_runs(spark):
+    """Constructed stream: 3 near pings, a far jump, 2 near pings (below
+    min), a far jump, 3 near pings -> exactly two stays with the
+    hand-computed centroids and durations."""
+    import datetime as dt
+
+    from aira_spark.operators.trajectory import stay_points
+
+    t0 = dt.datetime(2026, 1, 1)
+    seq = [
+        (0, 0), (3, 4), (6, 0),            # stay 1 (hops 5, ~7)
+        (1000, 1000),                      # jump
+        (1003, 1000),                      # 2-run: dropped (< min_pings)
+        (5000, 5000),                      # jump
+        (5001, 5001), (5002, 5002), (5000, 5000),  # stay 3
+    ]
+    rows = [
+        (7, t0 + dt.timedelta(seconds=10 * i), i, x, y)
+        for i, (x, y) in enumerate(seq)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, ix long, iy long"
+    )
+    got = {
+        r["stay_id"]: (r["n_pings"], r["dur_s"], r["cx_d"], r["cy_d"])
+        for r in stay_points(df, d2_max=100, min_pings=3).collect()
+    }
+    # run ids: opens at i=0,3,5 (and i=4? hop (1000,1000)->(1003,1000) d2=9
+    # <=100 keeps run 2 open; i=8 hop (5002,5002)->(5000,5000) d2=8 stays)
+    assert got == {
+        1: (3, 20, 3, 1),      # cx = (0+3+6)//3 = 3, cy = (0+4+0)//3 = 1
+        3: (4, 30, 5000, 5000)  # (5000+5001+5002+5000)//4 = 5000
+    }
+
+
+def test_stay_points_matches_python_mirror(spark, sf_dir):
+    import __spark_entry__ as em
+
+    rows = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id", "unix_timestamp(ts) AS tse", "event_id"
+    ).collect()
+    d2max, minp = 2_500_000_000_000_000, 3
+    byu: dict = {}
+    for r in rows:
+        e = r["event_id"]
+        byu.setdefault(r["user_id"], []).append(
+            (r["tse"], e, (e * 2654435761) % 350000000,
+             (e * 1013904223) % 170000000)
+        )
+    want = {}
+    for u, evs in byu.items():
+        evs.sort()
+        sid, start = 0, 0
+        runs = []
+        for i, (ts, e, x, y) in enumerate(evs):
+            if i == 0:
+                sid += 1
+                runs.append([])
+            else:
+                dx, dy = x - evs[i - 1][2], y - evs[i - 1][3]
+                if dx * dx + dy * dy > d2max:
+                    sid += 1
+                    runs.append([])
+            runs[-1].append((ts, x, y))
+        for k, run in enumerate(runs, start=1):
+            if len(run) < minp:
+                continue
+            n = len(run)
+            want[(u, k)] = (
+                n,
+                max(t for t, _, _ in run) - min(t for t, _, _ in run),
+                sum(x for _, x, _ in run) // n,
+                sum(y for _, _, y in run) // n,
+            )
+    got = {
+        (r["user_id"], r["stay_id"]): (
+            r["n_pings"], r["dur_s"], r["cx_d"], r["cy_d"]
+        )
+        for r in em.q_stay_points(spark, sf_dir).collect()
+    }
+    assert got == want and got
