@@ -532,11 +532,15 @@ def viewshed(
 
     pb = 1 << patch_bits
     nf = 1 << (res + patch_bits)
+    # the fine grid feeds FOUR subtrees (observers, targets, both anti-join
+    # arms); localCheckpoint pins the one decode pass instead of replaying
+    # the Arrow decode per subtree (the flow_accumulation device) — the
+    # grid is bounded by the cell resolution, never by corpus size
     fine = mosaic_cell_values(images, res, patch_bits).select(
         (cell_ix(F.col("cell")) * pb + F.col("pc")).alias("fx"),
         (cell_iy(F.col("cell")) * pb + F.col("pr")).alias("fy"),
         "val",
-    )
+    ).localCheckpoint(eager=True)
     obs = fine.where(
         (F.col("fx") % lattice == 0) & (F.col("fy") % lattice == 0)
     ).select(

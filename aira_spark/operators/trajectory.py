@@ -265,11 +265,14 @@ def hausdorff_join(
     relation."""
     from pyspark.sql import functions as F
 
+    # pts feeds FIVE subtrees (cells twice, both ping joins, sizes);
+    # localCheckpoint pins the scan+distinct once instead of replaying it
+    # per subtree — id+coord rows only, linear in the input
     pts = pings.select(
         "user_id",
         F.col("ix").cast("long").alias("ix"),
         F.col("iy").cast("long").alias("iy"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     cells = pts.select(
         "user_id",
         F.shiftright(F.col("ix"), shift).alias("cx"),

@@ -203,6 +203,23 @@ def main() -> None:
                         "neighborhood counts -> 8-adjacency bump equi-join "
                         "over core CELLS -> min-label CC -> k-ring border "
                         "labeling; points never join points"),
+        ("hist_match", "pooled reference is a bounded two-stage agg that "
+                       "BROADCASTS into a <=256-candidate map-side min per "
+                       "LUT row; pixels never in an exchange"),
+        ("otsu", "argmax WITHOUT division: 128-bit cross-multiplied "
+                 "anti self-join over <=256 histogram candidates per "
+                 "(image, band); pixels never in an exchange"),
+        ("viewshed", "bounded 8*radius ray explode -> ONE equi-join vs the "
+                     "fine grid; blocker test is an equi-keyed anti-join "
+                     "hard-bounded by radius^2 per ray"),
+        ("hausdorff", "shared-cell candidate pairs BROADCAST into the two "
+                      "ping joins; only id+coord rows shuffle; directed "
+                      "maxes are two map-side-combined agg chains"),
+        ("moments", "one Arrow decode pass emits six BIGINTs per band — "
+                    "the only exchange payload; central algebra and "
+                    "orientation CASE are pure projections"),
+        ("stay_points", "gaps-and-islands: ONE entity-local window + one "
+                        "map-side-combined hash agg; nothing quadratic"),
     ]
     qs = em.queries()
     lines = [
