@@ -2465,6 +2465,23 @@ def q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stay_points(pings)
 
 
+def q_areal_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Areal interpolation: nation-zone measures re-aggregated onto the
+    incompatible supplier zonation via raster areal weighting — two
+    cover+refine rasterizations, ONE cell equi-join, floor-fixed-point
+    transfer (operators/areal.py:areal_interpolate)."""
+    from aira_spark.operators.areal import areal_interpolate
+    from aira_spark.sources.vectors import polygons_table
+
+    src = polygons_table(spark, sf_dir)
+    tgt = polygons_table(spark, sf_dir, table="supplier", key="s_suppkey")
+    vals = spark.read.parquet(f"{sf_dir}/nation.parquet").selectExpr(
+        "'poly' || CAST(n_nationkey AS STRING) AS poly_id",
+        "CAST(n_nationkey * 37 % 1000 + 100 AS BIGINT) AS val",
+    )
+    return areal_interpolate(src, tgt, vals, res=CELL_RES + 2)
+
+
 def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out kNN majority-vote classifier over the labeled
     embeddings (vec_id % 25 queries, k=9) — rides cosine_topk, integer
@@ -3077,6 +3094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hausdorff": q_hausdorff,
         "moments": q_moments,
         "stay_points": q_stay_points,
+        "areal_interp": q_areal_interp,
         "stream_stream_join": q_stream_stream_join,
     }
 
@@ -4283,6 +4301,22 @@ def _oracle_stay_points() -> str:
   FROM events
 )"""
     return oracle_stay_points_sql(pings)
+
+
+def _oracle_areal_interp() -> str:
+    from aira_spark.operators.areal import oracle_areal_sql
+    from aira_spark.sources.vectors import polygon_edges_oracle_sql
+
+    vals = (
+        "SELECT 'poly' || CAST(n_nationkey AS VARCHAR) AS poly_id, "
+        "CAST(n_nationkey * 37 % 1000 + 100 AS BIGINT) AS val FROM nation"
+    )
+    return oracle_areal_sql(
+        polygon_edges_oracle_sql(),
+        polygon_edges_oracle_sql("s_suppkey", "supplier"),
+        vals,
+        res=CELL_RES + 2,
+    )
 
 
 def _oracle_wht_sig() -> str:
@@ -5658,6 +5692,7 @@ FROM docs GROUP BY 1
         "hausdorff": _oracle_hausdorff(),
         "moments": _oracle_moments(),
         "stay_points": _oracle_stay_points(),
+        "areal_interp": _oracle_areal_interp(),
         "stream_stream_join": _ORACLE_SSJOIN,
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),

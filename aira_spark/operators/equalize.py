@@ -234,6 +234,21 @@ def otsu_threshold(images: DataFrame) -> DataFrame:
             "CAST(cdf * (n - cdf) AS BIGINT) AS b",
         )
     )
+    # conservative float PREFILTER before the exact compare: the true
+    # argmax of d^2/b always survives "fk >= max(fk) * (1 - 1e-9)" (double
+    # relative error ~1e-16 << the margin), so the exact 128-bit anti-join
+    # runs over the 1-3 survivors per group instead of all ~256 candidates
+    # (65k compares/band -> ~4). Floats only PRUNE; every emitted value is
+    # still decided by exact integers, so engine parity is untouched.
+    grp = Window.partitionBy("image_id", "band")
+    cand = (
+        cand.withColumn(
+            "fk", F.expr("CAST(d AS DOUBLE) * CAST(d AS DOUBLE) / b")
+        )
+        .withColumn("fmax", F.max("fk").over(grp))
+        .where(F.expr("fk >= fmax * (1.0 - 1e-9)"))
+        .drop("fk", "fmax")
+    )
     c1, c2 = cand.alias("c1"), cand.alias("c2")
     w = "CAST({} AS DECIMAL(38,0))"
     a2 = f"{w.format('c2.d')} * c2.d * c1.b"

@@ -77,12 +77,19 @@ def points_oracle_sql() -> str:
     )
 
 
-def polygons_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(poly_id string, ring array<struct<x,y>>, category string) from nation.
+def polygons_table(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "nation",
+    key: str = "n_nationkey",
+) -> DataFrame:
+    """(poly_id string, ring array<struct<x,y>>, category string) — star
+    octagons synthesized from any integer-keyed table (nation by default;
+    pass table/key for a second, independent zone family — same vertex
+    arithmetic as polygon_edges_oracle_sql(key, table)).
 
     ring is closed (vertex 0 repeated at the end)."""
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    key = "n_nationkey"
+    nation = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     verts = []
     for t, (dx, dy) in enumerate(DIRS):
         vx = F.expr(f"{poly_cx_sql(key)} + {poly_rv_sql(key, t)} * {dx!r}")

@@ -1243,3 +1243,78 @@ def test_stay_points_matches_python_mirror(spark, sf_dir):
         for r in em.q_stay_points(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+# -------------------------------------------------------------- areal_interp
+
+
+def test_areal_interp_hand_squares(spark):
+    """Cell-aligned squares at res 3 (45x22.5-deg cells): source covers 4
+    cells with value 1000, target A overlaps 2 of them (est 500000*2),
+    target B overlaps none -> absent."""
+    from aira_spark.operators.areal import areal_interpolate
+
+    def ring(x0, y0, x1, y1):
+        return [
+            {"x": float(x0), "y": float(y0)}, {"x": float(x1), "y": float(y0)},
+            {"x": float(x1), "y": float(y1)}, {"x": float(x0), "y": float(y1)},
+            {"x": float(x0), "y": float(y0)},
+        ]
+
+    schema = (
+        "poly_id string, ring array<struct<x double, y double>>"
+    )
+    # res 3: 8x8 grid, cell 45 x 22.5 deg; centers at -157.5+45k, -78.75+22.5k
+    src = spark.createDataFrame(
+        [("s0", ring(-180, -90, -90, -45))], schema  # 2x2 cells = 4 centers
+    )
+    tgt = spark.createDataFrame(
+        [("t0", ring(-180, -90, -90, -67.5)),  # bottom half: 2 shared cells
+         ("t1", ring(0, 0, 90, 45))],          # disjoint
+        schema,
+    )
+    vals = spark.createDataFrame([("s0", 1000)], "poly_id string, val long")
+    rows = areal_interpolate(src, tgt, vals, res=3).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["tpoly_id"] == "t0"
+    assert (r["n_src"], r["shared_cells"]) == (1, 2)
+    # 1000 * 2 * 1e6 DIV 4 = 500_000_000
+    assert r["est_e6"] == 500_000_000
+
+
+def test_areal_interp_matches_python_mirror(spark, sf_dir):
+    """Recompute the transfer from the two rasterizations directly."""
+    import __spark_entry__ as em
+    from aira_spark.operators.rasterize import rasterize_to_cells
+    from aira_spark.sources.vectors import polygons_table
+
+    res = em.CELL_RES + 2
+    src = polygons_table(spark, sf_dir)
+    tgt = polygons_table(spark, sf_dir, table="supplier", key="s_suppkey")
+    sc: dict = {}
+    for r in rasterize_to_cells(src, res).collect():
+        sc.setdefault(r["poly_id"], set()).add(r["cell"])
+    tc: dict = {}
+    for r in rasterize_to_cells(tgt, res).collect():
+        tc.setdefault(r["poly_id"], set()).add(r["cell"])
+    vals = {
+        f"poly{r['n_nationkey']}": r["n_nationkey"] * 37 % 1000 + 100
+        for r in spark.read.parquet(f"{sf_dir}/nation.parquet").collect()
+    }
+    want: dict = {}
+    for a, acells in sc.items():
+        for b, bcells in tc.items():
+            shared = len(acells & bcells)
+            if not shared:
+                continue
+            ns, sh, est = want.get(b, (0, 0, 0))
+            want[b] = (
+                ns + 1, sh + shared,
+                est + vals[a] * shared * 1_000_000 // len(acells),
+            )
+    got = {
+        r["tpoly_id"]: (r["n_src"], r["shared_cells"], r["est_e6"])
+        for r in em.q_areal_interp(spark, sf_dir).collect()
+    }
+    assert got == want and got

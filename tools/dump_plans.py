@@ -220,6 +220,9 @@ def main() -> None:
                     "orientation CASE are pure projections"),
         ("stay_points", "gaps-and-islands: ONE entity-local window + one "
                         "map-side-combined hash agg; nothing quadratic"),
+        ("areal_interp", "two cover+refine rasterizations (bbox cover "
+                         "BROADCASTS); transfer = ONE cell equi-join, "
+                         "never polygon x polygon; value table broadcasts"),
     ]
     qs = em.queries()
     lines = [
