@@ -1318,3 +1318,38 @@ def test_areal_interp_matches_python_mirror(spark, sf_dir):
         for r in em.q_areal_interp(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+# ------------------------------------------------------------- plan shapes
+
+
+def test_round4e_plan_shapes(spark, sf_dir):
+    """Pin the scale-critical plan properties of the round-4e batch:
+    bounded exchange payloads, broadcast prefilters, no nested-loop
+    joins, single-exchange folds."""
+    import __spark_entry__ as em
+    from aira_spark.plans.inspect import (
+        count_in_plan, has_broadcast_join, plan_string, shuffle_count,
+    )
+
+    # moments / stay_points: ONE exchange (the bounded-rows hash agg /
+    # the entity-local window)
+    assert shuffle_count(em.q_moments(spark, sf_dir)) == 1
+    assert shuffle_count(em.q_stay_points(spark, sf_dir)) == 1
+    # hist_match: pooled reference BROADCASTS into the per-LUT-row min
+    assert has_broadcast_join(em.q_hist_match(spark, sf_dir))
+    # otsu: the exact argmax anti-join stays an equi-keyed hash/sort-merge
+    # join — never a nested-loop product
+    otsu_plan = plan_string(em.q_otsu(spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" not in otsu_plan
+    assert "CartesianProduct" not in otsu_plan
+    # hausdorff: candidate pair table broadcasts into the ping joins
+    assert has_broadcast_join(em.q_hausdorff(spark, sf_dir))
+    # areal_interp: polygon cover broadcasts; transfer join is equi on cell
+    ai = em.q_areal_interp(spark, sf_dir)
+    assert has_broadcast_join(ai)
+    assert "CartesianProduct" not in plan_string(ai, "simple")
+    # viewshed: no Python UDF above the mosaic decode (blocking test and
+    # census are pure JVM)
+    vs_plan = plan_string(em.q_viewshed(spark, sf_dir), "simple")
+    assert "BatchEvalPython" not in vs_plan
