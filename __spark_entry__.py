@@ -2465,6 +2465,16 @@ def q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stay_points(pings)
 
 
+def q_xyz_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-Mercator slippy-map tile (z/x/y) + Bing quadkey per image
+    footprint center — libm-free via Python-baked boundary-latitude
+    literals shared by both engines; zero joins, zero shuffles
+    (operators/mercator.py:xyz_tiles)."""
+    from aira_spark.operators.mercator import xyz_tiles
+
+    return xyz_tiles(_images(spark, sf_dir))
+
+
 def q_areal_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Areal interpolation: nation-zone measures re-aggregated onto the
     incompatible supplier zonation via raster areal weighting — two
@@ -3095,6 +3105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moments": q_moments,
         "stay_points": q_stay_points,
         "areal_interp": q_areal_interp,
+        "xyz_tiles": q_xyz_tiles,
         "stream_stream_join": q_stream_stream_join,
     }
 
@@ -4301,6 +4312,12 @@ def _oracle_stay_points() -> str:
   FROM events
 )"""
     return oracle_stay_points_sql(pings)
+
+
+def _oracle_xyz_tiles() -> str:
+    from aira_spark.operators.mercator import oracle_xyz_sql
+
+    return oracle_xyz_sql(f"WITH {_IMG_CTE}")
 
 
 def _oracle_areal_interp() -> str:
@@ -5693,6 +5710,7 @@ FROM docs GROUP BY 1
         "moments": _oracle_moments(),
         "stay_points": _oracle_stay_points(),
         "areal_interp": _oracle_areal_interp(),
+        "xyz_tiles": _oracle_xyz_tiles(),
         "stream_stream_join": _ORACLE_SSJOIN,
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),

@@ -1353,3 +1353,57 @@ def test_round4e_plan_shapes(spark, sf_dir):
     # census are pure JVM)
     vs_plan = plan_string(em.q_viewshed(spark, sf_dir), "simple")
     assert "BatchEvalPython" not in vs_plan
+
+
+# ---------------------------------------------------------------- xyz_tiles
+
+
+def test_xyz_tiles_matches_mercator_reference(spark, sf_dir):
+    """The baked-boundary comparison count reproduces the standard
+    floating Mercator tile formula (gdal2tiles/OSM) for every image, and
+    the quadkey is the standard Bing bit interleave."""
+    import math
+
+    import __spark_entry__ as em
+    from aira_spark.operators.mercator import DEFAULT_ZOOM, xyz_tiles
+
+    n = 1 << DEFAULT_ZOOM
+    rows = xyz_tiles(em._images(spark, sf_dir)).collect()
+    assert rows
+    # recompute centers from the closed-form source params
+    for r in rows:
+        k = int(r["image_id"][3:])
+        w = 16 + (k % 7) * 8
+        h = 16 + (k % 5) * 8
+        sx = (0.002 + (k % 17) * 0.001)
+        sy = (0.002 + (k % 13) * 0.001)
+        cx = ((k * 2654435761) % 350000000) / 1000000.0 - 178.0
+        cy = ((k * 1013904223) % 170000000) / 1000000.0 - 86.0
+        lon, lat = cx + w * sx / 2.0, cy + h * sy / 2.0
+        x_ref = min(max(int(math.floor((lon + 180.0) / 360.0 * n)), 0), n - 1)
+        m = math.log(math.tan(math.pi / 4 + math.radians(lat) / 2))
+        # standard clamp to the valid tile range (lat beyond +-85.0511
+        # projects outside the square; the count form clamps inherently)
+        y_ref = min(max(int(math.floor((1 - m / math.pi) / 2 * n)), 0), n - 1)
+        assert r["x_tile"] == x_ref, (r, x_ref)
+        assert r["y_tile"] == y_ref, (r, y_ref)
+        qk = "".join(
+            str(((r["x_tile"] >> (i - 1)) & 1) + 2 * ((r["y_tile"] >> (i - 1)) & 1))
+            for i in range(DEFAULT_ZOOM, 0, -1)
+        )
+        assert r["quadkey"] == qk
+
+
+def test_xyz_tiles_quadkey_prefix_property(spark, sf_dir):
+    """Bing quadkeys: tiles sharing a parent share the quadkey prefix —
+    verified by recomputing the parent tile at zoom-1 from x/y."""
+    import __spark_entry__ as em
+    from aira_spark.operators.mercator import xyz_tiles
+
+    rows = xyz_tiles(em._images(spark, sf_dir)).collect()
+    parents = {}
+    for r in rows:
+        key = (r["x_tile"] >> 1, r["y_tile"] >> 1)
+        parents.setdefault(key, set()).add(r["quadkey"][:-1])
+    for key, prefixes in parents.items():
+        assert len(prefixes) == 1, (key, prefixes)
