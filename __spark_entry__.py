@@ -2465,6 +2465,16 @@ def q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stay_points(pings)
 
 
+def q_zonal_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority (mode) pixel value per cell — categorical-raster rollup
+    over the sparse per-cell value histogram, ties to smallest value via
+    an exact lexicographic struct-MIN; pixels never shuffle
+    (operators/zonal.py:zonal_majority)."""
+    from aira_spark.operators.zonal import zonal_majority
+
+    return zonal_majority(_images(spark, sf_dir, modulo=8), CELL_RES)
+
+
 def q_xyz_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-Mercator slippy-map tile (z/x/y) + Bing quadkey per image
     footprint center — libm-free via Python-baked boundary-latitude
@@ -3106,6 +3116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stay_points": q_stay_points,
         "areal_interp": q_areal_interp,
         "xyz_tiles": q_xyz_tiles,
+        "zonal_majority": q_zonal_majority,
         "stream_stream_join": q_stream_stream_join,
     }
 
@@ -4312,6 +4323,36 @@ def _oracle_stay_points() -> str:
   FROM events
 )"""
     return oracle_stay_points_sql(pings)
+
+
+def _oracle_zonal_majority() -> str:
+    return f"""
+WITH {_IMG_CTE},
+sel AS (SELECT * FROM meta WHERE k % 8 = 0),
+rws AS (SELECT *, unnest(generate_series(0, h - 1)) AS r FROM sel),
+pxs AS (SELECT *, unnest(generate_series(0, w - 1)) AS c FROM rws),
+vals AS (
+  SELECT (r * 7 + c * 13 + k) % 256 AS val,
+         cx + (CAST(c AS DOUBLE) + 0.5) * sx AS x,
+         (cy + h * sy) - (CAST(r AS DOUBLE) + 0.5) * sy AS y
+  FROM pxs
+),
+vc AS (
+  SELECT {_sql_cell('x', 'y')} AS cell, val, COUNT(*) AS c
+  FROM vals GROUP BY 1, 2
+),
+ranked AS (
+  SELECT cell, val, c,
+    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY c DESC, val ASC) AS rn,
+    SUM(c) OVER (PARTITION BY cell) AS n,
+    COUNT(*) OVER (PARTITION BY cell) AS nd
+  FROM vc
+)
+SELECT CAST(cell AS BIGINT) AS cell, CAST(n AS BIGINT) AS n_px,
+  CAST(nd AS BIGINT) AS n_distinct, CAST(val AS BIGINT) AS mode_val,
+  CAST(c AS BIGINT) AS mode_cnt
+FROM ranked WHERE rn = 1
+"""
 
 
 def _oracle_xyz_tiles() -> str:
@@ -5711,6 +5752,7 @@ FROM docs GROUP BY 1
         "stay_points": _oracle_stay_points(),
         "areal_interp": _oracle_areal_interp(),
         "xyz_tiles": _oracle_xyz_tiles(),
+        "zonal_majority": _oracle_zonal_majority(),
         "stream_stream_join": _ORACLE_SSJOIN,
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),

@@ -419,3 +419,65 @@ def zonal_quantiles(images: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
         F.min(F.when(F.col("cum") * 4 >= F.col("n") * 3, F.col("value"))).alias("p75"),
     )
     return q.select("cell", F.col("n").alias("n_px"), "p25", "median", "p75")
+
+
+def zonal_majority(images: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
+    """(cell, n_px, n_distinct, mode_val, mode_cnt): the majority
+    (most-frequent) band-0 pixel value per cell — GDAL/zonal "majority"
+    resampling, the categorical-raster rollup (land-cover class per zone).
+
+    Ties break to the SMALLEST value (a stated convention): the argmax is
+    MIN(struct(-cnt, value)) — an exact integer lexicographic fold, so the
+    result is order-independent and identical in both engines.
+
+    Scale shape: identical to zonal_quantiles — the map side emits the
+    sparse per-(cell, value) histogram (<= 256 rows per cell whatever the
+    pixel count), one hash agg merges partials, and the majority is one
+    more bounded agg; pixels never shuffle."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.udfs import _decode_full, pixel_cell_groups
+    from ..tiff.meta import TiffError
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for rec in pdf.itertuples(index=False):
+                try:
+                    m, px = _decode_full(rec.bytes, max_bands=1)
+                except TiffError:
+                    continue
+                groups = pixel_cell_groups(m, px, res)
+                if groups is None:
+                    continue
+                order, uniq, starts, ends = groups
+                vals = px[:, :, 0].astype(np.int64).ravel()[order]
+                for cell, s0, e0 in zip(uniq, starts, ends):
+                    bc = np.bincount(vals[s0:e0])
+                    for v in np.flatnonzero(bc):
+                        out.append((int(cell), int(v), int(bc[v])))
+            yield pd.DataFrame(out, columns=["cell", "value", "cnt"])
+
+    vc = (
+        images.select("image_id", "bytes")
+        .mapInPandas(fn, schema="cell long, value long, cnt long")
+        .groupBy("cell", "value")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return (
+        vc.groupBy("cell")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_px"),
+            F.count("*").cast("long").alias("n_distinct"),
+            F.min(F.struct((-F.col("cnt")).alias("nc"),
+                           F.col("value").alias("v"))).alias("top"),
+        )
+        .selectExpr(
+            "CAST(cell AS BIGINT) AS cell", "n_px", "n_distinct",
+            "CAST(top.v AS BIGINT) AS mode_val",
+            "CAST(-top.nc AS BIGINT) AS mode_cnt",
+        )
+    )

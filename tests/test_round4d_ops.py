@@ -1407,3 +1407,66 @@ def test_xyz_tiles_quadkey_prefix_property(spark, sf_dir):
         parents.setdefault(key, set()).add(r["quadkey"][:-1])
     for key, prefixes in parents.items():
         assert len(prefixes) == 1, (key, prefixes)
+
+
+# ------------------------------------------------------------ zonal_majority
+
+
+def test_zonal_majority_hand_tie_and_mirror(spark, sf_dir):
+    """Majority per cell matches a python recount of zonal_quantiles'
+    histogram device; ties go to the smallest value (exercised by
+    constructing a two-value tie image)."""
+    import numpy as np
+
+    import __spark_entry__ as em
+    from aira_spark.operators.zonal import zonal_majority
+    from aira_spark.tiff.encode import write_tiff
+
+    # tie image: equal counts of 30 and 200 -> mode must be 30
+    # (needs a geotransform — zonal ops group pixels by world cell)
+    a = np.array([[30, 200]] * 4, dtype=np.uint8)
+    buf = write_tiff(
+        a[:, :, None], byteorder="<", layout=("strips", 2),
+        geo=((0.01, 0.01, 0.0), (0.0, 0.0, 0.0, 10.0, 20.0, 0.0)),
+    )
+    tie_df = spark.createDataFrame(
+        [("im0", bytearray(buf))], "image_id string, bytes binary"
+    )
+    rows = zonal_majority(tie_df).collect()
+    assert rows and all(r["mode_val"] == 30 and r["mode_cnt"] ==
+                        r["n_px"] // 2 for r in rows)
+
+    # corpus mirror via the sibling quantiles histogram recount
+    from collections import Counter
+
+    from aira_spark.functions.udfs import _decode_full, pixel_cell_groups
+    from aira_spark.tiff.meta import TiffError
+
+    images = em._images(spark, sf_dir, modulo=8)
+    hist: dict = {}
+    for rec in images.select("bytes").collect():
+        try:
+            m, px = _decode_full(bytes(rec["bytes"]), max_bands=1)
+        except TiffError:
+            continue
+        groups = pixel_cell_groups(m, px, em.CELL_RES)
+        if groups is None:
+            continue
+        import numpy as np
+
+        order, uniq, starts, ends = groups
+        vals = px[:, :, 0].astype(np.int64).ravel()[order]
+        for cell, s0, e0 in zip(uniq, starts, ends):
+            c = hist.setdefault(int(cell), Counter())
+            c.update(vals[s0:e0].tolist())
+    want = {}
+    for cell, c in hist.items():
+        mode_val = min(c, key=lambda v: (-c[v], v))
+        want[cell] = (
+            sum(c.values()), len(c), mode_val, c[mode_val]
+        )
+    got = {
+        r["cell"]: (r["n_px"], r["n_distinct"], r["mode_val"], r["mode_cnt"])
+        for r in em.q_zonal_majority(spark, sf_dir).collect()
+    }
+    assert got == want and got
