@@ -2465,6 +2465,22 @@ def q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stay_points(pings)
 
 
+def q_dp_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas-Peucker trajectory simplification as a fixed-round breadth-
+    first DataFrame program: per-segment argmax |cross| (exact BIGINT, ties
+    to smallest index), 128-bit tolerance test, 4 rounds; oracle = the same
+    rounds unrolled as a WITH chain
+    (operators/simplify.py:dp_simplify)."""
+    from aira_spark.operators.simplify import dp_simplify
+
+    pings = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id", "ts", "event_id",
+        "CAST((event_id * 2654435761) % 350000000 AS BIGINT) AS ix",
+        "CAST((event_id * 1013904223) % 170000000 AS BIGINT) AS iy",
+    )
+    return dp_simplify(pings)
+
+
 def q_zonal_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Majority (mode) pixel value per cell — categorical-raster rollup
     over the sparse per-cell value histogram, ties to smallest value via
@@ -3117,6 +3133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "areal_interp": q_areal_interp,
         "xyz_tiles": q_xyz_tiles,
         "zonal_majority": q_zonal_majority,
+        "dp_simplify": q_dp_simplify,
         "stream_stream_join": q_stream_stream_join,
     }
 
@@ -4323,6 +4340,18 @@ def _oracle_stay_points() -> str:
   FROM events
 )"""
     return oracle_stay_points_sql(pings)
+
+
+def _oracle_dp_simplify() -> str:
+    from aira_spark.operators.simplify import oracle_dp_sql
+
+    pings = """WITH pings AS (
+  SELECT user_id, ts, event_id,
+    CAST((event_id * 2654435761) % 350000000 AS BIGINT) AS ix,
+    CAST((event_id * 1013904223) % 170000000 AS BIGINT) AS iy
+  FROM events
+)"""
+    return oracle_dp_sql(pings)
 
 
 def _oracle_zonal_majority() -> str:
@@ -5753,6 +5782,7 @@ FROM docs GROUP BY 1
         "areal_interp": _oracle_areal_interp(),
         "xyz_tiles": _oracle_xyz_tiles(),
         "zonal_majority": _oracle_zonal_majority(),
+        "dp_simplify": _oracle_dp_simplify(),
         "stream_stream_join": _ORACLE_SSJOIN,
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),

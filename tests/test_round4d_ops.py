@@ -1470,3 +1470,91 @@ def test_zonal_majority_hand_tie_and_mirror(spark, sf_dir):
         for r in em.q_zonal_majority(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+# -------------------------------------------------------------- dp_simplify
+
+
+def _dp_mirror(points, eps, rounds):
+    """Depth-limited recursive Douglas-Peucker — the breadth-first rounds'
+    recursion-tree equivalent. Returns kept indices."""
+    kept = {0, len(points) - 1}
+
+    def rec(a, f, depth):
+        if depth >= rounds or f - a < 2:
+            return
+        ax, ay = points[a]
+        fx, fy = points[f]
+        best = None
+        for i in range(a + 1, f):
+            px, py = points[i]
+            ac = abs((fx - ax) * (py - ay) - (fy - ay) * (px - ax))
+            if best is None or ac > best[0]:
+                best = (ac, i)
+        ac, s = best
+        ab2 = (fx - ax) ** 2 + (fy - ay) ** 2
+        if ac * ac > eps * eps * ab2:
+            kept.add(s)
+            rec(a, s, depth + 1)
+            rec(s, f, depth + 1)
+
+    rec(0, len(points) - 1, 0)
+    return kept
+
+
+def test_dp_simplify_hand_cases(spark):
+    """A sharp spike is kept, a collinear run collapses to endpoints, and
+    an over-tolerance wiggle is dropped."""
+    import datetime as dt
+
+    from aira_spark.operators.simplify import dp_simplify
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def rows(uid, pts):
+        return [
+            (uid, t0 + dt.timedelta(seconds=i), uid * 1000 + i, x, y)
+            for i, (x, y) in enumerate(pts)
+        ]
+
+    data = (
+        rows(1, [(0, 0), (50, 4000), (100, 0)])      # spike: keep middle
+        + rows(2, [(0, 0), (50, 50), (100, 100)])    # collinear: drop
+        + rows(3, [(0, 0), (50, 3), (100, 0)])       # tiny wiggle: drop
+    )
+    df = spark.createDataFrame(
+        data, "user_id long, ts timestamp, event_id long, ix long, iy long"
+    )
+    got = {
+        (r["user_id"], r["idx"]) for r in dp_simplify(df, eps=100).collect()
+    }
+    assert got == {(1, 0), (1, 1), (1, 2), (2, 0), (2, 2), (3, 0), (3, 2)}
+
+
+def test_dp_simplify_matches_recursive_mirror(spark, sf_dir):
+    import __spark_entry__ as em
+    from aira_spark.operators.simplify import (
+        DEFAULT_EPS, DEFAULT_ROUNDS, dp_simplify,
+    )
+
+    rows = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id", "unix_timestamp(ts) AS tse", "event_id"
+    ).collect()
+    byu: dict = {}
+    for r in rows:
+        e = r["event_id"]
+        byu.setdefault(r["user_id"], []).append(
+            (r["tse"], e,
+             (e * 2654435761) % 350000000, (e * 1013904223) % 170000000)
+        )
+    want = set()
+    for u, evs in byu.items():
+        evs.sort()
+        pts = [(x, y) for _, _, x, y in evs]
+        for i in _dp_mirror(pts, DEFAULT_EPS, DEFAULT_ROUNDS):
+            want.add((u, i, pts[i][0], pts[i][1]))
+    got = {
+        (r["user_id"], r["idx"], r["ix"], r["iy"])
+        for r in em.q_dp_simplify(spark, sf_dir).collect()
+    }
+    assert got == want and got
