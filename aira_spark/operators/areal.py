@@ -45,10 +45,14 @@ def areal_interpolate(
     """(tpoly_id, n_src, shared_cells, est_e6): the interpolated measure
     per target zone. `src_vals` carries (poly_id, val) exact integers;
     targets overlapping no source emit no row (est 0 by definition)."""
-    sc = rasterize_to_cells(src_polys, res)
+    # each rasterization feeds two consumers (sizes + the transfer join /
+    # the join + the guard); localCheckpoint pins the cover+refine pass
+    # once per side instead of replaying it per subtree — id+cell rows,
+    # linear in zone count
+    sc = rasterize_to_cells(src_polys, res).localCheckpoint(eager=True)
     tc = rasterize_to_cells(tgt_polys, res).selectExpr(
         "poly_id AS tpoly_id", "cell"
-    )
+    ).localCheckpoint(eager=True)
     sizes = sc.groupBy("poly_id").agg(F.count("*").alias("n_a"))
     shared = (
         sc.join(tc, "cell")

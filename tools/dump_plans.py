@@ -223,6 +223,14 @@ def main() -> None:
         ("areal_interp", "two cover+refine rasterizations (bbox cover "
                          "BROADCASTS); transfer = ONE cell equi-join, "
                          "never polygon x polygon; value table broadcasts"),
+        ("xyz_tiles", "libm-free Mercator tiling: one metadata decode "
+                      "then a pure projection — zero joins, zero shuffles"),
+        ("zonal_majority", "sparse per-(cell,value) histogram partials -> "
+                           "one hash agg -> bounded argmax fold; pixels "
+                           "never shuffle"),
+        ("dp_simplify", "fixed-round breadth-first splits: per round ONE "
+                        "map-side-combined argmax agg + broadcast split "
+                        "join; rounds pinned by localCheckpoint"),
     ]
     qs = em.queries()
     lines = [
