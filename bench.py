@@ -279,6 +279,7 @@ def main() -> None:
     # bench thins to every 60th user (oracle/pytest stay at mod 15)
     os.environ.setdefault("SPARK_GRAFT_SEG_MOD", "60")
     os.environ.setdefault("SPARK_GRAFT_HAUS_MOD", "5")
+    os.environ.setdefault("SPARK_GRAFT_KCORE_ROUNDS", "5")
     os.environ.setdefault("SPARK_GRAFT_STREAM_BATCHES", "2")
     for name, fn in selected.items():
         timed(name, fn)
