@@ -2465,6 +2465,16 @@ def q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stay_points(pings)
 
 
+def q_band_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-band Pearson sufficient statistics + 128-bit cross-multiplied
+    r² classification per band pair — the registration/dup-band QA; six
+    bounded integers per pair are the only exchange payload
+    (operators/bandcorr.py:band_correlation)."""
+    from aira_spark.operators.bandcorr import band_correlation
+
+    return band_correlation(_images(spark, sf_dir, modulo=4))
+
+
 def q_dp_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Douglas-Peucker trajectory simplification as a fixed-round breadth-
     first DataFrame program: per-segment argmax |cross| (exact BIGINT, ties
@@ -3138,6 +3148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xyz_tiles": q_xyz_tiles,
         "zonal_majority": q_zonal_majority,
         "dp_simplify": q_dp_simplify,
+        "band_corr": q_band_corr,
         "stream_stream_join": q_stream_stream_join,
     }
 
@@ -4344,6 +4355,12 @@ def _oracle_stay_points() -> str:
   FROM events
 )"""
     return oracle_stay_points_sql(pings)
+
+
+def _oracle_band_corr() -> str:
+    from aira_spark.operators.bandcorr import oracle_bandcorr_sql
+
+    return oracle_bandcorr_sql(_bands_cte_sql(modulo=4))
 
 
 def _oracle_dp_simplify() -> str:
@@ -5787,6 +5804,7 @@ FROM docs GROUP BY 1
         "xyz_tiles": _oracle_xyz_tiles(),
         "zonal_majority": _oracle_zonal_majority(),
         "dp_simplify": _oracle_dp_simplify(),
+        "band_corr": _oracle_band_corr(),
         "stream_stream_join": _ORACLE_SSJOIN,
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),

@@ -260,6 +260,7 @@ def main() -> None:
         "xyz_tiles": lambda: em.q_xyz_tiles(spark, sf_dir).count(),
         "zonal_majority": lambda: em.q_zonal_majority(spark, sf_dir).count(),
         "dp_simplify": lambda: em.q_dp_simplify(spark, sf_dir).count(),
+        "band_corr": lambda: em.q_band_corr(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

@@ -1558,3 +1558,76 @@ def test_dp_simplify_matches_recursive_mirror(spark, sf_dir):
         for r in em.q_dp_simplify(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+# ---------------------------------------------------------------- band_corr
+
+
+def test_band_corr_hand_cases(spark):
+    """A duplicated band classifies dup_band, an INVERTED band classifies
+    dup_band with negative cov_n (the r² test is sign-blind), a constant
+    band is degenerate."""
+    import numpy as np
+
+    from aira_spark.operators.bandcorr import band_correlation
+    from aira_spark.tiff.encode import write_tiff
+
+    base = ((np.arange(48).reshape(6, 8) * 37) % 256).astype(np.uint8)
+    dup = np.stack([base, base], axis=2)
+    inv = np.stack([base, 255 - base], axis=2)
+    flat = np.stack([base, np.full_like(base, 9)], axis=2)
+    rows = [
+        (name, bytearray(write_tiff(a, byteorder="<", layout=("strips", 4))))
+        for name, a in (("dup", dup), ("inv", inv), ("flat", flat))
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    got = {r["image_id"]: r for r in band_correlation(df).collect()}
+    assert got["dup"]["corr_class"] == "dup_band" and got["dup"]["cov_n"] > 0
+    assert got["inv"]["corr_class"] == "dup_band" and got["inv"]["cov_n"] < 0
+    assert got["flat"]["corr_class"] == "degenerate"
+    # exact: duplicated band has cov_n == var_xn == var_yn
+    assert got["dup"]["cov_n"] == got["dup"]["var_xn"] == got["dup"]["var_yn"]
+
+
+def test_band_corr_matches_python_mirror(spark, sf_dir):
+    from fractions import Fraction
+
+    import numpy as np
+
+    import __spark_entry__ as em
+    from aira_spark.functions.udfs import _decode_full
+    from aira_spark.operators.bandcorr import (
+        T_COR_DEN, T_COR_NUM, T_DUP_DEN, T_DUP_NUM, band_correlation,
+    )
+
+    images = em._images(spark, sf_dir, modulo=4)
+    want = {}
+    for rec in images.select("image_id", "bytes").collect():
+        m, px = _decode_full(bytes(rec["bytes"]))
+        spp = px.shape[2]
+        for a in range(spp):
+            for b in range(a + 1, spp):
+                x = px[:, :, a].astype(np.int64).ravel()
+                y = px[:, :, b].astype(np.int64).ravel()
+                n = x.size
+                cov = int(n * (x * y).sum() - x.sum() * y.sum())
+                vx = int(n * (x * x).sum() - x.sum() ** 2)
+                vy = int(n * (y * y).sum() - y.sum() ** 2)
+                if vx == 0 or vy == 0:
+                    cls = "degenerate"
+                else:
+                    r2 = Fraction(cov * cov, vx * vy)
+                    if r2 >= Fraction(T_DUP_NUM, T_DUP_DEN):
+                        cls = "dup_band"
+                    elif r2 >= Fraction(T_COR_NUM, T_COR_DEN):
+                        cls = "correlated"
+                    else:
+                        cls = "independent"
+                want[(rec["image_id"], a, b)] = (n, cov, vx, vy, cls)
+    got = {
+        (r["image_id"], r["band_x"], r["band_y"]): (
+            r["n_px"], r["cov_n"], r["var_xn"], r["var_yn"], r["corr_class"]
+        )
+        for r in band_correlation(images).collect()
+    }
+    assert got == want and got
