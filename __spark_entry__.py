@@ -2465,6 +2465,21 @@ def q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stay_points(pings)
 
 
+def q_heading_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-way compass + hop-length census of every user's consecutive hops
+    — terrain.ASPECT_CASE integer octants on hop vectors, ONE entity-local
+    window + a bounded hash agg
+    (operators/trajectory.py:heading_census)."""
+    from aira_spark.operators.trajectory import heading_census
+
+    pings = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id", "ts", "event_id",
+        "CAST((event_id * 2654435761) % 350000000 AS BIGINT) AS ix",
+        "CAST((event_id * 1013904223) % 170000000 AS BIGINT) AS iy",
+    )
+    return heading_census(pings)
+
+
 def q_band_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-band Pearson sufficient statistics + 128-bit cross-multiplied
     r² classification per band pair — the registration/dup-band QA; six
@@ -3149,6 +3164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_majority": q_zonal_majority,
         "dp_simplify": q_dp_simplify,
         "band_corr": q_band_corr,
+        "heading_census": q_heading_census,
         "stream_stream_join": q_stream_stream_join,
     }
 
@@ -4355,6 +4371,18 @@ def _oracle_stay_points() -> str:
   FROM events
 )"""
     return oracle_stay_points_sql(pings)
+
+
+def _oracle_heading_census() -> str:
+    from aira_spark.operators.trajectory import oracle_heading_sql
+
+    pings = """WITH pings AS (
+  SELECT user_id, ts, event_id,
+    CAST((event_id * 2654435761) % 350000000 AS BIGINT) AS ix,
+    CAST((event_id * 1013904223) % 170000000 AS BIGINT) AS iy
+  FROM events
+)"""
+    return oracle_heading_sql(pings)
 
 
 def _oracle_band_corr() -> str:
@@ -5805,6 +5833,7 @@ FROM docs GROUP BY 1
         "zonal_majority": _oracle_zonal_majority(),
         "dp_simplify": _oracle_dp_simplify(),
         "band_corr": _oracle_band_corr(),
+        "heading_census": _oracle_heading_census(),
         "stream_stream_join": _ORACLE_SSJOIN,
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),

@@ -482,3 +482,77 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
   CAST(SUM(iy) // COUNT(*) AS BIGINT) AS cy_d
 FROM runs GROUP BY 1, 2
 HAVING COUNT(*) >= {min_pings}"""
+
+
+# hop-length classes by exact squared thresholds (1e-6-deg units):
+# short < 10 deg, medium < 60 deg, else long
+HOP_CLASS_CASE = """CASE
+  WHEN d2 < 100000000000000 THEN 'short'
+  WHEN d2 < 3600000000000000 THEN 'medium'
+  ELSE 'long' END"""
+
+
+def heading_census(pings: DataFrame) -> DataFrame:
+    """(user_id, heading, hop_class, n_hops, sum_d2): 8-way compass census
+    of every user's consecutive hops — the movement-direction/step-length
+    distribution (anisotropy/commute-pattern signal; random walks spread
+    evenly, directed travel concentrates).
+
+    The heading octant is decided by the EXACT integer sign/magnitude
+    comparisons of terrain.ASPECT_CASE (no atan2, no floats; zero-length
+    hops are 'flat'), hop length classes compare exact d2 against squared
+    integer thresholds, and the fold sums integers — deterministic at any
+    parallelism. Shape: ONE entity-local window (the od_flows exchange) +
+    one bounded hash agg (≤ users × 9 × 3 rows), map-side combined."""
+    from pyspark.sql import Window
+
+    from .terrain import ASPECT_CASE
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hops = (
+        pings.select(
+            "user_id",
+            (F.col("ix") - F.lag("ix").over(w)).alias("gx"),
+            (F.col("iy") - F.lag("iy").over(w)).alias("gy"),
+        )
+        .where(F.col("gx").isNotNull())
+        .selectExpr(
+            "user_id",
+            f"{ASPECT_CASE} AS heading",
+            "gx * gx + gy * gy AS d2",
+        )
+    )
+    return (
+        hops.selectExpr("user_id", "heading", f"{HOP_CLASS_CASE} AS hop_class", "d2")
+        .groupBy("user_id", "heading", "hop_class")
+        .agg(
+            F.count("*").cast("long").alias("n_hops"),
+            F.sum("d2").cast("long").alias("sum_d2"),
+        )
+        .selectExpr(
+            "CAST(user_id AS BIGINT) AS user_id", "heading", "hop_class",
+            "n_hops", "sum_d2",
+        )
+    )
+
+
+def oracle_heading_sql(pings_cte: str) -> str:
+    """DuckDB mirror: same window hops, the SAME octant + class CASE
+    texts."""
+    from .terrain import ASPECT_CASE
+
+    return f"""{pings_cte},
+hops AS (
+  SELECT user_id,
+    ix - LAG(ix) OVER w AS gx, iy - LAG(iy) OVER w AS gy
+  FROM pings WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+hd AS (
+  SELECT user_id, {ASPECT_CASE} AS heading, gx * gx + gy * gy AS d2
+  FROM hops WHERE gx IS NOT NULL
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, heading,
+  {HOP_CLASS_CASE} AS hop_class,
+  CAST(COUNT(*) AS BIGINT) AS n_hops,
+  CAST(SUM(d2) AS BIGINT) AS sum_d2
+FROM hd GROUP BY 1, 2, 3"""

@@ -261,6 +261,7 @@ def main() -> None:
         "zonal_majority": lambda: em.q_zonal_majority(spark, sf_dir).count(),
         "dp_simplify": lambda: em.q_dp_simplify(spark, sf_dir).count(),
         "band_corr": lambda: em.q_band_corr(spark, sf_dir).count(),
+        "heading_census": lambda: em.q_heading_census(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

@@ -1631,3 +1631,80 @@ def test_band_corr_matches_python_mirror(spark, sf_dir):
         for r in band_correlation(images).collect()
     }
     assert got == want and got
+
+
+# ------------------------------------------------------------ heading_census
+
+
+def test_heading_census_hand_and_mirror(spark, sf_dir):
+    """Constructed hops hit the expected octants; the corpus census
+    matches a python recount through the same octant convention."""
+    import datetime as dt
+
+    import __spark_entry__ as em
+    from aira_spark.operators.trajectory import heading_census
+
+    t0 = dt.datetime(2026, 1, 1)
+    # hops: E (10,0), N (0,10), NW (-10, 9 -> -gx >= gy? 10 >= 9 yes -> NW),
+    # flat (0,0)
+    seq = [(0, 0), (10, 0), (10, 10), (0, 19), (0, 19)]
+    rows = [
+        (5, t0 + dt.timedelta(seconds=i), i, x, y)
+        for i, (x, y) in enumerate(seq)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, ix long, iy long"
+    )
+    got = {
+        (r["heading"], r["hop_class"]): r["n_hops"]
+        for r in heading_census(df).collect()
+    }
+    assert got == {("E", "short"): 1, ("N", "short"): 1,
+                   ("NW", "short"): 1, ("flat", "short"): 1}
+
+    # corpus mirror
+    def octant(gx, gy):
+        if gx == 0 and gy == 0:
+            return "flat"
+        if gy >= 0 and gx > 0 and gx > gy:
+            return "E"
+        if gx > 0 and gy > 0 and gy >= gx:
+            return "NE"
+        if gx <= 0 and gy > 0 and -gx < gy:
+            return "N"
+        if gx < 0 and gy > 0 and -gx >= gy:
+            return "NW"
+        if gy <= 0 and gx < 0 and -gx > -gy:
+            return "W"
+        if gx < 0 and gy < 0 and -gy >= -gx:
+            return "SW"
+        if gx >= 0 and gy < 0 and gx < -gy:
+            return "S"
+        return "SE"
+
+    evs = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id", "unix_timestamp(ts) AS tse", "event_id"
+    ).collect()
+    byu: dict = {}
+    for r in evs:
+        e = r["event_id"]
+        byu.setdefault(r["user_id"], []).append(
+            (r["tse"], e,
+             (e * 2654435761) % 350000000, (e * 1013904223) % 170000000)
+        )
+    want: dict = {}
+    for u, rows_u in byu.items():
+        rows_u.sort()
+        for (_, _, x0, y0), (_, _, x1, y1) in zip(rows_u, rows_u[1:]):
+            gx, gy = x1 - x0, y1 - y0
+            d2 = gx * gx + gy * gy
+            cls = ("short" if d2 < 10**14
+                   else "medium" if d2 < 36 * 10**14 else "long")
+            k = (u, octant(gx, gy), cls)
+            n, s = want.get(k, (0, 0))
+            want[k] = (n + 1, s + d2)
+    got2 = {
+        (r["user_id"], r["heading"], r["hop_class"]): (r["n_hops"], r["sum_d2"])
+        for r in em.q_heading_census(spark, sf_dir).collect()
+    }
+    assert got2 == want and got2
