@@ -2465,6 +2465,15 @@ def q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stay_points(pings)
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 3-gram novelty over the dup-injected corpus — fraction of
+    distinct word 3-grams appearing in no other doc, floor fixed point;
+    gram-keyed exchanges only (operators/text.py:ngram_novelty)."""
+    from aira_spark.operators.text import ngram_novelty
+
+    return ngram_novelty(_docs_with_dups(spark, sf_dir), k=3)
+
+
 def q_heading_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-way compass + hop-length census of every user's consecutive hops
     — terrain.ASPECT_CASE integer octants on hop vectors, ONE entity-local
@@ -3165,6 +3174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_simplify": q_dp_simplify,
         "band_corr": q_band_corr,
         "heading_census": q_heading_census,
+        "ngram_novelty": q_ngram_novelty,
         "stream_stream_join": q_stream_stream_join,
     }
 
@@ -4371,6 +4381,28 @@ def _oracle_stay_points() -> str:
   FROM events
 )"""
     return oracle_stay_points_sql(pings)
+
+
+def _oracle_ngram_novelty() -> str:
+    from aira_spark.functions import textfns as tf
+
+    eng = "duckdb"
+    sh = tf.shingles_from_words(tf.words("text", eng), 3, eng)
+    ghs = f"list_distinct({tf.shingle_hashes(sh, eng)})"
+    return f"""
+WITH {_DUP_CTE},
+cg AS (SELECT doc_id, {ghs} AS ghs FROM docs),
+ce AS (SELECT doc_id, len(ghs) AS n_grams, unnest(ghs) AS g FROM cg
+       WHERE len(ghs) > 0),
+dfg AS (SELECT g, COUNT(*) AS df FROM ce GROUP BY g)
+SELECT CAST(ce.doc_id AS BIGINT) AS doc_id,
+  CAST(ce.n_grams AS BIGINT) AS n_grams,
+  CAST(SUM(CASE WHEN dfg.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+  CAST(CAST(SUM(CASE WHEN dfg.df = 1 THEN 1 ELSE 0 END) * 1000000
+       AS BIGINT) // ce.n_grams AS BIGINT) AS novelty_e6
+FROM ce JOIN dfg ON ce.g = dfg.g
+GROUP BY ce.doc_id, ce.n_grams
+"""
 
 
 def _oracle_heading_census() -> str:
@@ -5834,6 +5866,7 @@ FROM docs GROUP BY 1
         "dp_simplify": _oracle_dp_simplify(),
         "band_corr": _oracle_band_corr(),
         "heading_census": _oracle_heading_census(),
+        "ngram_novelty": _oracle_ngram_novelty(),
         "stream_stream_join": _ORACLE_SSJOIN,
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),

@@ -342,3 +342,45 @@ def decontaminate(docs: DataFrame, bench: DataFrame, k: int = 13) -> DataFrame:
         )
         .select("doc_id", "n_hit_grams", "n_grams", "min_bench_doc")
     )
+
+
+def ngram_novelty(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, n_grams, n_novel, novelty_e6): per-document n-gram novelty
+    — the fraction of a doc's DISTINCT word k-grams that appear in no
+    other document. The boilerplate/template detector: mirrored pages,
+    licence blocks, and near-duplicates score near 0, original prose near
+    1e6 (novelty ships as floor fixed point n_novel*1e6 DIV n_grams — all
+    BIGINT, truncation identical in both engines). Docs shorter than k
+    words have no grams and emit no row.
+
+    Plan shape: the same word-k-gram integer hashes as decontaminate
+    (gram_hashes_arrow / the identical SQL formula), exploded once; the
+    document-frequency side is ONE gram-keyed hash agg with map-side
+    combine (each doc contributes its grams distinct, so COUNT(*) IS the
+    doc frequency), and the join back is gram-keyed — the inverted_index
+    /tfidf exchange class. Text never shuffles; only (doc_id, hash) rows
+    do."""
+    gh = gram_hashes_arrow(k)
+    ce = (
+        docs.select("doc_id", gh(F.col("text")).alias("ghs"))
+        .select(
+            "doc_id",
+            F.size("ghs").alias("n_grams"),
+            F.explode("ghs").alias("g"),
+        )
+    )
+    df_g = ce.groupBy("g").agg(F.count("*").alias("df"))
+    return (
+        ce.join(df_g, "g")
+        .groupBy("doc_id", "n_grams")
+        .agg(
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("long").alias("n_novel")
+        )
+        .selectExpr(
+            "CAST(doc_id AS BIGINT) AS doc_id",
+            "CAST(n_grams AS BIGINT) AS n_grams",
+            "n_novel",
+            "CAST(n_novel * 1000000 AS BIGINT) DIV n_grams AS novelty_e6",
+        )
+    )

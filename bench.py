@@ -262,6 +262,7 @@ def main() -> None:
         "dp_simplify": lambda: em.q_dp_simplify(spark, sf_dir).count(),
         "band_corr": lambda: em.q_band_corr(spark, sf_dir).count(),
         "heading_census": lambda: em.q_heading_census(spark, sf_dir).count(),
+        "ngram_novelty": lambda: em.q_ngram_novelty(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

@@ -1708,3 +1708,61 @@ def test_heading_census_hand_and_mirror(spark, sf_dir):
         for r in em.q_heading_census(spark, sf_dir).collect()
     }
     assert got2 == want and got2
+
+
+# ------------------------------------------------------------- ngram_novelty
+
+
+def test_ngram_novelty_hand_and_duplicate_suppression(spark):
+    """Injected exact duplicates share every 3-gram -> novelty 0; a doc
+    with a unique tail keeps exactly its unique grams novel."""
+    from aira_spark.operators.text import ngram_novelty
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),          # exact dup of 1
+        (3, "alpha beta gamma zeta omega theta"),       # shares 1 gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty_e6"])
+        for r in ngram_novelty(df, k=3).collect()
+    }
+    # doc1/doc2: 3 grams each, all df>=2 -> novelty 0
+    assert got[1] == (3, 0, 0) and got[2] == (3, 0, 0)
+    # doc3: 4 grams; 'alpha beta gamma' is shared (df=3), other 3 unique
+    assert got[3] == (4, 3, 750000)
+
+
+def test_ngram_novelty_matches_python_mirror(spark, sf_dir):
+    import hashlib
+
+    import __spark_entry__ as em
+    from aira_spark.functions.textfns import MH_P
+
+    def gram_hashes_py(text, k):
+        ws = text.split(" ")
+        return {
+            int(hashlib.md5(" ".join(ws[j:j + k]).encode()).hexdigest()[:15],
+                16) % MH_P
+            for j in range(max(len(ws) - k + 1, 0))
+        }
+
+    docs = em._docs_with_dups(spark, sf_dir).select("doc_id", "text").collect()
+    per_doc = {
+        r["doc_id"]: gram_hashes_py(r["text"], 3) for r in docs
+    }
+    from collections import Counter
+
+    df = Counter(g for ghs in per_doc.values() for g in ghs)
+    want = {}
+    for d, ghs in per_doc.items():
+        if not ghs:
+            continue
+        novel = sum(1 for g in ghs if df[g] == 1)
+        want[d] = (len(ghs), novel, novel * 1_000_000 // len(ghs))
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty_e6"])
+        for r in em.q_ngram_novelty(spark, sf_dir).collect()
+    }
+    assert got == want and got
