@@ -231,6 +231,13 @@ def main() -> None:
         ("dp_simplify", "fixed-round breadth-first splits: per round ONE "
                         "map-side-combined argmax agg + broadcast split "
                         "join; rounds pinned by localCheckpoint"),
+        ("band_corr", "six bounded integers per band pair are the only "
+                      "exchange payload; classification is a pure "
+                      "projection; pixels never shuffle"),
+        ("heading_census", "ONE entity-local window + one bounded "
+                           "map-side-combined agg; integer octant CASE"),
+        ("ngram_novelty", "gram-keyed df agg + gram-keyed join back (the "
+                          "tfidf exchange class); text never shuffles"),
     ]
     qs = em.queries()
     lines = [
