@@ -2465,6 +2465,44 @@ def q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stay_points(pings)
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN self-evaluation: recall@5 of the LSH index against the exact
+    cosine top-5 for a 50-query panel — the retrieval-quality gate every
+    ANN deployment needs, as a first-class query (ids-only join of the
+    two operators' outputs; recall ships as floor fixed point)."""
+    from aira_spark.operators.similarity import cosine_topk, lsh_ann_topk_sql
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.expr(_QUANT)
+    )
+    queries = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = (
+        lsh_ann_topk_sql(emb, k=5, n_planes=6, n_tables=4)
+        .filter(F.col("query_id") < 50)
+        .select("query_id", "neighbor_id")
+    )
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .selectExpr(
+            "CAST(query_id AS BIGINT) AS query_id",
+            "CAST(n_exact AS BIGINT) AS n_exact",
+            "CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit",
+            "CAST(COALESCE(n_hit, 0) * 1000000 AS BIGINT) DIV n_exact"
+            " AS recall_e6",
+        )
+    )
+
+
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 3-gram novelty over the dup-injected corpus — fraction of
     distinct word 3-grams appearing in no other doc, floor fixed point;
@@ -3175,6 +3213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "band_corr": q_band_corr,
         "heading_census": q_heading_census,
         "ngram_novelty": q_ngram_novelty,
+        "ann_recall": q_ann_recall,
         "stream_stream_join": q_stream_stream_join,
     }
 
@@ -4381,6 +4420,48 @@ def _oracle_stay_points() -> str:
   FROM events
 )"""
     return oracle_stay_points_sql(pings)
+
+
+def _oracle_ann_recall() -> str:
+    return f"""
+WITH emb AS (SELECT vec_id, {_DUCK_QUANT} AS qv FROM embeddings),
+q AS (SELECT vec_id AS query_id, qv FROM emb WHERE vec_id < 50),
+d AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    {_duck_cos('e.qv', 'q.qv')} AS cos
+  FROM emb e CROSS JOIN q WHERE e.vec_id != q.query_id
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rn FROM d),
+exact AS (SELECT query_id, neighbor_id FROM r WHERE rn <= 5),
+{_duck_lsh_sigs(6, 4)},
+cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM sigs a JOIN sigs b USING (tbl, bucket) WHERE a.vec_id != b.vec_id
+),
+ad AS (
+  SELECT c.query_id, c.neighbor_id, {_duck_cos('e.qv', 'qq.qv')} AS cos
+  FROM cand c JOIN emb e ON e.vec_id = c.neighbor_id
+              JOIN emb qq ON qq.vec_id = c.query_id
+),
+ar AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS rn FROM ad),
+approx AS (SELECT query_id, neighbor_id FROM ar
+           WHERE rn <= 5 AND query_id < 50),
+hits AS (
+  SELECT e.query_id, COUNT(*) AS n_hit
+  FROM exact e JOIN approx a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY 1
+)
+SELECT CAST(g.query_id AS BIGINT) AS query_id,
+  CAST(g.n_exact AS BIGINT) AS n_exact,
+  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+  CAST(CAST(COALESCE(h.n_hit, 0) * 1000000 AS BIGINT) // g.n_exact
+       AS BIGINT) AS recall_e6
+FROM (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY 1) g
+LEFT JOIN hits h ON h.query_id = g.query_id
+"""
 
 
 def _oracle_ngram_novelty() -> str:
@@ -5867,6 +5948,7 @@ FROM docs GROUP BY 1
         "band_corr": _oracle_band_corr(),
         "heading_census": _oracle_heading_census(),
         "ngram_novelty": _oracle_ngram_novelty(),
+        "ann_recall": _oracle_ann_recall(),
         "stream_stream_join": _ORACLE_SSJOIN,
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),

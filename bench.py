@@ -263,6 +263,7 @@ def main() -> None:
         "band_corr": lambda: em.q_band_corr(spark, sf_dir).count(),
         "heading_census": lambda: em.q_heading_census(spark, sf_dir).count(),
         "ngram_novelty": lambda: em.q_ngram_novelty(spark, sf_dir).count(),
+        "ann_recall": lambda: em.q_ann_recall(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

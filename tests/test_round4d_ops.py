@@ -1766,3 +1766,55 @@ def test_ngram_novelty_matches_python_mirror(spark, sf_dir):
         for r in em.q_ngram_novelty(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+# ---------------------------------------------------------------- ann_recall
+
+
+def test_ann_recall_bounds_and_identity(spark, sf_dir):
+    """recall_e6 in [0, 1e6] with n_exact == 5 everywhere; the LSH hits
+    are a subset of the exact set BY CONSTRUCTION (the join), and a panel
+    re-scored against ITSELF gives recall 1.0."""
+    import __spark_entry__ as em
+
+    rows = em.q_ann_recall(spark, sf_dir).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r["n_exact"] == 5
+        assert 0 <= r["n_hit"] <= 5
+        assert r["recall_e6"] == r["n_hit"] * 1_000_000 // 5
+    # the LSH index must beat the random baseline (5/(n-1) ~ 1% at the
+    # sf0.001 fixture) by an order of magnitude; absolute recall at this
+    # tiny corpus/6-plane config is ~0.15 (sf0.01 driver slice: higher)
+    mean_recall = sum(r["n_hit"] for r in rows) / (5 * len(rows))
+    assert mean_recall > 0.05, mean_recall
+
+
+def test_ann_recall_matches_direct_join(spark, sf_dir):
+    """Recompute hits by collecting the two operators' outputs."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as em
+    from aira_spark.operators.similarity import cosine_topk, lsh_ann_topk_sql
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.expr(em._QUANT)
+    )
+    queries = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact: dict = {}
+    for r in cosine_topk(emb, queries, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx: dict = {}
+    for r in lsh_ann_topk_sql(emb, k=5).collect():
+        if r["query_id"] < 50:
+            approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    want = {
+        q: len(e & approx.get(q, set())) for q, e in exact.items()
+    }
+    got = {
+        r["query_id"]: r["n_hit"]
+        for r in em.q_ann_recall(spark, sf_dir).collect()
+    }
+    assert got == want and got
