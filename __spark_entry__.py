@@ -2465,6 +2465,16 @@ def q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stay_points(pings)
 
 
+def q_stretch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-98% percentile contrast-stretch remap table (GDAL -scale parity)
+    — clip points via the cross-multiplied rank predicate, clamped
+    integer remap; one window exchange, pixels never shuffle
+    (operators/equalize.py:stretch_lut)."""
+    from aira_spark.operators.equalize import stretch_lut
+
+    return stretch_lut(_images(spark, sf_dir, modulo=4))
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN self-evaluation: recall@5 of the LSH index against the exact
     cosine top-5 for a 50-query panel — the retrieval-quality gate every
@@ -3214,6 +3224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heading_census": q_heading_census,
         "ngram_novelty": q_ngram_novelty,
         "ann_recall": q_ann_recall,
+        "stretch": q_stretch,
         "stream_stream_join": q_stream_stream_join,
     }
 
@@ -4420,6 +4431,12 @@ def _oracle_stay_points() -> str:
   FROM events
 )"""
     return oracle_stay_points_sql(pings)
+
+
+def _oracle_stretch() -> str:
+    from aira_spark.operators.equalize import oracle_stretch_sql
+
+    return oracle_stretch_sql(_bands_cte_sql(modulo=4))
 
 
 def _oracle_ann_recall() -> str:
@@ -5949,6 +5966,7 @@ FROM docs GROUP BY 1
         "heading_census": _oracle_heading_census(),
         "ngram_novelty": _oracle_ngram_novelty(),
         "ann_recall": _oracle_ann_recall(),
+        "stretch": _oracle_stretch(),
         "stream_stream_join": _ORACLE_SSJOIN,
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),

@@ -338,3 +338,82 @@ SELECT i.image_id, i.band, i.value, i.cnt,
 FROM icdf i JOIN ref ON ref.band = i.band
 GROUP BY 1, 2, 3, 4
 """
+
+
+def stretch_lut(
+    images: DataFrame, lo_pct: int = 2, hi_pct: int = 98
+) -> DataFrame:
+    """(image_id, band, value, cnt, out_val): the percentile contrast
+    stretch remap table per (image, band) — GDAL `-scale` with
+    `-exponent 1` parity at [lo_pct, hi_pct] clip points (the default
+    2-98% linear stretch next to full equalization).
+
+    Exact integers end to end: the clip points are order statistics read
+    off the cumulative histogram with the zonal_quantiles cross-multiplied
+    rank predicate (p = smallest value with cdf*100 >= n*pct); the remap is
+
+        out = clamp( (v - lo) * 255 DIV (hi - lo), 0, 255 )
+
+    with DIV truncation identical in both engines; degenerate bands
+    (hi == lo) map every value to 0 by convention. Scale shape: identical
+    to equalize_lut — one decode pass emits the <=256-row sparse
+    histogram, ONE window exchange, pure-projection remap; pixels never
+    shuffle."""
+    hist = band_histogram(images)
+    byband = Window.partitionBy("image_id", "band")
+    cum = Window.partitionBy("image_id", "band").orderBy("value")
+    cdf = (
+        hist.withColumn("cdf", F.sum("cnt").over(cum))
+        .withColumn("n", F.sum("cnt").over(byband))
+    )
+    lo = f"MIN(CASE WHEN cdf * 100 >= n * {lo_pct} THEN value END)"
+    hi = f"MIN(CASE WHEN cdf * 100 >= n * {hi_pct} THEN value END)"
+    clips = (
+        cdf.groupBy("image_id", "band")
+        .agg(F.expr(f"{lo} AS lo"), F.expr(f"{hi} AS hi"))
+    )
+    return (
+        cdf.join(clips, ["image_id", "band"])
+        .selectExpr(
+            "image_id",
+            "CAST(band AS BIGINT) AS band",
+            "CAST(value AS BIGINT) AS value",
+            "CAST(cnt AS BIGINT) AS cnt",
+            "CAST(CASE WHEN hi = lo THEN 0 ELSE "
+            "LEAST(GREATEST((value - lo) * 255 DIV (hi - lo), 0), 255) "
+            "END AS BIGINT) AS out_val",
+        )
+    )
+
+
+def oracle_stretch_sql(
+    bands_cte: str, lo_pct: int = 2, hi_pct: int = 98
+) -> str:
+    """DuckDB mirror: same histogram windows, same rank predicate, same
+    clamped integer remap."""
+    return f"""
+WITH {bands_cte},
+hist AS (
+  SELECT image_id, CAST(s AS BIGINT) AS band,
+         CAST((r * 7 + c * 13 + s * 29 + k) % 256 AS BIGINT) AS value,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM bands GROUP BY 1, 2, 3
+),
+cdf AS (
+  SELECT *,
+    SUM(cnt) OVER (PARTITION BY image_id, band ORDER BY value) AS cdf,
+    SUM(cnt) OVER (PARTITION BY image_id, band) AS n
+  FROM hist
+),
+clips AS (
+  SELECT image_id, band,
+    MIN(CASE WHEN cdf * 100 >= n * {lo_pct} THEN value END) AS lo,
+    MIN(CASE WHEN cdf * 100 >= n * {hi_pct} THEN value END) AS hi
+  FROM cdf GROUP BY 1, 2
+)
+SELECT c.image_id, c.band, c.value, c.cnt,
+  CAST(CASE WHEN cl.hi = cl.lo THEN 0 ELSE
+    LEAST(GREATEST((c.value - cl.lo) * 255 // (cl.hi - cl.lo), 0), 255)
+  END AS BIGINT) AS out_val
+FROM cdf c JOIN clips cl ON cl.image_id = c.image_id AND cl.band = c.band
+"""

@@ -264,6 +264,7 @@ def main() -> None:
         "heading_census": lambda: em.q_heading_census(spark, sf_dir).count(),
         "ngram_novelty": lambda: em.q_ngram_novelty(spark, sf_dir).count(),
         "ann_recall": lambda: em.q_ann_recall(spark, sf_dir).count(),
+        "stretch": lambda: em.q_stretch(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

@@ -1818,3 +1818,62 @@ def test_ann_recall_matches_direct_join(spark, sf_dir):
         for r in em.q_ann_recall(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+# ------------------------------------------------------------------ stretch
+
+
+def test_stretch_lut_hand_case_and_mirror(spark, sf_dir):
+    """Hand case: values spread 0..250 with 1% tails clip to [p2, p98];
+    corpus mirror recounts the rank predicate + clamped remap."""
+    import numpy as np
+
+    import __spark_entry__ as em
+    from aira_spark.operators.equalize import stretch_lut
+    from aira_spark.operators.zonal import band_histogram
+    from aira_spark.tiff.encode import write_tiff
+
+    # 100 px: one 0, one 250, 98 copies of 10..107 -> p2=10's region
+    vals = [0] + list(range(10, 108)) + [250]
+    a = np.array(vals, dtype=np.uint8).reshape(10, 10)
+    buf = write_tiff(a[:, :, None], byteorder="<", layout=("strips", 4))
+    df = spark.createDataFrame(
+        [("im0", bytearray(buf))], "image_id string, bytes binary"
+    )
+    got = {r["value"]: r["out_val"] for r in stretch_lut(df).collect()}
+    # lo = smallest v with cdf*100 >= 100*2 -> cdf >= 2 -> v=10;
+    # hi: cdf >= 98 -> v=106. Range 96.
+    assert got[0] == 0                      # clamps below lo
+    assert got[10] == 0
+    assert got[106] == 255
+    assert got[250] == 255                  # clamps above hi
+    assert got[58] == (58 - 10) * 255 // 96
+
+    # corpus mirror
+    images = em._images(spark, sf_dir, modulo=4)
+    hist: dict = {}
+    for r in band_histogram(images).collect():
+        hist.setdefault((r["image_id"], r["band"]), {})[r["value"]] = r["cnt"]
+    want = {}
+    for (i, b), h in hist.items():
+        vals_s = sorted(h)
+        n = sum(h.values())
+        cdf = 0
+        lo = hi = None
+        for v in vals_s:
+            cdf += h[v]
+            if lo is None and cdf * 100 >= n * 2:
+                lo = v
+            if hi is None and cdf * 100 >= n * 98:
+                hi = v
+        for v in vals_s:
+            if hi == lo:
+                out = 0
+            else:
+                out = min(max((v - lo) * 255 // (hi - lo), 0), 255)
+            want[(i, b, v)] = (h[v], out)
+    got2 = {
+        (r["image_id"], r["band"], r["value"]): (r["cnt"], r["out_val"])
+        for r in em.q_stretch(spark, sf_dir).collect()
+    }
+    assert got2 == want and got2
