@@ -2465,6 +2465,16 @@ def q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stay_points(pings)
 
 
+def q_strahler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horton-Strahler stream order of the D8 flow forest — monotone
+    Jacobi rounds with a single-row stopping probe; per round two narrow
+    aggs + one lexicographic struct-MAX
+    (operators/terrain.py:strahler_order)."""
+    from aira_spark.operators.terrain import strahler_order
+
+    return strahler_order(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
+
+
 def q_stretch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-98% percentile contrast-stretch remap table (GDAL -scale parity)
     — clip points via the cross-multiplied rank predicate, clamped
@@ -3225,6 +3235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "ann_recall": q_ann_recall,
         "stretch": q_stretch,
+        "strahler": q_strahler,
         "stream_stream_join": q_stream_stream_join,
     }
 
@@ -4431,6 +4442,12 @@ def _oracle_stay_points() -> str:
   FROM events
 )"""
     return oracle_stay_points_sql(pings)
+
+
+def _oracle_strahler() -> str:
+    from aira_spark.operators.terrain import oracle_strahler_sql
+
+    return oracle_strahler_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
 
 
 def _oracle_stretch() -> str:
@@ -5967,6 +5984,7 @@ FROM docs GROUP BY 1
         "ngram_novelty": _oracle_ngram_novelty(),
         "ann_recall": _oracle_ann_recall(),
         "stretch": _oracle_stretch(),
+        "strahler": _oracle_strahler(),
         "stream_stream_join": _ORACLE_SSJOIN,
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),

@@ -641,3 +641,120 @@ FROM (SELECT ox, oy, CAST(MIN(zo) AS BIGINT) AS z_obs,
 JOIN (SELECT ox, oy, CAST(COUNT(*) AS BIGINT) AS n_vis
       FROM vis GROUP BY 1, 2) b
 ON a.ox = b.ox AND a.oy = b.oy"""
+
+
+def strahler_order(
+    images: DataFrame,
+    res: int = DEFAULT_RES,
+    patch_bits: int = 4,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """(fx, fy, strahler): Horton-Strahler stream order of every cell of
+    the D8 flow forest — the hydrology network classifier (order-1 rills
+    merge into order-2 brooks merge into order-3 streams...), the fourth
+    stage after flow_dir / basins / flow_acc.
+
+    Strahler's bottom-up rule — order = max child order, +1 when >= 2
+    children attain that max; leaves are 1 — evaluated as a MONOTONE
+    Jacobi iteration from all-1s: each round recomputes every node from
+    its inflows, so nodes at height h are final after h rounds and values
+    only ever increase toward the least fixpoint (the flow_accumulation
+    convergence argument verbatim; SUM(order) is the single-row stopping
+    probe, max_rounds the loud guard). The per-round argmax "which child
+    order is maximal and how many children attain it" is ONE (parent,
+    order) count agg + ONE lexicographic struct-MAX — exact integers,
+    deterministic at any parallelism.
+
+    Scale shape per round: two narrow hash aggs over (node, order) BIGINT
+    pairs against the static checkpointed edge list — the PageRank round
+    shape; pixels never re-enter the loop."""
+    from pyspark.sql import functions as F
+
+    flow = flow_direction(images, res, patch_bits)
+    p = flow.selectExpr(
+        f"fx * {BASIN_K} + fy AS node",
+        f"CASE WHEN flow_dir = -1 THEN fx * {BASIN_K} + fy "
+        f"ELSE (fx + flow_dir % 3 - 1) * {BASIN_K} + (fy + flow_dir DIV 3 - 1) "
+        "END AS parent",
+    ).localCheckpoint(eager=True)
+    edges = p.where("parent != node").selectExpr(
+        "node AS child", "parent"
+    ).localCheckpoint(eager=True)
+    nodes = p.select("node")
+    ordd = nodes.withColumn("o", F.lit(1).cast("long"))
+    prev_total = -1
+    for _ in range(max_rounds):
+        oc = (
+            edges.join(ordd, edges.child == ordd.node)
+            .groupBy("parent", "o")
+            .agg(F.count("*").alias("c"))
+        )
+        top = oc.groupBy("parent").agg(
+            F.max(F.struct(F.col("o").alias("o"), F.col("c").alias("c")))
+            .alias("t")
+        )
+        ordd = (
+            nodes.join(top, nodes.node == top.parent, "left")
+            .selectExpr(
+                "node",
+                "CAST(CASE WHEN t IS NULL THEN 1 "
+                "WHEN t.c >= 2 THEN t.o + 1 ELSE t.o END AS BIGINT) AS o",
+            )
+            .localCheckpoint(eager=True)
+        )
+        total = ordd.agg(F.sum("o")).collect()[0][0]
+        if total == prev_total:
+            break
+        prev_total = total
+    else:
+        raise RuntimeError(
+            f"strahler_order did not converge in {max_rounds} rounds"
+        )
+    return ordd.selectExpr(
+        f"CAST(node DIV {BASIN_K} AS BIGINT) AS fx",
+        f"CAST(node % {BASIN_K} AS BIGINT) AS fy",
+        "CAST(o AS BIGINT) AS strahler",
+    )
+
+
+def oracle_strahler_sql(
+    fine_cte: str, res: int, patch_bits: int = 4, rounds: int = 8
+) -> str:
+    """DuckDB mirror: the same Jacobi rounds UNROLLED (the k_core device);
+    `rounds` must be >= the forest height at the checked scale (height 5
+    at the driver's sf0.01 slice — 8 leaves margin; past the fixpoint
+    every further round is a no-op, so over-unrolling is harmless)."""
+    parts = [f"""{oracle_flow_ctes(fine_cte, res, patch_bits)},
+par AS (
+  SELECT fx * {BASIN_K} + fy AS node,
+    CASE WHEN flow_dir = -1 THEN fx * {BASIN_K} + fy
+    ELSE (fx + flow_dir % 3 - 1) * {BASIN_K} + (fy + flow_dir // 3 - 1)
+    END AS parent
+  FROM flow
+),
+e AS (SELECT node AS child, parent FROM par WHERE parent != node),
+o0 AS (SELECT node, CAST(1 AS BIGINT) AS o FROM par)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+oc{i} AS (
+  SELECT e.parent, o.o, COUNT(*) AS c
+  FROM e JOIN o{i - 1} o ON o.node = e.child GROUP BY 1, 2
+),
+top{i} AS (
+  SELECT parent, o, c,
+    ROW_NUMBER() OVER (PARTITION BY parent ORDER BY o DESC, c DESC) AS rn
+  FROM oc{i}
+),
+o{i} AS (
+  SELECT p.node,
+    CAST(CASE WHEN t.o IS NULL THEN 1
+         WHEN t.c >= 2 THEN t.o + 1 ELSE t.o END AS BIGINT) AS o
+  FROM par p
+  LEFT JOIN (SELECT * FROM top{i} WHERE rn = 1) t ON t.parent = p.node
+)""")
+    parts.append(f"""
+SELECT CAST(node // {BASIN_K} AS BIGINT) AS fx,
+       CAST(node % {BASIN_K} AS BIGINT) AS fy,
+       o AS strahler
+FROM o{rounds}""")
+    return "".join(parts)

@@ -1877,3 +1877,72 @@ def test_stretch_lut_hand_case_and_mirror(spark, sf_dir):
         for r in em.q_stretch(spark, sf_dir).collect()
     }
     assert got2 == want and got2
+
+
+# ----------------------------------------------------------------- strahler
+
+
+def test_strahler_matches_recursive_mirror(spark, sf_dir):
+    """Recursive bottom-up Strahler over the brute-force D8 parent map —
+    the operator's Jacobi fixpoint must equal the textbook recursion, and
+    the distribution must be non-degenerate (some order >= 2)."""
+    import sys
+
+    import __spark_entry__ as em
+    from aira_spark.operators.terrain import strahler_order
+
+    filled = _fine_grid(spark, sf_dir)
+    parent = _brute_flow_parent(filled)
+    kids: dict = {}
+    for c, p in parent.items():
+        if p != c:
+            kids.setdefault(p, []).append(c)
+    sys.setrecursionlimit(100000)
+
+    def strahler(v):
+        if v not in kids:
+            return 1
+        os_ = sorted((strahler(c) for c in kids[v]), reverse=True)
+        return os_[0] + 1 if len(os_) > 1 and os_[1] == os_[0] else os_[0]
+
+    want = {v: strahler(v) for v in filled}
+    got = {
+        (r["fx"], r["fy"]): r["strahler"]
+        for r in strahler_order(
+            em._images(spark, sf_dir, modulo=8), em.CELL_RES, 4
+        ).collect()
+    }
+    assert got == want
+    assert max(got.values()) >= 2
+
+
+def test_strahler_hand_confluence(spark):
+    """Two order-1 tributaries meeting make order 2; a pass-through node
+    keeps its single child's order — driven through the same Jacobi loop
+    the operator runs, seeded from a literal parent table."""
+    from pyspark.sql import functions as F
+
+    # tree: leaves 1,2 -> 3 (confluence, order 2) -> 4 (pass-through, 2);
+    # leaf 5 -> 4 (order-1 side inflow does not bump 4's order)
+    p = spark.createDataFrame(
+        [(1, 3), (2, 3), (3, 4), (5, 4), (4, 4)], "node long, parent long"
+    )
+    edges = p.where("parent != node").selectExpr("node AS child", "parent")
+    nodes = p.select("node")
+    ordd = nodes.withColumn("o", F.lit(1).cast("long"))
+    for _ in range(4):
+        oc = (
+            edges.join(ordd, edges.child == ordd.node)
+            .groupBy("parent", "o").agg(F.count("*").alias("c"))
+        )
+        top = oc.groupBy("parent").agg(
+            F.max(F.struct(F.col("o").alias("o"), F.col("c").alias("c")))
+            .alias("t")
+        )
+        ordd = nodes.join(top, nodes.node == top.parent, "left").selectExpr(
+            "node",
+            "CAST(CASE WHEN t IS NULL THEN 1 "
+            "WHEN t.c >= 2 THEN t.o + 1 ELSE t.o END AS BIGINT) AS o",
+        ).localCheckpoint(eager=True)
+    got = {r["node"]: r["o"] for r in ordd.collect()}
+    assert got == {1: 1, 2: 1, 5: 1, 3: 2, 4: 2}
