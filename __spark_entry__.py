@@ -2523,6 +2523,45 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-prefix retrieval audit: recall@5 of the dim-16 embedding
+    PREFIX against the full-dim exact cosine top-5 (the MRL truncation
+    quality question — how much index can the short prefix carry); same
+    ids-only recall join as ann_recall, exact cosine both arms."""
+    from aira_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.expr(_QUANT)
+    )
+    short = emb.withColumn("embedding", F.expr("slice(embedding, 1, 16)"))
+
+    def topk(e: DataFrame) -> DataFrame:
+        queries = e.filter(F.col("vec_id") < 50).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+        )
+        return cosine_topk(e, queries, k=5).select("query_id", "neighbor_id")
+
+    exact, approx = topk(emb), topk(short)
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .selectExpr(
+            "CAST(query_id AS BIGINT) AS query_id",
+            "CAST(n_exact AS BIGINT) AS n_exact",
+            "CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit",
+            "CAST(COALESCE(n_hit, 0) * 1000000 AS BIGINT) DIV n_exact"
+            " AS recall_e6",
+        )
+    )
+
+
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 3-gram novelty over the dup-injected corpus — fraction of
     distinct word 3-grams appearing in no other doc, floor fixed point;
@@ -3236,6 +3275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "stretch": q_stretch,
         "strahler": q_strahler,
+        "mrl_recall": q_mrl_recall,
         "stream_stream_join": q_stream_stream_join,
     }
 
@@ -4442,6 +4482,43 @@ def _oracle_stay_points() -> str:
   FROM events
 )"""
     return oracle_stay_points_sql(pings)
+
+
+def _oracle_mrl_recall() -> str:
+    short = "list_slice(qv, 1, 16)"
+    return f"""
+WITH emb AS (SELECT vec_id, {_DUCK_QUANT} AS qv FROM embeddings),
+q AS (SELECT vec_id AS query_id, qv FROM emb WHERE vec_id < 50),
+d AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    {_duck_cos('e.qv', 'q.qv')} AS cos
+  FROM emb e CROSS JOIN q WHERE e.vec_id != q.query_id
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rn FROM d),
+exact AS (SELECT query_id, neighbor_id FROM r WHERE rn <= 5),
+sd AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    {_duck_cos(f'({short.replace("qv", "e.qv")})', f'({short.replace("qv", "q.qv")})')} AS cos
+  FROM emb e CROSS JOIN q WHERE e.vec_id != q.query_id
+),
+sr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS rn FROM sd),
+approx AS (SELECT query_id, neighbor_id FROM sr WHERE rn <= 5),
+hits AS (
+  SELECT e.query_id, COUNT(*) AS n_hit
+  FROM exact e JOIN approx a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY 1
+)
+SELECT CAST(g.query_id AS BIGINT) AS query_id,
+  CAST(g.n_exact AS BIGINT) AS n_exact,
+  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+  CAST(CAST(COALESCE(h.n_hit, 0) * 1000000 AS BIGINT) // g.n_exact
+       AS BIGINT) AS recall_e6
+FROM (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY 1) g
+LEFT JOIN hits h ON h.query_id = g.query_id
+"""
 
 
 def _oracle_strahler() -> str:
@@ -5985,6 +6062,7 @@ FROM docs GROUP BY 1
         "ann_recall": _oracle_ann_recall(),
         "stretch": _oracle_stretch(),
         "strahler": _oracle_strahler(),
+        "mrl_recall": _oracle_mrl_recall(),
         "stream_stream_join": _ORACLE_SSJOIN,
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),

