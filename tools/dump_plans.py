@@ -238,6 +238,14 @@ def main() -> None:
                            "map-side-combined agg; integer octant CASE"),
         ("ngram_novelty", "gram-keyed df agg + gram-keyed join back (the "
                           "tfidf exchange class); text never shuffles"),
+        ("stretch", "clip points + remap over the <=256-row histogram "
+                    "window; pixels never shuffle"),
+        ("strahler", "monotone Jacobi rounds: two narrow aggs per round "
+                     "over the checkpointed flow forest"),
+        ("ann_recall", "ids-only recall join of two operator outputs; "
+                       "broadcast query panel, corpus never shuffles"),
+        ("mrl_recall", "two exact-cosine arms over broadcast query panel; "
+                       "ids-only recall join"),
     ]
     qs = em.queries()
     lines = [
