@@ -3076,6 +3076,24 @@ def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor / Jaccard / preferential-attachment link prediction
+    over the kNN digraph (non-edges with >=2 shared neighbors) — wedge
+    self-join + anti-join, id-only exchanges, all-integer scores
+    (operators/linkpred.py:link_prediction)."""
+    from aira_spark.operators.linkpred import link_prediction
+    from aira_spark.operators.spatial import knn_join
+    from aira_spark.sources.vectors import points_table
+
+    pts = points_table(spark, sf_dir)
+    queries_df = pts.selectExpr("point_id AS query_id", "x", "y")
+    nn = knn_join(queries_df, pts, k=6, res=CELL_RES)
+    edges = nn.filter(F.col("neighbor_id") != F.col("query_id")).select(
+        F.col("query_id").alias("doc_a"), F.col("neighbor_id").alias("doc_b")
+    )
+    return link_prediction(edges, min_common=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FIRST-50 DISCIPLINE: the driver's CORRECTNESS report records only the
     # first 50 entries, so every NEW or previously-unrecorded query sits in
@@ -3277,6 +3295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strahler": q_strahler,
         "mrl_recall": q_mrl_recall,
         "stream_stream_join": q_stream_stream_join,
+        "link_pred": q_link_pred,
     }
 
 
@@ -4852,6 +4871,12 @@ def _oracle_triangles() -> str:
     return oracle_triangles_sql(_knn_edges_cte())
 
 
+def _oracle_link_pred() -> str:
+    from aira_spark.operators.linkpred import oracle_link_pred_sql
+
+    return oracle_link_pred_sql(_knn_edges_cte(), min_common=2)
+
+
 def _oracle_cms_join_size() -> str:
     from aira_spark.operators.sketch import oracle_cms_join_sql
 
@@ -6064,6 +6089,7 @@ FROM docs GROUP BY 1
         "strahler": _oracle_strahler(),
         "mrl_recall": _oracle_mrl_recall(),
         "stream_stream_join": _ORACLE_SSJOIN,
+        "link_pred": _oracle_link_pred(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),
