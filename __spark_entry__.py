@@ -3094,6 +3094,15 @@ def q_link_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction(edges, min_common=2)
 
 
+def q_dither(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered Bayer-4x4 dithering census — pointwise halftone binarization
+    inside the decode UDF; only 4 integers per image cross Arrow, zero
+    pre-agg exchanges (operators/dither.py:dither_census)."""
+    from aira_spark.operators.dither import dither_census
+
+    return dither_census(_images(spark, sf_dir, modulo=8))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FIRST-50 DISCIPLINE: the driver's CORRECTNESS report records only the
     # first 50 entries, so every NEW or previously-unrecorded query sits in
@@ -3296,6 +3305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mrl_recall": q_mrl_recall,
         "stream_stream_join": q_stream_stream_join,
         "link_pred": q_link_pred,
+        "dither": q_dither,
     }
 
 
@@ -4877,6 +4887,16 @@ def _oracle_link_pred() -> str:
     return oracle_link_pred_sql(_knn_edges_cte(), min_common=2)
 
 
+def _oracle_dither() -> str:
+    from aira_spark.operators.dither import oracle_dither_sql
+
+    px_cte = f"""{_IMG_CTE},
+sel AS (SELECT image_id, k, w, h FROM meta WHERE k % 8 = 0),
+rws AS (SELECT *, unnest(generate_series(0, h - 1)) AS r FROM sel),
+px AS (SELECT *, unnest(generate_series(0, w - 1)) AS c FROM rws)"""
+    return oracle_dither_sql(px_cte)
+
+
 def _oracle_cms_join_size() -> str:
     from aira_spark.operators.sketch import oracle_cms_join_sql
 
@@ -6090,6 +6110,7 @@ FROM docs GROUP BY 1
         "mrl_recall": _oracle_mrl_recall(),
         "stream_stream_join": _ORACLE_SSJOIN,
         "link_pred": _oracle_link_pred(),
+        "dither": _oracle_dither(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

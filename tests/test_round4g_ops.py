@@ -59,3 +59,52 @@ def test_link_pred_excludes_existing_edges(spark):
     for r in link_prediction(edges, min_common=1).collect():
         assert (r["u"], r["w"]) not in und
         assert r["u"] < r["w"]
+
+
+# ------------------------------------------------------------------ dither
+
+
+def test_dither_matches_formula_mirror(spark, sf_dir):
+    import numpy as np
+
+    import __spark_entry__ as em
+    from aira_spark.operators.dither import BAYER4, CHECK_MOD, dither_census
+
+    got = {
+        r["image_id"]: (r["n_px"], r["n_on"], r["checksum"])
+        for r in dither_census(_sf_images(spark, sf_dir)).collect()
+    }
+    S = em._S
+    assert got
+    for image_id, (n_px, n_on, chk) in got.items():
+        k = int(image_id[3:])
+        w, h = (16 + (k % 7) * 8) * S, (16 + (k % 5) * 8) * S
+        r = np.arange(h, dtype=np.int64)[:, None]
+        c = np.arange(w, dtype=np.int64)[None, :]
+        v = (r * 7 + c * 13 + k) % 256
+        on = v >= BAYER4[r % 4, c % 4] * 16 + 8
+        assert n_px == h * w
+        assert n_on == int(on.sum())
+        ri, ci = np.nonzero(on)
+        assert chk == int(((ri.astype(np.int64) * w + ci) % CHECK_MOD).sum())
+
+
+def test_dither_preserves_flat_intensity():
+    # a constant-v tile lights up exactly #(BAYER4*16+8 <= v) of every 16
+    import numpy as np
+
+    from aira_spark.operators.dither import BAYER4
+
+    for v in (0, 7, 8, 100, 247, 248, 255):
+        a = np.full((4, 4), v, dtype=np.int64)
+        on = a >= BAYER4 * 16 + 8
+        assert int(on.sum()) == int((BAYER4 * 16 + 8 <= v).sum())
+        # mid-rise rule: v=255 lights all 16, v=0 lights none
+    assert (np.full((4, 4), 255) >= BAYER4 * 16 + 8).all()
+    assert not (np.full((4, 4), 0) >= BAYER4 * 16 + 8).any()
+
+
+def _sf_images(spark, sf_dir):
+    import __spark_entry__ as em
+
+    return em._images(spark, sf_dir, modulo=8)
