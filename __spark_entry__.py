@@ -3103,6 +3103,17 @@ def q_dither(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dither_census(_images(spark, sf_dir, modulo=8))
 
 
+def q_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash encode + prefix census over the points table — pure integer
+    Column projection (codegen, zero Python), one map-side-combined hash
+    agg on the bounded 4-char-prefix key space
+    (operators/geohash.py:geohash_census)."""
+    from aira_spark.operators.geohash import geohash_census
+    from aira_spark.sources.vectors import points_table
+
+    return geohash_census(points_table(spark, sf_dir), prefix_chars=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FIRST-50 DISCIPLINE: the driver's CORRECTNESS report records only the
     # first 50 entries, so every NEW or previously-unrecorded query sits in
@@ -3306,6 +3317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stream_join": q_stream_stream_join,
         "link_pred": q_link_pred,
         "dither": q_dither,
+        "geohash": q_geohash,
     }
 
 
@@ -4887,6 +4899,13 @@ def _oracle_link_pred() -> str:
     return oracle_link_pred_sql(_knn_edges_cte(), min_common=2)
 
 
+def _oracle_geohash() -> str:
+    from aira_spark.operators.geohash import oracle_geohash_sql
+    from aira_spark.sources.vectors import points_oracle_sql
+
+    return oracle_geohash_sql(points_oracle_sql(), prefix_chars=4)
+
+
 def _oracle_dither() -> str:
     from aira_spark.operators.dither import oracle_dither_sql
 
@@ -6111,6 +6130,7 @@ FROM docs GROUP BY 1
         "stream_stream_join": _ORACLE_SSJOIN,
         "link_pred": _oracle_link_pred(),
         "dither": _oracle_dither(),
+        "geohash": _oracle_geohash(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

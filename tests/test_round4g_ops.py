@@ -108,3 +108,54 @@ def _sf_images(spark, sf_dir):
     import __spark_entry__ as em
 
     return em._images(spark, sf_dir, modulo=8)
+
+
+# ----------------------------------------------------------------- geohash
+
+
+def _ref_geohash(lon, lat, n_chars):
+    """Textbook interval-halving geohash encoder (Wikipedia algorithm)."""
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lo_x, hi_x, lo_y, hi_y = -180.0, 180.0, -90.0, 90.0
+    bits, out, even = 0, [], True
+    digit = 0
+    for i in range(n_chars * 5):
+        if even:
+            mid = (lo_x + hi_x) / 2
+            bit = 1 if lon >= mid else 0
+            lo_x, hi_x = (mid, hi_x) if bit else (lo_x, mid)
+        else:
+            mid = (lo_y + hi_y) / 2
+            bit = 1 if lat >= mid else 0
+            lo_y, hi_y = (mid, hi_y) if bit else (lo_y, mid)
+        even = not even
+        digit = (digit << 1) | bit
+        bits += 1
+        if bits == 5:
+            out.append(alphabet[digit])
+            bits, digit = 0, 0
+    return "".join(out)
+
+
+def test_geohash_matches_textbook_encoder(spark):
+    from aira_spark.operators.geohash import geohash_col
+
+    # the canonical worked example plus a grid of sign/zero cases
+    pts = [
+        (0, 10.40744, 57.64911),   # -> u4pruy (Wikipedia's u4pruyd at 7)
+        (1, -0.0001, 51.5),
+        (2, 0.0, 0.0),
+        (3, -179.9, -89.9),
+        (4, 179.9, 89.9),
+        (5, -77.009, 38.889),
+    ]
+    df = spark.createDataFrame(pts, "point_id long, x double, y double")
+    got = {
+        r["point_id"]: r["gh"]
+        for r in df.select(
+            "point_id", geohash_col("x", "y", 6).alias("gh")
+        ).collect()
+    }
+    assert got[0] == "u4pruy"
+    for pid, lon, lat in pts:
+        assert got[pid] == _ref_geohash(lon, lat, 6), (pid, got[pid])
