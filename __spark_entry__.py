@@ -3103,6 +3103,17 @@ def q_dither(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dither_census(_images(spark, sf_dir, modulo=8))
 
 
+def q_mosaic_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feathered mosaic: edge-distance-weighted floor-mean compositing per
+    fine subcell — order/partitioning independent by construction, exact
+    integer blend + denominator (operators/mosaic.py:mosaic_blend_values)."""
+    from aira_spark.operators.mosaic import mosaic_blend_values
+
+    return mosaic_blend_values(
+        _images(spark, sf_dir, modulo=8), CELL_RES, patch_bits=4
+    )
+
+
 def q_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geohash encode + prefix census over the points table — pure integer
     Column projection (codegen, zero Python), one map-side-combined hash
@@ -3318,6 +3329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pred": q_link_pred,
         "dither": q_dither,
         "geohash": q_geohash,
+        "mosaic_blend": q_mosaic_blend,
     }
 
 
@@ -4899,6 +4911,31 @@ def _oracle_link_pred() -> str:
     return oracle_link_pred_sql(_knn_edges_cte(), min_common=2)
 
 
+def _oracle_mosaic_blend() -> str:
+    nf = 1 << (CELL_RES + 4)
+    fix = f"CAST(LEAST(GREATEST(FLOOR((x - (-180.0)) / 360.0 * {float(nf)}), 0), {nf - 1}) AS BIGINT)"
+    fiy = f"CAST(LEAST(GREATEST(FLOOR((y - (-90.0)) / 180.0 * {float(nf)}), 0), {nf - 1}) AS BIGINT)"
+    return f"""
+WITH {_IMG_CTE},
+sel AS (SELECT * FROM meta WHERE k % 8 = 0),
+rws AS (SELECT *, unnest(generate_series(0, h - 1)) AS r FROM sel),
+pxs AS (SELECT *, unnest(generate_series(0, w - 1)) AS c FROM rws),
+vals AS (
+  SELECT (r * 7 + c * 13 + k) % 256 AS val,
+         1 + LEAST(r, c, h - 1 - r, w - 1 - c) AS wt,
+         cx + (CAST(c AS DOUBLE) + 0.5) * sx AS x,
+         (cy + h * sy) - (CAST(r AS DOUBLE) + 0.5) * sy AS y
+  FROM pxs
+),
+fine AS (SELECT val, wt, {fix} AS fx, {fiy} AS fy FROM vals)
+SELECT ({_PACK} + (fx // 16) * 536870912 + (fy // 16)) AS cell,
+  CAST(fy % 16 AS BIGINT) AS pr, CAST(fx % 16 AS BIGINT) AS pc,
+  CAST(SUM(wt * val) // SUM(wt) AS BIGINT) AS val,
+  CAST(SUM(wt) AS BIGINT) AS w_tot
+FROM fine GROUP BY 1, 2, 3
+"""
+
+
 def _oracle_geohash() -> str:
     from aira_spark.operators.geohash import oracle_geohash_sql
     from aira_spark.sources.vectors import points_oracle_sql
@@ -6131,6 +6168,7 @@ FROM docs GROUP BY 1
         "link_pred": _oracle_link_pred(),
         "dither": _oracle_dither(),
         "geohash": _oracle_geohash(),
+        "mosaic_blend": _oracle_mosaic_blend(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -113,3 +113,92 @@ def mosaic_patches(
         .groupBy("cell")
         .applyInPandas(assemble, schema=MOSAIC_SCHEMA)
     )
+
+
+def mosaic_blend_values(
+    images: DataFrame, res: int = DEFAULT_RES, patch_bits: int = 4
+) -> DataFrame:
+    """(cell, pr, pc, val, w_tot): FEATHERED mosaic — the seam-hiding
+    compositor every production mosaic service runs where max/last-wins
+    leaves visible edges. Each source pixel contributes with weight
+    w = 1 + min(r, c, h-1-r, w-1-c) (its L-inf distance to the nearest
+    image edge), and the blended value is the floor weighted mean
+
+        val = SUM(w * v) DIV SUM(w)
+
+    over every contributing pixel of every overlapping image. Sums are
+    commutative/associative, so the result is independent of image order
+    AND partitioning — the property that makes feathering safe as a plain
+    hash aggregation at any scale (no per-seam sequencing). Exact integer
+    end-to-end: weights and values are integers, the mean is floor
+    division, and w_tot ships so the oracle pins the denominator too.
+
+    Plan shape: identical to mosaic_cell_values — per-image partial
+    (wv, w) sums per fine cell inside the decode UDF (reduceat over the
+    shared cell grouping), Catalyst partial+final hash agg across images;
+    pixels never shuffle, only (cell, pr, pc, wv, w) integer rows.
+    Budget: wv <= 255 * (1 + max_dim/2) * px_per_cell — mid-int64 at any
+    realistic tile size."""
+    from ..functions.udfs import _decode_full, pixel_cell_groups
+    from ..tiff.meta import TiffError
+
+    fine_res = res + patch_bits
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.cells import np_cell_ix, np_cell_iy
+
+        for pdf in batches:
+            cols: dict[str, list[np.ndarray]] = {
+                "cell": [], "pr": [], "pc": [], "wv": [], "w": []
+            }
+            for rec in pdf.itertuples(index=False):
+                try:
+                    m, px = _decode_full(rec.bytes, max_bands=1)
+                except TiffError:
+                    continue
+                groups = pixel_cell_groups(m, px, fine_res)
+                if groups is None:
+                    continue
+                order, uniq, starts, ends = groups
+                h, w = px.shape[:2]
+                ri = np.arange(h, dtype=np.int64)[:, None]
+                ci = np.arange(w, dtype=np.int64)[None, :]
+                wt = 1 + np.minimum(
+                    np.minimum(ri, h - 1 - ri), np.minimum(ci, w - 1 - ci)
+                )
+                wts = np.broadcast_to(wt, (h, w)).ravel()[order]
+                vals = px[:, :, 0].astype(np.int64).ravel()[order]
+                wv = np.add.reduceat(wts * vals, starts)
+                ws = np.add.reduceat(wts, starts)
+                fx = np_cell_ix(uniq)
+                fy = np_cell_iy(uniq)
+                coarse_ix = fx >> patch_bits
+                coarse_iy = fy >> patch_bits
+                cols["cell"].append(
+                    (np.int64(res) << 58) + (coarse_ix << 29) + coarse_iy
+                )
+                cols["pr"].append((fy - (coarse_iy << patch_bits)).astype(np.int32))
+                cols["pc"].append((fx - (coarse_ix << patch_bits)).astype(np.int32))
+                cols["wv"].append(wv)
+                cols["w"].append(ws)
+            yield pd.DataFrame(
+                {
+                    k: (np.concatenate(v) if v else np.array([], dtype=np.int64))
+                    for k, v in cols.items()
+                }
+            )
+
+    partials = images.select("bytes").mapInPandas(
+        fn, schema="cell long, pr int, pc int, wv long, w long"
+    )
+    return (
+        partials.groupBy("cell", "pr", "pc")
+        .agg(F.sum("wv").alias("wv"), F.sum("w").alias("w_tot"))
+        .selectExpr(
+            "CAST(cell AS BIGINT) AS cell",
+            "CAST(pr AS BIGINT) AS pr",
+            "CAST(pc AS BIGINT) AS pc",
+            "wv DIV w_tot AS val",
+            "CAST(w_tot AS BIGINT) AS w_tot",
+        )
+    )

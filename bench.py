@@ -270,6 +270,7 @@ def main() -> None:
         "link_pred": lambda: em.q_link_pred(spark, sf_dir).count(),
         "dither": lambda: em.q_dither(spark, sf_dir).count(),
         "geohash": lambda: em.q_geohash(spark, sf_dir).count(),
+        "mosaic_blend": lambda: em.q_mosaic_blend(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

@@ -159,3 +159,45 @@ def test_geohash_matches_textbook_encoder(spark):
     assert got[0] == "u4pruy"
     for pid, lon, lat in pts:
         assert got[pid] == _ref_geohash(lon, lat, 6), (pid, got[pid])
+
+
+# ------------------------------------------------------------ mosaic_blend
+
+
+def test_mosaic_blend_order_independent_and_bounded(spark, sf_dir):
+    from aira_spark.operators.mosaic import mosaic_blend_values
+
+    import __spark_entry__ as em
+
+    imgs = _sf_images(spark, sf_dir)
+    out = mosaic_blend_values(imgs, em.CELL_RES, 4)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["val"] <= 255          # weighted mean of 0..255
+        assert r["w_tot"] >= 1
+        assert 0 <= r["pr"] < 16 and 0 <= r["pc"] < 16
+    # partition-count independence (the order/associativity property):
+    # same result when partials arrive through a different partitioning
+    again = {
+        (r["cell"], r["pr"], r["pc"]): (r["val"], r["w_tot"])
+        for r in mosaic_blend_values(
+            imgs.repartition(7), em.CELL_RES, 4
+        ).collect()
+    }
+    assert {
+        (r["cell"], r["pr"], r["pc"]): (r["val"], r["w_tot"]) for r in rows
+    } == again
+
+
+def test_mosaic_blend_weights_feather_edges():
+    # the weight field itself: corners weight 1, center maximal
+    import numpy as np
+
+    h, w = 8, 12
+    ri = np.arange(h)[:, None]
+    ci = np.arange(w)[None, :]
+    wt = 1 + np.minimum(np.minimum(ri, h - 1 - ri), np.minimum(ci, w - 1 - ci))
+    assert wt[0, 0] == wt[0, -1] == wt[-1, 0] == wt[-1, -1] == 1
+    assert wt.max() == 1 + (min(h, w) - 1) // 2
+    assert (wt[0, :] == 1).all() and (wt[:, 0] == 1).all()
