@@ -3103,6 +3103,15 @@ def q_dither(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dither_census(_images(spark, sf_dir, modulo=8))
 
 
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly LOCF gap fill per user (hypertable resample primitive) —
+    entity-keyed windows + per-user sequence explode, integer cents
+    (operators/gapfill.py:gap_fill_hourly)."""
+    from aira_spark.operators.gapfill import gap_fill_hourly
+
+    return gap_fill_hourly(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_mosaic_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feathered mosaic: edge-distance-weighted floor-mean compositing per
     fine subcell — order/partitioning independent by construction, exact
@@ -3330,6 +3339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dither": q_dither,
         "geohash": q_geohash,
         "mosaic_blend": q_mosaic_blend,
+        "gap_fill": q_gap_fill,
     }
 
 
@@ -4911,6 +4921,12 @@ def _oracle_link_pred() -> str:
     return oracle_link_pred_sql(_knn_edges_cte(), min_common=2)
 
 
+def _oracle_gap_fill() -> str:
+    from aira_spark.operators.gapfill import oracle_gap_fill_sql
+
+    return oracle_gap_fill_sql("SELECT * FROM events")
+
+
 def _oracle_mosaic_blend() -> str:
     nf = 1 << (CELL_RES + 4)
     fix = f"CAST(LEAST(GREATEST(FLOOR((x - (-180.0)) / 360.0 * {float(nf)}), 0), {nf - 1}) AS BIGINT)"
@@ -6169,6 +6185,7 @@ FROM docs GROUP BY 1
         "dither": _oracle_dither(),
         "geohash": _oracle_geohash(),
         "mosaic_blend": _oracle_mosaic_blend(),
+        "gap_fill": _oracle_gap_fill(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

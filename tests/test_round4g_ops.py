@@ -201,3 +201,61 @@ def test_mosaic_blend_weights_feather_edges():
     assert wt[0, 0] == wt[0, -1] == wt[-1, 0] == wt[-1, -1] == 1
     assert wt.max() == 1 + (min(h, w) - 1) // 2
     assert (wt[0, :] == 1).all() and (wt[:, 0] == 1).all()
+
+
+# ---------------------------------------------------------------- gap_fill
+
+
+def test_gap_fill_locf_hand_case(spark):
+    from datetime import datetime
+
+    from aira_spark.operators.gapfill import gap_fill_hourly
+
+    rows = [
+        # user 1: events at hours 0, 3 (two in-bucket, later wins), gap 1-2
+        (0, datetime(2024, 1, 1, 0, 15), 1, "view", 1.00, ""),
+        (1, datetime(2024, 1, 1, 3, 5), 1, "view", 2.00, ""),
+        (2, datetime(2024, 1, 1, 3, 45), 1, "view", 3.50, ""),
+        # user 2: single event -> single bucket, nothing filled
+        (3, datetime(2024, 1, 2, 7, 0), 2, "click", 9.99, ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        (r["user_id"], r["hour"]): (r["v_cents"], r["filled"])
+        for r in gap_fill_hourly(df).collect()
+    }
+    assert got == {
+        (1, "2024-01-01 00:00:00"): (100, 0),
+        (1, "2024-01-01 01:00:00"): (100, 1),
+        (1, "2024-01-01 02:00:00"): (100, 1),
+        (1, "2024-01-01 03:00:00"): (350, 0),  # last event in bucket wins
+        (2, "2024-01-02 07:00:00"): (999, 0),
+    }
+
+
+def test_gap_fill_never_null_and_dense(spark, sf_dir):
+    from aira_spark.operators.gapfill import gap_fill_hourly
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = gap_fill_hourly(ev)
+    assert out.where("v_cents IS NULL").count() == 0
+    # dense: per-user row count == span hours + 1
+    import pyspark.sql.functions as F
+
+    spans = ev.groupBy("user_id").agg(
+        (
+            (
+                F.unix_timestamp(F.date_trunc("hour", F.max("ts")))
+                - F.unix_timestamp(F.date_trunc("hour", F.min("ts")))
+            )
+            / 3600
+            + 1
+        ).cast("long").alias("want")
+    )
+    cnt = out.groupBy("user_id").agg(F.count("*").alias("got"))
+    bad = spans.join(cnt, "user_id").where("want != got").count()
+    assert bad == 0
