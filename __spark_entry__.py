@@ -3103,6 +3103,19 @@ def q_dither(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dither_census(_images(spark, sf_dir, modulo=8))
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction census (emails/phones/IPv4 counted + masked length)
+    — JVM regex in the scan stage, engine-agreeing pattern subset,
+    deterministic marker injection (operators/pii.py:pii_scrub)."""
+    from aira_spark.operators.pii import pii_scrub
+
+    return pii_scrub(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+    )
+
+
 def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly LOCF gap fill per user (hypertable resample primitive) —
     entity-keyed windows + per-user sequence explode, integer cents
@@ -3340,6 +3353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash": q_geohash,
         "mosaic_blend": q_mosaic_blend,
         "gap_fill": q_gap_fill,
+        "pii_scrub": q_pii_scrub,
     }
 
 
@@ -4921,6 +4935,12 @@ def _oracle_link_pred() -> str:
     return oracle_link_pred_sql(_knn_edges_cte(), min_common=2)
 
 
+def _oracle_pii_scrub() -> str:
+    from aira_spark.operators.pii import oracle_pii_sql
+
+    return oracle_pii_sql("SELECT doc_id, text FROM documents")
+
+
 def _oracle_gap_fill() -> str:
     from aira_spark.operators.gapfill import oracle_gap_fill_sql
 
@@ -6186,6 +6206,7 @@ FROM docs GROUP BY 1
         "geohash": _oracle_geohash(),
         "mosaic_blend": _oracle_mosaic_blend(),
         "gap_fill": _oracle_gap_fill(),
+        "pii_scrub": _oracle_pii_scrub(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -259,3 +259,55 @@ def test_gap_fill_never_null_and_dense(spark, sf_dir):
     cnt = out.groupBy("user_id").agg(F.count("*").alias("got"))
     bad = spans.join(cnt, "user_id").where("want != got").count()
     assert bad == 0
+
+
+# --------------------------------------------------------------- pii_scrub
+
+
+def test_pii_scrub_hand_cases(spark):
+    from aira_spark.operators.pii import pii_scrub
+
+    rows = [
+        # doc_id 1: no injection (1 % 5,7,11 != 0), organic email + ip
+        (1, "mail a.b-c_d@foo-bar.org and 192.168.1.1 now"),
+        # doc_id 5: email injected
+        (5, "plain"),
+        # doc_id 7: phone injected
+        (7, "plain"),
+        # doc_id 11: ip injected
+        (11, "plain"),
+        # doc_id 35: %5 wins over %7 (CASE order)
+        (35, "plain"),
+        # doc_id 13: nothing
+        (13, "nothing here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_email"], r["n_phone"], r["n_ip"],
+            r["masked_len"] - r["raw_len"],
+        )
+        for r in pii_scrub(df).collect()
+    }
+    assert got[1][:3] == (1, 0, 1)
+    # masked delta: '<EMAIL>'(7) - len('a.b-c_d@foo-bar.org')(19) and
+    # '<IP>'(4) - len('192.168.1.1')(11) = -12 - 7 = -19
+    assert got[1][3] == (7 - 19) + (4 - 11)
+    assert got[5][:3] == (1, 0, 0)
+    assert got[7][:3] == (0, 1, 0)
+    assert got[11][:3] == (0, 0, 1)
+    assert got[35][:3] == (1, 0, 0)   # CASE order: email branch first
+    assert got[13] == (0, 0, 0, 0)
+
+
+def test_pii_scrub_masks_all_occurrences(spark):
+    from aira_spark.operators.pii import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "a@b.co x a@b.co y 1.2.3.4 z 5.6.7.8")],
+        "doc_id long, text string",
+    )
+    r = pii_scrub(df).collect()[0]
+    assert r["n_email"] == 2 and r["n_ip"] == 2
+    # every occurrence replaced: 2*(7-6) + 2*(4-7)
+    assert r["masked_len"] - r["raw_len"] == 2 * (7 - 6) + 2 * (4 - 7)
