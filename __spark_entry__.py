@@ -3103,6 +3103,21 @@ def q_dither(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dither_census(_images(spark, sf_dir, modulo=8))
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (> n/20) over a Zipf-skewed integer stream
+    derived from lineitem — per-batch Misra-Gries candidates, broadcast
+    exact recount, no tail groupBy
+    (operators/heavyhitters.py:heavy_hitters)."""
+    from aira_spark.operators.heavyhitters import heavy_hitters
+
+    items = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+        # integer Zipf-2: value j <- 1000 DIV (1 + u) over uniform u has
+        # frequency ~ 1/j^2 — deterministic skew, no floats
+        "CAST(1000 DIV (1 + (l_orderkey % 1000)) AS BIGINT) AS item"
+    )
+    return heavy_hitters(items, k=20)
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction census (emails/phones/IPv4 counted + masked length)
     — JVM regex in the scan stage, engine-agreeing pattern subset,
@@ -3354,6 +3369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mosaic_blend": q_mosaic_blend,
         "gap_fill": q_gap_fill,
         "pii_scrub": q_pii_scrub,
+        "heavy_hitters": q_heavy_hitters,
     }
 
 
@@ -4935,6 +4951,16 @@ def _oracle_link_pred() -> str:
     return oracle_link_pred_sql(_knn_edges_cte(), min_common=2)
 
 
+def _oracle_heavy_hitters() -> str:
+    from aira_spark.operators.heavyhitters import oracle_heavy_hitters_sql
+
+    return oracle_heavy_hitters_sql(
+        "SELECT CAST(1000 // (1 + (l_orderkey % 1000)) AS BIGINT) AS item"
+        " FROM lineitem",
+        k=20,
+    )
+
+
 def _oracle_pii_scrub() -> str:
     from aira_spark.operators.pii import oracle_pii_sql
 
@@ -6207,6 +6233,7 @@ FROM docs GROUP BY 1
         "mosaic_blend": _oracle_mosaic_blend(),
         "gap_fill": _oracle_gap_fill(),
         "pii_scrub": _oracle_pii_scrub(),
+        "heavy_hitters": _oracle_heavy_hitters(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

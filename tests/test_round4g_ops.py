@@ -311,3 +311,39 @@ def test_pii_scrub_masks_all_occurrences(spark):
     assert r["n_email"] == 2 and r["n_ip"] == 2
     # every occurrence replaced: 2*(7-6) + 2*(4-7)
     assert r["masked_len"] - r["raw_len"] == 2 * (7 - 6) + 2 * (4 - 7)
+
+
+# ------------------------------------------------------------ heavy_hitters
+
+
+def test_heavy_hitters_exact_and_partition_invariant(spark):
+    from collections import Counter
+
+    from aira_spark.operators.heavyhitters import heavy_hitters
+
+    # 3 heavy keys + long tail; n = 1000
+    vals = [7] * 300 + [13] * 120 + [99] * 80 + list(range(1000, 1500))
+    n, k = len(vals), 10
+    truth = {
+        (v, c, n) for v, c in Counter(vals).items() if c * k > n
+    }
+    df = spark.createDataFrame([(v,) for v in vals], "item long")
+    for parts in (1, 13):
+        got = {
+            (r["item"], r["cnt"], r["n_total"])
+            for r in heavy_hitters(df.repartition(parts), k=k).collect()
+        }
+        assert got == truth, parts
+
+
+def test_heavy_hitters_threshold_is_strict(spark):
+    from aira_spark.operators.heavyhitters import heavy_hitters
+
+    # item at exactly n/k must NOT emit (strict >)
+    vals = [1] * 10 + list(range(100, 190))  # n=100, k=10 -> need cnt > 10
+    df = spark.createDataFrame([(v,) for v in vals], "item long")
+    assert heavy_hitters(df, k=10).count() == 0
+    vals.append(1)  # cnt=11 > 10.1? n=101 -> 11*10=110 > 101 ✓
+    df2 = spark.createDataFrame([(v,) for v in vals], "item long")
+    rows = heavy_hitters(df2, k=10).collect()
+    assert [(r["item"], r["cnt"]) for r in rows] == [(1, 11)]
