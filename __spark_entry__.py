@@ -3103,6 +3103,15 @@ def q_dither(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dither_census(_images(spark, sf_dir, modulo=8))
 
 
+def q_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact time-weighted average under LOCF step semantics per user
+    (TimescaleDB time_weight parity) — one entity-keyed exchange, integer
+    cents x microseconds (operators/gapfill.py:twa_locf)."""
+    from aira_spark.operators.gapfill import twa_locf
+
+    return twa_locf(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters (> n/20) over a Zipf-skewed integer stream
     derived from lineitem — per-batch Misra-Gries candidates, broadcast
@@ -3370,6 +3379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill": q_gap_fill,
         "pii_scrub": q_pii_scrub,
         "heavy_hitters": q_heavy_hitters,
+        "twa": q_twa,
     }
 
 
@@ -4951,6 +4961,12 @@ def _oracle_link_pred() -> str:
     return oracle_link_pred_sql(_knn_edges_cte(), min_common=2)
 
 
+def _oracle_twa() -> str:
+    from aira_spark.operators.gapfill import oracle_twa_sql
+
+    return oracle_twa_sql("SELECT * FROM events")
+
+
 def _oracle_heavy_hitters() -> str:
     from aira_spark.operators.heavyhitters import oracle_heavy_hitters_sql
 
@@ -6234,6 +6250,7 @@ FROM docs GROUP BY 1
         "gap_fill": _oracle_gap_fill(),
         "pii_scrub": _oracle_pii_scrub(),
         "heavy_hitters": _oracle_heavy_hitters(),
+        "twa": _oracle_twa(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

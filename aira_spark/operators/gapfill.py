@@ -100,3 +100,102 @@ SELECT CAST(g.user_id AS BIGINT) AS user_id,
   CAST(CASE WHEN l.v_cents IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled
 FROM grid g LEFT JOIN lastb l ON l.user_id = g.user_id AND l.hr = g.hr
 """
+
+
+def twa_locf(events: DataFrame) -> DataFrame:
+    """(user_id, n_segs, span_us, num_cents_us, twa_cents): exact
+    time-weighted average under LOCF step semantics — TimescaleDB
+    `time_weight('locf')` parity. The value stream is the step function
+    that holds each observation until the next one; the TWA over the
+    user's span [first_ts, last_ts] is
+
+        sum(v_i * (t_{i+1} - t_i)) / (t_last - t_first)
+
+    in integer cents x microseconds, floor-divided at the end — exact
+    integers end-to-end (numerator <= max_cents * span_us, mid-int64 for
+    multi-year spans at cent precision).
+
+    Duplicate timestamps collapse to the (ts, event_id)-last observation
+    first, so the step function — and therefore the TWA — is a total
+    function of the event SET, independent of partitioning.
+
+    Scale shape: one entity-keyed exchange; dedup window, LEAD, and the
+    final agg are all user-local single sorted passes (Catalyst stacks
+    them into one sort)."""
+    ev = events.selectExpr(
+        "user_id",
+        # parquet arrives NTZ; unix_micros needs TIMESTAMP — any fixed
+        # session-tz offset cancels in the duration differences
+        "CAST(ts AS TIMESTAMP) AS ts",
+        "event_id",
+        "CAST(FLOOR(value * 100.0) AS BIGINT) AS v_cents",
+    )
+    from pyspark.sql import Window
+
+    last_at_ts = (
+        ev.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts").orderBy(
+                    F.col("event_id").desc()
+                )
+            ),
+        )
+        .where("rn = 1")
+        .select("user_id", "ts", "v_cents")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    seg = last_at_ts.select(
+        "user_id",
+        "v_cents",
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+        ).alias("dur_us"),
+    ).where("dur_us IS NOT NULL")
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_segs"),
+            F.sum("dur_us").cast("long").alias("span_us"),
+            F.sum(F.col("v_cents") * F.col("dur_us"))
+            .cast("long")
+            .alias("num_cents_us"),
+        )
+        .selectExpr(
+            "CAST(user_id AS BIGINT) AS user_id",
+            "n_segs",
+            "span_us",
+            "num_cents_us",
+            "num_cents_us DIV span_us AS twa_cents",
+        )
+    )
+
+
+def oracle_twa_sql(events_sql: str) -> str:
+    """DuckDB mirror: same dedup + LEAD + integer fold."""
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         CAST(FLOOR(value * 100.0) AS BIGINT) AS v_cents
+  FROM ({events_sql})
+),
+dd AS (
+  SELECT user_id, ts, v_cents FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn FROM ev)
+  WHERE rn = 1
+),
+seg AS (
+  SELECT user_id, v_cents,
+    epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts))
+      - epoch_us(ts) AS dur_us
+  FROM dd
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_segs,
+  CAST(SUM(dur_us) AS BIGINT) AS span_us,
+  CAST(SUM(v_cents * dur_us) AS BIGINT) AS num_cents_us,
+  CAST(CAST(SUM(v_cents * dur_us) AS BIGINT)
+       // CAST(SUM(dur_us) AS BIGINT) AS BIGINT) AS twa_cents
+FROM seg WHERE dur_us IS NOT NULL GROUP BY 1
+"""

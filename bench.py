@@ -274,6 +274,7 @@ def main() -> None:
         "gap_fill": lambda: em.q_gap_fill(spark, sf_dir).count(),
         "pii_scrub": lambda: em.q_pii_scrub(spark, sf_dir).count(),
         "heavy_hitters": lambda: em.q_heavy_hitters(spark, sf_dir).count(),
+        "twa": lambda: em.q_twa(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

@@ -347,3 +347,45 @@ def test_heavy_hitters_threshold_is_strict(spark):
     df2 = spark.createDataFrame([(v,) for v in vals], "item long")
     rows = heavy_hitters(df2, k=10).collect()
     assert [(r["item"], r["cnt"]) for r in rows] == [(1, 11)]
+
+
+# --------------------------------------------------------------------- twa
+
+
+def test_twa_hand_case(spark):
+    from datetime import datetime
+
+    from aira_spark.operators.gapfill import twa_locf
+
+    rows = [
+        # user 1: 1.00 for 2h, then 3.00 for 1h -> twa = (100*2 + 300*1)/3
+        (0, datetime(2024, 1, 1, 0, 0), 1, "a", 1.00, ""),
+        (1, datetime(2024, 1, 1, 2, 0), 1, "a", 3.00, ""),
+        (2, datetime(2024, 1, 1, 3, 0), 1, "a", 9.99, ""),  # closes span
+        # user 2: duplicate ts -> (ts, event_id)-last (4.00) wins
+        (3, datetime(2024, 1, 2, 0, 0), 2, "a", 2.00, ""),
+        (4, datetime(2024, 1, 2, 0, 0), 2, "a", 4.00, ""),
+        (5, datetime(2024, 1, 2, 1, 0), 2, "a", 8.00, ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        r["user_id"]: (r["n_segs"], r["span_us"], r["twa_cents"])
+        for r in twa_locf(df).collect()
+    }
+    h = 3_600_000_000
+    assert got[1] == (2, 3 * h, (100 * 2 * h + 300 * h) // (3 * h))
+    assert got[1][2] == 166
+    assert got[2] == (1, h, 400)
+
+
+def test_twa_partition_invariant(spark, sf_dir):
+    from aira_spark.operators.gapfill import twa_locf
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = {tuple(r) for r in twa_locf(ev).collect()}
+    b = {tuple(r) for r in twa_locf(ev.repartition(13)).collect()}
+    assert a == b and a
