@@ -246,6 +246,21 @@ def main() -> None:
                        "broadcast query panel, corpus never shuffles"),
         ("mrl_recall", "two exact-cosine arms over broadcast query panel; "
                        "ids-only recall join"),
+        ("link_pred", "wedge self-join keyed on the shared neighbor over the "
+                      "checkpointed edge set; left_anti vs edges; id-only "
+                      "exchanges"),
+        ("dither", "pointwise halftone inside the decode UDF; 4 integers "
+                   "per image, zero pre-agg exchanges"),
+        ("geohash", "pure integer codegen projection; one map-side-combined "
+                    "agg on the bounded prefix key space"),
+        ("mosaic_blend", "per-image reduceat partials in the decode UDF; "
+                         "partial+final hash agg; pixels never shuffle"),
+        ("gap_fill", "one entity-keyed exchange feeds bucket argmax AND the "
+                     "LOCF window; grid explode is a generator, not a "
+                     "shuffle"),
+        ("pii_scrub", "JVM regex in the scan stage; zero exchanges"),
+        ("heavy_hitters", "per-batch candidates then broadcast recount; the "
+                          "tail never shuffles"),
     ]
     qs = em.queries()
     lines = [
