@@ -3103,6 +3103,19 @@ def q_dither(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dither_census(_images(spark, sf_dir, modulo=8))
 
 
+def q_rgb_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BT.601 integer grayscale census over the 3-band images (chunky RGB
+    + the planar 3-plane variant) — pointwise map inside the decode UDF,
+    5 integers per image, zero pre-agg exchanges
+    (operators/luma.py:luma_census)."""
+    from aira_spark.operators.luma import luma_census
+
+    imgs = _images(spark, sf_dir).filter(
+        F.expr("CAST(substr(image_id, 4) AS BIGINT) % 12 IN (1, 2, 4, 10)")
+    )
+    return luma_census(imgs)
+
+
 def q_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact time-weighted average under LOCF step semantics per user
     (TimescaleDB time_weight parity) — one entity-keyed exchange, integer
@@ -3380,6 +3393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "heavy_hitters": q_heavy_hitters,
         "twa": q_twa,
+        "rgb_luma": q_rgb_luma,
     }
 
 
@@ -4961,6 +4975,16 @@ def _oracle_link_pred() -> str:
     return oracle_link_pred_sql(_knn_edges_cte(), min_common=2)
 
 
+def _oracle_rgb_luma() -> str:
+    from aira_spark.operators.luma import oracle_luma_sql
+
+    px3_cte = f"""{_IMG_CTE},
+sel AS (SELECT image_id, k, w, h FROM meta WHERE v IN (1, 2, 4, 10)),
+rws AS (SELECT *, unnest(generate_series(0, h - 1)) AS r FROM sel),
+px AS (SELECT *, unnest(generate_series(0, w - 1)) AS c FROM rws)"""
+    return oracle_luma_sql(px3_cte)
+
+
 def _oracle_twa() -> str:
     from aira_spark.operators.gapfill import oracle_twa_sql
 
@@ -6251,6 +6275,7 @@ FROM docs GROUP BY 1
         "pii_scrub": _oracle_pii_scrub(),
         "heavy_hitters": _oracle_heavy_hitters(),
         "twa": _oracle_twa(),
+        "rgb_luma": _oracle_rgb_luma(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -275,6 +275,7 @@ def main() -> None:
         "pii_scrub": lambda: em.q_pii_scrub(spark, sf_dir).count(),
         "heavy_hitters": lambda: em.q_heavy_hitters(spark, sf_dir).count(),
         "twa": lambda: em.q_twa(spark, sf_dir).count(),
+        "rgb_luma": lambda: em.q_rgb_luma(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

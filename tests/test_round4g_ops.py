@@ -389,3 +389,45 @@ def test_twa_partition_invariant(spark, sf_dir):
     a = {tuple(r) for r in twa_locf(ev).collect()}
     b = {tuple(r) for r in twa_locf(ev.repartition(13)).collect()}
     assert a == b and a
+
+
+# ---------------------------------------------------------------- rgb_luma
+
+
+def test_rgb_luma_matches_formula_mirror(spark, sf_dir):
+    import numpy as np
+
+    import __spark_entry__ as em
+    from aira_spark.operators.luma import CHECK_MOD, WB, WG, WR, luma_census
+
+    imgs = em._images(spark, sf_dir).filter(
+        "CAST(substr(image_id, 4) AS BIGINT) % 12 IN (1, 2, 4, 10)"
+    )
+    got = {
+        r["image_id"]: (r["n_px"], r["sum_y"], r["min_y"], r["max_y"],
+                        r["checksum"])
+        for r in luma_census(imgs).collect()
+    }
+    assert got
+    S = em._S
+    planar_seen = False
+    for image_id, vals in got.items():
+        k = int(image_id[3:])
+        planar_seen = planar_seen or (k % 12 == 10)
+        w, h = (16 + (k % 7) * 8) * S, (16 + (k % 5) * 8) * S
+        r = np.arange(h, dtype=np.int64)[:, None]
+        c = np.arange(w, dtype=np.int64)[None, :]
+        bands = [(r * 7 + c * 13 + s * 29 + k) % 256 for s in range(3)]
+        y = (WR * bands[0] + WG * bands[1] + WB * bands[2]) // 1000
+        ri, ci = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        chk = int((y * ((ri * w + ci) % CHECK_MOD)).sum())
+        assert vals == (h * w, int(y.sum()), int(y.min()), int(y.max()), chk)
+    assert planar_seen  # the planar 3-plane variant is exercised too
+
+
+def test_rgb_luma_range():
+    # weights sum to 1000 -> Y in [0, 255] for any byte RGB
+    from aira_spark.operators.luma import WB, WG, WR
+
+    assert WR + WG + WB == 1000
+    assert (WR * 255 + WG * 255 + WB * 255) // 1000 == 255
