@@ -3103,6 +3103,25 @@ def q_dither(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dither_census(_images(spark, sf_dir, modulo=8))
 
 
+def q_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold all-pairs set-cosine join (τ=0.95) over the dup-augmented
+    corpus — lossless PPJoin prefix filtering, rare-term candidate join,
+    exact integer predicate (operators/allpairs.py:allpairs_cosine).
+
+    SPARK_GRAFT_ALLPAIRS_MOD thins docs for BENCH runs only (the tiny
+    synthetic vocabulary makes every term hot, so candidates grow near-
+    quadratically in corpus size — real corpora have Zipf tails that the
+    df-ascending prefix exploits); oracle/pytest leave it unset, so
+    correctness always checks the full corpus."""
+    from aira_spark.operators.allpairs import allpairs_cosine
+
+    mod = int(os.environ.get("SPARK_GRAFT_ALLPAIRS_MOD", "1"))
+    docs = _docs_with_dups(spark, sf_dir).select("doc_id", "text")
+    if mod > 1:
+        docs = docs.where(f"doc_id % {mod} = 0")
+    return allpairs_cosine(docs)
+
+
 def q_rgb_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BT.601 integer grayscale census over the 3-band images (chunky RGB
     + the planar 3-plane variant) — pointwise map inside the decode UDF,
@@ -3394,6 +3413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "twa": q_twa,
         "rgb_luma": q_rgb_luma,
+        "allpairs_cosine": q_allpairs_cosine,
     }
 
 
@@ -4975,6 +4995,12 @@ def _oracle_link_pred() -> str:
     return oracle_link_pred_sql(_knn_edges_cte(), min_common=2)
 
 
+def _oracle_allpairs_cosine() -> str:
+    from aira_spark.operators.allpairs import oracle_allpairs_sql
+
+    return oracle_allpairs_sql(_DUP_CTE.strip().lstrip())
+
+
 def _oracle_rgb_luma() -> str:
     from aira_spark.operators.luma import oracle_luma_sql
 
@@ -6276,6 +6302,7 @@ FROM docs GROUP BY 1
         "heavy_hitters": _oracle_heavy_hitters(),
         "twa": _oracle_twa(),
         "rgb_luma": _oracle_rgb_luma(),
+        "allpairs_cosine": _oracle_allpairs_cosine(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -276,6 +276,7 @@ def main() -> None:
         "heavy_hitters": lambda: em.q_heavy_hitters(spark, sf_dir).count(),
         "twa": lambda: em.q_twa(spark, sf_dir).count(),
         "rgb_luma": lambda: em.q_rgb_luma(spark, sf_dir).count(),
+        "allpairs_cosine": lambda: em.q_allpairs_cosine(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline
@@ -295,6 +296,7 @@ def main() -> None:
     # bench thins to every 60th user (oracle/pytest stay at mod 15)
     os.environ.setdefault("SPARK_GRAFT_SEG_MOD", "60")
     os.environ.setdefault("SPARK_GRAFT_HAUS_MOD", "5")
+    os.environ.setdefault("SPARK_GRAFT_ALLPAIRS_MOD", "3")
     os.environ.setdefault("SPARK_GRAFT_KCORE_ROUNDS", "5")
     os.environ.setdefault("SPARK_GRAFT_STREAM_BATCHES", "2")
     for name, fn in selected.items():

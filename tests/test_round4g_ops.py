@@ -431,3 +431,70 @@ def test_rgb_luma_range():
 
     assert WR + WG + WB == 1000
     assert (WR * 255 + WG * 255 + WB * 255) // 1000 == 255
+
+
+# --------------------------------------------------------- allpairs_cosine
+
+
+def test_allpairs_prefix_filter_is_lossless(spark):
+    """Spark prefix-filtered output == brute-force python over a corpus
+    engineered with near-identical and disjoint sets."""
+    import itertools
+    import math
+
+    from aira_spark.operators.allpairs import TAU_DEN, TAU_NUM, allpairs_cosine
+
+    docs = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e f g h i j"),            # exact dup of 1
+        (3, "a b c d e f g h i k"),            # 9/10 overlap
+        (4, "z y x w v u t s r q"),            # disjoint
+        (5, "a b c"),                          # small subset
+        (6, "a b c d e f g h i j k l m n o p"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sets = {d: set(t.split(" ")) for d, t in docs}
+    want = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        t = len(sets[a] & sets[b])
+        na, nb = len(sets[a]), len(sets[b])
+        if t * t * 1_000_000 // (na * nb) >= (
+            TAU_NUM * TAU_NUM * 1_000_000
+        ) // (TAU_DEN * TAU_DEN):
+            want.add((a, b, t, na, nb))
+            assert t / math.sqrt(na * nb) >= TAU_NUM / TAU_DEN - 1e-9
+    got = {
+        (r["doc_a"], r["doc_b"], r["overlap"], r["na"], r["nb"])
+        for r in allpairs_cosine(df).collect()
+    }
+    assert got == want
+    assert (1, 2, 10, 10, 10) in got            # the exact dup survives
+
+
+def test_allpairs_randomized_vs_brute_force(spark):
+    """Randomized corpus: prefix filtering must lose NOTHING vs the
+    direct quadratic scan (the lemma, empirically)."""
+    import itertools
+    import random
+
+    from aira_spark.operators.allpairs import TAU2_E6, allpairs_cosine
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for d in range(60):
+        base = rng.sample(vocab, rng.randint(4, 12))
+        docs.append((d, " ".join(base)))
+        if d % 3 == 0:  # planted near-dup: drop/keep one term
+            mut = base[:-1] if len(base) > 4 else base
+            docs.append((d + 1000, " ".join(mut)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sets = {d: set(t.split(" ")) for d, t in docs}
+    want = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        t = len(sets[a] & sets[b])
+        na, nb = len(sets[a]), len(sets[b])
+        if t * t * 1_000_000 // (na * nb) >= TAU2_E6:
+            want.add((a, b))
+    got = {(r["doc_a"], r["doc_b"]) for r in allpairs_cosine(df).collect()}
+    assert got == want and want  # non-trivial and lossless

@@ -261,6 +261,13 @@ def main() -> None:
         ("pii_scrub", "JVM regex in the scan stage; zero exchanges"),
         ("heavy_hitters", "per-batch candidates then broadcast recount; the "
                           "tail never shuffles"),
+        ("twa", "duplicate-ts dedup, LEAD and the final fold stack onto one "
+                "entity-keyed sort"),
+        ("rgb_luma", "pointwise BT.601 map inside the decode UDF; 5 "
+                     "integers per image, zero pre-agg exchanges"),
+        ("allpairs_cosine", "prefix rows only enter the candidate term "
+                            "join; verification rides candidate ids; text "
+                            "never shuffles"),
     ]
     qs = em.queries()
     lines = [
