@@ -552,3 +552,71 @@ def test_bpe_encode_is_single_arrow_map(spark, sf_dir):
     assert shuffle_count(df) == 0, s
     assert "Join" not in s, s
     assert "BatchEvalPython" not in s, s
+
+
+def test_dither_and_luma_zero_preagg_exchanges(spark, sf_dir):
+    """Pointwise image censuses: one Arrow decode map, NO exchange at all
+    (per-image rows are final — no agg after the UDF)."""
+    import __spark_entry__ as em
+    from aira_spark.operators.dither import dither_census
+    from aira_spark.operators.luma import luma_census
+
+    imgs = em._images(spark, sf_dir, modulo=8)
+    for df in (dither_census(imgs), luma_census(imgs)):
+        s = plan_string(df)
+        assert shuffle_count(df) == 0, s
+        assert "Join" not in s, s
+
+
+def test_geohash_is_codegen_projection_plus_one_agg(spark, sf_dir):
+    """Encode is pure JVM expressions (no Python anywhere); census is one
+    hash agg = one exchange."""
+    from aira_spark.operators.geohash import geohash_census
+    from aira_spark.sources.vectors import points_table
+
+    df = geohash_census(points_table(spark, sf_dir))
+    s = plan_string(df)
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, s
+    assert shuffle_count(df) == 1, s
+
+
+def test_heavy_hitters_recount_is_broadcast(spark, sf_dir):
+    """The exact recount joins the candidate set via BROADCAST — the tail
+    never shuffles for the join (only candidate counts aggregate)."""
+    import __spark_entry__ as em
+
+    df = em.q_heavy_hitters(spark, sf_dir)
+    s = plan_string(df)
+    assert has_broadcast_join(df), s
+    assert "CartesianProduct" not in s or "BroadcastNestedLoopJoin" in s, s
+
+
+def test_allpairs_candidate_join_carries_ids_only(spark, sf_dir):
+    """No text column in any exchange: candidates and verification carry
+    (doc_id, term/ids) rows only; no cartesian product, no Python."""
+    import __spark_entry__ as em
+    from aira_spark.operators.allpairs import allpairs_cosine
+
+    df = allpairs_cosine(
+        em._docs_with_dups(spark, sf_dir).select("doc_id", "text")
+    )
+    s = plan_string(df)
+    assert "CartesianProduct" not in s, s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, s
+    for line in s.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
+
+
+def test_gap_fill_and_twa_single_entity_exchange_class(spark, sf_dir):
+    """Entity-keyed windows only: no broadcast of the big side needed, no
+    Python, no cartesian; the dense grid comes from Generate (sequence
+    explode), never a join against a generated calendar table."""
+    from aira_spark.operators.gapfill import gap_fill_hourly, twa_locf
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    for df in (gap_fill_hourly(ev), twa_locf(ev)):
+        s = plan_string(df)
+        assert "CartesianProduct" not in s, s
+        assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, s
+    assert "Generate" in plan_string(gap_fill_hourly(ev))
