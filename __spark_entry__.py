@@ -3103,6 +3103,15 @@ def q_dither(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dither_census(_images(spark, sf_dir, modulo=8))
 
 
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-CUSUM drift census per user (Page's sequential monitor as the
+    prefix/running-min window pair) — one entity-keyed exchange, exact
+    integer cents (operators/cusum.py:cusum_alarms)."""
+    from aira_spark.operators.cusum import cusum_alarms
+
+    return cusum_alarms(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold all-pairs set-cosine join (τ=0.95) over the dup-augmented
     corpus — lossless PPJoin prefix filtering, rare-term candidate join,
@@ -3414,6 +3423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twa": q_twa,
         "rgb_luma": q_rgb_luma,
         "allpairs_cosine": q_allpairs_cosine,
+        "cusum": q_cusum,
     }
 
 
@@ -4995,6 +5005,12 @@ def _oracle_link_pred() -> str:
     return oracle_link_pred_sql(_knn_edges_cte(), min_common=2)
 
 
+def _oracle_cusum() -> str:
+    from aira_spark.operators.cusum import oracle_cusum_sql
+
+    return oracle_cusum_sql("SELECT * FROM events")
+
+
 def _oracle_allpairs_cosine() -> str:
     from aira_spark.operators.allpairs import oracle_allpairs_sql
 
@@ -6303,6 +6319,7 @@ FROM docs GROUP BY 1
         "twa": _oracle_twa(),
         "rgb_luma": _oracle_rgb_luma(),
         "allpairs_cosine": _oracle_allpairs_cosine(),
+        "cusum": _oracle_cusum(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -498,3 +498,57 @@ def test_allpairs_randomized_vs_brute_force(spark):
             want.add((a, b))
     got = {(r["doc_a"], r["doc_b"]) for r in allpairs_cosine(df).collect()}
     assert got == want and want  # non-trivial and lossless
+
+
+# ------------------------------------------------------------------- cusum
+
+
+def test_cusum_matches_recursive_form(spark):
+    """The window formulation S_i - min(S_0..S_i) must equal the textbook
+    recursion D_i = max(0, D_{i-1} + x_i) on a hand stream with resets."""
+    from datetime import datetime, timedelta
+
+    from aira_spark.operators.cusum import cusum_alarms
+
+    vals = [20.00, 20.00, 5.00, 5.00, 5.00, 30.00, 30.00, 30.00]
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + timedelta(hours=i), 1, "a", v, "") for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    K, H = 1500, 1400
+    d, want_alarms, max_d, first = 0, 0, 0, None
+    for i, v in enumerate(vals):
+        d = max(0, d + int(v * 100) - K)
+        max_d = max(max_d, d)
+        if d >= H:
+            want_alarms += 1
+            first = i if first is None else first
+    got = cusum_alarms(df, ref_cents=K, threshold_cents=H).collect()[0]
+    assert (got["n_events"], got["max_dev"], got["n_alarms"],
+            got["first_alarm_event"]) == (len(vals), max_d, want_alarms, first)
+    assert want_alarms > 0  # the hand stream does alarm after the reset
+
+
+def test_cusum_no_alarm_below_reference(spark):
+    from datetime import datetime, timedelta
+
+    from aira_spark.operators.cusum import cusum_alarms
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + timedelta(hours=i), 1, "a", 10.00, "") for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = cusum_alarms(df, ref_cents=1500, threshold_cents=1).collect()[0]
+    # stream sits below the reference: statistic pinned at 0, no alarms
+    assert got["max_dev"] == 0 and got["n_alarms"] == 0
+    assert got["first_alarm_event"] is None
