@@ -3103,6 +3103,21 @@ def q_dither(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dither_census(_images(spark, sf_dir, modulo=8))
 
 
+def q_itemsets3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets via A-priori pruning over order baskets (Zipf
+    item classes 128 DIV (1 + partkey % 128); RELATIVE support
+    max(5, n_baskets DIV 3000)) — candidates from frequent pairs only,
+    pair-anchored exact recount
+    (operators/itemsets.py:frequent_triples)."""
+    from aira_spark.operators.itemsets import frequent_triples
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+        "l_orderkey AS order_id",
+        "CAST(128 DIV (1 + l_partkey % 128) AS BIGINT) AS item",
+    )
+    return frequent_triples(li)
+
+
 def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upper-CUSUM drift census per user (Page's sequential monitor as the
     prefix/running-min window pair) — one entity-keyed exchange, exact
@@ -3424,6 +3439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rgb_luma": q_rgb_luma,
         "allpairs_cosine": q_allpairs_cosine,
         "cusum": q_cusum,
+        "itemsets3": q_itemsets3,
     }
 
 
@@ -5005,6 +5021,16 @@ def _oracle_link_pred() -> str:
     return oracle_link_pred_sql(_knn_edges_cte(), min_common=2)
 
 
+def _oracle_itemsets3() -> str:
+    from aira_spark.operators.itemsets import oracle_triples_sql
+
+    return oracle_triples_sql(
+        "SELECT l_orderkey AS order_id,"
+        " CAST(128 // (1 + l_partkey % 128) AS BIGINT) AS item"
+        " FROM lineitem",
+    )
+
+
 def _oracle_cusum() -> str:
     from aira_spark.operators.cusum import oracle_cusum_sql
 
@@ -6320,6 +6346,7 @@ FROM docs GROUP BY 1
         "rgb_luma": _oracle_rgb_luma(),
         "allpairs_cosine": _oracle_allpairs_cosine(),
         "cusum": _oracle_cusum(),
+        "itemsets3": _oracle_itemsets3(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

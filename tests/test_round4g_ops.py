@@ -552,3 +552,53 @@ def test_cusum_no_alarm_below_reference(spark):
     # stream sits below the reference: statistic pinned at 0, no alarms
     assert got["max_dev"] == 0 and got["n_alarms"] == 0
     assert got["first_alarm_event"] is None
+
+
+# --------------------------------------------------------------- itemsets3
+
+
+def test_frequent_triples_matches_brute_force(spark):
+    import itertools
+    from collections import Counter
+
+    from aira_spark.operators.itemsets import frequent_triples
+
+    baskets = [
+        (1, [1, 2, 3, 4]),
+        (2, [1, 2, 3]),
+        (3, [1, 2, 3, 9]),
+        (4, [2, 3, 4]),
+        (5, [1, 2, 4]),
+        (6, [1, 3, 4]),
+        (7, [5, 6, 7]),       # isolated triple, support 1
+        (8, [1, 2, 3]),
+    ]
+    rows = [(b, i) for b, items in baskets for i in items]
+    df = spark.createDataFrame(rows, "order_id long, item long")
+    cnt = Counter()
+    for _, items in baskets:
+        for tri in itertools.combinations(sorted(set(items)), 3):
+            cnt[tri] += 1
+    for ms in (2, 3, 4):
+        want = {(a, b, c, s) for (a, b, c), s in cnt.items() if s >= ms}
+        got = {
+            (r["item_a"], r["item_b"], r["item_c"], r["support"])
+            for r in frequent_triples(df, floor_abs=ms).collect()
+        }
+        assert got == want, ms
+    assert (1, 2, 3, 4) in {
+        (r["item_a"], r["item_b"], r["item_c"], r["support"])
+        for r in frequent_triples(df, floor_abs=2).collect()
+    }
+
+
+def test_frequent_triples_duplicate_rows_ignored(spark):
+    # support counts DISTINCT (basket, item): duplicated lineitems of the
+    # same item class must not inflate support
+    from aira_spark.operators.itemsets import frequent_triples
+
+    rows = [(1, 1), (1, 1), (1, 2), (1, 3), (2, 1), (2, 2), (2, 3)]
+    df = spark.createDataFrame(rows, "order_id long, item long")
+    got = frequent_triples(df, floor_abs=2).collect()
+    assert [(r["item_a"], r["item_b"], r["item_c"], r["support"])
+            for r in got] == [(1, 2, 3, 2)]
