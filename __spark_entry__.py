@@ -3103,6 +3103,16 @@ def q_dither(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dither_census(_images(spark, sf_dir, modulo=8))
 
 
+def q_template_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best SSD match of a fixed 4x4 template per image (TM_SQDIFF parity)
+    — im2col shifted-view scoring inside the decode UDF, deterministic
+    lexicographic argmin, census-only output
+    (operators/template.py:template_match)."""
+    from aira_spark.operators.template import template_match
+
+    return template_match(_images(spark, sf_dir, modulo=16))
+
+
 def q_itemsets3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent 3-itemsets via A-priori pruning over order baskets (Zipf
     item classes 128 DIV (1 + partkey % 128); RELATIVE support
@@ -3440,6 +3450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "allpairs_cosine": q_allpairs_cosine,
         "cusum": q_cusum,
         "itemsets3": q_itemsets3,
+        "template_match": q_template_match,
     }
 
 
@@ -5021,6 +5032,16 @@ def _oracle_link_pred() -> str:
     return oracle_link_pred_sql(_knn_edges_cte(), min_common=2)
 
 
+def _oracle_template_match() -> str:
+    from aira_spark.operators.template import oracle_template_sql
+
+    px_cte = f"""{_IMG_CTE},
+sel AS (SELECT image_id, k, w, h FROM meta WHERE k % 16 = 0),
+rws AS (SELECT *, unnest(generate_series(0, h - 1)) AS r FROM sel),
+px AS (SELECT *, unnest(generate_series(0, w - 1)) AS c FROM rws)"""
+    return oracle_template_sql(px_cte)
+
+
 def _oracle_itemsets3() -> str:
     from aira_spark.operators.itemsets import oracle_triples_sql
 
@@ -6347,6 +6368,7 @@ FROM docs GROUP BY 1
         "allpairs_cosine": _oracle_allpairs_cosine(),
         "cusum": _oracle_cusum(),
         "itemsets3": _oracle_itemsets3(),
+        "template_match": _oracle_template_match(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -602,3 +602,59 @@ def test_frequent_triples_duplicate_rows_ignored(spark):
     got = frequent_triples(df, floor_abs=2).collect()
     assert [(r["item_a"], r["item_b"], r["item_c"], r["support"])
             for r in got] == [(1, 2, 3, 2)]
+
+
+# ----------------------------------------------------------- template_match
+
+
+def test_template_match_brute_force_mirror(spark, sf_dir):
+    import numpy as np
+
+    import __spark_entry__ as em
+    from aira_spark.operators.template import TH, TW, template_4x4, template_match
+
+    got = {
+        r["image_id"]: (r["n_off"], r["min_ssd"], r["best_r"], r["best_c"],
+                        r["sum_ssd"])
+        for r in template_match(em._images(spark, sf_dir, modulo=16)).collect()
+    }
+    assert got
+    T = template_4x4()
+    S = em._S
+    for image_id, vals in got.items():
+        k = int(image_id[3:])
+        w, h = (16 + (k % 7) * 8) * S, (16 + (k % 5) * 8) * S
+        r = np.arange(h, dtype=np.int64)[:, None]
+        c = np.arange(w, dtype=np.int64)[None, :]
+        a = (r * 7 + c * 13 + k) % 256
+        oh, ow = h - TH + 1, w - TW + 1
+        ssd = np.zeros((oh, ow), dtype=np.int64)
+        for u in range(TH):
+            for v in range(TW):
+                d = a[u:u + oh, v:v + ow] - T[u, v]
+                ssd += d * d
+        best = int(ssd.min())
+        ri, ci = np.nonzero(ssd == best)
+        kk = np.lexsort((ci, ri))[0]
+        assert vals == (oh * ow, best, int(ri[kk]), int(ci[kk]),
+                        int(ssd.sum()))
+
+
+def test_template_match_finds_planted_exact_match():
+    # an image that CONTAINS the template at (2, 3) must score SSD 0 there
+    import numpy as np
+
+    from aira_spark.operators.template import TH, TW, template_4x4
+
+    T = template_4x4()
+    a = np.full((10, 12), 255, dtype=np.int64)
+    a[2:2 + TH, 3:3 + TW] = T
+    oh, ow = a.shape[0] - TH + 1, a.shape[1] - TW + 1
+    ssd = np.zeros((oh, ow), dtype=np.int64)
+    for u in range(TH):
+        for v in range(TW):
+            d = a[u:u + oh, v:v + ow] - T[u, v]
+            ssd += d * d
+    assert ssd[2, 3] == 0 and int(ssd.min()) == 0
+    ri, ci = np.nonzero(ssd == 0)
+    assert (ri[0], ci[0]) == (2, 3)
