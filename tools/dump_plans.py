@@ -268,6 +268,13 @@ def main() -> None:
         ("allpairs_cosine", "prefix rows only enter the candidate term "
                             "join; verification rides candidate ids; text "
                             "never shuffles"),
+        ("cusum", "cumsum + running-min + census fold into one "
+                  "entity-keyed sort"),
+        ("itemsets3", "candidates from the closed frequent-pair table; "
+                      "recount anchored on pair occurrences, broadcast "
+                      "candidate side"),
+        ("template_match", "im2col scoring inside the decode UDF; census "
+                           "rows only, zero pre-agg exchanges"),
     ]
     qs = em.queries()
     lines = [
