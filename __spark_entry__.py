@@ -3137,6 +3137,22 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_alarms(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_convoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convoy / co-movement pair detection: users within 40e6 integer
+    microdegrees in >= 2 CONSECUTIVE 12h buckets — one-rep-per-bucket
+    collapse, 3x3 grid-neighbourhood candidate join (pitch = d, exactly
+    one key match per true pair), gaps-and-islands run census
+    (operators/convoy.py:convoy_pairs)."""
+    from aira_spark.operators.convoy import convoy_pairs
+
+    pings = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id", "ts", "event_id",
+        "CAST((event_id * 2654435761) % 350000000 AS BIGINT) AS ix",
+        "CAST((event_id * 1013904223) % 170000000 AS BIGINT) AS iy",
+    )
+    return convoy_pairs(pings)
+
+
 def q_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold all-pairs set-cosine join (τ=0.95) over the dup-augmented
     corpus — lossless PPJoin prefix filtering, rare-term candidate join,
@@ -3451,6 +3467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum": q_cusum,
         "itemsets3": q_itemsets3,
         "template_match": q_template_match,
+        "convoy": q_convoy,
     }
 
 
@@ -5058,6 +5075,18 @@ def _oracle_cusum() -> str:
     return oracle_cusum_sql("SELECT * FROM events")
 
 
+def _oracle_convoy() -> str:
+    from aira_spark.operators.convoy import oracle_convoy_sql
+
+    pings = """WITH pings AS (
+  SELECT user_id, ts, event_id,
+    CAST((event_id * 2654435761) % 350000000 AS BIGINT) AS ix,
+    CAST((event_id * 1013904223) % 170000000 AS BIGINT) AS iy
+  FROM events
+)"""
+    return oracle_convoy_sql(pings)
+
+
 def _oracle_allpairs_cosine() -> str:
     from aira_spark.operators.allpairs import oracle_allpairs_sql
 
@@ -6369,6 +6398,7 @@ FROM docs GROUP BY 1
         "cusum": _oracle_cusum(),
         "itemsets3": _oracle_itemsets3(),
         "template_match": _oracle_template_match(),
+        "convoy": _oracle_convoy(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

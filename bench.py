@@ -280,6 +280,7 @@ def main() -> None:
         "cusum": lambda: em.q_cusum(spark, sf_dir).count(),
         "itemsets3": lambda: em.q_itemsets3(spark, sf_dir).count(),
         "template_match": lambda: em.q_template_match(spark, sf_dir).count(),
+        "convoy": lambda: em.q_convoy(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

@@ -275,6 +275,9 @@ def main() -> None:
                       "candidate side"),
         ("template_match", "im2col scoring inside the decode UDF; census "
                            "rows only, zero pre-agg exchanges"),
+        ("convoy", "one rep per (user, bucket) before any join; "
+                   "(cell, bucket) equi-join at pitch d, 3x3 emission = "
+                   "single-key match; pair-keyed run census"),
     ]
     qs = em.queries()
     lines = [
