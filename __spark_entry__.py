@@ -3153,6 +3153,20 @@ def q_convoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return convoy_pairs(pings)
 
 
+def q_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley's K point-pattern census per mark class at 4 radii — one
+    grid-pitch-r_max candidate join with 3x3 emission, every radius a
+    conditional sum over the same candidates, LEFT-join zero safety,
+    K as floor fixed point e3 (operators/ripley.py:ripley_k)."""
+    from aira_spark.operators.ripley import ripley_k
+    from aira_spark.sources.vectors import points_table
+
+    pts = points_table(spark, sf_dir).selectExpr(
+        "point_id", "point_id % 4 AS mark", "x", "y"
+    )
+    return ripley_k(pts)
+
+
 def q_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold all-pairs set-cosine join (τ=0.95) over the dup-augmented
     corpus — lossless PPJoin prefix filtering, rare-term candidate join,
@@ -3468,6 +3482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "itemsets3": q_itemsets3,
         "template_match": q_template_match,
         "convoy": q_convoy,
+        "ripley_k": q_ripley_k,
     }
 
 
@@ -5087,6 +5102,16 @@ def _oracle_convoy() -> str:
     return oracle_convoy_sql(pings)
 
 
+def _oracle_ripley_k() -> str:
+    from aira_spark.operators.ripley import oracle_ripley_sql
+    from aira_spark.sources.vectors import points_oracle_sql
+
+    return oracle_ripley_sql(
+        "SELECT point_id, point_id % 4 AS mark, x, y "
+        f"FROM ({points_oracle_sql()})"
+    )
+
+
 def _oracle_allpairs_cosine() -> str:
     from aira_spark.operators.allpairs import oracle_allpairs_sql
 
@@ -6399,6 +6424,7 @@ FROM docs GROUP BY 1
         "itemsets3": _oracle_itemsets3(),
         "template_match": _oracle_template_match(),
         "convoy": _oracle_convoy(),
+        "ripley_k": _oracle_ripley_k(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -125,3 +125,79 @@ def test_convoy_hot_bucket_guard(spark):
     )
     with pytest.raises(RuntimeError, match="max_cell_users"):
         convoy_pairs(pings, d=1_000, bucket_s=3_600, max_cell_users=10)
+
+
+# ---------------------------------------------------------------- ripley_k
+
+
+def _brute_ripley(rows, radii):
+    import math
+    from collections import defaultdict
+
+    pts = defaultdict(list)
+    for pid, mark, x, y in rows:
+        pts[mark].append((pid, math.floor(x * 1_000_000), math.floor(y * 1_000_000)))
+    out = {}
+    area = 360 * 180
+    for mark, ps in pts.items():
+        n = len(ps)
+        for r in radii:
+            np_ = 0
+            for i in range(n):
+                for j in range(i + 1, n):
+                    dx = ps[i][1] - ps[j][1]
+                    dy = ps[i][2] - ps[j][2]
+                    if dx * dx + dy * dy <= r * r:
+                        np_ += 1
+            khat = (area * 2000 * np_) // (n * (n - 1)) if n > 1 else 0
+            out[(mark, r)] = (n, np_, khat)
+    return out
+
+
+def test_ripley_matches_brute_force(spark):
+    from aira_spark.operators.ripley import ripley_k
+
+    # mark 0: tight cluster; mark 1: dispersed; mark 2: lone point
+    rows = (
+        [(i, 0, 10.0 + i / 1000.0, 20.0 + i / 2000.0) for i in range(8)]
+        + [(100 + i, 1, -150.0 + i * 30.0, -70.0 + i * 15.0) for i in range(6)]
+        + [(200, 2, 0.0, 0.0)]
+    )
+    pts = spark.createDataFrame(
+        rows, "point_id long, mark long, x double, y double"
+    )
+    radii = (50_000, 1_000_000, 40_000_000)
+    want = _brute_ripley(rows, radii)
+    got = {
+        (r["mark"], r["r_e6"]): (r["n_pts"], r["n_pairs"], r["khat_e3"])
+        for r in ripley_k(pts, radii_e6=radii).collect()
+    }
+    assert got == want
+    # clustered mark far exceeds CSR at the small radius; dispersed is 0
+    assert got[(0, 50_000)][1] > 0 and got[(1, 50_000)][1] == 0
+    # the lone point and the zero-pair mark still emit rows (LEFT join pin)
+    assert got[(2, 50_000)] == (1, 0, 0)
+
+
+def test_ripley_cross_cell_pair_counted(spark):
+    """A close pair straddling a pitch boundary must be counted — pins the
+    3x3 neighbourhood emission at pitch = r_max."""
+    from aira_spark.operators.ripley import ripley_k
+
+    pts = spark.createDataFrame(
+        [(1, 0, 0.999, 0.0), (2, 0, 1.001, 0.0)],
+        "point_id long, mark long, x double, y double",
+    )
+    got = ripley_k(pts, radii_e6=(1_000_000,)).collect()
+    assert len(got) == 1 and got[0]["n_pairs"] == 1
+
+
+def test_ripley_hot_cell_guard(spark):
+    from aira_spark.operators.ripley import ripley_k
+
+    pts = spark.createDataFrame(
+        [(i, 0, 1.0, 1.0) for i in range(30)],
+        "point_id long, mark long, x double, y double",
+    )
+    with pytest.raises(RuntimeError, match="max_cell_points"):
+        ripley_k(pts, radii_e6=(1_000_000,), max_cell_points=10)

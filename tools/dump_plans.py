@@ -278,6 +278,9 @@ def main() -> None:
         ("convoy", "one rep per (user, bucket) before any join; "
                    "(cell, bucket) equi-join at pitch d, 3x3 emission = "
                    "single-key match; pair-keyed run census"),
+        ("ripley_k", "one candidate join at pitch r_max serves all radii "
+                     "as conditional sums; LEFT join keeps zero-pair "
+                     "marks; ids+coords only in exchanges"),
     ]
     qs = em.queries()
     lines = [
