@@ -3167,6 +3167,15 @@ def q_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ripley_k(pts)
 
 
+def q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per cell — lower median of pairwise
+    floor-div slopes over the daily roll-up, calendar-bounded pair
+    fan-out, LEFT-join zero safety (operators/theilsen.py:sen_trends)."""
+    from aira_spark.operators.theilsen import sen_trends
+
+    return sen_trends(_cell_day_events(spark, sf_dir))
+
+
 def q_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold all-pairs set-cosine join (τ=0.95) over the dup-augmented
     corpus — lossless PPJoin prefix filtering, rare-term candidate join,
@@ -3483,6 +3492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_match": q_template_match,
         "convoy": q_convoy,
         "ripley_k": q_ripley_k,
+        "theilsen": q_theilsen,
     }
 
 
@@ -5112,6 +5122,12 @@ def _oracle_ripley_k() -> str:
     )
 
 
+def _oracle_theilsen() -> str:
+    from aira_spark.operators.theilsen import oracle_sen_sql
+
+    return oracle_sen_sql(_CELL_DAY_SQL)
+
+
 def _oracle_allpairs_cosine() -> str:
     from aira_spark.operators.allpairs import oracle_allpairs_sql
 
@@ -6425,6 +6441,7 @@ FROM docs GROUP BY 1
         "template_match": _oracle_template_match(),
         "convoy": _oracle_convoy(),
         "ripley_k": _oracle_ripley_k(),
+        "theilsen": _oracle_theilsen(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -281,6 +281,9 @@ def main() -> None:
         ("ripley_k", "one candidate join at pitch r_max serves all radii "
                      "as conditional sums; LEFT join keeps zero-pair "
                      "marks; ids+coords only in exchanges"),
+        ("theilsen", "daily roll-up folds the stream map-side before any "
+                     "pair forms; per-cell pair fan-out calendar-bounded; "
+                     "rank+count share one window partition"),
     ]
     qs = em.queries()
     lines = [
