@@ -3176,6 +3176,27 @@ def q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sen_trends(_cell_day_events(spark, sf_dir))
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS drift matrix: exact D over merged ECDF step points
+    for every pair of customer market segments' order-price (cents)
+    distributions (operators/kstest.py:ks_pairs)."""
+    from aira_spark.operators.kstest import ks_pairs
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", F.col("c_mktsegment").alias("grp")
+    )
+    samples = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr(
+            "o_custkey",
+            "CAST(floor(o_totalprice * 100.0) AS BIGINT) AS v",
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("grp", "v")
+    )
+    return ks_pairs(samples)
+
+
 def q_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold all-pairs set-cosine join (τ=0.95) over the dup-augmented
     corpus — lossless PPJoin prefix filtering, rare-term candidate join,
@@ -3493,6 +3514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convoy": q_convoy,
         "ripley_k": q_ripley_k,
         "theilsen": q_theilsen,
+        "ks_drift": q_ks_drift,
     }
 
 
@@ -5128,6 +5150,16 @@ def _oracle_theilsen() -> str:
     return oracle_sen_sql(_CELL_DAY_SQL)
 
 
+def _oracle_ks_drift() -> str:
+    from aira_spark.operators.kstest import oracle_ks_sql
+
+    return oracle_ks_sql(
+        "SELECT c.c_mktsegment AS grp, "
+        "CAST(floor(o.o_totalprice * 100.0) AS BIGINT) AS v "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+    )
+
+
 def _oracle_allpairs_cosine() -> str:
     from aira_spark.operators.allpairs import oracle_allpairs_sql
 
@@ -6442,6 +6474,7 @@ FROM docs GROUP BY 1
         "convoy": _oracle_convoy(),
         "ripley_k": _oracle_ripley_k(),
         "theilsen": _oracle_theilsen(),
+        "ks_drift": _oracle_ks_drift(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -81,3 +81,77 @@ def test_sen_lone_day_and_negative_floor(spark):
     got = _run_sen(spark, rows)
     assert got[1] == (1, 0, 0)
     assert got[2] == (2, 1, -1_500_000)
+
+
+# ---------------------------------------------------------------- ks_drift
+
+
+def _brute_ks(rows):
+    """rows = (grp, v); exact D numerator per unordered pair via merged
+    distinct step points (where the ECDF max provably lives)."""
+    from collections import Counter, defaultdict
+
+    by = defaultdict(Counter)
+    for g, v in rows:
+        by[g][v] += 1
+    out = {}
+    groups = sorted(by)
+    for i, ga in enumerate(groups):
+        for gb in groups[i + 1:]:
+            na, nb = sum(by[ga].values()), sum(by[gb].values())
+            ca = cb = 0
+            best = 0
+            for v in sorted(set(by[ga]) | set(by[gb])):
+                ca += by[ga].get(v, 0)
+                cb += by[gb].get(v, 0)
+                best = max(best, abs(nb * ca - na * cb))
+            out[(ga, gb)] = (na, nb, best, best * 1_000_000 // (na * nb))
+    return out
+
+
+def _run_ks(spark, rows):
+    from aira_spark.operators.kstest import ks_pairs
+
+    df = spark.createDataFrame(rows, "grp string, v long")
+    return {
+        (r["grp_a"], r["grp_b"]): (r["n_a"], r["n_b"], r["d_num"], r["d_e6"])
+        for r in ks_pairs(df).collect()
+    }
+
+
+def test_ks_matches_brute_force(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = (
+        [("a", rng.randint(0, 50)) for _ in range(40)]
+        + [("b", rng.randint(0, 50)) for _ in range(25)]   # same law as a
+        + [("c", rng.randint(30, 90)) for _ in range(33)]  # shifted
+    )
+    assert _run_ks(spark, rows) == _brute_ks(rows)
+
+
+def test_ks_identical_vs_shifted(spark):
+    from aira_spark.operators.kstest import ks_pairs
+
+    # identical samples -> D = 0, never rejected; disjoint supports -> D = 1
+    rows = (
+        [("p", v) for v in range(20)]
+        + [("q", v) for v in range(20)]
+        + [("r", v + 1000) for v in range(20)]
+    )
+    df = spark.createDataFrame(rows, "grp string, v long")
+    got = {(r["grp_a"], r["grp_b"]): r for r in ks_pairs(df).collect()}
+    assert got[("p", "q")]["d_num"] == 0 and got[("p", "q")]["reject05"] == 0
+    assert got[("p", "r")]["d_num"] == 400  # n_a * n_b: D = 1 exactly
+    assert got[("p", "r")]["d_e6"] == 1_000_000
+    assert got[("p", "r")]["reject05"] == 1
+
+
+def test_ks_ties_step_together(spark):
+    """Both groups share value 5 — the merged step at 5 must apply BOTH
+    increments before the diff is taken (the classic off-by-one)."""
+    rows = [("a", 5), ("a", 5), ("b", 5), ("b", 9)]
+    got = _run_ks(spark, rows)
+    # at v=5: |2*2 - 2*1| = 2; at v=9: |2*2 - 2*2| = 0 -> D = 2/4
+    assert got[("a", "b")] == (2, 2, 2, 500_000)

@@ -284,6 +284,9 @@ def main() -> None:
         ("theilsen", "daily roll-up folds the stream map-side before any "
                      "pair forms; per-cell pair fan-out calendar-bounded; "
                      "rank+count share one window partition"),
+        ("ks_drift", "per-(group,value) histogram folds raw rows first "
+                     "(bounded by groups x value domain); pair table "
+                     "broadcasts onto it; one window partition per pair"),
     ]
     qs = em.queries()
     lines = [
