@@ -3197,6 +3197,25 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_pairs(samples)
 
 
+def q_joincount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-count spatial autocorrelation per event type: BB/BW/WW
+    rook-adjacent censuses of 'hot' cells vs the permutation expectation
+    (operators/joincount.py:join_counts)."""
+    from aira_spark.functions.cells import cell_from_xy
+    from aira_spark.operators.joincount import join_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_type AS grp", f"{_EV_X} AS x", f"{_EV_Y} AS y"
+    )
+    cells = (
+        ev.select("grp", cell_from_xy(F.col("x"), F.col("y"), CELL_RES - 3).alias("cell"))
+        .groupBy("grp", "cell")
+        .count()
+        .selectExpr("grp", "cell", "CAST(count >= 2 AS INT) AS mark")
+    )
+    return join_counts(cells)
+
+
 def q_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold all-pairs set-cosine join (τ=0.95) over the dup-augmented
     corpus — lossless PPJoin prefix filtering, rare-term candidate join,
@@ -3515,6 +3534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ripley_k": q_ripley_k,
         "theilsen": q_theilsen,
         "ks_drift": q_ks_drift,
+        "joincount": q_joincount,
     }
 
 
@@ -5160,6 +5180,17 @@ def _oracle_ks_drift() -> str:
     )
 
 
+def _oracle_joincount() -> str:
+    from aira_spark.operators.joincount import oracle_joincount_sql
+
+    cells = (
+        f"SELECT event_type AS grp, {_sql_cell_at(_EV_X, _EV_Y, CELL_RES - 3)}"
+        " AS cell, CAST(COUNT(*) >= 2 AS INTEGER) AS mark"
+        " FROM events GROUP BY 1, 2"
+    )
+    return oracle_joincount_sql(cells)
+
+
 def _oracle_allpairs_cosine() -> str:
     from aira_spark.operators.allpairs import oracle_allpairs_sql
 
@@ -6475,6 +6506,7 @@ FROM docs GROUP BY 1
         "ripley_k": _oracle_ripley_k(),
         "theilsen": _oracle_theilsen(),
         "ks_drift": _oracle_ks_drift(),
+        "joincount": _oracle_joincount(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -284,6 +284,7 @@ def main() -> None:
         "ripley_k": lambda: em.q_ripley_k(spark, sf_dir).count(),
         "theilsen": lambda: em.q_theilsen(spark, sf_dir).count(),
         "ks_drift": lambda: em.q_ks_drift(spark, sf_dir).count(),
+        "joincount": lambda: em.q_joincount(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

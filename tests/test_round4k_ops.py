@@ -155,3 +155,105 @@ def test_ks_ties_step_together(spark):
     got = _run_ks(spark, rows)
     # at v=5: |2*2 - 2*1| = 2; at v=9: |2*2 - 2*2| = 0 -> D = 2/4
     assert got[("a", "b")] == (2, 2, 2, 500_000)
+
+
+# ---------------------------------------------------------------- joincount
+
+
+def _brute_joincount(cells):
+    """cells = (grp, ix, iy, mark) at a given res; rook adjacency over
+    OBSERVED cells only; permutation expectations via the double chain."""
+    import math
+    from collections import defaultdict
+
+    by = defaultdict(dict)
+    for g, ix, iy, mark in cells:
+        by[g][(ix, iy)] = mark
+    out = {}
+    for g, cm in by.items():
+        n = len(cm)
+        nb = sum(cm.values())
+        bb = bw = ww = m = 0
+        for (ix, iy), mk in cm.items():
+            for nbr in ((ix + 1, iy), (ix, iy + 1)):
+                if nbr in cm:
+                    m += 1
+                    s = mk + cm[nbr]
+                    bb += s == 2
+                    ww += s == 0
+                    bw += s == 1
+        def e(p, q):
+            if n <= 1:
+                return 0
+            return int(math.floor(1000000.0 * m * (p / n) * (q / (n - 1))))
+        e_bw = 0 if n <= 1 else int(
+            math.floor(2000000.0 * m * (nb / n) * ((n - nb) / (n - 1)))
+        )
+        out[g] = (n, nb, m, bb, bw, ww, e(nb, nb - 1), e_bw,
+                  e(n - nb, n - nb - 1))
+    return out
+
+
+def test_joincount_matches_brute_force(spark):
+    import random
+
+    from aira_spark.functions.cells import np_cell_pack
+    from aira_spark.operators.joincount import join_counts
+
+    rng = random.Random(5)
+    res = 4
+    cells = []
+    for g in ("a", "b"):
+        for _ in range(40):
+            cells.append((g, rng.randint(0, 15), rng.randint(0, 15),
+                          rng.randint(0, 1)))
+    # dedup per (grp, ix, iy) keeping last, as the dict mirror does
+    seen = {}
+    for g, ix, iy, mk in cells:
+        seen[(g, ix, iy)] = mk
+    rows = [(g, int(np_cell_pack(res, ix, iy)), mk)
+            for (g, ix, iy), mk in seen.items()]
+    df = spark.createDataFrame(rows, "grp string, cell long, mark int")
+    got = {
+        r["grp"]: (r["n_cells"], r["n_black"], r["m_pairs"], r["bb"],
+                   r["bw"], r["ww"], r["e_bb_e6"], r["e_bw_e6"], r["e_ww_e6"])
+        for r in join_counts(df).collect()
+    }
+    want = _brute_joincount([(g, ix, iy, mk) for (g, ix, iy), mk in seen.items()])
+    assert got == want
+
+
+def test_joincount_wraparound_excluded(spark):
+    """Cells on the east/north edge of the grid must NOT probe across the
+    boundary (id arithmetic would wrap into ix=0 of... nothing valid)."""
+    from aira_spark.functions.cells import np_cell_pack
+    from aira_spark.operators.joincount import join_counts
+
+    res = 2  # 4x4 grid
+    rows = [
+        ("g", int(np_cell_pack(res, 3, 1)), 1),  # east edge
+        ("g", int(np_cell_pack(res, 0, 2)), 1),  # NOT its wrap neighbour
+        ("g", int(np_cell_pack(res, 1, 3)), 1),  # north edge
+        ("g", int(np_cell_pack(res, 1, 0)), 1),
+    ]
+    df = spark.createDataFrame(rows, "grp string, cell long, mark int")
+    r = join_counts(df).collect()[0]
+    assert r["m_pairs"] == 0 and r["bb"] == 0
+
+
+def test_joincount_clustered_exceeds_expectation(spark):
+    """A solid black 3x3 block inside a white sea: observed BB far above
+    the permutation expectation — the detector actually detects."""
+    from aira_spark.functions.cells import np_cell_pack
+    from aira_spark.operators.joincount import join_counts
+
+    res = 4
+    rows = []
+    for ix in range(12):
+        for iy in range(12):
+            mark = 1 if (4 <= ix < 7 and 4 <= iy < 7) else 0
+            rows.append(("g", int(np_cell_pack(res, ix, iy)), mark))
+    df = spark.createDataFrame(rows, "grp string, cell long, mark int")
+    r = join_counts(df).collect()[0]
+    assert r["bb"] == 12  # 2 * 3 * 2 internal rook links
+    assert r["bb"] * 1_000_000 > 3 * r["e_bb_e6"]

@@ -287,6 +287,9 @@ def main() -> None:
         ("ks_drift", "per-(group,value) histogram folds raw rows first "
                      "(bounded by groups x value domain); pair table "
                      "broadcasts onto it; one window partition per pair"),
+        ("joincount", "marks pre-aggregated to one row per observed cell; "
+                      "neighbour probe is pure id arithmetic; single "
+                      "(grp, cell) equi-join bounded by 2n pairs"),
     ]
     qs = em.queries()
     lines = [
