@@ -3216,6 +3216,25 @@ def q_joincount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return join_counts(cells)
 
 
+_VGRAM_V = (
+    "CAST(floor(x) AS BIGINT) + CAST(floor(y) AS BIGINT) + point_id % 5"
+)
+
+
+def q_variogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical semivariogram of a spatially-correlated field over the
+    points table — one grid-pitch-r_max candidate join serves all lag
+    bins, empty lags stay visible via the bin-spine LEFT join
+    (operators/variogram.py:semivariogram)."""
+    from aira_spark.operators.variogram import semivariogram
+    from aira_spark.sources.vectors import points_table
+
+    pts = points_table(spark, sf_dir).selectExpr(
+        "point_id", "x", "y", f"{_VGRAM_V} AS v"
+    )
+    return semivariogram(pts)
+
+
 def q_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold all-pairs set-cosine join (τ=0.95) over the dup-augmented
     corpus — lossless PPJoin prefix filtering, rare-term candidate join,
@@ -3535,6 +3554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theilsen": q_theilsen,
         "ks_drift": q_ks_drift,
         "joincount": q_joincount,
+        "variogram": q_variogram,
     }
 
 
@@ -5191,6 +5211,16 @@ def _oracle_joincount() -> str:
     return oracle_joincount_sql(cells)
 
 
+def _oracle_variogram() -> str:
+    from aira_spark.operators.variogram import oracle_variogram_sql
+    from aira_spark.sources.vectors import points_oracle_sql
+
+    return oracle_variogram_sql(
+        f"SELECT point_id, x, y, {_VGRAM_V} AS v "
+        f"FROM ({points_oracle_sql()})"
+    )
+
+
 def _oracle_allpairs_cosine() -> str:
     from aira_spark.operators.allpairs import oracle_allpairs_sql
 
@@ -6507,6 +6537,7 @@ FROM docs GROUP BY 1
         "theilsen": _oracle_theilsen(),
         "ks_drift": _oracle_ks_drift(),
         "joincount": _oracle_joincount(),
+        "variogram": _oracle_variogram(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -257,3 +257,81 @@ def test_joincount_clustered_exceeds_expectation(spark):
     r = join_counts(df).collect()[0]
     assert r["bb"] == 12  # 2 * 3 * 2 internal rook links
     assert r["bb"] * 1_000_000 > 3 * r["e_bb_e6"]
+
+
+# ---------------------------------------------------------------- variogram
+
+
+def _brute_variogram(rows, lag_e6, n_bins):
+    """rows = (point_id, x, y, v); brute-force pair census."""
+    import math
+
+    pts = [
+        (pid, math.floor(x * 1_000_000), math.floor(y * 1_000_000), v)
+        for pid, x, y, v in rows
+    ]
+    agg = {b: [0, 0] for b in range(n_bins)}
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            dx = pts[i][1] - pts[j][1]
+            dy = pts[i][2] - pts[j][2]
+            b = int(math.floor(math.sqrt(float(dx * dx + dy * dy)))) // lag_e6
+            if b < n_bins:
+                agg[b][0] += 1
+                agg[b][1] += (pts[i][3] - pts[j][3]) ** 2
+    return {
+        b: (n, (500 * s) // n if n else 0) for b, (n, s) in agg.items()
+    }
+
+
+def test_variogram_matches_brute_force(spark):
+    import random
+
+    rng = random.Random(3)
+    # smooth field v = floor(x) + floor(y) + noise over a 12-degree patch
+    rows = []
+    for pid in range(60):
+        x = rng.uniform(0.0, 12.0)
+        y = rng.uniform(0.0, 12.0)
+        rows.append((pid, x, y, int(x) + int(y) + pid % 3))
+    lag, nb = 2_000_000, 8
+    want = _brute_variogram(rows, lag, nb)
+    from aira_spark.operators.variogram import semivariogram
+
+    df = spark.createDataFrame(rows, "point_id long, x double, y double, v long")
+    got = {
+        r["lag_bin"]: (r["n_pairs"], r["gamma_e3"])
+        for r in semivariogram(df, lag_e6=lag, n_bins=nb).collect()
+    }
+    assert got == want
+    # spatial structure detected: gamma rises monotonically through the
+    # well-populated bins (the thin tail bins are excluded as noise)
+    pop = [b for b in range(nb) if want[b][0] >= 30]
+    assert all(want[a][1] < want[b][1] for a, b in zip(pop, pop[1:]))
+
+
+def test_variogram_empty_bin_visible_and_cross_cell(spark):
+    from aira_spark.operators.variogram import semivariogram
+
+    # two close points straddling a pitch boundary (pitch = 4e6 = 4 deg
+    # for lag 2e6 x 2 bins) and nothing else: bin 0 gets the pair, bin 1
+    # is VISIBLY empty
+    rows = [(1, 3.999, 0.0, 10), (2, 4.001, 0.0, 13)]
+    df = spark.createDataFrame(rows, "point_id long, x double, y double, v long")
+    got = {
+        r["lag_bin"]: (r["lag_lo_e6"], r["n_pairs"], r["gamma_e3"])
+        for r in semivariogram(df, lag_e6=2_000_000, n_bins=2).collect()
+    }
+    assert got[0] == (0, 1, 4500)  # (13-10)^2 * 500 / 1
+    assert got[1] == (2_000_000, 0, 0)
+
+
+def test_variogram_hot_cell_guard(spark):
+    import pytest as _pytest
+
+    from aira_spark.operators.variogram import semivariogram
+
+    rows = [(i, 1.0, 1.0, 0) for i in range(30)]
+    df = spark.createDataFrame(rows, "point_id long, x double, y double, v long")
+    with _pytest.raises(RuntimeError, match="max_cell_points"):
+        semivariogram(df, max_cell_points=10)

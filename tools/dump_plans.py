@@ -290,6 +290,9 @@ def main() -> None:
         ("joincount", "marks pre-aggregated to one row per observed cell; "
                       "neighbour probe is pure id arithmetic; single "
                       "(grp, cell) equi-join bounded by 2n pairs"),
+        ("variogram", "one candidate join at pitch r_max serves all lag "
+                      "bins; bin spine LEFT join keeps empty lags "
+                      "visible; ids+coords+values only in exchanges"),
     ]
     qs = em.queries()
     lines = [
