@@ -3235,6 +3235,28 @@ def q_variogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semivariogram(pts)
 
 
+_QA_WORD = (
+    "(CAST(substr(image_id, 4) AS BIGINT) * 2654435761"
+    " + chunk_idx * 40503) % 65536"
+)
+
+
+def q_qa_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QA_PIXEL-style bit-flags masking census per image: per-chunk
+    16-bit QA words decoded with shift-and-mask, usable-pixel budget as
+    floor ppm (operators/qaflags.py:qa_mask_census)."""
+    from aira_spark.operators.chunks import chunks_df, with_meta
+    from aira_spark.operators.qaflags import qa_mask_census
+
+    ch = chunks_df(with_meta(_images(spark, sf_dir, modulo=4))).selectExpr(
+        "image_id",
+        "CAST(chunk_idx AS BIGINT) AS chunk_idx",
+        "CAST(size_x AS BIGINT) AS size_x",
+        "CAST(size_y AS BIGINT) AS size_y",
+    ).selectExpr("*", f"{_QA_WORD} AS qa")
+    return qa_mask_census(ch)
+
+
 def q_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold all-pairs set-cosine join (τ=0.95) over the dup-augmented
     corpus — lossless PPJoin prefix filtering, rare-term candidate join,
@@ -3555,6 +3577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "joincount": q_joincount,
         "variogram": q_variogram,
+        "qa_flags": q_qa_flags,
     }
 
 
@@ -5221,6 +5244,26 @@ def _oracle_variogram() -> str:
     )
 
 
+def _oracle_qa_flags() -> str:
+    from aira_spark.operators.qaflags import oracle_qa_sql
+
+    chunks_sql = f"""
+WITH {_IMG_CTE},
+chunks AS (
+  SELECT image_id, w, h, cw, ch, nx,
+         unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+  FROM meta WHERE k % 4 = 0
+)
+SELECT image_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+  GREATEST(0, LEAST(cw, w - (chunk_idx % nx) * cw)) AS size_x,
+  GREATEST(0, LEAST(ch, h - CAST(FLOOR(chunk_idx / nx) AS BIGINT) * ch))
+    AS size_y,
+  {_QA_WORD} AS qa
+FROM chunks
+"""
+    return oracle_qa_sql(chunks_sql)
+
+
 def _oracle_allpairs_cosine() -> str:
     from aira_spark.operators.allpairs import oracle_allpairs_sql
 
@@ -6538,6 +6581,7 @@ FROM docs GROUP BY 1
         "ks_drift": _oracle_ks_drift(),
         "joincount": _oracle_joincount(),
         "variogram": _oracle_variogram(),
+        "qa_flags": _oracle_qa_flags(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

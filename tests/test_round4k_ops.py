@@ -335,3 +335,80 @@ def test_variogram_hot_cell_guard(spark):
     df = spark.createDataFrame(rows, "point_id long, x double, y double, v long")
     with _pytest.raises(RuntimeError, match="max_cell_points"):
         semivariogram(df, max_cell_points=10)
+
+
+# ---------------------------------------------------------------- qa_flags
+
+
+def _brute_qa(chunks):
+    """chunks = (image_id, size_x, size_y, qa); python mirror."""
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0] * 9)
+    for img, sx, sy, qa in chunks:
+        px = sx * sy
+        usable = int(
+            qa & 1 == 0 and (qa >> 1) & 1 == 0 and (qa >> 2) & 1 == 0
+            and (qa >> 3) & 1 == 0 and (qa >> 4) & 1 == 0
+            and (qa >> 8) & 3 < 2
+        )
+        a = agg[img]
+        a[0] += 1
+        a[1] += qa & 1
+        a[2] += (qa >> 3) & 1
+        a[3] += (qa >> 4) & 1
+        a[4] += (qa >> 5) & 1
+        a[5] += (qa >> 7) & 1
+        a[6] += usable
+        a[7] += usable * px
+        a[8] += px
+    return {
+        img: tuple(a) + ((1_000_000 * a[7] // a[8]) if a[8] else 0,)
+        for img, a in agg.items()
+    }
+
+
+def test_qa_flags_matches_brute_force(spark):
+    import random
+
+    from aira_spark.operators.qaflags import qa_mask_census
+
+    rng = random.Random(13)
+    chunks = []
+    for img in ("imgA", "imgB", "imgC"):
+        for ci in range(rng.randint(3, 9)):
+            chunks.append((img, ci, rng.randint(0, 64), rng.randint(0, 64),
+                           rng.randint(0, 65535)))
+    df = spark.createDataFrame(
+        chunks, "image_id string, chunk_idx long, size_x long, size_y long, qa long"
+    )
+    got = {
+        r["image_id"]: (r["n_chunks"], r["n_fill"], r["n_cloud"],
+                        r["n_shadow"], r["n_snow"], r["n_water"],
+                        r["n_usable"], r["usable_px"], r["total_px"],
+                        r["usable_ppm"])
+        for r in qa_mask_census(df).collect()
+    }
+    want = _brute_qa([(c[0], c[2], c[3], c[4]) for c in chunks])
+    assert got == want
+
+
+def test_qa_flags_hand_words(spark):
+    """Hand-built words pin each bit position and the confidence field."""
+    from aira_spark.operators.qaflags import qa_mask_census
+
+    rows = [
+        ("i", 0, 10, 10, 0b0000000000000000),  # pristine -> usable
+        ("i", 1, 10, 10, 0b0000000000001000),  # cloud bit 3
+        ("i", 2, 10, 10, 0b0000001000000000),  # cloud conf = 2 -> unusable
+        ("i", 3, 10, 10, 0b0000000110100000),  # snow+water+conf 1 -> usable
+        ("i", 4, 0, 7, 0b0000000000000000),    # zero-size planar chunk
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, chunk_idx long, size_x long, size_y long, qa long"
+    )
+    r = qa_mask_census(df).collect()[0]
+    assert (r["n_chunks"], r["n_cloud"], r["n_snow"], r["n_water"]) == (5, 1, 1, 1)
+    # chunks 0, 3 and the zero-size chunk 4 pass the usable gate
+    assert r["n_usable"] == 3 and r["usable_px"] == 200 and r["total_px"] == 400
+    assert r["usable_ppm"] == 500_000

@@ -293,6 +293,9 @@ def main() -> None:
         ("variogram", "one candidate join at pitch r_max serves all lag "
                       "bins; bin spine LEFT join keeps empty lags "
                       "visible; ids+coords+values only in exchanges"),
+        ("qa_flags", "bit decode fused into the chunk-enumeration "
+                     "projection (no exchange added); single per-image "
+                     "map-combined agg; pixels never read"),
     ]
     qs = em.queries()
     lines = [
