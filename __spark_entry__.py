@@ -3257,6 +3257,24 @@ def q_qa_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qa_mask_census(ch)
 
 
+def q_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image Wasserstein-1 drift of the 16-bin band-0 histogram vs
+    the corpus reference — exact cross-multiplied CDF gaps through the
+    real decode path (operators/emd.py:emd_drift)."""
+    from aira_spark.operators.emd import emd_drift
+    from aira_spark.operators.zonal import band_histogram
+
+    hist = (
+        band_histogram(_images(spark, sf_dir, modulo=4))
+        .where("band = 0")
+        .selectExpr("image_id", "CAST(value DIV 16 AS BIGINT) AS bin",
+                    "CAST(cnt AS BIGINT) AS c")
+        .groupBy("image_id", "bin")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    return emd_drift(hist, n_bins=16)
+
+
 def q_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold all-pairs set-cosine join (τ=0.95) over the dup-augmented
     corpus — lossless PPJoin prefix filtering, rare-term candidate join,
@@ -3578,6 +3596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "joincount": q_joincount,
         "variogram": q_variogram,
         "qa_flags": q_qa_flags,
+        "emd_drift": q_emd_drift,
     }
 
 
@@ -5264,6 +5283,22 @@ FROM chunks
     return oracle_qa_sql(chunks_sql)
 
 
+def _oracle_emd_drift() -> str:
+    from aira_spark.operators.emd import oracle_emd_sql
+
+    hist_sql = f"""
+WITH {_IMG_CTE},
+sel AS (SELECT image_id, k, w, h FROM meta WHERE k % 4 = 0),
+rws AS (SELECT *, unnest(generate_series(0, h - 1)) AS r FROM sel),
+pxs AS (SELECT image_id, k, r, unnest(generate_series(0, w - 1)) AS c
+        FROM rws)
+SELECT image_id, ((r * 7 + c * 13 + k) % 256) // 16 AS bin,
+  CAST(COUNT(*) AS BIGINT) AS c
+FROM pxs GROUP BY 1, 2
+"""
+    return oracle_emd_sql(hist_sql, n_bins=16)
+
+
 def _oracle_allpairs_cosine() -> str:
     from aira_spark.operators.allpairs import oracle_allpairs_sql
 
@@ -6582,6 +6617,7 @@ FROM docs GROUP BY 1
         "joincount": _oracle_joincount(),
         "variogram": _oracle_variogram(),
         "qa_flags": _oracle_qa_flags(),
+        "emd_drift": _oracle_emd_drift(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -412,3 +412,81 @@ def test_qa_flags_hand_words(spark):
     # chunks 0, 3 and the zero-size chunk 4 pass the usable gate
     assert r["n_usable"] == 3 and r["usable_px"] == 200 and r["total_px"] == 400
     assert r["usable_ppm"] == 500_000
+
+
+# ---------------------------------------------------------------- emd_drift
+
+
+def _brute_emd(hist_rows, n_bins=16):
+    """hist_rows = (image_id, bin, c); python mirror."""
+    from collections import defaultdict
+
+    per = defaultdict(lambda: defaultdict(int))
+    for img, b, c in hist_rows:
+        per[img][b] += c
+    ref = defaultdict(int)
+    for img in per:
+        for b, c in per[img].items():
+            ref[b] += c
+    n_ref = sum(ref.values())
+    out = {}
+    for img, h in per.items():
+        n = sum(h.values())
+        cimg = cref = 0
+        d1 = 0
+        for b in range(n_bins - 1):
+            cimg += h.get(b, 0)
+            cref += ref.get(b, 0)
+            d1 += abs(n_ref * cimg - n * cref)
+        out[img] = (n, d1,
+                    (1_000_000 * d1) // (n * n_ref * (n_bins - 1)) if n else 0)
+    return out
+
+
+def test_emd_matches_brute_force(spark):
+    import random
+
+    from aira_spark.operators.emd import emd_drift
+
+    rng = random.Random(17)
+    rows = []
+    for img in range(8):
+        for _ in range(10):
+            rows.append((f"i{img}", rng.randint(0, 15), rng.randint(1, 50)))
+    df = spark.createDataFrame(rows, "image_id string, bin long, c long")
+    dense = (
+        df.groupBy("image_id", "bin").sum("c")
+        .selectExpr("image_id", "bin", "`sum(c)` AS c")
+    )
+    got = {
+        r["image_id"]: (r["n_px"], r["d1"], r["emd_ppm"])
+        for r in emd_drift(dense, n_bins=16).collect()
+    }
+    assert got == _brute_emd([(r[0], r[1], r[2]) for r in rows])
+
+
+def test_emd_extremes(spark):
+    """An image that IS the reference distribution scores 0; two images
+    concentrated in opposite extreme bins score the maximum against each
+    other's half of the reference."""
+    from aira_spark.operators.emd import emd_drift
+
+    rows = [("lo", 0, 100), ("hi", 15, 100)]
+    df = spark.createDataFrame(rows, "image_id string, bin long, c long")
+    got = {r["image_id"]: r for r in emd_drift(df, n_bins=16).collect()}
+    # ref cdf at bins 0..14 is 100 of 200; lo's cdf is 100 of 100 -> gap
+    # |200*100 - 100*100| = 10000 per bin x 15 bins
+    assert got["lo"]["d1"] == 150_000 and got["hi"]["d1"] == 150_000
+    # exactly half the maximum drift (the other half is the other image's)
+    assert got["lo"]["emd_ppm"] == 500_000
+
+
+def test_emd_overflow_guard(spark):
+    import pytest as _pytest
+
+    from aira_spark.operators.emd import emd_drift
+
+    rows = [("a", 0, 3_000_000_000), ("b", 15, 3_000_000_000)]
+    df = spark.createDataFrame(rows, "image_id string, bin long, c long")
+    with _pytest.raises(RuntimeError, match="overflow"):
+        emd_drift(df, n_bins=16)

@@ -296,6 +296,9 @@ def main() -> None:
         ("qa_flags", "bit decode fused into the chunk-enumeration "
                      "projection (no exchange added); single per-image "
                      "map-combined agg; pixels never read"),
+        ("emd_drift", "sparse per-image histograms (never pixels) in the "
+                      "exchange; B-row reference CDF broadcasts; per-image "
+                      "CDF window is exactly B rows"),
     ]
     qs = em.queries()
     lines = [
