@@ -3275,6 +3275,39 @@ def q_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emd_drift(hist, n_bins=16)
 
 
+def q_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity of event types per cell — exact rational mixing
+    index, two chained hash aggs (operators/diversity.py:simpson_cells)."""
+    from aira_spark.functions.cells import cell_from_xy
+    from aira_spark.operators.diversity import simpson_cells
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_type AS etype", f"{_EV_X} AS x", f"{_EV_Y} AS y"
+    )
+    return simpson_cells(
+        ev.select("etype", cell_from_xy(F.col("x"), F.col("y"), CELL_RES).alias("cell"))
+    )
+
+
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of per-cell activity within each event type —
+    Lorenz-rank census on one grid-bounded window partition per group
+    (operators/diversity.py:gini_cells)."""
+    from aira_spark.functions.cells import cell_from_xy
+    from aira_spark.operators.diversity import gini_cells
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_type AS grp", f"{_EV_X} AS x", f"{_EV_Y} AS y",
+        "CAST(FLOOR(value * 100.0) AS BIGINT) AS cents",
+    )
+    return gini_cells(
+        ev.select(
+            "grp", "cents",
+            cell_from_xy(F.col("x"), F.col("y"), CELL_RES).alias("cell"),
+        )
+    )
+
+
 def q_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold all-pairs set-cosine join (τ=0.95) over the dup-augmented
     corpus — lossless PPJoin prefix filtering, rare-term candidate join,
@@ -3597,6 +3630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variogram": q_variogram,
         "qa_flags": q_qa_flags,
         "emd_drift": q_emd_drift,
+        "simpson": q_simpson,
+        "gini": q_gini,
     }
 
 
@@ -5299,6 +5334,24 @@ FROM pxs GROUP BY 1, 2
     return oracle_emd_sql(hist_sql, n_bins=16)
 
 
+def _oracle_simpson() -> str:
+    from aira_spark.operators.diversity import oracle_simpson_sql
+
+    return oracle_simpson_sql(
+        f"SELECT event_type AS etype, {_sql_cell(_EV_X, _EV_Y)} AS cell "
+        "FROM events"
+    )
+
+
+def _oracle_gini() -> str:
+    from aira_spark.operators.diversity import oracle_gini_sql
+
+    return oracle_gini_sql(
+        f"SELECT event_type AS grp, {_sql_cell(_EV_X, _EV_Y)} AS cell, "
+        "CAST(FLOOR(value * 100.0) AS BIGINT) AS cents FROM events"
+    )
+
+
 def _oracle_allpairs_cosine() -> str:
     from aira_spark.operators.allpairs import oracle_allpairs_sql
 
@@ -6618,6 +6671,8 @@ FROM docs GROUP BY 1
         "variogram": _oracle_variogram(),
         "qa_flags": _oracle_qa_flags(),
         "emd_drift": _oracle_emd_drift(),
+        "simpson": _oracle_simpson(),
+        "gini": _oracle_gini(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -288,6 +288,8 @@ def main() -> None:
         "variogram": lambda: em.q_variogram(spark, sf_dir).count(),
         "qa_flags": lambda: em.q_qa_flags(spark, sf_dir).count(),
         "emd_drift": lambda: em.q_emd_drift(spark, sf_dir).count(),
+        "simpson": lambda: em.q_simpson(spark, sf_dir).count(),
+        "gini": lambda: em.q_gini(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

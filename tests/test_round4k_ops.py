@@ -490,3 +490,69 @@ def test_emd_overflow_guard(spark):
     df = spark.createDataFrame(rows, "image_id string, bin long, c long")
     with _pytest.raises(RuntimeError, match="overflow"):
         emd_drift(df, n_bins=16)
+
+
+# ------------------------------------------------------- simpson / gini
+
+
+def test_simpson_matches_brute_force(spark):
+    import random
+    from collections import Counter, defaultdict
+
+    from aira_spark.operators.diversity import simpson_cells
+
+    rng = random.Random(23)
+    rows = [(rng.randint(0, 9), f"t{rng.randint(0, 4)}") for _ in range(300)]
+    df = spark.createDataFrame(rows, "cell long, etype string")
+    got = {
+        r["cell"]: (r["n_events"], r["n_types"], r["simpson_e6"])
+        for r in simpson_cells(df).collect()
+    }
+    by = defaultdict(Counter)
+    for cell, t in rows:
+        by[cell][t] += 1
+    for cell, cnt in by.items():
+        n = sum(cnt.values())
+        same = sum(c * (c - 1) for c in cnt.values())
+        d = 1_000_000 - (1_000_000 * same) // (n * (n - 1)) if n > 1 else 0
+        assert got[cell] == (n, len(cnt), d)
+
+
+def test_simpson_extremes(spark):
+    from aira_spark.operators.diversity import simpson_cells
+
+    rows = (
+        [(1, "a")] * 10                       # monoculture -> 0
+        + [(2, "a"), (2, "b")]                # maximal 2-type mix -> 1.0
+        + [(3, "z")]                          # singleton -> defined 0
+    )
+    df = spark.createDataFrame(rows, "cell long, etype string")
+    got = {r["cell"]: r["simpson_e6"] for r in simpson_cells(df).collect()}
+    assert got == {1: 0, 2: 1_000_000, 3: 0}
+
+
+def test_gini_matches_brute_force_and_extremes(spark):
+    import random
+    from collections import defaultdict
+
+    from aira_spark.operators.diversity import gini_cells
+
+    rng = random.Random(29)
+    rows = [("g", rng.randint(0, 19), rng.randint(1, 500)) for _ in range(200)]
+    # perfectly equal group -> gini 0; fully concentrated -> (n-1)/n
+    rows += [("eq", c, 100) for c in range(10)]
+    rows += [("one", 0, 777)] + [("one", c, 0) for c in range(1, 10)]
+    df = spark.createDataFrame(rows, "grp string, cell long, cents long")
+    got = {
+        r["grp"]: (r["n_cells"], r["total"], r["gini_e6"])
+        for r in gini_cells(df).collect()
+    }
+    per = defaultdict(int)
+    for g, c, v in rows:
+        per[(g, c)] += v
+    xs = sorted(v for (g, _), v in per.items() if g == "g")
+    n, tot = len(xs), sum(xs)
+    gnum = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
+    assert got["g"] == (n, tot, (1_000_000 * gnum) // (n * tot))
+    assert got["eq"] == (10, 1000, 0)
+    assert got["one"] == (10, 777, 900_000)  # (n-1)/n = 0.9

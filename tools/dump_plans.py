@@ -299,6 +299,12 @@ def main() -> None:
         ("emd_drift", "sparse per-image histograms (never pixels) in the "
                       "exchange; B-row reference CDF broadcasts; per-image "
                       "CDF window is exactly B rows"),
+        ("simpson", "two chained hash aggs, (cell,type) counts fold "
+                    "map-side; nothing wider than the category table "
+                    "shuffles"),
+        ("gini", "per-(grp,cell) roll-up map-combines first; Lorenz rank "
+                 "window sized by the group's CELL count (grid-bounded, "
+                 "not event-bounded)"),
     ]
     qs = em.queries()
     lines = [
