@@ -3308,6 +3308,31 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b per market segment between account balance and total
+    order spend — Knight's O(n log n) inversion count per group, exact
+    tie corrections (operators/kendall.py:kendall_tau)."""
+    from aira_spark.operators.kendall import kendall_tau
+
+    spend = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr(
+            "o_custkey",
+            "CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents",
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").cast("long").alias("spend"))
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").selectExpr(
+        "c_mktsegment AS grp", "c_custkey AS id",
+        "CAST(floor(c_acctbal * 100.0) AS BIGINT) AS xv",
+    )
+    pairs = cust.join(
+        spend, cust["id"] == spend["o_custkey"], "left"
+    ).selectExpr("grp", "id", "xv", "CAST(coalesce(spend, 0) AS BIGINT) AS yv")
+    return kendall_tau(pairs)
+
+
 def q_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold all-pairs set-cosine join (τ=0.95) over the dup-augmented
     corpus — lossless PPJoin prefix filtering, rare-term candidate join,
@@ -3632,6 +3657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emd_drift": q_emd_drift,
         "simpson": q_simpson,
         "gini": q_gini,
+        "kendall": q_kendall,
     }
 
 
@@ -5352,6 +5378,20 @@ def _oracle_gini() -> str:
     )
 
 
+def _oracle_kendall() -> str:
+    from aira_spark.operators.kendall import oracle_kendall_sql
+
+    return oracle_kendall_sql(
+        "SELECT c.c_mktsegment AS grp, c.c_custkey AS id, "
+        "CAST(floor(c.c_acctbal * 100.0) AS BIGINT) AS xv, "
+        "CAST(COALESCE(s.spend, 0) AS BIGINT) AS yv "
+        "FROM customer c LEFT JOIN ("
+        "SELECT o_custkey, SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))"
+        " AS spend FROM orders GROUP BY 1"
+        ") s ON c.c_custkey = s.o_custkey"
+    )
+
+
 def _oracle_allpairs_cosine() -> str:
     from aira_spark.operators.allpairs import oracle_allpairs_sql
 
@@ -6673,6 +6713,7 @@ FROM docs GROUP BY 1
         "emd_drift": _oracle_emd_drift(),
         "simpson": _oracle_simpson(),
         "gini": _oracle_gini(),
+        "kendall": _oracle_kendall(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

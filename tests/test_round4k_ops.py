@@ -556,3 +556,80 @@ def test_gini_matches_brute_force_and_extremes(spark):
     assert got["g"] == (n, tot, (1_000_000 * gnum) // (n * tot))
     assert got["eq"] == (10, 1000, 0)
     assert got["one"] == (10, 777, 900_000)  # (n-1)/n = 0.9
+
+
+# ---------------------------------------------------------------- kendall
+
+
+def _brute_kendall(rows):
+    """rows = (grp, id, xv, yv); brute-force O(n^2) mirror."""
+    import math
+    from collections import defaultdict
+
+    by = defaultdict(list)
+    for g, i, x, y in rows:
+        by[g].append((i, x, y))
+    out = {}
+    for g, pts in by.items():
+        n = len(pts)
+        n0 = n * (n - 1) // 2
+        c = d = n1 = n2 = n3 = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                _, xa, ya = pts[i]
+                _, xb, yb = pts[j]
+                if xa == xb and ya == yb:
+                    n1 += 1; n2 += 1; n3 += 1
+                elif xa == xb:
+                    n1 += 1
+                elif ya == yb:
+                    n2 += 1
+                elif (xa < xb) == (ya < yb):
+                    c += 1
+                else:
+                    d += 1
+        den = (n0 - n1) * (n0 - n2)
+        tau = (int(math.floor(1_000_000.0 * (c - d) / math.sqrt(float(den))))
+               if den > 0 else 0)
+        out[g] = (n, n0, n1, n2, n3, c, d, tau)
+    return out
+
+
+def test_kendall_matches_brute_force(spark):
+    import random
+
+    from aira_spark.operators.kendall import kendall_tau
+
+    rng = random.Random(31)
+    rows = []
+    for g in ("mono_up", "mono_dn", "noisy", "tied"):
+        for i in range(40):
+            if g == "mono_up":
+                x, y = i, i * 3 + 1
+            elif g == "mono_dn":
+                x, y = i, -i
+            elif g == "noisy":
+                x, y = rng.randint(0, 20), rng.randint(0, 20)
+            else:
+                x, y = rng.randint(0, 3), rng.randint(0, 3)  # heavy ties
+            rows.append((g, i, x, y))
+    df = spark.createDataFrame(rows, "grp string, id long, xv long, yv long")
+    got = {
+        r["grp"]: (r["n"], r["n0"], r["tie_x"], r["tie_y"], r["tie_xy"],
+                   r["concordant"], r["discordant"], r["tau_b_e6"])
+        for r in kendall_tau(df).collect()
+    }
+    want = _brute_kendall(rows)
+    assert got == want
+    assert got["mono_up"][7] == 1_000_000 and got["mono_dn"][7] == -1_000_000
+
+
+def test_kendall_group_size_guard(spark):
+    import pytest as _pytest
+
+    from aira_spark.operators.kendall import kendall_tau
+
+    rows = [("g", i, i, i) for i in range(30)]
+    df = spark.createDataFrame(rows, "grp string, id long, xv long, yv long")
+    with _pytest.raises(RuntimeError, match="max_group_rows"):
+        kendall_tau(df, max_group_rows=10)

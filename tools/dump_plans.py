@@ -305,6 +305,9 @@ def main() -> None:
         ("gini", "per-(grp,cell) roll-up map-combines first; Lorenz rank "
                  "window sized by the group's CELL count (grid-bounded, "
                  "not event-bounded)"),
+        ("kendall", "groups are the parallelism unit; O(n log n) Fenwick "
+                    "inversion count per group instead of the O(n^2) pair "
+                    "join; loud group-size guard"),
     ]
     qs = em.queries()
     lines = [
