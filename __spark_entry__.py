@@ -3176,6 +3176,15 @@ def q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sen_trends(_cell_day_events(spark, sf_dir))
 
 
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test per cell — exact-integer S and
+    tie-corrected 18x variance over the daily roll-up, floor-e6 Z via the
+    shared IEEE chain (operators/mannkendall.py:mk_trends)."""
+    from aira_spark.operators.mannkendall import mk_trends
+
+    return mk_trends(_cell_day_events(spark, sf_dir))
+
+
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample KS drift matrix: exact D over merged ECDF step points
     for every pair of customer market segments' order-price (cents)
@@ -3658,6 +3667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simpson": q_simpson,
         "gini": q_gini,
         "kendall": q_kendall,
+        "mann_kendall": q_mann_kendall,
     }
 
 
@@ -5293,6 +5303,12 @@ def _oracle_theilsen() -> str:
     return oracle_sen_sql(_CELL_DAY_SQL)
 
 
+def _oracle_mann_kendall() -> str:
+    from aira_spark.operators.mannkendall import oracle_mk_sql
+
+    return oracle_mk_sql(_CELL_DAY_SQL)
+
+
 def _oracle_ks_drift() -> str:
     from aira_spark.operators.kstest import oracle_ks_sql
 
@@ -6714,6 +6730,7 @@ FROM docs GROUP BY 1
         "simpson": _oracle_simpson(),
         "gini": _oracle_gini(),
         "kendall": _oracle_kendall(),
+        "mann_kendall": _oracle_mann_kendall(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -291,6 +291,7 @@ def main() -> None:
         "simpson": lambda: em.q_simpson(spark, sf_dir).count(),
         "gini": lambda: em.q_gini(spark, sf_dir).count(),
         "kendall": lambda: em.q_kendall(spark, sf_dir).count(),
+        "mann_kendall": lambda: em.q_mann_kendall(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

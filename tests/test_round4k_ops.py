@@ -633,3 +633,87 @@ def test_kendall_group_size_guard(spark):
     df = spark.createDataFrame(rows, "grp string, id long, xv long, yv long")
     with _pytest.raises(RuntimeError, match="max_group_rows"):
         kendall_tau(df, max_group_rows=10)
+
+
+# ------------------------------------------------------------ mann_kendall
+
+
+def _brute_mk(rows):
+    """rows = (cell, day, cents); python mirror of mannkendall.mk_trends."""
+    import math
+    from collections import defaultdict
+
+    daily = defaultdict(int)
+    for cell, day, cents in rows:
+        daily[(cell, day)] += cents
+    by_cell = defaultdict(list)
+    for (cell, day), y in daily.items():
+        by_cell[cell].append((day, y))
+    out = {}
+    for cell, pts in by_cell.items():
+        pts.sort()
+        n = len(pts)
+        s = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                s += (pts[j][1] > pts[i][1]) - (pts[j][1] < pts[i][1])
+        tie = defaultdict(int)
+        for _, y in pts:
+            tie[y] += 1
+        tie18 = sum(t * (t - 1) * (2 * t + 5) for t in tie.values())
+        var18 = n * (n - 1) * (2 * n + 5) - tie18
+        if var18 > 0 and s > 0:
+            z = math.floor(1_000_000.0 * (s - 1) / math.sqrt(var18 / 18.0))
+        elif var18 > 0 and s < 0:
+            z = math.floor(1_000_000.0 * (s + 1) / math.sqrt(var18 / 18.0))
+        else:
+            z = 0
+        out[cell] = (n, s, var18, int(z))
+    return out
+
+
+def test_mann_kendall_matches_brute_force(spark):
+    import random
+
+    from aira_spark.operators.mannkendall import mk_trends
+
+    rng = random.Random(47)
+    rows = []
+    for cell in range(8):
+        for day in range(25):
+            # cells 0-1 strictly rise, 2-3 strictly fall, 4-5 constant
+            # (all-tied -> var18 = 0), 6-7 noisy with heavy ties
+            if cell < 2:
+                v = 100 + day * 7
+            elif cell < 4:
+                v = 900 - day * 3
+            elif cell < 6:
+                v = 500
+            else:
+                v = rng.randint(0, 4) * 10
+            rows.append((cell, day, v))
+    rows.append((99, 0, 123))  # single-day cell: S=0, var18=0, z=0
+    ev = spark.createDataFrame(rows, "cell long, day long, cents long")
+    got = {
+        r["cell"]: (r["n_days"], r["s_stat"], r["var18"], r["z_e6"])
+        for r in mk_trends(ev).collect()
+    }
+    want = _brute_mk(rows)
+    assert got == want
+    n0 = 25 * 24 // 2
+    assert got[0][1] == n0 and got[0][3] > 0      # monotone up: S = n0
+    assert got[2][1] == -n0 and got[2][3] < 0     # monotone down
+    assert got[4] == (25, 0, 0, 0)                # all-tied: degenerate
+    assert got[99] == (1, 0, 0, 0)
+
+
+def test_mann_kendall_split_rows_fold_into_daily(spark):
+    """Raw events split across rows must roll up before S — an extra event
+    on one day changes y, not the pair count."""
+    from aira_spark.operators.mannkendall import mk_trends
+
+    whole = [(1, 0, 10), (1, 1, 20), (1, 2, 30)]
+    split = [(1, 0, 4), (1, 0, 6), (1, 1, 20), (1, 2, 15), (1, 2, 15)]
+    a = spark.createDataFrame(whole, "cell long, day long, cents long")
+    b = spark.createDataFrame(split, "cell long, day long, cents long")
+    assert mk_trends(a).collect() == mk_trends(b).collect()

@@ -308,6 +308,9 @@ def main() -> None:
         ("kendall", "groups are the parallelism unit; O(n log n) Fenwick "
                     "inversion count per group instead of the O(n^2) pair "
                     "join; loud group-size guard"),
+        ("mann_kendall", "daily roll-up folds map-side before any pair; "
+                         "per-cell pair join is calendar-bounded; ties fold "
+                         "as (cell,y) counts — no window, no Python"),
     ]
     qs = em.queries()
     lines = [
