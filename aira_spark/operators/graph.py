@@ -379,3 +379,120 @@ SELECT CAST(u.a AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
 FROM und u JOIN s{rounds} x ON x.a = u.a JOIN s{rounds} y ON y.a = u.b
 GROUP BY u.a"""
     )
+
+
+HITS_SCALE = 1_000_000
+
+
+def hits_fixed(
+    edges: DataFrame, rounds: int = 5, checkpoint_every: int = 2,
+) -> DataFrame:
+    """(node, hub_micros, auth_micros) after `rounds` synchronous HITS
+    iterations (Kleinberg 1999) — hubs point at good authorities,
+    authorities are pointed at by good hubs; the directed-graph companion
+    of pagerank_fixed (pagerank ranks endorsement flow, HITS separates
+    the curator role from the endorsed role — over the kNN digraph the
+    asymmetry comes from non-mutual neighbor links).
+
+    INTEGER FIXED-POINT like pagerank_fixed: L1 (sum) normalization in
+    micros replaces the textbook L2 norm — sqrt is not exactly portable,
+    the sum is — so each round is  raw_i = sum of the other score over
+    in/out edges, then score_i = (raw_i * SCALE) div (sum_j raw_j). All
+    values stay nonneg BIGINTs, folds are order-independent, and floor
+    leak (< n micros/round) is part of the definition; rank ORDER
+    converges like standard HITS. Round-1 overflow bound: raw*SCALE <=
+    n * SCALE^2, so n must stay < ~9e6 per connected normalization scope
+    at SCALE=1e6 (beyond that, lower the init mass).
+
+    Scale shape per round: two (equi-join + hash agg) passes — the
+    pagerank round shape run once per side — plus ONE single-row global
+    sum cross-joined back with an explicit broadcast (never a shuffle);
+    scores are (node, BIGINT) rows; localCheckpoint every
+    `checkpoint_every` rounds bounds lineage (the duplicate_clusters
+    device). Edges are materialized ONCE up front (the sssp_fixed rule:
+    both per-round joins re-read them, so an expensive upstream build —
+    here the kNN join — would otherwise re-execute 2x per round)."""
+    edges = edges.localCheckpoint(eager=True)
+    nodes = (
+        edges.selectExpr("src AS node")
+        .unionByName(edges.selectExpr("dst AS node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hubs = nodes.withColumn("h", F.lit(HITS_SCALE).cast("long"))
+
+    def _norm(raw: DataFrame, col: str) -> DataFrame:
+        tot = raw.agg(F.sum("raw").alias("tot"))
+        return raw.crossJoin(F.broadcast(tot)).selectExpr(
+            "node", f"CAST((raw * {HITS_SCALE}) div tot AS BIGINT) AS {col}"
+        )
+
+    auth = None
+    for i in range(rounds):
+        araw = (
+            edges.join(hubs, edges.src == hubs.node)
+            .groupBy("dst").agg(F.sum("h").alias("inflow"))
+        )
+        araw = nodes.join(araw, nodes.node == araw.dst, "left").select(
+            "node", F.coalesce(F.col("inflow"), F.lit(0)).cast("long").alias("raw")
+        )
+        auth = _norm(araw, "a")
+        hraw = (
+            edges.join(auth, edges.dst == auth.node)
+            .groupBy("src").agg(F.sum("a").alias("outflow"))
+        )
+        hraw = nodes.join(hraw, nodes.node == hraw.src, "left").select(
+            "node", F.coalesce(F.col("outflow"), F.lit(0)).cast("long").alias("raw")
+        )
+        hubs = _norm(hraw, "h")
+        if (i + 1) % checkpoint_every == 0:
+            hubs = hubs.localCheckpoint(eager=True)
+            auth = auth.localCheckpoint(eager=True)
+    return hubs.join(auth, "node").selectExpr(
+        "CAST(node AS BIGINT) AS node",
+        "CAST(h AS BIGINT) AS hub_micros",
+        "CAST(a AS BIGINT) AS auth_micros",
+    )
+
+
+def oracle_hits_sql(edges_cte: str, rounds: int = 5) -> str:
+    """DuckDB mirror: `edges_cte` defines edges(src, dst); each round
+    unrolls into raw/normalized CTE pairs per side (the pagerank unroll
+    device), MATERIALIZED because every normalization references its raw
+    CTE twice (per-row numerator + global sum)."""
+    parts = [
+        "nodes AS (SELECT src AS node FROM edges "
+        "UNION SELECT dst FROM edges)",
+        f"h0 AS (SELECT node, CAST({HITS_SCALE} AS BIGINT) AS h FROM nodes)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"ar{i + 1} AS MATERIALIZED (SELECT n.node, "
+            f"CAST(COALESCE((SELECT SUM(h.h) FROM edges e "
+            f"JOIN h{i} h ON h.node = e.src WHERE e.dst = n.node), 0) "
+            f"AS BIGINT) AS raw FROM nodes n)"
+        )
+        parts.append(
+            f"a{i + 1} AS MATERIALIZED (SELECT node, "
+            f"CAST((raw * {HITS_SCALE}) // "
+            f"(SELECT SUM(raw) FROM ar{i + 1}) AS BIGINT) AS a "
+            f"FROM ar{i + 1})"
+        )
+        parts.append(
+            f"hr{i + 1} AS MATERIALIZED (SELECT n.node, "
+            f"CAST(COALESCE((SELECT SUM(a.a) FROM edges e "
+            f"JOIN a{i + 1} a ON a.node = e.dst WHERE e.src = n.node), 0) "
+            f"AS BIGINT) AS raw FROM nodes n)"
+        )
+        parts.append(
+            f"h{i + 1} AS MATERIALIZED (SELECT node, "
+            f"CAST((raw * {HITS_SCALE}) // "
+            f"(SELECT SUM(raw) FROM hr{i + 1}) AS BIGINT) AS h "
+            f"FROM hr{i + 1})"
+        )
+    return (
+        f"WITH {edges_cte},\n" + ",\n".join(parts)
+        + f"\nSELECT CAST(h.node AS BIGINT) AS node, h.h AS hub_micros, "
+        f"a.a AS auth_micros FROM h{rounds} h "
+        f"JOIN a{rounds} a ON a.node = h.node"
+    )

@@ -292,6 +292,7 @@ def main() -> None:
         "gini": lambda: em.q_gini(spark, sf_dir).count(),
         "kendall": lambda: em.q_kendall(spark, sf_dir).count(),
         "mann_kendall": lambda: em.q_mann_kendall(spark, sf_dir).count(),
+        "hits": lambda: em.q_hits(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline
@@ -307,6 +308,7 @@ def main() -> None:
     # streaming sketches: per-microbatch session overhead). The ORACLE and
     # pytest configs are untouched — correctness still runs the full shape.
     os.environ.setdefault("SPARK_GRAFT_PAGERANK_ROUNDS", "6")
+    os.environ.setdefault("SPARK_GRAFT_HITS_ROUNDS", "3")
     # segment pairs grow quadratically with users in the fixed 10-deg box;
     # bench thins to every 60th user (oracle/pytest stay at mod 15)
     os.environ.setdefault("SPARK_GRAFT_SEG_MOD", "60")

@@ -717,3 +717,61 @@ def test_mann_kendall_split_rows_fold_into_daily(spark):
     a = spark.createDataFrame(whole, "cell long, day long, cents long")
     b = spark.createDataFrame(split, "cell long, day long, cents long")
     assert mk_trends(a).collect() == mk_trends(b).collect()
+
+
+# ---------------------------------------------------------------- hits
+
+
+def _brute_hits(e, nodes, rounds):
+    """Python mirror of graph.hits_fixed's L1-normalized integer rounds."""
+    from aira_spark.operators.graph import HITS_SCALE
+
+    h = {n: HITS_SCALE for n in nodes}
+    a = {}
+    for _ in range(rounds):
+        raw = {n: 0 for n in nodes}
+        for s, d in e:
+            raw[d] += h[s]
+        tot = sum(raw.values())
+        a = {n: (raw[n] * HITS_SCALE) // tot for n in nodes}
+        raw = {n: 0 for n in nodes}
+        for s, d in e:
+            raw[s] += a[d]
+        tot = sum(raw.values())
+        h = {n: (raw[n] * HITS_SCALE) // tot for n in nodes}
+    return h, a
+
+
+def test_hits_hand_graph(spark):
+    """Star digraph: pure hubs (sources) vs one pure authority (sink) plus
+    a ring — scores match the python mirror exactly and the roles split."""
+    from aira_spark.operators.graph import hits_fixed
+
+    # 1,2,3 all point at 4 (the authority); 4 points back at 1; 5<->6 ring
+    e = [(1, 4), (2, 4), (3, 4), (4, 1), (5, 6), (6, 5)]
+    nodes = [1, 2, 3, 4, 5, 6]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    got = {
+        r["node"]: (r["hub_micros"], r["auth_micros"])
+        for r in hits_fixed(edges, rounds=5).collect()
+    }
+    h, a = _brute_hits(e, nodes, 5)
+    assert got == {n: (h[n], a[n]) for n in nodes}
+    assert got[4][1] == max(v[1] for v in got.values())  # 4 = top authority
+    assert got[4][1] > got[4][0]                          # more auth than hub
+    assert got[1][0] > got[1][1]                          # 1 = hub-dominant
+    # L1 normalization: each side's mass is SCALE minus the floor leak
+    assert sum(v[0] for v in got.values()) <= 1_000_000
+    assert sum(v[0] for v in got.values()) > 1_000_000 - len(nodes)
+
+
+def test_hits_parallelism_invariant(spark):
+    from aira_spark.operators.graph import hits_fixed
+
+    e = [(i, (i + 1) % 15) for i in range(15)] + [
+        (i, (i * 3 + 2) % 15) for i in range(15)
+    ]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    a = sorted(map(tuple, hits_fixed(edges, rounds=4).collect()))
+    b = sorted(map(tuple, hits_fixed(edges.repartition(13), rounds=4).collect()))
+    assert a == b

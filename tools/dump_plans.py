@@ -311,6 +311,9 @@ def main() -> None:
         ("mann_kendall", "daily roll-up folds map-side before any pair; "
                          "per-cell pair join is calendar-bounded; ties fold "
                          "as (cell,y) counts — no window, no Python"),
+        ("hits", "pagerank's round shape run once per side; the global "
+                 "normalizer is a single-row agg cross-joined back with an "
+                 "explicit broadcast; lineage checkpointed every 2 rounds"),
     ]
     qs = em.queries()
     lines = [
