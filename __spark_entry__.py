@@ -3185,6 +3185,18 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mk_trends(_cell_day_events(spark, sf_dir))
 
 
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag 1..3 autocorrelation per cell — exact integer Pearson
+    sufficient stats of the (y_d, y_{d+k}) pairing over the daily
+    roll-up, floor-e6 r via the shared chain (operators/acf.py).
+    Runs at CELL_RES - 3 (the cell_anomalies spine): lag pairs need a
+    DENSE per-cell daily series, which the full-res grid is too sparse
+    to provide at small SF."""
+    from aira_spark.operators.acf import acf_cells
+
+    return acf_cells(_cell_day_events(spark, sf_dir, CELL_RES - 3), max_lag=3)
+
+
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer fixed-point HITS hubs/authorities over the kNN digraph —
     L1-normalized micros per round, exact across engines and parallelism
@@ -3690,6 +3702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendall": q_kendall,
         "mann_kendall": q_mann_kendall,
         "hits": q_hits,
+        "acf": q_acf,
     }
 
 
@@ -5331,6 +5344,17 @@ def _oracle_mann_kendall() -> str:
     return oracle_mk_sql(_CELL_DAY_SQL)
 
 
+def _oracle_acf() -> str:
+    from aira_spark.operators.acf import oracle_acf_sql
+
+    coarse = (
+        f"SELECT {_sql_cell_at(_EV_X, _EV_Y, CELL_RES - 3)} AS cell, "
+        "CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day, "
+        "CAST(FLOOR(value * 100.0) AS BIGINT) AS cents FROM events"
+    )
+    return oracle_acf_sql(coarse, max_lag=3)
+
+
 def _oracle_hits() -> str:
     from aira_spark.operators.graph import oracle_hits_sql
 
@@ -6760,6 +6784,7 @@ FROM docs GROUP BY 1
         "kendall": _oracle_kendall(),
         "mann_kendall": _oracle_mann_kendall(),
         "hits": _oracle_hits(),
+        "acf": _oracle_acf(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

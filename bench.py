@@ -293,6 +293,7 @@ def main() -> None:
         "kendall": lambda: em.q_kendall(spark, sf_dir).count(),
         "mann_kendall": lambda: em.q_mann_kendall(spark, sf_dir).count(),
         "hits": lambda: em.q_hits(spark, sf_dir).count(),
+        "acf": lambda: em.q_acf(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

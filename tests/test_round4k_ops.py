@@ -775,3 +775,81 @@ def test_hits_parallelism_invariant(spark):
     a = sorted(map(tuple, hits_fixed(edges, rounds=4).collect()))
     b = sorted(map(tuple, hits_fixed(edges.repartition(13), rounds=4).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------- acf
+
+
+def _brute_acf(rows, max_lag):
+    """rows = (cell, day, cents); python mirror of acf.acf_cells."""
+    import math
+    from collections import defaultdict
+
+    daily = defaultdict(int)
+    for cell, day, cents in rows:
+        daily[(cell, day)] += cents
+    by_cell = defaultdict(dict)
+    for (cell, day), y in daily.items():
+        by_cell[cell][day] = y
+    out = {}
+    for cell, series in by_cell.items():
+        for lag in range(1, max_lag + 1):
+            pairs = [
+                (y, series[d + lag])
+                for d, y in series.items() if d + lag in series
+            ]
+            if not pairs:
+                continue
+            n = len(pairs)
+            sx = sum(x for x, _ in pairs); sy = sum(y for _, y in pairs)
+            sxx = sum(x * x for x, _ in pairs)
+            syy = sum(y * y for _, y in pairs)
+            sxy = sum(x * y for x, y in pairs)
+            cov = n * sxy - sx * sy
+            vx = n * sxx - sx * sx
+            vy = n * syy - sy * sy
+            r = (int(math.floor(1_000_000.0 * cov / math.sqrt(float(vx) * float(vy))))
+                 if n >= 2 and vx > 0 and vy > 0 else 0)
+            out[(cell, lag)] = (n, cov, r)
+    return out
+
+
+def test_acf_matches_brute_force(spark):
+    import random
+
+    from aira_spark.operators.acf import acf_cells
+
+    rng = random.Random(53)
+    rows = []
+    for cell in range(6):
+        for day in range(30):
+            if cell == 0:
+                v = 100 + (day % 2) * 50       # period 2: r(1)<0, r(2)>0
+            elif cell == 1:
+                v = 500                         # constant: all r = 0
+            elif cell == 2 and day % 3 != 0:
+                continue                        # sparse: fewer pairs
+            else:
+                v = rng.randint(1, 999)
+            rows.append((cell, day, v))
+    ev = spark.createDataFrame(rows, "cell long, day long, cents long")
+    got = {
+        (r["cell"], r["lag"]): (r["n_pairs"], r["cov_n"], r["r_e6"])
+        for r in acf_cells(ev, max_lag=3).collect()
+    }
+    assert got == _brute_acf(rows, 3)
+    assert got[(0, 1)][2] < -900_000 and got[(0, 2)][2] > 900_000
+    assert got[(1, 1)] == (29, 0, 0)           # zero variance -> degenerate
+    assert (2, 1) not in got                    # day%3 grid has no lag-1 pair
+    assert got[(2, 3)][0] == 9                  # but lag-3 pairs exist
+
+
+def test_acf_overflow_guard(spark):
+    import pytest as _pytest
+
+    from aira_spark.operators.acf import acf_cells
+
+    rows = [(1, d, 2_000_000_000) for d in range(3)]
+    ev = spark.createDataFrame(rows, "cell long, day long, cents long")
+    with _pytest.raises(RuntimeError, match="rescale"):
+        acf_cells(ev)

@@ -314,6 +314,9 @@ def main() -> None:
         ("hits", "pagerank's round shape run once per side; the global "
                  "normalizer is a single-row agg cross-joined back with an "
                  "explicit broadcast; lineage checkpointed every 2 rounds"),
+        ("acf", "daily roll-up folds map-side; lag pairing is ONE equi-join "
+                "on (cell, day+lag) after a constant-fan-out lag explode; "
+                "one hash agg ends it — no window, no Python"),
     ]
     qs = em.queries()
     lines = [
