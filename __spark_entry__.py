@@ -3185,6 +3185,16 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mk_trends(_cell_day_events(spark, sf_dir))
 
 
+def q_track_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line rasterization: every grid cell each trajectory hop passes
+    through (exact integer column-sweep supercover), per-cell segment +
+    user counts — the road-usage heatmap
+    (operators/linerast.py:track_raster)."""
+    from aira_spark.operators.linerast import track_raster
+
+    return track_raster(_trajectory_segments(spark, sf_dir))
+
+
 def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lag 1..3 autocorrelation per cell — exact integer Pearson
     sufficient stats of the (y_d, y_{d+k}) pairing over the daily
@@ -3703,6 +3713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall": q_mann_kendall,
         "hits": q_hits,
         "acf": q_acf,
+        "track_raster": q_track_raster,
     }
 
 
@@ -5344,6 +5355,15 @@ def _oracle_mann_kendall() -> str:
     return oracle_mk_sql(_CELL_DAY_SQL)
 
 
+def _oracle_track_raster() -> str:
+    from aira_spark.operators.linerast import oracle_track_raster_sql
+
+    return oracle_track_raster_sql(
+        f"WITH {_segs_cte_sql()} "
+        "SELECT seg_id, user_id, axq, ayq, bxq, byq FROM segs"
+    )
+
+
 def _oracle_acf() -> str:
     from aira_spark.operators.acf import oracle_acf_sql
 
@@ -6785,6 +6805,7 @@ FROM docs GROUP BY 1
         "mann_kendall": _oracle_mann_kendall(),
         "hits": _oracle_hits(),
         "acf": _oracle_acf(),
+        "track_raster": _oracle_track_raster(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

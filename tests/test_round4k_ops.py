@@ -853,3 +853,86 @@ def test_acf_overflow_guard(spark):
     ev = spark.createDataFrame(rows, "cell long, day long, cents long")
     with _pytest.raises(RuntimeError, match="rescale"):
         acf_cells(ev)
+
+
+# ----------------------------------------------------------- track_raster
+
+
+def _brute_raster(segs, cell):
+    """Python mirror of linerast.track_raster's column-sweep supercover."""
+    from collections import defaultdict
+
+    hit = set()
+    for seg_id, user_id, axq, ayq, bxq, byq in segs:
+        ax, ay, bx, by = (
+            (axq, ayq, bxq, byq) if axq <= bxq else (bxq, byq, axq, ayq)
+        )
+        for ix in range(ax // cell, bx // cell + 1):
+            xs = max(ax, ix * cell)
+            xe = min(bx, (ix + 1) * cell)
+            if bx == ax:
+                iys, iye = ay // cell, by // cell
+            else:
+                dx = bx - ax
+                iys = (ay * dx + (by - ay) * (xs - ax)) // (cell * dx)
+                iye = (ay * dx + (by - ay) * (xe - ax)) // (cell * dx)
+            for iy in range(min(iys, iye), max(iys, iye) + 1):
+                hit.add((seg_id, user_id, ix, iy))
+    out = defaultdict(lambda: [0, set()])
+    for seg_id, user_id, ix, iy in hit:
+        out[(ix, iy)][0] += 1
+        out[(ix, iy)][1].add(user_id)
+    return {k: (v[0], len(v[1])) for k, v in out.items()}
+
+
+def test_track_raster_hand_cases(spark):
+    from aira_spark.operators.linerast import track_raster
+
+    segs = [
+        (1, 1, 100, 100, 2600, 100),    # horizontal: cells (0,0)..(2,0)
+        (2, 1, 500, 100, 500, 2600),    # vertical: (0,0)..(0,2)
+        (3, 2, 0, 0, 3000, 3000),       # diagonal through corners
+        (4, 2, 4200, 4200, 4300, 4300), # single cell
+    ]
+    df = spark.createDataFrame(
+        segs, "seg_id long, user_id long, axq long, ayq long, "
+              "bxq long, byq long"
+    )
+    got = {
+        (r["gx"], r["gy"]): (r["n_segs"], r["n_users"])
+        for r in track_raster(df, cell=1000).collect()
+    }
+    assert got == _brute_raster(segs, 1000)
+    assert got[(0, 0)] == (3, 2)   # horizontal + vertical + diagonal
+    assert got[(2, 0)][0] == 1
+    # diagonal passes exactly through corner (1000,1000): closed-cell
+    # semantics include both straddling columns' boundary cells
+    assert (1, 0) in got and (0, 1) in got and (1, 1) in got
+    assert got[(4, 4)] == (1, 1)
+
+
+def test_track_raster_matches_brute_force(spark):
+    import random
+
+    from aira_spark.operators.linerast import CELL, track_raster
+
+    rng = random.Random(61)
+    segs = [
+        (i, i % 7,
+         rng.randrange(100000), rng.randrange(100000),
+         rng.randrange(100000), rng.randrange(100000))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        segs, "seg_id long, user_id long, axq long, ayq long, "
+              "bxq long, byq long"
+    )
+    got = {
+        (r["gx"], r["gy"]): (r["n_segs"], r["n_users"])
+        for r in track_raster(df).collect()
+    }
+    assert got == _brute_raster(segs, CELL)
+    # supercover sanity: every segment's endpoints' cells are hit
+    for _, _, axq, ayq, bxq, byq in segs:
+        assert (axq // CELL, ayq // CELL) in got
+        assert (bxq // CELL, byq // CELL) in got

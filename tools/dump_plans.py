@@ -317,6 +317,9 @@ def main() -> None:
         ("acf", "daily roll-up folds map-side; lag pairing is ONE equi-join "
                 "on (cell, day+lag) after a constant-fan-out lag explode; "
                 "one hash agg ends it — no window, no Python"),
+        ("track_raster", "supercover explode is a pure per-row map "
+                         "(geometry-bounded fan-out, no join); ONE distinct "
+                         "+ ONE hash agg end it"),
     ]
     qs = em.queries()
     lines = [
