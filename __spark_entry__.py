@@ -3185,6 +3185,15 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mk_trends(_cell_day_events(spark, sf_dir))
 
 
+def q_rle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RLE compressibility census per (image, band) — runs of the 2-bit
+    quantized stream counted in numpy inside ONE Arrow decode pass,
+    255-capped chunk count + ppm ratio (operators/rle.py:rle_census)."""
+    from aira_spark.operators.rle import rle_census
+
+    return rle_census(_images(spark, sf_dir, modulo=4))
+
+
 def q_track_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line rasterization: every grid cell each trajectory hop passes
     through (exact integer column-sweep supercover), per-cell segment +
@@ -3714,6 +3723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "acf": q_acf,
         "track_raster": q_track_raster,
+        "rle_census": q_rle_census,
     }
 
 
@@ -5355,6 +5365,12 @@ def _oracle_mann_kendall() -> str:
     return oracle_mk_sql(_CELL_DAY_SQL)
 
 
+def _oracle_rle_census() -> str:
+    from aira_spark.operators.rle import oracle_rle_sql
+
+    return oracle_rle_sql(_bands_cte_sql(modulo=4))
+
+
 def _oracle_track_raster() -> str:
     from aira_spark.operators.linerast import oracle_track_raster_sql
 
@@ -6806,6 +6822,7 @@ FROM docs GROUP BY 1
         "hits": _oracle_hits(),
         "acf": _oracle_acf(),
         "track_raster": _oracle_track_raster(),
+        "rle_census": _oracle_rle_census(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -936,3 +936,71 @@ def test_track_raster_matches_brute_force(spark):
     for _, _, axq, ayq, bxq, byq in segs:
         assert (axq // CELL, ayq // CELL) in got
         assert (bxq // CELL, byq // CELL) in got
+
+
+# ------------------------------------------------------------- rle_census
+
+
+def _np_rle(band2d):
+    """Python mirror of rle.rle_census for one 2-D band."""
+    q = [int(v) >> 6 for v in band2d.ravel()]
+    lens = []
+    i = 0
+    while i < len(q):
+        j = i
+        while j < len(q) and q[j] == q[i]:
+            j += 1
+        lens.append(j - i)
+        i = j
+    return (
+        len(q), len(lens), max(lens),
+        sum((ln + 254) // 255 for ln in lens),
+        (2_000_000 * sum((ln + 254) // 255 for ln in lens)) // len(q),
+    )
+
+
+def test_rle_census_hand_and_mirror(spark):
+    import numpy as np
+
+    from aira_spark.operators.rle import rle_census
+    from aira_spark.tiff.encode import write_tiff
+
+    flat = np.full((16, 20), 9, dtype=np.uint8)        # 1 run of 320
+    stripes = np.zeros((8, 8), dtype=np.uint8)
+    stripes[::2, :] = 255                               # 8 row-runs of 8
+    noisy = (np.arange(64, dtype=np.uint8) * 67 % 256).reshape(8, 8)
+    cases = {"flat": flat, "stripes": stripes, "noisy": noisy}
+    rows = [
+        (name, bytearray(write_tiff(a[:, :, None], byteorder="<",
+                                    layout=("strips", 4))))
+        for name, a in cases.items()
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    got = {
+        r["image_id"]: (r["n_px"], r["n_runs"], r["max_run"],
+                        r["n_chunks"], r["rle_ppm"])
+        for r in rle_census(df).collect()
+    }
+    assert got == {n: _np_rle(a) for n, a in cases.items()}
+    # flat 320-px run needs two 255-capped chunks; ppm = 2e6*2//320
+    assert got["flat"] == (320, 1, 320, 2, 12500)
+    assert got["stripes"][1] == 8 and got["stripes"][2] == 8
+
+
+def test_rle_census_matches_decode_mirror(spark, sf_dir):
+    import __spark_entry__ as em
+    from aira_spark.functions.udfs import _decode_full
+    from aira_spark.operators.rle import rle_census
+
+    images = em._images(spark, sf_dir, modulo=16)
+    want = {}
+    for rec in images.select("image_id", "bytes").collect():
+        _, px = _decode_full(bytes(rec["bytes"]))
+        for s in range(px.shape[2]):
+            want[(rec["image_id"], s)] = _np_rle(px[:, :, s])
+    got = {
+        (r["image_id"], r["band"]): (r["n_px"], r["n_runs"], r["max_run"],
+                                     r["n_chunks"], r["rle_ppm"])
+        for r in rle_census(images).collect()
+    }
+    assert got == want and got

@@ -320,6 +320,9 @@ def main() -> None:
         ("track_raster", "supercover explode is a pure per-row map "
                          "(geometry-bounded fan-out, no join); ONE distinct "
                          "+ ONE hash agg end it"),
+        ("rle_census", "ONE Arrow decode pass emits 4 integers per "
+                       "(image,band); run counting is numpy inside the UDF; "
+                       "pixels never become rows or cross an exchange"),
     ]
     qs = em.queries()
     lines = [
