@@ -3185,6 +3185,39 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mk_trends(_cell_day_events(spark, sf_dir))
 
 
+def _emerging_grid_exprs() -> tuple[str, str, str, str, int]:
+    """Shared (gx, gy, epoch, val) expression texts for emerging_hotspots:
+    16x16 coarse grid (CELL_RES - 3), 3-day epochs over the 30-day events
+    span, value in exact cents."""
+    n = 1 << (CELL_RES - 3)
+    gx = (
+        f"CAST(LEAST(GREATEST(FLOOR(({_EV_X} - (-180.0)) / 360.0 * "
+        f"{float(n)}), 0), {n - 1}) AS BIGINT)"
+    )
+    gy = (
+        f"CAST(LEAST(GREATEST(FLOOR(({_EV_Y} - (-90.0)) / 180.0 * "
+        f"{float(n)}), 0), {n - 1}) AS BIGINT)"
+    )
+    return gx, gy, "{day} DIV 3", "CAST(FLOOR(value * 100.0) AS BIGINT)", n
+
+
+def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emerging hot spot analysis (ESRI space-time cube): Gi* per 3-day
+    epoch on the coarse grid, Mann-Kendall over each cell's Gi*-z series,
+    7-class hot/cold x intensifying/diminishing/persistent census
+    (operators/emerging.py:emerging_hotspots)."""
+    from aira_spark.operators.emerging import emerging_hotspots
+
+    gx, gy, ep, val, n = _emerging_grid_exprs()
+    day = "CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT)"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        f"{gx} AS gx", f"{gy} AS gy",
+        f"CAST({ep.format(day=day)} AS BIGINT) AS epoch",
+        f"{val} AS val",
+    )
+    return emerging_hotspots(ev, grid_n=n)
+
+
 def q_rle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RLE compressibility census per (image, band) — runs of the 2-bit
     quantized stream counted in numpy inside ONE Arrow decode pass,
@@ -3724,6 +3757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf": q_acf,
         "track_raster": q_track_raster,
         "rle_census": q_rle_census,
+        "emerging_hotspots": q_emerging_hotspots,
     }
 
 
@@ -5365,6 +5399,19 @@ def _oracle_mann_kendall() -> str:
     return oracle_mk_sql(_CELL_DAY_SQL)
 
 
+def _oracle_emerging_hotspots() -> str:
+    from aira_spark.operators.emerging import oracle_emerging_sql
+
+    gx, gy, ep, val, n = _emerging_grid_exprs()
+    day = "CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT)"
+    ev = (
+        f"SELECT {gx} AS gx, {gy} AS gy, "
+        f"CAST({ep.format(day=day).replace(' DIV ', ' // ')} AS BIGINT)"
+        f" AS epoch, {val} AS val FROM events"
+    )
+    return oracle_emerging_sql(ev, grid_n=n)
+
+
 def _oracle_rle_census() -> str:
     from aira_spark.operators.rle import oracle_rle_sql
 
@@ -6823,6 +6870,7 @@ FROM docs GROUP BY 1
         "acf": _oracle_acf(),
         "track_raster": _oracle_track_raster(),
         "rle_census": _oracle_rle_census(),
+        "emerging_hotspots": _oracle_emerging_hotspots(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -296,6 +296,7 @@ def main() -> None:
         "acf": lambda: em.q_acf(spark, sf_dir).count(),
         "track_raster": lambda: em.q_track_raster(spark, sf_dir).count(),
         "rle_census": lambda: em.q_rle_census(spark, sf_dir).count(),
+        "emerging_hotspots": lambda: em.q_emerging_hotspots(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

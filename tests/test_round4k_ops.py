@@ -1004,3 +1004,128 @@ def test_rle_census_matches_decode_mirror(spark, sf_dir):
         for r in rle_census(images).collect()
     }
     assert got == want and got
+
+
+# ------------------------------------------------------ emerging_hotspots
+
+
+def _brute_emerging(rows, grid_n):
+    """rows = (gx, gy, epoch, val); python mirror of emerging_hotspots."""
+    import math
+    from collections import defaultdict
+
+    CRIT = 1_959_963
+    binned = defaultdict(int)
+    for gx, gy, ep, v in rows:
+        binned[(gx, gy, ep)] += v
+    by_epoch = defaultdict(dict)
+    for (gx, gy, ep), v in binned.items():
+        by_epoch[ep][(gx, gy)] = v
+    z = defaultdict(dict)  # (gx,gy) -> ep -> z_e6
+    for ep, cells in by_epoch.items():
+        n = len(cells)
+        sx = sum(cells.values())
+        sx2 = sum(v * v for v in cells.values())
+        vfac = n * sx2 - sx * sx
+        for (gx, gy) in cells:
+            nb = [
+                cells[(gx + dx, gy + dy)]
+                for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                if 0 <= gx + dx < grid_n and 0 <= gy + dy < grid_n
+                and (gx + dx, gy + dy) in cells
+            ]
+            k_i, s_i = len(nb), sum(nb)
+            num = n * s_i - k_i * sx
+            kfac = n * k_i - k_i * k_i
+            zv = (int(math.floor(
+                1_000_000.0 * num * math.sqrt(float(n - 1))
+                / math.sqrt(float(vfac) * float(kfac))))
+                if vfac > 0 and kfac > 0 else 0)
+            z[(gx, gy)][ep] = zv
+    out = {}
+    for cell, series in z.items():
+        eps = sorted(series)
+        zs = [series[e] for e in eps]
+        n = len(zs)
+        s = sum(
+            (zs[j] > zs[i]) - (zs[j] < zs[i])
+            for i in range(n) for j in range(i + 1, n)
+        )
+        tie = defaultdict(int)
+        for v in zs:
+            tie[v] += 1
+        var18 = (n * (n - 1) * (2 * n + 5)
+                 - sum(t * (t - 1) * (2 * t + 5) for t in tie.values()))
+        if var18 > 0 and s > 0:
+            mk = math.floor(1_000_000.0 * (s - 1) / math.sqrt(var18 / 18.0))
+        elif var18 > 0 and s < 0:
+            mk = math.floor(1_000_000.0 * (s + 1) / math.sqrt(var18 / 18.0))
+        else:
+            mk = 0
+        cur = zs[-1]
+        if cur >= CRIT and mk >= CRIT:
+            k = "intensifying_hot"
+        elif cur >= CRIT and mk <= -CRIT:
+            k = "diminishing_hot"
+        elif cur >= CRIT:
+            k = "persistent_hot"
+        elif cur <= -CRIT and mk <= -CRIT:
+            k = "intensifying_cold"
+        elif cur <= -CRIT and mk >= CRIT:
+            k = "diminishing_cold"
+        elif cur <= -CRIT:
+            k = "persistent_cold"
+        else:
+            k = "ns"
+        out[cell] = (n, s, int(mk), cur, k)
+    return out
+
+
+def test_emerging_hotspots_constructed_and_mirror(spark):
+    """8x8 grid, 8 epochs: background noise + a spike growing every epoch
+    at (6,6) and a shrinking-but-huge cell at (1,1). Gi* is a NEIGHBORHOOD
+    statistic, so the hot classes land on the spikes' 3x3 halos: every
+    intensifying_hot cell hugs (6,6), the diminishing_hot hugs (1,1).
+    Exact match with the python mirror end-to-end."""
+    import random
+
+    from aira_spark.operators.emerging import emerging_hotspots
+
+    rng = random.Random(71)
+    rows = []
+    for ep in range(8):
+        for gx in range(8):
+            for gy in range(8):
+                rows.append((gx, gy, ep, rng.randint(50, 100)))
+        rows.append((6, 6, ep, 400 + 1000 * ep))   # growing spike
+        rows.append((1, 1, ep, 8000 - 400 * ep))   # shrinking, still huge
+    df = spark.createDataFrame(rows, "gx long, gy long, epoch long, val long")
+    got = {
+        (r["gx"], r["gy"]): (r["n_epochs"], r["s_stat"], r["mk_z_e6"],
+                             r["cur_z_e6"], r["klass"])
+        for r in emerging_hotspots(df, grid_n=8).collect()
+    }
+    want = _brute_emerging(rows, 8)
+    assert got == want
+    inten = [c for c, v in got.items() if v[4] == "intensifying_hot"]
+    dimin = [c for c, v in got.items() if v[4] == "diminishing_hot"]
+    assert inten and all(
+        abs(x - 6) <= 1 and abs(y - 6) <= 1 for x, y in inten
+    )
+    assert dimin and all(
+        abs(x - 1) <= 1 and abs(y - 1) <= 1 for x, y in dimin
+    )
+    # the growing spike's own series is monotone-rising, max MK S
+    assert got[(6, 6)][1] == 28 and got[(1, 1)][1] == -28
+    assert sum(1 for v in got.values() if v[4] == "ns") > 40
+
+
+def test_emerging_hotspots_overflow_guard(spark):
+    import pytest as _pytest
+
+    from aira_spark.operators.emerging import emerging_hotspots
+
+    rows = [(x, 0, 0, 2_000_000_000) for x in range(4)]
+    df = spark.createDataFrame(rows, "gx long, gy long, epoch long, val long")
+    with _pytest.raises(RuntimeError, match="rescale"):
+        emerging_hotspots(df, grid_n=8)

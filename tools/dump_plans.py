@@ -323,6 +323,9 @@ def main() -> None:
         ("rle_census", "ONE Arrow decode pass emits 4 integers per "
                        "(image,band); run counting is numpy inside the UDF; "
                        "pixels never become rows or cross an exchange"),
+        ("emerging_hotspots", "raw stream folds to (epoch,cell) before the "
+                              "9-arm halo scatter (grid-bounded); epoch "
+                              "totals broadcast; MK pair join epoch-bounded"),
     ]
     qs = em.queries()
     lines = [
