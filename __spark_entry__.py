@@ -3218,6 +3218,24 @@ def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emerging_hotspots(ev, grid_n=n)
 
 
+def q_std_ellipse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional distribution per event type: mean center + exact
+    variance/covariance numerators + atan2-free major-axis orientation
+    class (operators/sde.py:std_ellipse). Coordinates are the synthetic
+    formula's EXACT integer numerators folded to centidegrees — zero
+    float ops in either engine."""
+    from aira_spark.operators.sde import std_ellipse
+
+    pts = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_type AS grp",
+        "CAST(((event_id * 2654435761) % 350000000) DIV 10000 AS BIGINT)"
+        " AS xq",
+        "CAST(((event_id * 1013904223) % 170000000) DIV 10000 AS BIGINT)"
+        " AS yq",
+    )
+    return std_ellipse(pts)
+
+
 def q_rle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RLE compressibility census per (image, band) — runs of the 2-bit
     quantized stream counted in numpy inside ONE Arrow decode pass,
@@ -3758,6 +3776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "track_raster": q_track_raster,
         "rle_census": q_rle_census,
         "emerging_hotspots": q_emerging_hotspots,
+        "std_ellipse": q_std_ellipse,
     }
 
 
@@ -5412,6 +5431,18 @@ def _oracle_emerging_hotspots() -> str:
     return oracle_emerging_sql(ev, grid_n=n)
 
 
+def _oracle_std_ellipse() -> str:
+    from aira_spark.operators.sde import oracle_sde_sql
+
+    return oracle_sde_sql(
+        "SELECT event_type AS grp, "
+        "CAST(((event_id * 2654435761) % 350000000) // 10000 AS BIGINT)"
+        " AS xq, "
+        "CAST(((event_id * 1013904223) % 170000000) // 10000 AS BIGINT)"
+        " AS yq FROM events"
+    )
+
+
 def _oracle_rle_census() -> str:
     from aira_spark.operators.rle import oracle_rle_sql
 
@@ -6871,6 +6902,7 @@ FROM docs GROUP BY 1
         "track_raster": _oracle_track_raster(),
         "rle_census": _oracle_rle_census(),
         "emerging_hotspots": _oracle_emerging_hotspots(),
+        "std_ellipse": _oracle_std_ellipse(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -297,6 +297,7 @@ def main() -> None:
         "track_raster": lambda: em.q_track_raster(spark, sf_dir).count(),
         "rle_census": lambda: em.q_rle_census(spark, sf_dir).count(),
         "emerging_hotspots": lambda: em.q_emerging_hotspots(spark, sf_dir).count(),
+        "std_ellipse": lambda: em.q_std_ellipse(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

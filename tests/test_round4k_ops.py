@@ -1129,3 +1129,74 @@ def test_emerging_hotspots_overflow_guard(spark):
     df = spark.createDataFrame(rows, "gx long, gy long, epoch long, val long")
     with _pytest.raises(RuntimeError, match="rescale"):
         emerging_hotspots(df, grid_n=8)
+
+
+# ------------------------------------------------------------- std_ellipse
+
+
+def _brute_sde(rows):
+    """rows = (grp, xq, yq); python mirror of sde.std_ellipse."""
+    from collections import defaultdict
+
+    by = defaultdict(list)
+    for g, x, y in rows:
+        by[g].append((x, y))
+    out = {}
+    for g, pts in by.items():
+        n = len(pts)
+        sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts); syy = sum(y * y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        cov = n * sxy - sx * sy
+        a, b = vx - vy, 2 * cov
+        if a == 0 and b == 0:
+            o = "isotropic"
+        elif a >= 0 and a >= b and a >= -b:
+            o = "E-W"
+        elif b > 0 and b > a and b > -a:
+            o = "NE-SW"
+        elif a < 0 and -a >= b and -a >= -b:
+            o = "N-S"
+        else:
+            o = "NW-SE"
+        out[g] = (n, (10000 * sx) // n, (10000 * sy) // n, vx, vy, cov, o)
+    return out
+
+
+def test_std_ellipse_hand_and_mirror(spark):
+    import random
+
+    from aira_spark.operators.sde import std_ellipse
+
+    rng = random.Random(83)
+    rows = []
+    for i in range(60):
+        t = rng.randint(-100, 100)
+        rows.append(("ew", 5000 + t * 4, 3000 + rng.randint(-20, 20)))
+        rows.append(("ns", 5000 + rng.randint(-20, 20), 3000 + t * 4))
+        rows.append(("diag", 5000 + t, 3000 + t + rng.randint(-5, 5)))
+        rows.append(("anti", 5000 + t, 3000 - t + rng.randint(-5, 5)))
+    rows.append(("dot", 777, 888))  # single point: all variances zero
+    df = spark.createDataFrame(rows, "grp string, xq long, yq long")
+    got = {
+        r["grp"]: (r["n"], r["cx_e6"], r["cy_e6"], r["vx"], r["vy"],
+                   r["cov_n"], r["orient"])
+        for r in std_ellipse(df).collect()
+    }
+    assert got == _brute_sde(rows)
+    assert got["ew"][6] == "E-W" and got["ns"][6] == "N-S"
+    assert got["diag"][6] == "NE-SW" and got["anti"][6] == "NW-SE"
+    assert got["dot"] == (1, 7_770_000, 8_880_000, 0, 0, 0, "isotropic")
+
+
+def test_std_ellipse_overflow_guard(spark):
+    import pytest as _pytest
+
+    from aira_spark.operators.sde import std_ellipse
+
+    rows = [("g", 3_000_000_000, 1) for _ in range(3)]
+    df = spark.createDataFrame(rows, "grp string, xq long, yq long")
+    with _pytest.raises(RuntimeError, match="rescale"):
+        std_ellipse(df)

@@ -326,6 +326,8 @@ def main() -> None:
         ("emerging_hotspots", "raw stream folds to (epoch,cell) before the "
                               "9-arm halo scatter (grid-bounded); epoch "
                               "totals broadcast; MK pair join epoch-bounded"),
+        ("std_ellipse", "ONE map-side-combined hash agg carries six "
+                        "integers per group; no window, no join, no Python"),
     ]
     qs = em.queries()
     lines = [
