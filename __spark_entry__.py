@@ -3218,6 +3218,19 @@ def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emerging_hotspots(ev, grid_n=n)
 
 
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance census of order totals (cents) per
+    order priority — compile-time e6 law literals, exact cross-multiplied
+    deviation, dense 9-digit spine (operators/benford.py)."""
+    from aira_spark.operators.benford import benford_census
+
+    vals = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+        "o_orderpriority AS grp",
+        "CAST(floor(o_totalprice * 100.0) AS BIGINT) AS v",
+    )
+    return benford_census(vals)
+
+
 def q_std_ellipse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directional distribution per event type: mean center + exact
     variance/covariance numerators + atan2-free major-axis orientation
@@ -3777,6 +3790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rle_census": q_rle_census,
         "emerging_hotspots": q_emerging_hotspots,
         "std_ellipse": q_std_ellipse,
+        "benford": q_benford,
     }
 
 
@@ -5431,6 +5445,15 @@ def _oracle_emerging_hotspots() -> str:
     return oracle_emerging_sql(ev, grid_n=n)
 
 
+def _oracle_benford() -> str:
+    from aira_spark.operators.benford import oracle_benford_sql
+
+    return oracle_benford_sql(
+        "SELECT o_orderpriority AS grp, "
+        "CAST(floor(o_totalprice * 100.0) AS BIGINT) AS v FROM orders"
+    )
+
+
 def _oracle_std_ellipse() -> str:
     from aira_spark.operators.sde import oracle_sde_sql
 
@@ -6903,6 +6926,7 @@ FROM docs GROUP BY 1
         "rle_census": _oracle_rle_census(),
         "emerging_hotspots": _oracle_emerging_hotspots(),
         "std_ellipse": _oracle_std_ellipse(),
+        "benford": _oracle_benford(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -1200,3 +1200,51 @@ def test_std_ellipse_overflow_guard(spark):
     df = spark.createDataFrame(rows, "grp string, xq long, yq long")
     with _pytest.raises(RuntimeError, match="rescale"):
         std_ellipse(df)
+
+
+# ---------------------------------------------------------------- benford
+
+
+def test_benford_hand_and_law(spark):
+    import math
+    from collections import Counter
+
+    from aira_spark.operators.benford import BENFORD_E6, benford_census
+
+    # law constants really are floor(1e6*log10(1+1/d))
+    assert BENFORD_E6 == [
+        math.floor(1e6 * math.log10(1 + 1 / d)) for d in range(1, 10)
+    ]
+    # a perfectly Benford-ish sample: v = floor(10^(k/100)) spans scales
+    ben = [("b", int(10 ** (3 + k / 997 * 3))) for k in range(997)]
+    # a degenerate capped sample: everything starts with 4 (fraud smell)
+    cap = [("c", 4_000 + i) for i in range(500)]
+    zero = [("b", 0), ("c", -7)]  # ignored: no first significant digit
+    df = spark.createDataFrame(ben + cap + zero, "grp string, v long")
+    got = {
+        (r["grp"], r["digit"]): (r["n_d"], r["ppm"], r["benford_e6"],
+                                 r["dev"])
+        for r in benford_census(df).collect()
+    }
+    # mirror
+    cnt = Counter()
+    for g, v in ben + cap:
+        if v > 0:
+            cnt[(g, int(str(v)[0]))] += 1
+    tot = Counter()
+    for (g, d), c in cnt.items():
+        tot[g] += c
+    for g in ("b", "c"):
+        for d in range(1, 10):
+            n_d = cnt.get((g, d), 0)
+            want = (
+                n_d, (1_000_000 * n_d) // tot[g], BENFORD_E6[d - 1],
+                abs(1_000_000 * n_d - tot[g] * BENFORD_E6[d - 1]),
+            )
+            assert got[(g, d)] == want, (g, d)
+    assert len(got) == 18  # dense spine: every digit row present
+    # the log-uniform sample hugs the law; the capped one concentrates on 4
+    b_dev = sum(got[("b", d)][3] for d in range(1, 10)) / tot["b"]
+    c_dev = sum(got[("c", d)][3] for d in range(1, 10)) / tot["c"]
+    assert b_dev < 60_000 and c_dev > 1_000_000
+    assert got[("c", 4)][0] == 500 and got[("c", 1)][0] == 0

@@ -328,6 +328,9 @@ def main() -> None:
                               "totals broadcast; MK pair join epoch-bounded"),
         ("std_ellipse", "ONE map-side-combined hash agg carries six "
                         "integers per group; no window, no join, no Python"),
+        ("benford", "one hash agg to (grp,digit); 9-digit spine joins the "
+                    "group census broadcast-small; law constants are "
+                    "compile-time literals — no libm at query time"),
     ]
     qs = em.queries()
     lines = [
