@@ -3218,6 +3218,27 @@ def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emerging_hotspots(ev, grid_n=n)
 
 
+def q_mwu_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U location-shift matrix over the same segment/price
+    spine as ks_drift — doubled-U exact under ties, factored tie-corrected
+    z chain (operators/mwu.py:mwu_pairs)."""
+    from aira_spark.operators.mwu import mwu_pairs
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", F.col("c_mktsegment").alias("grp")
+    )
+    samples = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr(
+            "o_custkey",
+            "CAST(floor(o_totalprice * 100.0) AS BIGINT) AS v",
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("grp", "v")
+    )
+    return mwu_pairs(samples)
+
+
 def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit conformance census of order totals (cents) per
     order priority — compile-time e6 law literals, exact cross-multiplied
@@ -3791,6 +3812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emerging_hotspots": q_emerging_hotspots,
         "std_ellipse": q_std_ellipse,
         "benford": q_benford,
+        "mwu_drift": q_mwu_drift,
     }
 
 
@@ -5445,6 +5467,16 @@ def _oracle_emerging_hotspots() -> str:
     return oracle_emerging_sql(ev, grid_n=n)
 
 
+def _oracle_mwu_drift() -> str:
+    from aira_spark.operators.mwu import oracle_mwu_sql
+
+    return oracle_mwu_sql(
+        "SELECT c.c_mktsegment AS grp, "
+        "CAST(floor(o.o_totalprice * 100.0) AS BIGINT) AS v "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+    )
+
+
 def _oracle_benford() -> str:
     from aira_spark.operators.benford import oracle_benford_sql
 
@@ -6927,6 +6959,7 @@ FROM docs GROUP BY 1
         "emerging_hotspots": _oracle_emerging_hotspots(),
         "std_ellipse": _oracle_std_ellipse(),
         "benford": _oracle_benford(),
+        "mwu_drift": _oracle_mwu_drift(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

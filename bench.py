@@ -299,6 +299,7 @@ def main() -> None:
         "emerging_hotspots": lambda: em.q_emerging_hotspots(spark, sf_dir).count(),
         "std_ellipse": lambda: em.q_std_ellipse(spark, sf_dir).count(),
         "benford": lambda: em.q_benford(spark, sf_dir).count(),
+        "mwu_drift": lambda: em.q_mwu_drift(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

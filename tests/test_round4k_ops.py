@@ -1248,3 +1248,77 @@ def test_benford_hand_and_law(spark):
     c_dev = sum(got[("c", d)][3] for d in range(1, 10)) / tot["c"]
     assert b_dev < 60_000 and c_dev > 1_000_000
     assert got[("c", 4)][0] == 500 and got[("c", 1)][0] == 0
+
+
+# ---------------------------------------------------------------- mwu
+
+
+def _brute_mwu(rows):
+    """rows = (grp, v); brute-force doubled-U over raw pairs + factored z."""
+    import math
+    from collections import Counter, defaultdict
+
+    by = defaultdict(list)
+    for g, v in rows:
+        by[g].append(v)
+    out = {}
+    groups = sorted(by)
+    for i, ga in enumerate(groups):
+        for gb in groups[i + 1:]:
+            a, b = by[ga], by[gb]
+            na, nb = len(a), len(b)
+            u2 = sum(
+                2 * (x > y) + (x == y) for x in a for y in b
+            )
+            n = na + nb
+            tsum = sum(
+                t ** 3 - t for t in Counter(a + b).values()
+            )
+            tfac = (n + 1) * n * (n - 1) - tsum
+            z = (int(math.floor(
+                1_000_000.0 * (u2 - na * nb)
+                * math.sqrt(3.0 * n * (n - 1))
+                / (math.sqrt(float(na)) * math.sqrt(float(nb))
+                   * math.sqrt(float(tfac)))))
+                if tfac > 0 else 0)
+            out[(ga, gb)] = (na, nb, u2, tfac, z, int(abs(z) > 1_959_963))
+    return out
+
+
+def test_mwu_matches_brute_force(spark):
+    import random
+
+    from aira_spark.operators.mwu import mwu_pairs
+
+    rng = random.Random(97)
+    rows = (
+        [("a", rng.randint(0, 40)) for _ in range(35)]
+        + [("b", rng.randint(0, 40)) for _ in range(28)]    # same law
+        + [("c", rng.randint(25, 70)) for _ in range(31)]   # shifted up
+        + [("d", 7) for _ in range(10)]                     # constant
+    )
+    df = spark.createDataFrame(rows, "grp string, v long")
+    got = {
+        (r["grp_a"], r["grp_b"]): (r["n_a"], r["n_b"], r["u2_a"],
+                                   r["tfac"], r["z_e6"], r["reject05"])
+        for r in mwu_pairs(df).collect()
+    }
+    want = _brute_mwu(rows)
+    assert got == want
+    # identity u2_a + u2_b = 2 n_a n_b via the symmetric recompute
+    flipped = _brute_mwu([(("zz" if g == "a" else g), v) for g, v in rows])
+    assert (got[("a", "c")][2]
+            + flipped[("c", "zz")][2] == 2 * got[("a", "c")][0] * got[("a", "c")][1])
+    # c is stochastically larger than a: strong negative z for (a, c)
+    assert got[("a", "c")][4] < -1_959_963 and got[("a", "c")][5] == 1
+    assert got[("a", "b")][5] == 0          # same law: not rejected
+
+
+def test_mwu_all_tied_degenerate(spark):
+    from aira_spark.operators.mwu import mwu_pairs
+
+    rows = [("p", 5)] * 6 + [("q", 5)] * 4
+    df = spark.createDataFrame(rows, "grp string, v long")
+    r = mwu_pairs(df).collect()[0]
+    # every pair tied: u2 = n_a*n_b exactly, tfac = 0, z = 0
+    assert (r["u2_a"], r["tfac"], r["z_e6"], r["reject05"]) == (24, 0, 0, 0)

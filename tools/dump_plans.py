@@ -331,6 +331,9 @@ def main() -> None:
         ("benford", "one hash agg to (grp,digit); 9-digit spine joins the "
                     "group census broadcast-small; law constants are "
                     "compile-time literals — no libm at query time"),
+        ("mwu_drift", "ks_pairs' exact shape: per-(grp,value) histogram "
+                      "folds map-side first, pair table broadcasts, one "
+                      "window cumsum per pair partition"),
     ]
     qs = em.queries()
     lines = [
