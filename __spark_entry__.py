@@ -3218,6 +3218,16 @@ def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emerging_hotspots(ev, grid_n=n)
 
 
+def q_lisa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anselin local Moran's I (LISA) cluster map over the mosaic fine
+    grid — exact cross-multiplied centering, HH/LL cores vs HL/LH spatial
+    outliers, once-divided 128-bit product
+    (operators/autocorr.py:lisa_clusters)."""
+    from aira_spark.operators.autocorr import lisa_clusters
+
+    return lisa_clusters(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
+
+
 def q_mwu_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U location-shift matrix over the same segment/price
     spine as ks_drift — doubled-U exact under ties, factored tie-corrected
@@ -3813,6 +3823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "std_ellipse": q_std_ellipse,
         "benford": q_benford,
         "mwu_drift": q_mwu_drift,
+        "lisa": q_lisa,
     }
 
 
@@ -5467,6 +5478,12 @@ def _oracle_emerging_hotspots() -> str:
     return oracle_emerging_sql(ev, grid_n=n)
 
 
+def _oracle_lisa() -> str:
+    from aira_spark.operators.autocorr import oracle_lisa_sql
+
+    return oracle_lisa_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
+
+
 def _oracle_mwu_drift() -> str:
     from aira_spark.operators.mwu import oracle_mwu_sql
 
@@ -6960,6 +6977,7 @@ FROM docs GROUP BY 1
         "std_ellipse": _oracle_std_ellipse(),
         "benford": _oracle_benford(),
         "mwu_drift": _oracle_mwu_drift(),
+        "lisa": _oracle_lisa(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -325,3 +325,135 @@ pieces AS (
   FROM cells, totals
 )
 SELECT fx, fy, k_i, s_i, num, {case} AS gi_class FROM pieces"""
+
+
+# local Moran quadrant: sign of a = n*v_i - sx (own deviation) and of
+# b = n*s_nbr - k_i*sx (neighborhood deviation); zeros are 'ns'
+_LISA_CASE = (
+    "CASE WHEN a > 0 AND b > 0 THEN 'HH' "
+    "WHEN a < 0 AND b < 0 THEN 'LL' "
+    "WHEN a > 0 AND b < 0 THEN 'HL' "
+    "WHEN a < 0 AND b > 0 THEN 'LH' "
+    "ELSE 'ns' END"
+)
+
+
+def lisa_clusters(
+    images: DataFrame, res: int = DEFAULT_RES, patch_bits: int = 4
+) -> DataFrame:
+    """(fx, fy, k_i, a_num, b_num, lisa_d, quad): Anselin 1995 LOCAL
+    Moran's I cluster map of every fine-grid cell — the quadrant
+    companion to gi_hotspots' Gi* (Gi* says hot-or-cold; LISA separates
+    cluster cores HH/LL from spatial OUTLIERS HL/LH, the 'rich block in
+    a poor neighborhood' detector GeoDa popularized).
+
+    I_i ∝ (v_i − m) · Σ_{j∈N(i)} (v_j − m), queen 3x3 EXCLUDING self
+    (Gi* includes self — the one-weight difference between the two
+    statistics). Mean centering is EXACT by cross-multiplication: the
+    checked projection carries a_num = n·v_i − sx and b_num = n·s_nbr −
+    k_i·sx (both exact BIGINT), their sign quadrant, and the ONCE-divided
+    product lisa_d = (a_num·b_num) DIV (n·n) — 128-bit intermediate via
+    Spark DECIMAL(38,0) / DuckDB HUGEINT (the moments widening), floored
+    back to BIGINT ≈ (v_i−m)·Σ(v_j−m). No sqrt, no doubles anywhere.
+
+    Scale shape: identical to gi_hotspots — ONE 9-arm halo scatter of the
+    grid-bounded mosaic rows + one hash agg, single-row totals broadcast,
+    classification pure projection. Cells never pair with cells."""
+    from .focal import OFFSETS
+
+    pb = 1 << patch_bits
+    nf = 1 << (res + patch_bits)
+    fine = mosaic_cell_values(images, res, patch_bits).select(
+        (cell_ix(F.col("cell")) * pb + F.col("pc")).alias("fx"),
+        (cell_iy(F.col("cell")) * pb + F.col("pr")).alias("fy"),
+        "val",
+    )
+    arms = ", ".join(
+        f"named_struct('tx', fx + {dx}, 'ty', fy + {dy}, "
+        f"'is_center', {str(dx == 0 and dy == 0).lower()})"
+        for dx, dy in OFFSETS
+    )
+    scattered = fine.select(
+        "val", F.expr(f"explode(array({arms})) AS o")
+    ).where(
+        (F.col("o.tx") >= 0) & (F.col("o.tx") < nf)
+        & (F.col("o.ty") >= 0) & (F.col("o.ty") < nf)
+    )
+    cells = (
+        scattered.groupBy("o.tx", "o.ty")
+        .agg(
+            F.max(F.when(F.col("o.is_center"), F.col("val"))).alias("v"),
+            F.count(F.when(~F.col("o.is_center"), F.lit(1)))
+            .cast("long").alias("k_i"),
+            F.sum(F.when(~F.col("o.is_center"), F.col("val")))
+            .cast("long").alias("s_nbr_raw"),
+        )
+        .where(F.col("v").isNotNull())
+        .selectExpr(
+            "CAST(tx AS BIGINT) AS fx", "CAST(ty AS BIGINT) AS fy",
+            "v", "k_i", "CAST(coalesce(s_nbr_raw, 0) AS BIGINT) AS s_nbr",
+        )
+    )
+    totals = cells.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sx"),
+    )
+    return (
+        cells.crossJoin(F.broadcast(totals))
+        .selectExpr(
+            "fx", "fy", "k_i", "n",
+            "CAST(n * v - sx AS BIGINT) AS a",
+            "CAST(n * s_nbr - k_i * sx AS BIGINT) AS b",
+        )
+        .selectExpr(
+            "fx", "fy", "k_i",
+            "a AS a_num", "b AS b_num",
+            "CAST((CAST(a AS DECIMAL(38,0)) * b) DIV (CAST(n AS"
+            " DECIMAL(38,0)) * n) AS BIGINT) AS lisa_d",
+            f"{_LISA_CASE} AS quad",
+        )
+    )
+
+
+def oracle_lisa_sql(
+    fine_cte: str, res: int = DEFAULT_RES, patch_bits: int = 4
+) -> str:
+    """DuckDB mirror over a WITH clause ending in fine(fx, fy, val):
+    identical scatter (self excluded from the neighbor fold), totals and
+    HUGEINT once-divided product."""
+    nf = 1 << (res + patch_bits)
+    offs = ", ".join(
+        f"({dx}, {dy}, {str(dx == 0 and dy == 0).lower()})"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    return f"""{fine_cte},
+sc AS (
+  SELECT fx + o.dx AS tx, fy + o.dy AS ty, val, o.is_center
+  FROM fine, (VALUES {offs}) AS o(dx, dy, is_center)
+  WHERE fx + o.dx >= 0 AND fx + o.dx < {nf}
+    AND fy + o.dy >= 0 AND fy + o.dy < {nf}
+),
+cells AS (
+  SELECT CAST(tx AS BIGINT) AS fx, CAST(ty AS BIGINT) AS fy,
+    MAX(CASE WHEN is_center THEN val END) AS v,
+    CAST(COUNT(CASE WHEN NOT is_center THEN 1 END) AS BIGINT) AS k_i,
+    CAST(COALESCE(SUM(CASE WHEN NOT is_center THEN val END), 0)
+         AS BIGINT) AS s_nbr
+  FROM sc GROUP BY tx, ty HAVING bool_or(is_center)
+),
+totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sx
+  FROM cells
+),
+base AS (
+  SELECT fx, fy, k_i,
+    CAST(n * v - sx AS BIGINT) AS a,
+    CAST(n * s_nbr - k_i * sx AS BIGINT) AS b,
+    n
+  FROM cells, totals
+)
+SELECT fx, fy, k_i, a AS a_num, b AS b_num,
+  CAST((CAST(a AS HUGEINT) * b) // (CAST(n AS HUGEINT) * n)
+       AS BIGINT) AS lisa_d,
+  {_LISA_CASE} AS quad
+FROM base"""

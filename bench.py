@@ -300,6 +300,7 @@ def main() -> None:
         "std_ellipse": lambda: em.q_std_ellipse(spark, sf_dir).count(),
         "benford": lambda: em.q_benford(spark, sf_dir).count(),
         "mwu_drift": lambda: em.q_mwu_drift(spark, sf_dir).count(),
+        "lisa": lambda: em.q_lisa(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

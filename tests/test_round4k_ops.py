@@ -1322,3 +1322,63 @@ def test_mwu_all_tied_degenerate(spark):
     r = mwu_pairs(df).collect()[0]
     # every pair tied: u2 = n_a*n_b exactly, tfac = 0, z = 0
     assert (r["u2_a"], r["tfac"], r["z_e6"], r["reject05"]) == (24, 0, 0, 0)
+
+
+# ------------------------------------------------------------------ lisa
+
+
+def test_lisa_quadrants_hand_grid(spark):
+    """Constructed mosaic: a high plateau (HH core), a low basin (LL), a
+    single high cell in the basin (HL outlier) and a low cell on the
+    plateau (LH outlier) — the python mirror recomputes every number."""
+    import numpy as np
+
+    from aira_spark.operators.autocorr import lisa_clusters
+    from aira_spark.tiff.encode import write_tiff
+
+    # one 32x32 image fills fine cells deterministically at res=1,pb=4
+    # (nf = 32): left half high (200), right half low (20), with the two
+    # planted outliers
+    a = np.full((32, 32), 20, dtype=np.uint8)
+    a[:, :16] = 200
+    a[16, 24] = 200   # HL outlier in the low half
+    a[16, 8] = 20     # LH outlier in the high half
+    # affine: pixel centers land exactly one per fine cell (fx=c, fy=31-r)
+    img = [("img000", bytearray(write_tiff(
+        a[:, :, None], byteorder="<", layout=("strips", 8),
+        geo=((360.0 / 32, 180.0 / 32, 0.0),
+             (0.0, 0.0, 0.0, -180.0, 90.0, 0.0)))))]
+    df = spark.createDataFrame(img, "image_id string, bytes binary")
+    rows = {
+        (r["fx"], r["fy"]): (r["k_i"], r["a_num"], r["b_num"], r["lisa_d"],
+                             r["quad"])
+        for r in lisa_clusters(df, res=1, patch_bits=4).collect()
+    }
+    assert len(rows) == 1024
+    # python mirror over the same fine grid
+    vals = {}
+    for r in range(32):
+        for c in range(32):
+            vals[(c, 31 - r)] = int(a[r, c])
+    n = len(vals)
+    sx = sum(vals.values())
+    for (fx, fy), v in vals.items():
+        nbrs = [
+            vals[(fx + dx, fy + dy)]
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0) and (fx + dx, fy + dy) in vals
+        ]
+        aa = n * v - sx
+        bb = n * sum(nbrs) - len(nbrs) * sx
+        # trunc-toward-zero division, matching Spark DIV / DuckDB //
+        prod = aa * bb
+        ld = abs(prod) // (n * n)
+        ld = ld if prod >= 0 else -ld
+        q = ("HH" if aa > 0 and bb > 0 else "LL" if aa < 0 and bb < 0
+             else "HL" if aa > 0 and bb < 0 else "LH" if aa < 0 and bb > 0
+             else "ns")
+        assert rows[(fx, fy)] == (len(nbrs), aa, bb, ld, q), (fx, fy)
+    # planted structure: outliers classified as outliers, cores as cores
+    assert rows[(24, 15)][4] == "HL"
+    assert rows[(8, 15)][4] == "LH"
+    assert rows[(4, 20)][4] == "HH" and rows[(28, 20)][4] == "LL"

@@ -334,6 +334,9 @@ def main() -> None:
         ("mwu_drift", "ks_pairs' exact shape: per-(grp,value) histogram "
                       "folds map-side first, pair table broadcasts, one "
                       "window cumsum per pair partition"),
+        ("lisa", "gi_hotspots' exact shape: ONE 9-arm halo scatter + hash "
+                 "agg, single-row totals broadcast, classification pure "
+                 "projection; cells never pair with cells"),
     ]
     qs = em.queries()
     lines = [
