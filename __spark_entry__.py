@@ -3218,6 +3218,25 @@ def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emerging_hotspots(ev, grid_n=n)
 
 
+def q_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence census: market segment x order priority
+    contingency with exact cross-multiplied deviations, per-cell integer
+    micro contributions and a fold row vs the df=16 critical literal
+    (operators/chi2.py:chi2_census)."""
+    from aira_spark.operators.chi2 import chi2_census
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", F.col("c_mktsegment").alias("row_cat")
+    )
+    pairs = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr("o_custkey", "o_orderpriority AS col_cat")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("row_cat", "col_cat")
+    )
+    return chi2_census(pairs, df_crit=16)
+
+
 def q_lisa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anselin local Moran's I (LISA) cluster map over the mosaic fine
     grid — exact cross-multiplied centering, HH/LL cores vs HL/LH spatial
@@ -3824,6 +3843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford": q_benford,
         "mwu_drift": q_mwu_drift,
         "lisa": q_lisa,
+        "chi2": q_chi2,
     }
 
 
@@ -5478,6 +5498,16 @@ def _oracle_emerging_hotspots() -> str:
     return oracle_emerging_sql(ev, grid_n=n)
 
 
+def _oracle_chi2() -> str:
+    from aira_spark.operators.chi2 import oracle_chi2_sql
+
+    return oracle_chi2_sql(
+        "SELECT c.c_mktsegment AS row_cat, o.o_orderpriority AS col_cat "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey",
+        df_crit=16,
+    )
+
+
 def _oracle_lisa() -> str:
     from aira_spark.operators.autocorr import oracle_lisa_sql
 
@@ -6978,6 +7008,7 @@ FROM docs GROUP BY 1
         "benford": _oracle_benford(),
         "mwu_drift": _oracle_mwu_drift(),
         "lisa": _oracle_lisa(),
+        "chi2": _oracle_chi2(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -1382,3 +1382,73 @@ def test_lisa_quadrants_hand_grid(spark):
     assert rows[(24, 15)][4] == "HL"
     assert rows[(8, 15)][4] == "LH"
     assert rows[(4, 20)][4] == "HH" and rows[(28, 20)][4] == "LL"
+
+
+# ------------------------------------------------------------------ chi2
+
+
+def test_chi2_hand_and_mirror(spark):
+    import math
+    from collections import Counter
+
+    from aira_spark.operators.chi2 import CRIT_E6, chi2_census
+
+    # dependent table: 'x' rows concentrate in 'p'; plus a zero cell
+    pairs = (
+        [("x", "p")] * 40 + [("x", "q")] * 5
+        + [("y", "p")] * 10 + [("y", "q")] * 45
+        + [("z", "p")] * 20   # (z, q) is the zero cell
+    )
+    df = spark.createDataFrame(pairs, "row_cat string, col_cat string")
+    got = {
+        (r["row_cat"], r["col_cat"]): (r["o"], r["r"], r["c"], r["dev"],
+                                       r["contrib_e6"])
+        for r in chi2_census(df, df_crit=2).collect()
+    }
+    cells = Counter(pairs)
+    rm = Counter(p[0] for p in pairs)
+    cm = Counter(p[1] for p in pairs)
+    n = len(pairs)
+    tot = 0
+    for rc in ("x", "y", "z"):
+        for cc in ("p", "q"):
+            o = cells.get((rc, cc), 0)
+            dev = o * n - rm[rc] * cm[cc]
+            contrib = math.floor(
+                1_000_000.0 * float(dev) * float(dev)
+                / (float(n) * float(rm[rc]) * float(cm[cc]))
+            )
+            tot += contrib
+            assert got[(rc, cc)] == (o, rm[rc], cm[cc], dev, contrib), (rc, cc)
+    # fold row: df=2 literal, strongly dependent table -> rejected
+    assert got[("__all__", "__all__")] == (
+        n, 2, int(tot > CRIT_E6[2]), 0, tot,
+    )
+    assert got[("__all__", "__all__")][2] == 1
+    assert (("z", "q") in got) and got[("z", "q")][0] == 0  # dense spine
+
+
+def test_chi2_independent_not_rejected(spark):
+    from aira_spark.operators.chi2 import chi2_census
+
+    # perfectly proportional table: chi2 = 0 exactly
+    pairs = (
+        [("a", "p")] * 30 + [("a", "q")] * 10
+        + [("b", "p")] * 60 + [("b", "q")] * 20
+    )
+    df = spark.createDataFrame(pairs, "row_cat string, col_cat string")
+    got = {(r["row_cat"], r["col_cat"]): r for r in
+           chi2_census(df, df_crit=1).collect()}
+    assert got[("__all__", "__all__")]["contrib_e6"] == 0
+    assert got[("__all__", "__all__")]["c"] == 0
+    assert all(r["dev"] == 0 for k, r in got.items() if k[0] != "__all__")
+
+
+def test_chi2_unknown_df_raises(spark):
+    import pytest as _pytest
+
+    from aira_spark.operators.chi2 import chi2_census
+
+    df = spark.createDataFrame([("a", "b")], "row_cat string, col_cat string")
+    with _pytest.raises(ValueError, match="critical literal"):
+        chi2_census(df, df_crit=7)

@@ -337,6 +337,9 @@ def main() -> None:
         ("lisa", "gi_hotspots' exact shape: ONE 9-arm halo scatter + hash "
                  "agg, single-row totals broadcast, classification pure "
                  "projection; cells never pair with cells"),
+        ("chi2", "one hash agg to contingency cells; margins/spine bounded "
+                 "by category cardinalities and broadcast; per-cell integer "
+                 "micros summed — order-independent"),
     ]
     qs = em.queries()
     lines = [
