@@ -3218,6 +3218,18 @@ def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emerging_hotspots(ev, grid_n=n)
 
 
+def q_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease census per document — exact integer fixed
+    point with compile-time constants, vowel-group syllables, 4-class
+    band (operators/readability.py:flesch_census)."""
+    from aira_spark.operators.readability import flesch_census
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return flesch_census(docs)
+
+
 def q_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square independence census: market segment x order priority
     contingency with exact cross-multiplied deviations, per-cell integer
@@ -3844,6 +3856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mwu_drift": q_mwu_drift,
         "lisa": q_lisa,
         "chi2": q_chi2,
+        "flesch": q_flesch,
     }
 
 
@@ -5498,6 +5511,12 @@ def _oracle_emerging_hotspots() -> str:
     return oracle_emerging_sql(ev, grid_n=n)
 
 
+def _oracle_flesch() -> str:
+    from aira_spark.operators.readability import oracle_flesch_sql
+
+    return oracle_flesch_sql("SELECT doc_id, text FROM documents")
+
+
 def _oracle_chi2() -> str:
     from aira_spark.operators.chi2 import oracle_chi2_sql
 
@@ -7009,6 +7028,7 @@ FROM docs GROUP BY 1
         "mwu_drift": _oracle_mwu_drift(),
         "lisa": _oracle_lisa(),
         "chi2": _oracle_chi2(),
+        "flesch": _oracle_flesch(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

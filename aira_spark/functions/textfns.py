@@ -303,3 +303,36 @@ def jaccard_words(a: str, b: str, engine: str) -> str:
         f"ROUND(CAST(len(list_intersect({a}, {b})) AS DOUBLE) / "
         f"CAST(len(list_distinct(list_concat({a}, {b}))) AS DOUBLE), 6)"
     )
+
+
+def n_letter_words(expr: str, engine: str) -> str:
+    """Count of letter-run words — the Flesch word unit (punctuation and
+    digits never make a word, unlike the whitespace split)."""
+    if engine == "spark":
+        return f"size(regexp_extract_all(lower({expr}), '[a-z]+', 0))"
+    return f"len(regexp_extract_all(lower({expr}), '[a-z]+'))"
+
+
+def n_sentences(expr: str, engine: str) -> str:
+    """Count of sentence-terminator runs ([.!?]+), clamped to >= 1 — the
+    Flesch sentence unit ('...' is one terminator, not three)."""
+    if engine == "spark":
+        return f"GREATEST(size(regexp_extract_all({expr}, '[.!?]+', 0)), 1)"
+    return f"GREATEST(len(regexp_extract_all({expr}, '[.!?]+')), 1)"
+
+
+def n_syllables(expr: str, engine: str) -> str:
+    """Vowel-group syllable estimate: total [aeiouy]+ runs plus one for
+    every vowelless word (each word counts at least one syllable) —
+    the standard closed-form proxy, deterministic in both engines."""
+    if engine == "spark":
+        return (
+            f"(size(regexp_extract_all(lower({expr}), '[aeiouy]+', 0)) + "
+            f"size(filter(regexp_extract_all(lower({expr}), '[a-z]+', 0), "
+            f"w -> w NOT RLIKE '[aeiouy]')))"
+        )
+    return (
+        f"(len(regexp_extract_all(lower({expr}), '[aeiouy]+')) + "
+        f"len(list_filter(regexp_extract_all(lower({expr}), '[a-z]+'), "
+        f"w -> NOT regexp_matches(w, '[aeiouy]'))))"
+    )

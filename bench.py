@@ -302,6 +302,7 @@ def main() -> None:
         "mwu_drift": lambda: em.q_mwu_drift(spark, sf_dir).count(),
         "lisa": lambda: em.q_lisa(spark, sf_dir).count(),
         "chi2": lambda: em.q_chi2(spark, sf_dir).count(),
+        "flesch": lambda: em.q_flesch(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

@@ -1452,3 +1452,53 @@ def test_chi2_unknown_df_raises(spark):
     df = spark.createDataFrame([("a", "b")], "row_cat string, col_cat string")
     with _pytest.raises(ValueError, match="critical literal"):
         chi2_census(df, df_crit=7)
+
+
+# ---------------------------------------------------------------- flesch
+
+
+def _brute_flesch(doc):
+    import re
+
+    words = re.findall(r"[a-z]+", doc.lower())
+    if not words:
+        return None
+    w = len(words)
+    s = max(len(re.findall(r"[.!?]+", doc)), 1)
+    y = len(re.findall(r"[aeiouy]+", doc.lower())) + sum(
+        1 for x in words if not re.search(r"[aeiouy]", x)
+    )
+    score = 206_835 - (1015 * w) // s - (84_600 * y) // w
+    band = ("very_easy" if score >= 90_000 else
+            "standard" if score >= 60_000 else
+            "difficult" if score >= 30_000 else "very_confusing")
+    return (w, s, y, score, band)
+
+
+def test_flesch_hand_and_mirror(spark):
+    from aira_spark.operators.readability import flesch_census
+
+    docs = [
+        (1, "The cat sat. The dog ran! It is fun."),          # easy prose
+        (2, "Incomprehensibility characterizes administrative "
+            "bureaucratization; organizational interdependencies "
+            "necessitate reconceptualization."),               # dense
+        (3, "xyz qrst brr."),                                  # vowelless words
+        (4, "no terminator here just words flowing along"),    # clamp s=1
+        (5, "!!! ... ???"),                                    # zero words: drop
+        (6, "Ellipsis... counts once! Right?"),                # [.!?]+ runs
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_sents"], r["n_syll"],
+                      r["flesch_e3"], r["band"])
+        for r in flesch_census(df).collect()
+    }
+    want = {i: _brute_flesch(t) for i, t in docs if _brute_flesch(t)}
+    assert got == want
+    assert 5 not in got                     # zero-word doc dropped
+    assert got[1][4] == "very_easy"
+    assert got[2][4] == "very_confusing"
+    assert got[3][2] == 3                   # 3 vowelless words = 3 syllables
+    assert got[4][1] == 1                   # sentence clamp
+    assert got[6][1] == 3                   # '...' is ONE terminator run

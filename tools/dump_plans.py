@@ -340,6 +340,9 @@ def main() -> None:
         ("chi2", "one hash agg to contingency cells; margins/spine bounded "
                  "by category cardinalities and broadcast; per-cell integer "
                  "micros summed — order-independent"),
+        ("flesch", "pure per-row projection, zero aggregation — regex "
+                   "counting is JVM-side codegen; text pruned right after "
+                   "counting"),
     ]
     qs = em.queries()
     lines = [
