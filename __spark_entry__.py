@@ -3218,6 +3218,18 @@ def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emerging_hotspots(ev, grid_n=n)
 
 
+def q_gyration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius of gyration per user over the event ping stream — exact
+    integer sufficient stats, once-divided rg², shared floor-sqrt and
+    nonneg-remainder centroid (operators/gyration.py:gyration)."""
+    from aira_spark.operators.gyration import gyration
+
+    pings = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id", f"{_EV_X} AS x", f"{_EV_Y} AS y"
+    )
+    return gyration(pings)
+
+
 def q_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading-ease census per document — exact integer fixed
     point with compile-time constants, vowel-group syllables, 4-class
@@ -3857,6 +3869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lisa": q_lisa,
         "chi2": q_chi2,
         "flesch": q_flesch,
+        "gyration": q_gyration,
     }
 
 
@@ -5511,6 +5524,14 @@ def _oracle_emerging_hotspots() -> str:
     return oracle_emerging_sql(ev, grid_n=n)
 
 
+def _oracle_gyration() -> str:
+    from aira_spark.operators.gyration import oracle_gyration_sql
+
+    return oracle_gyration_sql(
+        f"SELECT user_id, {_EV_X} AS x, {_EV_Y} AS y FROM events"
+    )
+
+
 def _oracle_flesch() -> str:
     from aira_spark.operators.readability import oracle_flesch_sql
 
@@ -7029,6 +7050,7 @@ FROM docs GROUP BY 1
         "lisa": _oracle_lisa(),
         "chi2": _oracle_chi2(),
         "flesch": _oracle_flesch(),
+        "gyration": _oracle_gyration(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

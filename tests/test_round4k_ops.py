@@ -1502,3 +1502,65 @@ def test_flesch_hand_and_mirror(spark):
     assert got[3][2] == 3                   # 3 vowelless words = 3 syllables
     assert got[4][1] == 1                   # sentence clamp
     assert got[6][1] == 3                   # '...' is ONE terminator run
+
+
+# ---------------------------------------------------------------- gyration
+
+
+def _brute_gyration(rows):
+    """rows = (user_id, x, y); python mirror of gyration.gyration."""
+    import math
+    from collections import defaultdict
+
+    by = defaultdict(list)
+    for u, x, y in rows:
+        by[u].append((math.floor(x * 10000.0), math.floor(y * 10000.0)))
+    out = {}
+    for u, pts in by.items():
+        n = len(pts)
+        sx = sum(p[0] for p in pts); sy = sum(p[1] for p in pts)
+        s2 = sum(p[0] ** 2 + p[1] ** 2 for p in pts)
+        num = n * s2 - sx * sx - sy * sy
+        rg2 = num // (n * n)
+        out[u] = (n, sx // n, sy // n, rg2,
+                  math.floor(math.sqrt(float(rg2))))
+    return out
+
+
+def test_gyration_matches_brute_force(spark):
+    import random
+
+    from aira_spark.operators.gyration import gyration
+
+    rng = random.Random(101)
+    rows = []
+    for u in range(8):
+        cx, cy = rng.uniform(-170, 170), rng.uniform(-80, 80)
+        spread = 0.001 if u < 4 else 5.0   # homebodies vs travelers
+        for _ in range(rng.randint(2, 30)):
+            rows.append((u, cx + rng.uniform(-spread, spread),
+                         cy + rng.uniform(-spread, spread)))
+    rows.append((99, -50.5, -20.25))       # single ping: rg = 0
+    df = spark.createDataFrame(rows, "user_id long, x double, y double")
+    got = {
+        r["user_id"]: (r["n_pings"], r["cx_e4"], r["cy_e4"], r["rg2_d"],
+                       r["rg_e4"])
+        for r in gyration(df).collect()
+    }
+    assert got == _brute_gyration(rows)
+    assert got[99] == (1, -505000, -202500, 0, 0)
+    # travelers roam orders of magnitude farther than homebodies
+    assert min(got[u][4] for u in range(4, 8)) > 100 * max(
+        got[u][4] for u in range(4)
+    )
+
+
+def test_gyration_overflow_guard(spark):
+    import pytest as _pytest
+
+    from aira_spark.operators.gyration import gyration
+
+    rows = [(1, 179.9, 89.9)] * 2000
+    df = spark.createDataFrame(rows, "user_id long, x double, y double")
+    with _pytest.raises(RuntimeError, match="rescale"):
+        gyration(df)

@@ -343,6 +343,9 @@ def main() -> None:
         ("flesch", "pure per-row projection, zero aggregation — regex "
                    "counting is JVM-side codegen; text pruned right after "
                    "counting"),
+        ("gyration", "ONE map-side-combined hash agg per user (five "
+                     "integers) then pure projection; guard is a second "
+                     "bounded agg"),
     ]
     qs = em.queries()
     lines = [
