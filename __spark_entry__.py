@@ -3218,6 +3218,15 @@ def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emerging_hotspots(ev, grid_n=n)
 
 
+def q_focal_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3x3 focal majority of the 2-bit class grid — categorical smoothing
+    with the encoded-key integer argmax (count first, ties to smallest
+    class) and a changed-cell flag (operators/focal.py:focal_majority)."""
+    from aira_spark.operators.focal import focal_majority
+
+    return focal_majority(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
+
+
 def q_gyration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Radius of gyration per user over the event ping stream — exact
     integer sufficient stats, once-divided rg², shared floor-sqrt and
@@ -3870,6 +3879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2": q_chi2,
         "flesch": q_flesch,
         "gyration": q_gyration,
+        "focal_majority": q_focal_majority,
     }
 
 
@@ -5524,6 +5534,12 @@ def _oracle_emerging_hotspots() -> str:
     return oracle_emerging_sql(ev, grid_n=n)
 
 
+def _oracle_focal_majority() -> str:
+    from aira_spark.operators.focal import oracle_focal_majority_sql
+
+    return oracle_focal_majority_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
+
+
 def _oracle_gyration() -> str:
     from aira_spark.operators.gyration import oracle_gyration_sql
 
@@ -7051,6 +7067,7 @@ FROM docs GROUP BY 1
         "chi2": _oracle_chi2(),
         "flesch": _oracle_flesch(),
         "gyration": _oracle_gyration(),
+        "focal_majority": _oracle_focal_majority(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -269,3 +269,108 @@ def focal_median(
         )
         .withColumn("med_x2", (F.col("med_lo") + F.col("med_hi")).cast("long"))
     )
+
+
+def focal_majority(
+    images: DataFrame, res: int = DEFAULT_RES, patch_bits: int = 4
+) -> DataFrame:
+    """(fx, fy, n_nbrs, center_cls, mode_cls, mode_cnt, changed): EXACT
+    3x3 focal MAJORITY of the 2-bit class grid (cls = val DIV 64) — the
+    categorical-raster smoother (land-cover / segmentation cleanup) next
+    to focal_median's ordinal one: a cell flips to its neighborhood's
+    most common class.
+
+    Determinism: the argmax is the pure-integer ENCODED key
+    max(cnt * 4 + (3 - cls)) — count majority first, ties break to the
+    SMALLEST class — so no engine's struct-ordering semantics are in
+    play; mode_cls/mode_cnt decode from the key by DIV/mod. `changed`
+    flags cells the smoothing would flip (the QA payload).
+
+    Scale shape: the focal_median halo exchange with per-(cell, class)
+    COUNTS instead of value lists — partials combine map-side and the
+    exchange payload is <= 4 small rows per target cell regardless of
+    data volume; two chained hash aggs, no window, no Python."""
+    nf = 1 << (res + patch_bits)
+    vals = mosaic_cell_values(images, res, patch_bits)
+    fine = vals.select(
+        (cell_ix(F.col("cell")) * (1 << patch_bits) + F.col("pc")).alias("fx"),
+        (cell_iy(F.col("cell")) * (1 << patch_bits) + F.col("pr")).alias("fy"),
+        F.expr("val DIV 64").alias("cls"),
+    )
+    offs = ", ".join(
+        f"named_struct('dx', {dx}, 'dy', {dy})" for dx, dy in OFFSETS
+    )
+    scattered = fine.select(
+        "fx", "fy", "cls", F.expr(f"explode(array({offs}))").alias("o")
+    ).select(
+        (F.col("fx") + F.col("o.dx")).alias("tx"),
+        (F.col("fy") + F.col("o.dy")).alias("ty"),
+        "cls",
+        ((F.col("o.dx") == 0) & (F.col("o.dy") == 0)).alias("is_center"),
+    ).where(
+        (F.col("tx") >= 0) & (F.col("tx") < nf)
+        & (F.col("ty") >= 0) & (F.col("ty") < nf)
+    )
+    per_cls = scattered.groupBy("tx", "ty", "cls").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.max("is_center").alias("c_center"),
+    )
+    return (
+        per_cls.groupBy("tx", "ty")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_nbrs"),
+            F.expr("MAX(cnt * 4 + (3 - cls))").alias("key"),
+            F.max(F.when(F.col("c_center"), F.col("cls"))).alias("ccls"),
+            F.max("c_center").alias("has_center"),
+        )
+        .where("has_center")
+        .selectExpr(
+            "CAST(tx AS BIGINT) AS fx", "CAST(ty AS BIGINT) AS fy",
+            "n_nbrs",
+            "CAST(ccls AS BIGINT) AS center_cls",
+            "CAST(3 - (key % 4) AS BIGINT) AS mode_cls",
+            "CAST(key DIV 4 AS BIGINT) AS mode_cnt",
+        )
+        .selectExpr(
+            "fx", "fy", "n_nbrs", "center_cls", "mode_cls", "mode_cnt",
+            "CAST(mode_cls != center_cls AS BIGINT) AS changed",
+        )
+    )
+
+
+def oracle_focal_majority_sql(
+    fine_cte: str, res: int = DEFAULT_RES, patch_bits: int = 4
+) -> str:
+    """DuckDB mirror over a WITH clause ending in fine(fx, fy, val):
+    identical scatter, per-class counts and encoded-key argmax."""
+    nf = 1 << (res + patch_bits)
+    offs = ", ".join(
+        f"({dx}, {dy}, {str(dx == 0 and dy == 0).lower()})"
+        for dx, dy in OFFSETS
+    )
+    return f"""{fine_cte},
+cl AS (SELECT fx, fy, val // 64 AS cls FROM fine),
+sc AS (
+  SELECT fx + o.dx AS tx, fy + o.dy AS ty, cls, o.is_center
+  FROM cl, (VALUES {offs}) AS o(dx, dy, is_center)
+  WHERE fx + o.dx >= 0 AND fx + o.dx < {nf}
+    AND fy + o.dy >= 0 AND fy + o.dy < {nf}
+),
+per_cls AS (
+  SELECT tx, ty, cls, CAST(COUNT(*) AS BIGINT) AS cnt,
+    bool_or(is_center) AS c_center
+  FROM sc GROUP BY 1, 2, 3
+),
+agg AS (
+  SELECT tx, ty, CAST(SUM(cnt) AS BIGINT) AS n_nbrs,
+    MAX(cnt * 4 + (3 - cls)) AS key,
+    MAX(CASE WHEN c_center THEN cls END) AS ccls,
+    bool_or(c_center) AS has_center
+  FROM per_cls GROUP BY 1, 2
+)
+SELECT CAST(tx AS BIGINT) AS fx, CAST(ty AS BIGINT) AS fy, n_nbrs,
+  CAST(ccls AS BIGINT) AS center_cls,
+  CAST(3 - (key % 4) AS BIGINT) AS mode_cls,
+  CAST(key // 4 AS BIGINT) AS mode_cnt,
+  CAST((3 - (key % 4)) != ccls AS BIGINT) AS changed
+FROM agg WHERE has_center"""

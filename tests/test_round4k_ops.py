@@ -1564,3 +1564,53 @@ def test_gyration_overflow_guard(spark):
     df = spark.createDataFrame(rows, "user_id long, x double, y double")
     with _pytest.raises(RuntimeError, match="rescale"):
         gyration(df)
+
+
+# ----------------------------------------------------------- focal_majority
+
+
+def test_focal_majority_hand_grid(spark):
+    """Constructed mosaic at res=1,pb=4 (32x32 fine grid): class-0 field
+    with a class-3 block and one salt pixel — the salt flips, the block
+    core survives, ties break to the smallest class. Full python mirror."""
+    from collections import Counter
+
+    import numpy as np
+
+    from aira_spark.operators.focal import focal_majority
+    from aira_spark.tiff.encode import write_tiff
+
+    a = np.full((32, 32), 10, dtype=np.uint8)       # class 0
+    a[4:12, 4:12] = 250                              # class 3 block
+    a[20, 20] = 250                                  # salt pixel
+    a[0, 28:32] = 130                                # class-2 edge strip
+    img = [("img000", bytearray(write_tiff(
+        a[:, :, None], byteorder="<", layout=("strips", 8),
+        geo=((360.0 / 32, 180.0 / 32, 0.0),
+             (0.0, 0.0, 0.0, -180.0, 90.0, 0.0)))))]
+    df = spark.createDataFrame(img, "image_id string, bytes binary")
+    got = {
+        (r["fx"], r["fy"]): (r["n_nbrs"], r["center_cls"], r["mode_cls"],
+                             r["mode_cnt"], r["changed"])
+        for r in focal_majority(df, res=1, patch_bits=4).collect()
+    }
+    assert len(got) == 1024
+    vals = {}
+    for r in range(32):
+        for c in range(32):
+            vals[(c, 31 - r)] = int(a[r, c]) // 64
+    for (fx, fy), ccls in vals.items():
+        nb = Counter(
+            vals[(fx + dx, fy + dy)]
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if (fx + dx, fy + dy) in vals
+        )
+        key = max(cnt * 4 + (3 - cls) for cls, cnt in nb.items())
+        mode_cls, mode_cnt = 3 - key % 4, key // 4
+        assert got[(fx, fy)] == (
+            sum(nb.values()), ccls, mode_cls, mode_cnt,
+            int(mode_cls != ccls),
+        ), (fx, fy)
+    # the salt pixel flips to the field class; the block core survives
+    assert got[(20, 11)][4] == 1 and got[(20, 11)][2] == 0
+    assert got[(8, 24)][4] == 0 and got[(8, 24)][2] == 3

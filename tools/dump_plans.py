@@ -346,6 +346,9 @@ def main() -> None:
         ("gyration", "ONE map-side-combined hash agg per user (five "
                      "integers) then pure projection; guard is a second "
                      "bounded agg"),
+        ("focal_majority", "focal_median's halo exchange with per-class "
+                           "COUNTS — exchange payload <= 4 rows per target "
+                           "cell; two chained hash aggs, no window"),
     ]
     qs = em.queries()
     lines = [
