@@ -3218,6 +3218,21 @@ def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emerging_hotspots(ev, grid_n=n)
 
 
+def q_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between event types' daily value
+    series at lags 0..3 — acf's machinery over ordered entity pairs
+    (operators/ccf.py:ccf_pairs)."""
+    from aira_spark.operators.ccf import ccf_pairs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_type AS grp",
+        "CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT)"
+        " AS day",
+        "CAST(FLOOR(value * 100.0) AS BIGINT) AS cents",
+    )
+    return ccf_pairs(ev, max_lag=3)
+
+
 def q_focal_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3x3 focal majority of the 2-bit class grid — categorical smoothing
     with the encoded-key integer argmax (count first, ties to smallest
@@ -3880,6 +3895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flesch": q_flesch,
         "gyration": q_gyration,
         "focal_majority": q_focal_majority,
+        "ccf": q_ccf,
     }
 
 
@@ -5534,6 +5550,17 @@ def _oracle_emerging_hotspots() -> str:
     return oracle_emerging_sql(ev, grid_n=n)
 
 
+def _oracle_ccf() -> str:
+    from aira_spark.operators.ccf import oracle_ccf_sql
+
+    return oracle_ccf_sql(
+        "SELECT event_type AS grp, "
+        "CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day, "
+        "CAST(FLOOR(value * 100.0) AS BIGINT) AS cents FROM events",
+        max_lag=3,
+    )
+
+
 def _oracle_focal_majority() -> str:
     from aira_spark.operators.focal import oracle_focal_majority_sql
 
@@ -7068,6 +7095,7 @@ FROM docs GROUP BY 1
         "flesch": _oracle_flesch(),
         "gyration": _oracle_gyration(),
         "focal_majority": _oracle_focal_majority(),
+        "ccf": _oracle_ccf(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -1614,3 +1614,69 @@ def test_focal_majority_hand_grid(spark):
     # the salt pixel flips to the field class; the block core survives
     assert got[(20, 11)][4] == 1 and got[(20, 11)][2] == 0
     assert got[(8, 24)][4] == 0 and got[(8, 24)][2] == 3
+
+
+# ------------------------------------------------------------------- ccf
+
+
+def _brute_ccf(rows, max_lag):
+    """rows = (grp, day, cents); python mirror of ccf.ccf_pairs."""
+    import math
+    from collections import defaultdict
+
+    daily = defaultdict(int)
+    for g, d, c in rows:
+        daily[(g, d)] += c
+    series = defaultdict(dict)
+    for (g, d), y in daily.items():
+        series[g][d] = y
+    out = {}
+    for ga in series:
+        for gb in series:
+            if ga == gb:
+                continue
+            for lag in range(0, max_lag + 1):
+                pairs = [
+                    (x, series[gb][d + lag])
+                    for d, x in series[ga].items()
+                    if d + lag in series[gb]
+                ]
+                if not pairs:
+                    continue
+                n = len(pairs)
+                sx = sum(p[0] for p in pairs); sy = sum(p[1] for p in pairs)
+                sxx = sum(p[0] ** 2 for p in pairs)
+                syy = sum(p[1] ** 2 for p in pairs)
+                sxy = sum(p[0] * p[1] for p in pairs)
+                cov = n * sxy - sx * sy
+                vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+                r = (int(math.floor(
+                    1_000_000.0 * cov / math.sqrt(float(vx) * float(vy))))
+                    if n >= 2 and vx > 0 and vy > 0 else 0)
+                out[(ga, gb, lag)] = (n, cov, r)
+    return out
+
+
+def test_ccf_leader_follower(spark):
+    """b copies a shifted by 2 days (plus noise-free scaling): the (a, b)
+    lag-2 correlation is exactly +1e6 and dominates every other lag."""
+    from aira_spark.operators.ccf import ccf_pairs
+
+    rows = []
+    vals = [100, 400, 150, 900, 250, 700, 50, 800, 333, 600]
+    for d, v in enumerate(vals):
+        rows.append(("a", d, v))
+        rows.append(("b", d + 2, v * 3))   # b follows a by 2, scaled
+        rows.append(("c", d, 500))         # constant: degenerate
+    ev = spark.createDataFrame(rows, "grp string, day long, cents long")
+    got = {
+        (r["grp_a"], r["grp_b"], r["lag"]): (r["n_pairs"], r["cov_n"],
+                                             r["r_e6"])
+        for r in ccf_pairs(ev, max_lag=3).collect()
+    }
+    assert got == _brute_ccf(rows, 3)
+    assert got[("a", "b", 2)][2] == 1_000_000   # perfect lead-lag match
+    assert all(
+        got[("a", "b", k)][2] < 1_000_000 for k in (0, 1, 3)
+    )
+    assert got[("c", "a", 0)][2] == 0           # zero-variance side

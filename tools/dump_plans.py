@@ -349,6 +349,9 @@ def main() -> None:
         ("focal_majority", "focal_median's halo exchange with per-class "
                            "COUNTS — exchange payload <= 4 rows per target "
                            "cell; two chained hash aggs, no window"),
+        ("ccf", "per-entity daily roll-up folds map-side; pairing is ONE "
+                "equi-join on day+lag; fan-out bounded by the entity "
+                "vocabulary squared, never event volume"),
     ]
     qs = em.queries()
     lines = [
