@@ -3218,6 +3218,17 @@ def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emerging_hotspots(ev, grid_n=n)
 
 
+def q_hull_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact squared diameter of every coarse-cell point cluster — the
+    all-pairs step runs on HULL VERTICES only; the oracle recomputes
+    diam2 over ALL points (convexity makes them provably equal)
+    (operators/hull.py:hull_diameter)."""
+    from aira_spark.operators.hull import hull_diameter
+    from aira_spark.sources.vectors import points_table
+
+    return hull_diameter(points_table(spark, sf_dir), res=4)
+
+
 def q_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lead-lag cross-correlation between event types' daily value
     series at lags 0..3 — acf's machinery over ordered entity pairs
@@ -3896,6 +3907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gyration": q_gyration,
         "focal_majority": q_focal_majority,
         "ccf": q_ccf,
+        "hull_diameter": q_hull_diameter,
     }
 
 
@@ -5550,6 +5562,13 @@ def _oracle_emerging_hotspots() -> str:
     return oracle_emerging_sql(ev, grid_n=n)
 
 
+def _oracle_hull_diameter() -> str:
+    from aira_spark.operators.hull import oracle_hull_diameter_sql
+    from aira_spark.sources.vectors import points_oracle_sql
+
+    return oracle_hull_diameter_sql(points_oracle_sql(), res=4)
+
+
 def _oracle_ccf() -> str:
     from aira_spark.operators.ccf import oracle_ccf_sql
 
@@ -7096,6 +7115,7 @@ FROM docs GROUP BY 1
         "gyration": _oracle_gyration(),
         "focal_majority": _oracle_focal_majority(),
         "ccf": _oracle_ccf(),
+        "hull_diameter": _oracle_hull_diameter(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

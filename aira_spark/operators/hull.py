@@ -147,3 +147,78 @@ SELECT CAST(v.grp AS BIGINT) AS grp,
   CAST(v.point_id AS BIGINT) AS point_id, g.qx, g.qy
 FROM verts v JOIN g ON g.grp = v.grp AND g.point_id = v.point_id
 """
+
+
+def hull_diameter(points: DataFrame, res: int = GROUP_RES) -> DataFrame:
+    """(grp, n_hull, diam2, diam_e4): the exact squared diameter of every
+    coarse-cell point cluster — "how spread is this territory", the
+    scalar downstream of convex_hulls (set diameter == hull-vertex
+    diameter, a convexity fact the pytest pins against the all-pairs
+    answer).
+
+    Scale shape: the all-pairs step runs on HULL VERTICES only — O(h^2)
+    per group with h << n (h is O(n^(1/3)) for uniform clusters), after
+    convex_hulls' dedup + per-group chain; the join is per-group
+    (equi-join on grp), d2 is exact BIGINT, diam_e4 the shared
+    floor-sqrt text. Single-vertex groups emit 0."""
+    h = convex_hulls(points, res)
+    a = h.selectExpr("grp", "point_id AS ia", "qx AS ax", "qy AS ay")
+    b = h.selectExpr("grp", "point_id AS ib", "qx AS bx", "qy AS by")
+    pairs = a.join(b, "grp").where("ia < ib").selectExpr(
+        "grp",
+        "(bx - ax) * (bx - ax) + (by - ay) * (by - ay) AS d2",
+    )
+    census = h.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_hull")
+    )
+    mx = pairs.groupBy("grp").agg(F.max("d2").cast("long").alias("diam2"))
+    return (
+        census.join(mx, "grp", "left")
+        .selectExpr(
+            "CAST(grp AS BIGINT) AS grp", "n_hull",
+            "CAST(coalesce(diam2, 0) AS BIGINT) AS diam2",
+        )
+        .selectExpr(
+            "grp", "n_hull", "diam2",
+            "CAST(floor(sqrt(CAST(diam2 AS DOUBLE))) AS BIGINT) AS diam_e4",
+        )
+    )
+
+
+def oracle_hull_diameter_sql(points_sql: str, res: int = GROUP_RES) -> str:
+    """DuckDB mirror: n_hull from oracle_hull_sql's maximal-edge hull
+    (wrapped verbatim so the vertex census cannot drift from the proven
+    convex_hulls oracle), diam2 by an INDEPENDENT method — max pairwise
+    d2 over ALL the group's dedup'd quantized points, no hull at all
+    (the convexity fact makes the two answers provably equal)."""
+    from ..functions.cells import sql_cell_from_xy
+
+    cell = sql_cell_from_xy("x", "y", res)
+    hull = oracle_hull_sql(points_sql, res)
+    return f"""
+WITH hull AS ({hull}),
+p2 AS ({points_sql}),
+q AS (
+  SELECT {cell} AS grp, point_id,
+    CAST(round(x * {Q}.0, 0) AS BIGINT) AS qx,
+    CAST(round(y * {Q}.0, 0) AS BIGINT) AS qy
+  FROM p2
+),
+g AS (
+  SELECT grp, qx, qy, MIN(point_id) AS point_id
+  FROM q GROUP BY grp, qx, qy
+),
+nh AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_hull FROM hull GROUP BY 1),
+dm AS (
+  SELECT a.grp,
+    CAST(MAX((b.qx - a.qx) * (b.qx - a.qx)
+           + (b.qy - a.qy) * (b.qy - a.qy)) AS BIGINT) AS diam2
+  FROM g a JOIN g b ON b.grp = a.grp AND a.point_id < b.point_id
+  GROUP BY a.grp
+)
+SELECT CAST(nh.grp AS BIGINT) AS grp, nh.n_hull,
+  CAST(COALESCE(dm.diam2, 0) AS BIGINT) AS diam2,
+  CAST(floor(sqrt(CAST(COALESCE(dm.diam2, 0) AS DOUBLE))) AS BIGINT)
+    AS diam_e4
+FROM nh LEFT JOIN dm ON dm.grp = nh.grp
+"""

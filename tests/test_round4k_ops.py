@@ -1680,3 +1680,57 @@ def test_ccf_leader_follower(spark):
         got[("a", "b", k)][2] < 1_000_000 for k in (0, 1, 3)
     )
     assert got[("c", "a", 0)][2] == 0           # zero-variance side
+
+
+# ----------------------------------------------------------- hull_diameter
+
+
+def test_hull_diameter_equals_all_pairs(spark):
+    """The convexity pin: diameter over hull vertices == diameter over
+    ALL points; plus hand clusters (square, collinear line, single)."""
+    import math
+    import random
+    from collections import defaultdict
+
+    from aira_spark.functions.cells import np_cell_pack
+    from aira_spark.operators.hull import Q, hull_diameter
+
+    rng = random.Random(103)
+    rows = []
+    # random clusters in separate coarse cells (res=4 => 22.5 x 11.25 deg)
+    for k in range(4):
+        cx, cy = -150 + k * 40, 10
+        for i in range(30):
+            rows.append((k * 100 + i, cx + rng.uniform(-3, 3),
+                         cy + rng.uniform(-3, 3)))
+    rows += [(900, 100.1, 50.1), (901, 100.2, 50.2), (902, 100.3, 50.3)]
+    rows.append((950, 140.0, -50.0))  # singleton cluster
+    df = spark.createDataFrame(rows, "point_id long, x double, y double")
+    got = {
+        r["grp"]: (r["n_hull"], r["diam2"], r["diam_e4"])
+        for r in hull_diameter(df, res=4).collect()
+    }
+    # all-pairs python mirror on the dedup'd quantized set
+    by = defaultdict(dict)
+    n = 16
+    for pid, x, y in rows:
+        ix = min(max(math.floor((x + 180.0) / 360.0 * n), 0), n - 1)
+        iy = min(max(math.floor((y + 90.0) / 180.0 * n), 0), n - 1)
+        grp = int(np_cell_pack(4, ix, iy))
+        q = (round(x * Q), round(y * Q))
+        by[grp].setdefault(q, pid)
+    for grp, pts in by.items():
+        ps = list(pts)
+        d2 = max(
+            ((a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2
+             for i, a in enumerate(ps) for b in ps[i + 1:]),
+            default=0,
+        )
+        assert got[grp][1] == d2, grp
+        assert got[grp][2] == math.floor(math.sqrt(float(d2)))
+    # collinear cluster: hull keeps only the 2 extremes, diameter spans them
+    line_grp = [g for g, p in by.items() if len(p) == 3
+                and any(v in (900, 901, 902) for v in p.values())]
+    assert got[line_grp[0]][0] == 2
+    singleton = [g for g, p in by.items() if len(p) == 1][0]
+    assert got[singleton] == (1, 0, 0)

@@ -352,6 +352,9 @@ def main() -> None:
         ("ccf", "per-entity daily roll-up folds map-side; pairing is ONE "
                 "equi-join on day+lag; fan-out bounded by the entity "
                 "vocabulary squared, never event volume"),
+        ("hull_diameter", "all-pairs runs on HULL VERTICES only (h << n); "
+                          "per-group equi-join; exact BIGINT d2 + shared "
+                          "floor-sqrt"),
     ]
     qs = em.queries()
     lines = [
