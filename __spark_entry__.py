@@ -3218,6 +3218,17 @@ def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emerging_hotspots(ev, grid_n=n)
 
 
+def q_dist_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chamfer 10/14 distance transform over the occupied mosaic grid —
+    6 fixed min-plus rounds from bright seeds, -1 sentinel beyond reach
+    (operators/disttrans.py:distance_transform)."""
+    from aira_spark.operators.disttrans import distance_transform
+
+    return distance_transform(
+        _images(spark, sf_dir, modulo=8), CELL_RES, 4
+    )
+
+
 def q_hull_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact squared diameter of every coarse-cell point cluster — the
     all-pairs step runs on HULL VERTICES only; the oracle recomputes
@@ -3908,6 +3919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focal_majority": q_focal_majority,
         "ccf": q_ccf,
         "hull_diameter": q_hull_diameter,
+        "dist_transform": q_dist_transform,
     }
 
 
@@ -5562,6 +5574,12 @@ def _oracle_emerging_hotspots() -> str:
     return oracle_emerging_sql(ev, grid_n=n)
 
 
+def _oracle_dist_transform() -> str:
+    from aira_spark.operators.disttrans import oracle_distance_transform_sql
+
+    return oracle_distance_transform_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
+
+
 def _oracle_hull_diameter() -> str:
     from aira_spark.operators.hull import oracle_hull_diameter_sql
     from aira_spark.sources.vectors import points_oracle_sql
@@ -7116,6 +7134,7 @@ FROM docs GROUP BY 1
         "focal_majority": _oracle_focal_majority(),
         "ccf": _oracle_ccf(),
         "hull_diameter": _oracle_hull_diameter(),
+        "dist_transform": _oracle_dist_transform(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

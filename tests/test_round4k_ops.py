@@ -1734,3 +1734,52 @@ def test_hull_diameter_equals_all_pairs(spark):
     assert got[line_grp[0]][0] == 2
     singleton = [g for g, p in by.items() if len(p) == 1][0]
     assert got[singleton] == (1, 0, 0)
+
+
+# ----------------------------------------------------------- dist_transform
+
+
+def test_distance_transform_hand_grid(spark):
+    """Constructed 32x32 grid: one bright seed block — chamfer 10/14
+    distances match a python Dijkstra-style mirror; far corner is beyond
+    6 rounds and ships the -1 sentinel."""
+    import heapq
+
+    import numpy as np
+
+    from aira_spark.operators.disttrans import W_OFFS, distance_transform
+    from aira_spark.tiff.encode import write_tiff
+
+    a = np.full((32, 32), 50, dtype=np.uint8)
+    a[14:18, 14:18] = 250    # central seed block
+    img = [("img000", bytearray(write_tiff(
+        a[:, :, None], byteorder="<", layout=("strips", 8),
+        geo=((360.0 / 32, 180.0 / 32, 0.0),
+             (0.0, 0.0, 0.0, -180.0, 90.0, 0.0)))))]
+    df = spark.createDataFrame(img, "image_id string, bytes binary")
+    got = {
+        (r["fx"], r["fy"]): r["dist10"]
+        for r in distance_transform(df, res=1, patch_bits=4,
+                                    rounds=6).collect()
+    }
+    assert len(got) == 1024
+    # python mirror: bounded-round chamfer relaxation (NOT full Dijkstra —
+    # the operator's semantics are exactly `rounds` synchronous sweeps)
+    seeds = {(c, 31 - r) for r in range(32) for c in range(32)
+             if a[r, c] >= 192}
+    dist = {s: 0 for s in seeds}
+    for _ in range(6):
+        nxt = dict(dist)
+        for (x, y), d in dist.items():
+            for dx, dy, w in W_OFFS:
+                t = (x + dx, y + dy)
+                if 0 <= t[0] < 32 and 0 <= t[1] < 32:
+                    if t not in nxt or d + w < nxt[t]:
+                        nxt[t] = d + w
+        dist = nxt
+    for cell in got:
+        assert got[cell] == dist.get(cell, -1), cell
+    assert got[(15, 15)] == 0                    # inside the seed block
+    assert got[(12, 15)] == 20                   # 2 rook steps west
+    assert got[(12, 13)] == 24                   # diagonal + rook mix
+    assert got[(0, 0)] == -1                     # beyond 6 rounds: sentinel

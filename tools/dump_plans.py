@@ -355,6 +355,9 @@ def main() -> None:
         ("hull_diameter", "all-pairs runs on HULL VERTICES only (h << n); "
                           "per-group equi-join; exact BIGINT d2 + shared "
                           "floor-sqrt"),
+        ("dist_transform", "per round ONE 9-arm halo scatter of id rows + "
+                           "a MIN hash agg; static occupied set re-joined; "
+                           "lineage checkpointed per round"),
     ]
     qs = em.queries()
     lines = [
