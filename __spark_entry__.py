@@ -3229,6 +3229,15 @@ def q_dist_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_harris(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer Harris corner response (k = 1/20 cross-multiplied,
+    r20 fixed point) with strict 3x3 non-max suppression — three chained
+    focal scatter-aggregates (operators/harris.py:harris_corners)."""
+    from aira_spark.operators.harris import harris_corners
+
+    return harris_corners(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
+
+
 def q_hull_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact squared diameter of every coarse-cell point cluster — the
     all-pairs step runs on HULL VERTICES only; the oracle recomputes
@@ -3920,6 +3929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccf": q_ccf,
         "hull_diameter": q_hull_diameter,
         "dist_transform": q_dist_transform,
+        "harris": q_harris,
     }
 
 
@@ -5580,6 +5590,12 @@ def _oracle_dist_transform() -> str:
     return oracle_distance_transform_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
 
 
+def _oracle_harris() -> str:
+    from aira_spark.operators.harris import oracle_harris_sql
+
+    return oracle_harris_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
+
+
 def _oracle_hull_diameter() -> str:
     from aira_spark.operators.hull import oracle_hull_diameter_sql
     from aira_spark.sources.vectors import points_oracle_sql
@@ -7135,6 +7151,7 @@ FROM docs GROUP BY 1
         "ccf": _oracle_ccf(),
         "hull_diameter": _oracle_hull_diameter(),
         "dist_transform": _oracle_dist_transform(),
+        "harris": _oracle_harris(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

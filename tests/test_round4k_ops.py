@@ -1783,3 +1783,66 @@ def test_distance_transform_hand_grid(spark):
     assert got[(12, 15)] == 20                   # 2 rook steps west
     assert got[(12, 13)] == 24                   # diagonal + rook mix
     assert got[(0, 0)] == -1                     # beyond 6 rounds: sentinel
+
+
+# ------------------------------------------------------------------ harris
+
+
+def test_harris_corners_hand_grid(spark):
+    """Constructed 32x32 grid with one bright block on a flat background:
+    full python mirror of the gradient/tensor/NMS chain, plus the Harris
+    signature pins — flat regions r20 = 0, straight edges r20 < 0, block
+    corners positive-response peaks."""
+    import numpy as np
+
+    from aira_spark.operators.harris import harris_corners
+    from aira_spark.tiff.encode import write_tiff
+
+    a = np.full((32, 32), 40, dtype=np.uint8)
+    a[10:20, 12:22] = 230    # bright block: 4 corners, 4 straight edges
+    img = [("img000", bytearray(write_tiff(
+        a[:, :, None], byteorder="<", layout=("strips", 8),
+        geo=((360.0 / 32, 180.0 / 32, 0.0),
+             (0.0, 0.0, 0.0, -180.0, 90.0, 0.0)))))]
+    df = spark.createDataFrame(img, "image_id string, bytes binary")
+    got = {
+        (r["fx"], r["fy"]): (r["n_win"], r["sxx"], r["syy"], r["sxy"],
+                             r["r20"], r["is_peak"], r["corner"])
+        for r in harris_corners(df, res=1, patch_bits=4).collect()
+    }
+    val = {(c, 31 - r): int(a[r, c]) for r in range(32) for c in range(32)}
+    grad = {}
+    for (x, y), _ in val.items():
+        nb = [(x + 1, y), (x - 1, y), (x, y + 1), (x, y - 1)]
+        if all(p in val for p in nb):
+            grad[(x, y)] = (val[(x + 1, y)] - val[(x - 1, y)],
+                            val[(x, y + 1)] - val[(x, y - 1)])
+    tensor = {}
+    for (x, y) in grad:
+        win = [(x + dx, y + dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+               if (x + dx, y + dy) in grad]
+        sxx = sum(grad[p][0] ** 2 for p in win)
+        syy = sum(grad[p][1] ** 2 for p in win)
+        sxy = sum(grad[p][0] * grad[p][1] for p in win)
+        r20 = 20 * (sxx * syy - sxy * sxy) - (sxx + syy) ** 2
+        tensor[(x, y)] = (len(win), sxx, syy, sxy, r20)
+    exp = {}
+    for (x, y), (n_win, sxx, syy, sxy, r20) in tensor.items():
+        nbrs = [tensor[(x + dx, y + dy)][4]
+                for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                if (dx, dy) != (0, 0) and (x + dx, y + dy) in tensor]
+        peak = (not nbrs) or r20 > max(nbrs)
+        exp[(x, y)] = (n_win, sxx, syy, sxy, r20,
+                       int(peak), int(peak and r20 > 0))
+    assert got == exp
+    # flat background far from the block: zero tensor, zero response
+    assert got[(5, 5)][1:5] == (0, 0, 0, 0)
+    # straight edge midpoints: one dominant gradient direction -> r20 < 0
+    assert got[(12, 15)][4] < 0 or got[(11, 15)][4] < 0
+    # at least one positive-response corner cell survives NMS per block
+    corners = [c for c, v in got.items() if v[6] == 1]
+    assert corners, "bright block must yield at least one Harris corner"
+    # every surviving corner sits near the block boundary, never in flat
+    for (x, y) in corners:
+        assert min(abs(x - 12), abs(x - 21)) <= 2 or \
+               min(abs(y - 12), abs(y - 21)) <= 2

@@ -358,6 +358,9 @@ def main() -> None:
         ("dist_transform", "per round ONE 9-arm halo scatter of id rows + "
                            "a MIN hash agg; static occupied set re-joined; "
                            "lineage checkpointed per round"),
+        ("harris", "three chained focal scatter-aggregates (gradient, "
+                   "structure tensor, NMS) — integer partials combine "
+                   "map-side; no join, no window, no Python past decode"),
     ]
     qs = em.queries()
     lines = [
