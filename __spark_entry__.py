@@ -3238,6 +3238,15 @@ def q_harris(spark: SparkSession, sf_dir: str) -> DataFrame:
     return harris_corners(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
 
 
+def q_patch_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-point Shannon entropy of every coarse cell's 16-bin
+    value histogram — compile-time log2 table, two chained hash aggs
+    (operators/entropy.py:patch_entropy)."""
+    from aira_spark.operators.entropy import patch_entropy
+
+    return patch_entropy(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
+
+
 def q_hull_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact squared diameter of every coarse-cell point cluster — the
     all-pairs step runs on HULL VERTICES only; the oracle recomputes
@@ -3930,6 +3939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hull_diameter": q_hull_diameter,
         "dist_transform": q_dist_transform,
         "harris": q_harris,
+        "patch_entropy": q_patch_entropy,
     }
 
 
@@ -5596,6 +5606,12 @@ def _oracle_harris() -> str:
     return oracle_harris_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
 
 
+def _oracle_patch_entropy() -> str:
+    from aira_spark.operators.entropy import oracle_patch_entropy_sql
+
+    return oracle_patch_entropy_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
+
+
 def _oracle_hull_diameter() -> str:
     from aira_spark.operators.hull import oracle_hull_diameter_sql
     from aira_spark.sources.vectors import points_oracle_sql
@@ -7152,6 +7168,7 @@ FROM docs GROUP BY 1
         "hull_diameter": _oracle_hull_diameter(),
         "dist_transform": _oracle_dist_transform(),
         "harris": _oracle_harris(),
+        "patch_entropy": _oracle_patch_entropy(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -1846,3 +1846,58 @@ def test_harris_corners_hand_grid(spark):
     for (x, y) in corners:
         assert min(abs(x - 12), abs(x - 21)) <= 2 or \
                min(abs(y - 12), abs(y - 21)) <= 2
+
+
+# ----------------------------------------------------------- patch_entropy
+
+
+def test_patch_entropy_hand_grid(spark):
+    """Constructed 32x32 image = 4 coarse cells at res=1/pb=4: one flat
+    quadrant (H exactly 0), one two-value quadrant (H exactly 1 bit), one
+    uniform 16-bin quadrant (H exactly 4 bits), one mixed — all mirrored
+    in python with the same floor table."""
+    import math
+
+    import numpy as np
+
+    from aira_spark.operators.entropy import patch_entropy
+    from aira_spark.tiff.encode import write_tiff
+
+    a = np.zeros((32, 32), dtype=np.uint8)
+    a[16:, :16] = 7                        # fx 0-15, fy 0-15: flat bin 0
+    a[16:, 16:] = np.where(                # fx 16-31, fy 0-15: bins 0/1
+        (np.arange(32 * 16).reshape(16, 32)[:, 16:] % 2) == 0, 3, 19)
+    for r in range(16):                    # fy 16-31 rows (top half)
+        for c in range(16):                # fx 0-15: all 16 bins equally
+            a[r, c] = ((r * 16 + c) % 16) * 16
+        for c in range(16, 32):            # fx 16-31: mixed 3-bin split
+            a[r, c] = [0, 0, 40, 250][(r + c) % 4]
+    img = [("img000", bytearray(write_tiff(
+        a[:, :, None], byteorder="<", layout=("strips", 8),
+        geo=((360.0 / 32, 180.0 / 32, 0.0),
+             (0.0, 0.0, 0.0, -180.0, 90.0, 0.0)))))]
+    df = spark.createDataFrame(img, "image_id string, bytes binary")
+    got = {
+        (r["gx"], r["gy"]): (r["n_fine"], r["n_bins"], r["h_e6"], r["flat"])
+        for r in patch_entropy(df, res=1, patch_bits=4).collect()
+    }
+    assert len(got) == 4
+    # python mirror with the identical floor table
+    L = [math.floor(math.log2(k) * 1_000_000) for k in range(1, 257)]
+    val = {(c, 31 - r): int(a[r, c]) for r in range(32) for c in range(32)}
+    exp = {}
+    from collections import Counter
+    for gx in (0, 1):
+        for gy in (0, 1):
+            cnts = Counter(val[(x, y)] // 16
+                           for x in range(gx * 16, gx * 16 + 16)
+                           for y in range(gy * 16, gy * 16 + 16))
+            n = sum(cnts.values())
+            s = sum(c * L[c - 1] for c in cnts.values())
+            h = (n * L[n - 1] - s) // n
+            exp[(gx, gy)] = (n, len(cnts), h, int(h < 500_000))
+    assert got == exp
+    assert got[(0, 0)][2] == 0 and got[(0, 0)][3] == 1      # flat: 0 bits
+    assert got[(1, 0)][2] == 1_000_000                      # exactly 1 bit
+    assert got[(0, 1)][2] == 4_000_000                      # exactly 4 bits
+    assert got[(1, 1)][3] == 0                              # mixed: not flat

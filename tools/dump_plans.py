@@ -361,6 +361,9 @@ def main() -> None:
         ("harris", "three chained focal scatter-aggregates (gradient, "
                    "structure tensor, NMS) — integer partials combine "
                    "map-side; no join, no window, no Python past decode"),
+        ("patch_entropy", "two chained hash aggs (<=16 histogram rows per "
+                          "cell in the exchange); log2 via literal-array "
+                          "element_at projection, no join, no libm"),
     ]
     qs = em.queries()
     lines = [
