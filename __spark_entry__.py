@@ -3247,6 +3247,15 @@ def q_patch_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return patch_entropy(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
 
 
+def q_kde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartic-kernel density heat map with exact compile-time integer
+    weights over the radius-3 disk (operators/kde.py:kde_quartic)."""
+    from aira_spark.operators.kde import kde_quartic
+    from aira_spark.sources.vectors import points_table
+
+    return kde_quartic(points_table(spark, sf_dir), res=CELL_RES)
+
+
 def q_hull_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact squared diameter of every coarse-cell point cluster — the
     all-pairs step runs on HULL VERTICES only; the oracle recomputes
@@ -3940,6 +3949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dist_transform": q_dist_transform,
         "harris": q_harris,
         "patch_entropy": q_patch_entropy,
+        "kde": q_kde,
     }
 
 
@@ -5612,6 +5622,20 @@ def _oracle_patch_entropy() -> str:
     return oracle_patch_entropy_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
 
 
+def _oracle_kde() -> str:
+    from aira_spark.operators.kde import oracle_kde_quartic_sql
+    from aira_spark.sources.vectors import points_oracle_sql
+
+    cte = f"""
+WITH p AS ({points_oracle_sql()}),
+cnts AS (
+  SELECT {_sql_ix('x')} AS gx, {_sql_iy('y')} AS gy,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM p GROUP BY 1, 2
+)"""
+    return oracle_kde_quartic_sql(cte, _N)
+
+
 def _oracle_hull_diameter() -> str:
     from aira_spark.operators.hull import oracle_hull_diameter_sql
     from aira_spark.sources.vectors import points_oracle_sql
@@ -7169,6 +7193,7 @@ FROM docs GROUP BY 1
         "dist_transform": _oracle_dist_transform(),
         "harris": _oracle_harris(),
         "patch_entropy": _oracle_patch_entropy(),
+        "kde": _oracle_kde(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

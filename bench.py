@@ -310,6 +310,7 @@ def main() -> None:
         "dist_transform": lambda: em.q_dist_transform(spark, sf_dir).count(),
         "harris": lambda: em.q_harris(spark, sf_dir).count(),
         "patch_entropy": lambda: em.q_patch_entropy(spark, sf_dir).count(),
+        "kde": lambda: em.q_kde(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

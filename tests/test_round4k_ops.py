@@ -1901,3 +1901,51 @@ def test_patch_entropy_hand_grid(spark):
     assert got[(1, 0)][2] == 1_000_000                      # exactly 1 bit
     assert got[(0, 1)][2] == 4_000_000                      # exactly 4 bits
     assert got[(1, 1)][3] == 0                              # mixed: not flat
+
+
+# -------------------------------------------------------------- kde_quartic
+
+
+def test_kde_quartic_hand_points(spark):
+    """Hand point set on a tiny grid: python mirror of the 29-arm literal
+    kernel, weight pins (center 100, rim 1), zero-beyond-bandwidth, and
+    additivity of coincident points."""
+    from collections import defaultdict
+
+    from aira_spark.operators.kde import KDE_KERNEL, kde_quartic
+
+    # res=5 -> 32x32 world grid; cell (gx, gy) center picked via x/y math:
+    # x in [-180 + gx*11.25, ...), y likewise
+    def xy(gx, gy):
+        return (-180.0 + (gx + 0.5) * 360.0 / 32,
+                -90.0 + (gy + 0.5) * 180.0 / 32)
+
+    pts = [xy(10, 10), xy(10, 10), xy(10, 10),   # 3 coincident points
+           xy(20, 20),                            # 1 isolated point
+           xy(0, 0)]                              # grid-corner clipping
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)],
+        "point_id long, x double, y double")
+    got = {(r["gx"], r["gy"]): (r["n_src_cells"], r["kde_w"])
+           for r in kde_quartic(df, res=5).collect()}
+    exp = defaultdict(lambda: [0, 0])
+    cnts = defaultdict(int)
+    for x, y in pts:
+        gx = int((x + 180.0) / 360.0 * 32)
+        gy = int((y + 90.0) / 180.0 * 32)
+        cnts[(gx, gy)] += 1
+    for (gx, gy), c in cnts.items():
+        for (dx, dy), w in KDE_KERNEL.items():
+            tx, ty = gx + dx, gy + dy
+            if 0 <= tx < 32 and 0 <= ty < 32:
+                exp[(tx, ty)][0] += 1
+                exp[(tx, ty)][1] += c * w
+    assert got == {k: tuple(v) for k, v in exp.items()}
+    assert got[(10, 10)] == (1, 300)          # center weight 100 x 3 pts
+    assert got[(13, 10)] == (1, 3)            # rim cell d2=9: weight 1 x 3
+    assert got[(20, 23)] == (1, 1)            # isolated point rim
+    assert (17, 17) not in got                # beyond bandwidth: exact zero
+    assert (0, 0) in got and (1, 1) in got    # corner clips, still emits
+    # kernel sanity: 29 arms, quartic decay values
+    assert len(KDE_KERNEL) == 29
+    assert KDE_KERNEL[(0, 0)] == 100 and KDE_KERNEL[(2, 2)] == 4

@@ -364,6 +364,9 @@ def main() -> None:
         ("patch_entropy", "two chained hash aggs (<=16 histogram rows per "
                           "cell in the exchange); log2 via literal-array "
                           "element_at projection, no join, no libm"),
+        ("kde", "points fold to (cell, cnt) map-side FIRST; 29-arm literal "
+                "kernel scatter is a projection + one more hash agg — "
+                "points never scatter, no join"),
     ]
     qs = em.queries()
     lines = [
