@@ -496,3 +496,99 @@ def oracle_hits_sql(edges_cte: str, rounds: int = 5) -> str:
         f"a.a AS auth_micros FROM h{rounds} h "
         f"JOIN a{rounds} a ON a.node = h.node"
     )
+
+
+LP_ENC = 1 << 32    # encoded-argmax base: labels are ids < 2^32
+
+
+def label_prop(edges: DataFrame, rounds: int = 6) -> DataFrame:
+    """(node, label, comm_size): community detection by synchronous label
+    propagation (Raghavan 2007) over the undirected graph, after FIXED
+    `rounds` — each node adopts the most frequent label in its CLOSED
+    neighborhood (self included: damps the classic synchronous-LPA
+    oscillation), ties to the SMALLEST label.
+
+    Determinism (the focal_majority device): the per-node argmax is the
+    pure-integer encoded key max(cnt * 2^32 + (2^32 - 1 - lbl)) — count
+    majority first, ties to the smallest label — so no engine hash/struct
+    ordering is in play; with FIXED rounds (the pagerank device) both
+    engines hold the identical label state whether or not the fixpoint
+    was reached. Requires ids < 2^32 and degree < 2^31 (loudly checked
+    by the encode staying inside int64 — ids here are point ids).
+
+    Scale shape per round: ONE equi-join of the static undirected edge
+    list (id pairs, localCheckpointed once) against the (node, label)
+    frontier + two chained hash aggs (per-label counts combine map-side —
+    the exchange carries <= distinct-neighbor-labels rows per node, never
+    the full adjacency); localCheckpoint per round keeps lineage flat."""
+    und = (
+        edges.selectExpr("src AS a", "dst AS b")
+        .unionByName(edges.selectExpr("dst AS a", "src AS b"))
+        .where("a != b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lbl = (
+        und.select("a").distinct()
+        .select("a", F.col("a").cast("long").alias("lbl"))
+    )
+    for _ in range(rounds):
+        votes = (
+            und.join(lbl.selectExpr("a AS b", "lbl"), "b")
+            .select("a", "lbl")
+            .unionByName(lbl.select("a", "lbl"))   # closed neighborhood
+        )
+        per_lbl = votes.groupBy("a", "lbl").agg(F.count("*").alias("cnt"))
+        lbl = (
+            per_lbl.groupBy("a")
+            .agg(
+                F.max(
+                    F.col("cnt") * F.lit(LP_ENC)
+                    + (F.lit(LP_ENC - 1) - F.col("lbl"))
+                ).alias("key")
+            )
+            .select(
+                "a",
+                (F.lit(LP_ENC - 1) - F.col("key") % F.lit(LP_ENC))
+                .cast("long").alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    size = lbl.groupBy("lbl").agg(F.count("*").cast("long").alias("comm_size"))
+    return (
+        lbl.join(size, "lbl")
+        .selectExpr(
+            "CAST(a AS BIGINT) AS node",
+            "CAST(lbl AS BIGINT) AS label",
+            "comm_size",
+        )
+    )
+
+
+def oracle_label_prop_sql(edges_cte: str, rounds: int = 6) -> str:
+    """DuckDB mirror: `edges_cte` defines edges(src, dst); one
+    MATERIALIZED label CTE per round via the identical encoded argmax."""
+    enc = LP_ENC
+    parts = [
+        "und AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges "
+        "WHERE src != dst UNION SELECT dst, src FROM edges WHERE src != dst)",
+        "l0 AS (SELECT DISTINCT a, CAST(a AS BIGINT) AS lbl FROM und)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"l{i + 1} AS MATERIALIZED (SELECT a, "
+            f"CAST({enc - 1} - MAX(cnt * {enc} + ({enc - 1} - lbl)) "
+            f"% {enc} AS BIGINT) AS lbl FROM ("
+            f"SELECT v.a, v.lbl, CAST(COUNT(*) AS BIGINT) AS cnt FROM ("
+            f"SELECT u.a, lb.lbl FROM und u JOIN l{i} lb ON lb.a = u.b "
+            f"UNION ALL SELECT a, lbl FROM l{i}) v GROUP BY 1, 2) "
+            f"GROUP BY a)"
+        )
+    return (
+        f"WITH {edges_cte},\n" + ",\n".join(parts) + f""",
+sz AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS comm_size
+       FROM l{rounds} GROUP BY 1)
+SELECT CAST(l.a AS BIGINT) AS node, CAST(l.lbl AS BIGINT) AS label,
+  sz.comm_size
+FROM l{rounds} l JOIN sz ON sz.lbl = l.lbl"""
+    )

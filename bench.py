@@ -311,6 +311,7 @@ def main() -> None:
         "harris": lambda: em.q_harris(spark, sf_dir).count(),
         "patch_entropy": lambda: em.q_patch_entropy(spark, sf_dir).count(),
         "kde": lambda: em.q_kde(spark, sf_dir).count(),
+        "label_prop": lambda: em.q_label_prop(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline
@@ -333,6 +334,7 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_HAUS_MOD", "5")
     os.environ.setdefault("SPARK_GRAFT_ALLPAIRS_MOD", "3")
     os.environ.setdefault("SPARK_GRAFT_KCORE_ROUNDS", "5")
+    os.environ.setdefault("SPARK_GRAFT_LP_ROUNDS", "4")
     os.environ.setdefault("SPARK_GRAFT_STREAM_BATCHES", "2")
     for name, fn in selected.items():
         timed(name, fn)

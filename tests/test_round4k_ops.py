@@ -1949,3 +1949,57 @@ def test_kde_quartic_hand_points(spark):
     # kernel sanity: 29 arms, quartic decay values
     assert len(KDE_KERNEL) == 29
     assert KDE_KERNEL[(0, 0)] == 100 and KDE_KERNEL[(2, 2)] == 4
+
+
+# --------------------------------------------------------------- label_prop
+
+
+def _brute_lpa(edges, rounds=6):
+    """python mirror of graph.label_prop: closed-neighborhood majority,
+    ties to smallest label, synchronous rounds."""
+    from collections import Counter, defaultdict
+
+    und = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            und[s].add(d)
+            und[d].add(s)
+    lbl = {n: n for n in und}
+    for _ in range(rounds):
+        nxt = {}
+        for n in und:
+            votes = Counter(lbl[b] for b in und[n])
+            votes[lbl[n]] += 1
+            best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[n] = best[0]
+        lbl = nxt
+    sizes = Counter(lbl.values())
+    return {n: (l, sizes[l]) for n, l in lbl.items()}
+
+
+def test_label_prop_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: each clique converges to
+    its smallest member's label; full python-mirror parity on a random
+    graph too."""
+    import random
+
+    from aira_spark.operators.graph import label_prop
+
+    cliq = [(a, b) for grp in ([10, 11, 12, 13], [20, 21, 22, 23])
+            for i, a in enumerate(grp) for b in grp[i + 1:]]
+    edges = cliq + [(13, 20)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["label"], r["comm_size"])
+           for r in label_prop(df, rounds=6).collect()}
+    assert got == _brute_lpa(edges)
+    assert all(got[n][0] == 10 for n in (10, 11, 12))
+    assert all(got[n][0] == 20 for n in (21, 22, 23))
+    # random-graph parity (seeded): mirror must match exactly
+    rng = random.Random(7)
+    redges = list({(rng.randrange(40), rng.randrange(40))
+                   for _ in range(120)})
+    redges = [(s, d) for s, d in redges if s != d]
+    rdf = spark.createDataFrame(redges, "src long, dst long")
+    rgot = {r["node"]: (r["label"], r["comm_size"])
+            for r in label_prop(rdf, rounds=6).collect()}
+    assert rgot == _brute_lpa(redges)

@@ -367,6 +367,9 @@ def main() -> None:
         ("kde", "points fold to (cell, cnt) map-side FIRST; 29-arm literal "
                 "kernel scatter is a projection + one more hash agg — "
                 "points never scatter, no join"),
+        ("label_prop", "per round ONE id-pair equi-join vs the static "
+                       "checkpointed edge list + two chained hash aggs; "
+                       "encoded-argmax keeps rounds order-independent"),
     ]
     qs = em.queries()
     lines = [
