@@ -3276,6 +3276,15 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_prop(edges, rounds=rounds)
 
 
+def q_ssim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global SSIM between band pairs — integer factors via the
+    cross-multiplied C1/C2 rationals, floor-e6 through the one pinned
+    double chain (operators/ssim.py:ssim_bands)."""
+    from aira_spark.operators.ssim import ssim_bands
+
+    return ssim_bands(_images(spark, sf_dir, modulo=4))
+
+
 def q_hull_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact squared diameter of every coarse-cell point cluster — the
     all-pairs step runs on HULL VERTICES only; the oracle recomputes
@@ -3971,6 +3980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "patch_entropy": q_patch_entropy,
         "kde": q_kde,
         "label_prop": q_label_prop,
+        "ssim": q_ssim,
     }
 
 
@@ -5663,6 +5673,12 @@ def _oracle_label_prop() -> str:
     return oracle_label_prop_sql(_knn_edges_cte(), rounds=6)
 
 
+def _oracle_ssim() -> str:
+    from aira_spark.operators.ssim import oracle_ssim_sql
+
+    return oracle_ssim_sql(_bands_cte_sql(modulo=4))
+
+
 def _oracle_hull_diameter() -> str:
     from aira_spark.operators.hull import oracle_hull_diameter_sql
     from aira_spark.sources.vectors import points_oracle_sql
@@ -7222,6 +7238,7 @@ FROM docs GROUP BY 1
         "patch_entropy": _oracle_patch_entropy(),
         "kde": _oracle_kde(),
         "label_prop": _oracle_label_prop(),
+        "ssim": _oracle_ssim(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

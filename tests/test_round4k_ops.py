@@ -2003,3 +2003,59 @@ def test_label_prop_two_cliques(spark):
     rgot = {r["node"]: (r["label"], r["comm_size"])
             for r in label_prop(rdf, rounds=6).collect()}
     assert rgot == _brute_lpa(redges)
+
+
+# --------------------------------------------------------------------- ssim
+
+
+def test_ssim_bands_constructed(spark):
+    """Constructed 3-band image: identical bands -> SSIM exactly 1.0;
+    inverted band -> strongly negative structure term; python mirror of
+    the factor formulas + the pinned double chain on every pair."""
+    import math
+
+    import numpy as np
+
+    from aira_spark.operators.ssim import ssim_bands
+    from aira_spark.tiff.encode import write_tiff
+
+    rng = np.random.RandomState(3)
+    b0 = rng.randint(0, 256, size=(16, 16)).astype(np.uint8)
+    b1 = b0.copy()                 # identical twin -> ssim == 1
+    b2 = (255 - b0)               # inverted -> anti-structural
+    img = np.stack([b0, b1, b2], axis=2)
+    df = spark.createDataFrame(
+        [("img000", bytearray(write_tiff(
+            img, byteorder="<", layout=("strips", 8),
+            geo=((360.0 / 16, 180.0 / 16, 0.0),
+                 (0.0, 0.0, 0.0, -180.0, 90.0, 0.0)))))],
+        "image_id string, bytes binary")
+    got = {(r["band_x"], r["band_y"]):
+           (r["n_px"], r["a_l"], r["b_l"], r["c_l"], r["d_l"],
+            r["ssim_e6"], r["similar"])
+           for r in ssim_bands(df).collect()}
+    assert set(got) == {(0, 1), (0, 2), (1, 2)}
+
+    def mirror(x, y):
+        xf = x.astype(np.int64).ravel()
+        yf = y.astype(np.int64).ravel()
+        n = xf.size
+        sx, sy = int(xf.sum()), int(yf.sum())
+        sxx, syy = int((xf * xf).sum()), int((yf * yf).sum())
+        sxy = int((xf * yf).sum())
+        a = 800 * sx * sy + 2601 * n * n
+        b = 800 * (n * sxy - sx * sy) + 23409 * n * n
+        c = 400 * (sx * sx + sy * sy) + 2601 * n * n
+        d = 400 * ((n * sxx - sx * sx) + (n * syy - sy * sy)) \
+            + 23409 * n * n
+        e6 = math.floor((float(a) * float(b)) / (float(c) * float(d))
+                        * 1000000.0)
+        return (n, a, b, c, d, e6, int(e6 >= 900_000))
+
+    assert got[(0, 1)] == mirror(b0, b1)
+    assert got[(0, 2)] == mirror(b0, b2)
+    assert got[(1, 2)] == mirror(b1, b2)
+    # identical bands: every factor pair equal -> ssim exactly 1.0
+    assert got[(0, 1)][5] == 1_000_000 and got[(0, 1)][6] == 1
+    # inverted band: structure term negative -> ssim << 0.9, flag off
+    assert got[(0, 2)][5] < 0 and got[(0, 2)][6] == 0

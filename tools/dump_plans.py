@@ -370,6 +370,9 @@ def main() -> None:
         ("label_prop", "per round ONE id-pair equi-join vs the static "
                        "checkpointed edge list + two chained hash aggs; "
                        "encoded-argmax keeps rounds order-independent"),
+        ("ssim", "pixels cross Arrow once; six bounded integers per band "
+                 "pair are the only exchange payload; SSIM is a pure "
+                 "projection (pinned double chain)"),
     ]
     qs = em.queries()
     lines = [
