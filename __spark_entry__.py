@@ -3285,6 +3285,18 @@ def q_ssim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ssim_bands(_images(spark, sf_dir, modulo=4))
 
 
+def q_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component by exact integer fixed-point power
+    iteration (8 rounds) + per-vector projection — the embedding
+    anisotropy diagnostic (operators/pca.py:pca_top1)."""
+    from aira_spark.operators.pca import pca_top1
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.expr(_QUANT)
+    )
+    return pca_top1(emb, dim=64, rounds=8)
+
+
 def q_hull_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact squared diameter of every coarse-cell point cluster — the
     all-pairs step runs on HULL VERTICES only; the oracle recomputes
@@ -3981,6 +3993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kde": q_kde,
         "label_prop": q_label_prop,
         "ssim": q_ssim,
+        "pca": q_pca,
     }
 
 
@@ -5679,6 +5692,12 @@ def _oracle_ssim() -> str:
     return oracle_ssim_sql(_bands_cte_sql(modulo=4))
 
 
+def _oracle_pca() -> str:
+    from aira_spark.operators.pca import oracle_pca_sql
+
+    return oracle_pca_sql(dim=64, rounds=8)
+
+
 def _oracle_hull_diameter() -> str:
     from aira_spark.operators.hull import oracle_hull_diameter_sql
     from aira_spark.sources.vectors import points_oracle_sql
@@ -7239,6 +7258,7 @@ FROM docs GROUP BY 1
         "kde": _oracle_kde(),
         "label_prop": _oracle_label_prop(),
         "ssim": _oracle_ssim(),
+        "pca": _oracle_pca(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -2059,3 +2059,67 @@ def test_ssim_bands_constructed(spark):
     assert got[(0, 1)][5] == 1_000_000 and got[(0, 1)][6] == 1
     # inverted band: structure term negative -> ssim << 0.9, flag off
     assert got[(0, 2)][5] < 0 and got[(0, 2)][6] == 0
+
+
+# ---------------------------------------------------------------- pca_top1
+
+
+def _brute_pca(vecs, rounds=8):
+    """python mirror of operators/pca.py: identical quantization, moment
+    fold, floor normalization and iteration."""
+    def fdiv(a, b):
+        return (a - ((a % b) + b) % b) // b
+
+    n, dim = len(vecs), len(vecs[0])
+    q = [[round(x * 1024.0) for x in v] for v in vecs]
+    s = [sum(q[i][j] for i in range(n)) for j in range(dim)]
+    m = [[n * sum(q[i][j] * q[i][k] for i in range(n)) - s[j] * s[k]
+          for k in range(dim)] for j in range(dim)]
+    mmax = max(abs(x) for row in m for x in row)
+    mp = [[0 if mmax == 0 else fdiv(x * 1_000_000, mmax) for x in row]
+          for row in m]
+    v = [1_000_000] * dim
+    for _ in range(rounds):
+        w = [sum(mp[j][k] * v[k] for k in range(dim)) for j in range(dim)]
+        wmax = max(abs(x) for x in w)
+        v = [0 if wmax == 0 else fdiv(x * 1_000_000, wmax) for x in w]
+    return {i: sum(q[i][j] * v[j] for j in range(dim)) for i in range(n)}
+
+
+def test_pca_top1_mirror_and_axis(spark):
+    """Seeded vectors with a planted dominant axis: full python-mirror
+    parity; projections separate the +axis and -axis populations with
+    consistent sign; overflow guard raises loudly."""
+    import random
+
+    import pytest as _pytest
+
+    from aira_spark.operators.pca import pca_top1
+
+    rng = random.Random(11)
+    dim = 8
+    axis = [1.0 if j < 4 else -1.0 for j in range(dim)]
+    vecs, labels = [], []
+    for i in range(60):
+        side = 1 if i % 2 == 0 else -1
+        v = [side * a * 0.3 + rng.uniform(-0.05, 0.05) for a in axis]
+        vecs.append([round(x * 1024.0) / 1024.0 for x in v])
+        labels.append(max(side, 0))
+    df = spark.createDataFrame(
+        [(i, vecs[i], labels[i]) for i in range(60)],
+        "vec_id long, embedding array<double>, label long")
+    got = {r["vec_id"]: (r["label"], r["proj"])
+           for r in pca_top1(df, dim=dim, rounds=8).collect()}
+    exp = _brute_pca(vecs, rounds=8)
+    assert {i: p for i, (_, p) in got.items()} == exp
+    # the two planted populations land on opposite sides of zero
+    pos = [p for i, (lbl, p) in got.items() if lbl == 1]
+    neg = [p for i, (lbl, p) in got.items() if lbl == 0]
+    assert (all(p > 0 for p in pos) and all(p < 0 for p in neg)) or \
+           (all(p < 0 for p in pos) and all(p > 0 for p in neg))
+    # loud overflow guard: huge synthetic coords blow the budget
+    big = spark.createDataFrame(
+        [(i, [2000.0] * 4, 0) for i in range(3000)],
+        "vec_id long, embedding array<double>, label long")
+    with _pytest.raises(ValueError, match="budget"):
+        pca_top1(big, dim=4, rounds=1)

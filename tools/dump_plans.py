@@ -373,6 +373,9 @@ def main() -> None:
         ("ssim", "pixels cross Arrow once; six bounded integers per band "
                  "pair are the only exchange payload; SSIM is a pure "
                  "projection (pinned double chain)"),
+        ("pca", "64x64 moment fold = double-posexplode projection + ONE "
+                "hash agg (4096 partials/partition cross the wire, never "
+                "vectors); iteration rounds are 64-row broadcast joins"),
     ]
     qs = em.queries()
     lines = [
