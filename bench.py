@@ -337,6 +337,7 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_ALLPAIRS_MOD", "3")
     os.environ.setdefault("SPARK_GRAFT_KCORE_ROUNDS", "5")
     os.environ.setdefault("SPARK_GRAFT_LP_ROUNDS", "4")
+    os.environ.setdefault("SPARK_GRAFT_PCA_ROUNDS", "4")
     os.environ.setdefault("SPARK_GRAFT_STREAM_BATCHES", "2")
     for name, fn in selected.items():
         timed(name, fn)
