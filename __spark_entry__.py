@@ -3300,6 +3300,15 @@ def q_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_top1(emb, dim=64, rounds=rounds)
 
 
+def q_hog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bin HOG census per coarse cell — pure-integer octant CASE (no
+    atan2), focal-gradient scatter-agg + one more hash agg
+    (operators/hog.py:hog_census)."""
+    from aira_spark.operators.hog import hog_census
+
+    return hog_census(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
+
+
 def q_hull_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact squared diameter of every coarse-cell point cluster — the
     all-pairs step runs on HULL VERTICES only; the oracle recomputes
@@ -3997,6 +4006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_prop": q_label_prop,
         "ssim": q_ssim,
         "pca": q_pca,
+        "hog": q_hog,
     }
 
 
@@ -5701,6 +5711,12 @@ def _oracle_pca() -> str:
     return oracle_pca_sql(dim=64, rounds=8)
 
 
+def _oracle_hog() -> str:
+    from aira_spark.operators.hog import oracle_hog_sql
+
+    return oracle_hog_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
+
+
 def _oracle_hull_diameter() -> str:
     from aira_spark.operators.hull import oracle_hull_diameter_sql
     from aira_spark.sources.vectors import points_oracle_sql
@@ -7262,6 +7278,7 @@ FROM docs GROUP BY 1
         "label_prop": _oracle_label_prop(),
         "ssim": _oracle_ssim(),
         "pca": _oracle_pca(),
+        "hog": _oracle_hog(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -314,6 +314,7 @@ def main() -> None:
         "label_prop": lambda: em.q_label_prop(spark, sf_dir).count(),
         "ssim": lambda: em.q_ssim(spark, sf_dir).count(),
         "pca": lambda: em.q_pca(spark, sf_dir).count(),
+        "hog": lambda: em.q_hog(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

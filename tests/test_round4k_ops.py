@@ -2123,3 +2123,69 @@ def test_pca_top1_mirror_and_axis(spark):
         "vec_id long, embedding array<double>, label long")
     with _pytest.raises(ValueError, match="budget"):
         pca_top1(big, dim=4, rounds=1)
+
+
+# ---------------------------------------------------------------------- hog
+
+
+def test_hog_octant_classification(spark):
+    """Octant CASE: every representative (gx, gy) direction including all
+    boundary rays lands in the documented bin, via a constructed-gradient
+    python mirror against the operator on a synthetic ramp image."""
+    import numpy as np
+
+    from aira_spark.operators.hog import hog_census
+    from aira_spark.tiff.encode import write_tiff
+
+    def py_octant(gx, gy):
+        if gx == 0 and gy == 0:
+            return -1
+        if gy >= 0 and gx > 0 and gx >= gy:
+            return 0
+        if gy > 0 and gx >= 0 and gy >= gx:
+            return 1
+        if gy > 0 and gx < 0 and gy >= -gx:
+            return 2
+        if gy >= 0 and gx < 0 and -gx >= gy:
+            return 3
+        if gy <= 0 and gx < 0 and -gx >= -gy:
+            return 4
+        if gy < 0 and gx <= 0 and -gy >= -gx:
+            return 5
+        if gy < 0 and gx > 0 and -gy >= gx:
+            return 6
+        return 7
+
+    # boundary-ray pins (counterclockwise from +x, ties resolved by order)
+    assert py_octant(1, 0) == 0 and py_octant(1, 1) == 0
+    assert py_octant(0, 1) == 1 and py_octant(-1, 1) == 2
+    assert py_octant(-1, 0) == 3 and py_octant(-1, -1) == 4
+    assert py_octant(0, -1) == 5 and py_octant(1, -1) == 6
+    assert py_octant(3, -2) == 7 and py_octant(0, 0) == -1
+
+    # ramp image: val = (2r + 5c) % 201 over the interior keeps gradients
+    # varied; mirror the full pipeline per coarse cell
+    a = np.zeros((32, 32), dtype=np.uint8)
+    for r in range(32):
+        for c in range(32):
+            a[r, c] = (2 * r + 5 * c) % 201
+    df = spark.createDataFrame(
+        [("img000", bytearray(write_tiff(
+            a[:, :, None], byteorder="<", layout=("strips", 8),
+            geo=((360.0 / 32, 180.0 / 32, 0.0),
+                 (0.0, 0.0, 0.0, -180.0, 90.0, 0.0)))))],
+        "image_id string, bytes binary")
+    got = {(r["gx"], r["gy"], r["obin"]): (r["cnt"], r["energy"])
+           for r in hog_census(df, res=1, patch_bits=4).collect()}
+    val = {(c, 31 - r): int(a[r, c]) for r in range(32) for c in range(32)}
+    from collections import defaultdict
+    exp = defaultdict(lambda: [0, 0])
+    for (x, y) in val:
+        nb = [(x + 1, y), (x - 1, y), (x, y + 1), (x, y - 1)]
+        if all(p in val for p in nb):
+            gx = val[(x + 1, y)] - val[(x - 1, y)]
+            gy = val[(x, y + 1)] - val[(x, y - 1)]
+            key = (x // 16, y // 16, py_octant(gx, gy))
+            exp[key][0] += 1
+            exp[key][1] += gx * gx + gy * gy
+    assert got == {k: tuple(v) for k, v in exp.items()}

@@ -376,6 +376,9 @@ def main() -> None:
         ("pca", "64x64 moment fold = double-posexplode projection + ONE "
                 "hash agg (4096 partials/partition cross the wire, never "
                 "vectors); iteration rounds are 64-row broadcast joins"),
+        ("hog", "focal-gradient scatter-agg + octant CASE projection + "
+                "one hash agg to (cell, bin) — <=9 rows per cell in the "
+                "exchange, no atan2, no join"),
     ]
     qs = em.queries()
     lines = [
