@@ -3309,6 +3309,19 @@ def q_hog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hog_census(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
 
 
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scores — weighted PageRank in pinned-order exact
+    integer micros over the windowed word co-occurrence graph
+    (operators/textrank.py:textrank)."""
+    from aira_spark.operators.textrank import textrank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    rounds = int(os.environ.get("SPARK_GRAFT_TEXTRANK_ROUNDS", "6"))
+    return textrank(docs, window=3, min_count=3, rounds=rounds)
+
+
 def q_hull_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact squared diameter of every coarse-cell point cluster — the
     all-pairs step runs on HULL VERTICES only; the oracle recomputes
@@ -4007,6 +4020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ssim": q_ssim,
         "pca": q_pca,
         "hog": q_hog,
+        "textrank": q_textrank,
     }
 
 
@@ -5717,6 +5731,15 @@ def _oracle_hog() -> str:
     return oracle_hog_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
 
 
+def _oracle_textrank() -> str:
+    from aira_spark.operators.textrank import oracle_textrank_sql
+
+    return oracle_textrank_sql(
+        "SELECT doc_id, text FROM documents", window=3, min_count=3,
+        rounds=6,
+    )
+
+
 def _oracle_hull_diameter() -> str:
     from aira_spark.operators.hull import oracle_hull_diameter_sql
     from aira_spark.sources.vectors import points_oracle_sql
@@ -7279,6 +7302,7 @@ FROM docs GROUP BY 1
         "ssim": _oracle_ssim(),
         "pca": _oracle_pca(),
         "hog": _oracle_hog(),
+        "textrank": _oracle_textrank(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

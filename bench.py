@@ -315,6 +315,7 @@ def main() -> None:
         "ssim": lambda: em.q_ssim(spark, sf_dir).count(),
         "pca": lambda: em.q_pca(spark, sf_dir).count(),
         "hog": lambda: em.q_hog(spark, sf_dir).count(),
+        "textrank": lambda: em.q_textrank(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline
@@ -339,6 +340,7 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_KCORE_ROUNDS", "5")
     os.environ.setdefault("SPARK_GRAFT_LP_ROUNDS", "4")
     os.environ.setdefault("SPARK_GRAFT_PCA_ROUNDS", "4")
+    os.environ.setdefault("SPARK_GRAFT_TEXTRANK_ROUNDS", "4")
     os.environ.setdefault("SPARK_GRAFT_STREAM_BATCHES", "2")
     for name, fn in selected.items():
         timed(name, fn)

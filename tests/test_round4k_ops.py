@@ -2189,3 +2189,53 @@ def test_hog_octant_classification(spark):
             exp[key][0] += 1
             exp[key][1] += gx * gx + gy * gy
     assert got == {k: tuple(v) for k, v in exp.items()}
+
+
+# ----------------------------------------------------------------- textrank
+
+
+def _brute_textrank(texts, window=3, min_count=3, rounds=6):
+    """python mirror of operators/textrank.py with the pinned division
+    order (all operands nonneg: // == DIV)."""
+    from collections import defaultdict
+
+    und = defaultdict(int)
+    for t in texts:
+        ws = t.split(" ")
+        for i, w1 in enumerate(ws):
+            for k in range(1, window + 1):
+                if i + k < len(ws):
+                    w2 = ws[i + k]
+                    if w1 != w2:
+                        und[(min(w1, w2), max(w1, w2))] += 1
+    edges = defaultdict(list)
+    for (a, b), w in und.items():
+        if w >= min_count:
+            edges[a].append((b, w))
+            edges[b].append((a, w))
+    wdeg = {n: sum(w for _, w in nbrs) for n, nbrs in edges.items()}
+    rank = {n: 1_000_000 for n in edges}
+    for _ in range(rounds):
+        inflow = defaultdict(int)
+        for a, nbrs in edges.items():
+            for b, w in nbrs:
+                inflow[b] += rank[a] * w // wdeg[a] * 850_000 // 1_000_000
+        rank = {n: 150_000 + inflow[n] for n in edges}
+    return {n: (wdeg[n], rank[n]) for n in edges}
+
+
+def test_textrank_mirror_and_hub(spark):
+    """Constructed corpus with one hub word co-occurring with everything:
+    full python-mirror parity and the hub outranking every leaf."""
+    from aira_spark.operators.textrank import textrank
+
+    texts = []
+    for i in range(12):
+        texts.append(f"hub leaf{i % 4} hub leaf{(i + 1) % 4} filler{i % 2}")
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["word"]: (r["wdeg"], r["rank_micros"])
+           for r in textrank(df, window=3, min_count=3, rounds=6).collect()}
+    assert got == _brute_textrank(texts)
+    hub_rank = got["hub"][1]
+    assert all(hub_rank > v[1] for w, v in got.items() if w != "hub")

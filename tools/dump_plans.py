@@ -379,6 +379,9 @@ def main() -> None:
         ("hog", "focal-gradient scatter-agg + octant CASE projection + "
                 "one hash agg to (cell, bin) — <=9 rows per cell in the "
                 "exchange, no atan2, no join"),
+        ("textrank", "skip-gram pairs never leave the row (posexplode + "
+                     "window arms); exchanges carry (word, int) rows; per "
+                     "round one equi-join vs the static edge list"),
     ]
     qs = em.queries()
     lines = [
