@@ -3322,6 +3322,15 @@ def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textrank(docs, window=3, min_count=3, rounds=rounds)
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD Hampel-rule outlier census per cell — exact med_x2/
+    mad_x4 order statistics, cross-multiplied 3x1.4826 predicate
+    (operators/robust.py:mad_outliers)."""
+    from aira_spark.operators.robust import mad_outliers
+
+    return mad_outliers(_cell_day_events(spark, sf_dir))
+
+
 def q_hull_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact squared diameter of every coarse-cell point cluster — the
     all-pairs step runs on HULL VERTICES only; the oracle recomputes
@@ -4021,6 +4030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca": q_pca,
         "hog": q_hog,
         "textrank": q_textrank,
+        "mad_outliers": q_mad_outliers,
     }
 
 
@@ -5740,6 +5750,12 @@ def _oracle_textrank() -> str:
     )
 
 
+def _oracle_mad_outliers() -> str:
+    from aira_spark.operators.robust import oracle_mad_sql
+
+    return oracle_mad_sql(_CELL_DAY_SQL)
+
+
 def _oracle_hull_diameter() -> str:
     from aira_spark.operators.hull import oracle_hull_diameter_sql
     from aira_spark.sources.vectors import points_oracle_sql
@@ -7303,6 +7319,7 @@ FROM docs GROUP BY 1
         "pca": _oracle_pca(),
         "hog": _oracle_hog(),
         "textrank": _oracle_textrank(),
+        "mad_outliers": _oracle_mad_outliers(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -2239,3 +2239,61 @@ def test_textrank_mirror_and_hub(spark):
     assert got == _brute_textrank(texts)
     hub_rank = got["hub"][1]
     assert all(hub_rank > v[1] for w, v in got.items() if w != "hub")
+
+
+# ------------------------------------------------------------- mad_outliers
+
+
+def _brute_mad(rows):
+    """rows = (cell, day, cents); mirror of operators/robust.py."""
+    from collections import defaultdict
+
+    daily = defaultdict(int)
+    for cell, day, cents in rows:
+        daily[(cell, day)] += cents
+    by = defaultdict(list)
+    for (cell, _), y in daily.items():
+        by[cell].append(y)
+
+    def ostat2(vals):
+        vs = sorted(vals)
+        n = len(vs)
+        return vs[(n + 1) // 2 - 1] + vs[n // 2]
+
+    out = {}
+    for cell, ys in by.items():
+        med2 = ostat2(ys)
+        devs = [abs(2 * y - med2) for y in ys]
+        mad4 = ostat2(devs)
+        flags = sum(1 for d in devs if 20000 * d > 44478 * mad4)
+        out[cell] = (len(ys), med2, mad4, flags)
+    return out
+
+
+def test_mad_outliers_hand_and_mirror(spark):
+    """Hand series with one wild spike (flagged, and NOT inflating its own
+    threshold — the anti-moments pin), a constant series (any nonzero dev
+    flags), and a seeded random mirror."""
+    import random
+
+    from aira_spark.operators.robust import mad_outliers
+
+    rows = []
+    # cell 1: tight series 100 +/- 2 with one 10000 spike
+    for d, y in enumerate([100, 101, 99, 100, 102, 98, 100, 10000]):
+        rows.append((1, d, y))
+    # cell 2: constant, then one off-by-one day -> mad 0, dev flags
+    for d, y in enumerate([50, 50, 50, 50, 51]):
+        rows.append((2, d, y))
+    # cell 3: seeded noise
+    rng = random.Random(5)
+    for d in range(30):
+        rows.append((3, d, rng.randrange(0, 1000)))
+    df = spark.createDataFrame(rows, "cell long, day long, cents long")
+    got = {r["cell"]: (r["n_days"], r["med_x2"], r["mad_x4"],
+                       r["n_outliers"])
+           for r in mad_outliers(df).collect()}
+    assert got == _brute_mad(rows)
+    assert got[1][3] == 1          # exactly the spike day flags
+    assert got[2][2] == 0          # constant-to-the-median: MAD exactly 0
+    assert got[2][3] == 1          # ... and the off day still flags

@@ -382,6 +382,9 @@ def main() -> None:
         ("textrank", "skip-gram pairs never leave the row (posexplode + "
                      "window arms); exchanges carry (word, int) rows; per "
                      "round one equi-join vs the static edge list"),
+        ("mad_outliers", "three chained cell-keyed stages; sorted-list "
+                         "state bounded by the calendar; deviations "
+                         "re-join id-only; nothing quadratic"),
     ]
     qs = em.queries()
     lines = [
