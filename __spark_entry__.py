@@ -3331,6 +3331,15 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outliers(_cell_day_events(spark, sf_dir))
 
 
+def q_lbp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-coarse-cell LBP texture code histogram — one 9-arm halo
+    scatter, 9 conditional-MAX slots, pure-integer bit assembly
+    (operators/lbp.py:lbp_census)."""
+    from aira_spark.operators.lbp import lbp_census
+
+    return lbp_census(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
+
+
 def q_hull_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact squared diameter of every coarse-cell point cluster — the
     all-pairs step runs on HULL VERTICES only; the oracle recomputes
@@ -4031,6 +4040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hog": q_hog,
         "textrank": q_textrank,
         "mad_outliers": q_mad_outliers,
+        "lbp": q_lbp,
     }
 
 
@@ -5756,6 +5766,12 @@ def _oracle_mad_outliers() -> str:
     return oracle_mad_sql(_CELL_DAY_SQL)
 
 
+def _oracle_lbp() -> str:
+    from aira_spark.operators.lbp import oracle_lbp_sql
+
+    return oracle_lbp_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
+
+
 def _oracle_hull_diameter() -> str:
     from aira_spark.operators.hull import oracle_hull_diameter_sql
     from aira_spark.sources.vectors import points_oracle_sql
@@ -7320,6 +7336,7 @@ FROM docs GROUP BY 1
         "hog": _oracle_hog(),
         "textrank": _oracle_textrank(),
         "mad_outliers": _oracle_mad_outliers(),
+        "lbp": _oracle_lbp(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -2297,3 +2297,62 @@ def test_mad_outliers_hand_and_mirror(spark):
     assert got[1][3] == 1          # exactly the spike day flags
     assert got[2][2] == 0          # constant-to-the-median: MAD exactly 0
     assert got[2][3] == 1          # ... and the off day still flags
+
+
+# ---------------------------------------------------------------------- lbp
+
+
+def test_lbp_census_hand_grid(spark):
+    """Constructed 32x32 image: full python mirror of ring assembly +
+    closed-form pins — flat region -> code 255 (ties set bits), a bright
+    isolated pixel -> its own code 0 and eight ring cells each dropping
+    exactly one directional bit."""
+    import numpy as np
+
+    from aira_spark.operators.lbp import LBP_OFFS, lbp_census
+    from aira_spark.tiff.encode import write_tiff
+
+    a = np.full((32, 32), 80, dtype=np.uint8)
+    a[8, 8] = 200      # isolated bright pixel at (fx=8, fy=23)
+    for r in range(16, 32):
+        for c in range(16, 32):
+            a[r, c] = (3 * r + 7 * c) % 251     # textured quadrant
+    df = spark.createDataFrame(
+        [("img000", bytearray(write_tiff(
+            a[:, :, None], byteorder="<", layout=("strips", 8),
+            geo=((360.0 / 32, 180.0 / 32, 0.0),
+                 (0.0, 0.0, 0.0, -180.0, 90.0, 0.0)))))],
+        "image_id string, bytes binary")
+    got = {(r["gx"], r["gy"], r["code"]): r["cnt"]
+           for r in lbp_census(df, res=1, patch_bits=4).collect()}
+    val = {(c, 31 - r): int(a[r, c]) for r in range(32) for c in range(32)}
+    from collections import defaultdict
+    exp = defaultdict(int)
+    codes = {}
+    for (x, y) in val:
+        ring = [(x + dx, y + dy) for dx, dy in LBP_OFFS]
+        if all(p in val for p in ring):
+            code = sum(1 << k for k, p in enumerate(ring)
+                       if val[p] >= val[(x, y)])
+            codes[(x, y)] = code
+            exp[(x // 16, y // 16, code)] += 1
+    assert got == dict(exp)
+    assert codes[(8, 23)] == 0                 # bright pixel: all bits off
+    assert codes[(4, 4)] == 255                # flat: every tie sets a bit
+    # ring cells around the bright pixel keep ALL bits (the bright
+    # neighbor is >=, ties elsewhere set bits) — LBP's monotone-
+    # illumination invariance shows up as the flat code 255
+    for dx, dy in LBP_OFFS:
+        assert codes[(8 + dx, 23 + dy)] == 255
+    # a DARK pixel dual: dim pixel's ring cells each drop exactly the
+    # bit pointing at it
+    a2 = np.full((32, 32), 80, dtype=np.uint8)
+    a2[8, 8] = 10
+    val2 = {(c, 31 - r): int(a2[r, c]) for r in range(32) for c in range(32)}
+    for k, (dx, dy) in enumerate(LBP_OFFS):
+        rx, ry = 8 + dx, 23 + dy
+        ring = [(rx + ox, oy + ry) for ox, oy in LBP_OFFS]
+        code = sum(1 << kk for kk, p in enumerate(ring)
+                   if val2[p] >= val2[(rx, ry)])
+        opp = LBP_OFFS.index((-dx, -dy))
+        assert code == 255 - (1 << opp)

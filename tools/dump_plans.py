@@ -385,6 +385,10 @@ def main() -> None:
         ("mad_outliers", "three chained cell-keyed stages; sorted-list "
                          "state bounded by the calendar; deviations "
                          "re-join id-only; nothing quadratic"),
+        ("lbp", "one 9-arm halo scatter + one hash agg with 9 "
+                "conditional-MAX slots (one contributor each, map-side "
+                "combined) + bit-assembly projection + final (cell, code) "
+                "agg"),
     ]
     qs = em.queries()
     lines = [
