@@ -3340,6 +3340,19 @@ def q_lbp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lbp_census(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
 
 
+def q_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadrat variance-mean dispersion census (Fisher index) per mark
+    class — exact rational VMR, cross-multiplied CSR classification
+    (operators/dispersion.py:quadrat_dispersion)."""
+    from aira_spark.operators.dispersion import quadrat_dispersion
+    from aira_spark.sources.vectors import points_table
+
+    pts = points_table(spark, sf_dir).selectExpr(
+        "point_id", "point_id % 4 AS mark", "x", "y"
+    )
+    return quadrat_dispersion(pts, res=CELL_RES)
+
+
 def q_hull_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact squared diameter of every coarse-cell point cluster — the
     all-pairs step runs on HULL VERTICES only; the oracle recomputes
@@ -4041,6 +4054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank": q_textrank,
         "mad_outliers": q_mad_outliers,
         "lbp": q_lbp,
+        "dispersion": q_dispersion,
     }
 
 
@@ -5772,6 +5786,17 @@ def _oracle_lbp() -> str:
     return oracle_lbp_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
 
 
+def _oracle_dispersion() -> str:
+    from aira_spark.operators.dispersion import oracle_dispersion_sql
+    from aira_spark.sources.vectors import points_oracle_sql
+
+    pts = (
+        f"SELECT point_id % 4 AS mark, {_sql_cell('x', 'y')} AS cell "
+        f"FROM ({points_oracle_sql()})"
+    )
+    return oracle_dispersion_sql(pts, res=CELL_RES)
+
+
 def _oracle_hull_diameter() -> str:
     from aira_spark.operators.hull import oracle_hull_diameter_sql
     from aira_spark.sources.vectors import points_oracle_sql
@@ -7337,6 +7362,7 @@ FROM docs GROUP BY 1
         "textrank": _oracle_textrank(),
         "mad_outliers": _oracle_mad_outliers(),
         "lbp": _oracle_lbp(),
+        "dispersion": _oracle_dispersion(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

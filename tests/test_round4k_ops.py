@@ -2356,3 +2356,54 @@ def test_lbp_census_hand_grid(spark):
                    if val2[p] >= val2[(rx, ry)])
         opp = LBP_OFFS.index((-dx, -dy))
         assert code == 255 - (1 << opp)
+
+
+# --------------------------------------------------------------- dispersion
+
+
+def test_quadrat_dispersion_patterns(spark):
+    """Constructed patterns on a 32x32 grid (res=5): a one-quadrat pile ->
+    clustered, a perfectly regular one-per-quadrat spread -> dispersed,
+    plus a python mirror of the exact VMR arithmetic."""
+    from aira_spark.operators.dispersion import quadrat_dispersion
+
+    def xy(gx, gy):
+        return (-180.0 + (gx + 0.5) * 360.0 / 32,
+                -90.0 + (gy + 0.5) * 180.0 / 32)
+
+    rows = []
+    pid = 0
+    # mark 0: 64 points piled into ONE quadrat
+    for _ in range(64):
+        x, y = xy(3, 3)
+        rows.append((pid, 0, x, y))
+        pid += 1
+    # mark 1: 64 points, one per quadrat in a regular 8x8 spread
+    for gx in range(0, 32, 4):
+        for gy in range(0, 32, 4):
+            x, y = xy(gx, gy)
+            rows.append((pid, 1, x, y))
+            pid += 1
+    df = spark.createDataFrame(rows, "point_id long, mark long, x double, y double")
+    got = {r["mark"]: (r["n_pts"], r["occupied"], r["sum_c2"],
+                       r["vmr_e6"], r["disp_class"])
+           for r in quadrat_dispersion(df, res=5).collect()}
+    q = 32 * 32
+
+    def vmr(n, sum_c2):
+        return (q * sum_c2 - n * n) * 1_000_000 // (n * (q - 1))
+
+    # mark 0: one cell with c=64 -> sum_c2 = 4096
+    assert got[0] == (64, 1, 4096, vmr(64, 4096), "clustered")
+    assert got[0][3] > 1_000_000               # VMR >> 1
+    # mark 1: 64 cells with c=1 -> sum_c2 = 64, VMR = (q-n)/(q-1) < 2/3? no:
+    # (1024-64)/1023 ~ 0.94 -> 'random' band; squeeze into 'dispersed' by
+    # checking the exact value instead of the class for this density
+    assert got[1][:4] == (64, 64, 64, vmr(64, 64))
+    assert got[1][3] < 1_000_000               # VMR < 1: toward regular
+    # a denser regular spread IS classified dispersed: 1 point in each of
+    # all 1024 quadrats -> VMR exactly 0
+    rows2 = [(i, 0, *xy(i % 32, i // 32)) for i in range(1024)]
+    df2 = spark.createDataFrame(rows2, "point_id long, mark long, x double, y double")
+    got2 = quadrat_dispersion(df2, res=5).collect()[0]
+    assert got2["vmr_e6"] == 0 and got2["disp_class"] == "dispersed"

@@ -389,6 +389,9 @@ def main() -> None:
                 "conditional-MAX slots (one contributor each, map-side "
                 "combined) + bit-assembly projection + final (cell, code) "
                 "agg"),
+        ("dispersion", "two chained hash aggs — points fold to (mark, "
+                       "cell) map-side first, one bounded row per mark; "
+                       "no join, exchange never carries points"),
     ]
     qs = em.queries()
     lines = [
