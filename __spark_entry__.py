@@ -3353,6 +3353,23 @@ def q_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quadrat_dispersion(pts, res=CELL_RES)
 
 
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the kNN digraph — 1/ln(deg)
+    weights from a compile-time table, honest n_unscored census
+    (operators/linkpred.py:adamic_adar)."""
+    from aira_spark.operators.linkpred import adamic_adar
+    from aira_spark.operators.spatial import knn_join
+    from aira_spark.sources.vectors import points_table
+
+    pts = points_table(spark, sf_dir)
+    queries_df = pts.selectExpr("point_id AS query_id", "x", "y")
+    nn = knn_join(queries_df, pts, k=6, res=CELL_RES)
+    edges = nn.filter(F.col("neighbor_id") != F.col("query_id")).select(
+        F.col("query_id").alias("doc_a"), F.col("neighbor_id").alias("doc_b")
+    )
+    return adamic_adar(edges, min_common=2)
+
+
 def q_hull_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact squared diameter of every coarse-cell point cluster — the
     all-pairs step runs on HULL VERTICES only; the oracle recomputes
@@ -4055,6 +4072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "lbp": q_lbp,
         "dispersion": q_dispersion,
+        "adamic_adar": q_adamic_adar,
     }
 
 
@@ -5797,6 +5815,12 @@ def _oracle_dispersion() -> str:
     return oracle_dispersion_sql(pts, res=CELL_RES)
 
 
+def _oracle_adamic_adar() -> str:
+    from aira_spark.operators.linkpred import oracle_adamic_adar_sql
+
+    return oracle_adamic_adar_sql(_knn_edges_cte(), min_common=2)
+
+
 def _oracle_hull_diameter() -> str:
     from aira_spark.operators.hull import oracle_hull_diameter_sql
     from aira_spark.sources.vectors import points_oracle_sql
@@ -7363,6 +7387,7 @@ FROM docs GROUP BY 1
         "mad_outliers": _oracle_mad_outliers(),
         "lbp": _oracle_lbp(),
         "dispersion": _oracle_dispersion(),
+        "adamic_adar": _oracle_adamic_adar(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

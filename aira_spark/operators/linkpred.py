@@ -115,3 +115,102 @@ FROM nonedge n
 JOIN deg du ON du.a = n.u
 JOIN deg dw ON dw.a = n.w
 """
+
+
+# Adamic-Adar: 1/ln(deg) weights via a COMPILE-TIME table (the
+# patch_entropy device) — ln enters only as floor(ln(d) * 1e6) literals
+AA_MAX_DEG = 1024
+
+
+def _ln_e6_table(n_max: int = AA_MAX_DEG) -> list[int]:
+    import math
+
+    return [math.floor(math.log(d) * 1_000_000) for d in range(1, n_max + 1)]
+
+
+def adamic_adar(edges: DataFrame, min_common: int = 2) -> DataFrame:
+    """(u, w, cn, aa_e6, n_unscored): Adamic-Adar link-prediction scores
+    for non-adjacent pairs — each shared neighbor v contributes
+    1e12 DIV floor(ln(deg_v) * 1e6) (~ 1e6/ln deg_v), so rarely-shared
+    hubs count less than exclusive mutual friends. Wedge centers have
+    deg >= 2 by construction (they host two distinct neighbors), so
+    ln(deg) > 0 and the division is total. Centers beyond the AA_MAX_DEG
+    table are NOT silently dropped: they score NULL and are COUNTED in
+    n_unscored (zero on bounded-degree graphs like the kNN digraph).
+
+    Scale shape mirrors link_prediction: one wedge self-join on the
+    shared-neighbor id with the same bounded-degree argument, the weight
+    joins in as a broadcast-size degree lookup + literal-array
+    projection, one left_anti against the edge set; id-only exchanges."""
+    tab = _ln_e6_table()
+    arr = "array(" + ", ".join(f"{v}L" for v in tab) + ")"
+    und = (
+        edges.selectExpr("doc_a AS a", "doc_b AS b")
+        .unionByName(edges.selectExpr("doc_b AS a", "doc_a AS b"))
+        .where("a != b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = und.groupBy("a").agg(F.count("*").alias("deg"))
+    x = und.selectExpr("a AS v", "b AS u")
+    y = und.selectExpr("a AS v", "b AS w")
+    wedges = (
+        x.join(y, "v")
+        .where("u < w")
+        .join(F.broadcast(deg.selectExpr("a AS v", "deg AS deg_v")), "v")
+        .selectExpr(
+            "u", "w",
+            f"CASE WHEN deg_v <= {AA_MAX_DEG} THEN "
+            f"CAST(1000000000000 AS BIGINT)"
+            f" DIV element_at({arr}, CAST(deg_v AS INT)) END AS wt",
+        )
+    )
+    cand = (
+        wedges.groupBy("u", "w")
+        .agg(
+            F.count("*").alias("cn"),
+            F.sum("wt").alias("aa"),
+            F.sum(F.expr("CAST(wt IS NULL AS INT)")).alias("n_unscored"),
+        )
+        .where(F.col("cn") >= min_common)
+        .join(und.selectExpr("a AS u", "b AS w"), ["u", "w"], "left_anti")
+    )
+    return cand.selectExpr(
+        "CAST(u AS BIGINT) AS u", "CAST(w AS BIGINT) AS w",
+        "CAST(cn AS BIGINT) AS cn",
+        "CAST(coalesce(aa, 0) AS BIGINT) AS aa_e6",
+        "CAST(n_unscored AS BIGINT) AS n_unscored",
+    )
+
+
+def oracle_adamic_adar_sql(edges_cte: str, min_common: int = 2) -> str:
+    """DuckDB mirror: identical wedge join, literal ln table, NULL-skip
+    sum and unscored census."""
+    tab = _ln_e6_table()
+    arr = "[" + ", ".join(str(v) for v in tab) + "]"
+    return f"""
+WITH {edges_cte},
+und AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM edges WHERE src != dst
+  UNION
+  SELECT dst, src FROM edges WHERE src != dst
+),
+deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+wedges AS (
+  SELECT e1.b AS u, e2.b AS w,
+    CASE WHEN d.deg <= {AA_MAX_DEG} THEN
+      CAST(1000000000000 AS BIGINT) // ({arr})[CAST(d.deg AS INT)] END AS wt
+  FROM und e1 JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+  JOIN deg d ON d.a = e1.a
+),
+cand AS (
+  SELECT u, w, CAST(COUNT(*) AS BIGINT) AS cn,
+    CAST(COALESCE(SUM(wt), 0) AS BIGINT) AS aa_e6,
+    CAST(SUM(CASE WHEN wt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_unscored
+  FROM wedges GROUP BY 1, 2 HAVING COUNT(*) >= {min_common}
+)
+SELECT CAST(c.u AS BIGINT) AS u, CAST(c.w AS BIGINT) AS w, c.cn,
+  c.aa_e6, c.n_unscored
+FROM cand c LEFT JOIN und o ON o.a = c.u AND o.b = c.w
+WHERE o.a IS NULL"""

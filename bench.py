@@ -319,6 +319,7 @@ def main() -> None:
         "mad_outliers": lambda: em.q_mad_outliers(spark, sf_dir).count(),
         "lbp": lambda: em.q_lbp(spark, sf_dir).count(),
         "dispersion": lambda: em.q_dispersion(spark, sf_dir).count(),
+        "adamic_adar": lambda: em.q_adamic_adar(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

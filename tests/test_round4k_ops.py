@@ -2407,3 +2407,42 @@ def test_quadrat_dispersion_patterns(spark):
     df2 = spark.createDataFrame(rows2, "point_id long, mark long, x double, y double")
     got2 = quadrat_dispersion(df2, res=5).collect()[0]
     assert got2["vmr_e6"] == 0 and got2["disp_class"] == "dispersed"
+
+
+# -------------------------------------------------------------- adamic_adar
+
+
+def test_adamic_adar_mirror_and_hub_discount(spark):
+    """Hand graph where pair (1,2) shares an exclusive friend and pair
+    (8,9) shares only a hub: AA ranks the exclusive pair higher even
+    though cn is equal; full python mirror."""
+    import math
+    from collections import defaultdict
+
+    from aira_spark.operators.linkpred import adamic_adar
+
+    # hub 100 connects to everyone 1..9; node 50 connects only to 1 and 2
+    edges = [(100, i) for i in range(1, 10)] + [(50, 1), (50, 2)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {(r["u"], r["w"]): (r["cn"], r["aa_e6"], r["n_unscored"])
+           for r in adamic_adar(df, min_common=1).collect()}
+
+    und = defaultdict(set)
+    for a, b in edges:
+        und[a].add(b)
+        und[b].add(a)
+    L = [math.floor(math.log(d) * 1_000_000) for d in range(1, 1025)]
+    exp = {}
+    for u in und:
+        for w in und:
+            if u < w and w not in und[u]:
+                common = und[u] & und[w]
+                if common:
+                    aa = sum(10 ** 12 // L[len(und[v]) - 1] for v in common)
+                    exp[(u, w)] = (len(common), aa, 0)
+    assert got == exp
+    # (1,2): hub + exclusive friend (deg 2); (3,4): hub only (deg 9)
+    assert got[(1, 2)][0] == 2 and got[(3, 4)][0] == 1
+    assert got[(1, 2)][1] > 2 * got[(3, 4)][1]   # ln-2 friend dominates
+    # weight sanity: 1/ln(2) in e6 fixed point
+    assert 10 ** 12 // L[1] == 1_442_695

@@ -392,6 +392,10 @@ def main() -> None:
         ("dispersion", "two chained hash aggs — points fold to (mark, "
                        "cell) map-side first, one bounded row per mark; "
                        "no join, exchange never carries points"),
+        ("adamic_adar", "wedge self-join on shared-neighbor id (bounded "
+                        "degree), broadcast degree lookup + literal ln "
+                        "table projection, left_anti vs edges; id-only "
+                        "exchanges"),
     ]
     qs = em.queries()
     lines = [
