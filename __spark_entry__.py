@@ -3370,6 +3370,15 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adamic_adar(edges, min_common=2)
 
 
+def q_tophat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grayscale morphological top-hat (val − dilate(erode(val))) — the
+    small-bright-feature detector; two complete-window focal folds
+    (operators/tophat.py:tophat)."""
+    from aira_spark.operators.tophat import tophat
+
+    return tophat(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
+
+
 def q_hull_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact squared diameter of every coarse-cell point cluster — the
     all-pairs step runs on HULL VERTICES only; the oracle recomputes
@@ -4073,6 +4082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lbp": q_lbp,
         "dispersion": q_dispersion,
         "adamic_adar": q_adamic_adar,
+        "tophat": q_tophat,
     }
 
 
@@ -5821,6 +5831,12 @@ def _oracle_adamic_adar() -> str:
     return oracle_adamic_adar_sql(_knn_edges_cte(), min_common=2)
 
 
+def _oracle_tophat() -> str:
+    from aira_spark.operators.tophat import oracle_tophat_sql
+
+    return oracle_tophat_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
+
+
 def _oracle_hull_diameter() -> str:
     from aira_spark.operators.hull import oracle_hull_diameter_sql
     from aira_spark.sources.vectors import points_oracle_sql
@@ -7388,6 +7404,7 @@ FROM docs GROUP BY 1
         "lbp": _oracle_lbp(),
         "dispersion": _oracle_dispersion(),
         "adamic_adar": _oracle_adamic_adar(),
+        "tophat": _oracle_tophat(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

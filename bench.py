@@ -320,6 +320,7 @@ def main() -> None:
         "lbp": lambda: em.q_lbp(spark, sf_dir).count(),
         "dispersion": lambda: em.q_dispersion(spark, sf_dir).count(),
         "adamic_adar": lambda: em.q_adamic_adar(spark, sf_dir).count(),
+        "tophat": lambda: em.q_tophat(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

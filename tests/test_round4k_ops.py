@@ -2446,3 +2446,49 @@ def test_adamic_adar_mirror_and_hub_discount(spark):
     assert got[(1, 2)][1] > 2 * got[(3, 4)][1]   # ln-2 friend dominates
     # weight sanity: 1/ln(2) in e6 fixed point
     assert 10 ** 12 // L[1] == 1_442_695
+
+
+# ------------------------------------------------------------------- tophat
+
+
+def test_tophat_small_feature_vs_block(spark):
+    """Constructed image: a 1-px bright dot vanishes under opening (high
+    tophat) while a 6x6 bright block's interior survives (tophat 0);
+    full python min/max mirror; anti-extensivity tophat >= 0."""
+    import numpy as np
+
+    from aira_spark.operators.tophat import tophat
+    from aira_spark.tiff.encode import write_tiff
+
+    a = np.full((32, 32), 60, dtype=np.uint8)
+    a[6, 6] = 220                    # 1-px dot at (fx=6, fy=25)
+    a[14:20, 14:20] = 200            # 6x6 block: interior survives opening
+    df = spark.createDataFrame(
+        [("img000", bytearray(write_tiff(
+            a[:, :, None], byteorder="<", layout=("strips", 8),
+            geo=((360.0 / 32, 180.0 / 32, 0.0),
+                 (0.0, 0.0, 0.0, -180.0, 90.0, 0.0)))))],
+        "image_id string, bytes binary")
+    got = {(r["fx"], r["fy"]): (r["val"], r["opening"], r["tophat"],
+                                r["peak"])
+           for r in tophat(df, res=1, patch_bits=4).collect()}
+    val = {(c, 31 - r): int(a[r, c]) for r in range(32) for c in range(32)}
+
+    def fold(src, f):
+        out = {}
+        for (x, y) in src:
+            win = [(x + dx, y + dy) for dx in (-1, 0, 1)
+                   for dy in (-1, 0, 1)]
+            if all(p in src for p in win):
+                out[(x, y)] = f(src[p] for p in win)
+        return out
+
+    opened = fold(fold(val, min), max)
+    exp = {p: (val[p], o, val[p] - o, int(val[p] - o >= 32))
+           for p, o in opened.items()}
+    assert got == exp
+    assert all(v[2] >= 0 for v in got.values())      # anti-extensive
+    assert got[(6, 25)] == (220, 60, 160, 1)         # dot: removed, peak
+    assert got[(17, 14)][2] == 0                     # block interior: kept
+    # flat background far from features: opening == val
+    assert got[(26, 6)] == (60, 60, 0, 0)

@@ -396,6 +396,9 @@ def main() -> None:
                         "degree), broadcast degree lookup + literal ln "
                         "table projection, left_anti vs edges; id-only "
                         "exchanges"),
+        ("tophat", "two chained complete-window focal folds (MIN then "
+                   "MAX, map-side combined) + one integer equi-join back "
+                   "for the center value"),
     ]
     qs = em.queries()
     lines = [
