@@ -3379,6 +3379,16 @@ def q_tophat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tophat(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
 
 
+def q_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-2022 ExactSubstr census over the dup-injected corpus — longest
+    cross-document duplicated 13-gram run per doc, gaps-and-islands +
+    encoded argmax (operators/dupspans.py:exact_substr_spans)."""
+    from aira_spark.operators.dupspans import exact_substr_spans
+
+    docs = _docs_with_dups(spark, sf_dir).select("doc_id", "text")
+    return exact_substr_spans(docs, k=13, min_df=2)
+
+
 def q_hull_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact squared diameter of every coarse-cell point cluster — the
     all-pairs step runs on HULL VERTICES only; the oracle recomputes
@@ -4083,6 +4093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dispersion": q_dispersion,
         "adamic_adar": q_adamic_adar,
         "tophat": q_tophat,
+        "exact_substr": q_exact_substr,
     }
 
 
@@ -5837,6 +5848,13 @@ def _oracle_tophat() -> str:
     return oracle_tophat_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
 
 
+def _oracle_exact_substr() -> str:
+    from aira_spark.operators.dupspans import oracle_exact_substr_sql
+
+    docs_sql = f"WITH {_DUP_CTE} SELECT doc_id, text FROM docs"
+    return oracle_exact_substr_sql(docs_sql, k=13, min_df=2)
+
+
 def _oracle_hull_diameter() -> str:
     from aira_spark.operators.hull import oracle_hull_diameter_sql
     from aira_spark.sources.vectors import points_oracle_sql
@@ -7405,6 +7423,7 @@ FROM docs GROUP BY 1
         "dispersion": _oracle_dispersion(),
         "adamic_adar": _oracle_adamic_adar(),
         "tophat": _oracle_tophat(),
+        "exact_substr": _oracle_exact_substr(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -399,6 +399,10 @@ def main() -> None:
         ("tophat", "two chained complete-window focal folds (MIN then "
                    "MAX, map-side combined) + one integer equi-join back "
                    "for the center value"),
+        ("exact_substr", "text crosses Arrow once (positional gram "
+                         "hashes); gram-keyed semi-join of id rows; "
+                         "island window partitioned per doc — state "
+                         "bounded by doc length"),
     ]
     qs = em.queries()
     lines = [
