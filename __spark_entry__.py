@@ -3389,6 +3389,32 @@ def q_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substr_spans(docs, k=13, min_df=2)
 
 
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rho per market segment between account balance and total
+    order spend — the kendall frame with the rank-Pearson statistic,
+    doubled average ranks exact under ties
+    (operators/spearman.py:spearman_rho)."""
+    from aira_spark.operators.spearman import spearman_rho
+
+    spend = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr(
+            "o_custkey",
+            "CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents",
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").cast("long").alias("spend"))
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").selectExpr(
+        "c_mktsegment AS grp", "c_custkey AS id",
+        "CAST(floor(c_acctbal * 100.0) AS BIGINT) AS xv",
+    )
+    pairs = cust.join(
+        spend, cust["id"] == spend["o_custkey"], "left"
+    ).selectExpr("grp", "id", "xv", "CAST(coalesce(spend, 0) AS BIGINT) AS yv")
+    return spearman_rho(pairs)
+
+
 def q_hull_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact squared diameter of every coarse-cell point cluster — the
     all-pairs step runs on HULL VERTICES only; the oracle recomputes
@@ -4094,6 +4120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar": q_adamic_adar,
         "tophat": q_tophat,
         "exact_substr": q_exact_substr,
+        "spearman": q_spearman,
     }
 
 
@@ -5855,6 +5882,20 @@ def _oracle_exact_substr() -> str:
     return oracle_exact_substr_sql(docs_sql, k=13, min_df=2)
 
 
+def _oracle_spearman() -> str:
+    from aira_spark.operators.spearman import oracle_spearman_sql
+
+    return oracle_spearman_sql(
+        "SELECT c.c_mktsegment AS grp, c.c_custkey AS id, "
+        "CAST(floor(c.c_acctbal * 100.0) AS BIGINT) AS xv, "
+        "CAST(COALESCE(s.spend, 0) AS BIGINT) AS yv "
+        "FROM customer c LEFT JOIN ("
+        "SELECT o_custkey, SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))"
+        " AS spend FROM orders GROUP BY 1"
+        ") s ON c.c_custkey = s.o_custkey"
+    )
+
+
 def _oracle_hull_diameter() -> str:
     from aira_spark.operators.hull import oracle_hull_diameter_sql
     from aira_spark.sources.vectors import points_oracle_sql
@@ -7424,6 +7465,7 @@ FROM docs GROUP BY 1
         "adamic_adar": _oracle_adamic_adar(),
         "tophat": _oracle_tophat(),
         "exact_substr": _oracle_exact_substr(),
+        "spearman": _oracle_spearman(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -322,6 +322,7 @@ def main() -> None:
         "adamic_adar": lambda: em.q_adamic_adar(spark, sf_dir).count(),
         "tophat": lambda: em.q_tophat(spark, sf_dir).count(),
         "exact_substr": lambda: em.q_exact_substr(spark, sf_dir).count(),
+        "spearman": lambda: em.q_spearman(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

@@ -2553,3 +2553,77 @@ def test_exact_substr_spans_hand_corpus(spark):
     # sanity: python hash formula matches the module's (one probe)
     h = int(hashlib.md5(b"alpha beta gamma").hexdigest()[:15], 16) % MH_P
     assert isinstance(h, int)
+
+
+# ---------------------------------------------------------------- spearman
+
+
+def test_spearman_hand_dataset_with_ties(spark):
+    """Python mirror (average-rank Pearson, no scipy) on a hand dataset
+    with ties in both columns; doubled-rank sum invariant n*(n+1)."""
+    import math
+
+    from aira_spark.operators.spearman import spearman_rho
+
+    rows = [
+        # grp a: monotone increasing with a tie block in x and one in y
+        ("a", 1, 10, 100), ("a", 2, 10, 200), ("a", 3, 30, 300),
+        ("a", 4, 40, 300), ("a", 5, 50, 500), ("a", 6, 60, 450),
+        # grp b: perfectly reversed -> rho exactly -1
+        ("b", 1, 1, 9), ("b", 2, 2, 8), ("b", 3, 3, 7), ("b", 4, 4, 6),
+        # grp c: constant x -> zero variance, rho_e6 = 0 by the guard
+        ("c", 1, 7, 1), ("c", 2, 7, 2), ("c", 3, 7, 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, id long, xv long, yv long"
+    )
+    got = {r["grp"]: r.asDict() for r in spearman_rho(df).collect()}
+
+    def mirror(pts):
+        n = len(pts)
+
+        def dranks(vals):
+            out = []
+            for v in vals:
+                less = sum(1 for u in vals if u < v)
+                eq = sum(1 for u in vals if u == v)
+                out.append(2 * less + eq + 1)
+            return out
+
+        dx = dranks([p[0] for p in pts])
+        dy = dranks([p[1] for p in pts])
+        assert sum(dx) == n * (n + 1) and sum(dy) == n * (n + 1)
+        sx, sy = sum(dx), sum(dy)
+        sxx = sum(v * v for v in dx)
+        syy = sum(v * v for v in dy)
+        sxy = sum(a * b for a, b in zip(dx, dy))
+        cov = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        rho = (
+            int(math.floor(1_000_000.0 * cov / math.sqrt(float(vx) * float(vy))))
+            if n >= 2 and vx > 0 and vy > 0 else 0
+        )
+        return cov, vx, vy, rho
+
+    for g in ("a", "b", "c"):
+        pts = [(x, y) for gg, _, x, y in rows if gg == g]
+        cov, vx, vy, rho = mirror(pts)
+        assert got[g]["cov_n"] == cov and got[g]["var_xn"] == vx
+        assert got[g]["var_yn"] == vy and got[g]["rho_e6"] == rho
+    assert got["b"]["rho_e6"] == -1_000_000      # exact reversal
+    assert got["c"]["rho_e6"] == 0               # degenerate variance
+    assert 0 < got["a"]["rho_e6"] < 1_000_000    # ties pull below +1
+
+
+def test_spearman_group_size_guard(spark):
+    from aira_spark.operators.spearman import spearman_rho
+
+    df = spark.range(5).selectExpr(
+        "'g' AS grp", "id", "id AS xv", "id AS yv"
+    )
+    try:
+        spearman_rho(df, max_group_rows=3)
+        assert False, "expected RuntimeError"
+    except RuntimeError as e:
+        assert "max_group_rows" in str(e)

@@ -403,6 +403,10 @@ def main() -> None:
                          "hashes); gram-keyed semi-join of id rows; "
                          "island window partitioned per doc — state "
                          "bounded by doc length"),
+        ("spearman", "ranks from the VALUE level: map-side-combined "
+                     "(grp,value) counts, cumsum window over distinct "
+                     "values, equi-join back, one final hash agg — no "
+                     "Python, no row-level window"),
     ]
     qs = em.queries()
     lines = [
