@@ -3415,6 +3415,15 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spearman_rho(pairs)
 
 
+def q_hough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hough line-vote census over the bright mask of the mosaic fine
+    grid — compile-time e6 trig table, offset-then-divide rho binning,
+    per-theta encoded-argmax peaks (operators/hough.py:hough_lines)."""
+    from aira_spark.operators.hough import hough_lines
+
+    return hough_lines(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
+
+
 def q_hull_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact squared diameter of every coarse-cell point cluster — the
     all-pairs step runs on HULL VERTICES only; the oracle recomputes
@@ -4121,6 +4130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tophat": q_tophat,
         "exact_substr": q_exact_substr,
         "spearman": q_spearman,
+        "hough": q_hough,
     }
 
 
@@ -5896,6 +5906,12 @@ def _oracle_spearman() -> str:
     )
 
 
+def _oracle_hough() -> str:
+    from aira_spark.operators.hough import oracle_hough_sql
+
+    return oracle_hough_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
+
+
 def _oracle_hull_diameter() -> str:
     from aira_spark.operators.hull import oracle_hull_diameter_sql
     from aira_spark.sources.vectors import points_oracle_sql
@@ -7466,6 +7482,7 @@ FROM docs GROUP BY 1
         "tophat": _oracle_tophat(),
         "exact_substr": _oracle_exact_substr(),
         "spearman": _oracle_spearman(),
+        "hough": _oracle_hough(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

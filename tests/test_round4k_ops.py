@@ -2627,3 +2627,60 @@ def test_spearman_group_size_guard(spark):
         assert False, "expected RuntimeError"
     except RuntimeError as e:
         assert "max_group_rows" in str(e)
+
+
+# ------------------------------------------------------------------- hough
+
+
+def test_hough_lines_full_python_mirror(spark):
+    """Constructed 32x32 raster with one vertical and one horizontal
+    bright line: the full accumulator (bins, votes, peaks, min_votes
+    filter) matches a python mirror using the same compile-time table;
+    the two line thetas (0 and pi/2) hold the strongest peaks."""
+    import numpy as np
+
+    from aira_spark.operators.hough import E6, hough_lines, trig_table
+    from aira_spark.tiff.encode import write_tiff
+
+    a = np.zeros((32, 32), dtype=np.uint8)
+    a[:, 10] = 255                   # vertical line at fx = 10
+    a[6, :] = 255                    # horizontal line at fy = 25
+    df = spark.createDataFrame(
+        [("img000", bytearray(write_tiff(
+            a[:, :, None], byteorder="<", layout=("strips", 8),
+            geo=((360.0 / 32, 180.0 / 32, 0.0),
+                 (0.0, 0.0, 0.0, -180.0, 90.0, 0.0)))))],
+        "image_id string, bytes binary")
+    got = {(r["theta"], r["rho_bin"]): (r["votes"], r["is_peak"])
+           for r in hough_lines(
+               df, res=1, patch_bits=4, n_theta=12, rho_q=4,
+               mask_min=192, min_votes=8).collect()}
+
+    nf, off = 32, 2 * 32 * E6
+    mask = [(c, 31 - r) for r in range(32) for c in range(32)
+            if a[r, c] >= 192]
+    acc: dict[tuple[int, int], int] = {}
+    for t, cth, sth in trig_table(12):
+        for fx, fy in mask:
+            rb = (fx * cth + fy * sth + off) // (4 * E6)
+            acc[(t, rb)] = acc.get((t, rb), 0) + 1
+    peaks = {}
+    for (t, rb), v in acc.items():
+        k = (v, -rb)
+        if t not in peaks or k > peaks[t][1]:
+            peaks[t] = (rb, k)
+    exp = {}
+    for (t, rb), v in acc.items():
+        is_pk = 1 if peaks[t][0] == rb else 0
+        if v >= 8 or is_pk:
+            exp[(t, rb)] = (v, is_pk)
+    assert got == exp
+    # the two constructed lines dominate their exact-normal thetas:
+    # theta 0 (cos=1, sin=0) -> rho = fx = 10 -> bin (10e6+off)//4e6
+    vb = (10 * E6 + off) // (4 * E6)
+    assert got[(0, vb)][0] >= 32 and got[(0, vb)][1] == 1
+    # theta 6 (pi/2: cos=0, sin=1) -> rho = fy = 25
+    hb = (25 * E6 + off) // (4 * E6)
+    assert got[(6, hb)][0] >= 32 and got[(6, hb)][1] == 1
+    # exactly one peak row per theta with votes
+    assert sum(pk for _, pk in got.values()) == 12

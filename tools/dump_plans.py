@@ -407,6 +407,10 @@ def main() -> None:
                      "(grp,value) counts, cumsum window over distinct "
                      "values, equi-join back, one final hash agg — no "
                      "Python, no row-level window"),
+        ("hough", "mask cells project 12 literal vote arms (constant "
+                  "fan-out) folding map-side into a bounded (theta, "
+                  "rho_bin) accumulator; peak lookup is a broadcast "
+                  "join of the per-theta argmax"),
     ]
     qs = em.queries()
     lines = [
