@@ -3424,6 +3424,25 @@ def q_hough(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hough_lines(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
 
 
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity census of the label-prop partition over the kNN
+    digraph — per-community exact q_num = 4m·in_c − deg_sum², no
+    division ships (operators/modularity.py:modularity)."""
+    from aira_spark.operators.graph import label_prop
+    from aira_spark.operators.modularity import modularity
+    from aira_spark.operators.spatial import knn_join
+    from aira_spark.sources.vectors import points_table
+
+    pts = points_table(spark, sf_dir)
+    queries = pts.selectExpr("point_id AS query_id", "x", "y")
+    nn = knn_join(queries, pts, k=6, res=CELL_RES)
+    edges = nn.filter(F.col("neighbor_id") != F.col("query_id")).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    ).localCheckpoint(eager=True)  # shared by label_prop AND modularity
+    labels = label_prop(edges, rounds=6).select("node", "label")
+    return modularity(edges, labels)
+
+
 def q_hull_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact squared diameter of every coarse-cell point cluster — the
     all-pairs step runs on HULL VERTICES only; the oracle recomputes
@@ -4131,6 +4150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substr": q_exact_substr,
         "spearman": q_spearman,
         "hough": q_hough,
+        "modularity": q_modularity,
     }
 
 
@@ -5912,6 +5932,15 @@ def _oracle_hough() -> str:
     return oracle_hough_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
 
 
+def _oracle_modularity() -> str:
+    from aira_spark.operators.graph import oracle_label_prop_sql
+    from aira_spark.operators.modularity import oracle_modularity_sql
+
+    return oracle_modularity_sql(
+        _knn_edges_cte(), oracle_label_prop_sql(_knn_edges_cte(), rounds=6)
+    )
+
+
 def _oracle_hull_diameter() -> str:
     from aira_spark.operators.hull import oracle_hull_diameter_sql
     from aira_spark.sources.vectors import points_oracle_sql
@@ -7483,6 +7512,7 @@ FROM docs GROUP BY 1
         "exact_substr": _oracle_exact_substr(),
         "spearman": _oracle_spearman(),
         "hough": _oracle_hough(),
+        "modularity": _oracle_modularity(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -324,6 +324,7 @@ def main() -> None:
         "exact_substr": lambda: em.q_exact_substr(spark, sf_dir).count(),
         "spearman": lambda: em.q_spearman(spark, sf_dir).count(),
         "hough": lambda: em.q_hough(spark, sf_dir).count(),
+        "modularity": lambda: em.q_modularity(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

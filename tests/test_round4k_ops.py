@@ -2684,3 +2684,61 @@ def test_hough_lines_full_python_mirror(spark):
     assert got[(6, hb)][0] >= 32 and got[(6, hb)][1] == 1
     # exactly one peak row per theta with votes
     assert sum(pk for _, pk in got.values()) == 12
+
+
+# -------------------------------------------------------------- modularity
+
+
+def test_modularity_two_cliques_vs_random(spark):
+    """Two 4-cliques joined by one bridge: the clique partition scores
+    Q = 2*(6/13 - (13/26)^2) = 11/26 exactly (q_num/(4m^2) with m=13);
+    the everyone-in-one-community partition scores exactly 0; full
+    python mirror of every census column."""
+    from aira_spark.operators.modularity import modularity
+
+    cl = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = cl + [(a + 4, b + 4) for a, b in cl] + [(3, 4)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    two = spark.createDataFrame(
+        [(i, i // 4) for i in range(8)], "node long, label long"
+    )
+    one = spark.createDataFrame(
+        [(i, 0) for i in range(8)], "node long, label long"
+    )
+    m = len(edges)  # 13 distinct undirected edges
+
+    got = {r["label"]: r.asDict() for r in modularity(edf, two).collect()}
+    deg = {i: 3 for i in range(8)}
+    deg[3] = deg[4] = 4
+    for lab in (0, 1):
+        nodes = [i for i in range(8) if i // 4 == lab]
+        ds = sum(deg[i] for i in nodes)           # 13 per community
+        inn = 6                                    # the clique's edges
+        assert got[lab]["comm_size"] == 4
+        assert got[lab]["deg_sum"] == ds
+        assert got[lab]["in_edges"] == inn
+        assert got[lab]["m_edges"] == m
+        assert got[lab]["q_num"] == 4 * m * inn - ds * ds
+    q = sum(r["q_num"] for r in got.values()) / (4.0 * m * m)
+    assert abs(q - 11.0 / 26.0) < 1e-12           # closed-form value
+
+    got1 = modularity(edf, one).collect()
+    assert len(got1) == 1 and got1[0]["q_num"] == 0  # 4m*m - (2m)^2
+
+
+def test_modularity_dedup_orientation_and_isolated(spark):
+    """Duplicate/reversed/self-loop edges collapse to one undirected
+    edge; a labeled node with no edges emits deg_sum = in_edges = 0."""
+    from aira_spark.operators.modularity import modularity
+
+    edf = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (1, 1)], "src long, dst long"
+    )
+    lab = spark.createDataFrame(
+        [(1, 7), (2, 7), (9, 8)], "node long, label long"
+    )
+    got = {r["label"]: r.asDict() for r in modularity(edf, lab).collect()}
+    assert got[7]["in_edges"] == 1 and got[7]["deg_sum"] == 2
+    assert got[7]["m_edges"] == 1 and got[7]["q_num"] == 4 * 1 * 1 - 4
+    assert got[8]["comm_size"] == 1 and got[8]["deg_sum"] == 0
+    assert got[8]["in_edges"] == 0 and got[8]["q_num"] == 0

@@ -411,6 +411,10 @@ def main() -> None:
                   "fan-out) folding map-side into a bounded (theta, "
                   "rho_bin) accumulator; peak lookup is a broadcast "
                   "join of the per-theta argmax"),
+        ("modularity", "canonical undirected edge list localCheckpointed "
+                       "once; two id-only label joins + map-side degree "
+                       "fold; single-row m total broadcasts over the "
+                       "bounded per-label frame"),
     ]
     qs = em.queries()
     lines = [
