@@ -3443,6 +3443,23 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modularity(edges, labels)
 
 
+def q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering-coefficient decile census + global transitivity
+    fold row over the kNN digraph — division-free deciles via (20T) DIV
+    d(d-1) (operators/clustering.py:clustering_census)."""
+    from aira_spark.operators.clustering import clustering_census
+    from aira_spark.operators.spatial import knn_join
+    from aira_spark.sources.vectors import points_table
+
+    pts = points_table(spark, sf_dir)
+    queries = pts.selectExpr("point_id AS query_id", "x", "y")
+    nn = knn_join(queries, pts, k=6, res=CELL_RES)
+    edges = nn.filter(F.col("neighbor_id") != F.col("query_id")).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return clustering_census(edges)
+
+
 def q_hull_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact squared diameter of every coarse-cell point cluster — the
     all-pairs step runs on HULL VERTICES only; the oracle recomputes
@@ -4151,6 +4168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman": q_spearman,
         "hough": q_hough,
         "modularity": q_modularity,
+        "clustering": q_clustering,
     }
 
 
@@ -5941,6 +5959,12 @@ def _oracle_modularity() -> str:
     )
 
 
+def _oracle_clustering() -> str:
+    from aira_spark.operators.clustering import oracle_clustering_sql
+
+    return oracle_clustering_sql(_knn_edges_cte())
+
+
 def _oracle_hull_diameter() -> str:
     from aira_spark.operators.hull import oracle_hull_diameter_sql
     from aira_spark.sources.vectors import points_oracle_sql
@@ -7513,6 +7537,7 @@ FROM docs GROUP BY 1
         "spearman": _oracle_spearman(),
         "hough": _oracle_hough(),
         "modularity": _oracle_modularity(),
+        "clustering": _oracle_clustering(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

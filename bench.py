@@ -325,6 +325,7 @@ def main() -> None:
         "spearman": lambda: em.q_spearman(spark, sf_dir).count(),
         "hough": lambda: em.q_hough(spark, sf_dir).count(),
         "modularity": lambda: em.q_modularity(spark, sf_dir).count(),
+        "clustering": lambda: em.q_clustering(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

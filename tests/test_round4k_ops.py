@@ -2742,3 +2742,57 @@ def test_modularity_dedup_orientation_and_isolated(spark):
     assert got[7]["m_edges"] == 1 and got[7]["q_num"] == 4 * 1 * 1 - 4
     assert got[8]["comm_size"] == 1 and got[8]["deg_sum"] == 0
     assert got[8]["in_edges"] == 0 and got[8]["q_num"] == 0
+
+
+# -------------------------------------------------------------- clustering
+
+
+def test_clustering_census_hand_graph(spark):
+    """Triangle + pendant + star: python mirror of every census bucket;
+    c = 1 nodes land in bucket 10, star center lands in bucket 0,
+    fold-row transitivity = 3*tri/wedges exactly."""
+    from collections import defaultdict
+
+    from aira_spark.operators.clustering import clustering_census
+
+    # triangle 1-2-3 with pendant 4 on node 3; star 10-(11,12,13)
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4),
+             (10, 11), (10, 12), (10, 13)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["decile"]: (r["n_nodes"], r["sum_tri"], r["n_wedges"])
+           for r in clustering_census(edf).collect()}
+
+    und = set()
+    for s, d in edges:
+        und.add((min(s, d), max(s, d)))
+    deg = defaultdict(int)
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    tri = defaultdict(int)
+    nodes = sorted(deg)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            for c in nodes:
+                if c > b and (a, b) in und and (b, c) in und \
+                        and (a, c) in und:
+                    for v in (a, b, c):
+                        tri[v] += 1
+    exp = defaultdict(lambda: [0, 0, 0])
+    tot = [0, 0, 0]
+    for v, d in deg.items():
+        if d < 2:
+            continue
+        t, w = tri[v], d * (d - 1) // 2
+        dec = (20 * t) // (d * (d - 1))
+        for acc in (exp[dec], tot):
+            acc[0] += 1
+            acc[1] += t
+            acc[2] += w
+    exp[-1] = tot
+    assert got == {k: tuple(v) for k, v in exp.items()}
+    # nodes 1, 2 have d=2, t=1 -> c=1 -> bucket 10; star center d=3,
+    # t=0 -> bucket 0; node 3 has d=3, t=1 -> 20//6 = bucket 3
+    assert got[10][0] == 2 and got[0][0] == 1 and got[3][0] == 1
+    # global transitivity: 3 triangles-counted-thrice / wedges
+    assert got[-1][1] == 3 and got[-1][2] == 1 + 1 + 3 + 3

@@ -415,6 +415,10 @@ def main() -> None:
                        "once; two id-only label joins + map-side degree "
                        "fold; single-row m total broadcasts over the "
                        "bounded per-label frame"),
+        ("clustering", "degree-ordered compact-forward triangle join "
+                       "(wedge fan-out O(sqrt m) per node); map-side "
+                       "degree fold; census is one bounded hash agg "
+                       "over <= 12 decile keys"),
     ]
     qs = em.queries()
     lines = [
