@@ -3460,6 +3460,21 @@ def q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_census(edges)
 
 
+def q_voronoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Voronoi region census: every occupied fine-grid cell
+    assigned to its nearest supplier site by exact integer d² (encoded
+    argmin, smallest-id ties), one census row per seed — empty regions
+    honest (operators/voronoi.py:voronoi_census)."""
+    from aira_spark.operators.voronoi import voronoi_census
+
+    seeds = spark.read.parquet(f"{sf_dir}/supplier.parquet").selectExpr(
+        "s_suppkey AS seed_id", f"{_KNN_QX} AS x", f"{_KNN_QY} AS y"
+    )
+    return voronoi_census(
+        _images(spark, sf_dir, modulo=8), seeds, CELL_RES, 4
+    )
+
+
 def q_hull_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact squared diameter of every coarse-cell point cluster — the
     all-pairs step runs on HULL VERTICES only; the oracle recomputes
@@ -4169,6 +4184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hough": q_hough,
         "modularity": q_modularity,
         "clustering": q_clustering,
+        "voronoi": q_voronoi,
     }
 
 
@@ -5965,6 +5981,16 @@ def _oracle_clustering() -> str:
     return oracle_clustering_sql(_knn_edges_cte())
 
 
+def _oracle_voronoi() -> str:
+    from aira_spark.operators.voronoi import oracle_voronoi_sql
+
+    seeds_sql = (
+        f"SELECT s_suppkey AS seed_id, {_KNN_QX} AS x, {_KNN_QY} AS y "
+        "FROM supplier"
+    )
+    return oracle_voronoi_sql(_fine_cte_sql(modulo=8), seeds_sql, CELL_RES, 4)
+
+
 def _oracle_hull_diameter() -> str:
     from aira_spark.operators.hull import oracle_hull_diameter_sql
     from aira_spark.sources.vectors import points_oracle_sql
@@ -7538,6 +7564,7 @@ FROM docs GROUP BY 1
         "hough": _oracle_hough(),
         "modularity": _oracle_modularity(),
         "clustering": _oracle_clustering(),
+        "voronoi": _oracle_voronoi(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -2796,3 +2796,89 @@ def test_clustering_census_hand_graph(spark):
     assert got[10][0] == 2 and got[0][0] == 1 and got[3][0] == 1
     # global transitivity: 3 triangles-counted-thrice / wedges
     assert got[-1][1] == 3 and got[-1][2] == 1 + 1 + 3 + 3
+
+
+# ----------------------------------------------------------------- voronoi
+
+
+def test_voronoi_census_hand_raster(spark):
+    """Constructed 32x32 raster, three seeds: full python mirror of
+    assignment (exact d2, smallest-id ties) and census; a far-away seed
+    that wins nothing emits the honest zero row."""
+    import numpy as np
+
+    from aira_spark.operators.voronoi import voronoi_census
+    from aira_spark.tiff.encode import write_tiff
+
+    a = ((np.arange(32)[:, None] * 7 + np.arange(32)[None, :] * 13) % 256
+         ).astype(np.uint8)
+    df = spark.createDataFrame(
+        [("img000", bytearray(write_tiff(
+            a[:, :, None], byteorder="<", layout=("strips", 8),
+            geo=((360.0 / 32, 180.0 / 32, 0.0),
+                 (0.0, 0.0, 0.0, -180.0, 90.0, 0.0)))))],
+        "image_id string, bytes binary")
+    # seeds in degrees; the grid is 32x32 over the globe at res=1,pb=4.
+    # seed 5 and 9 sit inside; seed 7 is snapped to the same corner cell
+    # as... no: (179.9, 89.9) -> grid (31, 31), still competes but the
+    # zero-row case needs a seed that LOSES everywhere — impossible in a
+    # complete Voronoi over 2 close seeds, so make it a duplicate
+    # position with a LARGER id: same cell as seed 5 -> loses every tie.
+    seeds = spark.createDataFrame(
+        [(5, -90.0, 0.0), (9, 90.0, 0.0), (7, -90.0, 0.0)],
+        "seed_id long, x double, y double",
+    )
+    got = {r["seed_id"]: (r["n_cells"], r["sum_val"], r["d2_min"],
+                          r["d2_max"])
+           for r in voronoi_census(df, seeds, res=1, patch_bits=4)
+           .collect()}
+
+    def snap(v, lo, span):
+        return min(max(int(np.floor((v - lo) / span * 32)), 0), 31)
+
+    sxy = {5: (snap(-90, -180, 360), snap(0, -90, 180)),
+           9: (snap(90, -180, 360), snap(0, -90, 180)),
+           7: (snap(-90, -180, 360), snap(0, -90, 180))}
+    exp = {s: [0, 0, None, None] for s in sxy}
+    for r in range(32):
+        for c in range(32):
+            fx, fy, val = c, 31 - r, int(a[r, c])
+            best = min(
+                ((fx - sx) ** 2 + (fy - sy) ** 2, sid)
+                for sid, (sx, sy) in sxy.items()
+            )
+            d2, sid = best
+            e = exp[sid]
+            e[0] += 1
+            e[1] += val
+            e[2] = d2 if e[2] is None else min(e[2], d2)
+            e[3] = d2 if e[3] is None else max(e[3], d2)
+    expt = {s: (v[0], v[1], -1 if v[2] is None else v[2],
+                -1 if v[3] is None else v[3]) for s, v in exp.items()}
+    assert got == expt
+    assert got[7] == (0, 0, -1, -1)          # duplicate-position loser
+    assert got[5][0] + got[9][0] == 32 * 32  # complete assignment
+    assert got[5][2] == 0                    # seed 5 owns its own cell
+
+
+def test_voronoi_seed_id_encode_guard(spark):
+    import numpy as np
+
+    from aira_spark.operators.voronoi import SEED_ENC, voronoi_census
+    from aira_spark.tiff.encode import write_tiff
+
+    a = np.zeros((16, 16), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("img000", bytearray(write_tiff(
+            a[:, :, None], byteorder="<", layout=("strips", 8),
+            geo=((360.0 / 16, 180.0 / 16, 0.0),
+                 (0.0, 0.0, 0.0, -180.0, 90.0, 0.0)))))],
+        "image_id string, bytes binary")
+    seeds = spark.createDataFrame(
+        [(SEED_ENC + 1, 0.0, 0.0)], "seed_id long, x double, y double"
+    )
+    try:
+        voronoi_census(df, seeds, res=1, patch_bits=4)
+        assert False, "expected RuntimeError"
+    except RuntimeError as e:
+        assert "seed ids" in str(e)

@@ -419,6 +419,10 @@ def main() -> None:
                        "(wedge fan-out O(sqrt m) per node); map-side "
                        "degree fold; census is one bounded hash agg "
                        "over <= 12 decile keys"),
+        ("voronoi", "bounded seed dim broadcasts; cells x B assignment "
+                    "folds map-side into the per-cell encoded argmin; "
+                    "census is a second bounded per-seed agg — cells "
+                    "never shuffle at full width"),
     ]
     qs = em.queries()
     lines = [
