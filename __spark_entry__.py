@@ -3475,6 +3475,15 @@ def q_voronoi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per cell over the daily roll-up —
+    doubled-median dichotomy, lag-window run count, cross-multiplied
+    128-bit significance (operators/runstest.py:runs_test)."""
+    from aira_spark.operators.runstest import runs_test
+
+    return runs_test(_cell_day_events(spark, sf_dir))
+
+
 def q_hull_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact squared diameter of every coarse-cell point cluster — the
     all-pairs step runs on HULL VERTICES only; the oracle recomputes
@@ -4185,6 +4194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity": q_modularity,
         "clustering": q_clustering,
         "voronoi": q_voronoi,
+        "runs_test": q_runs_test,
     }
 
 
@@ -5991,6 +6001,12 @@ def _oracle_voronoi() -> str:
     return oracle_voronoi_sql(_fine_cte_sql(modulo=8), seeds_sql, CELL_RES, 4)
 
 
+def _oracle_runs_test() -> str:
+    from aira_spark.operators.runstest import oracle_runs_sql
+
+    return oracle_runs_sql(_CELL_DAY_SQL)
+
+
 def _oracle_hull_diameter() -> str:
     from aira_spark.operators.hull import oracle_hull_diameter_sql
     from aira_spark.sources.vectors import points_oracle_sql
@@ -7565,6 +7581,7 @@ FROM docs GROUP BY 1
         "modularity": _oracle_modularity(),
         "clustering": _oracle_clustering(),
         "voronoi": _oracle_voronoi(),
+        "runs_test": _oracle_runs_test(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

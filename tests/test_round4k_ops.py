@@ -2882,3 +2882,69 @@ def test_voronoi_seed_id_encode_guard(spark):
         assert False, "expected RuntimeError"
     except RuntimeError as e:
         assert "seed ids" in str(e)
+
+
+# --------------------------------------------------------------- runs_test
+
+
+def test_runs_test_hand_sequences(spark):
+    """Three constructed cells: perfectly alternating (max runs ->
+    'many'), fully sorted (2 runs -> 'few'), and a short random-ish one
+    ('ns'); full python mirror incl. the drop-equals convention."""
+    import math
+
+    from aira_spark.operators.runstest import runs_test
+
+    seqs = {
+        # 16 days alternating 1, 9 around median -> R = 16, z > 1.96
+        1: [1, 9] * 8,
+        # 16 days sorted: 8 low then 8 high -> R = 2, z < -1.96
+        2: [1] * 8 + [9] * 8,
+        # median-equal days must DROP: 5 = med for [1,5,9,5,1,9] ->
+        # sides of [1,9,1,9] -> R = 4, n1 = n2 = 2, not significant
+        3: [1, 5, 9, 5, 1, 9],
+    }
+    rows = [(c, d, v) for c, vs in seqs.items() for d, v in enumerate(vs)]
+    df = spark.createDataFrame(rows, "cell long, day long, cents long")
+    got = {r["cell"]: r.asDict() for r in runs_test(df).collect()}
+
+    for c, vs in seqs.items():
+        sv = sorted(vs)
+        n = len(sv)
+        med2 = sv[(n + 1) // 2 - 1] + sv[n // 2]
+        sides = [1 if 2 * v > med2 else 0 for v in vs if 2 * v != med2]
+        n1, n2 = sum(sides), len(sides) - sum(sides)
+        nn = n1 + n2
+        r = 1 + sum(1 for i in range(1, len(sides))
+                    if sides[i] != sides[i - 1])
+        num = nn * r - nn - 2 * n1 * n2
+        if n1 == 0 or n2 == 0 or nn < 2:
+            cls = "ns"
+        else:
+            var = 2 * n1 * n2 * (2 * n1 * n2 - nn)
+            sig = 625 * num * num * (nn - 1) > 2401 * var
+            cls = ("few" if num < 0 else "many") if sig else "ns"
+        g = got[c]
+        assert (g["n_above"], g["n_below"], g["n_runs"], g["num"],
+                g["runs_class"]) == (n1, n2, r, num, cls), (c, g)
+        # cross-check significance against the float z formula
+        if var > 0:
+            z = (num / nn) / math.sqrt(var / (nn * nn * (nn - 1)))
+            assert (abs(z) > 1.96) == (cls != "ns")
+    assert got[1]["runs_class"] == "many"
+    assert got[2]["runs_class"] == "few"
+    assert got[3]["runs_class"] == "ns"
+    assert got[3]["n_above"] == 2 and got[3]["n_runs"] == 4  # equals drop
+
+
+def test_runs_test_degenerate_one_sided(spark):
+    """All days identical -> every day equals the median -> no sides
+    survive -> no row; all-above-after-drop -> 'ns'."""
+    from aira_spark.operators.runstest import runs_test
+
+    rows = [(1, d, 5) for d in range(6)]          # constant: all drop
+    rows += [(2, 0, 1), (2, 1, 9), (2, 2, 9)]     # med=9(x2=18): 1 below
+    df = spark.createDataFrame(rows, "cell long, day long, cents long")
+    got = {r["cell"]: r.asDict() for r in runs_test(df).collect()}
+    assert 1 not in got
+    assert got[2]["runs_class"] == "ns"

@@ -423,6 +423,10 @@ def main() -> None:
                     "folds map-side into the per-cell encoded argmin; "
                     "census is a second bounded per-seed agg — cells "
                     "never shuffle at full width"),
+        ("runs_test", "daily roll-up folds map-side; one cell-keyed "
+                      "order-stats agg (calendar-bounded state) + one "
+                      "lag window per cell + one final hash agg — no "
+                      "window over raw events"),
     ]
     qs = em.queries()
     lines = [
