@@ -3484,6 +3484,15 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return runs_test(_cell_day_events(spark, sf_dir))
 
 
+def q_canny(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Canny edge census over the mosaic fine grid — exact integer
+    gradient/NMS/double-threshold/bounded-hysteresis, squared magnitudes
+    throughout (operators/canny.py:canny_edges)."""
+    from aira_spark.operators.canny import canny_edges
+
+    return canny_edges(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
+
+
 def q_hull_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact squared diameter of every coarse-cell point cluster — the
     all-pairs step runs on HULL VERTICES only; the oracle recomputes
@@ -4195,6 +4204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering": q_clustering,
         "voronoi": q_voronoi,
         "runs_test": q_runs_test,
+        "canny": q_canny,
     }
 
 
@@ -6007,6 +6017,12 @@ def _oracle_runs_test() -> str:
     return oracle_runs_sql(_CELL_DAY_SQL)
 
 
+def _oracle_canny() -> str:
+    from aira_spark.operators.canny import oracle_canny_sql
+
+    return oracle_canny_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
+
+
 def _oracle_hull_diameter() -> str:
     from aira_spark.operators.hull import oracle_hull_diameter_sql
     from aira_spark.sources.vectors import points_oracle_sql
@@ -7582,6 +7598,7 @@ FROM docs GROUP BY 1
         "clustering": _oracle_clustering(),
         "voronoi": _oracle_voronoi(),
         "runs_test": _oracle_runs_test(),
+        "canny": _oracle_canny(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -328,6 +328,7 @@ def main() -> None:
         "clustering": lambda: em.q_clustering(spark, sf_dir).count(),
         "voronoi": lambda: em.q_voronoi(spark, sf_dir).count(),
         "runs_test": lambda: em.q_runs_test(spark, sf_dir).count(),
+        "canny": lambda: em.q_canny(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

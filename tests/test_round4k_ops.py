@@ -2948,3 +2948,81 @@ def test_runs_test_degenerate_one_sided(spark):
     got = {r["cell"]: r.asDict() for r in runs_test(df).collect()}
     assert 1 not in got
     assert got[2]["runs_class"] == "ns"
+
+
+# ------------------------------------------------------------------- canny
+
+
+def test_canny_full_python_mirror(spark):
+    """Constructed 32x32 raster (vertical step edge whose contrast decays
+    along y): full python mirror of gradient, integer octant, strict NMS,
+    double threshold and K-round hysteresis; the strong segment links
+    its weak continuation, a detached weak cluster drops."""
+    import numpy as np
+
+    from aira_spark.operators.canny import (
+        HI2, K_ROUNDS, LO2, TAN_DEN, TAN_NUM, canny_edges,
+    )
+    from aira_spark.tiff.encode import write_tiff
+
+    a = np.zeros((32, 32), dtype=np.uint8)
+    # vertical step at c=16 whose height decays with the row: strong at
+    # the top rows, weak further down, sub-threshold at the bottom
+    for r in range(32):
+        step = max(0, 120 - 4 * r)
+        a[r, 16:] = step
+    # detached weak blob far away (no strong cell within K rounds)
+    a[28, 2:6] = 14
+    df = spark.createDataFrame(
+        [("img000", bytearray(write_tiff(
+            a[:, :, None], byteorder="<", layout=("strips", 8),
+            geo=((360.0 / 32, 180.0 / 32, 0.0),
+                 (0.0, 0.0, 0.0, -180.0, 90.0, 0.0)))))],
+        "image_id string, bytes binary")
+    got = {(r["fx"], r["fy"]): (r["mag2"], r["direction"], r["edge_class"])
+           for r in canny_edges(df, res=1, patch_bits=4).collect()}
+
+    val = {(c, 31 - r): int(a[r, c]) for r in range(32) for c in range(32)}
+
+    grad = {}
+    for (x, y), _ in val.items():
+        win = [(x + 1, y), (x - 1, y), (x, y + 1), (x, y - 1)]
+        if not all(p in val for p in win):
+            continue
+        gx = val[(x + 1, y)] - val[(x - 1, y)]
+        gy = val[(x, y + 1)] - val[(x, y - 1)]
+        m2 = gx * gx + gy * gy
+        if TAN_DEN * abs(gy) <= TAN_NUM * abs(gx):
+            d = 0
+        elif TAN_DEN * abs(gx) <= TAN_NUM * abs(gy):
+            d = 90
+        elif gx * gy > 0:
+            d = 45
+        else:
+            d = 135
+        grad[(x, y)] = (m2, d)
+    offs = {0: (1, 0), 90: (0, 1), 45: (1, 1), 135: (1, -1)}
+    cand = {}
+    for (x, y), (m2, d) in grad.items():
+        ox, oy = offs[d]
+        p, q = (x + ox, y + oy), (x - ox, y - oy)
+        if p in grad and q in grad and m2 > grad[p][0] \
+                and m2 > grad[q][0] and m2 >= LO2:
+            cand[(x, y)] = (m2, d)
+    linked = {k for k, (m2, _) in cand.items() if m2 >= HI2}
+    weak = {k for k, (m2, _) in cand.items() if m2 < HI2}
+    for _ in range(K_ROUNDS):
+        reach = {(x + dx, y + dy) for x, y in linked
+                 for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                 if not (dx == 0 and dy == 0)}
+        linked |= weak & reach
+    exp = {}
+    for k, (m2, d) in cand.items():
+        cls = ("strong" if m2 >= HI2
+               else "linked" if k in linked else "dropped")
+        exp[k] = (m2, d, cls)
+    assert got == exp
+    classes = {c for _, _, c in got.values()}
+    assert classes == {"strong", "linked", "dropped"}  # all 3 exercised
+    # the step edge is vertical -> gradient horizontal -> direction 0
+    assert all(d == 0 for (x, y), (_, d, _) in got.items() if x == 16)

@@ -427,6 +427,10 @@ def main() -> None:
                       "order-stats agg (calendar-bounded state) + one "
                       "lag window per cell + one final hash agg — no "
                       "window over raw events"),
+        ("canny", "gradient + NMS = two chained constant-arm focal "
+                  "scatters with conditional-MAX slots; hysteresis = "
+                  "K id-only joins against the bounded edge-candidate "
+                  "set, localCheckpointed per round"),
     ]
     qs = em.queries()
     lines = [
