@@ -3493,6 +3493,15 @@ def q_canny(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canny_edges(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
 
 
+def q_lacunarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box-count lacunarity census of the fine-grid occupancy at dyadic
+    scales — Λ(r) = N·Σm²/(Σm)² exact, one floor division
+    (operators/lacunarity.py:lacunarity_census)."""
+    from aira_spark.operators.lacunarity import lacunarity_census
+
+    return lacunarity_census(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
+
+
 def q_hull_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact squared diameter of every coarse-cell point cluster — the
     all-pairs step runs on HULL VERTICES only; the oracle recomputes
@@ -4205,6 +4214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "voronoi": q_voronoi,
         "runs_test": q_runs_test,
         "canny": q_canny,
+        "lacunarity": q_lacunarity,
     }
 
 
@@ -6023,6 +6033,12 @@ def _oracle_canny() -> str:
     return oracle_canny_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
 
 
+def _oracle_lacunarity() -> str:
+    from aira_spark.operators.lacunarity import oracle_lacunarity_sql
+
+    return oracle_lacunarity_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
+
+
 def _oracle_hull_diameter() -> str:
     from aira_spark.operators.hull import oracle_hull_diameter_sql
     from aira_spark.sources.vectors import points_oracle_sql
@@ -7599,6 +7615,7 @@ FROM docs GROUP BY 1
         "voronoi": _oracle_voronoi(),
         "runs_test": _oracle_runs_test(),
         "canny": _oracle_canny(),
+        "lacunarity": _oracle_lacunarity(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

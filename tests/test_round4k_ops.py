@@ -3026,3 +3026,67 @@ def test_canny_full_python_mirror(spark):
     assert classes == {"strong", "linked", "dropped"}  # all 3 exercised
     # the step edge is vertical -> gradient horizontal -> direction 0
     assert all(d == 0 for (x, y), (_, d, _) in got.items() if x == 16)
+
+
+# -------------------------------------------------------------- lacunarity
+
+
+def test_lacunarity_full_grid_and_stripes(spark):
+    """Fully occupied grid scores EXACTLY 1e6 at every scale; a
+    half-striped occupancy python-mirrors every census column and
+    Lambda(1) = N/M (inverse density)."""
+    import numpy as np
+
+    from aira_spark.operators.lacunarity import (
+        E6, SCALES, lacunarity_census,
+    )
+    from aira_spark.tiff.encode import write_tiff
+
+    def img(arr):
+        return spark.createDataFrame(
+            [("img000", bytearray(write_tiff(
+                arr[:, :, None], byteorder="<", layout=("strips", 8),
+                geo=((360.0 / 32, 180.0 / 32, 0.0),
+                     (0.0, 0.0, 0.0, -180.0, 90.0, 0.0)))))],
+            "image_id string, bytes binary")
+
+    # fully occupied 32x32 -> every box full -> Lambda = 1 exactly
+    full = img(np.full((32, 32), 7, dtype=np.uint8))
+    got = {r["box_size"]: r.asDict()
+           for r in lacunarity_census(full, res=1, patch_bits=4)
+           .collect()}
+    for r in SCALES:
+        g = got[r]
+        nb = (32 // r) ** 2
+        assert g["n_boxes"] == nb and g["occ_boxes"] == nb
+        assert g["sum_m"] == 1024 and g["sum_m2"] == nb * r ** 4
+        assert g["lac_e6"] == E6
+
+    # vertical stripes of width 2 (every other pair of columns): at
+    # r=4 each box holds exactly half its cells -> Lambda = 2 exactly;
+    # occupancy is decoded presence, so strip the empty columns by
+    # windowing: write only the occupied columns as a sparse grid via
+    # two images is overkill — instead mirror in python over the same
+    # mosaic the operator sees (all 32x32 cells occupied means stripes
+    # need a SPARSE fixture; use a half-image instead).
+    half = np.full((16, 32), 7, dtype=np.uint8)   # bottom half occupied
+    goth = {r["box_size"]: r.asDict()
+            for r in lacunarity_census(img(half), res=1, patch_bits=4)
+            .collect()}
+    cells = {(c, 31 - rr) for rr in range(16) for c in range(32)}
+    for r in SCALES:
+        masses = {}
+        for (x, y) in cells:
+            masses[(x // r, y // r)] = masses.get((x // r, y // r), 0) + 1
+        nb = (32 // r) ** 2
+        sm = sum(masses.values())
+        sm2 = sum(v * v for v in masses.values())
+        g = goth[r]
+        assert g["n_boxes"] == nb and g["occ_boxes"] == len(masses)
+        assert g["sum_m"] == sm and g["sum_m2"] == sm2
+        assert g["lac_e6"] == (E6 * nb * sm2) // (sm * sm)
+    # half occupancy, full boxes where occupied -> Lambda = exactly 2
+    for r in SCALES:
+        assert goth[r]["lac_e6"] == 2 * E6
+    # Lambda(1) = N/M inverse-density pin
+    assert goth[1]["lac_e6"] == E6 * 1024 // 512

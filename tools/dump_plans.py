@@ -431,6 +431,10 @@ def main() -> None:
                   "scatters with conditional-MAX slots; hysteresis = "
                   "K id-only joins against the bounded edge-candidate "
                   "set, localCheckpointed per round"),
+        ("lacunarity", "one constant fan-out explode (4 dyadic scales) "
+                       "folding map-side into (r, box) masses + one "
+                       "bounded per-scale agg — zero joins, census is "
+                       "4 rows whatever the raster size"),
     ]
     qs = em.queries()
     lines = [
