@@ -3513,6 +3513,17 @@ def q_hull_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hull_diameter(points_table(spark, sf_dir), res=4)
 
 
+def q_obb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-area oriented bounding rectangle per coarse-cell cluster —
+    rotating-calipers optimum via the all-hull-vertex-pair direction
+    superset, widened exact area_q, two-stage deterministic argmin
+    (operators/obb.py:obb)."""
+    from aira_spark.operators.obb import obb
+    from aira_spark.sources.vectors import points_table
+
+    return obb(points_table(spark, sf_dir), res=4)
+
+
 def q_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lead-lag cross-correlation between event types' daily value
     series at lags 0..3 — acf's machinery over ordered entity pairs
@@ -4215,6 +4226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "runs_test": q_runs_test,
         "canny": q_canny,
         "lacunarity": q_lacunarity,
+        "obb": q_obb,
     }
 
 
@@ -6046,6 +6058,13 @@ def _oracle_hull_diameter() -> str:
     return oracle_hull_diameter_sql(points_oracle_sql(), res=4)
 
 
+def _oracle_obb() -> str:
+    from aira_spark.operators.obb import oracle_obb_sql
+    from aira_spark.sources.vectors import points_oracle_sql
+
+    return oracle_obb_sql(points_oracle_sql(), res=4)
+
+
 def _oracle_ccf() -> str:
     from aira_spark.operators.ccf import oracle_ccf_sql
 
@@ -7616,6 +7635,7 @@ FROM docs GROUP BY 1
         "runs_test": _oracle_runs_test(),
         "canny": _oracle_canny(),
         "lacunarity": _oracle_lacunarity(),
+        "obb": _oracle_obb(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -3090,3 +3090,77 @@ def test_lacunarity_full_grid_and_stripes(spark):
         assert goth[r]["lac_e6"] == 2 * E6
     # Lambda(1) = N/M inverse-density pin
     assert goth[1]["lac_e6"] == E6 * 1024 // 512
+
+
+# --------------------------------------------------------------------- obb
+
+
+def test_obb_rotated_rectangle_and_degenerates(spark):
+    """A 3-4-5 tilted rectangle of points: the OBB recovers the tilted
+    area exactly (strictly below the axis-aligned bbox area); full
+    python brute-force mirror over all pair directions; 1- and 2-point
+    clusters emit zeros / degenerate boxes."""
+    from aira_spark.operators.obb import obb
+
+    # cluster 0: rectangle with sides along (4,3) and (-3,4), corner at
+    # origin — side lengths 5 and 10 in raw units -> area 50 exactly.
+    # qx = round(x * 1e4) so feed coordinates in units of 1e-4 deg,
+    # translated by +5 deg on both axes so the whole cluster sits
+    # INSIDE one res-4 cell (x=0 is a cell boundary; OBB is
+    # translation-invariant so the mirror stays in local coordinates).
+    def pt(qx, qy):
+        return ((qx + 50_000) / 10_000.0, (qy + 50_000) / 10_000.0)
+
+    corners = [(0, 0), (40, 30), (-60, 80), (-20, 110)]
+    # add edge midpoints (non-vertex hull-boundary points must not
+    # change the answer) and one interior point
+    extra = [(20, 15), (-40, 95), (-30, 40), (-10, 55), (-5, 50)]
+    rows = [(i, *pt(qx, qy)) for i, (qx, qy) in
+            enumerate(corners + extra)]
+    # cluster in a far-away cell: exactly two points -> degenerate box
+    rows += [(100, 100.0, 50.0), (101, 100.0005, 50.0)]
+    # and a single point
+    rows += [(200, -100.0, -50.0)]
+    df = spark.createDataFrame(rows, "point_id long, x double, y double")
+    got = {r["grp"]: r.asDict() for r in obb(df, res=4).collect()}
+
+    # python mirror for the rectangle cluster
+    qpts = corners + extra
+    hull = corners  # the rectangle's vertices (midpoints are collinear)
+    best = None
+    for i in range(len(hull)):
+        for j in range(i + 1, len(hull)):
+            ux, uy = hull[i]
+            dx, dy = hull[j][0] - ux, hull[j][1] - uy
+            d2 = dx * dx + dy * dy
+            ts = [dx * (px - ux) + dy * (py - uy) for px, py in hull]
+            ns = [dx * (py - uy) - dy * (px - ux) for px, py in hull]
+            aq = ((max(ts) - min(ts)) * (max(ns) - min(ns))) // d2
+            if best is None or aq < best:
+                best = aq
+    g0 = [g for g in got.values() if g["n_hull"] == 4][0]
+    assert g0["area_q"] == best == 5000   # 50x100 q-units = 5000 q^2
+    # axis-aligned bbox would be 100 x 110 = 11000 q^2 — strictly worse
+    assert g0["area_q"] < 11_000
+    # true side extents: dt_num/sqrt(d2), dn_num/sqrt(d2) = {50, 100}
+    import math
+    s = sorted([g0["dt_num"] / math.sqrt(g0["d2"]),
+                g0["dn_num"] / math.sqrt(g0["d2"])])
+    assert abs(s[0] - 50) < 1e-9 and abs(s[1] - 100) < 1e-9
+
+    g2 = [g for g in got.values() if g["n_hull"] == 2][0]
+    assert g2["area_q"] == 0 and g2["dn_num"] == 0 and g2["dt_num"] > 0
+    g1 = [g for g in got.values() if g["n_hull"] == 1][0]
+    assert g1["area_q"] == 0 and g1["d2"] == 0
+
+
+def test_obb_hull_size_guard(spark):
+    from aira_spark.operators.obb import obb
+
+    rows = [(i, i / 10_000.0, (i * i % 97) / 10_000.0) for i in range(30)]
+    df = spark.createDataFrame(rows, "point_id long, x double, y double")
+    try:
+        obb(df, res=4, max_hull=3)
+        assert False, "expected RuntimeError"
+    except RuntimeError as e:
+        assert "max_hull" in str(e)

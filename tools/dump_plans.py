@@ -435,6 +435,10 @@ def main() -> None:
                        "folding map-side into (r, box) masses + one "
                        "bounded per-scale agg — zero joins, census is "
                        "4 rows whatever the raster size"),
+        ("obb", "one coarse-cell shuffle for the hulls; all later "
+                "joins run on HULL VERTICES only (h <= 64 guarded), "
+                "grp-keyed; argmin = two exact aggs, no giant encoded "
+                "keys"),
     ]
     qs = em.queries()
     lines = [
