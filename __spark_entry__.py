@@ -3493,6 +3493,17 @@ def q_canny(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canny_edges(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
 
 
+def q_perm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bandt-Pompe permutation-entropy census per cell over the daily
+    roll-up — ordinal triple patterns, compile-time log2 table, encoded
+    dominant pattern (operators/permentropy.py:perm_entropy). Cells at
+    CELL_RES − 3 (the cell_anomalies convention): consecutive-calendar
+    triples need the denser per-cell day coverage of the coarser grid."""
+    from aira_spark.operators.permentropy import perm_entropy
+
+    return perm_entropy(_cell_day_events(spark, sf_dir, res=CELL_RES - 3))
+
+
 def q_lacunarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Box-count lacunarity census of the fine-grid occupancy at dyadic
     scales — Λ(r) = N·Σm²/(Σm)² exact, one floor division
@@ -4227,6 +4238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canny": q_canny,
         "lacunarity": q_lacunarity,
         "obb": q_obb,
+        "perm_entropy": q_perm_entropy,
     }
 
 
@@ -6065,6 +6077,16 @@ def _oracle_obb() -> str:
     return oracle_obb_sql(points_oracle_sql(), res=4)
 
 
+def _oracle_perm_entropy() -> str:
+    from aira_spark.operators.permentropy import oracle_perm_entropy_sql
+
+    return oracle_perm_entropy_sql(
+        f"SELECT {_sql_cell_at(_EV_X, _EV_Y, CELL_RES - 3)} AS cell, "
+        "CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day, "
+        "CAST(FLOOR(value * 100.0) AS BIGINT) AS cents FROM events"
+    )
+
+
 def _oracle_ccf() -> str:
     from aira_spark.operators.ccf import oracle_ccf_sql
 
@@ -7636,6 +7658,7 @@ FROM docs GROUP BY 1
         "canny": _oracle_canny(),
         "lacunarity": _oracle_lacunarity(),
         "obb": _oracle_obb(),
+        "perm_entropy": _oracle_perm_entropy(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -3164,3 +3164,53 @@ def test_obb_hull_size_guard(spark):
         assert False, "expected RuntimeError"
     except RuntimeError as e:
         assert "max_hull" in str(e)
+
+
+# ------------------------------------------------------------ perm_entropy
+
+
+def test_perm_entropy_hand_series(spark):
+    """Monotone series -> one pattern, PE exactly 0; alternating zigzag
+    -> two patterns 50/50, PE exactly 1 bit; gap in the calendar drops
+    the straddling triples; tie convention (earlier = smaller) pinned;
+    full python mirror."""
+    import math
+
+    from aira_spark.operators.permentropy import MAX_N, perm_entropy
+
+    seqs = {
+        1: [(d, 10 + d) for d in range(10)],          # rising: a<=b<=c
+        2: [(d, 10 + (d % 2)) for d in range(12)],    # zigzag with TIES
+        3: [(0, 5), (1, 7), (2, 6), (4, 9), (5, 1), (6, 2)],  # gap at 3
+    }
+    rows = [(c, d, v) for c, s in seqs.items() for d, v in s]
+    df = spark.createDataFrame(rows, "cell long, day long, cents long")
+    got = {r["cell"]: r.asDict() for r in perm_entropy(df).collect()}
+
+    L = [math.floor(math.log2(k) * 1_000_000) for k in range(1, MAX_N + 1)]
+
+    def mirror(s):
+        vals = dict(s)
+        pats = {}
+        for d, _ in s:
+            if d - 1 in vals and d - 2 in vals:
+                a, b, c = vals[d - 2], vals[d - 1], vals[d]
+                p = 4 * (a <= b) + 2 * (a <= c) + (b <= c)
+                pats[p] = pats.get(p, 0) + 1
+        n = sum(pats.values())
+        top = max(pats.items(), key=lambda kv: (kv[1], -kv[0]))
+        s_ = sum(c * L[c - 1] for c in pats.values())
+        return n, top[0], top[1], (n * L[n - 1] - s_) // n
+
+    for cl, s in seqs.items():
+        n, tp, tc, pe = mirror(s)
+        g = got[cl]
+        assert (g["n_triples"], g["top_pattern"], g["top_cnt"],
+                g["pe_e6"]) == (n, tp, tc, pe), (cl, g)
+    assert got[1]["pe_e6"] == 0 and got[1]["top_pattern"] == 7
+    # zigzag: two patterns alternate -> exactly 1.000000 bits (10
+    # triples -> 5/5 split); ties resolve earlier-smaller
+    assert got[2]["pe_e6"] == 1_000_000
+    # the day-3 gap kills triples (1,2,3), (2,3,4), (3,4,5): 6 days
+    # leave just 2 complete triples
+    assert got[3]["n_triples"] == 2

@@ -439,6 +439,10 @@ def main() -> None:
                 "joins run on HULL VERTICES only (h <= 64 guarded), "
                 "grp-keyed; argmin = two exact aggs, no giant encoded "
                 "keys"),
+        ("perm_entropy", "daily roll-up folds map-side; two lag windows "
+                         "per cell (calendar-bounded state); pattern "
+                         "counts combine map-side (<= 6 rows per cell "
+                         "in the exchange); literal log2 table, no join"),
     ]
     qs = em.queries()
     lines = [
