@@ -3167,6 +3167,20 @@ def q_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ripley_k(pts)
 
 
+def q_cross_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate cross-type Ripley K12 between every unordered mark-class
+    pair — the ripley_k candidate join with the (mark_a < mark_b) class
+    filter, zero-pair safety via the bounded class-pair frame
+    (operators/crossk.py:cross_k)."""
+    from aira_spark.operators.crossk import cross_k
+    from aira_spark.sources.vectors import points_table
+
+    pts = points_table(spark, sf_dir).selectExpr(
+        "point_id", "point_id % 4 AS mark", "x", "y"
+    )
+    return cross_k(pts)
+
+
 def q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen robust trend per cell — lower median of pairwise
     floor-div slopes over the daily roll-up, calendar-bounded pair
@@ -4239,6 +4253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lacunarity": q_lacunarity,
         "obb": q_obb,
         "perm_entropy": q_perm_entropy,
+        "cross_k": q_cross_k,
     }
 
 
@@ -5863,6 +5878,16 @@ def _oracle_ripley_k() -> str:
     from aira_spark.sources.vectors import points_oracle_sql
 
     return oracle_ripley_sql(
+        "SELECT point_id, point_id % 4 AS mark, x, y "
+        f"FROM ({points_oracle_sql()})"
+    )
+
+
+def _oracle_cross_k() -> str:
+    from aira_spark.operators.crossk import oracle_cross_k_sql
+    from aira_spark.sources.vectors import points_oracle_sql
+
+    return oracle_cross_k_sql(
         "SELECT point_id, point_id % 4 AS mark, x, y "
         f"FROM ({points_oracle_sql()})"
     )
@@ -7659,6 +7684,7 @@ FROM docs GROUP BY 1
         "lacunarity": _oracle_lacunarity(),
         "obb": _oracle_obb(),
         "perm_entropy": _oracle_perm_entropy(),
+        "cross_k": _oracle_cross_k(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -3214,3 +3214,49 @@ def test_perm_entropy_hand_series(spark):
     # the day-3 gap kills triples (1,2,3), (2,3,4), (3,4,5): 6 days
     # leave just 2 complete triples
     assert got[3]["n_triples"] == 2
+
+
+# ----------------------------------------------------------------- cross_k
+
+
+def test_cross_k_attraction_vs_repulsion(spark):
+    """Two co-located classes (every B next to an A) vs a far-away third:
+    full python brute-force mirror; K12 high for the attracted pair,
+    n_pairs = 0 (zero-safety row) for the separated pairs at all radii."""
+    from aira_spark.operators.crossk import cross_k
+    from aira_spark.operators.ripley import RADII_E6, _AREA
+
+    rows = []
+    pid = 0
+    # class 0 and 1 interleaved on a tight line near the origin
+    for i in range(6):
+        rows.append((pid, 0, 10.0 + i * 0.5e-6, 10.0)); pid += 1
+        rows.append((pid, 1, 10.0 + i * 0.5e-6 + 0.2e-6, 10.0)); pid += 1
+    # class 2 on the other side of the world
+    for i in range(4):
+        rows.append((pid, 2, -150.0 + i * 0.5e-6, -40.0)); pid += 1
+    df = spark.createDataFrame(rows, "point_id long, mark long, x double, y double")
+    got = {(r["mark_a"], r["mark_b"], r["r_e6"]): r.asDict()
+           for r in cross_k(df).collect()}
+
+    import math
+    pts = [(m, math.floor(x * 1e6), math.floor(y * 1e6))
+           for _, m, x, y in rows]
+    n = {m: sum(1 for mm, *_ in pts if mm == m) for m in (0, 1, 2)}
+    for ma, mb in ((0, 1), (0, 2), (1, 2)):
+        for r in RADII_E6:
+            np_ = sum(
+                1
+                for (m1, x1, y1) in pts if m1 == ma
+                for (m2, x2, y2) in pts if m2 == mb
+                if (x1 - x2) ** 2 + (y1 - y2) ** 2 <= r * r
+            )
+            g = got[(ma, mb, r)]
+            assert g["n_pairs"] == np_ and g["n_a"] == n[ma]
+            assert g["k12_e3"] == (_AREA * 1000 * np_) // (n[ma] * n[mb])
+    # attraction: every (0,1) pair is within even the smallest radius
+    assert got[(0, 1, RADII_E6[0])]["n_pairs"] == 36
+    # separation: the zero-safety rows exist with 0 pairs
+    assert got[(0, 2, RADII_E6[-1])]["n_pairs"] == 0
+    assert got[(1, 2, RADII_E6[0])]["k12_e3"] == 0
+    assert len(got) == 3 * len(RADII_E6)

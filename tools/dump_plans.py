@@ -443,6 +443,10 @@ def main() -> None:
                          "per cell (calendar-bounded state); pattern "
                          "counts combine map-side (<= 6 rows per cell "
                          "in the exchange); literal log2 table, no join"),
+        ("cross_k", "one grid-pitch-r_max candidate join with 3x3 "
+                    "emission (each geometric pair matches exactly one "
+                    "key); all radii answered as conditional sums; "
+                    "id-only integer exchanges, hot-cell guard"),
     ]
     qs = em.queries()
     lines = [
