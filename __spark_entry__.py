@@ -3518,6 +3518,15 @@ def q_perm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perm_entropy(_cell_day_events(spark, sf_dir, res=CELL_RES - 3))
 
 
+def q_skeleton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zhang-Suen thinning census per coarse cell — K=4 fixed full
+    iterations of the two-subiteration rule over the bright mask, pure
+    0/1 integer arithmetic (operators/skeleton.py:skeleton_census)."""
+    from aira_spark.operators.skeleton import skeleton_census
+
+    return skeleton_census(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
+
+
 def q_lacunarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Box-count lacunarity census of the fine-grid occupancy at dyadic
     scales — Λ(r) = N·Σm²/(Σm)² exact, one floor division
@@ -4254,6 +4263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "obb": q_obb,
         "perm_entropy": q_perm_entropy,
         "cross_k": q_cross_k,
+        "skeleton": q_skeleton,
     }
 
 
@@ -6112,6 +6122,12 @@ def _oracle_perm_entropy() -> str:
     )
 
 
+def _oracle_skeleton() -> str:
+    from aira_spark.operators.skeleton import oracle_skeleton_sql
+
+    return oracle_skeleton_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
+
+
 def _oracle_ccf() -> str:
     from aira_spark.operators.ccf import oracle_ccf_sql
 
@@ -7685,6 +7701,7 @@ FROM docs GROUP BY 1
         "obb": _oracle_obb(),
         "perm_entropy": _oracle_perm_entropy(),
         "cross_k": _oracle_cross_k(),
+        "skeleton": _oracle_skeleton(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -447,6 +447,10 @@ def main() -> None:
                     "emission (each geometric pair matches exactly one "
                     "key); all radii answered as conditional sums; "
                     "id-only integer exchanges, hot-cell guard"),
+        ("skeleton", "2K chained constant-9-arm focal scatters over the "
+                     "SHRINKING mask, map-side-combined 0/1 slots, "
+                     "localCheckpointed per iteration; one final "
+                     "coarse-cell census agg — no joins, no Python"),
     ]
     qs = em.queries()
     lines = [
