@@ -3527,6 +3527,15 @@ def q_skeleton(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skeleton_census(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
 
 
+def q_glcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haralick GLCM texture census per coarse cell — 8-level horizontal
+    co-occurrence, exact contrast/energy/homogeneity numerators (the
+    LCM-cleared weights) (operators/glcm.py:glcm_census)."""
+    from aira_spark.operators.glcm import glcm_census
+
+    return glcm_census(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
+
+
 def q_lacunarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Box-count lacunarity census of the fine-grid occupancy at dyadic
     scales — Λ(r) = N·Σm²/(Σm)² exact, one floor division
@@ -4264,6 +4273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perm_entropy": q_perm_entropy,
         "cross_k": q_cross_k,
         "skeleton": q_skeleton,
+        "glcm": q_glcm,
     }
 
 
@@ -6128,6 +6138,12 @@ def _oracle_skeleton() -> str:
     return oracle_skeleton_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
 
 
+def _oracle_glcm() -> str:
+    from aira_spark.operators.glcm import oracle_glcm_sql
+
+    return oracle_glcm_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
+
+
 def _oracle_ccf() -> str:
     from aira_spark.operators.ccf import oracle_ccf_sql
 
@@ -7702,6 +7718,7 @@ FROM docs GROUP BY 1
         "perm_entropy": _oracle_perm_entropy(),
         "cross_k": _oracle_cross_k(),
         "skeleton": _oracle_skeleton(),
+        "glcm": _oracle_glcm(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

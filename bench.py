@@ -334,6 +334,7 @@ def main() -> None:
         "perm_entropy": lambda: em.q_perm_entropy(spark, sf_dir).count(),
         "cross_k": lambda: em.q_cross_k(spark, sf_dir).count(),
         "skeleton": lambda: em.q_skeleton(spark, sf_dir).count(),
+        "glcm": lambda: em.q_glcm(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

@@ -3328,3 +3328,64 @@ def test_skeleton_thick_bar_thins_to_line(spark):
     # the 2x2 square erodes away entirely (still reported via n_mask)
     sq = [v for k, v in got.items() if k[1] == 0 and v[0] == 4]
     assert sq == [(4, 0)]
+
+
+# -------------------------------------------------------------------- glcm
+
+
+def test_glcm_flat_checker_gradient(spark):
+    """Flat tile -> contrast 0 and maximal homogeneity; a 2-level
+    checkerboard -> every pair differs by the full level distance; full
+    python mirror over a gradient tile."""
+    import numpy as np
+
+    from aira_spark.operators.glcm import HOM_LCM, glcm_census
+    from aira_spark.tiff.encode import write_tiff
+
+    a = np.zeros((32, 32), dtype=np.uint8)
+    a[0:16, 0:16] = 100                             # flat (g=3)
+    xs, ys = np.meshgrid(np.arange(16), np.arange(16))
+    a[0:16, 16:32] = np.where((xs + ys) % 2 == 0, 0, 255)  # checker 0/7
+    a[16:32, 0:16] = (np.arange(16) * 16)[None, :]  # horizontal gradient
+    a[16:32, 16:32] = 77                            # flat filler (g=2)
+    df = spark.createDataFrame(
+        [("img000", bytearray(write_tiff(
+            a[:, :, None], byteorder="<", layout=("strips", 8),
+            geo=((360.0 / 32, 180.0 / 32, 0.0),
+                 (0.0, 0.0, 0.0, -180.0, 90.0, 0.0)))))],
+        "image_id string, bytes binary")
+    got = {(r["gx"], r["gy"]): r.asDict()
+           for r in glcm_census(df, res=1, patch_bits=4).collect()}
+
+    lv = {(c, 31 - r): int(a[r, c]) // 32
+          for r in range(32) for c in range(32)}
+    exp = {}
+    for (x, y), ga in lv.items():
+        if (x + 1, y) not in lv:
+            continue
+        gb = lv[(x + 1, y)]
+        k = (x // 16, y // 16)
+        e = exp.setdefault(k, {})
+        e[(ga, gb)] = e.get((ga, gb), 0) + 1
+    for k, mat in exp.items():
+        n = sum(mat.values())
+        con = sum(c * (i - j) ** 2 for (i, j), c in mat.items())
+        en = sum(c * c for c in mat.values())
+        hom = sum(c * (HOM_LCM // (1 + (i - j) ** 2))
+                  for (i, j), c in mat.items())
+        g = got[k]
+        assert (g["n_pairs"], g["contrast_num"], g["energy_num"],
+                g["hom_num"]) == (n, con, en, hom), (k, g)
+    # the g=3 flat quadrant (0,1) leaks 16 boundary pairs into the
+    # checker (center x=15, east x=16): 8 pairs (3,0) + 8 pairs (3,7)
+    # -> contrast exactly 8*9 + 8*16 = 200 — the coarse key follows the
+    # CENTER pixel, pinned here
+    assert got[(0, 1)]["contrast_num"] == 200
+    # the flat filler quadrant (1,0) has no east leakage (x=31 has no
+    # east neighbor): contrast 0, all homogeneity mass on the diagonal
+    fl = got[(1, 0)]
+    assert fl["contrast_num"] == 0 and fl["hom_num"] == fl["n_pairs"] * HOM_LCM
+    # checker quadrant (1,1): every horizontal pair jumps 0<->7
+    ck = got[(1, 1)]
+    assert ck["contrast_num"] == ck["n_pairs"] * 49
+    assert ck["hom_num"] == ck["n_pairs"] * (HOM_LCM // 50)

@@ -451,6 +451,10 @@ def main() -> None:
                      "SHRINKING mask, map-side-combined 0/1 slots, "
                      "localCheckpointed per iteration; one final "
                      "coarse-cell census agg — no joins, no Python"),
+        ("glcm", "one constant 2-arm focal scatter + two chained hash "
+                 "aggs; the (cell, i, j) exchange carries <= 64 rows "
+                 "per coarse cell regardless of pixel volume — no "
+                 "joins, no Python"),
     ]
     qs = em.queries()
     lines = [
