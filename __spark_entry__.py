@@ -3536,6 +3536,16 @@ def q_glcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return glcm_census(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
 
 
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified-silhouette separation census over the k-means partition
+    — literal-baked final centroids, exact a2/b2 via array_sort, integer
+    cross-multiplied margins (operators/silhouette.py:silhouette_census)."""
+    from aira_spark.operators.silhouette import silhouette_census
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return silhouette_census(emb, k=8, rounds=4)
+
+
 def q_lacunarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Box-count lacunarity census of the fine-grid occupancy at dyadic
     scales — Λ(r) = N·Σm²/(Σm)² exact, one floor division
@@ -4274,6 +4284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_k": q_cross_k,
         "skeleton": q_skeleton,
         "glcm": q_glcm,
+        "silhouette": q_silhouette,
     }
 
 
@@ -6144,6 +6155,12 @@ def _oracle_glcm() -> str:
     return oracle_glcm_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
 
 
+def _oracle_silhouette() -> str:
+    from aira_spark.operators.silhouette import oracle_silhouette_sql
+
+    return oracle_silhouette_sql(k=8, rounds=4)
+
+
 def _oracle_ccf() -> str:
     from aira_spark.operators.ccf import oracle_ccf_sql
 
@@ -7719,6 +7736,7 @@ FROM docs GROUP BY 1
         "cross_k": _oracle_cross_k(),
         "skeleton": _oracle_skeleton(),
         "glcm": _oracle_glcm(),
+        "silhouette": _oracle_silhouette(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

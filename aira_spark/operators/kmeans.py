@@ -145,21 +145,24 @@ def kmeans_summary(
     return asn.unionByName(cent)
 
 
-def oracle_kmeans_sql(
-    k: int = 8,
-    rounds: int = 4,
-    emb_cte: str = "e AS (SELECT vec_id, "
+DEFAULT_EMB_CTE = (
+    "e AS (SELECT vec_id, "
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1024.0) "
-    "AS BIGINT)) AS v FROM embeddings)",
-) -> str:
-    """DuckDB mirror — unrolled Lloyd rounds as MATERIALIZED CTEs (each
-    round's tables are referenced twice, so inlining would blow up like
-    the BPE chain). Distance, argmin tie-break, floor-mean update, and
-    empty-cluster carry all share the Python/Spark formulas."""
-    dist = (
-        "CAST(list_sum(list_transform(list_zip(e.v, c.v), "
-        "p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
-    )
+    "AS BIGINT)) AS v FROM embeddings)"
+)
+
+DUCK_DIST = (
+    "CAST(list_sum(list_transform(list_zip(e.v, c.v), "
+    "p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+)
+
+
+def kmeans_cte_prefix(k: int, rounds: int, emb_cte: str) -> str:
+    """The shared WITH prefix (no leading `WITH`): embeddings CTE `e`,
+    seed table `c0`, and the unrolled Lloyd rounds ending in the final
+    centroid table `c{rounds}` — reused by the kmeans and silhouette
+    oracles so the centroid chain cannot drift between them."""
+    dist = DUCK_DIST
     fdiv = _floor_div("SUM(e.v[dim])", "COUNT(*)", "duckdb")
     rounds_sql = []
     for r in range(1, rounds + 1):
@@ -185,14 +188,27 @@ c{r} AS MATERIALIZED (
   FROM {prev} p LEFT JOIN m{r} m ON p.cid = m.cid
   GROUP BY p.cid, p.v
 )""")
-    final = f"c{rounds}"
-    return f"""
-WITH {emb_cte},
+    return f"""{emb_cte},
 c0 AS MATERIALIZED (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v
   FROM (SELECT * FROM e ORDER BY vec_id LIMIT {k})
 ),
-{",".join(rounds_sql)},
+{",".join(rounds_sql)}"""
+
+
+def oracle_kmeans_sql(
+    k: int = 8,
+    rounds: int = 4,
+    emb_cte: str = DEFAULT_EMB_CTE,
+) -> str:
+    """DuckDB mirror — unrolled Lloyd rounds as MATERIALIZED CTEs (each
+    round's tables are referenced twice, so inlining would blow up like
+    the BPE chain). Distance, argmin tie-break, floor-mean update, and
+    empty-cluster carry all share the Python/Spark formulas."""
+    dist = DUCK_DIST
+    final = f"c{rounds}"
+    return f"""
+WITH {kmeans_cte_prefix(k, rounds, emb_cte)},
 fin AS MATERIALIZED (
   SELECT vec_id, cid, dist FROM (
     SELECT e.vec_id, c.cid, {dist} AS dist,

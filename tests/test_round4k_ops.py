@@ -3389,3 +3389,40 @@ def test_glcm_flat_checker_gradient(spark):
     ck = got[(1, 1)]
     assert ck["contrast_num"] == ck["n_pairs"] * 49
     assert ck["hom_num"] == ck["n_pairs"] * (HOM_LCM // 50)
+
+
+# -------------------------------------------------------------- silhouette
+
+
+def test_silhouette_separated_vs_straddling(spark):
+    """Two tight far-apart blobs (k=2): every member 'strong'; a
+    straddling vector ends EXACTLY at the 2x boundary (after the floor
+    mean, b2 = 4*a2 precisely) and the strict '>' demotes it to
+    'medium' — the boundary-determinism pin; b2 >= a2 invariant."""
+    from aira_spark.operators.silhouette import silhouette_census
+
+    def emb(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+
+    blob_a = [(i, [0.001 * i, 0.0]) for i in range(4)]          # near 0
+    blob_b = [(10 + i, [10.0 + 0.001 * i, 0.0]) for i in range(4)]
+    got = {r["cluster"]: r.asDict()
+           for r in silhouette_census(
+               emb(blob_a + blob_b), k=2, rounds=4).collect()}
+    assert sum(g["n"] for g in got.values()) == 8
+    for g in got.values():
+        assert g["n_strong"] == g["n"]          # far blobs: all strong
+        assert g["sum_b2"] > 4 * g["sum_a2"]
+
+    # k=2, seeds at 0 and 10; the straddler at 5.0 ties in round 1
+    # (goes to cid 0), pulling c0 to the floor-mean 2560 q: then
+    # a2 = 2560^2 and b2 = 5120^2 = EXACTLY 4*a2 — the strict strong
+    # test fails and 4*b2 > 9*a2 holds -> 'medium', deterministically
+    rows = [(0, [0.0, 0.0]), (1, [10.0, 0.0]), (2, [5.0, 0.0])]
+    got2 = silhouette_census(emb(rows), k=2, rounds=1).collect()
+    tot = {k: sum(r[k] for r in got2)
+           for k in ("n", "n_medium", "n_strong")}
+    assert tot["n"] == 3 and tot["n_medium"] == 1 and tot["n_strong"] == 2
+    for r in got2:
+        assert r["sum_b2"] >= r["sum_a2"]       # argmin invariant

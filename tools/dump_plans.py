@@ -455,6 +455,9 @@ def main() -> None:
                  "aggs; the (cell, i, j) exchange carries <= 64 rows "
                  "per coarse cell regardless of pixel volume — no "
                  "joins, no Python"),
+        ("silhouette", "final centroids baked as literals: assignment "
+                       "+ a2/b2 is a zero-shuffle JVM projection; the "
+                       "census is one map-side-combined agg to k rows"),
     ]
     qs = em.queries()
     lines = [
