@@ -3546,6 +3546,15 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     return silhouette_census(emb, k=8, rounds=4)
 
 
+def q_euler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Euler-characteristic topology census (islands minus lakes) of the
+    bright mask — additive V−E+F over 2×2 gathers, zero iteration
+    (operators/euler.py:euler_census)."""
+    from aira_spark.operators.euler import euler_census
+
+    return euler_census(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
+
+
 def q_lacunarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Box-count lacunarity census of the fine-grid occupancy at dyadic
     scales — Λ(r) = N·Σm²/(Σm)² exact, one floor division
@@ -4285,6 +4294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skeleton": q_skeleton,
         "glcm": q_glcm,
         "silhouette": q_silhouette,
+        "euler": q_euler,
     }
 
 
@@ -6161,6 +6171,12 @@ def _oracle_silhouette() -> str:
     return oracle_silhouette_sql(k=8, rounds=4)
 
 
+def _oracle_euler() -> str:
+    from aira_spark.operators.euler import oracle_euler_sql
+
+    return oracle_euler_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
+
+
 def _oracle_ccf() -> str:
     from aira_spark.operators.ccf import oracle_ccf_sql
 
@@ -7737,6 +7753,7 @@ FROM docs GROUP BY 1
         "skeleton": _oracle_skeleton(),
         "glcm": _oracle_glcm(),
         "silhouette": _oracle_silhouette(),
+        "euler": _oracle_euler(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

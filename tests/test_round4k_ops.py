@@ -3426,3 +3426,54 @@ def test_silhouette_separated_vs_straddling(spark):
     assert tot["n"] == 3 and tot["n_medium"] == 1 and tot["n_strong"] == 2
     for r in got2:
         assert r["sum_b2"] >= r["sum_a2"]       # argmin invariant
+
+
+# ------------------------------------------------------------------- euler
+
+
+def test_euler_islands_minus_lakes(spark):
+    """Solid blob chi=1, ring (donut) chi=0, and together with a third
+    solid blob the GLOBAL chi = components - holes = 3 - 1 = 2; full
+    python mirror of V/E/F per coarse cell."""
+    import numpy as np
+
+    from aira_spark.operators.euler import euler_census
+    from aira_spark.tiff.encode import write_tiff
+
+    a = np.zeros((32, 32), dtype=np.uint8)
+    a[2:7, 2:7] = 255            # solid 5x5 blob -> quadrant (0,1)
+    a[18:25, 18:25] = 255        # 7x7 ring with a 3x3 hole -> (1,0)
+    a[20:23, 20:23] = 0
+    a[24:28, 3:8] = 255          # second solid blob -> (0,0)
+    df = spark.createDataFrame(
+        [("img000", bytearray(write_tiff(
+            a[:, :, None], byteorder="<", layout=("strips", 8),
+            geo=((360.0 / 32, 180.0 / 32, 0.0),
+                 (0.0, 0.0, 0.0, -180.0, 90.0, 0.0)))))],
+        "image_id string, bytes binary")
+    got = {(r["gx"], r["gy"]): (r["v"], r["e"], r["f"], r["chi"])
+           for r in euler_census(df, res=1, patch_bits=4).collect()}
+
+    mask = {(c, 31 - r) for r in range(32) for c in range(32)
+            if a[r, c] >= 128}
+    exp = {}
+    tot = [0, 0, 0]
+    for (x, y) in mask:
+        v = 1
+        e = ((x + 1, y) in mask) + ((x, y + 1) in mask)
+        f = int((x + 1, y) in mask and (x, y + 1) in mask
+                and (x + 1, y + 1) in mask)
+        k = (x // 16, y // 16)
+        cur = exp.setdefault(k, [0, 0, 0])
+        for i, d in enumerate((v, e, f)):
+            cur[i] += d
+            tot[i] += d
+    expd = {k: (v, e, f, v - e + f) for k, (v, e, f) in exp.items()}
+    expd[(-1, -1)] = (tot[0], tot[1], tot[2], tot[0] - tot[1] + tot[2])
+    assert got == expd
+    # global: 3 components, 1 hole -> chi = 2
+    assert got[(-1, -1)][3] == 2
+    # each shape sits alone in its quadrant: solid blobs chi 1, the
+    # ring (one component, one hole) chi exactly 0
+    assert got[(0, 1)][3] == 1 and got[(0, 0)][3] == 1
+    assert got[(1, 0)][3] == 0

@@ -458,6 +458,10 @@ def main() -> None:
         ("silhouette", "final centroids baked as literals: assignment "
                        "+ a2/b2 is a zero-shuffle JVM projection; the "
                        "census is one map-side-combined agg to k rows"),
+        ("euler", "components-minus-holes with ZERO iteration: one "
+                  "constant 4-arm focal scatter + one anchor agg + one "
+                  "bounded census agg — no connected-components rounds, "
+                  "no joins, no Python"),
     ]
     qs = em.queries()
     lines = [
