@@ -3555,6 +3555,15 @@ def q_euler(spark: SparkSession, sf_dir: str) -> DataFrame:
     return euler_census(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
 
 
+def q_dow_season(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week chi² goodness-of-fit census per cell — division-free
+    7·S2 − n² statistic, cross-multiplied 12.592 critical literal,
+    encoded busiest-day argmax (operators/dowseason.py:dow_seasonality)."""
+    from aira_spark.operators.dowseason import dow_seasonality
+
+    return dow_seasonality(_cell_day_events(spark, sf_dir))
+
+
 def q_lacunarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Box-count lacunarity census of the fine-grid occupancy at dyadic
     scales — Λ(r) = N·Σm²/(Σm)² exact, one floor division
@@ -4295,6 +4304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "glcm": q_glcm,
         "silhouette": q_silhouette,
         "euler": q_euler,
+        "dow_season": q_dow_season,
     }
 
 
@@ -6177,6 +6187,12 @@ def _oracle_euler() -> str:
     return oracle_euler_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
 
 
+def _oracle_dow_season() -> str:
+    from aira_spark.operators.dowseason import oracle_dow_sql
+
+    return oracle_dow_sql(_CELL_DAY_SQL)
+
+
 def _oracle_ccf() -> str:
     from aira_spark.operators.ccf import oracle_ccf_sql
 
@@ -7754,6 +7770,7 @@ FROM docs GROUP BY 1
         "glcm": _oracle_glcm(),
         "silhouette": _oracle_silhouette(),
         "euler": _oracle_euler(),
+        "dow_season": _oracle_dow_season(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

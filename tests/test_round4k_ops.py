@@ -3477,3 +3477,37 @@ def test_euler_islands_minus_lakes(spark):
     # ring (one component, one hole) chi exactly 0
     assert got[(0, 1)][3] == 1 and got[(0, 0)][3] == 1
     assert got[(1, 0)][3] == 0
+
+
+# -------------------------------------------------------------- dow_season
+
+
+def test_dow_seasonality_rhythm_vs_uniform(spark):
+    """A cell with all mass on one weekday flags 'weekly'; a perfectly
+    uniform week has chi2_num exactly 0; python mirror of the statistic,
+    argmax and the 12.592 critical compare."""
+    from aira_spark.operators.dowseason import dow_seasonality
+
+    rows = []
+    rows += [(1, d, 1) for d in range(0, 70, 7)]      # cell 1: Mondays only
+    rows += [(2, d, 1) for d in range(70)]            # cell 2: uniform
+    rows += [(3, 0, 1), (3, 1, 1), (3, 8, 1)]         # cell 3: mild skew
+    df = spark.createDataFrame(rows, "cell long, day long, cents long")
+    got = {r["cell"]: r.asDict() for r in dow_seasonality(df).collect()}
+
+    from collections import Counter
+    for cell in (1, 2, 3):
+        days = [d for c, d, _ in rows if c == cell]
+        cnt = Counter(d % 7 for d in days)
+        n = len(days)
+        s2 = sum(v * v for v in cnt.values())
+        chi2_num = 7 * s2 - n * n
+        top = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+        g = got[cell]
+        assert g["n"] == n and g["chi2_num"] == chi2_num
+        assert (g["top_dow"], g["top_cnt"]) == top
+        assert g["weekly"] == int(1000 * chi2_num > 12592 * n)
+    assert got[1]["weekly"] == 1 and got[1]["chi2_num"] == 600
+    assert got[2]["chi2_num"] == 0 and got[2]["weekly"] == 0
+    # cell 3: dow counts {0: 1, 1: 2}: ties impossible; top is Tuesday
+    assert got[3]["top_dow"] == 1 and got[3]["weekly"] == 0

@@ -462,6 +462,10 @@ def main() -> None:
                   "constant 4-arm focal scatter + one anchor agg + one "
                   "bounded census agg — no connected-components rounds, "
                   "no joins, no Python"),
+        ("dow_season", "events fold map-side to (cell, dow) counts "
+                       "(<= 7 rows per cell in the exchange) + one "
+                       "bounded per-cell agg — no joins, no windows, "
+                       "no Python"),
     ]
     qs = em.queries()
     lines = [
