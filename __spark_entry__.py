@@ -3564,6 +3564,28 @@ def q_dow_season(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dow_seasonality(_cell_day_events(spark, sf_dir))
 
 
+def q_prop_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test census between market-segment pairs —
+    conversion = customer placed >= 10 orders; fully cross-multiplied
+    pooled z², 128-bit exact (operators/proptest.py:prop_test)."""
+    from aira_spark.operators.proptest import prop_test
+
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_ord"))
+    )
+    users = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .selectExpr(
+            "c_mktsegment AS segment",
+            "CAST(coalesce(n_ord, 0) >= 10 AS INT) AS converted",
+        )
+    )
+    return prop_test(users)
+
+
 def q_lacunarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Box-count lacunarity census of the fine-grid occupancy at dyadic
     scales — Λ(r) = N·Σm²/(Σm)² exact, one floor division
@@ -4305,6 +4327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "silhouette": q_silhouette,
         "euler": q_euler,
         "dow_season": q_dow_season,
+        "prop_test": q_prop_test,
     }
 
 
@@ -6193,6 +6216,18 @@ def _oracle_dow_season() -> str:
     return oracle_dow_sql(_CELL_DAY_SQL)
 
 
+def _oracle_prop_test() -> str:
+    from aira_spark.operators.proptest import oracle_prop_test_sql
+
+    return oracle_prop_test_sql(
+        "SELECT c.c_mktsegment AS segment, "
+        "CAST(COALESCE(o.n_ord, 0) >= 10 AS INT) AS converted "
+        "FROM customer c LEFT JOIN ("
+        "SELECT o_custkey, COUNT(*) AS n_ord FROM orders GROUP BY 1"
+        ") o ON o.o_custkey = c.c_custkey"
+    )
+
+
 def _oracle_ccf() -> str:
     from aira_spark.operators.ccf import oracle_ccf_sql
 
@@ -7771,6 +7806,7 @@ FROM docs GROUP BY 1
         "silhouette": _oracle_silhouette(),
         "euler": _oracle_euler(),
         "dow_season": _oracle_dow_season(),
+        "prop_test": _oracle_prop_test(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

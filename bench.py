@@ -338,6 +338,7 @@ def main() -> None:
         "silhouette": lambda: em.q_silhouette(spark, sf_dir).count(),
         "euler": lambda: em.q_euler(spark, sf_dir).count(),
         "dow_season": lambda: em.q_dow_season(spark, sf_dir).count(),
+        "prop_test": lambda: em.q_prop_test(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

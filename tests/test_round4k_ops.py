@@ -3511,3 +3511,47 @@ def test_dow_seasonality_rhythm_vs_uniform(spark):
     assert got[2]["chi2_num"] == 0 and got[2]["weekly"] == 0
     # cell 3: dow counts {0: 1, 1: 2}: ties impossible; top is Tuesday
     assert got[3]["top_dow"] == 1 and got[3]["weekly"] == 0
+
+
+# --------------------------------------------------------------- prop_test
+
+
+def test_prop_test_significant_and_degenerate(spark):
+    """Hand cohorts: a 60%-vs-20% split at n=100 is decisively
+    significant both directions; a tiny 2-vs-1 sample is 'ns'; all-zero
+    and all-one pools are degenerate 'ns'; python z mirror cross-checks
+    the integer verdicts."""
+    import math
+
+    from aira_spark.operators.proptest import prop_test
+
+    cohorts = {"A": (100, 60), "B": (100, 20), "C": (3, 2),
+               "D": (5, 0), "E": (4, 4)}
+    rows = []
+    for s, (n, c) in cohorts.items():
+        rows += [(s, 1)] * c + [(s, 0)] * (n - c)
+    df = spark.createDataFrame(rows, "segment string, converted int")
+    got = {(r["seg_a"], r["seg_b"]): r.asDict()
+           for r in prop_test(df).collect()}
+    assert len(got) == 10
+
+    for (sa, sb), g in got.items():
+        n1, c1 = cohorts[sa]
+        n2, c2 = cohorts[sb]
+        assert (g["n1"], g["c1"], g["n2"], g["c2"]) == (n1, c1, n2, c2)
+        assert g["diff_num"] == c1 * n2 - c2 * n1
+        C, N = c1 + c2, n1 + n2
+        if C == 0 or C == N:
+            assert g["verdict"] == "ns"
+            continue
+        p = C / N
+        z = (c1 / n1 - c2 / n2) / math.sqrt(
+            p * (1 - p) * (1 / n1 + 1 / n2))
+        exp = ("higher" if z > 0 else "lower") if abs(z) > 1.96 else "ns"
+        assert g["verdict"] == exp, ((sa, sb), g, z)
+    assert got[("A", "B")]["verdict"] == "higher"
+    assert ("B", "A") not in got                   # unordered pairs only
+    assert got[("B", "C")]["verdict"] == "ns"      # tiny sample
+    # D (0/5) vs E (4/4): pooled C = 4, N = 9 — NOT degenerate, and the
+    # split is extreme enough to flag
+    assert got[("D", "E")]["verdict"] == "lower"

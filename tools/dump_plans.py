@@ -466,6 +466,10 @@ def main() -> None:
                        "(<= 7 rows per cell in the exchange) + one "
                        "bounded per-cell agg — no joins, no windows, "
                        "no Python"),
+        ("prop_test", "conversions fold map-side to one row per "
+                      "segment; the pair frame is a bounded broadcast "
+                      "cross-join of that tiny census with itself — "
+                      "users never pair with users"),
     ]
     qs = em.queries()
     lines = [
