@@ -3586,6 +3586,28 @@ def q_prop_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prop_test(users)
 
 
+def q_nearest_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest zone-boundary segment per point (ST_Distance parity) —
+    exact clamped point-segment integer arithmetic, 128-bit perpendicular
+    case, two-stage argmin (operators/nearedge.py:nearest_edge)."""
+    from aira_spark.operators.nearedge import nearest_edge
+    from aira_spark.sources.vectors import points_table, polygons_table
+
+    polys = polygons_table(spark, sf_dir)
+    edges = polys.selectExpr(
+        "CAST(substr(poly_id, 5) AS BIGINT) AS pkey",
+        "explode(sequence(0, 7)) AS et",
+        "ring",
+    ).selectExpr(
+        "pkey", "CAST(et AS BIGINT) AS et",
+        "element_at(ring, CAST(et + 1 AS INT)).x AS ax",
+        "element_at(ring, CAST(et + 1 AS INT)).y AS ay",
+        "element_at(ring, CAST(et + 2 AS INT)).x AS bx",
+        "element_at(ring, CAST(et + 2 AS INT)).y AS by",
+    )
+    return nearest_edge(points_table(spark, sf_dir), edges)
+
+
 def q_lacunarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Box-count lacunarity census of the fine-grid occupancy at dyadic
     scales — Λ(r) = N·Σm²/(Σm)² exact, one floor division
@@ -4328,6 +4350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "euler": q_euler,
         "dow_season": q_dow_season,
         "prop_test": q_prop_test,
+        "nearest_edge": q_nearest_edge,
     }
 
 
@@ -6228,6 +6251,33 @@ def _oracle_prop_test() -> str:
     )
 
 
+def _oracle_nearest_edge() -> str:
+    from aira_spark.operators.nearedge import oracle_nearest_edge_sql
+    from aira_spark.sources.vectors import (
+        DIRS,
+        points_oracle_sql,
+        poly_cx_sql,
+        poly_cy_sql,
+        poly_rv_sql,
+    )
+
+    rows = []
+    for t in range(8):
+        t2 = (t + 1) % 8
+        ax = f"{poly_cx_sql()} + {poly_rv_sql('n_nationkey', t)} * {DIRS[t][0]!r}"
+        ay = f"{poly_cy_sql()} + {poly_rv_sql('n_nationkey', t)} * {DIRS[t][1]!r}"
+        bx = f"{poly_cx_sql()} + {poly_rv_sql('n_nationkey', t2)} * {DIRS[t2][0]!r}"
+        by = f"{poly_cy_sql()} + {poly_rv_sql('n_nationkey', t2)} * {DIRS[t2][1]!r}"
+        rows.append(
+            f"SELECT CAST(n_nationkey AS BIGINT) AS pkey, "
+            f"CAST({t} AS BIGINT) AS et, {ax} AS ax, {ay} AS ay, "
+            f"{bx} AS bx, {by} AS by FROM nation"
+        )
+    return oracle_nearest_edge_sql(
+        points_oracle_sql(), " UNION ALL ".join(rows)
+    )
+
+
 def _oracle_ccf() -> str:
     from aira_spark.operators.ccf import oracle_ccf_sql
 
@@ -7807,6 +7857,7 @@ FROM docs GROUP BY 1
         "euler": _oracle_euler(),
         "dow_season": _oracle_dow_season(),
         "prop_test": _oracle_prop_test(),
+        "nearest_edge": _oracle_nearest_edge(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -3555,3 +3555,59 @@ def test_prop_test_significant_and_degenerate(spark):
     # D (0/5) vs E (4/4): pooled C = 4, N = 9 — NOT degenerate, and the
     # split is extreme enough to flag
     assert got[("D", "E")]["verdict"] == "lower"
+
+
+# ------------------------------------------------------------ nearest_edge
+
+
+def test_nearest_edge_clamp_cases_and_mirror(spark):
+    """Hand points against two segments exercising all three cases
+    (perpendicular foot, clamp-to-a, clamp-to-b); smallest-edge-key tie
+    break on an equidistant point; full python mirror."""
+    from aira_spark.operators.nearedge import Q, nearest_edge
+
+    # edges in degrees; quantized endpoints are exact integers
+    edges = spark.createDataFrame(
+        [
+            (0, 0, 0.0, 0.0, 1.0, 0.0),    # horizontal unit segment
+            (0, 1, 0.0, 2.0, 1.0, 2.0),    # parallel copy 2 deg north
+            (5, 0, 10.0, 10.0, 10.0, 11.0),  # far vertical segment
+        ],
+        "pkey long, et long, ax double, ay double, bx double, by double",
+    )
+    pts = spark.createDataFrame(
+        [
+            (1, 0.5, 0.3),     # foot on edge (0,0): d = 0.3 deg
+            (2, -0.2, 0.0),    # left of a: clamp to a, d = 0.2
+            (3, 1.4, 0.1),     # right of b: clamp, d2 = .4^2+.1^2
+            (4, 0.5, 1.0),     # EQUIDISTANT between edges (0,0)/(0,1)
+            (5, 10.0, 10.5),   # on the far segment: d = 0
+        ],
+        "point_id long, x double, y double",
+    )
+    got = {r["point_id"]: (r["poly_key"], r["edge_t"], r["d2q"])
+           for r in nearest_edge(pts, edges).collect()}
+
+    e = [(0, 0, 0, 0, Q, 0), (0, 1, 0, 2 * Q, Q, 2 * Q),
+         (5, 0, 10 * Q, 10 * Q, 10 * Q, 11 * Q)]
+    p = [(1, Q // 2, 3 * Q // 10), (2, -Q // 5, 0),
+         (3, 14 * Q // 10, Q // 10), (4, Q // 2, Q), (5, 10 * Q, 10 * Q + Q // 2)]
+
+    def d2(px, py, ax, ay, bx, by):
+        dot = (bx - ax) * (px - ax) + (by - ay) * (py - ay)
+        e2 = (bx - ax) ** 2 + (by - ay) ** 2
+        if dot <= 0 or e2 == 0:
+            return (px - ax) ** 2 + (py - ay) ** 2
+        if dot >= e2:
+            return (px - bx) ** 2 + (py - by) ** 2
+        crs = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+        return (crs * crs) // e2
+    exp = {}
+    for pid, px, py in p:
+        best = min((d2(px, py, *ed[2:]), ed[0] * 8 + ed[1]) for ed in e)
+        exp[pid] = (best[1] // 8, best[1] % 8, best[0])
+    assert got == exp
+    assert got[1][2] == (3 * Q // 10) ** 2          # perpendicular foot
+    assert got[2][2] == (Q // 5) ** 2               # clamp to a
+    assert got[4] == (0, 0, Q * Q)                  # tie -> smaller ekey
+    assert got[5][2] == 0                           # on-segment

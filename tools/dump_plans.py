@@ -470,6 +470,10 @@ def main() -> None:
                       "segment; the pair frame is a bounded broadcast "
                       "cross-join of that tiny census with itself — "
                       "users never pair with users"),
+        ("nearest_edge", "bounded edge dim broadcasts; points x E "
+                         "candidates fold map-side into the per-point "
+                         "argmin + one id-only tie join — points never "
+                         "shuffle at full width"),
     ]
     qs = em.queries()
     lines = [
