@@ -3608,6 +3608,16 @@ def q_nearest_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nearest_edge(points_table(spark, sf_dir), edges)
 
 
+def q_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + exact Cohen's kappa between the pointwise and
+    focal-mean 4-class quantizers of the same mosaic — division-free
+    N²-scaled kappa on the fold row
+    (operators/kappa.py:agreement_census)."""
+    from aira_spark.operators.kappa import agreement_census
+
+    return agreement_census(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
+
+
 def q_lacunarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Box-count lacunarity census of the fine-grid occupancy at dyadic
     scales — Λ(r) = N·Σm²/(Σm)² exact, one floor division
@@ -4351,6 +4361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dow_season": q_dow_season,
         "prop_test": q_prop_test,
         "nearest_edge": q_nearest_edge,
+        "kappa": q_kappa,
     }
 
 
@@ -6867,9 +6878,10 @@ def _oracle_transitions() -> str:
     return oracle_transitions_sql("events")
 
 
-def _oracle_change_census() -> str:
-    from aira_spark.operators.change import oracle_change_sql
-
+def _fine2_cte_sql() -> str:
+    """WITH body ending in fine2(fx, fy, epoch, val) — the two-epoch
+    (k%16==0 vs k%16==8) max-composited fine grids, shared by the
+    change_census and kappa oracles."""
     nf = 1 << (CELL_RES + 4)
     fix = f"CAST(LEAST(GREATEST(FLOOR((x - (-180.0)) / 360.0 * {float(nf)}), 0), {nf - 1}) AS BIGINT)"
     fiy = f"CAST(LEAST(GREATEST(FLOOR((y - (-90.0)) / 180.0 * {float(nf)}), 0), {nf - 1}) AS BIGINT)"
@@ -6885,7 +6897,19 @@ vals AS (
 ),
 fine2 AS (SELECT {fix} AS fx, {fiy} AS fy, epoch,
           CAST(MAX(val) AS BIGINT) AS val FROM vals GROUP BY 1, 2, 3)"""
-    return oracle_change_sql(fine2, patch_bits=4)
+    return fine2
+
+
+def _oracle_change_census() -> str:
+    from aira_spark.operators.change import oracle_change_sql
+
+    return oracle_change_sql(_fine2_cte_sql(), patch_bits=4)
+
+
+def _oracle_kappa() -> str:
+    from aira_spark.operators.kappa import oracle_kappa_sql
+
+    return oracle_kappa_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
 
 
 def _oracle_fuzzy_join() -> str:
@@ -7858,6 +7882,7 @@ FROM docs GROUP BY 1
         "dow_season": _oracle_dow_season(),
         "prop_test": _oracle_prop_test(),
         "nearest_edge": _oracle_nearest_edge(),
+        "kappa": _oracle_kappa(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

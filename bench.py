@@ -340,6 +340,7 @@ def main() -> None:
         "dow_season": lambda: em.q_dow_season(spark, sf_dir).count(),
         "prop_test": lambda: em.q_prop_test(spark, sf_dir).count(),
         "nearest_edge": lambda: em.q_nearest_edge(spark, sf_dir).count(),
+        "kappa": lambda: em.q_kappa(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

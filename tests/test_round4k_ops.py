@@ -3611,3 +3611,69 @@ def test_nearest_edge_clamp_cases_and_mirror(spark):
     assert got[2][2] == (Q // 5) ** 2               # clamp to a
     assert got[4] == (0, 0, Q * Q)                  # tie -> smaller ekey
     assert got[5][2] == 0                           # on-segment
+
+
+# ------------------------------------------------------------------- kappa
+
+
+def test_kappa_flat_vs_gradient_mirror(spark):
+    """Flat tile: pointwise == focal-mean everywhere -> kappa exactly 1
+    (num == den, single class row); a steep class-boundary stripe makes
+    the smoothed map disagree near the seam; full python mirror of the
+    confusion matrix and the N^2-scaled kappa fold."""
+    import numpy as np
+
+    from aira_spark.operators.kappa import agreement_census
+    from aira_spark.tiff.encode import write_tiff
+
+    def img(arr):
+        return spark.createDataFrame(
+            [("img000", bytearray(write_tiff(
+                arr[:, :, None], byteorder="<", layout=("strips", 8),
+                geo=((360.0 / 32, 180.0 / 32, 0.0),
+                     (0.0, 0.0, 0.0, -180.0, 90.0, 0.0)))))],
+            "image_id string, bytes binary")
+
+    flat = np.full((32, 32), 100, dtype=np.uint8)
+    got = {(r["class_a"], r["class_b"]): r.asDict()
+           for r in agreement_census(img(flat), res=1, patch_bits=4)
+           .collect()}
+    fold = got[(-1, -1)]
+    assert fold["cnt"] == 30 * 30                  # complete windows
+    assert got[(1, 1)]["cnt"] == 900               # one diagonal class
+    # single class: pe == N^2 -> kappa 0/0 (undefined, shipped raw)
+    assert fold["kappa_num"] == fold["kappa_den"] == 0
+
+    stripe = np.full((32, 32), 32, dtype=np.uint8)   # class 0
+    stripe[:, 16:] = 224                             # class 3
+    got2 = {(r["class_a"], r["class_b"]): r.asDict()
+            for r in agreement_census(img(stripe), res=1, patch_bits=4)
+            .collect()}
+    val = {(c, 31 - r): int(stripe[r, c])
+           for r in range(32) for c in range(32)}
+    conf = {}
+    for (x, y), cv in val.items():
+        win = [(x + dx, y + dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+        if not all(p in val for p in win):
+            continue
+        s9 = sum(val[p] for p in win)
+        key = (cv // 64, (s9 // 9) // 64)
+        conf[key] = conf.get(key, 0) + 1
+    n = sum(conf.values())
+    diag = sum(v for (a, b), v in conf.items() if a == b)
+    rows = {}
+    cols = {}
+    for (a, b), v in conf.items():
+        rows[a] = rows.get(a, 0) + v
+        cols[b] = cols.get(b, 0) + v
+    pe = sum(rows[k] * cols.get(k, 0) for k in rows)
+    for key, v in conf.items():
+        assert got2[key]["cnt"] == v
+    f2 = got2[(-1, -1)]
+    assert f2["cnt"] == n
+    assert f2["kappa_num"] == n * diag - pe
+    assert f2["kappa_den"] == n * n - pe
+    # the seam mixes classes: off-diagonal rows exist but agreement
+    # still dominates -> 0 < kappa < 1 strictly
+    assert any(a != b for (a, b) in conf)
+    assert 0 < f2["kappa_num"] < f2["kappa_den"]

@@ -474,6 +474,9 @@ def main() -> None:
                          "candidates fold map-side into the per-point "
                          "argmin + one id-only tie join — points never "
                          "shuffle at full width"),
+        ("kappa", "the change_census union-fold (no raster join) + one "
+                  "map-side-combined agg to <= 16 confusion rows; every "
+                  "kappa ingredient folds from those 16 rows"),
     ]
     qs = em.queries()
     lines = [
