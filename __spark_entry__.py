@@ -3618,6 +3618,15 @@ def q_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agreement_census(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
 
 
+def q_bilateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-preserving bilateral filter over complete 3×3 windows —
+    binomial spatial kernel × compile-time exp range table, one floor
+    division (operators/bilateral.py:bilateral)."""
+    from aira_spark.operators.bilateral import bilateral
+
+    return bilateral(_images(spark, sf_dir, modulo=8), CELL_RES, 4)
+
+
 def q_lacunarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Box-count lacunarity census of the fine-grid occupancy at dyadic
     scales — Λ(r) = N·Σm²/(Σm)² exact, one floor division
@@ -4362,6 +4371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prop_test": q_prop_test,
         "nearest_edge": q_nearest_edge,
         "kappa": q_kappa,
+        "bilateral": q_bilateral,
     }
 
 
@@ -6912,6 +6922,12 @@ def _oracle_kappa() -> str:
     return oracle_kappa_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
 
 
+def _oracle_bilateral() -> str:
+    from aira_spark.operators.bilateral import oracle_bilateral_sql
+
+    return oracle_bilateral_sql(_fine_cte_sql(modulo=8), CELL_RES, 4)
+
+
 def _oracle_fuzzy_join() -> str:
     from aira_spark.operators.fuzzy import oracle_fuzzy_sql
 
@@ -7883,6 +7899,7 @@ FROM docs GROUP BY 1
         "prop_test": _oracle_prop_test(),
         "nearest_edge": _oracle_nearest_edge(),
         "kappa": _oracle_kappa(),
+        "bilateral": _oracle_bilateral(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -341,6 +341,7 @@ def main() -> None:
         "prop_test": lambda: em.q_prop_test(spark, sf_dir).count(),
         "nearest_edge": lambda: em.q_nearest_edge(spark, sf_dir).count(),
         "kappa": lambda: em.q_kappa(spark, sf_dir).count(),
+        "bilateral": lambda: em.q_bilateral(spark, sf_dir).count(),
     }
     # SPARK_GRAFT_BENCH_QUERIES: comma list to restrict the per-query pass,
     # or "none" for pipeline-only runs (the scaling sweeps time the headline

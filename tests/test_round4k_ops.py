@@ -3677,3 +3677,61 @@ def test_kappa_flat_vs_gradient_mirror(spark):
     # still dominates -> 0 < kappa < 1 strictly
     assert any(a != b for (a, b) in conf)
     assert 0 < f2["kappa_num"] < f2["kappa_den"]
+
+
+# --------------------------------------------------------------- bilateral
+
+
+def test_bilateral_preserves_edges_smooths_noise(spark):
+    """A step edge survives (smoothed stays on its own side) while an
+    isolated noisy pixel is pulled toward its flat neighborhood; flat
+    regions are fixed points; full python mirror of the weighted fold."""
+    import math
+
+    import numpy as np
+
+    from aira_spark.operators.bilateral import (
+        _SPATIAL, bilateral, range_table,
+    )
+    from aira_spark.tiff.encode import write_tiff
+
+    a = np.full((32, 32), 40, dtype=np.uint8)
+    a[:, 16:] = 200                 # hard step edge
+    a[8, 8] = 70                    # mild speckle on the flat side
+    df = spark.createDataFrame(
+        [("img000", bytearray(write_tiff(
+            a[:, :, None], byteorder="<", layout=("strips", 8),
+            geo=((360.0 / 32, 180.0 / 32, 0.0),
+                 (0.0, 0.0, 0.0, -180.0, 90.0, 0.0)))))],
+        "image_id string, bytes binary")
+    got = {(r["fx"], r["fy"]): (r["val"], r["smoothed"])
+           for r in bilateral(df, res=1, patch_bits=4).collect()}
+
+    val = {(c, 31 - r): int(a[r, c]) for r in range(32) for c in range(32)}
+    rt = range_table()
+    exp = {}
+    for (x, y), cv in val.items():
+        win = {(dx, dy): (x + dx, y + dy) for dx, dy in _SPATIAL}
+        if not all(p in val for p in win.values()):
+            continue
+        num = den = 0
+        for (dx, dy), p in win.items():
+            w = _SPATIAL[(dx, dy)] * rt[abs(val[p] - cv)]
+            num += w * val[p]
+            den += w
+        exp[(x, y)] = (cv, num // den)
+    assert got == exp
+    # flat interior: exact fixed point
+    assert got[(4, 20)] == (40, 40)
+    # cells adjacent to the step stay on their own side (edge preserved:
+    # the 160-gap range weight is ~0) — strictly closer to own value
+    lo, _ = got[(15, 10)]
+    assert lo == 40 and abs(got[(15, 10)][1] - 40) <= 2
+    hi, sm = got[(16, 10)]
+    assert hi == 200 and abs(sm - 200) <= 2
+    # the speckle is pulled DOWN toward its flat neighborhood
+    v, s = got[(8, 23)]
+    assert v == 70 and s < 70 and s >= 40
+    # range table sanity: exp(0) -> 1024, monotone decreasing
+    assert rt[0] == 1024 and rt[30] < rt[10] < rt[0]
+    assert math.isclose(rt[50] / 1024, math.exp(-0.5), rel_tol=0.01)

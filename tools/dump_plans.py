@@ -477,6 +477,10 @@ def main() -> None:
         ("kappa", "the change_census union-fold (no raster join) + one "
                   "map-side-combined agg to <= 16 confusion rows; every "
                   "kappa ingredient folds from those 16 rows"),
+        ("bilateral", "one constant-9-arm focal scatter into per-offset "
+                      "slots + one hash agg; the weighted fold is a "
+                      "pure projection over literal arrays — no joins, "
+                      "no Python past the decode"),
     ]
     qs = em.queries()
     lines = [
