@@ -6,9 +6,10 @@ computing the same result *from first principles* (closed-form image params
 derived from `part` keys — see aira_spark/sources/images.py), so the check
 covers the full encode -> decode -> operate path, not a tautology.
 
-Rows-only entries (no oracle): verify_invariants (it IS the verification gate
-— pixels/captions/phash against the generation formula; legitimately
-self-oracle). Everything else carries an exact DuckDB oracle, including the
+Every entry carries an exact DuckDB oracle — including verify_invariants
+(the PSNR/caption/phash gate), which since round 5 emits a per-variant pass
+CENSUS whose expected all-pass counts DuckDB states from the closed-form
+image census (no more rows-only rows in the driver file) — and the
 physical-plan variants (pip_salted reuses pip's oracle — identical results by
 construction; streaming_hourly reuses events_hourly's — stream==batch) and
 the ANN family (deterministic SQL-expressible hyperplanes / seed centroids).
@@ -143,6 +144,39 @@ fine AS (SELECT {fix} AS fx, {fiy} AS fy, CAST(MAX(val) AS BIGINT) AS val
 
 
 _IMG_CACHE: dict[str, DataFrame] = {}
+_KNN_EDGE_CACHE: dict[str, DataFrame] = {}
+
+
+def _knn_edges(
+    spark: SparkSession, sf_dir: str, cols: tuple[str, str] = ("src", "dst")
+) -> DataFrame:
+    """The shared kNN digraph of the points table (k=6 including self,
+    self-edge dropped -> exactly 5 out-edges per node), built ONCE per
+    sf_dir and pinned with an eager localCheckpoint (SURVEY §8 rule #4:
+    iterative / multi-consumer graph ops MUST pin their edge input — the
+    hits_fixed lesson, 131s -> 25s, and VERDICT r4 items 3+5). One code
+    path feeds pagerank / hits / label_prop / clustering / modularity /
+    adamic_adar / link_pred; without the pin, each query re-executed the
+    whole kNN build per consumer (clustering consumed it twice)."""
+    df = _KNN_EDGE_CACHE.get(sf_dir)
+    if df is None or df.sparkSession is not spark:
+        from aira_spark.operators.spatial import knn_join
+        from aira_spark.sources.vectors import points_table
+
+        pts = points_table(spark, sf_dir)
+        queries_df = pts.selectExpr("point_id AS query_id", "x", "y")
+        nn = knn_join(queries_df, pts, k=6, res=CELL_RES)
+        df = (
+            nn.filter(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+            )
+            .localCheckpoint(eager=True)
+        )
+        _KNN_EDGE_CACHE[sf_dir] = df
+    if cols != ("src", "dst"):
+        df = df.select(F.col("src").alias(cols[0]), F.col("dst").alias(cols[1]))
+    return df
 
 
 def _images(spark: SparkSession, sf_dir: str, modulo: int | None = None) -> DataFrame:
@@ -1034,12 +1068,31 @@ def q_ifd_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_verify_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE north-rule verification gate (BASELINE.json:15 — decoded pixels
+    allclose/PSNR>=40dB, captions byte-equal, phash equal). Census form
+    (round 5, VERDICT r4 item 2): instead of emitting the passing rows
+    (rows-only, which burned a head slot on an `err: no_oracle` row for four
+    rounds), aggregate pass counts per encode-variant v = k % 12 so the
+    DuckDB oracle can state the expected all-pass census from first
+    principles (the image count per variant). Any decode, caption, or phash
+    break drops a count for that variant and fails the hash — strictly
+    stronger than the old filtered-rows form, which could not distinguish
+    WHICH invariant failed."""
     from aira_spark.functions.udfs import VERIFY_SCHEMA, verify_batches
 
-    return _images(spark, sf_dir, modulo=4).mapInPandas(
+    per_row = _images(spark, sf_dir, modulo=4).mapInPandas(
         verify_batches, schema=VERIFY_SCHEMA
-    ).filter(
-        F.col("caption_match") & F.col("phash_match") & F.col("pixels_psnr_ok")
+    )
+    return per_row.groupBy(
+        F.expr("CAST(substr(image_id, 4) AS BIGINT) % 12").alias("v")
+    ).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col("caption_match").cast("long")).cast("long").alias("n_caption"),
+        F.sum(F.col("phash_match").cast("long")).cast("long").alias("n_phash"),
+        F.sum(F.col("pixels_psnr_ok").cast("long")).cast("long").alias("n_psnr"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_errors"),
     )
 
 
@@ -1135,15 +1188,8 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly 5 out-edges per node). Integer contributions make every round
     order-independent, so the unrolled DuckDB CTE chain matches exactly."""
     from aira_spark.operators.graph import pagerank_fixed
-    from aira_spark.operators.spatial import knn_join
-    from aira_spark.sources.vectors import points_table
 
-    pts = points_table(spark, sf_dir)
-    queries = pts.selectExpr("point_id AS query_id", "x", "y")
-    nn = knn_join(queries, pts, k=6, res=CELL_RES)
-    edges = nn.filter(F.col("neighbor_id") != F.col("query_id")).select(
-        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
-    )
+    edges = _knn_edges(spark, sf_dir)
     # SPARK_GRAFT_PAGERANK_ROUNDS: bench-only trim (bench.py sets 6 — cost
     # there is 10 synchronous rounds on a contended host, not data); the
     # driver's correctness run leaves it unset, matching the 10-round oracle
@@ -3082,16 +3128,8 @@ def q_link_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join + anti-join, id-only exchanges, all-integer scores
     (operators/linkpred.py:link_prediction)."""
     from aira_spark.operators.linkpred import link_prediction
-    from aira_spark.operators.spatial import knn_join
-    from aira_spark.sources.vectors import points_table
 
-    pts = points_table(spark, sf_dir)
-    queries_df = pts.selectExpr("point_id AS query_id", "x", "y")
-    nn = knn_join(queries_df, pts, k=6, res=CELL_RES)
-    edges = nn.filter(F.col("neighbor_id") != F.col("query_id")).select(
-        F.col("query_id").alias("doc_a"), F.col("neighbor_id").alias("doc_b")
-    )
-    return link_prediction(edges, min_common=2)
+    return link_prediction(_knn_edges(spark, sf_dir, ("doc_a", "doc_b")), min_common=2)
 
 
 def q_dither(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3275,15 +3313,8 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     majority vote in the closed neighborhood, fixed synchronous rounds
     (operators/graph.py:label_prop)."""
     from aira_spark.operators.graph import label_prop
-    from aira_spark.operators.spatial import knn_join
-    from aira_spark.sources.vectors import points_table
 
-    pts = points_table(spark, sf_dir)
-    queries = pts.selectExpr("point_id AS query_id", "x", "y")
-    nn = knn_join(queries, pts, k=6, res=CELL_RES)
-    edges = nn.filter(F.col("neighbor_id") != F.col("query_id")).select(
-        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
-    )
+    edges = _knn_edges(spark, sf_dir)
     # SPARK_GRAFT_LP_ROUNDS: bench-only round trim (the pagerank knob);
     # driver correctness runs leave it unset, matching the 6-round oracle
     rounds = int(os.environ.get("SPARK_GRAFT_LP_ROUNDS", "6"))
@@ -3372,16 +3403,8 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights from a compile-time table, honest n_unscored census
     (operators/linkpred.py:adamic_adar)."""
     from aira_spark.operators.linkpred import adamic_adar
-    from aira_spark.operators.spatial import knn_join
-    from aira_spark.sources.vectors import points_table
 
-    pts = points_table(spark, sf_dir)
-    queries_df = pts.selectExpr("point_id AS query_id", "x", "y")
-    nn = knn_join(queries_df, pts, k=6, res=CELL_RES)
-    edges = nn.filter(F.col("neighbor_id") != F.col("query_id")).select(
-        F.col("query_id").alias("doc_a"), F.col("neighbor_id").alias("doc_b")
-    )
-    return adamic_adar(edges, min_common=2)
+    return adamic_adar(_knn_edges(spark, sf_dir, ("doc_a", "doc_b")), min_common=2)
 
 
 def q_tophat(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3444,15 +3467,8 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     division ships (operators/modularity.py:modularity)."""
     from aira_spark.operators.graph import label_prop
     from aira_spark.operators.modularity import modularity
-    from aira_spark.operators.spatial import knn_join
-    from aira_spark.sources.vectors import points_table
 
-    pts = points_table(spark, sf_dir)
-    queries = pts.selectExpr("point_id AS query_id", "x", "y")
-    nn = knn_join(queries, pts, k=6, res=CELL_RES)
-    edges = nn.filter(F.col("neighbor_id") != F.col("query_id")).select(
-        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
-    ).localCheckpoint(eager=True)  # shared by label_prop AND modularity
+    edges = _knn_edges(spark, sf_dir)  # pinned; shared by label_prop AND modularity
     labels = label_prop(edges, rounds=6).select("node", "label")
     return modularity(edges, labels)
 
@@ -3462,16 +3478,8 @@ def q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold row over the kNN digraph — division-free deciles via (20T) DIV
     d(d-1) (operators/clustering.py:clustering_census)."""
     from aira_spark.operators.clustering import clustering_census
-    from aira_spark.operators.spatial import knn_join
-    from aira_spark.sources.vectors import points_table
 
-    pts = points_table(spark, sf_dir)
-    queries = pts.selectExpr("point_id AS query_id", "x", "y")
-    nn = knn_join(queries, pts, k=6, res=CELL_RES)
-    edges = nn.filter(F.col("neighbor_id") != F.col("query_id")).select(
-        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
-    )
-    return clustering_census(edges)
+    return clustering_census(_knn_edges(spark, sf_dir))
 
 
 def q_voronoi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3823,15 +3831,8 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     L1-normalized micros per round, exact across engines and parallelism
     (operators/graph.py:hits_fixed)."""
     from aira_spark.operators.graph import hits_fixed
-    from aira_spark.operators.spatial import knn_join
-    from aira_spark.sources.vectors import points_table
 
-    pts = points_table(spark, sf_dir)
-    queries = pts.selectExpr("point_id AS query_id", "x", "y")
-    nn = knn_join(queries, pts, k=6, res=CELL_RES)
-    edges = nn.filter(F.col("neighbor_id") != F.col("query_id")).select(
-        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
-    )
+    edges = _knn_edges(spark, sf_dir)
     # SPARK_GRAFT_HITS_ROUNDS: bench-only trim (the pagerank knob's twin —
     # cost is synchronous rounds, not data); the driver's correctness run
     # leaves it unset, matching the 5-round oracle
@@ -4097,117 +4098,31 @@ def q_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # FIRST-50 DISCIPLINE: the driver's CORRECTNESS report records only the
-    # first 50 entries, so every NEW or previously-unrecorded query sits in
-    # the head, and the tail (51+) holds only entries whose oracle was
-    # hash-green in at least TWO driver files (meta_decode,
-    # overview_select, crs_info, band_index, ifd_dump, q1_pricing,
-    # top_customers, and — rotated out to make room for the round-3 group
-    # approx_distinct/focal_mean/focal_gradient/classifier_scores/
-    # streaming_hll/augment_stats/cms_counts/inverted_index/
-    # cross_modal_dedup/dissolve/idw/streaming_cms/pagerank —
-    # fingerprints, zonal_by_polygon,
-    # ngram_jaccard, ann_cosine_topk, events_hourly, sessionize,
-    # stateful_totals, within_distance, zonal_exact, footprint_poly,
-    # resize_thumbs, mosaic, dedup_exact [whose oracle stays in the head
-    # via streaming_dedup]; round 4 rotated simhash + dedup_minhash +
-    # dedup_clusters + zonal_rollup + zonal_bands + rasterize_cells +
-    # window_read + text_features + zonal_stats + pip [all r1+r2+r3
-    # green] out for png_decode + bpe_tokens + kmeans + lm_score +
-    # cover_morph + poly_metrics + point_density + grid_dbscan +
-    # hll_setops + streaming_density; pip's refine path stays head-checked
-    # via pip_salted, which shares its oracle formulation) —
-    # re-verifiable any time via tools/check_oracle.py.
-    # The four r3 driver-reds (inverted_index, approx_distinct,
-    # streaming_hll, pack_sequences) stay in the head until they have a
-    # green DRIVER row, per VERDICT r3 item 2.
+    # FIRST-50 DISCIPLINE (round 5 rotation, VERDICT r4 item 1): the driver
+    # records only the first 50 entries, so the head is now 50 queries with
+    # NO prior green driver row — verify_invariants (4 rounds of
+    # `err: no_oracle`; it now carries a per-variant census self-oracle, see
+    # _oracle_verify_invariants) followed by the 49 oldest never-checked
+    # tail queries (pyramid .. rfm, added round-4c/4d), in added order.
+    # CORRECTNESS_r05 green on all 50 = 50 FIRST-TIME greens, dropping the
+    # never-driver-checked count from 164 to 115.
+    #
+    # Tail layout (51+), in rotation priority order:
+    #   1. the remaining 115 never-driver-checked queries (wht_sig ..
+    #      bilateral, added order) — next rotation's candidates; every one is
+    #      green in the local driver-gate replica (tools/check_oracle.py,
+    #      row/schema/value-hash + driver-parity pandas canon vs DuckDB at
+    #      sf0.01 — full-roster sweep re-run this round);
+    #   2. the 49 round-4 head entries (ratio_sort .. semantic_dedup), all
+    #      hash-green in CORRECTNESS_r04 — many were first-time greens there,
+    #      rotated out anyway per VERDICT r4 item 1 (the driver-row debt
+    #      outranks the two-green rule this round; each remains re-verifiable
+    #      any time via tools/check_oracle.py);
+    #   3. the long-standing two-green tail (simhash .. top_customers), green
+    #      in >=2 driver files across rounds 1-4 (rotation history for these
+    #      is preserved in git: see this comment at tags r2..r4).
     return {
-        "ratio_sort": q_ratio_sort,
-        "tile_assign": q_tile_assign,
-        "cell_cover": q_cell_cover,
-        "cell_compact": q_cell_compact,
-        "cover_morph": q_cover_morph,
-        "dissolve": q_dissolve,
-        "focal_mean": q_focal_mean,
-        "focal_gradient": q_focal_gradient,
-        "point_density": q_point_density,
-        "grid_dbscan": q_grid_dbscan,
-        "poly_metrics": q_poly_metrics,
-        "pip_salted": q_pip_salted,
-        "knn": q_knn,
-        "idw": q_idw,
-        "pagerank": q_pagerank,
-        "augment_stats": q_augment_stats,
-        "zonal_quantiles": q_zonal_quantiles,
-        "band_histogram": q_band_histogram,
-        "rasterize_tiles": q_rasterize_tiles,
-        "raster_regions": q_raster_regions,
-        "patch_stats": q_patch_stats,
-        "png_decode": q_png_decode,
-        "phash_dedup": q_phash_dedup,
-        "cross_modal_dedup": q_cross_modal_dedup,
-        "asof_join": q_asof_join,
-        "streaming_hourly": q_streaming_hourly,
-        "streaming_cover": q_streaming_cover,
-        "streaming_dedup": q_streaming_dedup,
-        "streaming_hll": q_streaming_hll,
-        "hll_setops": q_hll_setops,
-        "streaming_density": q_streaming_density,
-        "streaming_cms": q_streaming_cms,
-        "corpus_sample": q_corpus_sample,
-        "bm25": q_bm25,
-        "inverted_index": q_inverted_index,
-        "lm_score": q_lm_score,
-        "repetition_filter": q_repetition_filter,
-        "corpus_clean": q_corpus_clean,
-        "decontaminate": q_decontaminate,
-        "pack_sequences": q_pack_sequences,
-        "bpe_tokens": q_bpe_tokens,
-        "approx_distinct": q_approx_distinct,
-        "cms_counts": q_cms_counts,
-        "classifier_scores": q_classifier_scores,
-        "kmeans": q_kmeans,
-        "lsh_ann": q_lsh_ann,
-        "ivf_ann": q_ivf_ann,
-        "embedding_near_dup": q_embedding_near_dup,
-        "semantic_dedup": q_semantic_dedup,
         "verify_invariants": q_verify_invariants,
-        "simhash": q_simhash,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_clusters": q_dedup_clusters,
-        "zonal_rollup": q_zonal_rollup,
-        "zonal_bands": q_zonal_bands,
-        "rasterize_cells": q_rasterize_cells,
-        "window_read": q_window_read,
-        "text_features": q_text_features,
-        "zonal_stats": q_zonal_stats,
-        "pip": q_pip,
-        "fingerprints": q_fingerprints,
-        "dedup_exact": q_dedup_exact,
-        "mosaic": q_mosaic,
-        "resize_thumbs": q_resize_thumbs,
-        "footprint_poly": q_footprint_poly,
-        "zonal_exact": q_zonal_exact,
-        "within_distance": q_within_distance,
-        "stateful_totals": q_stateful_totals,
-        "sessionize": q_sessionize,
-        "events_hourly": q_events_hourly,
-        "zonal_by_polygon": q_zonal_by_polygon,
-        "ngram_jaccard": q_ngram_jaccard,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "meta_decode": q_meta_decode,
-        "overview_select": q_overview_select,
-        "crs_info": q_crs_info,
-        "band_index": q_band_index,
-        "ifd_dump": q_ifd_dump,
-        "q1_pricing": q_q1_pricing,
-        "top_customers": q_top_customers,
-        # --- round-4 late additions (entries 81+): tail-placed — the
-        # head-50 is full of entries awaiting their FIRST green driver row
-        # this round. Every tail entry below is green in the local replica
-        # of the driver gate (tools/check_oracle.py, 139/139 OK incl. the
-        # driver-parity pandas canon hash) and slated to rotate into the
-        # head across round 5 as head slots go driver-green.
         "pyramid": q_pyramid,
         "contours": q_contours,
         "autocorr": q_autocorr,
@@ -4372,6 +4287,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_edge": q_nearest_edge,
         "kappa": q_kappa,
         "bilateral": q_bilateral,
+        "ratio_sort": q_ratio_sort,
+        "tile_assign": q_tile_assign,
+        "cell_cover": q_cell_cover,
+        "cell_compact": q_cell_compact,
+        "cover_morph": q_cover_morph,
+        "dissolve": q_dissolve,
+        "focal_mean": q_focal_mean,
+        "focal_gradient": q_focal_gradient,
+        "point_density": q_point_density,
+        "grid_dbscan": q_grid_dbscan,
+        "poly_metrics": q_poly_metrics,
+        "pip_salted": q_pip_salted,
+        "knn": q_knn,
+        "idw": q_idw,
+        "pagerank": q_pagerank,
+        "augment_stats": q_augment_stats,
+        "zonal_quantiles": q_zonal_quantiles,
+        "band_histogram": q_band_histogram,
+        "rasterize_tiles": q_rasterize_tiles,
+        "raster_regions": q_raster_regions,
+        "patch_stats": q_patch_stats,
+        "png_decode": q_png_decode,
+        "phash_dedup": q_phash_dedup,
+        "cross_modal_dedup": q_cross_modal_dedup,
+        "asof_join": q_asof_join,
+        "streaming_hourly": q_streaming_hourly,
+        "streaming_cover": q_streaming_cover,
+        "streaming_dedup": q_streaming_dedup,
+        "streaming_hll": q_streaming_hll,
+        "hll_setops": q_hll_setops,
+        "streaming_density": q_streaming_density,
+        "streaming_cms": q_streaming_cms,
+        "corpus_sample": q_corpus_sample,
+        "bm25": q_bm25,
+        "inverted_index": q_inverted_index,
+        "lm_score": q_lm_score,
+        "repetition_filter": q_repetition_filter,
+        "corpus_clean": q_corpus_clean,
+        "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
+        "bpe_tokens": q_bpe_tokens,
+        "approx_distinct": q_approx_distinct,
+        "cms_counts": q_cms_counts,
+        "classifier_scores": q_classifier_scores,
+        "kmeans": q_kmeans,
+        "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
+        "embedding_near_dup": q_embedding_near_dup,
+        "semantic_dedup": q_semantic_dedup,
+        "simhash": q_simhash,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_clusters": q_dedup_clusters,
+        "zonal_rollup": q_zonal_rollup,
+        "zonal_bands": q_zonal_bands,
+        "rasterize_cells": q_rasterize_cells,
+        "window_read": q_window_read,
+        "text_features": q_text_features,
+        "zonal_stats": q_zonal_stats,
+        "pip": q_pip,
+        "fingerprints": q_fingerprints,
+        "dedup_exact": q_dedup_exact,
+        "mosaic": q_mosaic,
+        "resize_thumbs": q_resize_thumbs,
+        "footprint_poly": q_footprint_poly,
+        "zonal_exact": q_zonal_exact,
+        "within_distance": q_within_distance,
+        "stateful_totals": q_stateful_totals,
+        "sessionize": q_sessionize,
+        "events_hourly": q_events_hourly,
+        "zonal_by_polygon": q_zonal_by_polygon,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "meta_decode": q_meta_decode,
+        "overview_select": q_overview_select,
+        "crs_info": q_crs_info,
+        "band_index": q_band_index,
+        "ifd_dump": q_ifd_dump,
+        "q1_pricing": q_q1_pricing,
+        "top_customers": q_top_customers,
     }
 
 
@@ -4412,6 +4406,25 @@ SELECT 'res', image_id, CAST(72 + k % 97 AS BIGINT),
          ORDER BY CAST(72 + k % 97 AS DOUBLE) / (1 + k % 5), image_id
        ) AS BIGINT)
 FROM meta WHERE k % 8 = 0
+"""
+
+
+def _oracle_verify_invariants() -> str:
+    """Expected all-pass census per variant, from first principles: the
+    generator and verifier share one formula (sources/images.py), so for
+    every variant the pass counts MUST equal the image count and the error
+    count MUST be zero. DuckDB states that expectation independently from
+    the closed-form image census (_IMG_CTE); Spark earns it only by
+    actually round-tripping encode -> decode -> phash/caption/PSNR."""
+    return f"""
+WITH {_IMG_CTE}
+SELECT CAST(v AS BIGINT) AS v,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(*) AS BIGINT) AS n_caption,
+  CAST(COUNT(*) AS BIGINT) AS n_phash,
+  CAST(COUNT(*) AS BIGINT) AS n_psnr,
+  CAST(0 AS BIGINT) AS n_errors
+FROM meta WHERE k % 4 = 0 GROUP BY 1
 """
 
 
@@ -7718,6 +7731,7 @@ FROM docs GROUP BY 1
     return {
         "meta_decode": _oracle_meta_decode(),
         "ratio_sort": _oracle_ratio_sort(),
+        "verify_invariants": _oracle_verify_invariants(),
         "tile_assign": _oracle_tile_assign(),
         "cell_cover": _oracle_cell_cover(),
         "cell_compact": _oracle_cell_compact(),
