@@ -6903,8 +6903,10 @@ def _oracle_transitions() -> str:
 
 def _fine2_cte_sql() -> str:
     """WITH body ending in fine2(fx, fy, epoch, val) — the two-epoch
-    (k%16==0 vs k%16==8) max-composited fine grids, shared by the
-    change_census and kappa oracles."""
+    (k%16==0 vs k%16==8) max-composited fine grids, used only by the
+    change_census oracle (the kappa oracle deliberately dropped the
+    cross-epoch framing — it uses _fine_cte_sql(modulo=8) to compare two
+    classifiers on ONE epoch; see kappa.py's docstring)."""
     nf = 1 << (CELL_RES + 4)
     fix = f"CAST(LEAST(GREATEST(FLOOR((x - (-180.0)) / 360.0 * {float(nf)}), 0), {nf - 1}) AS BIGINT)"
     fiy = f"CAST(LEAST(GREATEST(FLOOR((y - (-90.0)) / 180.0 * {float(nf)}), 0), {nf - 1}) AS BIGINT)"

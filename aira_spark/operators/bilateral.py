@@ -64,7 +64,15 @@ def bilateral(
     fine = mosaic_cell_values(images, res, patch_bits).select(
         (cell_ix(F.col("cell")) * pb + F.col("pc")).alias("fx"),
         (cell_iy(F.col("cell")) * pb + F.col("pr")).alias("fy"),
-        "val",
+        # loud in-row guard (zero extra jobs): the 256-entry Gaussian range
+        # table can only index |v_i - v11| for u8 values — a band value
+        # outside [0,255] must raise, not silently NULL the element_at
+        F.expr(
+            "CASE WHEN val BETWEEN 0 AND 255 THEN val ELSE "
+            "raise_error(concat('bilateral: band value ', "
+            "CAST(val AS STRING), ' outside [0,255] — the 256-entry "
+            "range table cannot index it; rescale the band first')) END"
+        ).alias("val"),
     )
     arms = ", ".join(
         f"named_struct('tx', fx - {dx}, 'ty', fy - {dy}, "

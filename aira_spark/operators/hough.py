@@ -69,6 +69,17 @@ def hough_lines(
     vote emits exactly one peak row."""
     pb = 1 << patch_bits
     nf = 1 << (res + patch_bits)
+    # encode bound, CHECKED not assumed (the voronoi rule): the encoded
+    # argmax votes*2^32 + (2^32-1-bin) overflows int64 at votes >= 2^31,
+    # and votes per (theta, rho_bin) is structurally <= n_on_pixels <= nf^2
+    # (each theta's bins partition the mask), so nf^2 < 2^31 is sufficient
+    if 2 * (res + patch_bits) >= 31:
+        raise ValueError(
+            f"hough_lines: res+patch_bits={res + patch_bits} makes the "
+            f"fine grid nf^2 = 2^{2 * (res + patch_bits)} >= 2^31 possible "
+            "votes per bin — the votes*2^32 argmax encode would overflow "
+            "int64; widen the encode or coarsen the grid"
+        )
     off = 2 * nf * E6  # |rho_fp| <= 2*(nf-1)*1e6 < off: shift is total
     fine = mosaic_cell_values(images, res, patch_bits).select(
         (cell_ix(F.col("cell")) * pb + F.col("pc")).alias("fx"),

@@ -17,10 +17,11 @@ Exactness: every sufficient statistic (N total boxes = (nf/r)^2 closed
 form, occupied boxes, sum m, sum m^2) is an exact BIGINT; lac_e6 is the
 ONE floor division (1e6 * N * sum_m2) DIV (sum_m)^2 on nonnegative
 integers (Spark DIV = DuckDB // on nonneg, the textrank rule). Overflow
-is GUARDED, not assumed: 1e6 * N * sum_m2 <= 1e6 * N * M * r^2 — the
-operator raises loudly when the occupied-cell count exceeds 1e6 at the
-default scales (budget ~8e17, inside int64 with margin); the escalation
-is DECIMAL widening.
+is GUARDED, not assumed: 1e6 * N * sum_m2 <= 1e6 * nf^2 * occupied for
+every scale r, so the operator raises loudly when the occupied-cell
+count exceeds min(max_occupied, 2^63 / (1e6 * nf^2)) — the cap is
+DERIVED from nf, so a res/patch_bits bump tightens it automatically;
+the escalation is DECIMAL widening.
 
 Scale shape (100 TB): ONE constant fan-out explode (|SCALES| arms per
 cell) folding map-side into (r, box) masses, one bounded second agg per
@@ -53,12 +54,20 @@ def lacunarity_census(
         (cell_ix(F.col("cell")) * pb + F.col("pc")).alias("fx"),
         (cell_iy(F.col("cell")) * pb + F.col("pr")).alias("fy"),
     )
+    # derive the guard from nf instead of trusting the fixed default: the
+    # worst case at scale r is 1e6 * N * sum_m2 <= 1e6 * (nf/r)^2 * occ * r^2
+    # = 1e6 * nf^2 * occ, so occ must stay under 2^63 / (1e6 * nf^2) —
+    # a res/patch_bits bump tightens the cap automatically
+    safe_occupied = (1 << 63) // (E6 * nf * nf)
+    cap = min(max_occupied, safe_occupied)
     occ = fine.agg(F.count("*").alias("n")).first()["n"]
-    if occ > max_occupied:
+    if occ > cap:
         raise RuntimeError(
-            f"lacunarity_census: {occ} occupied cells > max_occupied="
-            f"{max_occupied}; 1e6 * N * sum_m2 would overflow int64 — "
-            "widen the arithmetic to DECIMAL(38,0) for rasters this size"
+            f"lacunarity_census: {occ} occupied cells > cap={cap} "
+            f"(min of max_occupied={max_occupied} and the derived int64 "
+            f"budget 2^63/(1e6*nf^2)={safe_occupied} at nf={nf}); "
+            "1e6 * N * sum_m2 would overflow int64 — widen the arithmetic "
+            "to DECIMAL(38,0) for rasters this size"
         )
     arms = ", ".join(
         f"named_struct('r', CAST({r} AS BIGINT), "
