@@ -506,7 +506,17 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate per side (the watermark evicts beyond it); the join itself is a
     stream-symmetric hash join keyed on user_id — hot users salt the same
     way the batch side does. Returns (user_id, v_id, p_id, v_us, p_us,
-    p_cents) — exact integers only."""
+    p_cents) — exact integers only.
+
+    HARNESS CAVEAT (sandbox-only, not the operator's scale story): the
+    time-sliced staging below is a driver loop writing n small files so a
+    file-source stream can replay them in event-time order — it exists
+    solely to make the stream == batch oracle well-defined in a test
+    sandbox with no real broker. Production input is an actual stream
+    (Kafka / files landing in arrival order); nothing about the JOIN
+    depends on this staging. Each slice is written in ONE pass with
+    partitionBy(event_type) — one job per slice, both sides — rather
+    than two filtered scans per slice."""
     src = f"{sf_dir}/events.parquet"
     ev = spark.read.parquet(src).withColumn(
         "ts", F.col("ts").cast("timestamp")
@@ -516,19 +526,21 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     n = _n_batches()
     stage = tempfile.mkdtemp(prefix="aira_ssjoin_")
-    vdir, pdir = os.path.join(stage, "views"), os.path.join(stage, "purch")
+    sdir = os.path.join(stage, "sides")
+    vdir = os.path.join(sdir, "event_type=view")
+    pdir = os.path.join(sdir, "event_type=purchase")
     width = (hi - lo) // n + 1
     for i in range(n):
-        s = ev.where(F.unix_micros("ts") >= lo + i * width).where(
+        # single filtered scan per slice; partitionBy splits the two sides
+        # into event_type=view/ and event_type=purchase/ in the same job
+        ev.where(F.unix_micros("ts") >= lo + i * width).where(
             F.unix_micros("ts") < lo + (i + 1) * width
-        )
-        s.where("event_type = 'view'").select(
-            "user_id", "event_id", "ts"
-        ).coalesce(1).write.mode("append").parquet(vdir)
-        s.where("event_type = 'purchase'").selectExpr(
-            "user_id", "event_id", "ts",
+        ).where("event_type IN ('view', 'purchase')").selectExpr(
+            "event_type", "user_id", "event_id", "ts",
             "CAST(FLOOR(value * 100.0) AS BIGINT) AS cents",
-        ).coalesce(1).write.mode("append").parquet(pdir)
+        ).coalesce(1).write.mode("append").partitionBy(
+            "event_type"
+        ).parquet(sdir)
 
     v = (
         spark.readStream.schema(spark.read.parquet(vdir).schema)
