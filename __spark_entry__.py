@@ -1655,6 +1655,28 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG codec (pure numpy, aira_spark/jpegio.py — Huffman +
+    iDCT + YCbCr 4:4:4, restart markers) driven end-to-end through real
+    bytes: deterministic triangle-wave pixels -> encode (quality cycling
+    75/85/95, restart interval cycling 0-3) -> decode -> two invariants
+    per image: PSNR >= 40 dB vs the source (the north rule's lossy-format
+    gate, BASELINE.json:15) and exact integer-coefficient recovery through
+    the entropy coding. The oracle states the expected dims + all-pass
+    flags from the key formula alone (the verify_invariants census
+    pattern); Spark matches only by actually decoding. Retires the last
+    image-codec stub (VERDICT r4 item 4; reference analog: its
+    unsupported-codec error rows, compression.rs:100-104)."""
+    from aira_spark.operators.multimodal import jpeg_roundtrip_stats
+
+    keys = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .selectExpr("p_partkey AS k")
+        .where("p_partkey % 11 = 0")
+    )
+    return jpeg_roundtrip_stats(keys)
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Untruncated inverted index over the documents table: per term, df,
     total tf, and the sorted posting list — explode -> two-level hash agg,
@@ -4102,10 +4124,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # records only the first 50 entries, so the head is now 50 queries with
     # NO prior green driver row — verify_invariants (4 rounds of
     # `err: no_oracle`; it now carries a per-variant census self-oracle, see
-    # _oracle_verify_invariants) followed by the 49 oldest never-checked
-    # tail queries (pyramid .. rfm, added round-4c/4d), in added order.
-    # CORRECTNESS_r05 green on all 50 = 50 FIRST-TIME greens, dropping the
-    # never-driver-checked count from 164 to 115.
+    # _oracle_verify_invariants), jpeg_decode (new this round — the last
+    # image-codec stub retired, VERDICT r4 item 4), then the 48 oldest
+    # never-checked tail queries (pyramid .. conversion_lag, added
+    # round-4c/4d), in added order. CORRECTNESS_r05 green on all 50 =
+    # 50 FIRST-TIME greens, dropping the never-driver-checked count from
+    # 164 to 116 (rfm, displaced to slot 51, leads the next rotation).
     #
     # Tail layout (51+), in rotation priority order:
     #   1. the remaining 115 never-driver-checked queries (wht_sig ..
@@ -4123,6 +4147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      is preserved in git: see this comment at tags r2..r4).
     return {
         "verify_invariants": q_verify_invariants,
+        "jpeg_decode": q_jpeg_decode,
         "pyramid": q_pyramid,
         "contours": q_contours,
         "autocorr": q_autocorr,
@@ -4171,7 +4196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_enrich": q_streaming_enrich,
         "sorted_neighborhood": q_sorted_neighborhood,
         "conversion_lag": q_conversion_lag,
-        "rfm": q_rfm,
+        "rfm": q_rfm,  # slot 51: displaced by jpeg_decode; next rotation's first pick
         "wht_sig": q_wht_sig,
         "sssp": q_sssp,
         "interval_overlap": q_interval_overlap,
@@ -7634,6 +7659,12 @@ def _oracle_png_decode() -> str:
     return oracle_png_stats_sql()
 
 
+def _oracle_jpeg_decode() -> str:
+    from aira_spark.operators.multimodal import oracle_jpeg_stats_sql
+
+    return oracle_jpeg_stats_sql()
+
+
 def _oracle_bpe_tokens() -> str:
     from aira_spark.operators.bpe import oracle_bpe_sql
 
@@ -7744,6 +7775,7 @@ FROM docs GROUP BY 1
         "bm25": _oracle_bm25(),
         "inverted_index": _oracle_inverted_index(),
         "png_decode": _oracle_png_decode(),
+        "jpeg_decode": _oracle_jpeg_decode(),
         "bpe_tokens": _oracle_bpe_tokens(),
         "kmeans": _oracle_kmeans(),
         "lm_score": _oracle_lm_score(),

@@ -2,12 +2,13 @@
 
 Images/audio/video ride as opaque `binary` columns with typed metadata; all
 transforms are Arrow-batched mapInPandas with explicit schemas and bounded
-batch shapes. TIFF decode is REAL (aira_spark.tiff) and so is PNG
-(aira_spark.pngio — pure numpy + stdlib zlib); JPEG/audio/video codecs are
-STUBBED (no PIL/ffmpeg in this container) behind NotImplementedError with a
-clearly-marked deterministic fake for plumbing tests — the Spark-side
-schema / partitioning / UDF signatures are the real design and are
-exercised by tests.
+batch shapes. TIFF decode is REAL (aira_spark.tiff), PNG is REAL
+(aira_spark.pngio — pure numpy + stdlib zlib), and baseline JPEG is REAL
+(aira_spark.jpegio — pure numpy Huffman + iDCT + YCbCr, 4:4:4); only
+audio/video codecs remain STUBBED (no ffmpeg in this container) behind
+NotImplementedError with a clearly-marked deterministic fake for plumbing
+tests — the Spark-side schema / partitioning / UDF signatures are the real
+design and are exercised by tests.
 """
 
 from __future__ import annotations
@@ -21,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as Ty
 
 from ..functions.udfs import _decode_full
+from ..jpegio import JpegError
 from ..pngio import PngError
 from ..tiff.meta import TiffError
 
@@ -50,7 +52,8 @@ def _block_mean_8(px: np.ndarray) -> np.ndarray:
 
 
 def decode_image(fmt: str, payload: bytes) -> np.ndarray:
-    """Format dispatch. TIFF and PNG are real; other codecs are stubs."""
+    """Format dispatch. TIFF, PNG, and baseline JPEG are real; audio/video
+    codecs are stubs."""
     if fmt.startswith("tiff"):
         _, px = _decode_full(payload)
         return px
@@ -58,6 +61,10 @@ def decode_image(fmt: str, payload: bytes) -> np.ndarray:
         from ..pngio import decode_png
 
         return decode_png(payload)
+    if fmt.startswith(("jpeg", "jpg")):
+        from ..jpegio import decode_jpeg
+
+        return decode_jpeg(payload)
     if fmt.startswith("fake-"):
         # deterministic fake frame derived from the payload hash — plumbing-only
         seed = int.from_bytes(hashlib.sha256(payload).digest()[:4], "little")
@@ -89,7 +96,7 @@ def image_features(images: DataFrame) -> DataFrame:
                             None,
                         )
                     )
-                except (TiffError, PngError, NotImplementedError) as exc:
+                except (TiffError, PngError, JpegError, NotImplementedError) as exc:
                     rows.append((rec.image_id, None, None, None, None, str(exc)))
             yield pd.DataFrame(rows, columns=FEATURE_SCHEMA.fieldNames())
 
@@ -239,6 +246,117 @@ def png_roundtrip_stats(keys: DataFrame) -> DataFrame:
             )
 
     return keys.select("k").mapInPandas(fn, schema=PNG_STATS_SCHEMA)
+
+
+JPEG_STATS_SCHEMA = (
+    "image_id string, out_w long, out_h long, out_ch long, "
+    "psnr_ok long, coef_ok long"
+)
+
+
+def _jpeg_synth(k: int) -> tuple[np.ndarray, int, int]:
+    """Deterministic per-key JPEG test image: (pixels, quality,
+    restart_interval). Content is a TRIANGLE WAVE (continuous, bounded
+    slope) — smooth enough that baseline quantization at the cycled
+    qualities keeps PSNR comfortably above the 40 dB gate, unlike the
+    modular-wrap ramps the lossless codecs use (those alias into noise):
+      val_s(r, c) = 255 - |255 - (r*(2 + k%3) + c*(1 + k%2) + k + s*37) % 510|
+    """
+    w, h = 16 + (k % 7) * 8, 16 + (k % 5) * 8
+    nc = 1 if k % 2 == 0 else 3
+    r = np.arange(h)[:, None, None]
+    c = np.arange(w)[None, :, None]
+    s = np.arange(nc)[None, None, :]
+    tri = 255 - np.abs(255 - (r * (2 + k % 3) + c * (1 + k % 2) + k + s * 37) % 510)
+    return tri.astype(np.uint8), 75 + (k % 3) * 10, k % 4
+
+
+def jpeg_roundtrip_stats(keys: DataFrame) -> DataFrame:
+    """(image_id, out_w, out_h, out_ch, psnr_ok, coef_ok) — the baseline
+    JPEG codec (aira_spark/jpegio.py) driven end-to-end through REAL bytes:
+    synthesize deterministic pixels per key, ENCODE (quality cycling
+    75/85/95 by k % 3, restart interval cycling 0-3 by k % 4), then DECODE
+    and verify two invariants the oracle can state from first principles:
+
+    - psnr_ok: PSNR(decoded, source) >= 40 dB — the north rule's
+      lossy-format criterion (BASELINE.json:15), which the codec only
+      earns by actually inverting Huffman + zigzag + dequant + iDCT
+      (+ YCbCr for color);
+    - coef_ok: the integer quantized-coefficient arrays recovered from
+      the BYTES equal an independent dct_quant of the encoder's input
+      planes — entropy-coding invertibility, which catches bit-level
+      bugs that PSNR alone would absorb.
+
+    Scale shape: zero shuffles — synth+encode+decode+verify all inside
+    one mapInPandas; only 6 small integer columns cross Arrow, never
+    pixels or bytes."""
+    from ..jpegio import dct_quant, parse_jpeg, quant_tables, rgb_to_ycbcr, write_jpeg
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf["k"]:
+                k = int(k)
+                src, quality, ri = _jpeg_synth(k)
+                h, w = src.shape[:2]
+                buf = write_jpeg(src, quality=quality, restart_interval=ri)
+                dec = decode_image("jpeg", buf)
+                mse = np.mean(
+                    (dec.astype(np.float64) - src.astype(np.float64)) ** 2
+                )
+                psnr_ok = int(
+                    mse == 0.0 or 10.0 * np.log10(255.0**2 / mse) >= 40.0
+                )
+                parsed = parse_jpeg(buf)
+                ql, qc = quant_tables(quality)
+                if src.shape[2] == 1:
+                    comps, qts = [src[:, :, 0]], [ql]
+                else:
+                    ycc = rgb_to_ycbcr(src)
+                    comps = [ycc[:, :, i] for i in range(3)]
+                    qts = [ql, qc, qc]
+                coef_ok = int(
+                    all(
+                        np.array_equal(dct_quant(cm, qt), parsed["coeffs"][ci])
+                        for ci, (cm, qt) in enumerate(zip(comps, qts))
+                    )
+                )
+                rows.append(
+                    (
+                        f"jpg{k:08d}",
+                        dec.shape[1],
+                        dec.shape[0],
+                        dec.shape[2],
+                        psnr_ok,
+                        coef_ok,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "out_w", "out_h", "out_ch", "psnr_ok", "coef_ok",
+                ],
+            )
+
+    return keys.select("k").mapInPandas(fn, schema=JPEG_STATS_SCHEMA)
+
+
+def oracle_jpeg_stats_sql(where: str = "p_partkey % 11 = 0") -> str:
+    """DuckDB mirror: states the expected decode dimensions from the key
+    formula and the expected all-pass invariants (PSNR gate + exact
+    entropy-coding roundtrip) — the verify_invariants census pattern:
+    DuckDB cannot run an iDCT, but it CAN state what a correct codec must
+    produce, and Spark only matches by actually producing it."""
+    return f"""
+WITH keys AS (SELECT p_partkey AS k FROM part WHERE {where})
+SELECT 'jpg' || lpad(CAST(k AS VARCHAR), 8, '0') AS image_id,
+  CAST(16 + (k % 7) * 8 AS BIGINT) AS out_w,
+  CAST(16 + (k % 5) * 8 AS BIGINT) AS out_h,
+  CAST(CASE WHEN k % 2 = 0 THEN 1 ELSE 3 END AS BIGINT) AS out_ch,
+  CAST(1 AS BIGINT) AS psnr_ok,
+  CAST(1 AS BIGINT) AS coef_ok
+FROM keys
+"""
 
 
 def oracle_png_stats_sql(where: str = "p_partkey % 13 = 0") -> str:

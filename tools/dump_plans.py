@@ -144,6 +144,9 @@ def main() -> None:
         ("png_decode", "encode->decode roundtrip inside ONE mapInPandas; "
                        "only 7 integer stat columns cross Arrow, pixel "
                        "buffers never shuffle"),
+        ("jpeg_decode", "baseline JPEG encode->decode->verify inside ONE "
+                        "mapInPandas; only 6 integer columns cross Arrow, "
+                        "bytes and pixels never shuffle"),
         ("bpe_tokens", "ONE corpus-scale word-count agg trains the merge "
                        "table; encode is a broadcast-merge Arrow map with "
                        "zero shuffles; the merge arm is a tiny local frame"),
