@@ -99,14 +99,21 @@ def test_multimodal_features(spark, sf_dir):
     rows = feats.collect()
     assert all(r.error is None for r in rows)
     assert all(len(r.thumb8) == 64 for r in rows)
-    # stubbed codec path: error rows, no exceptions
+    # dead-letter paths: error rows, no exceptions. JPEG is a REAL codec
+    # since round 5 (aira_spark/jpegio.py), so a truncated JPEG yields a
+    # JpegError row; audio remains the documented env-blocked stub
     fake = spark.createDataFrame(
-        [("m1", "jpeg", bytearray(b"\xff\xd8")), ("m2", "fake-img", bytearray(b"xx"))],
+        [
+            ("m1", "jpeg", bytearray(b"\xff\xd8")),
+            ("m2", "fake-img", bytearray(b"xx")),
+            ("m3", "mp3", bytearray(b"ID3")),
+        ],
         "image_id string, fmt string, bytes binary",
     )
     frows = {r.image_id: r for r in image_features(fake).collect()}
-    assert frows["m1"].error and "not available" in frows["m1"].error
+    assert frows["m1"].error and "JPEG" in frows["m1"].error
     assert frows["m2"].error is None and len(frows["m2"].thumb8) == 64
+    assert frows["m3"].error and "not available" in frows["m3"].error
 
 
 def test_frame_sample_stub(spark):
