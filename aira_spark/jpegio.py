@@ -272,24 +272,31 @@ class _BitWriter:
 
 
 class _BitReader:
-    """Reads the (already unstuffed) entropy-coded byte string MSB-first."""
+    """Reads the (already unstuffed) entropy-coded byte string MSB-first.
+    Bulk reads (take) and 16-bit peeks (for the Huffman LUT) instead of
+    per-bit loops — the decoder's hot path. The 3-byte zero pad only
+    backs peeks near the end; consuming past the real bits still raises
+    (prefix codes make a zero-padded peek harmless: it can only alter
+    bits beyond any code short enough to be valid)."""
 
     def __init__(self, data: bytes) -> None:
-        self.data = data
+        self.data = data + b"\x00\x00\x00"
+        self.nbits = len(data) * 8
         self.pos = 0  # bit position
 
-    def bit(self) -> int:
+    def peek16(self) -> int:
         byte_i, off = divmod(self.pos, 8)
-        if byte_i >= len(self.data):
-            raise JpegError("entropy stream truncated")
-        self.pos += 1
-        return (self.data[byte_i] >> (7 - off)) & 1
+        chunk = int.from_bytes(self.data[byte_i : byte_i + 4], "big")
+        return (chunk >> (16 - off)) & 0xFFFF
 
-    def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+    def take(self, n: int) -> int:
+        """next n bits (n <= 24), MSB-first."""
+        if self.pos + n > self.nbits:
+            raise JpegError("entropy stream truncated")
+        byte_i, off = divmod(self.pos, 8)
+        chunk = int.from_bytes(self.data[byte_i : byte_i + 4], "big")
+        self.pos += n
+        return (chunk >> (32 - off - n)) & ((1 << n) - 1)
 
 
 def _magnitude(v: int) -> tuple[int, int]:
@@ -441,36 +448,56 @@ def _read_u16(buf: bytes, at: int) -> int:
 
 
 class _HuffTable:
-    """Canonical decode table: (length, code) -> value via per-length
-    min-code/max-code arrays (T.81 F.2.2.3 DECODE)."""
+    """Canonical Huffman decoder as a flat 16-bit LOOKUP TABLE: every
+    16-bit window whose prefix is a code maps to (value << 8) | length,
+    so a decode is one peek + one array read + one advance (vs the
+    per-bit mincode/maxcode walk of T.81 F.2.2.3 — same result, the
+    prefix property guarantees the first matching code is unique).
+    Building the 65536-entry table costs ~100us, so instances are cached
+    by table spec (_huff_table) — one build per executor per distinct
+    DHT, not per image."""
+
+    _SENTINEL = 0xFFFFFFFF
 
     def __init__(self, bits: list[int], vals: list[int]) -> None:
         if sum(bits) != len(vals):
             raise JpegError("DHT: counts do not match value list")
-        self.mincode = [0] * 17
-        self.maxcode = [-1] * 17
-        self.valptr = [0] * 17
+        lut = np.full(1 << 16, self._SENTINEL, dtype=np.uint32)
         code = 0
         i = 0
         for length in range(1, 17):
-            if bits[length - 1]:
-                self.valptr[length] = i
-                self.mincode[length] = code
-                code += bits[length - 1]
-                i += bits[length - 1]
-                self.maxcode[length] = code - 1
-                if code > (1 << length):
+            for _ in range(bits[length - 1]):
+                if code >= (1 << length):
                     raise JpegError("DHT: code space overflow")
+                start = code << (16 - length)
+                lut[start : start + (1 << (16 - length))] = (vals[i] << 8) | length
+                code += 1
+                i += 1
             code <<= 1
-        self.vals = vals
+        self.lut = lut
 
     def decode(self, br: _BitReader) -> int:
-        code = br.bit()
-        for length in range(1, 17):
-            if code <= self.maxcode[length]:
-                return self.vals[self.valptr[length] + code - self.mincode[length]]
-            code = (code << 1) | br.bit()
-        raise JpegError("invalid Huffman code")
+        packed = int(self.lut[br.peek16()])
+        if packed == self._SENTINEL:
+            raise JpegError("invalid Huffman code")
+        length = packed & 0xFF
+        if br.pos + length > br.nbits:
+            raise JpegError("entropy stream truncated")
+        br.pos += length
+        return packed >> 8
+
+
+_HUFF_CACHE: dict[tuple[bytes, bytes], _HuffTable] = {}
+
+
+def _huff_table(bits: list[int], vals: list[int]) -> _HuffTable:
+    key = (bytes(bits), bytes(vals))
+    t = _HUFF_CACHE.get(key)
+    if t is None:
+        t = _HuffTable(bits, vals)
+        if len(_HUFF_CACHE) < 64:  # bounded: real corpora reuse few tables
+            _HUFF_CACHE[key] = t
+    return t
 
 
 def _decode_block(
@@ -480,7 +507,7 @@ def _decode_block(
     s = dc.decode(br)
     if s > 11:
         raise JpegError(f"DC category {s} out of range")
-    diff = _extend(br.bits(s), s) if s else 0
+    diff = _extend(br.take(s), s) if s else 0
     val = pred + diff
     out[0] = val
     i = 1
@@ -495,7 +522,7 @@ def _decode_block(
         i += run
         if i > 63:
             raise JpegError("AC run past end of block")
-        out[i] = _extend(br.bits(size), size)
+        out[i] = _extend(br.take(size), size)
         i += 1
     blk = np.zeros(64, dtype=np.int32)
     blk[ZIGZAG] = out
@@ -578,7 +605,7 @@ def parse_jpeg(buf: bytes) -> dict:
                 bits = list(seg[j + 1 : j + 17])
                 nv = sum(bits)
                 vals = list(seg[j + 17 : j + 17 + nv])
-                huff[(tc, th)] = _HuffTable(bits, vals)
+                huff[(tc, th)] = _huff_table(bits, vals)
                 j += 17 + nv
         elif m == 0xC0 or m == 0xC1:  # SOF0/1 (baseline/extended seq.)
             prec, h, w, nc = seg[0], _read_u16(seg, 1), _read_u16(seg, 3), seg[5]
