@@ -147,6 +147,9 @@ def main() -> None:
         ("jpeg_decode", "baseline JPEG encode->decode->verify inside ONE "
                         "mapInPandas; only 6 integer columns cross Arrow, "
                         "bytes and pixels never shuffle"),
+        ("audio_decode", "RIFF/WAVE encode->decode->stats inside ONE "
+                         "mapInPandas; only 10 integer columns cross Arrow, "
+                         "sample buffers never shuffle"),
         ("bpe_tokens", "ONE corpus-scale word-count agg trains the merge "
                        "table; encode is a broadcast-merge Arrow map with "
                        "zero shuffles; the merge arm is a tiny local frame"),
