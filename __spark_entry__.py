@@ -1699,6 +1699,27 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_roundtrip_stats(keys)
 
 
+def q_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MJPEG-in-AVI container codec (aira_spark/avio.py — RIFF/LIST/movi
+    walk + idx1 validation composing the baseline JPEG codec per frame;
+    XviD/H.264/... refused by name) driven end-to-end through real bytes:
+    per-key synthetic clip (dims/channels/frame-count/fps/quality cycling)
+    -> encode -> sample every 2nd frame through the container walk ->
+    decode -> per-frame PSNR >= 40 dB gate + exact coefficient recovery
+    (a wrong-frame indexing bug fails coef_ok exactly). Oracle = the
+    jpeg_decode census pattern lifted to clips. Retires the LAST
+    multimodal stub (VERDICT r4 "What's missing" item 2; reference analog:
+    unsupported-codec error rows, compression.rs:100-104)."""
+    from aira_spark.operators.multimodal import video_roundtrip_stats
+
+    keys = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .selectExpr("p_partkey AS k")
+        .where("p_partkey % 23 = 0")
+    )
+    return video_roundtrip_stats(keys)
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Untruncated inverted index over the documents table: per term, df,
     total tf, and the sorted posting list — explode -> two-level hash agg,
@@ -4334,10 +4355,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_edge": q_nearest_edge,
         "kappa": q_kappa,
         "bilateral": q_bilateral,
-        # round 5: audio codec stub retired (wavio.py); added mid-tail with
-        # the other never-driver-checked round-4/5 queries, verified via
-        # tools/check_oracle.py + pytest (test_wavio.py) at add time
+        # round 5: audio (wavio.py) and video (avio.py) codec stubs retired;
+        # added mid-tail with the other never-driver-checked round-4/5
+        # queries, verified via tools/check_oracle.py + pytest
+        # (test_wavio.py, test_avio.py) at add time
         "audio_decode": q_audio_decode,
+        "video_decode": q_video_decode,
         "ratio_sort": q_ratio_sort,
         "tile_assign": q_tile_assign,
         "cell_cover": q_cell_cover,
@@ -7697,6 +7720,12 @@ def _oracle_audio_decode() -> str:
     return oracle_wav_stats_sql()
 
 
+def _oracle_video_decode() -> str:
+    from aira_spark.operators.multimodal import oracle_video_stats_sql
+
+    return oracle_video_stats_sql()
+
+
 def _oracle_bpe_tokens() -> str:
     from aira_spark.operators.bpe import oracle_bpe_sql
 
@@ -7981,6 +8010,7 @@ FROM docs GROUP BY 1
         "kappa": _oracle_kappa(),
         "bilateral": _oracle_bilateral(),
         "audio_decode": _oracle_audio_decode(),
+        "video_decode": _oracle_video_decode(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

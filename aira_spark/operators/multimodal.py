@@ -2,14 +2,15 @@
 
 Images/audio/video ride as opaque `binary` columns with typed metadata; all
 transforms are Arrow-batched mapInPandas with explicit schemas and bounded
-batch shapes. TIFF decode is REAL (aira_spark.tiff), PNG is REAL
-(aira_spark.pngio — pure numpy + stdlib zlib), baseline JPEG is REAL
-(aira_spark.jpegio — pure numpy Huffman + iDCT + YCbCr, 4:4:4), and audio
-is REAL (aira_spark.wavio — RIFF/WAVE PCM 8/16/24/32-bit + IEEE float32);
-only video codecs remain STUBBED (no ffmpeg in this container) behind
-NotImplementedError with a clearly-marked deterministic fake for plumbing
-tests — the Spark-side schema / partitioning / UDF signatures are the real
-design and are exercised by tests.
+batch shapes. Every modality now has a REAL baseline codec: TIFF
+(aira_spark.tiff), PNG (aira_spark.pngio — pure numpy + stdlib zlib),
+baseline JPEG (aira_spark.jpegio — pure numpy Huffman + iDCT + YCbCr),
+audio (aira_spark.wavio — RIFF/WAVE PCM 8/16/24/32-bit + IEEE float32), and
+video (aira_spark.avio — MJPEG-in-AVI, composing the container walk with
+jpegio per frame). Non-baseline codecs (H.264, XviD, ADPCM, progressive
+JPEG, ...) are LOUD typed error rows by name — the reference's
+unsupported-codec contract (compression.rs:100-104) — and the 'fake-*'
+formats remain as plumbing-only deterministic fakes for harness tests.
 """
 
 from __future__ import annotations
@@ -546,31 +547,173 @@ FRAME_SCHEMA = Ty.StructType(
 
 
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame sampling plumbing (STUB codec): (media_id, frame_idx, frame).
+    """Video frame sampling: (media_id, frame_idx, frame) — one media row
+    fans out to ceil(n_frames / every_n) frame rows inside the Arrow batch.
 
-    The partitioning/batching contract is real — one media row fans out to
-    ceil(n_frames / every_n) frame rows inside the Arrow batch; the frame
-    decode itself raises NotImplementedError for real codecs and emits
-    deterministic fakes for fmt='fake-video'.
-    """
+    fmt 'mjpeg-avi'/'avi' is REAL (aira_spark.avio): the container is
+    validated and only the SAMPLED '00dc' payloads are extracted — each
+    emitted frame is a standalone baseline JPEG, the natural unit a
+    training pipeline stores/decodes downstream (skipped frames cost one
+    chunk-walk step, no JPEG work). Unsupported codecs inside a valid AVI
+    (XviD, H.264...) and non-AVI formats become per-row error rows, never
+    exceptions — the dead-letter contract. fmt='fake-video' keeps the
+    deterministic plumbing-only fake."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..avio import AviError, parse_avi
+
         for pdf in batches:
             rows = []
             for rec in pdf.itertuples(index=False):
-                if rec.fmt == "fake-video":
-                    n_frames = 1 + len(bytes(rec.bytes)) % 50
+                buf = bytes(rec.bytes)
+                if rec.fmt in ("mjpeg-avi", "avi"):
+                    try:
+                        m = parse_avi(buf)
+                        for i in range(0, m["n_frames"], every_n):
+                            at, size = m["frames"][i]
+                            rows.append((rec.media_id, i, buf[at : at + size], None))
+                    except AviError as exc:
+                        rows.append((rec.media_id, None, None, str(exc)))
+                elif rec.fmt == "fake-video":
+                    n_frames = 1 + len(buf) % 50
                     for i in range(0, n_frames, every_n):
-                        digest = hashlib.sha256(bytes(rec.bytes) + i.to_bytes(4, "little"))
+                        digest = hashlib.sha256(buf + i.to_bytes(4, "little"))
                         rows.append((rec.media_id, i, digest.digest(), None))
                 else:
                     rows.append(
                         (rec.media_id, None, None,
-                         f"codec for fmt={rec.fmt!r} not available (stub)")
+                         f"codec for fmt={rec.fmt!r} not available")
                     )
             yield pd.DataFrame(rows, columns=FRAME_SCHEMA.fieldNames())
 
     return media.select("media_id", "fmt", "bytes").mapInPandas(fn, schema=FRAME_SCHEMA)
+
+
+VIDEO_STATS_SCHEMA = (
+    "video_id string, frame_idx long, out_w long, out_h long, out_ch long, "
+    "psnr_ok long, coef_ok long"
+)
+
+
+def _avi_synth(k: int) -> tuple[list[np.ndarray], int, int]:
+    """Deterministic per-key MJPEG test clip: (frames, fps, quality).
+    Fixed per-video dims (AVI streams are fixed-dimension), 3-7 frames by
+    k % 5, channels cycling 1/3, quality cycling 80/90; frame f's content
+    is the jpeg codec's triangle wave shifted by f*17 — smooth, so every
+    frame clears the 40 dB gate at the cycled qualities."""
+    w, h = 16 + (k % 5) * 8, 16 + (k % 4) * 8
+    nc = 1 if k % 2 == 0 else 3
+    n_frames = 3 + k % 5
+    r = np.arange(h)[:, None, None]
+    c = np.arange(w)[None, :, None]
+    s = np.arange(nc)[None, None, :]
+    frames = [
+        (255 - np.abs(255 - (r * (2 + k % 3) + c * (1 + k % 2) + k + f * 17 + s * 37) % 510)).astype(np.uint8)
+        for f in range(n_frames)
+    ]
+    return frames, 5 + k % 26, 80 + (k % 2) * 10
+
+
+def video_roundtrip_stats(keys: DataFrame, every_n: int = 2) -> DataFrame:
+    """(video_id, frame_idx, out_w, out_h, out_ch, psnr_ok, coef_ok) — the
+    MJPEG-AVI container (aira_spark/avio.py) driven end-to-end through REAL
+    bytes: synthesize deterministic frames per key, ENCODE the clip (dims /
+    channel / frame-count / fps / quality all cycling by k), then sample
+    every every_n-th frame through the container walk and DECODE it,
+    verifying per sampled frame the same two invariants as jpeg_decode:
+
+    - psnr_ok: PSNR(decoded, source frame) >= 40 dB (the north rule's
+      lossy-format gate) — earned only by actually walking RIFF/LIST/movi
+      to the right '00dc' payload and inverting the JPEG;
+    - coef_ok: quantized coefficients recovered from the sampled frame's
+      BYTES equal an independent dct_quant of that frame's source planes —
+      a frame-indexing bug (off-by-one chunk walk, idx1 confusion) lands
+      on the wrong frame and fails this exactly.
+
+    Scale shape: zero shuffles — synth+encode+walk+decode inside one
+    mapInPandas; 7 integer columns cross Arrow per sampled frame, clip
+    bytes never shuffle. Retires the LAST multimodal stub."""
+    from ..avio import decode_frame, parse_avi, write_mjpeg_avi
+    from ..jpegio import dct_quant, parse_jpeg, quant_tables, rgb_to_ycbcr
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf["k"]:
+                k = int(k)
+                frames, fps, quality = _avi_synth(k)
+                buf = write_mjpeg_avi(frames, fps=fps, quality=quality)
+                meta = parse_avi(buf)
+                ql, qc = quant_tables(quality)
+                for i in range(0, meta["n_frames"], every_n):
+                    src = frames[i]
+                    dec = decode_frame(buf, meta, i)
+                    mse = np.mean(
+                        (dec.astype(np.float64) - src.astype(np.float64)) ** 2
+                    )
+                    psnr_ok = int(
+                        mse == 0.0 or 10.0 * np.log10(255.0**2 / mse) >= 40.0
+                    )
+                    at, size = meta["frames"][i]
+                    parsed = parse_jpeg(buf[at : at + size])
+                    if src.shape[2] == 1:
+                        comps, qts = [src[:, :, 0]], [ql]
+                    else:
+                        ycc = rgb_to_ycbcr(src)
+                        comps = [ycc[:, :, j] for j in range(3)]
+                        qts = [ql, qc, qc]
+                    coef_ok = int(
+                        all(
+                            np.array_equal(dct_quant(cm, qt), parsed["coeffs"][ci])
+                            for ci, (cm, qt) in enumerate(zip(comps, qts))
+                        )
+                    )
+                    rows.append(
+                        (
+                            f"avi{k:08d}",
+                            i,
+                            dec.shape[1],
+                            dec.shape[0],
+                            dec.shape[2],
+                            psnr_ok,
+                            coef_ok,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "video_id", "frame_idx", "out_w", "out_h", "out_ch",
+                    "psnr_ok", "coef_ok",
+                ],
+            )
+
+    return keys.select("k").mapInPandas(fn, schema=VIDEO_STATS_SCHEMA)
+
+
+def oracle_video_stats_sql(
+    where: str = "p_partkey % 23 = 0", every_n: int = 2
+) -> str:
+    """DuckDB mirror: states the sampled frame indices + expected dims from
+    the key formula and the expected all-pass invariants — the jpeg_decode
+    census pattern lifted to clips (DuckDB cannot walk an AVI, but it CAN
+    state what a correct container walk + codec must produce per sampled
+    frame, and Spark only matches by actually producing it)."""
+    return f"""
+WITH keys AS (SELECT p_partkey AS k FROM part WHERE {where}),
+dims AS (SELECT k, 3 + k % 5 AS n_frames FROM keys),
+fr AS (
+  SELECT k, unnest(generate_series(0, n_frames - 1, {every_n})) AS frame_idx
+  FROM dims
+)
+SELECT 'avi' || lpad(CAST(k AS VARCHAR), 8, '0') AS video_id,
+  CAST(frame_idx AS BIGINT) AS frame_idx,
+  CAST(16 + (k % 5) * 8 AS BIGINT) AS out_w,
+  CAST(16 + (k % 4) * 8 AS BIGINT) AS out_h,
+  CAST(CASE WHEN k % 2 = 0 THEN 1 ELSE 3 END AS BIGINT) AS out_ch,
+  CAST(1 AS BIGINT) AS psnr_ok,
+  CAST(1 AS BIGINT) AS coef_ok
+FROM fr
+"""
 
 
 def patchify(images: DataFrame, patch: int = 16) -> DataFrame:

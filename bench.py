@@ -183,6 +183,7 @@ def main() -> None:
         "png_decode": lambda: em.q_png_decode(spark, sf_dir).count(),
         "jpeg_decode": lambda: em.q_jpeg_decode(spark, sf_dir).count(),
         "audio_decode": lambda: em.q_audio_decode(spark, sf_dir).count(),
+        "video_decode": lambda: em.q_video_decode(spark, sf_dir).count(),
         "bpe_tokens": lambda: em.q_bpe_tokens(spark, sf_dir).count(),
         "kmeans": lambda: em.q_kmeans(spark, sf_dir).count(),
         "lm_score": lambda: em.q_lm_score(spark, sf_dir).count(),

@@ -127,4 +127,4 @@ def test_frame_sample_stub(spark):
     v1 = [r for r in rows if r.media_id == "v1"]
     v2 = [r for r in rows if r.media_id == "v2"]
     assert len(v1) >= 1 and all(r.error is None for r in v1)
-    assert len(v2) == 1 and "stub" in v2[0].error
+    assert len(v2) == 1 and "not available" in v2[0].error

@@ -150,6 +150,10 @@ def main() -> None:
         ("audio_decode", "RIFF/WAVE encode->decode->stats inside ONE "
                          "mapInPandas; only 10 integer columns cross Arrow, "
                          "sample buffers never shuffle"),
+        ("video_decode", "MJPEG-AVI encode->container walk->frame decode "
+                         "inside ONE mapInPandas; 7 integer columns per "
+                         "sampled frame cross Arrow, clip bytes never "
+                         "shuffle"),
         ("bpe_tokens", "ONE corpus-scale word-count agg trains the merge "
                        "table; encode is a broadcast-merge Arrow map with "
                        "zero shuffles; the merge arm is a tiny local frame"),
