@@ -885,6 +885,25 @@ def q_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-mapped nearest-neighbor regrid onto one common target grid
+    (the gdalwarp -r near primitive) + MAX mosaic composite + bounded
+    per-patch census (operators/warp.py). Pulls per target pixel through
+    each scene's decoded geotransform — total over the footprint even
+    where the target grid is finer than the source (forward scatters
+    leave holes there)."""
+    from aira_spark.operators.warp import warp_census
+
+    return warp_census(_images(spark, sf_dir, modulo=8), patch_bits=3).select(
+        F.col("wx").cast("long").alias("wx"),
+        F.col("wy").cast("long").alias("wy"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.col("sum_val").cast("long").alias("sum_val"),
+        F.col("min_val").cast("long").alias("min_val"),
+        F.col("max_val").cast("long").alias("max_val"),
+    )
+
+
 def q_zonal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical pyramid rollup: fine-cell pixel partials re-aggregated two
     resolution levels up via cell_parent bit arithmetic (no second decode)."""
@@ -4361,6 +4380,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (test_wavio.py, test_avio.py) at add time
         "audio_decode": q_audio_decode,
         "video_decode": q_video_decode,
+        # round 5 (late): inverse-mapped NN regrid — the one raster primitive
+        # the catalog still lacked (everything else scatters forward); tail
+        # placement per the head-50 discipline, verified via
+        # tools/check_oracle.py + pytest (test_warp.py) at add time
+        "warp": q_warp,
         "ratio_sort": q_ratio_sort,
         "tile_assign": q_tile_assign,
         "cell_cover": q_cell_cover,
@@ -7005,6 +7029,12 @@ def _oracle_change_census() -> str:
     return oracle_change_sql(_fine2_cte_sql(), patch_bits=4)
 
 
+def _oracle_warp() -> str:
+    from aira_spark.operators.warp import oracle_warp_sql
+
+    return oracle_warp_sql(_IMG_CTE, modulo=8, patch_bits=3)
+
+
 def _oracle_kappa() -> str:
     from aira_spark.operators.kappa import oracle_kappa_sql
 
@@ -8011,6 +8041,7 @@ FROM docs GROUP BY 1
         "bilateral": _oracle_bilateral(),
         "audio_decode": _oracle_audio_decode(),
         "video_decode": _oracle_video_decode(),
+        "warp": _oracle_warp(),
         # streaming path == batch point_density bit-for-bit: same oracle
         "streaming_density": _oracle_point_density(),
         "semantic_dedup": _oracle_semantic_dedup(),

@@ -182,6 +182,7 @@ def main() -> None:
         "inverted_index": lambda: em.q_inverted_index(spark, sf_dir).count(),
         "png_decode": lambda: em.q_png_decode(spark, sf_dir).count(),
         "jpeg_decode": lambda: em.q_jpeg_decode(spark, sf_dir).count(),
+        "warp": lambda: em.q_warp(spark, sf_dir).count(),
         "audio_decode": lambda: em.q_audio_decode(spark, sf_dir).count(),
         "video_decode": lambda: em.q_video_decode(spark, sf_dir).count(),
         "bpe_tokens": lambda: em.q_bpe_tokens(spark, sf_dir).count(),
