@@ -2983,11 +2983,14 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.filter(F.col("point_id") != F.col("query_id")).select(
         F.col("query_id").alias("src"), F.col("point_id").alias("dst")
     )
-    # SPARK_GRAFT_KCORE_ROUNDS trims synchronous peeling rounds for BENCH
-    # runs only (the pagerank-rounds device); oracle/pytest leave it unset
-    # so correctness always checks the full 8-round fixpoint
-    rounds = int(os.environ.get("SPARK_GRAFT_KCORE_ROUNDS", "8"))
-    return k_core(edges, k=4, rounds=rounds)
+    # symmetric=True: a self radius join emits BOTH directions of every
+    # pair exactly once (predicate symmetry + the single-cell/distinct-
+    # cover argument), so k_core skips its union+distinct normalization —
+    # the largest exchange of the old plan. The former bench-only
+    # SPARK_GRAFT_KCORE_ROUNDS trim is retired: the count-probe early exit
+    # inside k_core stops at the PROVEN fixpoint with a result identical
+    # to the full 8 rounds the oracle unrolls.
+    return k_core(edges, k=4, rounds=8, symmetric=True)
 
 
 def q_flow_acc(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -308,22 +308,37 @@ def oracle_sssp_sql(
     )
 
 
-def k_core(edges: DataFrame, k: int, rounds: int = 8) -> DataFrame:
+def k_core(
+    edges: DataFrame, k: int, rounds: int = 8, symmetric: bool = False
+) -> DataFrame:
     """(node, core_deg): the k-core of the undirected graph — the maximal
     subgraph where every surviving node keeps >= k surviving neighbors —
-    after `rounds` synchronous peeling iterations, with core_deg the
-    node's degree INSIDE the surviving subgraph. The standard cohesion
+    after at most `rounds` synchronous peeling iterations, with core_deg
+    the node's degree INSIDE the surviving subgraph. The standard cohesion
     filter (community kernels, spam/bot fringes peel off first).
 
     Peeling is the textbook fixpoint: drop every node with degree < k,
-    recompute degrees, repeat. Rounds are FIXED (the pagerank device):
-    once the fixpoint is reached every further round is a no-op, so a
-    fixed round count >= the convergence depth gives bit-identical output
-    in Spark at any parallelism and in the oracle's unrolled CTE chain,
-    with no engine-dependent convergence probe in the checked result.
+    recompute degrees, repeat. `rounds` is the FIXED upper bound (the
+    pagerank device) that the oracle's unrolled CTE chain mirrors — but
+    peeling only ever REMOVES nodes, so an unchanged survivor COUNT
+    between rounds proves an unchanged survivor SET (shrink-monotone:
+    subset + equal cardinality = equality), which proves every remaining
+    round is a no-op. The loop therefore early-exits on a count probe
+    against the already-materialized checkpoint — the bfs_hops device —
+    with a result bit-identical to running all `rounds` rounds; the
+    convergence depth never appears in the checked output.
     Non-convergence inside `rounds` is NOT silent: rows with core_deg < k
     remain in the output and any downstream gate (or the pytest fixpoint
     probe) sees them.
+
+    `symmetric=True` is a caller CONTRACT: the edge list is already
+    undirected-complete (both directions present), irreflexive, and
+    duplicate-free — e.g. a self radius join, where (a,b) in means (b,a)
+    in by symmetry of the predicate and each pair is emitted exactly once
+    by the single-cell/distinct-cover argument. That skips the
+    union+distinct normalization, which on a dense radius graph is the
+    single largest exchange of the whole operator (2|E| rows through one
+    shuffle just to rediscover the input).
 
     Scale shape per round: the survivor set (single-column ids) joins the
     static undirected edge list twice (semi-join shape) + one hash agg —
@@ -331,14 +346,12 @@ def k_core(edges: DataFrame, k: int, rounds: int = 8) -> DataFrame:
     lineage flat. Degree skew is bounded by the same compact-forward
     argument as triangle_counts: peeling only ever SHRINKS the edge set.
     """
-    und = (
-        edges.selectExpr("src AS a", "dst AS b")
-        .unionByName(edges.selectExpr("dst AS a", "src AS b"))
-        .where("a != b")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    base = edges.selectExpr("src AS a", "dst AS b")
+    if not symmetric:
+        base = base.unionByName(edges.selectExpr("dst AS a", "src AS b")).distinct()
+    und = base.where("a != b").localCheckpoint(eager=True)
     surv = und.select("a").distinct()
+    prev_n = None
     for _ in range(rounds):
         alive = (
             und.join(surv, "a")
@@ -350,6 +363,10 @@ def k_core(edges: DataFrame, k: int, rounds: int = 8) -> DataFrame:
             .select("a")
             .localCheckpoint(eager=True)
         )
+        n = surv.count()  # cheap: counts the eager checkpoint just built
+        if n == prev_n:
+            break  # provable fixpoint — remaining rounds are no-ops
+        prev_n = n
     final_deg = (
         und.join(surv, "a")
         .join(surv.selectExpr("a AS b"), "b")

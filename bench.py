@@ -367,7 +367,8 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_SEG_MOD", "60")
     os.environ.setdefault("SPARK_GRAFT_HAUS_MOD", "5")
     os.environ.setdefault("SPARK_GRAFT_ALLPAIRS_MOD", "3")
-    os.environ.setdefault("SPARK_GRAFT_KCORE_ROUNDS", "5")
+    # (KCORE_ROUNDS trim retired: k_core now early-exits at the PROVEN
+    # fixpoint — exact at full rounds, so the bench runs the real query)
     os.environ.setdefault("SPARK_GRAFT_LP_ROUNDS", "4")
     os.environ.setdefault("SPARK_GRAFT_PCA_ROUNDS", "4")
     os.environ.setdefault("SPARK_GRAFT_TEXTRANK_ROUNDS", "4")

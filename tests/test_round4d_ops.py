@@ -316,6 +316,31 @@ def test_k_core_undirected_and_dedup(spark):
     assert got == {0: 2, 1: 2, 2: 2}
 
 
+def test_k_core_symmetric_contract_parity(spark):
+    """symmetric=True on an undirected-complete, irreflexive, dup-free edge
+    list (the self-radius-join contract) equals the default normalizing
+    path on the directed half — on a graph where peeling cascades AND the
+    early-exit fires before the round cap."""
+    import itertools
+
+    from aira_spark.operators.graph import k_core
+
+    clique = list(itertools.combinations(range(5), 2))
+    directed = clique + [(0, 10), (10, 11), (11, 12)]
+    both_dirs = directed + [(b, a) for a, b in directed]
+    want = {
+        r["node"]: r["core_deg"]
+        for r in k_core(_kc_edges(spark, directed), k=2, rounds=9).collect()
+    }
+    got = {
+        r["node"]: r["core_deg"]
+        for r in k_core(
+            _kc_edges(spark, both_dirs), k=2, rounds=9, symmetric=True
+        ).collect()
+    }
+    assert got == want and 12 not in got and got[0] == 4
+
+
 # -------------------------------------------------------------- proximity
 
 
