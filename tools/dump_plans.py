@@ -147,6 +147,10 @@ def main() -> None:
         ("jpeg_decode", "baseline JPEG encode->decode->verify inside ONE "
                         "mapInPandas; only 6 integer columns cross Arrow, "
                         "bytes and pixels never shuffle"),
+        ("warp", "inverse-mapped NN regrid: decode + pull-resample inside "
+                 "ONE mapInPandas — only (tx,ty,val) target rows reach the "
+                 "position-keyed partial+final composite agg; pixels never "
+                 "in an exchange, no join"),
         ("audio_decode", "RIFF/WAVE encode->decode->stats inside ONE "
                          "mapInPandas; only 10 integer columns cross Arrow, "
                          "sample buffers never shuffle"),
