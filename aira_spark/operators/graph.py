@@ -444,31 +444,37 @@ def hits_fixed(
             "node", f"CAST((raw * {HITS_SCALE}) div tot AS BIGINT) AS {col}"
         )
 
+    # SPARSE rounds: a node absent from the in/out aggregation has raw = 0 —
+    # it adds nothing to the normalization total and contributes nothing to
+    # the next round's sums, so the per-round zero-fill join against `nodes`
+    # (2 extra shuffles/round in the original shape) is deferred to ONE
+    # left-join fill at the end; every emitted row is bit-identical to the
+    # dense form the oracle unrolls.
     auth = None
     for i in range(rounds):
         araw = (
             edges.join(hubs, edges.src == hubs.node)
-            .groupBy("dst").agg(F.sum("h").alias("inflow"))
-        )
-        araw = nodes.join(araw, nodes.node == araw.dst, "left").select(
-            "node", F.coalesce(F.col("inflow"), F.lit(0)).cast("long").alias("raw")
+            .groupBy("dst").agg(F.sum("h").cast("long").alias("raw"))
+            .withColumnRenamed("dst", "node")
         )
         auth = _norm(araw, "a")
         hraw = (
             edges.join(auth, edges.dst == auth.node)
-            .groupBy("src").agg(F.sum("a").alias("outflow"))
-        )
-        hraw = nodes.join(hraw, nodes.node == hraw.src, "left").select(
-            "node", F.coalesce(F.col("outflow"), F.lit(0)).cast("long").alias("raw")
+            .groupBy("src").agg(F.sum("a").cast("long").alias("raw"))
+            .withColumnRenamed("src", "node")
         )
         hubs = _norm(hraw, "h")
         if (i + 1) % checkpoint_every == 0:
             hubs = hubs.localCheckpoint(eager=True)
             auth = auth.localCheckpoint(eager=True)
-    return hubs.join(auth, "node").selectExpr(
-        "CAST(node AS BIGINT) AS node",
-        "CAST(h AS BIGINT) AS hub_micros",
-        "CAST(a AS BIGINT) AS auth_micros",
+    return (
+        nodes.join(hubs.withColumnRenamed("h", "hv"), "node", "left")
+        .join(auth.withColumnRenamed("a", "av"), "node", "left")
+        .selectExpr(
+            "CAST(node AS BIGINT) AS node",
+            "CAST(COALESCE(hv, 0) AS BIGINT) AS hub_micros",
+            "CAST(COALESCE(av, 0) AS BIGINT) AS auth_micros",
+        )
     )
 
 
