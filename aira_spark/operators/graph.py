@@ -44,33 +44,49 @@ def pagerank_fixed(
     `edges` carries (src, dst) with EVERY src having exactly `out_degree`
     out-edges (the kNN digraph guarantees it); nodes = distinct src (every
     node has out-edges, so no dangling-mass term)."""
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    ranks = nodes.withColumn("rank_micros", F.lit(INIT_MICROS).cast("long"))
     div = DAMP_DEN * out_degree
+    # SPARSE rounds (the hits_fixed device, one step further): the dense
+    # rank of ANY node is TELEPORT + inflow with inflow = 0 when absent, so
+    # instead of materializing ranks via a per-round zero-fill join against
+    # the node set (2 joins + 1 agg/round), fold the teleport term into the
+    # edge-side left join and carry only the sparse inflow between rounds
+    # (1 join + 1 agg/round). The floor division sees the identical dense
+    # rank value, so every emitted row is bit-identical to the dense form
+    # the oracle unrolls.
+    inflow = None  # round-0 ranks are the uniform INIT_MICROS, not TELEPORT
     for i in range(rounds):
-        contrib = (
-            edges.join(ranks, edges.src == ranks.node)
-            .select(
-                F.col("dst").alias("node"),
-                F.expr(f"({DAMP_NUM} * rank_micros) div {div}").alias("c"),
+        if inflow is None:
+            joined = edges.withColumn(
+                "rank_micros", F.lit(INIT_MICROS).cast("long")
             )
-            .groupBy("node")
-            .agg(F.sum("c").alias("inflow"))
-        )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
+        else:
+            joined = edges.join(
+                inflow.withColumnRenamed("node", "src"), "src", "left"
+            ).select(
+                "dst",
                 (F.lit(TELEPORT) + F.coalesce(F.col("inflow"), F.lit(0)))
                 .cast("long")
                 .alias("rank_micros"),
             )
+        inflow = (
+            joined.select(
+                F.col("dst").alias("node"),
+                F.expr(f"({DAMP_NUM} * rank_micros) div {div}").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("inflow"))
         )
         if (i + 1) % checkpoint_every == 0:
             # same device as duplicate_clusters: each round's plan embeds the
-            # previous round twice-referenced; truncate before it compounds
-            ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+            # previous round's subtree; truncate before it compounds
+            inflow = inflow.localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    return nodes.join(inflow, "node", "left").select(
+        "node",
+        (F.lit(TELEPORT) + F.coalesce(F.col("inflow"), F.lit(0)))
+        .cast("long")
+        .alias("rank_micros"),
+    )
 
 
 def oracle_pagerank_sql(
