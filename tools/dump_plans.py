@@ -140,7 +140,10 @@ def main() -> None:
                 "reproducibility"),
         ("pagerank", "iterative join+agg rounds over integer micros; "
                      "order-independent folds make any parallelism "
-                     "bit-identical; lineage checkpointed every 4 rounds"),
+                     "bit-identical; SPARSE rounds — teleport folds into "
+                     "the edge-side left join, so no per-round zero-fill "
+                     "join against the (unbroadcastable at scale) node "
+                     "set; lineage checkpointed every 4 rounds"),
         ("png_decode", "encode->decode roundtrip inside ONE mapInPandas; "
                        "only 7 integer stat columns cross Arrow, pixel "
                        "buffers never shuffle"),
@@ -325,9 +328,11 @@ def main() -> None:
         ("mann_kendall", "daily roll-up folds map-side before any pair; "
                          "per-cell pair join is calendar-bounded; ties fold "
                          "as (cell,y) counts — no window, no Python"),
-        ("hits", "pagerank's round shape run once per side; the global "
-                 "normalizer is a single-row agg cross-joined back with an "
-                 "explicit broadcast; lineage checkpointed every 2 rounds"),
+        ("hits", "pagerank's round shape run once per side; SPARSE rounds "
+                 "with ONE final zero-fill join instead of two per round; "
+                 "the global normalizer is a single-row agg cross-joined "
+                 "back with an explicit broadcast; lineage checkpointed "
+                 "every 2 rounds"),
         ("acf", "daily roll-up folds map-side; lag pairing is ONE equi-join "
                 "on (cell, day+lag) after a constant-fan-out lag explode; "
                 "one hash agg ends it — no window, no Python"),
