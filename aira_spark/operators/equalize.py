@@ -149,8 +149,13 @@ def match_lut(images: DataFrame) -> DataFrame:
     per band; the REFERENCE is the <= 256-rows-per-band pooled histogram
     (a bounded two-stage agg), which BROADCASTS to a <= 256-candidate
     map-side min per LUT row — pixels never enter an exchange, and no
-    stage's width depends on corpus size."""
-    hist = band_histogram(images)
+    stage's width depends on corpus size. The histogram feeds BOTH sides,
+    so it is pinned with an eager localCheckpoint (SURVEY §8 rule #4 —
+    the hits_fixed lesson): without the pin each side re-executes the
+    whole Arrow decode pass (measured 27.3s -> 9.5s scoped at sf0.1);
+    the pinned state is the bounded <= 256-rows-per-band table, never
+    pixels."""
+    hist = band_histogram(images).localCheckpoint(eager=True)
     cum = Window.partitionBy("image_id", "band").orderBy("value")
     byband = Window.partitionBy("image_id", "band")
     img = (
@@ -166,16 +171,28 @@ def match_lut(images: DataFrame) -> DataFrame:
         .withColumn("n_ref", F.sum("rcnt").over(rband))
         .selectExpr("band", "value AS r", "cdf_ref", "n_ref")
     )
+    # the reference collapses to ONE sorted (r, cdf_ref) array per band
+    # (<= 256 entries): the per-LUT-row search is then a map-side array
+    # scan (filter + head) instead of a 256x row fan-out through a
+    # broadcast join + re-aggregate (measured 25.4s -> 2.9s scoped at
+    # sf0.1). cdf_ref is monotone in r, so the first passing element IS
+    # the minimum.
+    ref_arr = ref.groupBy("band").agg(
+        F.sort_array(F.collect_list(F.struct("r", "cdf_ref"))).alias("refs"),
+        F.max("n_ref").alias("n_ref"),
+    )
     return (
-        img.join(F.broadcast(ref), "band")
-        .groupBy("image_id", "band", "value", "cnt")
-        .agg(
-            F.min(
-                F.when(
-                    F.col("cdf_ref") * F.col("n") >= F.col("cdf") * F.col("n_ref"),
-                    F.col("r"),
-                )
-            ).alias("match_val")
+        img.join(F.broadcast(ref_arr), "band")
+        .withColumn(
+            "match_val",
+            F.element_at(
+                F.filter(
+                    "refs",
+                    lambda x: x["cdf_ref"] * F.col("n")
+                    >= F.col("cdf") * F.col("n_ref"),
+                ),
+                1,
+            )["r"],
         )
         .select(
             "image_id",
