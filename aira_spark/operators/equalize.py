@@ -265,6 +265,10 @@ def otsu_threshold(images: DataFrame) -> DataFrame:
         .withColumn("fmax", F.max("fk").over(grp))
         .where(F.expr("fk >= fmax * (1.0 - 1e-9)"))
         .drop("fk", "fmax")
+        # pinned: the anti-join below references the survivors TWICE (c1
+        # and c2) — without the pin each side re-runs the decode + window
+        # chain (SURVEY §8 rule #4); the pinned state is 1-3 rows/band
+        .localCheckpoint(eager=True)
     )
     c1, c2 = cand.alias("c1"), cand.alias("c2")
     w = "CAST({} AS DECIMAL(38,0))"
@@ -382,6 +386,10 @@ def stretch_lut(
     cdf = (
         hist.withColumn("cdf", F.sum("cnt").over(cum))
         .withColumn("n", F.sum("cnt").over(byband))
+        # pinned: consumed TWICE below (clip-point agg + LUT join) —
+        # without the pin each consumer re-runs the decode + window chain
+        # (SURVEY §8 rule #4); the pinned state is <= 256 rows per band
+        .localCheckpoint(eager=True)
     )
     lo = f"MIN(CASE WHEN cdf * 100 >= n * {lo_pct} THEN value END)"
     hi = f"MIN(CASE WHEN cdf * 100 >= n * {hi_pct} THEN value END)"
