@@ -74,6 +74,11 @@ def convoy_pairs(
             F.expr(f"ix DIV {d}").alias("gx"),
             F.expr(f"iy DIV {d}").alias("gy"),
         )
+        # pinned: consumed THREE times below (hot-cell guard probe + both
+        # join sides) — without the pin each consumer re-runs the
+        # row_number window over ALL pings (SURVEY §8 rule #4); the
+        # pinned state is one row per (user, bucket), already reduced
+        .localCheckpoint(eager=True)
     )
     over = (
         rep.groupBy("gx", "gy", "b").count()
