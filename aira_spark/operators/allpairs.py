@@ -64,9 +64,14 @@ def allpairs_cosine(docs: DataFrame) -> DataFrame:
         )
         .join(size, "doc_id")
     )
-    prefix = pos.where(
-        F.expr(f"pos <= n - {_ceil_tau2('n')} + 1")
-    ).select("doc_id", "term", "n")
+    prefix = (
+        pos.where(F.expr(f"pos <= n - {_ceil_tau2('n')} + 1"))
+        .select("doc_id", "term", "n")
+        # pinned: both sides of the candidate self-join below — without
+        # the pin each side re-runs the dfreq join + global-order window
+        # (SURVEY §8 rule #4); the pinned state is the bounded prefix
+        .localCheckpoint(eager=True)
+    )
     n2, d2 = TAU_NUM * TAU_NUM, TAU_DEN * TAU_DEN
     cand = (
         prefix.selectExpr("doc_id AS doc_a", "term", "n AS la")
