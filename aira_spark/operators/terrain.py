@@ -340,25 +340,34 @@ def flow_accumulation(
         "node AS child", "parent"
     ).localCheckpoint(eager=True)
     nodes = p.select("node")
-    acc = nodes.withColumn("acc", F.lit(1).cast("long"))
+    # SPARSE rounds (the pagerank_fixed device): the dense acc of ANY node
+    # is 1 + inflow with inflow = 0 when absent, so the per-round zero-fill
+    # join against the node set folds into the edge-side left join, and the
+    # monotone stopping probe reads SUM(s) on the sparse side (dense total
+    # = n_nodes + sparse total, so the stopping round is unchanged).
+    n_nodes = nodes.count()
+    inflow = None
     prev_total = -1
     for _ in range(max_rounds):
-        inflow = (
-            edges.join(acc, edges.child == acc.node)
-            .groupBy("parent")
-            .agg(F.sum("acc").alias("s"))
-        )
-        acc = (
-            nodes.join(inflow, nodes.node == inflow.parent, "left")
-            .select(
-                "node",
+        if inflow is None:
+            child_acc = edges.select(
+                "parent", F.lit(1).cast("long").alias("a")
+            )
+        else:
+            child_acc = edges.join(
+                inflow.withColumnRenamed("parent", "child"), "child", "left"
+            ).select(
+                "parent",
                 (F.lit(1) + F.coalesce(F.col("s"), F.lit(0)))
                 .cast("long")
-                .alias("acc"),
+                .alias("a"),
             )
+        inflow = (
+            child_acc.groupBy("parent")
+            .agg(F.sum("a").cast("long").alias("s"))
             .localCheckpoint(eager=True)
         )
-        total = acc.agg(F.sum("acc")).collect()[0][0]
+        total = n_nodes + (inflow.agg(F.sum("s")).collect()[0][0] or 0)
         if total == prev_total:
             break
         prev_total = total
@@ -368,6 +377,14 @@ def flow_accumulation(
             "(descent path longer than max_rounds — impossible on a "
             "byte-valued mosaic)"
         )
+    acc = nodes.join(
+        inflow.withColumnRenamed("parent", "node"), "node", "left"
+    ).select(
+        "node",
+        (F.lit(1) + F.coalesce(F.col("s"), F.lit(0)))
+        .cast("long")
+        .alias("acc"),
+    )
     return acc.selectExpr(
         f"CAST(node DIV {BASIN_K} AS BIGINT) AS fx",
         f"CAST(node % {BASIN_K} AS BIGINT) AS fy",
