@@ -698,28 +698,43 @@ def strahler_order(
         "node AS child", "parent"
     ).localCheckpoint(eager=True)
     nodes = p.select("node")
-    ordd = nodes.withColumn("o", F.lit(1).cast("long"))
+    # SPARSE rounds (the flow_accumulation device): the dense order of ANY
+    # node is 1 when it has no child votes, else the CASE over its top
+    # (o, c) struct, so the per-round zero-fill join against the node set
+    # folds into the edge-side left join — only the sparse (parent, t)
+    # frame carries between rounds. Every parent is a real fine-grid cell
+    # (the chosen neighbor scattered its own value), so the stopping probe
+    # over the sparse side (dense SUM(o) = n_nodes + Σ(case − 1)) stops at
+    # the identical round.
+    case_o = (
+        "CAST(CASE WHEN t IS NULL THEN 1 "
+        "WHEN t.c >= 2 THEN t.o + 1 ELSE t.o END AS BIGINT)"
+    )
+    n_nodes = nodes.count()
+    top = None
     prev_total = -1
     for _ in range(max_rounds):
-        oc = (
-            edges.join(ordd, edges.child == ordd.node)
-            .groupBy("parent", "o")
-            .agg(F.count("*").alias("c"))
-        )
-        top = oc.groupBy("parent").agg(
-            F.max(F.struct(F.col("o").alias("o"), F.col("c").alias("c")))
-            .alias("t")
-        )
-        ordd = (
-            nodes.join(top, nodes.node == top.parent, "left")
-            .selectExpr(
-                "node",
-                "CAST(CASE WHEN t IS NULL THEN 1 "
-                "WHEN t.c >= 2 THEN t.o + 1 ELSE t.o END AS BIGINT) AS o",
+        if top is None:
+            child_ord = edges.select(
+                "parent", F.lit(1).cast("long").alias("o")
+            )
+        else:
+            child_ord = edges.join(
+                top.withColumnRenamed("parent", "child"), "child", "left"
+            ).selectExpr("parent", f"{case_o} AS o")
+        oc = child_ord.groupBy("parent", "o").agg(F.count("*").alias("c"))
+        top = (
+            oc.groupBy("parent")
+            .agg(
+                F.max(F.struct(F.col("o").alias("o"), F.col("c").alias("c")))
+                .alias("t")
             )
             .localCheckpoint(eager=True)
         )
-        total = ordd.agg(F.sum("o")).collect()[0][0]
+        extra = top.selectExpr(
+            "sum(CASE WHEN t.c >= 2 THEN t.o + 1 ELSE t.o END - 1) AS x"
+        ).collect()[0]["x"]
+        total = n_nodes + (extra or 0)
         if total == prev_total:
             break
         prev_total = total
@@ -727,6 +742,9 @@ def strahler_order(
         raise RuntimeError(
             f"strahler_order did not converge in {max_rounds} rounds"
         )
+    ordd = nodes.join(
+        top.withColumnRenamed("parent", "node"), "node", "left"
+    ).selectExpr("node", f"{case_o} AS o")
     return ordd.selectExpr(
         f"CAST(node DIV {BASIN_K} AS BIGINT) AS fx",
         f"CAST(node % {BASIN_K} AS BIGINT) AS fy",
