@@ -95,43 +95,43 @@ def pca_top1(emb: DataFrame, dim: int = 64, rounds: int = 8) -> DataFrame:
         F.sum(F.col("qj") * F.col("qk")).cast("long").alias("p")
     )
     s = qi.groupBy("j").agg(F.sum("q").cast("long").alias("s"))
-    m = (
-        p.join(F.broadcast(s), "j")
-        .join(F.broadcast(s.selectExpr("j AS k", "s AS sk")), "k")
-        .selectExpr("j", "k", f"{n} * p - s * sk AS m")
-    )
-    mmax = m.groupBy().agg(F.max(F.abs(F.col("m"))).alias("mmax"))
-    fdiv_m = _floor_div(f"m * {SCALE}", "mmax", "spark")
-    mp = (
-        m.crossJoin(F.broadcast(mmax))
-        .selectExpr(
-            "j", "k",
-            f"CAST(CASE WHEN mmax = 0 THEN 0 ELSE {fdiv_m} END AS BIGINT)"
-            " AS m",
-        )
-        .localCheckpoint(eager=True)
-    )
 
-    v = s.selectExpr("j AS k", f"CAST({SCALE} AS BIGINT) AS v")
-    fdiv_w = _floor_div(f"w * {SCALE}", "wmax", "spark")
+    # The normalization + power iteration runs DRIVER-SIDE on the collected
+    # moment state: p is exactly dim^2 <= 4096 rows and s is dim rows BY
+    # CONSTRUCTION (independent of corpus size — the kmeans-centroid
+    # bounded-collect category), while the Spark formulation paid
+    # 8 rounds x (broadcast join + agg + crossJoin + checkpoint) of pure
+    # stage latency on 64-row frames (~2.5s at any data size). Python ints
+    # are arbitrary-precision, the divisors (mmax/wmax) are positive, and
+    # Python // floors — so every value is bit-identical to the engine
+    # form the oracle unrolls (trend._floor_div == floor for c > 0).
+    prows = {(r["j"], r["k"]): r["p"] for r in p.collect()}
+    srows = {r["j"]: r["s"] for r in s.collect()}
+    mat = {
+        (j, k): n * pv - srows[j] * srows[k]
+        for (j, k), pv in prows.items()
+    }
+    mmax = max((abs(v) for v in mat.values()), default=0)
+    mp = {
+        jk: (0 if mmax == 0 else (v * SCALE) // mmax)
+        for jk, v in mat.items()
+    }
+    vec = {j: SCALE for j in srows}
     for _ in range(rounds):
-        w = (
-            mp.join(F.broadcast(v), "k")
-            .groupBy("j")
-            .agg(F.sum(F.col("m") * F.col("v")).cast("long").alias("w"))
-        )
-        wmax = w.groupBy().agg(F.max(F.abs(F.col("w"))).alias("wmax"))
-        v = (
-            w.crossJoin(F.broadcast(wmax))
-            .selectExpr(
-                "j AS k",
-                f"CAST(CASE WHEN wmax = 0 THEN 0 ELSE {fdiv_w} END"
-                " AS BIGINT) AS v",
-            )
-            .localCheckpoint(eager=True)
-        )
+        w = {}
+        for (j, k), mv in mp.items():
+            if k in vec:  # the engine form is an INNER join on k
+                w[j] = w.get(j, 0) + mv * vec[k]
+        wmax = max((abs(x) for x in w.values()), default=0)
+        vec = {
+            j: (0 if wmax == 0 else (x * SCALE) // wmax)
+            for j, x in w.items()
+        }
+    v = emb.sparkSession.createDataFrame(
+        [(int(j), int(x)) for j, x in sorted(vec.items())], "j long, v long"
+    )
     return (
-        qi.join(F.broadcast(v.selectExpr("k AS j", "v")), "j")
+        qi.join(F.broadcast(v), "j")
         .groupBy("vec_id", "label")
         .agg(F.sum(F.col("q") * F.col("v")).cast("long").alias("proj"))
         .selectExpr(

@@ -370,7 +370,8 @@ def main() -> None:
     # (KCORE_ROUNDS trim retired: k_core now early-exits at the PROVEN
     # fixpoint — exact at full rounds, so the bench runs the real query)
     os.environ.setdefault("SPARK_GRAFT_LP_ROUNDS", "4")
-    os.environ.setdefault("SPARK_GRAFT_PCA_ROUNDS", "4")
+    # (PCA_ROUNDS trim retired: the power iteration now runs driver-side
+    # on the bounded dim^2 moment state — full 8 rounds cost ~nothing)
     os.environ.setdefault("SPARK_GRAFT_TEXTRANK_ROUNDS", "4")
     os.environ.setdefault("SPARK_GRAFT_STREAM_BATCHES", "2")
     for name, fn in selected.items():
