@@ -169,6 +169,11 @@ def inverted_index(
     if max_postings is not None:
         from pyspark.sql.window import Window
 
+        # pinned: the truncation window AND the untruncated stats both
+        # consume tf — without the pin each re-runs the explode + count
+        # pass over the full text (SURVEY §8 rule #4); the pinned state
+        # is (term, doc_id, tf) rows, text already dropped
+        tf = tf.localCheckpoint(eager=True)
         w = Window.partitionBy("term").orderBy(
             F.col("tf").desc(), F.col("doc_id")
         )
