@@ -77,6 +77,10 @@ def exact_substr_spans(
             "doc_id", F.size("ghs").alias("n_grams"),
             F.posexplode("ghs").alias("pos", "g"),
         )
+        # pinned: consumed twice below (df side + positional join back) —
+        # without the pin each consumer re-runs the Arrow gram-hash UDF
+        # over every document (SURVEY §8 rule #4); text is already gone
+        .localCheckpoint(eager=True)
     )
     dup = (
         pg.select("doc_id", "g").distinct()

@@ -368,6 +368,10 @@ def ngram_novelty(docs: DataFrame, k: int = 3) -> DataFrame:
             F.size("ghs").alias("n_grams"),
             F.explode("ghs").alias("g"),
         )
+        # pinned: consumed twice below (df agg + gram-keyed join back) —
+        # without the pin each consumer re-runs the Arrow gram-hash UDF
+        # over every document (SURVEY §8 rule #4); text is already gone
+        .localCheckpoint(eager=True)
     )
     df_g = ce.groupBy("g").agg(F.count("*").alias("df"))
     return (
