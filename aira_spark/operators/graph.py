@@ -366,30 +366,40 @@ def k_core(
     if not symmetric:
         base = base.unionByName(edges.selectExpr("dst AS a", "src AS b")).distinct()
     und = base.where("a != b").localCheckpoint(eager=True)
-    surv = und.select("a").distinct()
-    prev_n = None
+    # DELTA peeling: deg_i(a) = |N(a) ∩ surv_i| satisfies
+    # deg_i(a) = deg_{i-1}(a) − |N(a) ∩ dropped_i|, so after ONE full-degree
+    # agg each round only joins the edge list against the (small, shrinking)
+    # dropped set — per-round cost is the dropped neighborhood, not two full
+    # semi-joins of the whole edge list. The carried deg frame always holds
+    # degrees against the CURRENT survivor set, so on exit it IS the final
+    # core_deg recount (survivors peeled to zero degree are omitted exactly
+    # as the recount's groupBy omitted them).
+    deg = (
+        und.groupBy("a").agg(F.count("*").alias("core_deg"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(rounds):
-        alive = (
-            und.join(surv, "a")
-            .join(surv.selectExpr("a AS b"), "b")
+        dropped = deg.where(F.col("core_deg") < k).select("a")
+        if dropped.isEmpty():
+            break  # provable fixpoint — remaining rounds are no-ops
+        dec = (
+            und.join(F.broadcast(dropped.selectExpr("a AS b")), "b")
+            .groupBy("a")
+            .agg(F.count("*").alias("d"))
         )
-        deg = alive.groupBy("a").agg(F.count("*").alias("core_deg"))
-        surv = (
+        deg = (
             deg.where(F.col("core_deg") >= k)
-            .select("a")
+            .join(dec, "a", "left")
+            .select(
+                "a",
+                (F.col("core_deg") - F.coalesce(F.col("d"), F.lit(0)))
+                .alias("core_deg"),
+            )
             .localCheckpoint(eager=True)
         )
-        n = surv.count()  # cheap: counts the eager checkpoint just built
-        if n == prev_n:
-            break  # provable fixpoint — remaining rounds are no-ops
-        prev_n = n
-    final_deg = (
-        und.join(surv, "a")
-        .join(surv.selectExpr("a AS b"), "b")
-        .groupBy("a")
-        .agg(F.count("*").cast("long").alias("core_deg"))
+    return deg.where(F.col("core_deg") > 0).selectExpr(
+        "CAST(a AS BIGINT) AS node", "CAST(core_deg AS BIGINT) AS core_deg"
     )
-    return final_deg.selectExpr("CAST(a AS BIGINT) AS node", "core_deg")
 
 
 def oracle_k_core_sql(edges_cte: str, k: int, rounds: int = 8) -> str:
