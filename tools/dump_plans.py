@@ -220,9 +220,11 @@ def main() -> None:
                         "neighborhood counts -> 8-adjacency bump equi-join "
                         "over core CELLS -> min-label CC -> k-ring border "
                         "labeling; points never join points"),
-        ("hist_match", "pooled reference is a bounded two-stage agg that "
-                       "BROADCASTS into a <=256-candidate map-side min per "
-                       "LUT row; pixels never in an exchange"),
+        ("hist_match", "shared histogram pinned once (both sides ride it); "
+                       "pooled reference collapses to ONE sorted array per "
+                       "band, the quantile search is a map-side filter+head "
+                       "array scan — no candidate fan-out, pixels never in "
+                       "an exchange"),
         ("otsu", "argmax WITHOUT division: 128-bit cross-multiplied "
                  "anti self-join over <=256 histogram candidates per "
                  "(image, band); pixels never in an exchange"),
@@ -257,8 +259,10 @@ def main() -> None:
                           "tfidf exchange class); text never shuffles"),
         ("stretch", "clip points + remap over the <=256-row histogram "
                     "window; pixels never shuffle"),
-        ("strahler", "monotone Jacobi rounds: two narrow aggs per round "
-                     "over the checkpointed flow forest"),
+        ("strahler", "monotone Jacobi rounds run SPARSE (teleport-style "
+                     "zero-fill folded into the edge-side left join, probe "
+                     "on the sparse side): two narrow aggs per round over "
+                     "the checkpointed flow forest"),
         ("ann_recall", "ids-only recall join of two operator outputs; "
                        "broadcast query panel, corpus never shuffles"),
         ("mrl_recall", "two exact-cosine arms over broadcast query panel; "
@@ -394,7 +398,9 @@ def main() -> None:
                  "projection (pinned double chain)"),
         ("pca", "64x64 moment fold = double-posexplode projection + ONE "
                 "hash agg (4096 partials/partition cross the wire, never "
-                "vectors); iteration rounds are 64-row broadcast joins"),
+                "vectors); normalization + power rounds run driver-side on "
+                "the bounded dim^2 moment state (exact ints), only the "
+                "dim-row vector returns for the projection join"),
         ("hog", "focal-gradient scatter-agg + octant CASE projection + "
                 "one hash agg to (cell, bin) — <=9 rows per cell in the "
                 "exchange, no atan2, no join"),
