@@ -415,7 +415,9 @@ def main() -> None:
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "BENCH",
-        f"QUERIES_{cpus}c_{sf_tag}.json",
+        f"QUERIES_{cpus}c_{sf_tag}"
+        + (f"_x{img_scale}" if img_scale != "1" else "")
+        + ".json",
     )
     try:
         os.makedirs(os.path.dirname(full_path), exist_ok=True)
