@@ -150,7 +150,22 @@ def write_mjpeg_avi(
 def parse_avi(buf: bytes) -> dict:
     """Validate the container and return {width, height, fps, n_frames,
     codec, frames: [(offset, size)], chunks: [top-level ids]} without
-    decoding any frame — metadata-only callers stop here."""
+    decoding any frame — metadata-only callers stop here.
+
+    Contract: malformed input raises AviError — including byte-level
+    corruption that would otherwise surface as IndexError / ValueError /
+    struct.error from a walk step the explicit length checks missed — so
+    Arrow-UDF callers can dead-letter one bad row instead of failing the
+    task."""
+    try:
+        return _parse_avi(buf)
+    except AviError:
+        raise
+    except (IndexError, ValueError, struct.error) as exc:
+        raise AviError(f"malformed AVI container: {exc}") from exc
+
+
+def _parse_avi(buf: bytes) -> dict:
     if len(buf) < 12:
         raise AviError(f"buffer too short for a RIFF header ({len(buf)} bytes)")
     if buf[0:4] != b"RIFF":

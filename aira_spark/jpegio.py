@@ -563,7 +563,22 @@ def parse_jpeg(buf: bytes) -> dict:
     h, w, n_components, quant tables, and per-component integer
     coefficient arrays (nby, nbx, 8, 8) — decode_jpeg() is
     dequant+iDCT(+color) on top of this. Exposed so tests can pin
-    entropy-coding invertibility without reaching into privates."""
+    entropy-coding invertibility without reaching into privates.
+
+    Contract: anything outside the supported envelope — including
+    byte-level corruption that would otherwise surface as IndexError /
+    ValueError / struct.error from segment slicing — raises JpegError,
+    so Arrow-UDF callers can dead-letter one bad row instead of failing
+    the task."""
+    try:
+        return _parse_jpeg(buf)
+    except JpegError:
+        raise
+    except (IndexError, ValueError, struct.error) as exc:
+        raise JpegError(f"malformed JPEG stream: {exc}") from exc
+
+
+def _parse_jpeg(buf: bytes) -> dict:
     if len(buf) < 4 or buf[0] != 0xFF or buf[1] != 0xD8:
         raise JpegError("not a JPEG: missing SOI")
     qt: dict[int, np.ndarray] = {}
@@ -685,9 +700,11 @@ def parse_jpeg(buf: bytes) -> dict:
     }
 
 
-def decode_jpeg(buf: bytes) -> np.ndarray:
-    """bytes -> (h, w, 1|3) uint8 (RGB for 3-component streams)."""
-    p = parse_jpeg(buf)
+def decode_from_parse(p: dict) -> np.ndarray:
+    """parse_jpeg() dict -> (h, w, 1|3) uint8 pixels — the dequant + iDCT
+    (+ YCbCr) tail of decode_jpeg, split out so callers that need BOTH the
+    coefficients and the pixels (the roundtrip-verify queries) pay the
+    Huffman entropy decode once, not twice."""
     h, w, nc = p["h"], p["w"], p["n_components"]
     planes = [
         dequant_idct(p["coeffs"][ci], p["qtbls"][ci], h, w) for ci in range(nc)
@@ -695,3 +712,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     if nc == 1:
         return planes[0][:, :, None]
     return ycbcr_to_rgb(np.stack(planes, axis=-1))
+
+
+def decode_jpeg(buf: bytes) -> np.ndarray:
+    """bytes -> (h, w, 1|3) uint8 (RGB for 3-component streams)."""
+    return decode_from_parse(parse_jpeg(buf))

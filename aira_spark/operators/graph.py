@@ -81,6 +81,12 @@ def pagerank_fixed(
             # previous round's subtree; truncate before it compounds
             inflow = inflow.localCheckpoint(eager=True)
     nodes = edges.select(F.col("src").alias("node")).distinct()
+    if inflow is None:
+        # rounds=0: ranks are still the uniform initialization (the dense
+        # form's r0 and the oracle's r0 CTE), not TELEPORT
+        return nodes.select(
+            "node", F.lit(INIT_MICROS).cast("long").alias("rank_micros")
+        )
     return nodes.join(inflow, "node", "left").select(
         "node",
         (F.lit(TELEPORT) + F.coalesce(F.col("inflow"), F.lit(0)))
@@ -380,13 +386,19 @@ def k_core(
     )
     for _ in range(rounds):
         dropped = deg.where(F.col("core_deg") < k).select("a")
-        if dropped.isEmpty():
+        n_dropped = dropped.count()
+        if n_dropped == 0:
             break  # provable fixpoint — remaining rounds are no-ops
-        dec = (
-            und.join(F.broadcast(dropped.selectExpr("a AS b")), "b")
-            .groupBy("a")
-            .agg(F.count("*").alias("d"))
-        )
+        # broadcast only when the dropped set is measurably small: round 1
+        # can drop nearly |V| nodes (k above the typical degree), and a
+        # forced broadcast of an unbounded set collects it to the driver.
+        # The count doubles as the fixpoint probe, so the bound is free;
+        # past it, the plain equi-join shuffles ids only and AQE may still
+        # convert later rounds back to broadcast as the set shrinks.
+        drop_b = dropped.selectExpr("a AS b")
+        if n_dropped <= 5_000_000:
+            drop_b = F.broadcast(drop_b)
+        dec = und.join(drop_b, "b").groupBy("a").agg(F.count("*").alias("d"))
         deg = (
             deg.where(F.col("core_deg") >= k)
             .join(dec, "a", "left")
@@ -455,6 +467,10 @@ def hits_fixed(
     device). Edges are materialized ONCE up front (the sssp_fixed rule:
     both per-round joins re-read them, so an expensive upstream build —
     here the kNN join — would otherwise re-execute 2x per round)."""
+    if rounds < 1:
+        # auth scores only exist after a half-round; the oracle's unroll has
+        # no a0 CTE either, so rounds=0 is outside the operator's domain
+        raise ValueError(f"hits_fixed needs rounds >= 1, got {rounds}")
     edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.selectExpr("src AS node")

@@ -53,9 +53,24 @@ def _block_mean_8(px: np.ndarray) -> np.ndarray:
     return out.flatten()
 
 
+def _spread_keys(keys: "DataFrame") -> "DataFrame":
+    """Spread a synth-key frame across the cluster before a key-driven
+    codec pass. The keys come from a small dimension-table scan that
+    arrives as ONE input split, and mapInPandas inherits its partitioning
+    — without this the whole encode+decode roster serializes on a single
+    core (measured: the jpeg_decode roster is ~1s of numpy work yet ran
+    ~7s on 32 cores). A hash repartition of the bare key column is a
+    trivial exchange (8 bytes/row) and lets every core decode."""
+    sc = keys.sparkSession.sparkContext
+    return keys.select("k").repartition(sc.defaultParallelism)
+
+
 def decode_image(fmt: str, payload: bytes) -> np.ndarray:
-    """Format dispatch. TIFF, PNG, and baseline JPEG are real; audio/video
-    codecs are stubs."""
+    """IMAGE format dispatch — TIFF, PNG, and baseline JPEG, all real
+    codecs. Audio and video are different modalities with their own real
+    codecs (wavio.py / avio.py behind audio_roundtrip_stats, frame_sample,
+    video_roundtrip_stats), not image formats, so they never dispatch
+    here; anything unrecognized falls through to the loud error below."""
     if fmt.startswith("tiff"):
         _, px = _decode_full(payload)
         return px
@@ -247,7 +262,7 @@ def png_roundtrip_stats(keys: DataFrame) -> DataFrame:
                 ],
             )
 
-    return keys.select("k").mapInPandas(fn, schema=PNG_STATS_SCHEMA)
+    return _spread_keys(keys).mapInPandas(fn, schema=PNG_STATS_SCHEMA)
 
 
 JPEG_STATS_SCHEMA = (
@@ -292,7 +307,14 @@ def jpeg_roundtrip_stats(keys: DataFrame) -> DataFrame:
     Scale shape: zero shuffles — synth+encode+decode+verify all inside
     one mapInPandas; only 6 small integer columns cross Arrow, never
     pixels or bytes."""
-    from ..jpegio import dct_quant, parse_jpeg, quant_tables, rgb_to_ycbcr, write_jpeg
+    from ..jpegio import (
+        dct_quant,
+        decode_from_parse,
+        parse_jpeg,
+        quant_tables,
+        rgb_to_ycbcr,
+        write_jpeg,
+    )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -302,14 +324,18 @@ def jpeg_roundtrip_stats(keys: DataFrame) -> DataFrame:
                 src, quality, ri = _jpeg_synth(k)
                 h, w = src.shape[:2]
                 buf = write_jpeg(src, quality=quality, restart_interval=ri)
-                dec = decode_image("jpeg", buf)
+                # ONE entropy decode serves both invariants: pixels for the
+                # PSNR gate come from the same parse that yields the
+                # coefficients (the Huffman loop is the Python hot path —
+                # decoding twice doubled this query's wall)
+                parsed = parse_jpeg(buf)
+                dec = decode_from_parse(parsed)
                 mse = np.mean(
                     (dec.astype(np.float64) - src.astype(np.float64)) ** 2
                 )
                 psnr_ok = int(
                     mse == 0.0 or 10.0 * np.log10(255.0**2 / mse) >= 40.0
                 )
-                parsed = parse_jpeg(buf)
                 ql, qc = quant_tables(quality)
                 if src.shape[2] == 1:
                     comps, qts = [src[:, :, 0]], [ql]
@@ -340,7 +366,7 @@ def jpeg_roundtrip_stats(keys: DataFrame) -> DataFrame:
                 ],
             )
 
-    return keys.select("k").mapInPandas(fn, schema=JPEG_STATS_SCHEMA)
+    return _spread_keys(keys).mapInPandas(fn, schema=JPEG_STATS_SCHEMA)
 
 
 def oracle_jpeg_stats_sql(where: str = "p_partkey % 11 = 0") -> str:
@@ -486,7 +512,7 @@ def audio_roundtrip_stats(keys: DataFrame) -> DataFrame:
                 ],
             )
 
-    return keys.select("k").mapInPandas(fn, schema=WAV_STATS_SCHEMA)
+    return _spread_keys(keys).mapInPandas(fn, schema=WAV_STATS_SCHEMA)
 
 
 def oracle_wav_stats_sql(where: str = "p_partkey % 17 = 0") -> str:
@@ -633,8 +659,14 @@ def video_roundtrip_stats(keys: DataFrame, every_n: int = 2) -> DataFrame:
     Scale shape: zero shuffles — synth+encode+walk+decode inside one
     mapInPandas; 7 integer columns cross Arrow per sampled frame, clip
     bytes never shuffle. Retires the LAST multimodal stub."""
-    from ..avio import decode_frame, parse_avi, write_mjpeg_avi
-    from ..jpegio import dct_quant, parse_jpeg, quant_tables, rgb_to_ycbcr
+    from ..avio import AviError, parse_avi, write_mjpeg_avi
+    from ..jpegio import (
+        dct_quant,
+        decode_from_parse,
+        parse_jpeg,
+        quant_tables,
+        rgb_to_ycbcr,
+    )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -647,15 +679,25 @@ def video_roundtrip_stats(keys: DataFrame, every_n: int = 2) -> DataFrame:
                 ql, qc = quant_tables(quality)
                 for i in range(0, meta["n_frames"], every_n):
                     src = frames[i]
-                    dec = decode_frame(buf, meta, i)
+                    # ONE entropy decode per sampled frame: slice the '00dc'
+                    # payload once, parse once, derive the PSNR pixels from
+                    # the same parse that yields the coefficients (decoding
+                    # twice doubled this query's wall); decode_frame's
+                    # header-dims cross-check is preserved below
+                    at, size = meta["frames"][i]
+                    parsed = parse_jpeg(buf[at : at + size])
+                    dec = decode_from_parse(parsed)
+                    if dec.shape[:2] != (meta["height"], meta["width"]):
+                        raise AviError(
+                            f"frame {i} decodes to {dec.shape[:2]}, stream "
+                            f"declares ({meta['height']}, {meta['width']})"
+                        )
                     mse = np.mean(
                         (dec.astype(np.float64) - src.astype(np.float64)) ** 2
                     )
                     psnr_ok = int(
                         mse == 0.0 or 10.0 * np.log10(255.0**2 / mse) >= 40.0
                     )
-                    at, size = meta["frames"][i]
-                    parsed = parse_jpeg(buf[at : at + size])
                     if src.shape[2] == 1:
                         comps, qts = [src[:, :, 0]], [ql]
                     else:
@@ -687,7 +729,7 @@ def video_roundtrip_stats(keys: DataFrame, every_n: int = 2) -> DataFrame:
                 ],
             )
 
-    return keys.select("k").mapInPandas(fn, schema=VIDEO_STATS_SCHEMA)
+    return _spread_keys(keys).mapInPandas(fn, schema=VIDEO_STATS_SCHEMA)
 
 
 def oracle_video_stats_sql(

@@ -563,6 +563,19 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type"
         ).parquet(sdir)
 
+    # partitionBy only materializes event_type= subdirs for values actually
+    # present; a slice set with zero views (or purchases) would leave that
+    # side's directory missing and the schema read below would raise
+    # PATH_NOT_FOUND. An empty write with the staged file schema (partition
+    # column excluded) keeps the join well-defined: it returns empty, which
+    # IS the batch-oracle answer for an absent side.
+    for d in (vdir, pdir):
+        if not os.path.exists(d):
+            ev.limit(0).selectExpr(
+                "user_id", "event_id", "ts",
+                "CAST(0 AS BIGINT) AS cents",
+            ).coalesce(1).write.parquet(d)
+
     v = (
         spark.readStream.schema(spark.read.parquet(vdir).schema)
         .option("maxFilesPerTrigger", 1)

@@ -126,7 +126,22 @@ def parse_wav(buf: bytes) -> dict:
     """Validate the container and return header fields + raw sample bytes:
     {code, fmt, channels, rate, byte_rate, block_align, bits, n_samples,
     data (bytes), chunks (ids seen, in order)} — metadata-only callers skip
-    the array materialization."""
+    the array materialization.
+
+    Contract: malformed input raises WavError — including byte-level
+    corruption that would otherwise surface as IndexError / ValueError /
+    struct.error from a walk step the explicit length checks missed — so
+    Arrow-UDF callers can dead-letter one bad row instead of failing the
+    task."""
+    try:
+        return _parse_wav(buf)
+    except WavError:
+        raise
+    except (IndexError, ValueError, struct.error) as exc:
+        raise WavError(f"malformed WAVE container: {exc}") from exc
+
+
+def _parse_wav(buf: bytes) -> dict:
     if len(buf) < 12:
         raise WavError(f"buffer too short for a RIFF header ({len(buf)} bytes)")
     if buf[0:4] != b"RIFF":

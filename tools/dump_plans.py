@@ -144,21 +144,27 @@ def main() -> None:
                      "the edge-side left join, so no per-round zero-fill "
                      "join against the (unbroadcastable at scale) node "
                      "set; lineage checkpointed every 4 rounds"),
-        ("png_decode", "encode->decode roundtrip inside ONE mapInPandas; "
+        ("png_decode", "encode->decode roundtrip inside ONE mapInPandas "
+                       "after an 8-byte/row key spread (the one exchange); "
                        "only 7 integer stat columns cross Arrow, pixel "
                        "buffers never shuffle"),
         ("jpeg_decode", "baseline JPEG encode->decode->verify inside ONE "
-                        "mapInPandas; only 6 integer columns cross Arrow, "
-                        "bytes and pixels never shuffle"),
+                        "mapInPandas after an 8-byte/row key spread (the "
+                        "one exchange; without it the dim-table scan's "
+                        "single split serializes the roster on one core); "
+                        "only 6 integer columns cross Arrow, bytes and "
+                        "pixels never shuffle"),
         ("warp", "inverse-mapped NN regrid: decode + pull-resample inside "
                  "ONE mapInPandas — only (tx,ty,val) target rows reach the "
                  "position-keyed partial+final composite agg; pixels never "
                  "in an exchange, no join"),
         ("audio_decode", "RIFF/WAVE encode->decode->stats inside ONE "
-                         "mapInPandas; only 10 integer columns cross Arrow, "
-                         "sample buffers never shuffle"),
+                         "mapInPandas after an 8-byte/row key spread (the "
+                         "one exchange); only 10 integer columns cross "
+                         "Arrow, sample buffers never shuffle"),
         ("video_decode", "MJPEG-AVI encode->container walk->frame decode "
-                         "inside ONE mapInPandas; 7 integer columns per "
+                         "inside ONE mapInPandas after an 8-byte/row key "
+                         "spread (the one exchange); 7 integer columns per "
                          "sampled frame cross Arrow, clip bytes never "
                          "shuffle"),
         ("bpe_tokens", "ONE corpus-scale word-count agg trains the merge "
