@@ -330,6 +330,12 @@ def oracle_sssp_sql(
     )
 
 
+# broadcast the peeled (dropped) node set only below this row count: round 1
+# can drop nearly |V| nodes, and a forced broadcast of an unbounded set
+# collects it to the driver. Module-level so tests can force the shuffle path.
+PEEL_BROADCAST_MAX = 5_000_000
+
+
 def k_core(
     edges: DataFrame, k: int, rounds: int = 8, symmetric: bool = False
 ) -> DataFrame:
@@ -396,7 +402,7 @@ def k_core(
         # past it, the plain equi-join shuffles ids only and AQE may still
         # convert later rounds back to broadcast as the set shrinks.
         drop_b = dropped.selectExpr("a AS b")
-        if n_dropped <= 5_000_000:
+        if n_dropped <= PEEL_BROADCAST_MAX:
             drop_b = F.broadcast(drop_b)
         dec = und.join(drop_b, "b").groupBy("a").agg(F.count("*").alias("d"))
         deg = (
