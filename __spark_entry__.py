@@ -7207,6 +7207,20 @@ def _oracle_footprint_poly() -> str:
         _sql_seg_cross(pe, pb, corners[a], corners[b])
         for a, b in (("ll", "lr"), ("lr", "ur"), ("ur", "ul"), ("ul", "ll"))
     )
+
+    # case (d), mirroring spatial.rect_intersects_ring's corner_on_edge: a
+    # rect corner exactly ON a polygon edge (orientation 0 + closed bbox) —
+    # the degenerate tangency the strict-crossing test misses
+    def corner_on(px: str, py: str) -> str:
+        return (
+            f"((e.bx - e.ax) * ({py} - e.ay) - (e.by - e.ay) * ({px} - e.ax)) = 0"
+            f" AND {px} >= LEAST(e.ax, e.bx) AND {px} <= GREATEST(e.ax, e.bx)"
+            f" AND {py} >= LEAST(e.ay, e.by) AND {py} <= GREATEST(e.ay, e.by)"
+        )
+
+    corner_on_any = " OR ".join(
+        f"({corner_on(px, py)})" for px, py in corners.values()
+    )
     return f"""
 WITH {_IMG_CTE},
 fp AS (SELECT image_id, cx AS xmin, cx + w * sx AS xmax,
@@ -7220,14 +7234,15 @@ pairs AS (
     {corner_cross('f.xmax', 'f.ymin')} AS c_lr,
     {corner_cross('f.xmax', 'f.ymax')} AS c_ur,
     {corner_cross('f.xmin', 'f.ymax')} AS c_ul,
-    MAX(CASE WHEN {edge_cross} THEN 1 ELSE 0 END) AS ecross
+    MAX(CASE WHEN {edge_cross} THEN 1 ELSE 0 END) AS ecross,
+    MAX(CASE WHEN {corner_on_any} THEN 1 ELSE 0 END) AS con
   FROM fp f CROSS JOIN edges e
   GROUP BY f.image_id, e.poly_id
 )
 SELECT 'poly' AS tag, image_id AS id_a, CAST(poly_id AS VARCHAR) AS id_b,
   CAST(NULL AS DOUBLE) AS olap_w, CAST(NULL AS DOUBLE) AS olap_h
 FROM pairs
-WHERE vin = 1 OR c_ll OR c_lr OR c_ur OR c_ul OR ecross = 1
+WHERE vin = 1 OR c_ll OR c_lr OR c_ur OR c_ul OR ecross = 1 OR con = 1
 UNION ALL
 SELECT 'rect' AS tag, a.image_id AS id_a, b.image_id AS id_b,
   LEAST(a.xmax, b.xmax) - GREATEST(a.xmin, b.xmin) AS olap_w,

@@ -26,10 +26,6 @@ def _with_bucket(df: DataFrame, key: str, n_buckets: int) -> DataFrame:
     return df.withColumn("bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int"))
 
 
-def _row_checksum(df: DataFrame, cols: list[str]):
-    return F.xxhash64(*[F.col(c).cast("string") for c in cols])
-
-
 def write_stage(
     df: DataFrame,
     path: str,
@@ -49,6 +45,11 @@ def write_stage(
             f"{data} uses the pre-snapshot layout (top-level bucket= dirs); "
             "recreate the stage — mixing layouts breaks partition discovery"
         )
+    if os.path.exists(f"{path}/metadata.json"):
+        # same fail-fast as merge/delete: appending with a different
+        # (key, n_buckets) spec would route keys to the wrong buckets —
+        # resume would then silently duplicate some rows and skip others
+        _load_cow_meta(path, key, n_buckets, "append")
     data_cols = df.columns
     sid = next_snapshot_id(path)
     b = _with_bucket(df, key, n_buckets)
@@ -75,10 +76,28 @@ def write_stage(
             ).alias("checksum"),
             F.lit("committed").alias("status"),
         )
-        manifest.select(
+        mrows = manifest.select(
             "stage", "snapshot_id", "bucket", "cell_min", "cell_max", "rows",
             "checksum", "status"
-        ).write.mode("append").parquet(f"{path}/{MANIFEST}")
+        )
+        # commit covers the WHOLE bucket scope, including hash-empty buckets:
+        # a bucket with no manifest row would read as never-committed, so
+        # resume_stage re-runs it forever — each retry appending a junk empty
+        # snapshot instead of converging to a no-op. A 0-row row (checksum 0,
+        # XOR's neutral element) records "written, empty" exactly; ≤ n_buckets
+        # rows collect to the driver, the same cost class as an Iceberg
+        # manifest-list read.
+        collected = mrows.collect()
+        present = {r["bucket"] for r in collected}
+        scope = only_buckets if only_buckets is not None else range(n_buckets)
+        rows_out = collected + [
+            (stage, sid, x, None, None, 0, 0, "committed")
+            for x in scope
+            if x not in present
+        ]
+        df.sparkSession.createDataFrame(
+            rows_out, schema=mrows.schema
+        ).coalesce(1).write.mode("append").parquet(f"{path}/{MANIFEST}")
         _append_snapshot(df, path, stage, key, n_buckets, sid)
     finally:
         b.unpersist()
@@ -90,14 +109,7 @@ def next_snapshot_id(path: str) -> int:
     metadata append leaves an orphan dir whose id must never be reused (the
     orphan is invisible to readers, which resolve live snapshots from
     metadata.json, and is cleaned up by the next compaction)."""
-    import json
-
-    max_id = 0
-    mpath = f"{path}/metadata.json"
-    if os.path.exists(mpath):
-        with open(mpath) as f:
-            ids = [s["snapshot-id"] for s in json.load(f).get("snapshots", [])]
-        max_id = max(ids, default=0)
+    max_id = max((s["snapshot-id"] for s in snapshots(path)), default=0)
     data = f"{path}/data"
     if os.path.isdir(data):
         for d in os.listdir(data):
@@ -364,6 +376,15 @@ def read_stage_changes(
             "mixes them with already-processed data — re-bootstrap from a "
             "full read (from_snapshot=0)"
         )
+    if to_snapshot not in by_id:
+        # interior orphan: an id below the max that no commit ever used — a
+        # consumer recording it as its watermark would fail its NEXT call's
+        # from_snapshot check and be forced into a full re-bootstrap; reject
+        # the corrupt cursor now, symmetrically with the from_snapshot check
+        raise ValueError(
+            f"to_snapshot {to_snapshot} was never committed at {path} "
+            "(orphan id) — the consumer's cursor is corrupt; re-bootstrap"
+        )
     in_range = [
         s for s in log if from_snapshot < s["snapshot-id"] <= to_snapshot
     ]
@@ -443,7 +464,10 @@ def merge_stage(
         cur = read_stage(spark, path)
         carried = (
             cur.filter(F.col("bucket").isin(touched))
-            .join(updates.select(key).distinct(), key, "left_anti")
+            # anti-join keys from the CACHED upd, not the raw updates
+            # lineage — updates may be an expensive upstream computation
+            # that upd was cached precisely to avoid re-running
+            .join(upd.select(key).distinct(), key, "left_anti")
         )
         out = carried.select(*data_cols, "bucket").unionByName(
             upd.select(*data_cols, "bucket")
@@ -723,11 +747,15 @@ def verify_manifest(spark: SparkSession, path: str, stage: str, df: DataFrame,
         .groupBy("bucket")
         .agg(F.sum("rows").alias("rows_m"), F.expr("bit_xor(checksum)").alias("sum_m"))
     )
+    # a manifest row with rows_m = 0 (an explicitly-committed empty bucket)
+    # legitimately has no expected-side row; checksums only compare when
+    # the bucket actually holds rows (XOR over zero rows is the neutral 0)
     diff = expected.join(m, "bucket", "full").filter(
-        (F.col("rows_e") != F.col("rows_m"))
-        | (F.col("sum_e") != F.col("sum_m"))
-        | F.col("rows_e").isNull()
-        | F.col("rows_m").isNull()
+        (F.coalesce(F.col("rows_e"), F.lit(0)) != F.coalesce(F.col("rows_m"), F.lit(0)))
+        | (
+            (F.coalesce(F.col("rows_e"), F.lit(0)) > 0)
+            & (F.col("sum_e") != F.col("sum_m"))
+        )
     )
     return diff.isEmpty()
 

@@ -128,3 +128,166 @@ def test_spread_keys_fans_out_single_split(spark):
         == spark.sparkContext.defaultParallelism
     )
     assert spread.count() == 500
+
+
+# ------------------------------------------------- second review batch pins
+
+
+def test_resume_converges_with_empty_buckets(spark, tmp_path):
+    """A table whose keys occupy only some buckets: the commit must cover the
+    WHOLE bucket scope (0-row manifest entries for hash-empty buckets), so
+    resume is a no-op that appends no junk snapshots."""
+    from aira_spark.sources.checkpoint import (
+        committed_buckets,
+        read_stage,
+        resume_stage,
+        snapshots,
+        verify_manifest,
+        write_stage,
+    )
+
+    path = str(tmp_path / "sparse")
+    # 3 distinct keys into 64 buckets: most buckets are hash-empty
+    src = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    write_stage(src, path, "s", key="k", n_buckets=64)
+    assert sorted(committed_buckets(spark, path, "s")) == list(range(64))
+    n_snaps = len(snapshots(path))
+    resume_stage(src, path, "s", key="k", n_buckets=64)  # must no-op
+    assert len(snapshots(path)) == n_snaps
+    assert read_stage(spark, path).count() == 3
+    assert verify_manifest(spark, path, "s", src, "k", 64)
+
+
+def test_write_stage_rejects_spec_mismatch(spark, tmp_path):
+    from aira_spark.sources.checkpoint import write_stage
+
+    path = str(tmp_path / "spec")
+    src = spark.createDataFrame([(1, "a")], "k long, v string")
+    write_stage(src, path, "s", key="k", n_buckets=8)
+    with pytest.raises(ValueError, match="spec mismatch"):
+        write_stage(src, path, "s", key="k", n_buckets=16)
+    with pytest.raises(ValueError, match="spec mismatch"):
+        write_stage(src.withColumnRenamed("v", "w"), path, "s", key="w", n_buckets=8)
+
+
+def test_cdc_rejects_interior_orphan_to_snapshot(spark, tmp_path):
+    """An orphan id BELOW the log max must be rejected as to_snapshot, not
+    silently accepted as an empty diff (the consumer would record a corrupt
+    watermark and be forced into a full re-bootstrap one call later)."""
+    import os
+
+    from aira_spark.sources.checkpoint import read_stage_changes, write_stage
+
+    path = str(tmp_path / "cdc")
+    src = spark.createDataFrame([(1, "a")], "k long, v string")
+    write_stage(src, path, "s", key="k", n_buckets=4)  # snapshot 1
+    # orphan: a crashed write's data dir that never reached the metadata
+    # commit — next_snapshot_id skips it, so the log becomes {1, 3}
+    os.makedirs(f"{path}/data/snap=2", exist_ok=True)
+    write_stage(src, path, "s", key="k", n_buckets=4)  # snapshot 3
+    with pytest.raises(ValueError, match="never committed"):
+        read_stage_changes(spark, path, from_snapshot=1, to_snapshot=2)
+    assert read_stage_changes(spark, path, 1, 3).count() == 1
+
+
+def test_rect_tangency_corner_on_edge(spark):
+    """Review repro: polygon edge passing exactly through rect corner (0,1)
+    with no vertex in the closed rect — case (d) must catch it; a clearly
+    disjoint polygon must stay non-matching."""
+    from pyspark.sql import functions as F
+
+    from aira_spark.operators.spatial import rect_intersects_ring
+
+    def ring_sql(pts):
+        closed = pts + [pts[0]]
+        return "array(" + ", ".join(
+            f"named_struct('x', CAST({x} AS DOUBLE), 'y', CAST({y} AS DOUBLE))"
+            for x, y in closed
+        ) + ")"
+
+    cases = [
+        # edge (-0.5,0.5)->(0.5,1.5) passes exactly through (0,1): touch
+        ([(-0.5, 0.5), (0.5, 1.5), (-1.0, 2.0)], True),
+        # same triangle shifted well away: disjoint
+        ([(5.5, 5.0), (6.5, 6.0), (5.0, 7.0)], False),
+    ]
+    df = spark.createDataFrame(
+        [(i,) for i in range(len(cases))], "id int"
+    ).select(
+        "id",
+        F.lit(0.0).alias("xmin"), F.lit(0.0).alias("ymin"),
+        F.lit(1.0).alias("xmax"), F.lit(1.0).alias("ymax"),
+    )
+    for i, (pts, want) in enumerate(cases):
+        got = (
+            df.filter(F.col("id") == i)
+            .select(
+                rect_intersects_ring(
+                    F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+                    F.expr(ring_sql(pts)),
+                ).alias("hit")
+            )
+            .first()["hit"]
+        )
+        assert got == want, f"case {i}"
+
+
+def test_knn_pole_matches_brute_force(spark):
+    """Near-degenerate pole case (co-located points, wrap-around longitudes,
+    near-zero distances where certification bounds go to ~0): the ring path
+    must agree exactly with the brute-force (dist, neighbor_id) top-k built
+    from the same distance expression. The strict certification bound
+    (kth_dist < exclusion) guarantees this — an outside point at exactly
+    the bound distance can win the id tie-break, so <= could diverge."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aira_spark.functions.geo import haversine_km
+    from aira_spark.operators.spatial import knn_join
+
+    queries = spark.createDataFrame(
+        [(100, 0.0, 90.0), (101, 179.999, 89.999)],
+        "query_id long, x double, y double",
+    )
+    pts = [(1, 170.0, 90.0), (2, 0.0, 90.0), (3, 0.001, 90.0),
+           (4, 0.002, 90.0), (5, -179.999, 89.999)]
+    points = spark.createDataFrame(pts, "point_id long, x double, y double")
+    got = {
+        (r.query_id, r.neighbor_id, r["rank"])
+        for r in knn_join(queries, points, k=3, metric="haversine").collect()
+    }
+    w = Window.partitionBy("query_id").orderBy("dist", "point_id")
+    brute = {
+        (r.query_id, r.point_id, r.rnk)
+        for r in queries.crossJoin(
+            points.select(F.col("point_id"), F.col("x").alias("px"), F.col("y").alias("py"))
+        )
+        .withColumn("dist", haversine_km(F.col("y"), F.col("x"), F.col("py"), F.col("px")))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .collect()
+    }
+    assert got == brute
+
+
+def test_knn_cleanup_mode_matches_default(spark):
+    """cleanup=True (eager checkpoint + unpersist of every intermediate)
+    returns the identical result set and leaves no persisted RDD behind."""
+    from aira_spark.operators.spatial import knn_join
+
+    queries = spark.createDataFrame(
+        [(1, 10.0, 10.0), (2, -20.0, 35.0)], "query_id long, x double, y double"
+    )
+    points = spark.createDataFrame(
+        [(i, float(i % 17) * 3 - 20, float(i % 11) * 5 - 25) for i in range(60)],
+        "point_id long, x double, y double",
+    )
+    base = {
+        (r.query_id, r.neighbor_id, r["rank"])
+        for r in knn_join(queries, points, k=4).collect()
+    }
+    cleaned = {
+        (r.query_id, r.neighbor_id, r["rank"])
+        for r in knn_join(queries, points, k=4, cleanup=True).collect()
+    }
+    assert cleaned == base
