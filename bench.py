@@ -421,9 +421,20 @@ def main() -> None:
     )
     try:
         os.makedirs(os.path.dirname(full_path), exist_ok=True)
+        # MERGE into any existing map instead of overwriting: a scoped run
+        # (SPARK_GRAFT_BENCH_QUERIES=...) times a handful of queries and
+        # must not clobber the full-suite record at the same width
+        merged = dict(timings)
+        if os.path.exists(full_path):
+            try:
+                with open(full_path) as f:
+                    prev = json.load(f).get("queries", {})
+                merged = {**prev, **timings}
+            except (OSError, ValueError):
+                pass
         with open(full_path, "w") as f:
             json.dump(
-                {"cores": cpus, "sf": sf, "n_images": n_images, "queries": timings},
+                {"cores": cpus, "sf": sf, "n_images": n_images, "queries": merged},
                 f,
                 indent=0,
             )
