@@ -158,15 +158,39 @@ def cell_parent(cell: Column, steps: int = 1) -> Column:
 
 
 def k_ring(cell: Column, k: int, res: int = DEFAULT_RES) -> Column:
-    """array<long> of cells within Chebyshev distance k; pure sequence+transform."""
-    n = 1 << res
+    """array<long> of cells within Chebyshev distance k; pure sequence+transform.
+
+    The ring is computed at the CELL'S OWN encoded resolution (extracted
+    per row, exactly like the numpy twin np_k_ring) — the `res` parameter
+    is retained for API compatibility but no longer trusted: a caller
+    passing a res that disagreed with the cells' actual resolution
+    previously got valid-looking but wrong ids (coordinates clamped to the
+    wrong grid, re-packed with the wrong res bits) with no error. Deriving
+    from the cell also makes mixed-resolution columns (compact covers)
+    correct. All ops stay codegen-friendly built-ins."""
+    cres = cell_res(cell)
+    # python-api shiftleft() only takes an int literal for numBits;
+    # call_function passes the per-row res column through to the SQL form
+    hi = F.call_function(
+        "shiftleft", F.lit(1).cast("long"), cres.cast("int")
+    ) - F.lit(1).cast("long")
     cx, cy = cell_ix(cell), cell_iy(cell)
-    xs = F.sequence(_clamp(cx - k, 0, n - 1), _clamp(cx + k, 0, n - 1))
-    ys = F.sequence(_clamp(cy - k, 0, n - 1), _clamp(cy + k, 0, n - 1))
+
+    def clamp_col(c: Column) -> Column:
+        return F.least(F.greatest(c, F.lit(0).cast("long")), hi)
+
+    xs = F.sequence(clamp_col(cx - k), clamp_col(cx + k))
+    ys = F.sequence(clamp_col(cy - k), clamp_col(cy + k))
+    packed_res = cres * F.lit(1 << RES_SHIFT).cast("long")
     return F.flatten(
         F.transform(
             ys,
-            lambda iy: F.transform(xs, lambda ix: cell_pack(res, ix, iy)),
+            lambda iy: F.transform(
+                xs,
+                lambda ix: packed_res
+                + ix.cast("long") * F.lit(1 << IX_SHIFT).cast("long")
+                + iy.cast("long"),
+            ),
         )
     )
 

@@ -295,6 +295,24 @@ def _zonal_partials(m: dict, px: np.ndarray, res: int) -> list[tuple]:
     ]
 
 
+def pixel_world_coords(m: dict, h: int, w: int):
+    """(xs, ys) pixel-CENTER world coordinates from the GeoTIFF transform,
+    or (None, None, None, None) when the image has no geotransform; also
+    returns (sv, tv) so callers can derive footprint extents. ONE home for
+    the half-pixel-center + tiepoint convention — the cell-zonal path and
+    the exact-polygon path must agree on pixel world coordinates, so any
+    future correction lands in both by construction."""
+    scale = m["custom"].get(T.MODEL_PIXEL_SCALE)
+    tie = m["custom"].get(T.MODEL_TIEPOINT)
+    if scale is None or tie is None:
+        return None, None, None, None
+    sv = entry_value(*scale, m["byteorder"])
+    tv = entry_value(*tie, m["byteorder"])
+    xs = tv[3] + (np.arange(w, dtype=np.float64) + 0.5 - tv[0]) * sv[0]
+    ys = tv[4] - (np.arange(h, dtype=np.float64) + 0.5 - tv[1]) * sv[1]
+    return xs, ys, sv, tv
+
+
 def pixel_cell_groups(m: dict, px: np.ndarray, res: int):
     """Shared georeference + cell-grouping scaffolding: pixel-center world
     coords from the GeoTIFF transform, cell ids, and the stable-sort /
@@ -303,15 +321,10 @@ def pixel_cell_groups(m: dict, px: np.ndarray, res: int):
     Returns (order, uniq_cells, starts, ends) or None when the image has no
     geotransform. `arr.ravel()[order]` aligns any per-pixel value array with
     the group bounds."""
-    scale = m["custom"].get(T.MODEL_PIXEL_SCALE)
-    tie = m["custom"].get(T.MODEL_TIEPOINT)
-    if scale is None or tie is None:
-        return None
-    sv = entry_value(*scale, m["byteorder"])
-    tv = entry_value(*tie, m["byteorder"])
     h, w = px.shape[:2]
-    xs = tv[3] + (np.arange(w, dtype=np.float64) + 0.5 - tv[0]) * sv[0]
-    ys = tv[4] - (np.arange(h, dtype=np.float64) + 0.5 - tv[1]) * sv[1]
+    xs, ys, _sv, _tv = pixel_world_coords(m, h, w)
+    if xs is None:
+        return None
     cell = np_cell_from_xy(
         np.broadcast_to(xs[None, :], (h, w)),
         np.broadcast_to(ys[:, None], (h, w)),

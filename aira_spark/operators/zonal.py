@@ -98,7 +98,7 @@ def band_index_stats(
 
     import numpy as np
 
-    from ..functions.udfs import _decode_full, pixel_cell_groups
+    from ..functions.udfs import _decode_full, pixel_cell_groups, reduce_by_cell
     from ..tiff.meta import TiffError
 
     schema = "cell long, px_cnt long, px_sum long, px_min long, px_max long"
@@ -109,7 +109,8 @@ def band_index_stats(
             out: list[tuple] = []
             for rec in pdf.itertuples(index=False):
                 try:
-                    m, px = _decode_full(rec.bytes)
+                    # prune planar decode to the bands the index reads
+                    m, px = _decode_full(rec.bytes, max_bands=need)
                 except TiffError:
                     continue
                 if px.shape[2] < need:
@@ -127,14 +128,9 @@ def band_index_stats(
                     1000.0 * (v1[valid] - v0[valid]) / (v1[valid] + v0[valid])
                 ).astype(np.int64)
                 if valid.all():
-                    vs = idx[order]
-                    sums = np.add.reduceat(vs, starts)
-                    mins = np.minimum.reduceat(vs, starts)
-                    maxs = np.maximum.reduceat(vs, starts)
-                    out.extend(
-                        (int(u), int(e0 - s0), int(sm), int(mn), int(mx))
-                        for u, s0, e0, sm, mn, mx in zip(uniq, starts, ends, sums, mins, maxs)
-                    )
+                    # the shared order-aligned reduceat fold (one home for
+                    # the per-cell reduction — udfs.reduce_by_cell)
+                    out.extend(reduce_by_cell(idx, groups))
                 else:
                     # zero-sum pixels break the contiguous reduceat groups:
                     # fall back to a masked pandas-style group per image
@@ -220,16 +216,15 @@ def zonal_exact_by_polygon(
     m = F.col("meta")
     cand = (
         images_with_meta.filter(m["error"].isNull() & m["scale_x"].isNotNull())
-        .select("image_id", "bytes")
+        .select("bytes")  # image_id never read in the UDF — dead Arrow weight
         .crossJoin(polys_one)
     )
 
     schema = "poly_id string, n_px long, sum_px long, min_px long, max_px long"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.udfs import _decode_full
-        from ..tiff import tags as T
-        from ..tiff.meta import TiffError, entry_value
+        from ..functions.udfs import _decode_full, pixel_world_coords
+        from ..tiff.meta import TiffError
 
         polys_np = None  # identical in every row (broadcast single-row side)
         for pdf in batches:
@@ -249,18 +244,14 @@ def zonal_exact_by_polygon(
                         )
                         polys_np.append((p["poly_id"], ax, ay, bx, by, bb))
                 try:
-                    mm, px = _decode_full(bytes(rec.bytes))
+                    # band-0 consumer: prune planar decode to the first plane
+                    mm, px = _decode_full(bytes(rec.bytes), max_bands=1)
                 except TiffError:
                     continue
-                scale = mm["custom"].get(T.MODEL_PIXEL_SCALE)
-                tie = mm["custom"].get(T.MODEL_TIEPOINT)
-                if scale is None or tie is None:
-                    continue
-                sv = entry_value(*scale, mm["byteorder"])
-                tv = entry_value(*tie, mm["byteorder"])
                 h, w = px.shape[:2]
-                xs = tv[3] + (np.arange(w) + 0.5 - tv[0]) * sv[0]
-                ys = tv[4] - (np.arange(h) + 0.5 - tv[1]) * sv[1]
+                xs, ys, sv, _tv = pixel_world_coords(mm, h, w)
+                if xs is None:
+                    continue
                 fxmin, fxmax = xs.min() - 0.5 * sv[0], xs.max() + 0.5 * sv[0]
                 fymin, fymax = ys.min() - 0.5 * sv[1], ys.max() + 0.5 * sv[1]
                 pxx = pyy = vals = None  # lazy: most images match no polygon
@@ -272,14 +263,24 @@ def zonal_exact_by_polygon(
                         pxx = np.broadcast_to(xs[None, :], (h, w)).ravel()
                         pyy = np.broadcast_to(ys[:, None], (h, w)).ravel()
                         vals = px[:, :, 0].astype(np.int64).ravel()
-                    # vectorized ray-cast: pixels x edges (same formula text
-                    # as point_in_ring and the DuckDB oracle)
+                    # vectorized ray-cast, accumulated EDGE-BY-EDGE: the
+                    # pixels x edges matrix form builds O(h*w*n_edges)
+                    # float64 temporaries (a 2048^2 image x 64-edge ring is
+                    # ~2 GB per temporary — executor OOM); per-edge passes
+                    # bound memory at O(h*w) and evaluate the identical
+                    # expression text as point_in_ring / the DuckDB oracle,
+                    # elementwise on the same operands, so every crossing
+                    # count is bit-identical
+                    crossings = np.zeros(pxx.size, dtype=np.int64)
                     with np.errstate(divide="ignore", invalid="ignore"):
-                        cond = (ay[None, :] > pyy[:, None]) != (by[None, :] > pyy[:, None])
-                        t = (bx - ax)[None, :] * (pyy[:, None] - ay[None, :]) / (
-                            by - ay
-                        )[None, :] + ax[None, :]
-                        crossings = (cond & (pxx[:, None] < t)).sum(axis=1)
+                        for j in range(ax.size):
+                            cond = (ay[j] > pyy) != (by[j] > pyy)
+                            if not cond.any():
+                                continue
+                            t = (bx[j] - ax[j]) * (pyy - ay[j]) / (
+                                by[j] - ay[j]
+                            ) + ax[j]
+                            crossings += cond & (pxx < t)
                     mask = (crossings % 2) == 1
                     if not mask.any():
                         continue
@@ -349,6 +350,12 @@ def band_histogram(images: DataFrame) -> DataFrame:
                     continue
                 for band in range(px.shape[2]):
                     vals = px[:, :, band].astype(np.int64).ravel()
+                    if vals.size and (vals.min() < 0 or vals.max() > 65535):
+                        # signed/float raster outside the histogram domain:
+                        # bincount would raise (negatives) or allocate a
+                        # value-range-sized array — dead-letter the band,
+                        # matching the decode-failure contract
+                        continue
                     bc = np.bincount(vals)
                     for v in np.flatnonzero(bc):
                         out.append((rec.image_id, band, int(v), int(bc[v])))
@@ -359,24 +366,21 @@ def band_histogram(images: DataFrame) -> DataFrame:
     )
 
 
-def zonal_quantiles(images: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
-    """(cell, n_px, p25, median, p75): EXACT per-cell quantiles of band-0
-    pixel values — the order statistic, not an approximation.
+def _cell_value_counts(images: DataFrame, res: int) -> DataFrame:
+    """(cell, value, cnt) — the aggregated sparse per-(cell, band-0 value)
+    histogram both zonal_quantiles and zonal_majority reduce over (one
+    implementation, so a fix can never reach one and miss the other).
 
-    Quantiles do not decompose into partial aggregates, but the VALUE
-    HISTOGRAM does: pixel values are small integers, so the map side emits
-    per-(cell, value) counts (<= 256 rows per cell whatever the pixel
-    count), the reduce is a stock hash agg, and the quantile is read off the
-    cumulative histogram with integer arithmetic — quantile q = the smallest
-    value whose cumulative count reaches ceil(q * n). At 100 TB this shuffles
-    bounded histogram rows, never pixels, where a sort-based exact quantile
-    would shuffle every pixel value.
-    """
+    Dead-letter guard: np.bincount requires small nonnegative ints — a
+    signed-sample or float raster (negative values, NaN -> INT64_MIN) or a
+    wide-dynamic-range image would raise ValueError / allocate an absurd
+    count array and kill the whole task. Out-of-domain images DROP, like
+    undecodable ones, honoring the repo's never-raise-per-row contract;
+    the histogram family is defined over categorical/8-16-bit rasters."""
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
-    from pyspark.sql import Window
 
     from ..functions.udfs import _decode_full, pixel_cell_groups
     from ..tiff.meta import TiffError
@@ -394,18 +398,38 @@ def zonal_quantiles(images: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
                     continue
                 order, uniq, starts, ends = groups
                 vals = px[:, :, 0].astype(np.int64).ravel()[order]
+                if vals.size and (vals.min() < 0 or vals.max() > 65535):
+                    continue  # out of the histogram family's value domain
                 for cell, s0, e0 in zip(uniq, starts, ends):
                     bc = np.bincount(vals[s0:e0])
                     for v in np.flatnonzero(bc):
                         out.append((int(cell), int(v), int(bc[v])))
             yield pd.DataFrame(out, columns=["cell", "value", "cnt"])
 
-    vc = (
-        images.select("image_id", "bytes")
+    return (
+        images.select("bytes")
         .mapInPandas(fn, schema="cell long, value long, cnt long")
         .groupBy("cell", "value")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def zonal_quantiles(images: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
+    """(cell, n_px, p25, median, p75): EXACT per-cell quantiles of band-0
+    pixel values — the order statistic, not an approximation.
+
+    Quantiles do not decompose into partial aggregates, but the VALUE
+    HISTOGRAM does: pixel values are small integers, so the map side emits
+    per-(cell, value) counts (<= 256 rows per cell whatever the pixel
+    count), the reduce is a stock hash agg, and the quantile is read off the
+    cumulative histogram with integer arithmetic — quantile q = the smallest
+    value whose cumulative count reaches ceil(q * n). At 100 TB this shuffles
+    bounded histogram rows, never pixels, where a sort-based exact quantile
+    would shuffle every pixel value.
+    """
+    from pyspark.sql import Window
+
+    vc = _cell_value_counts(images, res)
     wcum = Window.partitionBy("cell").orderBy("value")
     wall = Window.partitionBy("cell")
     cum = vc.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
@@ -434,39 +458,7 @@ def zonal_majority(images: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
     sparse per-(cell, value) histogram (<= 256 rows per cell whatever the
     pixel count), one hash agg merges partials, and the majority is one
     more bounded agg; pixels never shuffle."""
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
-
-    from ..functions.udfs import _decode_full, pixel_cell_groups
-    from ..tiff.meta import TiffError
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out: list[tuple] = []
-            for rec in pdf.itertuples(index=False):
-                try:
-                    m, px = _decode_full(rec.bytes, max_bands=1)
-                except TiffError:
-                    continue
-                groups = pixel_cell_groups(m, px, res)
-                if groups is None:
-                    continue
-                order, uniq, starts, ends = groups
-                vals = px[:, :, 0].astype(np.int64).ravel()[order]
-                for cell, s0, e0 in zip(uniq, starts, ends):
-                    bc = np.bincount(vals[s0:e0])
-                    for v in np.flatnonzero(bc):
-                        out.append((int(cell), int(v), int(bc[v])))
-            yield pd.DataFrame(out, columns=["cell", "value", "cnt"])
-
-    vc = (
-        images.select("image_id", "bytes")
-        .mapInPandas(fn, schema="cell long, value long, cnt long")
-        .groupBy("cell", "value")
-        .agg(F.sum("cnt").alias("cnt"))
-    )
+    vc = _cell_value_counts(images, res)
     return (
         vc.groupBy("cell")
         .agg(
