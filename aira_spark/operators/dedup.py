@@ -118,7 +118,14 @@ def minhash_lsh_pairs(
     distinct shingle sets.
     """
     # persist: the signature chain feeds the band explode + two verify-join
-    # scans; recomputing the md5 minhashes each time is the dominant cost
+    # scans; recomputing the md5 minhashes each time is the dominant cost.
+    # CACHE LIFECYCLE: like Spark's own .cache(), the caller owns the
+    # handle's lifetime (the returned frame is lazy, so unpersisting here
+    # would defeat the multi-consumer reuse) — one-shot jobs let the app
+    # teardown release it; a long-lived service should spark.catalog
+    # .clearCache() between corpus generations (the knn_join cleanup
+    # lesson: an eager checkpoint-then-release default measured ~60%
+    # slower on repeated invocations)
     sigs = minhash_signatures(docs, k, n_hash).filter(F.size("shingles") > 0).persist()
     n_bands = n_hash // band_size
 
@@ -407,10 +414,13 @@ def hamming_dup_pairs(
     """
     n_bands = max_hamming + 1
     bounds = [round(i * n_bits / n_bands) for i in range(n_bands + 1)]
+    # a full-width band (max_hamming=0 with n_bits=64) needs the all-ones
+    # mask, which does not fit a positive long literal — two's-complement -1
+    # is the same 64-bit pattern and keeps the literal LongType
     bands = F.array(
         *[
             F.shiftrightunsigned(F.col(hash_col), lo).bitwiseAND(
-                F.lit((1 << (hi - lo)) - 1)
+                F.lit(((1 << (hi - lo)) - 1) if hi - lo < 64 else -1).cast("long")
             )
             for lo, hi in zip(bounds, bounds[1:])
         ]
@@ -481,7 +491,11 @@ def ngram_jaccard_pairs(
         # metadata-sized agg (one row per block); the action is the price of
         # failing loudly before the quadratic join is ever scheduled
         over = (
-            docs.groupBy("lang", "source")
+            # NULL-keyed rows never join (equi-join drops NULL keys), so an
+            # oversized NULL block is harmless — exclude it from the guard
+            # or the operator refuses an input it would process cheaply
+            docs.filter(F.col("lang").isNotNull() & F.col("source").isNotNull())
+            .groupBy("lang", "source")
             .count()
             .filter(F.col("count") > max_block)
             .limit(1)
@@ -575,8 +589,6 @@ def containment_pairs(
     grams should be stoplisted upstream, and silently dropping them here
     would corrupt the exact counts. Only (doc_id, gram-hash-sized strings)
     cross the exchanges; text never shuffles past the shingle projection."""
-    from ..functions import textfns as tf
-
     sh = tf.shingles("text", k, ENG)
     g = (
         docs.selectExpr("doc_id", f"explode({sh}) AS gram")
@@ -621,8 +633,6 @@ def oracle_containment_sql(
     docs_cte: str, k: int = 3, threshold_ppm: int = 800_000
 ) -> str:
     """DuckDB mirror over a CTE `docs(doc_id, text)`."""
-    from ..functions import textfns as tf
-
     sh = tf.shingles("text", k, "duck")
     return f"""
 WITH {docs_cte},

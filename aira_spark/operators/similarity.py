@@ -83,15 +83,23 @@ def cos_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
     # rows are grouped by dimension so np.stack never sees ragged input
     for d in np.unique(la[valid]):
         m = valid & (la == d)
-        Q = np.rint(np.stack(av[m]).astype(np.float64) * QUANT_SCALE).astype(np.int64)
-        R = np.rint(np.stack(bv[m]).astype(np.float64) * QUANT_SCALE).astype(np.int64)
+        A = np.stack(av[m]).astype(np.float64)
+        B = np.stack(bv[m]).astype(np.float64)
+        # a NULL/NaN ELEMENT inside a vector must yield NULL like cosine()
+        # and the oracle — np.rint(NaN).astype(int64) is INT64_MIN, whose
+        # squares wrap to int64 garbage that produced a FINITE wrong cosine
+        finite = np.isfinite(A).all(axis=1) & np.isfinite(B).all(axis=1)
+        Q = np.rint(np.where(finite[:, None], A, 0.0) * QUANT_SCALE).astype(np.int64)
+        R = np.rint(np.where(finite[:, None], B, 0.0) * QUANT_SCALE).astype(np.int64)
         dab = (Q * R).sum(axis=1)
         daa = (Q * Q).sum(axis=1)
         dbb = (R * R).sum(axis=1)
         with np.errstate(divide="ignore", invalid="ignore"):
-            out[m] = dab.astype(np.float64) / np.sqrt(
+            res = dab.astype(np.float64) / np.sqrt(
                 daa.astype(np.float64)
             ) / np.sqrt(dbb.astype(np.float64))
+        res[~finite] = np.nan
+        out[m] = res
     # NaN -> null through Arrow, so degenerate-in gives NULL-out like cosine()
     return pd.Series(out)
 
@@ -143,10 +151,26 @@ def lsh_signatures(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if len(pdf) > 0:
+                # NULL / wrong-dim / non-finite vectors have no buckets
+                # (dead-letter, like the NULL-cosine convention) — one such
+                # row previously killed the whole job inside np.vstack
+                emb = pdf["embedding"].to_numpy()
+                ok = np.fromiter(
+                    (x is not None and len(x) == dim for x in emb),
+                    dtype=bool, count=len(emb),
+                )
+                pdf = pdf[ok]
             if len(pdf) == 0:
                 yield pd.DataFrame(columns=SIG_SCHEMA.fieldNames())
                 continue
-            mat = np.vstack(pdf["embedding"].to_numpy())
+            mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            fin = np.isfinite(mat).all(axis=1)
+            if not fin.all():
+                pdf, mat = pdf[fin], mat[fin]
+                if len(pdf) == 0:
+                    yield pd.DataFrame(columns=SIG_SCHEMA.fieldNames())
+                    continue
             frames = []
             for t in range(n_tables):
                 bits = (mat @ all_planes[t].T) > 0
@@ -166,13 +190,14 @@ def lsh_signatures(
 
 
 def lsh_ann_topk(
-    embeddings: DataFrame, k: int = 10, n_planes: int = 8, n_tables: int = 8
+    embeddings: DataFrame, k: int = 10, n_planes: int = 8, n_tables: int = 8,
+    dim: int = 64,
 ) -> DataFrame:
     """Approximate all-pairs top-k: candidates share any (table, bucket); exact
     cosine re-rank over the deduped candidate set. The bucket join is an
     equi-join shuffle on a near-uniform key — the 10^12-scale path (vs brute
     force O(n^2)); n_tables trades shuffle volume for recall."""
-    sigs = lsh_signatures(embeddings, n_planes, n_tables=n_tables)
+    sigs = lsh_signatures(embeddings, n_planes, dim=dim, n_tables=n_tables)
     a = sigs.select("table", "bucket", F.col("vec_id").alias("query_id"))
     b = sigs.select("table", "bucket", F.col("vec_id").alias("neighbor_id"))
     cand = (
@@ -198,12 +223,13 @@ def lsh_ann_topk(
 
 
 def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
-                             n_planes: int = 6, n_tables: int = 4) -> DataFrame:
+                             n_planes: int = 6, n_tables: int = 4,
+                             dim: int = 64) -> DataFrame:
     """Near-duplicate embedding pairs (cos >= threshold) via LSH blocking.
     High-cosine pairs collide with probability ~(1 - theta/pi)^m per table;
     at threshold 0.95 (theta ~ 18deg) a 6-plane table catches ~53%, 4 tables
     ~95% — verification is exact so precision is 1.0 regardless."""
-    sigs = lsh_signatures(embeddings, n_planes, n_tables=n_tables)
+    sigs = lsh_signatures(embeddings, n_planes, dim=dim, n_tables=n_tables)
     a = sigs.select("table", "bucket", F.col("vec_id").alias("vec_a"))
     b = sigs.select("table", "bucket", F.col("vec_id").alias("vec_b"))
     cand = (
@@ -335,6 +361,11 @@ def ivf_train_centroids(
         .limit(sample_rows)
         .toPandas()
     )
+    vv = sample["embedding"].to_numpy()
+    ok = np.fromiter(
+        (x is not None and len(x) == dim for x in vv), dtype=bool, count=len(vv)
+    )
+    sample = sample[ok]  # a NULL/wrong-dim sample row would crash vstack
     mat = np.vstack(sample["embedding"].to_numpy()).astype(np.float64)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(20240817)
@@ -356,7 +387,17 @@ def ivf_assign(embeddings: DataFrame, centroids: np.ndarray) -> DataFrame:
     cents = centroids.copy()
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dim = cents.shape[1]
         for pdf in batches:
+            if len(pdf) > 0:
+                # NULL/wrong-dim vectors get no assignment (dead-letter,
+                # like lsh_signatures) instead of crashing np.vstack
+                vv = pdf["embedding"].to_numpy()
+                ok = np.fromiter(
+                    (x is not None and len(x) == dim for x in vv),
+                    dtype=bool, count=len(vv),
+                )
+                pdf = pdf[ok]
             if len(pdf) == 0:
                 yield pd.DataFrame(columns=IVF_ASSIGN_SCHEMA.fieldNames())
                 continue
@@ -443,11 +484,16 @@ def seeded_assign_udf(cent_rows: list[tuple[int, list[float]]]):
         out = cos.argmax(axis=1).astype(np.int32)
         close = (cos >= cos.max(axis=1)[:, None] - 2.1e-6).sum(axis=1) > 1
         for i in np.nonzero(close)[0]:
-            r6 = [
-                Decimal(repr(float(x))).quantize(q6, rounding=ROUND_HALF_UP)
-                for x in cos[i]
-            ]
-            out[i] = max(range(len(r6)), key=lambda c: (r6[c], -c))
+            # -inf marks a zero-norm centroid (never a winner, and outside
+            # Decimal's domain — quantize raises InvalidOperation on it);
+            # exclude non-finite scores from the exact arbitration
+            r6 = {
+                c: Decimal(repr(float(x))).quantize(q6, rounding=ROUND_HALF_UP)
+                for c, x in enumerate(cos[i])
+                if np.isfinite(x)
+            }
+            if r6:  # all--inf row (every centroid zero-norm): keep argmax
+                out[i] = max(r6, key=lambda c: (r6[c], -c))
         res[valid] = out
         return pd.Series(res)
 
@@ -603,7 +649,17 @@ def ivf_ann_topk(
     )
 
     def probe_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dim = cents.shape[1]
         for pdf in batches:
+            if len(pdf) > 0:
+                # NULL/wrong-dim queries probe nothing (dead-letter) rather
+                # than crashing np.vstack
+                vv = pdf["qvec"].to_numpy()
+                ok = np.fromiter(
+                    (x is not None and len(x) == dim for x in vv),
+                    dtype=bool, count=len(vv),
+                )
+                pdf = pdf[ok]
             if len(pdf) == 0:
                 yield pd.DataFrame(columns=probe_schema.fieldNames())
                 continue

@@ -335,3 +335,75 @@ def test_histogram_family_dead_letters_out_of_domain(spark):
     # zonal path: no geotransform here, so rows drop at the groups stage —
     # the point is simply that nothing raises
     assert zonal_quantiles(images).count() >= 0
+
+
+# ------------------------------------------------- fourth review batch pins
+
+
+def test_cos_arrow_nan_element_yields_null(spark):
+    """A NULL/NaN ELEMENT inside a vector must produce NULL cosine (like the
+    SQL cosine() and the oracle) — np.rint(NaN).astype(int64) previously
+    wrapped into int64 garbage and emitted a FINITE wrong cosine."""
+    from pyspark.sql import functions as F
+
+    from aira_spark.operators.similarity import cos_arrow, cosine
+
+    df = spark.createDataFrame(
+        [(1, [1.0, None, 0.5], [1.0, 2.0, 3.0]),
+         (2, [1.0, 2.0, 0.5], [1.0, 2.0, 3.0])],
+        "id long, a array<double>, b array<double>",
+    )
+    rows = {r.id: (r.c_np, r.c_sql) for r in df.select(
+        "id",
+        cos_arrow(F.col("a"), F.col("b")).alias("c_np"),
+        cosine(F.col("a"), F.col("b")).alias("c_sql"),
+    ).collect()}
+    assert rows[1] == (None, None)
+    assert rows[2][0] is not None and rows[2][0] == rows[2][1]
+
+
+def test_lsh_and_ivf_survive_null_embeddings(spark):
+    """One NULL-embedding row must dead-letter (no buckets / no assignment),
+    not crash np.vstack and kill the job."""
+    import numpy as np
+
+    from aira_spark.operators.similarity import (
+        ivf_assign,
+        lsh_signatures,
+    )
+
+    rows = [(1, [float(i % 7) for i in range(64)]),
+            (2, None),
+            (3, [float(i % 5) for i in range(64)])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sigs = lsh_signatures(emb, n_planes=4, n_tables=2)
+    assert {r.vec_id for r in sigs.select("vec_id").distinct().collect()} == {1, 3}
+    cents = np.eye(4, 64)
+    got = ivf_assign(emb, cents)
+    assert {r.vec_id for r in got.collect()} == {1, 3}
+
+
+def test_hamming_pairs_accepts_zero_budget(spark):
+    """max_hamming=0 with 64-bit hashes (exact-duplicate banding) previously
+    failed at plan build: the single-band all-ones mask overflowed LongType."""
+    from aira_spark.operators.dedup import hamming_dup_pairs
+
+    rows = [(1, -12345), (2, -12345), (3, 777)]
+    t = spark.createDataFrame(rows, "id long, h long")
+    got = hamming_dup_pairs(t, id_col="id", hash_col="h", max_hamming=0, n_bits=64)
+    pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_ngram_guard_ignores_null_key_blocks(spark):
+    """An oversized NULL (lang, source) block must not trip the quadratic
+    guard: the equi-join drops NULL keys, so the block costs nothing."""
+    from aira_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [(i, None, "s", "common text words here") for i in range(20)]
+    rows += [(100, "en", "s", "alpha beta gamma delta"),
+             (101, "en", "s", "alpha beta gamma delta")]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, source string, text string")
+    got = ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_block=10)
+    pairs = {(r.doc_a, r.doc_b) for r in got.collect()}
+    assert pairs == {(100, 101)}
