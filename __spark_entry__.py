@@ -4539,12 +4539,12 @@ def _rep_predicates(
     the repetition_filter and corpus_clean oracles. Keys match the Spark
     pass_* column suffixes."""
     return {
-        "word": f"top_word_cnt * 1000000 <= {int(max_top_word_frac * 1_000_000)} * n_words",
+        "word": f"top_word_cnt * 1000000 <= {round(max_top_word_frac * 1_000_000)} * n_words",
         "bigram": (
             "(n_bigrams = 0 OR top_bigram_cnt * 1000000 <= "
-            f"{int(max_top_bigram_frac * 1_000_000)} * n_bigrams)"
+            f"{round(max_top_bigram_frac * 1_000_000)} * n_bigrams)"
         ),
-        "distinct": f"n_distinct * 1000000 >= {int(min_distinct_ratio * 1_000_000)} * n_words",
+        "distinct": f"n_distinct * 1000000 >= {round(min_distinct_ratio * 1_000_000)} * n_words",
         "bullet": "n_bullet_lines * 10 <= n_lines * 9",
         "ellipsis": "n_ellipsis_lines * 10 <= n_lines * 3",
         "symbol": "n_symbols * 10 <= n_words",

@@ -110,8 +110,12 @@ def total_word_chars(text: str, engine: str) -> str:
 
 
 def quality_score(text: str, engine: str) -> str:
-    """Heuristic doc quality in [0, 1]: length band + stopword presence -
-    non-alpha noise. Deterministic, engine-identical (integer/double ops)."""
+    """Heuristic doc quality, nominally in [0, 1] (length band + stopword
+    presence - non-alpha noise) but NOT clamped: degenerate short
+    symbol-heavy text can score slightly below 0 (e.g. '!!!' scores
+    ~-0.29) and the +0.1 base can push a perfect doc to ~1.1 — consumers
+    bucketing or normalizing must not assume the closed range.
+    Deterministic, engine-identical (integer/double ops)."""
     w = words(text, engine)
     stop = count_matching_words(w, STOPWORDS, engine)
     nonalpha = count_regex_chars(text, "[a-z ]", engine)  # chars NOT lowercase/space
@@ -295,9 +299,13 @@ def winnow_from_grams(g: str, w: int, engine: str) -> str:
 def jaccard_words(a: str, b: str, engine: str) -> str:
     """Jaccard over distinct word sets (n-gram Jaccard uses shingles() input)."""
     if engine == "spark":
+        # nullif: both-empty sets divide 0/0 -> NaN in Spark, and Spark
+        # ranks NaN ABOVE every double, so `NaN >= threshold` passes
+        # filters; DuckDB's 0/0 is NULL (dropped). NULL-on-empty-union
+        # pins the one shared definition.
         return (
             f"ROUND(CAST(size(array_intersect({a}, {b})) AS DOUBLE) / "
-            f"CAST(size(array_union({a}, {b})) AS DOUBLE), 6)"
+            f"CAST(nullif(size(array_union({a}, {b})), 0) AS DOUBLE), 6)"
         )
     return (
         f"ROUND(CAST(len(list_intersect({a}, {b})) AS DOUBLE) / "

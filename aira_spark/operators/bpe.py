@@ -40,7 +40,15 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-WORD_RE = "^[a-z]+$"  # the trained charset; other words don't count tokens
+# The trained charset; other words don't count tokens. THREE regex engines
+# evaluate this predicate and their default end anchors disagree: Java's $
+# (Spark rlike) matches before a trailing line terminator, Python's \Z is
+# absolute end, RE2's $ (DuckDB) is end-of-text. Each engine gets the
+# anchor that means ABSOLUTE end-of-text so 'abc\n' is excluded uniformly.
+WORD_CHARS = "[a-z]+"
+WORD_RE = f"^{WORD_CHARS}$"  # DuckDB RE2 form ($ = end of text)
+WORD_RE_JAVA = f"^{WORD_CHARS}\\z"  # Spark rlike (Java: \z = absolute end)
+WORD_RE_PY = f"{WORD_CHARS}\\Z"  # re.match anchor (Python: \Z = absolute end)
 DEFAULT_MERGES = 50
 MAX_VOCAB = 100_000
 
@@ -51,7 +59,7 @@ def word_frequencies(docs: DataFrame) -> DataFrame:
     counts map-side, and the exchange carries vocabulary-sized rows."""
     return (
         docs.selectExpr("explode(split(text, ' ')) AS word")
-        .where(F.col("word").rlike(WORD_RE))
+        .where(F.col("word").rlike(WORD_RE_JAVA))
         .groupBy("word")
         .agg(F.count("*").cast("long").alias("freq"))
     )
@@ -108,14 +116,16 @@ def train_bpe(
     (top-K by frequency); silently truncating would change the merges, so
     an over-cap vocabulary raises instead."""
     wf = word_frequencies(docs)
-    n = wf.count()
-    if n > max_vocab:
+    # ONE corpus-scale pass (the pin rule, SURVEY §8): limit(max_vocab + 1)
+    # both bounds the collect and detects an over-cap vocabulary — the
+    # previous count()-then-collect() ran the corpus aggregation twice
+    rows = wf.limit(max_vocab + 1).collect()
+    if len(rows) > max_vocab:
         raise ValueError(
-            f"vocabulary {n} exceeds max_vocab={max_vocab}; raise the cap or "
+            f"vocabulary exceeds max_vocab={max_vocab}; raise the cap or "
             "pre-filter rare words (training must see a bounded, "
             "deterministic word table)"
         )
-    rows = wf.collect()  # bounded by max_vocab — metadata-sized
     wf_sorted = sorted((r["word"], r["freq"]) for r in rows)
     return train_merges_local(wf_sorted, n_merges)
 
@@ -131,7 +141,7 @@ def encode_token_counts(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import re
 
-        word_ok = re.compile(WORD_RE)
+        word_ok = re.compile(WORD_RE_PY)
         memo: dict[str, int] = {}
 
         def word_tokens(w: str) -> int:
@@ -146,7 +156,10 @@ def encode_token_counts(
             return got
 
         for pdf in batches:
+            # NULL text counts 0 tokens (the oracle's LEFT JOIN + COALESCE
+            # path); None.split would otherwise kill the Arrow task
             n = [
+                0 if t is None else
                 sum(word_tokens(w) for w in t.split(" ") if word_ok.match(w))
                 for t in pdf["text"]
             ]

@@ -60,6 +60,11 @@ def doc_fingerprints(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
         chars = []
         blocks = []
         for t in texts:
+            if t is None:
+                # NULL text -> NULL row (the SQL form degrades to NULL);
+                # None.encode would otherwise kill the whole Arrow task
+                chars.append(None)
+                continue
             c = np.frombuffer(t.encode("utf-32-le"), dtype="<u4").astype(np.int64)
             chars.append(c)
             n = len(c)
@@ -77,6 +82,9 @@ def doc_fingerprints(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
         out = []
         pos = 0
         for c in chars:
+            if c is None:
+                out.append((None, None))
+                continue
             n = len(c)
             if n == 0:
                 out.append((0, [0]))
@@ -198,12 +206,16 @@ def repetition_filter(
     cross-multiplication — no float division in any predicate. Output keeps
     the integer signal columns so one entry covers stats AND gate."""
     s = repetition_stats(docs)
-    kw = F.col("top_word_cnt") * F.lit(1_000_000) <= F.lit(int(max_top_word_frac * 1_000_000)) * F.col("n_words")
+    # round(), not int(): 0.29 * 1e6 is 289999.99999999994 in binary — a
+    # floor would make the gate marginally stricter than the stated
+    # fraction at exact boundaries (identical for every default; the
+    # oracle's _rep_predicates rounds the same way)
+    kw = F.col("top_word_cnt") * F.lit(1_000_000) <= F.lit(round(max_top_word_frac * 1_000_000)) * F.col("n_words")
     kb = (F.col("n_bigrams") == 0) | (
         F.col("top_bigram_cnt") * F.lit(1_000_000)
-        <= F.lit(int(max_top_bigram_frac * 1_000_000)) * F.col("n_bigrams")
+        <= F.lit(round(max_top_bigram_frac * 1_000_000)) * F.col("n_bigrams")
     )
-    kd = F.col("n_distinct") * F.lit(1_000_000) >= F.lit(int(min_distinct_ratio * 1_000_000)) * F.col("n_words")
+    kd = F.col("n_distinct") * F.lit(1_000_000) >= F.lit(round(min_distinct_ratio * 1_000_000)) * F.col("n_words")
     kbul = F.col("n_bullet_lines") * 10 <= F.col("n_lines") * 9
     kell = F.col("n_ellipsis_lines") * 10 <= F.col("n_lines") * 3
     ksym = F.col("n_symbols") * 10 <= F.col("n_words")
@@ -227,7 +239,11 @@ def corpus_clean(docs: DataFrame, min_quality: float = 0.5) -> DataFrame:
     exact-dedup keeper selection (md5 groupBy — only the lowest doc_id of
     each identical-text group survives) AND quality threshold AND the
     repetition gate. Output: one row per document with each verdict and the
-    conjunction.
+    conjunction — per document WITH non-NULL text, that is: a NULL-text doc
+    produces no word rows, so the repetition arm has no row for it and the
+    inner join dead-letters it from the output entirely (the same
+    drop-don't-raise convention as an undecodable image; reconcile counts
+    against a NOT NULL-filtered input, not the raw table).
 
     Plan shape: the dedup arm is a hash agg on md5 joined back on doc_id;
     the repetition arm is the explode/two-level agg of repetition_stats;
@@ -328,10 +344,16 @@ def decontaminate(docs: DataFrame, bench: DataFrame, k: int = 13) -> DataFrame:
         gram_side(docs, "doc_id")
         .select("doc_id", F.size("ghs").alias("n_grams"), F.explode("ghs").alias("g"))
     )
+    # ONE broadcast row per gram: min(bench_doc) pre-aggregated — a
+    # boilerplate gram in 1,000 bench docs would otherwise multiply every
+    # corpus hit row 1,000x before the per-doc agg collapses them, and the
+    # per-doc min/countDistinct over the pre-agg is identical by
+    # associativity of min and per-doc distinctness of ghs
     bench_grams = (
         gram_side(bench, "bench_doc")
         .select("bench_doc", F.explode("ghs").alias("g"))
-        .distinct()
+        .groupBy("g")
+        .agg(F.min("bench_doc").alias("bench_doc"))
     )
     return (
         corpus.join(F.broadcast(bench_grams), "g")

@@ -407,3 +407,48 @@ def test_ngram_guard_ignores_null_key_blocks(spark):
     got = ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_block=10)
     pairs = {(r.doc_a, r.doc_b) for r in got.collect()}
     assert pairs == {(100, 101)}
+
+
+# -------------------------------------------------- fifth review batch pins
+
+
+def test_ngram_jaccard_empty_shingles_no_nan_pair(spark):
+    """Two sub-k-word docs share no shingles: 0/0 previously produced NaN,
+    which Spark ranks above every double, so `NaN >= threshold` emitted a
+    bogus duplicate pair (the DuckDB oracle says NULL and drops it)."""
+    from aira_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [(1, "en", "web", "hi"), (2, "en", "web", "ok"),
+            (3, "en", "web", "alpha beta gamma delta"),
+            (4, "en", "web", "alpha beta gamma delta")]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, source string, text string")
+    pairs = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs, k=3, threshold=0.3).collect()}
+    assert pairs == {(3, 4)}
+
+
+def test_bpe_and_fingerprints_survive_null_text(spark):
+    """NULL text: 0 BPE tokens (the oracle's COALESCE path) and a NULL
+    fingerprint row — not an AttributeError killing the Arrow task."""
+    from aira_spark.operators.bpe import encode_token_counts
+    from aira_spark.operators.text import doc_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "hello world hello"), (2, None)], "doc_id long, text string"
+    )
+    counts = {r.doc_id: r.n_bpe_tokens for r in encode_token_counts(docs, []).collect()}
+    assert counts[2] == 0 and counts[1] > 0
+    fps = doc_fingerprints(docs)
+    assert {r.doc_id for r in fps.select("doc_id").distinct().collect()} == {1}
+
+
+def test_bpe_word_regex_rejects_line_terminators(spark):
+    """'abc\\n' must not count as a word in ANY engine: Java's $ matches
+    before a trailing newline, so the Spark training pass previously
+    counted words the Python encode pass (and the RE2 oracle) rejected."""
+    from aira_spark.operators.bpe import word_frequencies
+
+    docs = spark.createDataFrame(
+        [(1, "good bad\nworse good")], "doc_id long, text string"
+    )
+    words = {r.word for r in word_frequencies(docs).collect()}
+    assert words == {"good"}  # 'bad\nworse' fails; both 'good's count
